@@ -1,13 +1,48 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 is exposed as a named query over the
+  * synthetic test tables (TESTDATA.md), each paired (when SQL-expressible)
+  * with DuckDB oracle SQL. The driver runs [[Verify]] to dump results and
+  * compares against the oracle at sf0.01.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** All query registries, grouped by SURVEY.md §2 operator family. */
+  def registries: Seq[Registry] = Seq(
+    QFilters,
+    QJoins,
+    QAggs,
+    QWindows,
+    QSetSortPivot,
+    QScalar,
+    QAsOf,
+    QTracePipeline,
+    QDedup,
+    QSimilarity,
+    QText,
+    QMultimodal
+  )
+
+  private lazy val all: Seq[Q] = registries.flatMap(_.qs)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full Stage-0-shaped pipeline: clean → error-correct → daily panel.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    QTracePipeline.dailyPanel(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated synthetic tables (see TESTDATA.md).
+  *
+  * Every query entry in [[SparkEntry.queries]] receives `(spark, sfDir)` and
+  * loads inputs exclusively through these helpers so the scan configuration
+  * (vectorized parquet reader, pushdown) is uniform.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
+    // read nanos as long and rebuild a (micro-truncated) timestamp — the
+    // same truncation DuckDB applies, so oracle comparisons line up.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        timestamp_micros((col("ts") / 1000L).cast("long")))
+    else df
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Exact decimal(18,2) sum of a double column, emitted as double.
+    *
+    * Plain `sum(double)` is order-dependent (~1e-11 relative drift at sf0.01),
+    * which breaks the driver's hash compare against DuckDB. Summing after a
+    * decimal(18,2) cast is exact and associative, and the final double cast is
+    * deterministic IEEE-754 nearest — both engines produce identical bits.
+    */
+  def dsum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Same trick at 4 fractional digits (for products of 2-dp columns). */
+  def dsum4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(c.cast("decimal(28,4)")).cast("double")
+}

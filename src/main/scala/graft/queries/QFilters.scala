@@ -1,0 +1,115 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.functions._
+
+/** Scans, projections and audited filter predicates (SURVEY §2.1–2.2).
+  * Each filter family from the reference is restated over the synthetic
+  * star schema; predicates are written so Catalyst pushes them into the
+  * parquet scan (verified via explain — `PushedFilters`).
+  */
+object QFilters extends Registry {
+
+  def qs: Seq[Q] = Seq(
+
+    // S1/F15 — projected, filtered scan with pushdown (reference: WRDS
+    // chunk SELECT, stage0/create_daily_enhanced_trace.py:499-508).
+    Q("s1_scan_prune",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") <= 10)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+              FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 10""")),
+
+    // F1 — universe screens: chained predicates incl. regex + IN-list + range
+    // (reference: FISD screens, stage0/create_daily_enhanced_trace.py:2294-2391).
+    Q("f1_universe_screens",
+      (s, d) => Tables.part(s, d)
+        .filter(!col("p_type").rlike("PROMO|ECONOMY"))
+        .filter(!col("p_brand").isin("Brand#1", "Brand#2"))
+        .filter(col("p_size") >= 5 && col("p_size") <= 40)
+        .filter(col("p_retailprice") > 950)
+        .filter(col("p_name").rlike("widget|bolt"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"),
+          col("p_retailprice")),
+      Some("""SELECT p_partkey, p_name, p_type, p_size, p_retailprice
+              FROM part
+              WHERE NOT regexp_matches(p_type, 'PROMO|ECONOMY')
+                AND p_brand NOT IN ('Brand#1', 'Brand#2')
+                AND p_size >= 5 AND p_size <= 40
+                AND p_retailprice > 950
+                AND regexp_matches(p_name, 'widget|bolt')""")),
+
+    // F4/F5 — price screen + derived dollar-volume screen
+    // (stage0/create_daily_enhanced_trace.py:607-634). The product of two
+    // 2-dp inputs is a true 4-decimal value, so round at 4dp — rounding at
+    // 2dp would sit exactly on half boundaries where Spark (exact-binary
+    // HALF_UP) and DuckDB (scale-then-rint) disagree.
+    Q("f4f5_price_volume_screen",
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("dollar_vol",
+          round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4))
+        .filter(col("l_extendedprice") > 1000 && col("l_extendedprice") <= 100000)
+        .filter(col("dollar_vol") >= 20000)
+        .filter(col("l_quantity") <= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("dollar_vol")),
+      Some("""SELECT l_orderkey, l_linenumber,
+                     round(l_extendedprice * (1.0 - l_discount), 4) AS dollar_vol
+              FROM lineitem
+              WHERE l_extendedprice > 1000 AND l_extendedprice <= 100000
+                AND round(l_extendedprice * (1.0 - l_discount), 4) >= 20000
+                AND l_quantity <= 45""")),
+
+    // F6 — trading-calendar semi-join: keep only ship dates that appear in
+    // the valid-dates set (stage0/create_daily_enhanced_trace.py:1397-1456).
+    // The dates side is tiny → Catalyst broadcasts the semi-join.
+    Q("f6_calendar_semi_join",
+      (s, d) => {
+        val dates = Tables.orders(s, d)
+          .select(to_date(col("o_orderdate")).as("ship_d")).distinct()
+        Tables.lineitem(s, d)
+          .withColumn("ship_d", to_date(col("l_shipdate")))
+          .join(broadcast(dates), Seq("ship_d"), "left_semi")
+          .groupBy(col("ship_d")).agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT CAST(l_shipdate AS DATE) AS ship_d, count(*) AS n
+              FROM lineitem
+              WHERE CAST(l_shipdate AS DATE) IN
+                    (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+              GROUP BY 1""")),
+
+    // F7/X4 — time-of-day seconds + wrap-around window filter
+    // (stage0/create_daily_enhanced_trace.py:1344-1375, 128-163).
+    Q("f7_time_window_wrap",
+      (s, d) => Tables.events(s, d)
+        .withColumn("secs",
+          (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+            .cast("long"))
+        .filter(col("secs") >= 79200 || col("secs") <= 7200)
+        .select(col("event_id"), col("secs")),
+      Some("""SELECT event_id,
+                     CAST(extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+                          + extract(second FROM ts) AS BIGINT) AS secs
+              FROM events
+              WHERE (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+                     + extract(second FROM ts)) >= 79200
+                 OR (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+                     + extract(second FROM ts)) <= 7200""")),
+
+    // F14 — scalar-aggregate cutoff: keep lineitem rows shipped strictly
+    // after the max 'F'-order date (stage1/stage1_pipeline.py:218-240).
+    // The 1-row max side is cross-joined (broadcast) to stay fully lazy.
+    Q("f14_overlap_clip",
+      (s, d) => {
+        val mx = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+          .agg(max(col("o_orderdate")).as("__mx"))
+        Tables.lineitem(s, d).crossJoin(broadcast(mx))
+          .filter(col("l_shipdate") > col("__mx"))
+          .select(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+              WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders
+                                  WHERE o_orderstatus = 'F')"""))
+  )
+}

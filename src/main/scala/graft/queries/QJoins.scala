@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SeqMatch
+import org.apache.spark.sql.functions._
+
+/** Join shapes from SURVEY.md §2.3, restated over the synthetic star schema.
+  *
+  * Scale notes: dimension sides (region/nation/ranges/month sequences) are
+  * broadcast — no shuffle of the fact table; anti/semi joins keep composite
+  * keys as real key tuples (never concatenated strings, unlike the
+  * reference's merge-key concat at
+  * `stage0/create_daily_enhanced_trace.py:1679-1695`), so Catalyst can pick
+  * broadcast/shuffled-hash strategies and push the build side.
+  */
+object QJoins extends Registry {
+
+  def qs: Seq[Q] = Seq(
+
+    // J1 — issue ⋈ issuer shape: left equi join
+    // (stage0/create_daily_enhanced_trace.py:2289).
+    Q("j1_left_equi",
+      (s, d) => {
+        val n = Tables.nation(s, d)
+        val r = Tables.region(s, d)
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "left")
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      },
+      Some("""SELECT n_nationkey, n_name, r_name
+              FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""")),
+
+    // J2/F9 — fact ⋈ broadcast dim + theta predicate on joined columns
+    // (stage0/create_daily_enhanced_trace.py:690-699: entrd_vol_qt <
+    // offering_amt*1000*0.5 after the FISD offering join).
+    Q("j2_broadcast_theta",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val p = Tables.part(s, d)
+        li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+          .filter(col("l_extendedprice") < col("p_retailprice") * 30)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("p_retailprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, p_retailprice
+              FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+              WHERE l_extendedprice < p_retailprice * 30""")),
+
+    // J3 — composite-key anti-join (post-2012 cancel matching,
+    // stage0/create_daily_enhanced_trace.py:1668-1701): remove "trade" rows
+    // whose composite key matches a "cancel" ('R') row. The cancel side is
+    // deduped before the anti-join (small build side, as in the reference).
+    Q("j3_composite_anti",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val trades = li.filter(col("l_returnflag") =!= "R")
+        val cancels = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+            col("l_quantity")).distinct()
+        trades.join(cancels,
+            Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+            "left_anti")
+          .select(col("l_orderkey"), col("l_linenumber"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem t
+              WHERE t.l_returnflag <> 'R' AND NOT EXISTS (
+                SELECT 1 FROM lineitem c
+                WHERE c.l_returnflag = 'R'
+                  AND c.l_orderkey = t.l_orderkey
+                  AND c.l_partkey = t.l_partkey
+                  AND c.l_suppkey = t.l_suppkey
+                  AND c.l_quantity = t.l_quantity)""")),
+
+    // J4 — asymmetric-key anti-join with an extra non-equi condition
+    // (post-2012 reversal: survivor msg_seq_nb = reversal orig_msg_seq_nb,
+    // stage0/create_daily_enhanced_trace.py:1710-1734).
+    Q("j4_asymmetric_anti",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val ord = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        li.join(ord,
+            li("l_orderkey") === ord("o_custkey") &&
+              li("l_extendedprice") < ord("o_totalprice") / 10,
+            "left_anti")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      },
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_orderstatus = 'F'
+                  AND o.o_custkey = t.l_orderkey
+                  AND t.l_extendedprice < o.o_totalprice / 10)""")),
+
+    // J7/J8 — SAS-style ordered 1:1 sequence matching: the n-th 'R' row
+    // cancels the n-th 'A' row under the same (orderkey, suppkey) group
+    // (stage0/create_daily_enhanced_trace.py:1912-2057;
+    // stage0/create_daily_standard_trace.py:138-267).
+    Q("j7_sequence_match_anti",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        SeqMatch.antiBySequence(
+            li.filter(col("l_returnflag") === "A"),
+            li.filter(col("l_returnflag") === "R"),
+            keys = Seq("l_orderkey", "l_suppkey"),
+            leftOrder = Seq(col("l_linenumber").asc),
+            rightOrder = Seq(col("l_linenumber").asc))
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_linenumber"))
+      },
+      Some("""WITH t AS (
+                SELECT l_orderkey, l_suppkey, l_linenumber,
+                       row_number() OVER (PARTITION BY l_orderkey, l_suppkey
+                                          ORDER BY l_linenumber) AS seq
+                FROM lineitem WHERE l_returnflag = 'A'),
+              r AS (
+                SELECT l_orderkey, l_suppkey,
+                       row_number() OVER (PARTITION BY l_orderkey, l_suppkey
+                                          ORDER BY l_linenumber) AS seq
+                FROM lineitem WHERE l_returnflag = 'R')
+              SELECT t.l_orderkey, t.l_suppkey, t.l_linenumber FROM t
+              WHERE NOT EXISTS (
+                SELECT 1 FROM r WHERE r.l_orderkey = t.l_orderkey
+                  AND r.l_suppkey = t.l_suppkey AND r.seq = t.seq)""")),
+
+    // J16 — cross join of a snapshot × generated month range
+    // (stage1/helper_functions.py:595-601): region × 1995 month-ends via
+    // explode(sequence(...)) — no driver-side loop, broadcastable generator.
+    Q("j16_crossjoin_months",
+      (s, d) => {
+        val months = s.range(1).select(
+          explode(sequence(
+            to_date(lit("1995-01-31")),
+            to_date(lit("1995-12-31")),
+            expr("interval 1 month"))).as("month_end"))
+        Tables.region(s, d).crossJoin(broadcast(months))
+          .select(col("r_name"), col("month_end"))
+      },
+      // Spark's sequence() computes start + i*interval (Jan 31 + 2mo =
+      // Mar 31); DuckDB's generate_series steps cumulatively (→ Mar 28),
+      // so the oracle uses explicit start + i months.
+      Some("""SELECT r_name, CAST(DATE '1995-01-31' + to_months(CAST(m.i AS INT)) AS DATE) AS month_end
+              FROM region CROSS JOIN range(12) m(i)""")),
+
+    // J17 — range join against a tiny broadcast ranges table (SIC→FF
+    // industry, stage1/helper_functions.py:435-455): p_size banded into
+    // named buckets, unmatched → 'other'.
+    Q("j17_range_join_buckets",
+      (s, d) => {
+        import s.implicits._
+        val ranges = Seq((1, 10, "small"), (11, 25, "mid"), (26, 40, "large"))
+          .toDF("lo", "hi", "bucket")
+        Tables.part(s, d)
+          .join(broadcast(ranges),
+            col("p_size") >= col("lo") && col("p_size") <= col("hi"), "left")
+          .select(col("p_partkey"),
+            coalesce(col("bucket"), lit("other")).as("bucket"))
+      },
+      Some("""SELECT p_partkey, coalesce(r.bucket, 'other') AS bucket
+              FROM part LEFT JOIN (VALUES (1, 10, 'small'), (11, 25, 'mid'),
+                   (26, 40, 'large')) AS r(lo, hi, bucket)
+                ON p_size >= r.lo AND p_size <= r.hi""")),
+
+    // J19 — merge of two aggregate panels by full-outer join
+    // (stage0/create_daily_enhanced_trace.py:376-391). Kept as a literal
+    // outer-join restatement; the preferred single-groupBy design is
+    // a1_daily_panel (QAggs/DailyMetrics).
+    Q("j19_outer_merge_aggs",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val qty = li.filter(col("l_returnflag") === "R")
+          .groupBy(col("l_orderkey"))
+          .agg(Tables.dsum(col("l_quantity")).as("sum_qty"))
+        val price = li.filter(col("l_linestatus") === "O")
+          .groupBy(col("l_orderkey"))
+          .agg(Tables.dsum(col("l_extendedprice")).as("sum_price"))
+        qty.join(price, Seq("l_orderkey"), "outer")
+      },
+      Some("""SELECT coalesce(q.l_orderkey, p.l_orderkey) AS l_orderkey,
+                     q.sum_qty, p.sum_price
+              FROM (SELECT l_orderkey,
+                           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+                    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1) q
+              FULL OUTER JOIN
+                   (SELECT l_orderkey,
+                           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+                    FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1) p
+                ON q.l_orderkey = p.l_orderkey"""))
+  )
+}
