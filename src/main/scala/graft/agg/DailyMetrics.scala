@@ -15,42 +15,57 @@ import org.apache.spark.sql.functions._
   * supplied unique intra-group order key (never Spark's order-sensitive
   * `first`/`last` — SURVEY.md §4 determinism trap).
   *
-  * Input column contract (rename upstream): `id`, `date`, `price`, `qty`,
-  * `dvol` (dollar volume), `ord` (unique orderable within (id,date)),
+  * Input column contract (rename upstream): `id`, `dt`, `price`, `qty`,
+  * `dvol` (dollar volume), `ord` (unique orderable within (id,dt)),
   * `side` ('B'/'S'), `contra` ('C' customer / 'D' dealer).
   *
-  * Money sums go through decimal(28,4) so results are exact and bit-stable
-  * across engines (the DuckDB-oracle hash gate); ratios are rounded to 6dp.
+  * Determinism contract: `price`, `qty`, `dvol` must arrive as DECIMAL
+  * columns (exact values). All sums/products then stay in decimal — exact
+  * and order-independent — and only the final ratio is computed in double,
+  * so results are bit-stable across engines (the DuckDB-oracle hash gate).
   */
 object DailyMetrics {
 
-  /** exact decimal sum rendered back as double */
-  private def ds(e: String, p: Int = 4): String =
-    s"cast(sum(cast(($e) as decimal(28,$p))) as double)"
+  /** exact decimal sum (scale 6 covers 2dp×4dp products) rendered as double;
+    * the FILTER clause must sit on the aggregate itself, inside the cast. */
+  private def ds(e: String, filter: String = ""): String = {
+    val f = if (filter.isEmpty) "" else s" FILTER (WHERE $filter)"
+    s"cast(sum(cast(($e) as decimal(38,6)))$f as double)"
+  }
+
+  private val bid = "side = 'B' AND contra = 'C'"
+  private val ask = "side = 'S' AND contra = 'C'"
 
   def panel(trades: DataFrame): DataFrame = {
+    // Ratio outputs are RAW double quotients — never rounded. Rounding a
+    // double quotient at fixed scale hits half-boundary disagreements
+    // across engines (Spark rounds the shortest repr HALF_UP, DuckDB
+    // scales-then-rints); the raw quotient of identical decimal-exact
+    // operands is bit-identical everywhere. Volume scaling (/1e6) is a
+    // decimal scale-shift (*0.000001), not a double division+round.
     val aggs = Seq(
-      s"round(${ds("price")} / count(1), 6) as prc_ew",
-      s"round(${ds("price * dvol")} / nullif(${ds("dvol")}, 0.0), 6) as prc_vw",
-      s"round(${ds("price * qty")} / nullif(${ds("qty")}, 0.0), 6) as prc_vw_par",
-      "min_by(price, ord) as prc_first",
-      "max_by(price, ord) as prc_last",
-      "max(price) as prc_hi",
-      "min(price) as prc_lo",
+      s"${ds("price")} / count(1) as prc_ew",
+      s"${ds("price * dvol")} / nullif(${ds("dvol")}, 0.0) as prc_vw",
+      s"${ds("price * qty")} / nullif(${ds("qty")}, 0.0) as prc_vw_par",
+      "cast(min_by(price, ord) as double) as prc_first",
+      "cast(max_by(price, ord) as double) as prc_last",
+      "cast(max(price) as double) as prc_hi",
+      "cast(min(price) as double) as prc_lo",
       "count(1) as trade_count",
-      s"round(${ds("qty")} / 1e6, 6) as qvolume",
-      s"round(${ds("dvol")} / 1e6, 6) as dvolume",
+      // the sum is cast back down to (28,6) before the *0.000001 scale
+      // shift so the exact (36,12) product fits — Spark promotes sums to
+      // precision 38 and would then clamp the product by dropping scale.
+      "cast(cast(sum(cast(qty as decimal(28,6))) as decimal(28,6)) * 0.000001 as double) as qvolume",
+      "cast(cast(sum(cast(dvol as decimal(28,6))) as decimal(28,6)) * 0.000001 as double) as dvolume",
       // customer-facing bid side (dealer buys, B/C) — value-weighted
-      s"round(${ds("price * dvol")} FILTER (WHERE side = 'B' AND contra = 'C')" +
-        s" / nullif(${ds("dvol")} FILTER (WHERE side = 'B' AND contra = 'C'), 0.0), 6) as prc_bid",
-      "max_by(price, ord) FILTER (WHERE side = 'B' AND contra = 'C') as bid_last",
-      "count(1) FILTER (WHERE side = 'B' AND contra = 'C') as bid_count",
+      s"${ds("price * dvol", bid)} / nullif(${ds("dvol", bid)}, 0.0) as prc_bid",
+      s"cast(max_by(price, ord) FILTER (WHERE $bid) as double) as bid_last",
+      s"count(1) FILTER (WHERE $bid) as bid_count",
       // customer-facing ask side (dealer sells, S/C)
-      s"round(${ds("price * dvol")} FILTER (WHERE side = 'S' AND contra = 'C')" +
-        s" / nullif(${ds("dvol")} FILTER (WHERE side = 'S' AND contra = 'C'), 0.0), 6) as prc_ask",
-      "count(1) FILTER (WHERE side = 'S' AND contra = 'C') as ask_count"
+      s"${ds("price * dvol", ask)} / nullif(${ds("dvol", ask)}, 0.0) as prc_ask",
+      s"count(1) FILTER (WHERE $ask) as ask_count"
     )
-    trades.groupBy(col("id"), col("date"))
+    trades.groupBy(col("id"), col("dt"))
       .agg(expr(aggs.head), aggs.tail.map(expr): _*)
   }
 }

@@ -24,7 +24,10 @@ object Dedup {
     df.withColumn(rn, row_number().over(w)).filter(col(rn) === 1).drop(rn)
   }
 
-  /** Keep the last row per key under `order` (i.e. first under reversed order). */
+  /** Keep the last row per key under `order` (i.e. first under reversed
+    * order). `order` must be plain Columns (not `.asc`/`.desc` SortOrders —
+    * reversing an existing SortOrder is not evaluable).
+    */
   def keepLast(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
     keepFirst(df, keys, order.map(_.desc))
 }

@@ -1,5 +1,320 @@
 package graft.queries
 
+import graft.Tables
+import graft.agg.DailyMetrics
+import graft.operators.{Dedup, Quantiles}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Aggregation family (SURVEY.md §2.4) over the synthetic tables.
+  *
+  * Scale notes: every query here is a single hash-aggregation pass (one
+  * shuffle on the group keys, map-side partial aggregation); the panel
+  * query replaces the reference's three-groupbys-plus-outer-joins shape
+  * with one conditional-aggregate pass. Money sums are decimal-exact (see
+  * DailyMetrics) so results are order-independent and hash-stable.
+  */
 object QAggs extends Registry {
-  def qs: Seq[Q] = Seq()
+
+  def qs: Seq[Q] = Seq(
+
+    // A1–A3 — the daily trade panel: ew/vw/par prices, first/last/hi/lo,
+    // counts, volumes, value-weighted bid/ask sides — ONE groupBy pass
+    // (stage0/create_daily_enhanced_trace.py:205-391).
+    Q("a1_daily_panel",
+      (s, d) => DailyMetrics.panel(Trades.df(s, d)),
+      Some(s"""WITH tr AS (${Trades.sql})
+              SELECT id, dt,
+                CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS prc_ew,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,6))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS prc_vw,
+                CAST(sum(CAST(price * qty AS DECIMAL(38,6))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(qty AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS prc_vw_par,
+                CAST(arg_min(price, ord) AS DOUBLE) AS prc_first,
+                CAST(arg_max(price, ord) AS DOUBLE) AS prc_last,
+                CAST(max(price) AS DOUBLE) AS prc_hi,
+                CAST(min(price) AS DOUBLE) AS prc_lo,
+                count(*) AS trade_count,
+                CAST(CAST(sum(CAST(qty AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 0.000001 AS DOUBLE) AS qvolume,
+                CAST(CAST(sum(CAST(dvol AS DECIMAL(28,6))) AS DECIMAL(28,6)) * 0.000001 AS DOUBLE) AS dvolume,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,6))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,6))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE), 0.0) AS prc_bid,
+                CAST(arg_max(price, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE) AS bid_last,
+                count(*) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_count,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,6))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,6))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE), 0.0) AS prc_ask,
+                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count
+              FROM tr GROUP BY id, dt""")),
+
+    // A4/A5 — group sizes and min/max dates (bond lifespan shape,
+    // stage1/helper_functions.py:1859-1860).
+    Q("a5_group_minmax",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(to_date(col("o_orderdate"))).as("first_dt"),
+          max(to_date(col("o_orderdate"))).as("last_dt")),
+      Some("""SELECT o_custkey, count(*) AS n_orders,
+                     min(CAST(o_orderdate AS DATE)) AS first_dt,
+                     max(CAST(o_orderdate AS DATE)) AS last_dt
+              FROM orders GROUP BY o_custkey""")),
+
+    // A6 — pooled descriptive stats: n/mean/std + rank-pick quantiles
+    // P1/P5/P95/P99 per group (stage1/helper_functions.py:3664-3700).
+    // Variance via exact decimal sums (Σx, Σx²) so it is order-independent;
+    // quantiles are rank picks (actual data values), not interpolations —
+    // bit-stable across engines.
+    Q("a6_descriptive_stats",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc)
+        val wg = Window.partitionBy(col("l_returnflag"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val ranked = Tables.lineitem(s, d)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wg))
+        def pick(q: Double) = max(when(
+          col("rn") === greatest(lit(1L), ceil(lit(q) * col("n"))),
+          col("l_extendedprice"))).over(wg)
+        ranked
+          .withColumn("p01", pick(0.01)).withColumn("p05", pick(0.05))
+          .withColumn("p95", pick(0.95)).withColumn("p99", pick(0.99))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            (Tables.dsum(col("l_extendedprice")) / count(lit(1))).as("mean"),
+            ((Tables.dsum4(col("l_extendedprice") * col("l_extendedprice")) -
+                Tables.dsum(col("l_extendedprice")) * Tables.dsum(col("l_extendedprice"))
+                  / count(lit(1))) / (count(lit(1)) - 1)).as("variance"),
+            min(col("l_extendedprice")).as("mn"),
+            max(col("l_extendedprice")).as("mx"),
+            max(col("p01")).as("p01"), max(col("p05")).as("p05"),
+            max(col("p95")).as("p95"), max(col("p99")).as("p99"))
+      },
+      Some("""WITH ranked AS (
+                SELECT l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem),
+              picks AS (
+                SELECT l_returnflag, l_extendedprice, n,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT)) THEN l_extendedprice END)
+                    OVER (PARTITION BY l_returnflag) AS p01,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) THEN l_extendedprice END)
+                    OVER (PARTITION BY l_returnflag) AS p05,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN l_extendedprice END)
+                    OVER (PARTITION BY l_returnflag) AS p95,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN l_extendedprice END)
+                    OVER (PARTITION BY l_returnflag) AS p99
+                FROM ranked)
+              SELECT l_returnflag, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
+                (CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
+                       - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                         * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+                      / (count(*) - 1) AS variance,
+                min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+                max(p01) AS p01, max(p05) AS p05, max(p95) AS p95, max(p99) AS p99
+              FROM picks GROUP BY l_returnflag""")),
+
+    // A7 — cross-sectional stats: per-day means, then the time-series mean
+    // of the daily stat (stage1/helper_functions.py:3703-3751). Re-averaging
+    // derived means is done in exact fixed-point (micro-unit bigints with
+    // floor division) — re-aggregating rounded doubles is the one shape
+    // where engines' rounding rules genuinely diverge.
+    Q("a7_cross_sectional",
+      (s, d) => Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("dt"))
+        .agg(
+          // day mean in exact micro-units: (cents * 1e4) div n
+          expr("(cast(sum(cast(value as decimal(18,2))) * 100 as bigint) * 10000) div count(1)")
+            .as("day_mean_u"),
+          count(lit(1)).as("day_n"))
+        .agg(
+          expr("cast(sum(day_mean_u) div count(1) as double) / 1e6")
+            .as("mean_of_day_means"),
+          (Tables.dsum(col("day_n")) / count(lit(1))).as("mean_day_n"),
+          count(lit(1)).as("n_days")),
+      Some("""WITH daily AS (
+                SELECT CAST(ts AS DATE) AS dt,
+                       (CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) * 10000) // count(*) AS day_mean_u,
+                       count(*) AS day_n
+                FROM events GROUP BY 1)
+              SELECT CAST(sum(day_mean_u) // count(*) AS DOUBLE) / 1e6 AS mean_of_day_means,
+                     CAST(sum(CAST(day_n AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_day_n,
+                     count(*) AS n_days
+              FROM daily""")),
+
+    // A8 — winsorization: clip values into per-group rank quantiles
+    // [q0.005, q0.995] (stage1/stage1_pipeline.py:1950-1961).
+    Q("a8_winsorize",
+      (s, d) => Quantiles.winsorize(
+          Tables.lineitem(s, d)
+            .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+              col("l_extendedprice")),
+          groups = Seq("l_returnflag"),
+          valueCol = "l_extendedprice",
+          tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
+          qLo = 0.005, qHi = 0.995,
+          outCol = "price_w")
+        .select(col("l_orderkey"), col("l_linenumber"), col("price_w")),
+      Some("""WITH ranked AS (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+                       row_number() OVER (PARTITION BY l_returnflag
+                         ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                FROM lineitem),
+              bounds AS (
+                SELECT l_orderkey, l_linenumber, l_extendedprice,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.005 * n) AS BIGINT)) THEN l_extendedprice END)
+                    OVER (PARTITION BY l_returnflag) AS lo,
+                  max(CASE WHEN rn = greatest(1, CAST(ceil(0.995 * n) AS BIGINT)) THEN l_extendedprice END)
+                    OVER (PARTITION BY l_returnflag) AS hi
+                FROM ranked)
+              SELECT l_orderkey, l_linenumber,
+                     least(greatest(l_extendedprice, lo), hi) AS price_w
+              FROM bounds""")),
+
+    // A9 — concentration stats: per-supplier volume shares, cumulative
+    // share thresholds, top-N shares, Herfindahl
+    // (stage1/helper_functions.py:2267-2334). All sums decimal-exact; the
+    // cumulative walk is a decimal window cumsum ordered by (vol desc,
+    // suppkey) — deterministic under ties.
+    Q("a9_concentration",
+      (s, d) => {
+        val vol = Tables.lineitem(s, d)
+          .groupBy(col("l_suppkey"))
+          .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("v"))
+        val wc = Window.orderBy(col("v").desc, col("l_suppkey").asc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wr = Window.orderBy(col("v").desc, col("l_suppkey").asc)
+        vol
+          .withColumn("vu", expr("cast(v * 100 as bigint) div 100000"))
+          .withColumn("cum", sum(col("v")).over(wc))
+          .withColumn("tot", sum(col("v")).over(wAll))
+          .withColumn("rk", row_number().over(wr))
+          .withColumn("nsupp", count(lit(1)).over(wAll))
+          .agg(
+            count(when(col("cum") < col("tot") * 0.5, 1)).as("n_50"),
+            count(when(col("cum") < col("tot") * 0.75, 1)).as("n_75"),
+            count(when(col("cum") < col("tot") * 0.9, 1)).as("n_90"),
+            (Tables.dsum(when(col("rk") <= ceil(col("nsupp") * 0.1),
+              col("v")).otherwise(lit(0))) /
+              max(col("tot").cast("double"))).as("top10_share"),
+            // herfindahl in bigint fixed-point: volumes floored to 1e3-
+            // dollar units keep v², Σv² and totals below 2^53, so every
+            // int→double cast is exact — wide-decimal→double casts double-
+            // round differently across engines.
+            expr("""cast(sum(vu * vu) as double)
+                    / (cast(sum(vu) as double) * cast(sum(vu) as double))
+                    * 10000""").as("herfindahl"))
+      },
+      Some("""WITH vol AS (
+                SELECT l_suppkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS v
+                FROM lineitem GROUP BY 1),
+              cw AS (
+                SELECT l_suppkey, v,
+                       CAST(v * 100 AS BIGINT) // 100000 AS vu,
+                       sum(v) OVER (ORDER BY v DESC, l_suppkey
+                                    ROWS UNBOUNDED PRECEDING) AS cum,
+                       sum(v) OVER () AS tot,
+                       row_number() OVER (ORDER BY v DESC, l_suppkey) AS rk,
+                       count(*) OVER () AS nsupp
+                FROM vol)
+              SELECT count(CASE WHEN cum < tot * 0.5 THEN 1 END) AS n_50,
+                     count(CASE WHEN cum < tot * 0.75 THEN 1 END) AS n_75,
+                     count(CASE WHEN cum < tot * 0.9 THEN 1 END) AS n_90,
+                     CAST(sum(CASE WHEN rk <= ceil(nsupp * 0.1) THEN CAST(v AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                           / max(CAST(tot AS DOUBLE)) AS top10_share,
+                     CAST(sum(vu * vu) AS DOUBLE)
+                           / (CAST(sum(vu) AS DOUBLE) * CAST(sum(vu) AS DOUBLE)) * 10000 AS herfindahl
+              FROM cw""")),
+
+    // A10 — trade counts by month INCLUDING zero months inside each
+    // customer's alive window (stage1/helper_functions.py:1814-1907):
+    // sequence(first_month, last_month) + explode replaces the reference's
+    // per-month python loop; left join + coalesce(0) fills gaps.
+    Q("a10_alive_months",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("m", trunc(to_date(col("o_orderdate")), "MM"))
+        val alive = o.groupBy(col("o_custkey"))
+          .agg(min(col("m")).as("m0"), max(col("m")).as("m1"))
+          .select(col("o_custkey"),
+            explode(sequence(col("m0"), col("m1"),
+              expr("interval 1 month"))).as("m"))
+        val counts = o.groupBy(col("o_custkey"), col("m"))
+          .agg(count(lit(1)).as("cnt"))
+        alive.join(counts, Seq("o_custkey", "m"), "left")
+          .select(col("o_custkey"), col("m").as("month_start"),
+            coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      },
+      // month stepping from a first-of-month start is cumulative-safe
+      // (day 1 always valid), so generate_series matches Spark sequence.
+      Some("""WITH o AS (
+                SELECT o_custkey, date_trunc('month', CAST(o_orderdate AS DATE)) AS m
+                FROM orders),
+              alive AS (
+                SELECT o_custkey, unnest(generate_series(min(m), max(m),
+                       INTERVAL 1 MONTH)) AS m
+                FROM o GROUP BY o_custkey),
+              counts AS (
+                SELECT o_custkey, m, count(*) AS cnt FROM o GROUP BY 1, 2)
+              SELECT a.o_custkey, CAST(a.m AS DATE) AS month_start,
+                     coalesce(c.cnt, 0) AS n_orders
+              FROM alive a LEFT JOIN counts c
+                ON a.o_custkey = c.o_custkey AND a.m = c.m""")),
+
+    // A11 — weekly resample means (stage1/helper_functions.py:1312-1780):
+    // date_trunc('week') + one aggregation pass.
+    Q("a11_weekly_resample",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("week", col("ts")).cast("date").as("week_start"))
+        .agg((Tables.dsum(col("value")) / count(lit(1))).as("mean_value"),
+          count(lit(1)).as("n")),
+      Some("""SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_value,
+                     count(*) AS n
+              FROM events GROUP BY 1""")),
+
+    // A12 — dedup with priority: one row per (id, dt), Enhanced>Standard>
+    // 144A priority order (stage1/stage1_pipeline.py:249-255) — row_number
+    // over an explicit total order, never sort+dropDuplicates.
+    Q("a12_dedup_priority",
+      (s, d) => Dedup.keepFirst(
+          Trades.df(s, d),
+          keys = Seq("id", "dt"),
+          order = Seq(col("side").asc, col("ord").asc))
+        .select(col("id"), col("dt"), col("ord"), col("side")),
+      Some(s"""WITH tr AS (${Trades.sql}),
+              r AS (SELECT id, dt, ord, side,
+                      row_number() OVER (PARTITION BY id, dt
+                        ORDER BY side, ord) AS rn FROM tr)
+              SELECT id, dt, ord, side FROM r WHERE rn = 1""")),
+
+    // A13 — dedup keep-last under order (latest amount-outstanding per key,
+    // stage1/stage1_pipeline.py:722-726).
+    Q("a13_dedup_keeplast",
+      (s, d) => Dedup.keepLast(
+          Tables.orders(s, d),
+          keys = Seq("o_custkey"),
+          order = Seq(col("o_orderdate"), col("o_orderkey")))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+      Some("""WITH r AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders)
+              SELECT o_custkey, o_orderkey, o_orderdate FROM r WHERE rn = 1""")),
+
+    // A14 — distinct key lists (flagged-CUSIP export shape,
+    // stage0/create_daily_enhanced_trace.py:2828-2835).
+    Q("a14_distinct_keys",
+      (s, d) => Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct(),
+      Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'"""))
+  )
 }

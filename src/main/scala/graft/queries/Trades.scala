@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The synthetic "intraday trade reports" view: a deterministic mapping of
+  * the `events` table onto the reference's trade-report shape
+  * (FIXTURES.md §1.1) so every TRACE-style operator has a realistic input.
+  *
+  * `price`/`qty`/`dvol` are DECIMAL (exact) per the [[graft.agg.DailyMetrics]]
+  * determinism contract; `ord` (= event_id) is a unique total order within
+  * each (id, dt) group — the stand-in for the reference's canonical sort key
+  * (cusip, dt, tm, rpt_dt, rpt_tm, msg_seq_nb).
+  */
+object Trades {
+
+  def df(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("user_id").as("id"),
+      to_date(col("ts")).as("dt"),
+      col("ts"),
+      col("event_id").as("ord"),
+      col("value").cast("decimal(18,2)").as("price"),
+      (col("event_id") % 97 + 1).cast("decimal(18,2)").as("qty"),
+      (col("value").cast("decimal(18,2)") *
+        (col("event_id") % 97 + 1).cast("decimal(18,2)")).as("dvol"),
+      when(col("event_type").isin("purchase", "signup"), "S")
+        .otherwise("B").as("side"),
+      when(col("event_type") === "error", "D").otherwise("C").as("contra"))
+
+  /** Same mapping as ANSI SQL for DuckDB oracles (CTE body, table `events`). */
+  val sql: String =
+    """SELECT user_id AS id, CAST(ts AS DATE) AS dt, ts, event_id AS ord,
+       CAST(value AS DECIMAL(18,2)) AS price,
+       CAST(event_id % 97 + 1 AS DECIMAL(18,2)) AS qty,
+       CAST(value AS DECIMAL(18,2)) * CAST(event_id % 97 + 1 AS DECIMAL(18,2)) AS dvol,
+       CASE WHEN event_type IN ('purchase', 'signup') THEN 'S' ELSE 'B' END AS side,
+       CASE WHEN event_type = 'error' THEN 'D' ELSE 'C' END AS contra
+       FROM events"""
+}
