@@ -1,5 +1,317 @@
 package graft.queries
 
+import graft.Tables
+import graft.operators.GapsIslands
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / ordered-sequence family (SURVEY.md §2.5) — the heart of the
+  * reference. All operators are per-id, time-ordered under an explicit
+  * total order (`ord` = event_id, the stand-in for the reference's
+  * canonical sort key incl. msg_seq_nb — the #1 determinism trap: Spark
+  * windows have no "stable mergesort", the key must be total).
+  *
+  * Scale notes: every query shuffles ONCE on the partition key; stacked
+  * window specs share the same partitioning+ordering so Catalyst plans a
+  * single sort+exchange. Rolling medians use collect-over-frame with
+  * higher-order functions (frames are ≤11 rows — bounded state), never a
+  * global sort.
+  */
 object QWindows extends Registry {
-  def qs: Seq[Q] = Seq()
+
+  private val w = "PARTITION BY id ORDER BY ord"
+
+  def qs: Seq[Q] = Seq(
+
+    // W1 — lagged price diff per id (stage0/create_daily_enhanced_trace
+    // .py:1100). Decimal subtraction (exact) rendered as double.
+    Q("w1_lag_diff",
+      (s, d) => {
+        val win = Window.partitionBy(col("id")).orderBy(col("ord"))
+        Trades.df(s, d)
+          .withColumn("price_diff",
+            (col("price") - lag(col("price"), 1).over(win)).cast("double"))
+          .select(col("id"), col("ord"), col("price_diff"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql})
+              SELECT id, ord,
+                     CAST(price - lag(price, 1) OVER ($w) AS DOUBLE) AS price_diff
+              FROM tr""")),
+
+    // W2 — lead: next price relative change (stage0/create_daily_enhanced_
+    // trace.py:1377-1395 computes the next log change; restated as a pure
+    // ratio because libm transcendentals (ln) are not bit-identical across
+    // engines — a division of identical operands is).
+    Q("w2_lead_relchange",
+      (s, d) => {
+        val win = Window.partitionBy(col("id")).orderBy(col("ord"))
+        Trades.df(s, d)
+          .withColumn("next_relchg",
+            lead(col("price"), 1).over(win).cast("double") /
+              col("price").cast("double") - 1.0)
+          .select(col("id"), col("ord"), col("next_relchg"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql})
+              SELECT id, ord,
+                     CAST(lead(price, 1) OVER ($w) AS DOUBLE)
+                       / CAST(price AS DOUBLE) - 1.0 AS next_relchg
+              FROM tr""")),
+
+    // W3 — per-group sequence numbers (SAS cumcount+1,
+    // stage0/create_daily_standard_trace.py:109-118).
+    Q("w3_row_number",
+      (s, d) => {
+        val win = Window.partitionBy(col("id"), col("dt")).orderBy(col("ord"))
+        Trades.df(s, d)
+          .withColumn("seq", row_number().over(win))
+          .select(col("id"), col("ord"), col("seq"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql})
+              SELECT id, ord,
+                     row_number() OVER (PARTITION BY id, dt ORDER BY ord) AS seq
+              FROM tr""")),
+
+    // W4 — centered/backward rolling medians with NA-fallback chain
+    // (stage0/create_daily_enhanced_trace.py:858-909). Median over a ≤5-row
+    // frame via sorted collect + manual middle pick — an actual element or
+    // the mean of the two middles, all in double (identical both engines).
+    Q("w4_rolling_median",
+      (s, d) => {
+        val centered =
+          s"""sort_array(collect_list(cast(price as double)) over
+              (partition by id order by ord rows between 2 preceding and 2 following))"""
+        val backward =
+          s"""sort_array(collect_list(cast(price as double)) over
+              (partition by id order by ord rows between 2 preceding and current row))"""
+        def medOf(arr: String) =
+          s"""case when size($arr) % 2 = 1
+                then element_at($arr, cast(size($arr) div 2 + 1 as int))
+                else (element_at($arr, cast(size($arr) div 2 as int))
+                      + element_at($arr, cast(size($arr) div 2 + 1 as int))) / 2 end"""
+        Trades.df(s, d)
+          .withColumn("med_c", expr(medOf(centered)))
+          .withColumn("med_b", expr(medOf(backward)))
+          .withColumn("anchor", coalesce(col("med_c"), col("med_b")))
+          .select(col("id"), col("ord"), col("med_c"), col("med_b"), col("anchor"))
+      },
+      Some {
+        def medOf(frame: String) =
+          s"""(CASE WHEN len($frame) % 2 = 1
+                THEN $frame[len($frame) // 2 + 1]
+                ELSE ($frame[len($frame) // 2] + $frame[len($frame) // 2 + 1]) / 2 END)"""
+        val c = s"list_sort(list(CAST(price AS DOUBLE)) OVER ($w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING))"
+        val b = s"list_sort(list(CAST(price AS DOUBLE)) OVER ($w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))"
+        s"""WITH tr AS (${Trades.sql}),
+            f AS (SELECT id, ord, $c AS fc, $b AS fb FROM tr)
+            SELECT id, ord, ${medOf("fc")} AS med_c, ${medOf("fb")} AS med_b,
+                   coalesce(${medOf("fc")}, ${medOf("fb")}) AS anchor
+            FROM f"""
+      }),
+
+    // W5 — trailing *unique* median with shift(1) anchor
+    // (stage0/create_daily_enhanced_trace.py:1084-1095): median over the
+    // DISTINCT values of the previous 3 rows — strictly backward-looking.
+    Q("w5_trailing_unique_median",
+      (s, d) => {
+        val arr =
+          s"""sort_array(array_distinct(collect_list(cast(price as double)) over
+              (partition by id order by ord rows between 3 preceding and 1 preceding)))"""
+        Trades.df(s, d)
+          .withColumn("uniq_med", expr(
+            s"""case when size($arr) = 0 then null
+                when size($arr) % 2 = 1 then element_at($arr, cast(size($arr) div 2 + 1 as int))
+                else (element_at($arr, cast(size($arr) div 2 as int))
+                      + element_at($arr, cast(size($arr) div 2 + 1 as int))) / 2 end"""))
+          .select(col("id"), col("ord"), col("uniq_med"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              f AS (SELECT id, ord,
+                      list_sort(list_distinct(list(CAST(price AS DOUBLE)) OVER
+                        ($w ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))) AS a
+                    FROM tr)
+              SELECT id, ord,
+                CASE WHEN a IS NULL OR len(a) = 0 THEN NULL
+                     WHEN len(a) % 2 = 1 THEN a[len(a) // 2 + 1]
+                     ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END AS uniq_med
+              FROM f""")),
+
+    // W6 — cumulative count and cumulative sum
+    // (stage1/helper_functions.py:2307). Decimal cumsum — exact.
+    Q("w6_cumsum",
+      (s, d) => {
+        val win = Window.partitionBy(col("id")).orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        Trades.df(s, d)
+          .withColumn("cum_n", count(lit(1)).over(win))
+          .withColumn("cum_dvol",
+            sum(col("dvol")).over(win).cast("double"))
+          .select(col("id"), col("ord"), col("cum_n"), col("cum_dvol"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql})
+              SELECT id, ord,
+                count(*) OVER ($w ROWS UNBOUNDED PRECEDING) AS cum_n,
+                CAST(sum(dvol) OVER ($w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_dvol
+              FROM tr""")),
+
+    // W9 — initial-price-error filter (stage0/create_daily_enhanced_trace
+    // .py:1223-1320): within the first 3 rows per id, the first |Δprice|>50
+    // jump flags every row before it. Pure windows — no UDF.
+    Q("w9_initial_error",
+      (s, d) => {
+        val win = Window.partitionBy(col("id")).orderBy(col("ord"))
+        val wAll = Window.partitionBy(col("id"))
+        Trades.df(s, d)
+          .withColumn("rn", row_number().over(win))
+          .withColumn("jump",
+            abs(col("price") - lag(col("price"), 1).over(win)).cast("double") > 50
+              && col("rn") <= 3)
+          .withColumn("first_jump_rn",
+            min(when(col("jump"), col("rn"))).over(wAll))
+          .withColumn("initial_error",
+            when(col("rn") < coalesce(col("first_jump_rn"), lit(0)), 1)
+              .otherwise(0))
+          .select(col("id"), col("ord"), col("initial_error"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              a AS (SELECT id, ord, price,
+                      row_number() OVER ($w) AS rn,
+                      CAST(abs(price - lag(price, 1) OVER ($w)) AS DOUBLE) AS adiff
+                    FROM tr),
+              b AS (SELECT id, ord, rn,
+                      min(CASE WHEN adiff > 50 AND rn <= 3 THEN rn END)
+                        OVER (PARTITION BY id) AS fj
+                    FROM a)
+              SELECT id, ord,
+                     CASE WHEN rn < coalesce(fj, 0) THEN 1 ELSE 0 END AS initial_error
+              FROM b""")),
+
+    // W10/W11 — anomaly detector: median of STRICTLY HIGHER prices within
+    // ±5 rows; flag when that median ≥ 3× the price (ultra-distressed
+    // detector, stage1/helper_functions.py:766-910). The reference uses
+    // numba row loops; here it is a collect-frame + higher-order lambda —
+    // whole-stage-codegen-friendly, no UDF.
+    Q("w10_anomaly_median_ratio",
+      (s, d) => {
+        val arr =
+          s"""sort_array(filter(collect_list(cast(price as double)) over
+              (partition by id order by ord rows between 5 preceding and 5 following),
+              x -> x > cast(price as double)))"""
+        Trades.df(s, d)
+          .withColumn("hi_med", expr(
+            s"""case when size($arr) = 0 then null
+                when size($arr) % 2 = 1 then element_at($arr, cast(size($arr) div 2 + 1 as int))
+                else (element_at($arr, cast(size($arr) div 2 as int))
+                      + element_at($arr, cast(size($arr) div 2 + 1 as int))) / 2 end"""))
+          .withColumn("anomaly",
+            when(col("hi_med") / col("price").cast("double") >= 3, 1).otherwise(0))
+          .select(col("id"), col("ord"), col("hi_med"), col("anomaly"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              f AS (SELECT id, ord, price,
+                      list_sort(list_filter(list(CAST(price AS DOUBLE)) OVER
+                        ($w ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING),
+                        x -> x > CAST(price AS DOUBLE))) AS a
+                    FROM tr),
+              m AS (SELECT id, ord, price,
+                      CASE WHEN a IS NULL OR len(a) = 0 THEN NULL
+                           WHEN len(a) % 2 = 1 THEN a[len(a) // 2 + 1]
+                           ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END AS hi_med
+                    FROM f)
+              SELECT id, ord, hi_med,
+                     CASE WHEN hi_med / CAST(price AS DOUBLE) >= 3 THEN 1 ELSE 0 END AS anomaly
+              FROM m""")),
+
+    // W12 — plateau detector: runs of exactly-equal prices (gaps-and-
+    // islands), suspicious when run length ≥ 2
+    // (stage1/helper_functions.py:913-979).
+    Q("w12_plateau_islands",
+      (s, d) => {
+        val islands = GapsIslands.islandId(
+          Trades.df(s, d),
+          partition = Seq("id"),
+          order = Seq(col("ord").asc),
+          valueCol = "price",
+          islandCol = "island")
+        islands
+          .groupBy(col("id"), col("island"))
+          .agg(count(lit(1)).as("run_len"),
+            min(col("ord")).as("run_start"),
+            max(col("price")).cast("double").as("price"))
+          .filter(col("run_len") >= 2)
+          .select(col("id"), col("run_start"), col("run_len"), col("price"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              a AS (SELECT id, ord, price,
+                      CASE WHEN lag(price, 1) OVER ($w) IS NULL
+                             OR lag(price, 1) OVER ($w) <> price
+                           THEN 1 ELSE 0 END AS chg
+                    FROM tr),
+              b AS (SELECT id, ord, price,
+                      sum(chg) OVER ($w ROWS UNBOUNDED PRECEDING) AS island
+                    FROM a),
+              c AS (SELECT id, island, count(*) AS run_len,
+                      min(ord) AS run_start,
+                      CAST(max(price) AS DOUBLE) AS price
+                    FROM b GROUP BY id, island)
+              SELECT id, run_start, run_len, price FROM c WHERE run_len >= 2""")),
+
+    // W14 — first-change flag: the 2nd observation per id is flagged when
+    // |Δprice| > 35 inside a fixed month (prc_dip,
+    // stage1/stage1_pipeline.py:1766-1799).
+    Q("w14_first_change_flag",
+      (s, d) => {
+        val jan = Trades.df(s, d)
+          .filter(col("dt") >= lit("2024-01-01") && col("dt") < lit("2024-02-01"))
+        val win = Window.partitionBy(col("id")).orderBy(col("ord"))
+        jan
+          .withColumn("rn", row_number().over(win))
+          .withColumn("adiff",
+            abs(col("price") - lag(col("price"), 1).over(win)).cast("double"))
+          .withColumn("prc_dip",
+            when(col("rn") === 2 && col("adiff") > 35, 1).otherwise(0))
+          .select(col("id"), col("ord"), col("prc_dip"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              jan AS (SELECT * FROM tr
+                      WHERE dt >= DATE '2024-01-01' AND dt < DATE '2024-02-01'),
+              a AS (SELECT id, ord,
+                      row_number() OVER ($w) AS rn,
+                      CAST(abs(price - lag(price, 1) OVER ($w)) AS DOUBLE) AS adiff
+                    FROM jan)
+              SELECT id, ord,
+                     CASE WHEN rn = 2 AND adiff > 35 THEN 1 ELSE 0 END AS prc_dip
+              FROM a""")),
+
+    // W15 — resample-to-daily + forward-fill (treasury curve shape,
+    // stage1/helper_functions.py:750-754): per-id daily grid via
+    // sequence+explode, then last(value, ignoreNulls) over the grid.
+    Q("w15_resample_ffill",
+      (s, d) => {
+        val daily = Trades.df(s, d)
+          .groupBy(col("id"), col("dt"))
+          .agg(max_by(col("price"), col("ord")).cast("double").as("last_price"))
+        val grid = daily.groupBy(col("id"))
+          .agg(min(col("dt")).as("d0"), max(col("dt")).as("d1"))
+          .select(col("id"),
+            explode(sequence(col("d0"), col("d1"),
+              expr("interval 1 day"))).as("dt"))
+        val win = Window.partitionBy(col("id")).orderBy(col("dt"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        grid.join(daily, Seq("id", "dt"), "left")
+          .withColumn("price_ffill",
+            last(col("last_price"), ignoreNulls = true).over(win))
+          .select(col("id"), col("dt"), col("price_ffill"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              daily AS (SELECT id, dt,
+                          CAST(arg_max(price, ord) AS DOUBLE) AS last_price
+                        FROM tr GROUP BY id, dt),
+              grid AS (SELECT id, CAST(unnest(generate_series(min(dt), max(dt),
+                         INTERVAL 1 DAY)) AS DATE) AS dt
+                       FROM daily GROUP BY id)
+              SELECT g.id, g.dt,
+                     last_value(d.last_price IGNORE NULLS) OVER
+                       (PARTITION BY g.id ORDER BY g.dt) AS price_ffill
+              FROM grid g LEFT JOIN daily d ON g.id = d.id AND g.dt = d.dt"""))
+  )
 }
