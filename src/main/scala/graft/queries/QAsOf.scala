@@ -1,5 +1,87 @@
 package graft.queries
 
+import graft.Tables
+import graft.operators.{AsOfJoin, Dedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** As-of join family (SURVEY.md §2.3 J11/J12): backward merge_asof for
+  * amount-outstanding and ratings enrichment
+  * (stage1/stage1_pipeline.py:739-759, 884-902).
+  *
+  * Scale notes: [[AsOfJoin.backward]] unions both sides into one event
+  * stream and forward-fills with a single shuffle+sort of |L|+|R| rows —
+  * the optimal distributed as-of plan; a range join would be O(n·m) per
+  * key. The oracle uses DuckDB's native ASOF JOIN.
+  */
 object QAsOf extends Registry {
-  def qs: Seq[Q] = Seq()
+
+  /** "rating events": one per (id, ts) from purchase events, deduped to the
+    * highest ord per timestamp so both engines see a unique right side.
+    */
+  private def ratingEvents(s: SparkSession, d: String): DataFrame =
+    Dedup.keepLast(
+      Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("id"), col("ts").as("r_ts"),
+          col("event_id").as("r_ord"),
+          col("value").cast("decimal(18,2)").as("rating")),
+      keys = Seq("id", "r_ts"),
+      order = Seq(col("r_ord")))
+
+  private val ratingSql =
+    """SELECT id, r_ts, rating FROM (
+         SELECT user_id AS id, ts AS r_ts, value_d AS rating,
+                row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) AS rn
+         FROM (SELECT *, CAST(value AS DECIMAL(18,2)) AS value_d FROM events)
+         WHERE event_type = 'purchase') x WHERE rn = 1"""
+
+  def qs: Seq[Q] = Seq(
+
+    // J11 — backward as-of join (inclusive): each trade picks the latest
+    // rating event at-or-before its timestamp, then coalesce-fills with a
+    // default (the offering_amt fallback shape).
+    Q("j11_asof_backward",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id").as("ord"), col("user_id").as("id"), col("ts"))
+        AsOfJoin.backward(
+            left,
+            ratingEvents(s, d),
+            by = Seq("id"),
+            leftOn = "ts", rightOn = "r_ts",
+            payload = Seq("rating"),
+            rightTieBreak = Seq("r_ord"))
+          .select(col("ord"), col("id"),
+            coalesce(col("rating").cast("double"), lit(0.0)).as("rating_filled"))
+      },
+      Some(s"""WITH re AS ($ratingSql)
+              SELECT e.event_id AS ord, e.user_id AS id,
+                     coalesce(CAST(re.rating AS DOUBLE), 0.0) AS rating_filled
+              FROM events e ASOF LEFT JOIN re
+                ON e.user_id = re.id AND e.ts >= re.r_ts""")),
+
+    // J12 — strict backward as-of (allow_exact_matches=False): only events
+    // strictly before the left timestamp qualify.
+    Q("j12_asof_strict",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id").as("ord"), col("user_id").as("id"), col("ts"))
+        AsOfJoin.backward(
+            left,
+            ratingEvents(s, d),
+            by = Seq("id"),
+            leftOn = "ts", rightOn = "r_ts",
+            payload = Seq("rating"),
+            rightTieBreak = Seq("r_ord"),
+            strict = true)
+          .select(col("ord"), col("id"), col("rating").cast("double").as("rating"))
+      },
+      Some(s"""WITH re AS ($ratingSql)
+              SELECT e.event_id AS ord, e.user_id AS id,
+                     CAST(re.rating AS DOUBLE) AS rating
+              FROM events e ASOF LEFT JOIN re
+                ON e.user_id = re.id AND e.ts > re.r_ts"""))
+  )
 }
