@@ -26,17 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object DailyMetrics {
 
-  /** exact decimal sum (scale 6 covers 2dp×4dp products) rendered as double;
-    * the FILTER clause must sit on the aggregate itself, inside the cast. */
-  private def ds(e: String, filter: String = ""): String = {
-    val f = if (filter.isEmpty) "" else s" FILTER (WHERE $filter)"
-    s"cast(sum(cast(($e) as decimal(38,6)))$f as double)"
-  }
-
   private val bid = "side = 'B' AND contra = 'C'"
   private val ask = "side = 'S' AND contra = 'C'"
 
-  def panel(trades: DataFrame): DataFrame = {
+  /** @param sumScale decimal scale of the exact sums — must cover the true
+    * decimal scale of price*dvol (e.g. 6 for 2dp×4dp inputs, 8 for 3dp
+    * corrected prices × 5dp dvol). Keep it as low as the inputs allow:
+    * per-group sums must stay below 2^53 in integer representation or
+    * wide-decimal→double casts double-round differently across engines.
+    */
+  def panel(trades: DataFrame, sumScale: Int = 6): DataFrame = {
+    /* exact decimal sum rendered as double; the FILTER clause must sit on
+     * the aggregate itself, inside the cast. */
+    def ds(e: String, filter: String = ""): String = {
+      val f = if (filter.isEmpty) "" else s" FILTER (WHERE $filter)"
+      s"cast(sum(cast(($e) as decimal(38,$sumScale)))$f as double)"
+    }
     // Ratio outputs are RAW double quotients — never rounded. Rounding a
     // double quotient at fixed scale hits half-boundary disagreements
     // across engines (Spark rounds the shortest repr HALF_UP, DuckDB
@@ -55,8 +60,8 @@ object DailyMetrics {
       // the sum is cast back down to (28,6) before the *0.000001 scale
       // shift so the exact (36,12) product fits — Spark promotes sums to
       // precision 38 and would then clamp the product by dropping scale.
-      "cast(cast(sum(cast(qty as decimal(28,6))) as decimal(28,6)) * 0.000001 as double) as qvolume",
-      "cast(cast(sum(cast(dvol as decimal(28,6))) as decimal(28,6)) * 0.000001 as double) as dvolume",
+      s"cast(cast(sum(cast(qty as decimal(28,$sumScale))) as decimal(28,$sumScale)) * 0.000001 as double) as qvolume",
+      s"cast(cast(sum(cast(dvol as decimal(28,$sumScale))) as decimal(28,$sumScale)) * 0.000001 as double) as dvolume",
       // customer-facing bid side (dealer buys, B/C) — value-weighted
       s"${ds("price * dvol", bid)} / nullif(${ds("dvol", bid)}, 0.0) as prc_bid",
       s"cast(max_by(price, ord) FILTER (WHERE $bid) as double) as bid_last",

@@ -1,10 +1,232 @@
 package graft.queries
 
+import graft.agg.DailyMetrics
+import graft.clean.{BounceBack, DecimalShift}
+import graft.operators.SeqMatch
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** The flagship Stage-0-shaped pipeline (SURVEY.md §3.1) over the synthetic
+  * trade view: Dick-Nielsen-style cancel/reversal/agency cleaning (J3/J7/
+  * J9) → decimal-shift correction (W7) → bounce-back error filter (W8) →
+  * daily panel aggregation (A1–A3).
+  *
+  * The chunk loop of the reference disappears entirely: the whole chain is
+  * ONE lazy DataFrame DAG partitioned by id — filters and anti-joins
+  * before the window-heavy correction steps (cheapest first), a single
+  * id-shuffle shared by the decimal-shift windows and the bounce-back
+  * scan, and a final (id, dt) hash aggregation.
+  */
 object QTracePipeline extends Registry {
-  def qs: Seq[Q] = Seq()
-  /** Flagship: clean -> error-correct -> daily panel over the events table. */
-  def dailyPanel(spark: SparkSession, sfDir: String): DataFrame =
-    graft.Tables.events(spark, sfDir)
+
+  // ---- cleaning chain (Spark side) ----------------------------------
+
+  /** J3: drop trades whose (id, dt, price, qty) matches a cancel row. */
+  private def cancelClean(tr: DataFrame): DataFrame = {
+    val cancels = tr.filter(col("trc_st") === "X")
+      .select("id", "dt", "price", "qty").distinct()
+    tr.filter(col("trc_st") === "T")
+      .join(cancels, Seq("id", "dt", "price", "qty"), "left_anti")
+  }
+
+  /** J7/J8: the n-th reversal cancels the n-th trade per (id, dt, side). */
+  private def reversalClean(tr: DataFrame, survivors: DataFrame): DataFrame =
+    SeqMatch.antiBySequence(
+      survivors,
+      tr.filter(col("trc_st") === "R"),
+      keys = Seq("id", "dt", "side"),
+      leftOrder = Seq(col("ord").asc),
+      rightOrder = Seq(col("ord").asc))
+
+  /** J9: drop (B,D) rows matching an (S,D) row on (id, dt, price, qty). */
+  private def agencyClean(tr: DataFrame): DataFrame = {
+    val cust = tr.filter(col("contra") === "C")
+    val sells = tr.filter(col("contra") === "D" && col("side") === "S")
+    val buysKept = tr.filter(col("contra") === "D" && col("side") === "B")
+      .join(sells.select("id", "dt", "price", "qty").distinct(),
+        Seq("id", "dt", "price", "qty"), "left_anti")
+    cust.unionByName(sells).unionByName(buysKept)
+  }
+
+  private def cleaned(s: SparkSession, d: String): DataFrame = {
+    val tr = Trades.df(s, d)
+    agencyClean(reversalClean(tr, cancelClean(tr)))
+  }
+
+  /** cleaned + decimal-shift-corrected, price re-entered as decimal(18,3)
+    * (corrections are price×{0.1,0.01,10,100} of a 2dp price → true 3dp
+    * values, so the cast is exact) with dvol recomputed from it.
+    */
+  private def corrected(s: SparkSession, d: String): DataFrame =
+    DecimalShift.cleaned(cleaned(s, d), "id", "dt", "ord", "price")
+      .withColumn("price", col("price").cast("decimal(18,3)"))
+      // (18,5) keeps price*dvol at precision 37 — exact in both engines
+      // (Spark clamps precision-38 overflow by dropping scale digits)
+      .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
+
+  /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */
+  def dailyPanel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = corrected(spark, sfDir)
+    val flags = BounceBack.flags(base, "id", "ord", "price")
+    val kept = base.join(flags.filter(col("filtered_error") === 1)
+        .select("id", "ord"), Seq("id", "ord"), "left_anti")
+    DailyMetrics.panel(kept, sumScale = 8)
+  }
+
+  // ---- oracle SQL mirrors -------------------------------------------
+
+  /** CTE chain `tr` → `tr3` mirroring cancel/reversal/agency cleaning. */
+  private val cleanSql: String =
+    s"""tr AS (${Trades.sql}),
+       x AS (SELECT DISTINCT id, dt, price, qty FROM tr WHERE trc_st = 'X'),
+       tr1 AS (SELECT t.* FROM tr t WHERE t.trc_st = 'T' AND NOT EXISTS (
+                 SELECT 1 FROM x WHERE x.id = t.id AND x.dt = t.dt
+                   AND x.price = t.price AND x.qty = t.qty)),
+       rseq AS (SELECT id, dt, side,
+                  row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
+                FROM tr WHERE trc_st = 'R'),
+       t1s AS (SELECT *,
+                 row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
+               FROM tr1),
+       tr2 AS (SELECT id, dt, ts, ord, price, qty, dvol, side, contra
+               FROM t1s t WHERE NOT EXISTS (
+                 SELECT 1 FROM rseq r WHERE r.id = t.id AND r.dt = t.dt
+                   AND r.side = t.side AND r.seq = t.seq)),
+       sells AS (SELECT * FROM tr2 WHERE contra = 'D' AND side = 'S'),
+       tr3 AS (SELECT * FROM tr2 WHERE contra = 'C'
+               UNION ALL
+               SELECT * FROM sells
+               UNION ALL
+               SELECT b.* FROM tr2 b WHERE b.contra = 'D' AND b.side = 'B'
+                 AND NOT EXISTS (SELECT 1 FROM sells s WHERE s.id = b.id
+                   AND s.dt = b.dt AND s.price = b.price AND s.qty = b.qty))"""
+
+  /** median of a sorted DuckDB list */
+  private def dmed(a: String): String =
+    s"""(CASE WHEN $a IS NULL OR len($a) = 0 THEN NULL
+         WHEN len($a) % 2 = 1 THEN $a[len($a) // 2 + 1]
+         ELSE ($a[len($a) // 2] + $a[len($a) // 2 + 1]) / 2 END)"""
+
+  /** CTE chain `tr3` → `ds` adding dec_shift columns (mirrors
+    * [[DecimalShift.withSuggestions]] with default params).
+    */
+  private val shiftSql: String = {
+    val fr = "PARTITION BY id ORDER BY dt, ord"
+    def rel(i: Int, f: String) =
+      s"""CASE WHEN p * $f >= 5.0e0 AND p * $f <= 300.0e0
+           THEN abs(p * $f - anchor) / anchor END AS r$i"""
+    s"""workd AS (SELECT id, dt, ord, price, CAST(price AS DOUBLE) AS p,
+                    row_number() OVER (PARTITION BY id, dt, price ORDER BY ord) AS rn
+                  FROM tr3),
+       work AS (SELECT id, dt, ord, price, p FROM workd WHERE rn = 1),
+       meds AS (SELECT id, dt, price,
+                  list_sort(list(p) OVER ($fr ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS ac,
+                  list_sort(list(p) OVER ($fr ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING)) AS af,
+                  list_sort(list(p) OVER ($fr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)) AS ab
+                FROM work),
+       anch AS (SELECT id, dt, price,
+                  coalesce(CASE WHEN len(ac) >= 6 THEN ${dmed("ac")} END,
+                           ${dmed("af")}, ${dmed("ab")}) AS anchor
+                FROM meds),
+       dsj AS (SELECT t.*, CAST(t.price AS DOUBLE) AS p, a.anchor
+               FROM tr3 t LEFT JOIN anch a
+                 ON t.id = a.id AND t.dt = a.dt AND t.price = a.price),
+       dsr AS (SELECT *, abs(p - anchor) / anchor AS raw_rel,
+                 ${rel(1, "0.1e0")}, ${rel(2, "0.01e0")},
+                 ${rel(3, "10.0e0")}, ${rel(4, "100.0e0")}
+               FROM dsj),
+       dsb AS (SELECT *, least(r1, r2, r3, r4) AS best_rel,
+                 CASE WHEN r1 IS NOT NULL AND r1 = least(r1, r2, r3, r4) THEN p * 0.1e0
+                      WHEN r2 IS NOT NULL AND r2 = least(r1, r2, r3, r4) THEN p * 0.01e0
+                      WHEN r3 IS NOT NULL AND r3 = least(r1, r2, r3, r4) THEN p * 10.0e0
+                      ELSE p * 100.0e0 END AS best_price
+               FROM dsr),
+       ds AS (SELECT *,
+                CASE WHEN raw_rel > 0.05e0 - 1e-12 AND best_rel IS NOT NULL
+                       AND (best_rel <= 0.02e0 + 1e-12
+                            OR abs(best_price - anchor) <= 8.0e0 + 1e-12
+                            OR (abs(anchor - 100.0e0) <= 15.0e0
+                                AND abs(best_price - 100.0e0) <= 15.0e0))
+                       AND best_rel <= raw_rel * 0.2e0 + 1e-12
+                     THEN 1 ELSE 0 END AS dec_shift_flag
+              FROM dsb)"""
+  }
+
+  /** `ds` → corrected trade rows with price decimal(18,3), dvol rebuilt. */
+  private val correctedSql: String =
+    """corrected AS (
+         SELECT id, dt, ts, ord,
+                CAST(CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END
+                     AS DECIMAL(18,3)) AS price,
+                qty, side, contra
+         FROM ds),
+       ctr AS (SELECT id, dt, ts, ord, price, qty,
+                      CAST(price * qty AS DECIMAL(18,5)) AS dvol,
+                      side, contra
+               FROM corrected)"""
+
+  def qs: Seq[Q] = Seq(
+
+    // J3+J7+J9 — the Dick-Nielsen-shaped cleaning chain end-to-end.
+    Q("tp_clean_chain",
+      (s, d) => cleaned(s, d)
+        .select(col("id"), col("ord"), col("price").cast("double").as("price")),
+      Some(s"""WITH $cleanSql
+              SELECT id, ord, CAST(price AS DOUBLE) AS price FROM tr3""")),
+
+    // W7 — decimal-shift corrector: flags, factors, suggestions.
+    Q("tp_decimal_shift",
+      (s, d) => DecimalShift.withSuggestions(
+          cleaned(s, d), "id", "dt", "ord", "price")
+        .select(col("id"), col("ord"), col("dec_shift_flag"),
+          col("dec_shift_factor"), col("suggested_price"), col("anchor_price")),
+      Some(s"""WITH $cleanSql, $shiftSql
+              SELECT id, ord, dec_shift_flag,
+                     CASE WHEN dec_shift_flag = 1 THEN
+                       CASE WHEN r1 IS NOT NULL AND r1 = best_rel THEN 0.1e0
+                            WHEN r2 IS NOT NULL AND r2 = best_rel THEN 0.01e0
+                            WHEN r3 IS NOT NULL AND r3 = best_rel THEN 10.0e0
+                            ELSE 100.0e0 END
+                     ELSE 1.0e0 END AS dec_shift_factor,
+                     CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END AS suggested_price,
+                     anchor AS anchor_price
+              FROM ds""")),
+
+    // A1–A3 over the cleaned+corrected rows — the oracled panel (the
+    // bounce-back step is excluded here; it is validated by golden-vector
+    // ScalaTests and exercised in the driver's entry()).
+    Q("tp_daily_panel",
+      (s, d) => DailyMetrics.panel(corrected(s, d), sumScale = 8),
+      Some(s"""WITH $cleanSql, $shiftSql, $correctedSql
+              SELECT id, dt,
+                CAST(sum(CAST(price AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS prc_ew,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) AS DOUBLE), 0.0) AS prc_vw,
+                CAST(sum(CAST(price * qty AS DECIMAL(38,8))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(qty AS DECIMAL(38,8))) AS DOUBLE), 0.0) AS prc_vw_par,
+                CAST(arg_min(price, ord) AS DOUBLE) AS prc_first,
+                CAST(arg_max(price, ord) AS DOUBLE) AS prc_last,
+                CAST(max(price) AS DOUBLE) AS prc_hi,
+                CAST(min(price) AS DOUBLE) AS prc_lo,
+                count(*) AS trade_count,
+                CAST(CAST(sum(CAST(qty AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 0.000001 AS DOUBLE) AS qvolume,
+                CAST(CAST(sum(CAST(dvol AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 0.000001 AS DOUBLE) AS dvolume,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE), 0.0) AS prc_bid,
+                CAST(arg_max(price, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE) AS bid_last,
+                count(*) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_count,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE), 0.0) AS prc_ask,
+                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count
+              FROM ctr GROUP BY id, dt""")),
+
+    // W8 — bounce-back flags (no SQL oracle: inherently sequential state
+    // machine; correctness is pinned by the reference docs' golden vectors
+    // in BounceBackSpec). Driver records a rows-only check.
+    Q("tp_bounceback_flags",
+      (s, d) => BounceBack.flags(corrected(s, d), "id", "ord", "price")
+        .filter(col("filtered_error") === 1)
+        .select(col("id"), col("ord"), col("filtered_error")),
+      None)
+  )
 }

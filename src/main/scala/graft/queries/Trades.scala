@@ -27,7 +27,10 @@ object Trades {
         (col("event_id") % 97 + 1).cast("decimal(18,2)")).as("dvol"),
       when(col("event_type").isin("purchase", "signup"), "S")
         .otherwise("B").as("side"),
-      when(col("event_type") === "error", "D").otherwise("C").as("contra"))
+      when(col("event_id") % 3 === 0, "D").otherwise("C").as("contra"),
+      when(col("event_type") === "error", "X")
+        .when(col("event_type") === "signup", "R")
+        .otherwise("T").as("trc_st"))
 
   /** Same mapping as ANSI SQL for DuckDB oracles (CTE body, table `events`). */
   val sql: String =
@@ -36,6 +39,8 @@ object Trades {
        CAST(event_id % 97 + 1 AS DECIMAL(18,2)) AS qty,
        CAST(value AS DECIMAL(18,2)) * CAST(event_id % 97 + 1 AS DECIMAL(18,2)) AS dvol,
        CASE WHEN event_type IN ('purchase', 'signup') THEN 'S' ELSE 'B' END AS side,
-       CASE WHEN event_type = 'error' THEN 'D' ELSE 'C' END AS contra
+       CASE WHEN event_id % 3 = 0 THEN 'D' ELSE 'C' END AS contra,
+       CASE WHEN event_type = 'error' THEN 'X'
+            WHEN event_type = 'signup' THEN 'R' ELSE 'T' END AS trc_st
        FROM events"""
 }
