@@ -1,0 +1,134 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for document corpora at training-data scale.
+  *
+  * Four tiers, cheapest-first (the standard 100 TB dedup ladder):
+  *  1. exact      — md5 fingerprint groupBy (one shuffle of (hash, id))
+  *  2. MinHash+LSH — shingle → k minhashes → banded bucket join; only
+  *     bucket-colliding pairs are verified with exact Jaccard. Candidate
+  *     generation is linear in corpus size + bucket collisions, never the
+  *     O(n²) pair space.
+  *  3. SimHash    — 64-bit signature, hamming-ball lookup via band keys
+  *  4. embedding cosine — see [[Embeddings]]
+  *
+  * All hashes are md5-derived ([[TextOps.hash60]]) so every stage is
+  * engine-portable and DuckDB-oracle-checkable — no engine-private murmur
+  * seeds. At cluster scale swap hash60 for xxhash64 (same plan shape).
+  */
+object Dedup {
+
+  /** distinct character n-gram shingles per document: (id, shingle).
+    * Texts shorter than n contribute themselves as the single shingle.
+    */
+  def charShingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), TextOps.normalized(col(textCol)).as("t"))
+      .select(col("id"), explode(
+        array_distinct(transform(
+          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+          i => col("t").substr(i, lit(n))))).as("shingle"))
+
+  /** exact Jaccard over shingle sets for candidate pairs — used as the
+    * verification stage after any approximate candidate generator.
+    * Input: shingles (id, shingle) distinct; pairs (id_a, id_b).
+    */
+  def jaccardVerify(shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pairs
+      .join(shingles.withColumnsRenamed(Map("id" -> "id_a", "shingle" -> "sh")), Seq("id_a"))
+      .join(shingles.withColumnsRenamed(Map("id" -> "id_b", "shingle" -> "sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for hash index i in [0, k), minhash_i(doc) =
+    * min over shingles of hash60(i || ':' || shingle).
+    * Output: (id, i, mh).
+    */
+  def minhash(shingles: DataFrame, k: Int): DataFrame =
+    shingles
+      .select(col("id"),
+        explode(sequence(lit(0), lit(k - 1))).as("i"), col("shingle"))
+      .withColumn("h", TextOps.hash60(
+        concat_ws(":", col("i").cast("string"), col("shingle"))))
+      .groupBy(col("id"), col("i"))
+      .agg(min(col("h")).as("mh"))
+
+  /** LSH candidate pairs: band the k signatures into `bands` groups of
+    * k/bands rows; docs sharing any band bucket become a candidate pair
+    * (id_a < id_b).
+    */
+  def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rowsPerBand = k / bands
+    val banded = sigs
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      .agg(md5(concat_ws("_", sort_array(collect_list(
+        concat_ws(":", col("i").cast("string"), col("mh").cast("string"))))))
+        .as("bucket"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash signature from whitespace tokens: bit j is set when
+    * the weighted sum over tokens of (bit j of hash60(token) ? +1 : −1)
+    * is non-negative. Pure higher-order functions — one pass per doc.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // written as a SQL expression because the Scala shiftright/shiftleft
+    // wrappers only accept Int shift amounts — the SQL functions take
+    // column expressions (needed inside the per-bit lambdas)
+    val sig = expr(
+      s"""aggregate(
+            zip_with(
+              aggregate(
+                transform(split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' '),
+                  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+                array_repeat(0, 60),
+                (acc, h) -> zip_with(acc,
+                  transform(sequence(0, 59),
+                    j -> case when (shiftright(h, j) & 1) = 1 then 1 else -1 end),
+                  (a, b) -> a + b)),
+              sequence(0, 59),
+              (c, j) -> case when c >= 0 then shiftleft(cast(1 as bigint), j)
+                             else cast(0 as bigint) end),
+            cast(0 as bigint), (acc, v) -> acc | v)""")
+    docs.select(col(idCol).as("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: band the 60 bits into 4 15-bit keys
+    * (hamming distance ≤ 3 guarantees one identical band), then verify
+    * hamming ≤ maxDist via bit_count(xor).
+    */
+  def simhashPairs(sigs: DataFrame, maxDist: Int): DataFrame = {
+    val bandKeys = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 15).bitwiseAND(0x7FFF).as("key"))): _*))
+        .as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bandKeys.as("a").join(bandKeys.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+}

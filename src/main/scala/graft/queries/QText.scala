@@ -1,5 +1,82 @@
 package graft.queries
 
+import graft.Tables
+import graft.llmdata.TextOps
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the `documents` table: quality metrics,
+  * heuristic language ID, BPE-ish token counting, fingerprinting — the
+  * text half of a training-data pipeline. Pure expressions; each has a
+  * DuckDB oracle.
+  */
 object QText extends Registry {
-  def qs: Seq[Q] = Seq()
+
+  /** shared SQL fragments */
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private val toksSql = s"string_split($normSql, ' ')"
+
+  def qs: Seq[Q] = Seq(
+
+    // Quality scoring: lengths, token stats, stopword/punct/upper ratios.
+    Q("tx_quality",
+      (s, d) => {
+        val t = Tables.documents(s, d)
+        val toks = TextOps.tokens(col("text"))
+        t.select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_raw"),
+          size(toks).as("n_tokens"),
+          (length(TextOps.normalized(col("text"))).cast("double") /
+            size(toks)).as("chars_per_token"),
+          (TextOps.stopwordHits(toks, TextOps.stopwords.head._2).cast("double") /
+            size(toks)).as("stop_ratio_en"),
+          TextOps.bpeishCount(col("text")).as("bpeish_tokens"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[A-Z]", ""))).as("n_upper"))
+      },
+      Some(s"""SELECT doc_id,
+                length(text) AS n_chars_raw,
+                len($toksSql) AS n_tokens,
+                CAST(length($normSql) AS DOUBLE) / len($toksSql) AS chars_per_token,
+                CAST(len(list_filter($toksSql,
+                  t -> list_contains(['the','a','of','to','and','in','is','it'], t)))
+                  AS DOUBLE) / len($toksSql) AS stop_ratio_en,
+                len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpeish_tokens,
+                length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS n_upper
+              FROM documents""")),
+
+    // Heuristic language ID: per-language stopword hits, argmax with
+    // deterministic first-wins tie-break.
+    Q("tx_langid",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_label"),
+          TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")),
+      Some {
+        val hits = TextOps.stopwords.map { case (lang, ws) =>
+          val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS c_$lang"
+        }.mkString(",\n                ")
+        val langs = TextOps.stopwords.map(_._1)
+        val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+        val pick = langs.foldRight("'und'") { (l, acc) =>
+          s"CASE WHEN c_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+        }
+        s"""WITH h AS (SELECT doc_id, lang,
+                $hits
+              FROM documents)
+            SELECT doc_id, lang AS lang_label, $pick AS lang_pred FROM h"""
+      }),
+
+    // Fingerprinting: md5 of normalized text + duplicate-group size.
+    Q("tx_fingerprint",
+      (s, d) => {
+        val fp = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        val groups = fp.groupBy(col("fp")).agg(count(lit(1)).as("dup_count"))
+        fp.join(groups, Seq("fp")).select(col("doc_id"), col("fp"), col("dup_count"))
+      },
+      Some(s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
+              g AS (SELECT fp, count(*) AS dup_count FROM fp GROUP BY fp)
+              SELECT doc_id, fp.fp, dup_count FROM fp JOIN g ON fp.fp = g.fp"""))
+  )
 }
