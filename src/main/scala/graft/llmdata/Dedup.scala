@@ -50,18 +50,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for hash index i in [0, k), minhash_i(doc) =
-    * min over shingles of hash60(i || ':' || shingle).
-    * Output: (id, i, mh).
+  /** MinHash signatures via the (h1 + i·h2) mod p family: TWO md5-derived
+    * base hashes per shingle (not k), then k cheap arithmetic mixes; the k
+    * minima are computed as k aggregate columns in ONE groupBy pass
+    * (map-side partial aggregation — no k× row explosion) and unpivoted
+    * with stack(). Output: (id, i, mh) — engine-portable arithmetic.
     */
-  def minhash(shingles: DataFrame, k: Int): DataFrame =
-    shingles
-      .select(col("id"),
-        explode(sequence(lit(0), lit(k - 1))).as("i"), col("shingle"))
-      .withColumn("h", TextOps.hash60(
-        concat_ws(":", col("i").cast("string"), col("shingle"))))
-      .groupBy(col("id"), col("i"))
-      .agg(min(col("h")).as("mh"))
+  val minhashP = 2147483647L // 2^31 − 1
+
+  def minhash(shingles: DataFrame, k: Int): DataFrame = {
+    val based = shingles
+      .withColumn("h1", TextOps.hash60(col("shingle")) % minhashP)
+      .withColumn("h2", TextOps.hash60(concat(lit("s:"), col("shingle"))) % minhashP)
+    val mins = (0 until k).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % minhashP).as(s"mh$i"))
+    val wide = based.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val stackArgs = (0 until k).map(i => s"$i, mh$i").mkString(", ")
+    wide.select(col("id"),
+      expr(s"stack($k, $stackArgs) as (i, mh)"))
+  }
 
   /** LSH candidate pairs: band the k signatures into `bands` groups of
     * k/bands rows; docs sharing any band bucket become a candidate pair

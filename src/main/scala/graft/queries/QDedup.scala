@@ -37,22 +37,32 @@ object QDedup extends Registry {
               FROM (SELECT doc_id, md5($normSql) AS fp FROM documents) f
               GROUP BY fp""")),
 
-    // Tier 2 — MinHash(k=16) + LSH(8 bands × 2 rows) candidates, verified
-    // with exact shingle Jaccard ≥ 0.3. The oracle mirrors the banding.
+    // Tier 2 — MinHash(k=32) + LSH(4 bands × 8 rows, threshold τ* =
+    // (1/b)^(1/r) ≈ 0.84) candidates, verified with exact shingle Jaccard
+    // ≥ 0.7. The oracle mirrors the banding. Wider bands matter: this
+    // corpus is mid-similarity-dense, and 2-row bands would admit
+    // millions of candidate pairs (collision prob = sim²), degenerating
+    // LSH into the all-pairs scan it exists to avoid.
     Q("dd_minhash_lsh",
       (s, d) => {
         val sh = Dedup.charShingles(Tables.documents(s, d), "doc_id", "text", 5)
-        val sigs = Dedup.minhash(sh, k = 16)
-        val cands = Dedup.lshCandidates(sigs, k = 16, bands = 8)
-        Dedup.jaccardVerify(sh, cands, threshold = 0.3)
+        val sigs = Dedup.minhash(sh, k = 32)
+        val cands = Dedup.lshCandidates(sigs, k = 32, bands = 4)
+        Dedup.jaccardVerify(sh, cands, threshold = 0.7)
       },
       Some(s"""WITH $shinglesSql,
+              based AS (
+                SELECT id,
+                       ${h60("shingle")} % 2147483647 AS h1,
+                       ${h60("'s:' || shingle")} % 2147483647 AS h2
+                FROM shingles),
               mh AS (
-                SELECT id, i, min(${h60("CAST(i AS VARCHAR) || ':' || shingle")}) AS mh
-                FROM shingles, generate_series(0, 15) g(i)
-                GROUP BY id, i),
+                SELECT id, CAST(i AS INT) AS i,
+                       min((h1 + i * h2) % 2147483647) AS mh
+                FROM based CROSS JOIN generate_series(0, 31) g(i)
+                GROUP BY id, CAST(i AS INT)),
               banded AS (
-                SELECT id, CAST(i // 2 AS INT) AS band,
+                SELECT id, CAST(i // 8 AS INT) AS band,
                        md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
                            '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
                 FROM mh GROUP BY id, band),
@@ -72,7 +82,7 @@ object QDedup extends Registry {
               FROM inter i
               JOIN sizes za ON za.id = i.id_a
               JOIN sizes zb ON zb.id = i.id_b
-              WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.3e0""")),
+              WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.7e0""")),
 
     // Tier 3 — SimHash(60-bit) signatures + 15-bit-band candidates with
     // hamming ≤ 3 verification, fully mirrored in SQL.
