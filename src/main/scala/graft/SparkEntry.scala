@@ -22,6 +22,7 @@ object SparkEntry {
     QScalar,
     QAsOf,
     QTracePipeline,
+    QBond,
     QDedup,
     QSimilarity,
     QText,

@@ -94,25 +94,20 @@ object Dedup {
     * is non-negative. Pure higher-order functions — one pass per doc.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // written as a SQL expression because the Scala shiftright/shiftleft
-    // wrappers only accept Int shift amounts — the SQL functions take
-    // column expressions (needed inside the per-bit lambdas)
-    val sig = expr(
-      s"""aggregate(
-            zip_with(
-              aggregate(
-                transform(split(trim(regexp_replace(lower($textCol), '\\\\s+', ' ')), ' '),
-                  t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-                array_repeat(0, 60),
-                (acc, h) -> zip_with(acc,
-                  transform(sequence(0, 59),
-                    j -> case when (shiftright(h, j) & 1) = 1 then 1 else -1 end),
-                  (a, b) -> a + b)),
-              sequence(0, 59),
-              (c, j) -> case when c >= 0 then shiftleft(cast(1 as bigint), j)
-                             else cast(0 as bigint) end),
-            cast(0 as bigint), (acc, v) -> acc | v)""")
-    docs.select(col(idCol).as("id"), sig.as("simhash"))
+    // explode tokens once, hash once per token, then 60 conditional-sum
+    // aggregate columns in ONE hash aggregation (map-side combined,
+    // whole-stage codegen) — an order of magnitude faster than a nested
+    // higher-order-function fold, which runs interpreted per row.
+    val toks = docs.select(col(idCol).as("id"),
+      explode(TextOps.tokens(col(textCol))).as("tok"))
+      .withColumn("h", TextOps.hash60(col("tok")))
+    val bitSums = (0 until 60).map(j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"c$j"))
+    val wide = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60).map(j =>
+      expr(s"case when c$j >= 0 then shiftleft(cast(1 as bigint), $j) else cast(0 as bigint) end"))
+      .reduce(_.bitwiseOR(_))
+    wide.select(col("id"), sig.as("simhash"))
   }
 
   /** SimHash near-dup candidates: band the 60 bits into 4 15-bit keys
