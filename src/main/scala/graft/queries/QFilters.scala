@@ -97,6 +97,39 @@ object QFilters extends Registry {
                  OR (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
                      + extract(second FROM ts)) <= 7200""")),
 
+    // §2.12 audit ledger — (stage, rows_before, rows_after, removed) per
+    // filter stage, computed in ONE conditional-aggregate pass (the
+    // reference counts after each stage: log_filter,
+    // stage0/create_daily_enhanced_trace.py:42-107).
+    Q("audit_filter_ledger",
+      (s, d) => graft.operators.AuditedFilter.ledger(
+        Tables.lineitem(s, d),
+        Seq(
+          graft.operators.AuditedFilter.Stage("price_screen",
+            col("l_extendedprice") > 1000 && col("l_extendedprice") <= 100000),
+          graft.operators.AuditedFilter.Stage("qty_screen", col("l_quantity") <= 45),
+          graft.operators.AuditedFilter.Stage("not_returned", col("l_returnflag") =!= "R"),
+          graft.operators.AuditedFilter.Stage("dollar_vol",
+            round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4) >= 20000))),
+      Some("""WITH c AS (
+                SELECT count(*) AS n,
+                  count(*) FILTER (WHERE l_extendedprice > 1000 AND l_extendedprice <= 100000) AS s0,
+                  count(*) FILTER (WHERE l_extendedprice > 1000 AND l_extendedprice <= 100000
+                                     AND l_quantity <= 45) AS s1,
+                  count(*) FILTER (WHERE l_extendedprice > 1000 AND l_extendedprice <= 100000
+                                     AND l_quantity <= 45 AND l_returnflag <> 'R') AS s2,
+                  count(*) FILTER (WHERE l_extendedprice > 1000 AND l_extendedprice <= 100000
+                                     AND l_quantity <= 45 AND l_returnflag <> 'R'
+                                     AND round(l_extendedprice * (1.0 - l_discount), 4) >= 20000) AS s3
+                FROM lineitem)
+              SELECT 'price_screen' AS stage, n AS rows_before, s0 AS rows_after, n - s0 AS removed FROM c
+              UNION ALL
+              SELECT 'qty_screen', s0, s1, s0 - s1 FROM c
+              UNION ALL
+              SELECT 'not_returned', s1, s2, s1 - s2 FROM c
+              UNION ALL
+              SELECT 'dollar_vol', s2, s3, s2 - s3 FROM c""")),
+
     // F14 — scalar-aggregate cutoff: keep lineitem rows shipped strictly
     // after the max 'F'-order date (stage1/stage1_pipeline.py:218-240).
     // The 1-row max side is cross-joined (broadcast) to stay fully lazy.
