@@ -158,6 +158,69 @@ object QJoins extends Registry {
                    (26, 40, 'large')) AS r(lo, hi, bucket)
                 ON p_size >= r.lo AND p_size <= r.hi""")),
 
+    // J6 — W-correction resolve-and-replace (stage0/create_daily_enhanced_
+    // trace.py:1827-1910): correction records point at the row they
+    // replace via an orig pointer (here: ord-1); matched originals are
+    // anti-joined out and the correction rows (deduped, only those that
+    // matched) are unioned back in.
+    Q("j6_w_correction",
+      (s, d) => {
+        val tr = Trades.df(s, d)
+        val t = tr.filter(col("trc_st") === "T")
+        val w = tr.filter(col("trc_st") === "X")
+          .withColumn("orig_ord", col("ord") - 1)
+        val wKeys = w.select(col("id"), col("orig_ord").as("ord")).distinct()
+        val survivors = t.join(wKeys, Seq("id", "ord"), "left_anti")
+        val replacements = graft.operators.Dedup.keepFirst(
+            w.join(t.select(col("id"), col("ord").as("orig_ord")).distinct(),
+              Seq("id", "orig_ord"), "left_semi"),
+            keys = Seq("id", "orig_ord"),
+            order = Seq(col("ord")))
+          .select(survivors.columns.map(col): _*)
+        survivors.unionByName(replacements)
+          .select(col("id"), col("ord"), col("price").cast("double").as("price"),
+            col("trc_st"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              t AS (SELECT * FROM tr WHERE trc_st = 'T'),
+              w AS (SELECT *, ord - 1 AS orig_ord FROM tr WHERE trc_st = 'X'),
+              survivors AS (
+                SELECT * FROM t WHERE NOT EXISTS (
+                  SELECT 1 FROM w WHERE w.id = t.id AND w.orig_ord = t.ord)),
+              repl AS (
+                SELECT * FROM (
+                  SELECT w.*, row_number() OVER (PARTITION BY id, orig_ord
+                    ORDER BY ord) AS rn
+                  FROM w WHERE EXISTS (
+                    SELECT 1 FROM t WHERE t.id = w.id AND t.ord = w.orig_ord)) x
+                WHERE rn = 1)
+              SELECT id, ord, CAST(price AS DOUBLE) AS price, trc_st FROM survivors
+              UNION ALL
+              SELECT id, ord, CAST(price AS DOUBLE) AS price, trc_st FROM repl""")),
+
+    // W16 — linker forward-fill extension (stage1/helper_functions.py:
+    // 549-621): users active on the final observed day are extended with
+    // three future month-end rows.
+    Q("w16_linker_extension",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(col("user_id"),
+          to_date(col("ts")).as("dt"))
+        val mx = ev.agg(max(col("dt")).as("mx"))
+        val eligible = ev.crossJoin(broadcast(mx))
+          .filter(col("dt") === col("mx"))
+          .select(col("user_id"), col("mx")).distinct()
+        eligible.select(col("user_id"),
+            explode(array((1 to 3).map(i =>
+              last_day(add_months(col("mx"), i))): _*)).as("future_month_end"))
+      },
+      Some("""WITH mx AS (SELECT max(CAST(ts AS DATE)) AS mx FROM events),
+              eligible AS (
+                SELECT DISTINCT user_id, mx.mx FROM events, mx
+                WHERE CAST(ts AS DATE) = mx.mx)
+              SELECT user_id,
+                     CAST(last_day(mx + to_months(CAST(i AS INT))) AS DATE) AS future_month_end
+              FROM eligible CROSS JOIN generate_series(1, 3) g(i)""")),
+
     // J19 — merge of two aggregate panels by full-outer join
     // (stage0/create_daily_enhanced_trace.py:376-391). Kept as a literal
     // outer-join restatement; the preferred single-groupBy design is

@@ -160,6 +160,14 @@ object QScalar extends Registry {
                      ELSE 0.053e0 END AS curve_y
               FROM lineitem""")),
 
+    // JSON extraction over the events props column (beyond the reference,
+    // which has no JSON — standard scalar surface for event streams).
+    Q("x_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")),
+      Some("""SELECT event_id, CAST(props->>'$.k' AS INT) AS k FROM events""")),
+
     // X5 — code-map lookup (rating letter → numeric,
     // stage1/helper_functions.py:411-433): deterministic CASE ladder over
     // a derived code, plus the composite min-of-two-ratings shape.
