@@ -178,25 +178,25 @@ object QAggs extends Registry {
 
     // A9 — concentration stats: per-supplier volume shares, cumulative
     // share thresholds, top-N shares, Herfindahl
-    // (stage1/helper_functions.py:2267-2334). All sums decimal-exact; the
-    // cumulative walk is a decimal window cumsum ordered by (vol desc,
-    // suppkey) — deterministic under ties.
+    // (stage1/helper_functions.py:2267-2334). All sums decimal-exact. The
+    // cumulative walk uses the two-phase distributed prefix sum
+    // (operators.PrefixSum) — a bare Window.orderBy cumsum would move the
+    // whole table to ONE partition, the classic scale cliff; totals come
+    // from a broadcast scalar aggregate for the same reason.
     Q("a9_concentration",
       (s, d) => {
         val vol = Tables.lineitem(s, d)
           .groupBy(col("l_suppkey"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("v"))
-        val wc = Window.orderBy(col("v").desc, col("l_suppkey").asc)
-          .rowsBetween(Window.unboundedPreceding, 0)
-        val wAll = Window.partitionBy()
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val wr = Window.orderBy(col("v").desc, col("l_suppkey").asc)
-        vol
+        val totals = vol.agg(
+          sum(col("v")).as("tot"), count(lit(1)).as("nsupp"))
+        graft.operators.PrefixSum.withRunningSumAndRank(
+            vol,
+            order = Seq(col("v").desc, col("l_suppkey").asc),
+            valueCol = col("v"),
+            outCol = "cum", rankCol = "rk")
           .withColumn("vu", expr("cast(v * 100 as bigint) div 100000"))
-          .withColumn("cum", sum(col("v")).over(wc))
-          .withColumn("tot", sum(col("v")).over(wAll))
-          .withColumn("rk", row_number().over(wr))
-          .withColumn("nsupp", count(lit(1)).over(wAll))
+          .crossJoin(broadcast(totals))
           .agg(
             count(when(col("cum") < col("tot") * 0.5, 1)).as("n_50"),
             count(when(col("cum") < col("tot") * 0.75, 1)).as("n_75"),

@@ -1,0 +1,32 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-phase distributed prefix sum must equal the single-partition
+  * window result exactly (decimal inputs, arbitrary partition count).
+  */
+class PrefixSumSpec extends SparkSpec {
+
+  test("running sum and rank equal the global-window reference") {
+    import spark.implicits._
+    val df = (1 to 997).map(i => (i.toLong, ((i * 37) % 500).toLong))
+      .toDF("k", "raw")
+      .withColumn("v", col("raw").cast("decimal(18,2)"))
+    val twoPhase = PrefixSum.withRunningSumAndRank(
+        df, order = Seq(col("v").desc, col("k").asc),
+        valueCol = col("v"), outCol = "cum", rankCol = "rk",
+        numPartitions = 7)
+      .select(col("k"), col("cum").cast("double"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    val w = Window.orderBy(col("v").desc, col("k").asc)
+    val reference = df
+      .withColumn("cum",
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("k"), col("cum").cast("double"), col("rk"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
+    assert(twoPhase.toSeq == reference.toSeq)
+  }
+}
