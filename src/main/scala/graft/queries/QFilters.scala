@@ -97,6 +97,72 @@ object QFilters extends Registry {
                  OR (extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
                      + extract(second FROM ts)) <= 7200""")),
 
+    // S9 — semi-structured text parse (Fama-French Siccodes format:
+    // industry header lines + indented SIC range lines,
+    // stage1/helper_functions.py:4420-4466): regex extraction over a raw
+    // positioned text relation; each range row is associated with the
+    // nearest header ABOVE it via a positional backward as-of (window max
+    // over line order) → (ind_num, ind_name, sic_start, sic_end).
+    Q("s9_siccodes_parse",
+      (s, d) => {
+        import s.implicits._
+        val raw = Seq(
+          " 1 Food   Food products",
+          "          0100-0199 Agricultural production",
+          "          0200-0299 Livestock",
+          " 2 Mines  Mining",
+          "          1000-1099 Metal mining",
+          " 3 Oil    Petroleum",
+          "          1300-1399 Oil and gas extraction",
+          "          2900-2999 Refining")
+        val lines = raw.zipWithIndex.map { case (l, i) => (i, l) }
+          .toDF("pos", "line")
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("pos"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        lines
+          .withColumn("h_num",
+            when(col("line").rlike("^ ?\\d+ "),
+              regexp_extract(col("line"), "^ ?(\\d+) +(\\S+)", 1).cast("int")))
+          .withColumn("h_name",
+            when(col("line").rlike("^ ?\\d+ "),
+              regexp_extract(col("line"), "^ ?(\\d+) +(\\S+)", 2)))
+          .withColumn("ind_num", last(col("h_num"), ignoreNulls = true).over(w))
+          .withColumn("ind_name", last(col("h_name"), ignoreNulls = true).over(w))
+          .filter(col("line").rlike("^ +\\d{4}-\\d{4}"))
+          .select(col("ind_num"), col("ind_name"),
+            regexp_extract(col("line"), "(\\d{4})-(\\d{4})", 1)
+              .cast("int").as("sic_start"),
+            regexp_extract(col("line"), "(\\d{4})-(\\d{4})", 2)
+              .cast("int").as("sic_end"))
+      },
+      Some("""WITH lines(pos, line) AS (VALUES
+                (0, ' 1 Food   Food products'),
+                (1, '          0100-0199 Agricultural production'),
+                (2, '          0200-0299 Livestock'),
+                (3, ' 2 Mines  Mining'),
+                (4, '          1000-1099 Metal mining'),
+                (5, ' 3 Oil    Petroleum'),
+                (6, '          1300-1399 Oil and gas extraction'),
+                (7, '          2900-2999 Refining')),
+              marked AS (
+                SELECT pos, line,
+                  CASE WHEN regexp_matches(line, '^ ?\d+ ')
+                    THEN CAST(regexp_extract(line, '^ ?(\d+) +(\S+)', 1) AS INT) END AS h_num,
+                  CASE WHEN regexp_matches(line, '^ ?\d+ ')
+                    THEN regexp_extract(line, '^ ?(\d+) +(\S+)', 2) END AS h_name
+                FROM lines),
+              filled AS (
+                SELECT pos, line,
+                  last_value(h_num IGNORE NULLS) OVER (ORDER BY pos) AS ind_num,
+                  last_value(h_name IGNORE NULLS) OVER (ORDER BY pos) AS ind_name
+                FROM marked)
+              SELECT ind_num, ind_name,
+                CAST(regexp_extract(line, '(\d{4})-(\d{4})', 1) AS INT) AS sic_start,
+                CAST(regexp_extract(line, '(\d{4})-(\d{4})', 2) AS INT) AS sic_end
+              FROM filled
+              WHERE regexp_matches(line, '^ +\d{4}-\d{4}')""")),
+
     // §2.12 audit ledger — (stage, rows_before, rows_after, removed) per
     // filter stage, computed in ONE conditional-aggregate pass (the
     // reference counts after each stage: log_filter,

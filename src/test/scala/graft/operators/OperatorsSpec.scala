@@ -109,4 +109,22 @@ class OperatorsSpec extends SparkSpec {
     // true J = 20/60 = 1/3; with 32 hashes expect agreement in [2, 20]
     assert(agree >= 2 && agree <= 20, s"agreement $agree out of plausible band")
   }
+
+  test("SaltedJoin equals the plain join under heavy key skew") {
+    import spark.implicits._
+    // 90% of left rows share one hot key
+    val left = (1 to 2000).map(i =>
+      (if (i % 10 == 0) i.toLong else 7L, i.toLong)).toDF("k", "row")
+    val right = (Seq(7L) ++ (10L to 2000L by 100L)).map(i => (i, s"v$i"))
+      .toDF("k", "payload")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "row", "payload").collect()
+      .map(_.toSeq.mkString("|")).sorted
+    val salted = SaltedJoin.inner(left, right, Seq("k"),
+        leftSaltFrom = col("row"), salt = 8)
+      .select("k", "row", "payload").collect()
+      .map(_.toSeq.mkString("|")).sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.nonEmpty)
+  }
 }
