@@ -35,15 +35,21 @@ object PrefixSum {
       numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // persisted post-shuffle: the totals pass and the final plan both read
+    // the range-partitioned data; without a cache each would repeat the
+    // upstream + shuffle (repartitionByRange additionally samples its
+    // input). At cluster scale persist to disk.
     val ranged = df.repartitionByRange(parts, order: _*)
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged
       .withColumn("__run", sum(valueCol).over(wLocal))
       .withColumn("__rn", count(lit(1)).over(wLocal))
-    // one row per partition: its total sum / count
-    val totals = local.groupBy(col("__pid"))
+    // one row per partition: its total sum / count (no window needed —
+    // aggregate the pre-window frame so this pass skips the sort)
+    val totals = ranged.groupBy(col("__pid"))
       .agg(sum(valueCol).as("__t"), count(lit(1)).as("__c"))
       .collect()
       .sortBy(_.getInt(0))

@@ -20,37 +20,44 @@ import org.apache.spark.sql.functions._
 object QTracePipeline extends Registry {
 
   // ---- cleaning chain (Spark side) ----------------------------------
+  //
+  // All three Dick-Nielsen stages are expressed as WINDOW FLAGS over one
+  // linear frame instead of anti-joins over split-and-reunioned branches:
+  // Spark re-evaluates shared subtrees per union branch / join side, so
+  // the join formulation exploded into ~29 shuffles; the window form is 3
+  // exchanges. Semantics are identical (the DuckDB oracle still mirrors
+  // the join formulation):
+  //  - J3 cancel:  EXISTS X-row with same (id,dt,price,qty)  ≡ max-when flag
+  //  - J7 reversal: n-th R cancels n-th T per (id,dt,side)   ≡ keep rows
+  //    with row_number > count(R) (R seqs are contiguous 1..n)
+  //  - J9 agency:  (B,D) matching a surviving (S,D)          ≡ max-when flag
 
-  /** J3: drop trades whose (id, dt, price, qty) matches a cancel row. */
-  private def cancelClean(tr: DataFrame): DataFrame = {
-    val cancels = tr.filter(col("trc_st") === "X")
-      .select("id", "dt", "price", "qty").distinct()
-    tr.filter(col("trc_st") === "T")
-      .join(cancels, Seq("id", "dt", "price", "qty"), "left_anti")
-  }
-
-  /** J7/J8: the n-th reversal cancels the n-th trade per (id, dt, side). */
-  private def reversalClean(tr: DataFrame, survivors: DataFrame): DataFrame =
-    SeqMatch.antiBySequence(
-      survivors,
-      tr.filter(col("trc_st") === "R"),
-      keys = Seq("id", "dt", "side"),
-      leftOrder = Seq(col("ord").asc),
-      rightOrder = Seq(col("ord").asc))
-
-  /** J9: drop (B,D) rows matching an (S,D) row on (id, dt, price, qty). */
-  private def agencyClean(tr: DataFrame): DataFrame = {
-    val cust = tr.filter(col("contra") === "C")
-    val sells = tr.filter(col("contra") === "D" && col("side") === "S")
-    val buysKept = tr.filter(col("contra") === "D" && col("side") === "B")
-      .join(sells.select("id", "dt", "price", "qty").distinct(),
-        Seq("id", "dt", "price", "qty"), "left_anti")
-    cust.unionByName(sells).unionByName(buysKept)
-  }
+  import org.apache.spark.sql.expressions.Window
 
   private def cleaned(s: SparkSession, d: String): DataFrame = {
     val tr = Trades.df(s, d)
-    agencyClean(reversalClean(tr, cancelClean(tr)))
+    val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
+    val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
+    val marked = tr
+      .withColumn("__has_cancel",
+        max(when(col("trc_st") === "X", 1)).over(wKey))
+      .withColumn("__n_rev",
+        count(when(col("trc_st") === "R", 1)).over(wSide))
+    val afterCancel = marked
+      .filter(col("trc_st") === "T" && col("__has_cancel").isNull)
+    // rn numbers only the cancel-survivors; partitioning from wSide is
+    // preserved through the filter, so this window adds a sort, not a shuffle
+    val afterReversal = afterCancel
+      .withColumn("__rn", row_number().over(wSide.orderBy(col("ord"))))
+      .filter(col("__rn") > col("__n_rev"))
+    val afterAgency = afterReversal
+      .withColumn("__has_sell",
+        max(when(col("contra") === "D" && col("side") === "S", 1)).over(wKey))
+      // coalesce matters: !(… && NULL) is NULL and filter drops NULL
+      // predicates — unmatched (B,D) rows must survive
+      .filter(!(col("contra") === "D" && col("side") === "B" &&
+        coalesce(col("__has_sell"), lit(0)) === 1))
+    afterAgency.drop("__has_cancel", "__n_rev", "__rn", "__has_sell")
   }
 
   /** cleaned + decimal-shift-corrected, price re-entered as decimal(18,3)
