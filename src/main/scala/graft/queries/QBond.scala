@@ -47,6 +47,8 @@ object QBond extends Registry {
     // stage1/helper_functions.py:309-408).
     Q("x2_credit_spread",
       (s, d) => {
+        // one analytics pass: reuse the x1 result and derive the tenor from
+        // the same deterministic bond panel WITHOUT a second UDF pipeline
         val withY = qs.head.fn(s, d)
         val bonds = Tables.orders(s, d).select(
           col("o_orderkey").as("bond_id"),

@@ -1,0 +1,68 @@
+package graft.llmdata
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the training-data operators. */
+class LlmDataSpec extends SparkSpec {
+
+  test("charShingles: short texts yield themselves; duplicates collapse") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "aaaaaaa")).toDF("doc_id", "text")
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(sh.contains((1L, "abc")))
+    // "aaaaaaa" has 3 5-gram positions, all "aaaaa" → ONE distinct shingle
+    assert(sh.count(_._1 == 2L) == 1 && sh.contains((2L, "aaaaa")))
+  }
+
+  test("identical documents collide in every dedup tier") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text")
+    // simhash: identical docs → identical signature, hamming 0
+    val pairs = Dedup.simhashPairs(
+      Dedup.simhash(docs, "doc_id", "text"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+    // minhash+LSH: identical docs are certain candidates with jaccard 1.0
+    val sh = Dedup.charShingles(docs, "doc_id", "text", 5)
+    val cands = Dedup.lshCandidates(Dedup.minhash(sh, 32), 32, 4)
+    val verified = Dedup.jaccardVerify(sh, cands, 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(verified.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("Embeddings.topK ranks by cosine with id tie-break") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.01f)),   // nearly parallel to 0
+      (2L, Array(0.0f, 1.0f)),    // orthogonal
+      (3L, Array(-1.0f, 0.0f)))   // opposite
+      .toDF("vid", "vvec")
+      .withColumn("vn2", Embeddings.norm2Decimal(col("vvec")))
+    val queries = vecs.filter(col("vid") === 0)
+      .select(col("vid").as("qid"), col("vvec").as("qvec"), col("vn2").as("qn2"))
+    val out = Embeddings.topK(vecs, queries, k = 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, 1L), (2, 2L), (3, 3L)))
+  }
+
+  test("TextOps: langId picks the dominant stopword language") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat and the dog in the house"),
+      (2L, "der hund und die katze ist nicht da"),
+      (3L, "zzz qqq www")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        TextOps.langId(TextOps.tokens(col("text"))).as("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
+  }
+}
