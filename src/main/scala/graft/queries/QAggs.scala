@@ -83,9 +83,17 @@ object QAggs extends Registry {
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),
             (Tables.dsum(col("l_extendedprice")) / count(lit(1))).as("mean"),
-            ((Tables.dsum4(col("l_extendedprice") * col("l_extendedprice")) -
-                Tables.dsum(col("l_extendedprice")) * Tables.dsum(col("l_extendedprice"))
-                  / count(lit(1))) / (count(lit(1)) - 1)).as("variance"),
+            // variance via split int64 sums of squared cents: Σc² exceeds
+            // 2^53 in decimal int-representation (engines double-round
+            // wide decimals differently), but hi = Σ(c² div 1e4) and
+            // lo = Σ(c² mod 1e4) each stay exactly int64→double
+            // convertible; the recombination is pure IEEE arithmetic —
+            // bit-identical everywhere.
+            expr("""((cast(sum((cast(floor(l_extendedprice * 100 + 0.5) as bigint) * cast(floor(l_extendedprice * 100 + 0.5) as bigint)) div 10000) as double) * 1e4
+                     + cast(sum((cast(floor(l_extendedprice * 100 + 0.5) as bigint) * cast(floor(l_extendedprice * 100 + 0.5) as bigint)) % 10000) as double))
+                    - cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as double)
+                      * cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as double) / count(1))
+                   / ((count(1) - 1) * 1e4)""").as("variance"),
             min(col("l_extendedprice")).as("mn"),
             max(col("l_extendedprice")).as("mx"),
             max(col("p01")).as("p01"), max(col("p05")).as("p05"),
@@ -110,10 +118,11 @@ object QAggs extends Registry {
                 FROM ranked)
               SELECT l_returnflag, count(*) AS n,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
-                (CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE)
-                       - CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                         * CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-                      / (count(*) - 1) AS variance,
+                ((CAST(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // 10000) AS DOUBLE) * 1e4
+                  + CAST(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) % 10000) AS DOUBLE))
+                 - CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*))
+                / ((count(*) - 1) * 1e4) AS variance,
                 min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
                 max(p01) AS p01, max(p05) AS p05, max(p95) AS p95, max(p99) AS p99
               FROM picks GROUP BY l_returnflag""")),
