@@ -50,7 +50,16 @@ object BondMath {
     case _ => d
   }
 
-  def nyseHolidays(year: Int): Set[LocalDate] = Set(
+  private val holidayCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Set[LocalDate]]()
+
+  /** memoized per year — business-day checks run in per-row loops
+    * (schedules, T+2 advances) and rebuilding the set dominates otherwise.
+    */
+  def nyseHolidays(year: Int): Set[LocalDate] =
+    holidayCache.computeIfAbsent(year, y => computeNyseHolidays(y))
+
+  private def computeNyseHolidays(year: Int): Set[LocalDate] = Set(
     observed(LocalDate.of(year, 1, 1)),                       // New Year
     nthWeekday(year, 1, DayOfWeek.MONDAY, 3),                 // MLK
     nthWeekday(year, 2, DayOfWeek.MONDAY, 3),                 // Presidents
