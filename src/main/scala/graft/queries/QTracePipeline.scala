@@ -71,9 +71,14 @@ object QTracePipeline extends Registry {
       // (Spark clamps precision-38 overflow by dropping scale digits)
       .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
 
-  /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */
+  /** Full pipeline incl. the bounce-back filter — the driver's `entry`.
+    * `base` feeds both the flag scan and the anti-join left side; Spark
+    * has no plan-subtree sharing, so it is persisted (at cluster scale:
+    * disk persist or a checkpointed intermediate table).
+    */
   def dailyPanel(spark: SparkSession, sfDir: String): DataFrame = {
     val base = corrected(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flags = BounceBack.flags(base, "id", "ord", "price")
     val kept = base.join(flags.filter(col("filtered_error") === 1)
         .select("id", "ord"), Seq("id", "ord"), "left_anti")
