@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *
   * Input column contract (rename upstream): `id`, `dt`, `price`, `qty`,
   * `dvol` (dollar volume), `ord` (unique orderable within (id,dt)),
-  * `side` ('B'/'S'), `contra` ('C' customer / 'D' dealer).
+  * `secs` (seconds after midnight, int), `side` ('B'/'S'),
+  * `contra` ('C' customer / 'D' dealer).
   *
   * Determinism contract: `price`, `qty`, `dvol` must arrive as DECIMAL
   * columns (exact values). All sums/products then stay in decimal — exact
@@ -68,7 +69,14 @@ object DailyMetrics {
       s"count(1) FILTER (WHERE $bid) as bid_count",
       // customer-facing ask side (dealer sells, S/C)
       s"${ds("price * dvol", ask)} / nullif(${ds("dvol", ask)}, 0.0) as prc_ask",
-      s"count(1) FILTER (WHERE $ask) as ask_count"
+      s"count(1) FILTER (WHERE $ask) as ask_count",
+      // execution-time metrics (seconds after midnight): integer sums are
+      // exact; raw quotient for the mean
+      "cast(sum(secs) as double) / count(1) as time_ew",
+      "max_by(secs, ord) as time_last",
+      s"cast(sum(secs) FILTER (WHERE $bid) as double)" +
+        s" / nullif(count(1) FILTER (WHERE $bid), 0) as bid_time_ew",
+      s"max_by(secs, ord) FILTER (WHERE $bid) as bid_time_last"
     )
     trades.groupBy(col("id"), col("dt"))
       .agg(expr(aggs.head), aggs.tail.map(expr): _*)

@@ -43,7 +43,12 @@ object QAggs extends Registry {
                 count(*) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_count,
                 CAST(sum(CAST(price * dvol AS DECIMAL(38,6))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE)
                       / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,6))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE), 0.0) AS prc_ask,
-                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count
+                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count,
+                CAST(sum(secs) AS DOUBLE) / count(*) AS time_ew,
+                arg_max(secs, ord) AS time_last,
+                CAST(sum(secs) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
+                  / nullif(count(*) FILTER (WHERE side = 'B' AND contra = 'C'), 0) AS bid_time_ew,
+                arg_max(secs, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_time_last
               FROM tr GROUP BY id, dt""")),
 
     // A4/A5 — group sizes and min/max dates (bond lifespan shape,

@@ -100,7 +100,7 @@ object QTracePipeline extends Registry {
        t1s AS (SELECT *,
                  row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
                FROM tr1),
-       tr2 AS (SELECT id, dt, ts, ord, price, qty, dvol, side, contra
+       tr2 AS (SELECT id, dt, ts, ord, secs, price, qty, dvol, side, contra
                FROM t1s t WHERE NOT EXISTS (
                  SELECT 1 FROM rseq r WHERE r.id = t.id AND r.dt = t.dt
                    AND r.side = t.side AND r.seq = t.seq)),
@@ -167,12 +167,12 @@ object QTracePipeline extends Registry {
   /** `ds` → corrected trade rows with price decimal(18,3), dvol rebuilt. */
   private val correctedSql: String =
     """corrected AS (
-         SELECT id, dt, ts, ord,
+         SELECT id, dt, ts, ord, secs,
                 CAST(CASE WHEN dec_shift_flag = 1 THEN best_price ELSE p END
                      AS DECIMAL(18,3)) AS price,
                 qty, side, contra
          FROM ds),
-       ctr AS (SELECT id, dt, ts, ord, price, qty,
+       ctr AS (SELECT id, dt, ts, ord, secs, price, qty,
                       CAST(price * qty AS DECIMAL(18,5)) AS dvol,
                       side, contra
                FROM corrected)"""
@@ -229,7 +229,12 @@ object QTracePipeline extends Registry {
                 count(*) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_count,
                 CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE)
                       / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE), 0.0) AS prc_ask,
-                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count
+                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count,
+                CAST(sum(secs) AS DOUBLE) / count(*) AS time_ew,
+                arg_max(secs, ord) AS time_last,
+                CAST(sum(secs) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
+                  / nullif(count(*) FILTER (WHERE side = 'B' AND contra = 'C'), 0) AS bid_time_ew,
+                arg_max(secs, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_time_last
               FROM ctr GROUP BY id, dt""")),
 
     // W8 — bounce-back flags (no SQL oracle: inherently sequential state

@@ -221,6 +221,54 @@ object QWindows extends Registry {
                      CASE WHEN hi_med / CAST(price AS DOUBLE) >= 3 THEN 1 ELSE 0 END AS anomaly
               FROM m""")),
 
+    // W11 — upward-spike detector (stage1/helper_functions.py:836-910):
+    // price ≥ 3× the median of strictly-lower prices in the 5-row
+    // lookback, AND a recovery to ≤ 2× that median occurs within the
+    // 5-row lookahead. Collect-frame + lambdas — the reference's numba
+    // loop as pure expressions.
+    Q("w11_spike_recovery",
+      (s, d) => {
+        val lo =
+          s"""sort_array(filter(collect_list(cast(price as double)) over
+              (partition by id order by ord rows between 5 preceding and 1 preceding),
+              x -> x < cast(price as double)))"""
+        val ahead =
+          s"""collect_list(cast(price as double)) over
+              (partition by id order by ord rows between 1 following and 5 following)"""
+        Trades.df(s, d)
+          .withColumn("lo_med", expr(
+            s"""case when size($lo) = 0 then null
+                when size($lo) % 2 = 1 then element_at($lo, cast(size($lo) div 2 + 1 as int))
+                else (element_at($lo, cast(size($lo) div 2 as int))
+                      + element_at($lo, cast(size($lo) div 2 + 1 as int))) / 2 end"""))
+          .withColumn("recovers", expr(
+            s"exists($ahead, x -> x <= 2 * lo_med)"))
+          .withColumn("spike_flag",
+            when(col("lo_med").isNotNull &&
+              col("price").cast("double") / col("lo_med") >= 3 &&
+              col("recovers"), 1).otherwise(0))
+          .select(col("id"), col("ord"), col("lo_med"), col("spike_flag"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              f AS (SELECT id, ord, price,
+                      list_sort(list_filter(list(CAST(price AS DOUBLE)) OVER
+                        ($w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING),
+                        x -> x < CAST(price AS DOUBLE))) AS lo,
+                      list(CAST(price AS DOUBLE)) OVER
+                        ($w ROWS BETWEEN 1 FOLLOWING AND 5 FOLLOWING) AS ahead
+                    FROM tr),
+              m AS (SELECT id, ord, price, ahead,
+                      CASE WHEN lo IS NULL OR len(lo) = 0 THEN NULL
+                           WHEN len(lo) % 2 = 1 THEN lo[len(lo) // 2 + 1]
+                           ELSE (lo[len(lo) // 2] + lo[len(lo) // 2 + 1]) / 2 END AS lo_med
+                    FROM f)
+              SELECT id, ord, lo_med,
+                     CASE WHEN lo_med IS NOT NULL
+                            AND CAST(price AS DOUBLE) / lo_med >= 3
+                            AND len(list_filter(coalesce(ahead, []), x -> x <= 2 * lo_med)) > 0
+                          THEN 1 ELSE 0 END AS spike_flag
+              FROM m""")),
+
     // W12 — plateau detector: runs of exactly-equal prices (gaps-and-
     // islands), suspicious when run length ≥ 2
     // (stage1/helper_functions.py:913-979).

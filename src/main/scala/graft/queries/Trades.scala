@@ -21,6 +21,8 @@ object Trades {
       to_date(col("ts")).as("dt"),
       col("ts"),
       col("event_id").as("ord"),
+      (hour(col("ts")) * 3600 + minute(col("ts")) * 60 + second(col("ts")))
+        .as("secs"),
       col("value").cast("decimal(18,2)").as("price"),
       (col("event_id") % 97 + 1).cast("decimal(18,2)").as("qty"),
       (col("value").cast("decimal(18,2)") *
@@ -35,6 +37,8 @@ object Trades {
   /** Same mapping as ANSI SQL for DuckDB oracles (CTE body, table `events`). */
   val sql: String =
     """SELECT user_id AS id, CAST(ts AS DATE) AS dt, ts, event_id AS ord,
+       CAST(extract(hour FROM ts) * 3600 + extract(minute FROM ts) * 60
+            + extract(second FROM ts) AS INT) AS secs,
        CAST(value AS DECIMAL(18,2)) AS price,
        CAST(event_id % 97 + 1 AS DECIMAL(18,2)) AS qty,
        CAST(value AS DECIMAL(18,2)) * CAST(event_id % 97 + 1 AS DECIMAL(18,2)) AS dvol,
