@@ -21,6 +21,7 @@ object SparkEntry {
     QSetSortPivot,
     QScalar,
     QAsOf,
+    QEnrich,
     QTracePipeline,
     QBond,
     QDedup,
