@@ -21,8 +21,10 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events")
-      df.withColumn("ts",
-        timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` = exact integer division. `/` would go through double and
+      // int64 nanos (~1.7e18) exceed 2^53, rounding by up to ~128 ns —
+      // enough to flip a microsecond boundary vs DuckDB's exact truncation.
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

@@ -38,10 +38,12 @@ object PrefixSum {
     // persisted post-shuffle: the totals pass and the final plan both read
     // the range-partitioned data; without a cache each would repeat the
     // upstream + shuffle (repartitionByRange additionally samples its
-    // input). At cluster scale persist to disk.
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // input). At cluster scale persist to disk. Registered transient: the
+    // harness unpersists it after the query's result is materialized.
+    val ranged = graft.Caches.registerTransient(
+      df.repartitionByRange(parts, order: _*)
+        .withColumn("__pid", spark_partition_id())
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     val local = ranged

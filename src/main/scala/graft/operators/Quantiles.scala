@@ -39,7 +39,11 @@ object Quantiles {
       .withColumn(rn, row_number().over(wOrd))
       .withColumn(n, count(lit(1)).over(wGrp))
     val out = qs.foldLeft(base) { case (d, (name, q)) =>
-      val target = greatest(lit(1L), ceil(lit(q) * col(n)))
+      // rank computed in exact decimal, not double: 0.95*20 in binary is
+      // 19.000000000000004 so a double ceil would pick rank 20 where the
+      // documented max(1, ceil(q*n)) semantics (and DuckDB, whose bare
+      // fractional literals are DECIMAL) say 19.
+      val target = greatest(lit(1L), ceil(lit(BigDecimal(q)) * col(n)))
       d.withColumn(name,
         max(when(col(rn) === target, col(valueCol))).over(wGrp))
     }

@@ -64,28 +64,33 @@ object QAggs extends Registry {
                      max(CAST(o_orderdate AS DATE)) AS last_dt
               FROM orders GROUP BY o_custkey""")),
 
-    // A6 — pooled descriptive stats: n/mean/std + rank-pick quantiles
-    // P1/P5/P95/P99 per group (stage1/helper_functions.py:3664-3700).
+    // A6 — descriptive stats: n/mean/std + rank-pick quantiles P1/P5/P95/
+    // P99 per group (stage1/helper_functions.py:3664-3700). Grouped per
+    // MONTH like the reference's per-date tables — a high-cardinality key,
+    // so no window partition ever holds a constant fraction of the table
+    // (a 3-value key would sort a third of a 100 TB scan on one task).
     // Variance via exact decimal sums (Σx, Σx²) so it is order-independent;
     // quantiles are rank picks (actual data values), not interpolations —
-    // bit-stable across engines.
+    // bit-stable across engines; ranks in exact decimal (see Quantiles).
     Q("a6_descriptive_stats",
       (s, d) => {
-        val w = Window.partitionBy(col("l_returnflag"))
+        val grp = trunc(col("l_shipdate").cast("date"), "MM").as("ship_month")
+        val w = Window.partitionBy(col("ship_month"))
           .orderBy(col("l_extendedprice").asc, col("l_orderkey").asc,
             col("l_linenumber").asc)
-        val wg = Window.partitionBy(col("l_returnflag"))
+        val wg = Window.partitionBy(col("ship_month"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         val ranked = Tables.lineitem(s, d)
+          .withColumn("ship_month", grp)
           .withColumn("rn", row_number().over(w))
           .withColumn("n", count(lit(1)).over(wg))
         def pick(q: Double) = max(when(
-          col("rn") === greatest(lit(1L), ceil(lit(q) * col("n"))),
+          col("rn") === greatest(lit(1L), ceil(lit(BigDecimal(q)) * col("n"))),
           col("l_extendedprice"))).over(wg)
         ranked
           .withColumn("p01", pick(0.01)).withColumn("p05", pick(0.05))
           .withColumn("p95", pick(0.95)).withColumn("p99", pick(0.99))
-          .groupBy(col("l_returnflag"))
+          .groupBy(col("ship_month"))
           .agg(count(lit(1)).as("n"),
             (Tables.dsum(col("l_extendedprice")) / count(lit(1))).as("mean"),
             // variance via split int64 sums of squared cents: Σc² exceeds
@@ -105,23 +110,24 @@ object QAggs extends Registry {
             max(col("p95")).as("p95"), max(col("p99")).as("p99"))
       },
       Some("""WITH ranked AS (
-                SELECT l_returnflag, l_extendedprice,
-                       row_number() OVER (PARTITION BY l_returnflag
+                SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS ship_month,
+                       l_extendedprice,
+                       row_number() OVER (PARTITION BY date_trunc('month', CAST(l_shipdate AS DATE))
                          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
-                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                       count(*) OVER (PARTITION BY date_trunc('month', CAST(l_shipdate AS DATE))) AS n
                 FROM lineitem),
               picks AS (
-                SELECT l_returnflag, l_extendedprice, n,
+                SELECT ship_month, l_extendedprice, n,
                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.01 * n) AS BIGINT)) THEN l_extendedprice END)
-                    OVER (PARTITION BY l_returnflag) AS p01,
+                    OVER (PARTITION BY ship_month) AS p01,
                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT)) THEN l_extendedprice END)
-                    OVER (PARTITION BY l_returnflag) AS p05,
+                    OVER (PARTITION BY ship_month) AS p05,
                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN l_extendedprice END)
-                    OVER (PARTITION BY l_returnflag) AS p95,
+                    OVER (PARTITION BY ship_month) AS p95,
                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN l_extendedprice END)
-                    OVER (PARTITION BY l_returnflag) AS p99
+                    OVER (PARTITION BY ship_month) AS p99
                 FROM ranked)
-              SELECT l_returnflag, count(*) AS n,
+              SELECT CAST(ship_month AS DATE) AS ship_month, count(*) AS n,
                 CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean,
                 ((CAST(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) // 10000) AS DOUBLE) * 1e4
                   + CAST(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) % 10000) AS DOUBLE))
@@ -130,7 +136,7 @@ object QAggs extends Registry {
                 / ((count(*) - 1) * 1e4) AS variance,
                 min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
                 max(p01) AS p01, max(p05) AS p05, max(p95) AS p95, max(p99) AS p99
-              FROM picks GROUP BY l_returnflag""")),
+              FROM picks GROUP BY ship_month""")),
 
     // A7 — cross-sectional stats: per-day means, then the time-series mean
     // of the daily stat (stage1/helper_functions.py:3703-3751). Re-averaging
@@ -161,30 +167,34 @@ object QAggs extends Registry {
               FROM daily""")),
 
     // A8 — winsorization: clip values into per-group rank quantiles
-    // [q0.005, q0.995] (stage1/stage1_pipeline.py:1950-1961).
+    // [q0.005, q0.995] (stage1/stage1_pipeline.py:1950-1961). Grouped per
+    // SHIP DATE exactly like the reference's per-trade-date clip — the
+    // group key cardinality grows with the data, so the per-group window
+    // sort parallelizes at 100× instead of concentrating on 3 keys.
     Q("a8_winsorize",
       (s, d) => Quantiles.winsorize(
           Tables.lineitem(s, d)
-            .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+            .select(col("l_orderkey"), col("l_linenumber"),
+              col("l_shipdate").cast("date").as("ship_dt"),
               col("l_extendedprice")),
-          groups = Seq("l_returnflag"),
+          groups = Seq("ship_dt"),
           valueCol = "l_extendedprice",
           tieBreak = Seq(col("l_orderkey"), col("l_linenumber")),
           qLo = 0.005, qHi = 0.995,
           outCol = "price_w")
         .select(col("l_orderkey"), col("l_linenumber"), col("price_w")),
       Some("""WITH ranked AS (
-                SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-                       row_number() OVER (PARTITION BY l_returnflag
+                SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_dt, l_extendedprice,
+                       row_number() OVER (PARTITION BY CAST(l_shipdate AS DATE)
                          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
-                       count(*) OVER (PARTITION BY l_returnflag) AS n
+                       count(*) OVER (PARTITION BY CAST(l_shipdate AS DATE)) AS n
                 FROM lineitem),
               bounds AS (
                 SELECT l_orderkey, l_linenumber, l_extendedprice,
                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.005 * n) AS BIGINT)) THEN l_extendedprice END)
-                    OVER (PARTITION BY l_returnflag) AS lo,
+                    OVER (PARTITION BY ship_dt) AS lo,
                   max(CASE WHEN rn = greatest(1, CAST(ceil(0.995 * n) AS BIGINT)) THEN l_extendedprice END)
-                    OVER (PARTITION BY l_returnflag) AS hi
+                    OVER (PARTITION BY ship_dt) AS hi
                 FROM ranked)
               SELECT l_orderkey, l_linenumber,
                      least(greatest(l_extendedprice, lo), hi) AS price_w

@@ -63,22 +63,27 @@ object QTracePipeline extends Registry {
   /** cleaned + decimal-shift-corrected, price re-entered as decimal(18,3)
     * (corrections are price×{0.1,0.01,10,100} of a 2dp price → true 3dp
     * values, so the cast is exact) with dvol recomputed from it.
+    *
+    * Memoized + persisted per sfDir: FOUR consumers share this frame (the
+    * daily panel's scan AND anti-join sides, the standalone bounce-back
+    * query, the oracled panel) and Spark has no plan-subtree sharing —
+    * without the cache each would recompute the whole clean+shift chain.
+    * Released by `Caches.clearAll()` at end of run; at cluster scale this
+    * is a disk persist or a checkpointed intermediate table.
     */
-  private def corrected(s: SparkSession, d: String): DataFrame =
-    DecimalShift.cleaned(cleaned(s, d), "id", "dt", "ord", "price")
-      .withColumn("price", col("price").cast("decimal(18,3)"))
-      // (18,5) keeps price*dvol at precision 37 — exact in both engines
-      // (Spark clamps precision-38 overflow by dropping scale digits)
-      .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
+  private[queries] def corrected(s: SparkSession, d: String): DataFrame =
+    graft.Caches.memo(s"tp_corrected:${System.identityHashCode(s)}:$d") {
+      DecimalShift.cleaned(cleaned(s, d), "id", "dt", "ord", "price")
+        .withColumn("price", col("price").cast("decimal(18,3)"))
+        // (18,5) keeps price*dvol at precision 37 — exact in both engines
+        // (Spark clamps precision-38 overflow by dropping scale digits)
+        .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
-  /** Full pipeline incl. the bounce-back filter — the driver's `entry`.
-    * `base` feeds both the flag scan and the anti-join left side; Spark
-    * has no plan-subtree sharing, so it is persisted (at cluster scale:
-    * disk persist or a checkpointed intermediate table).
-    */
+  /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */
   def dailyPanel(spark: SparkSession, sfDir: String): DataFrame = {
     val base = corrected(spark, sfDir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val flags = BounceBack.flags(base, "id", "ord", "price")
     val kept = base.join(flags.filter(col("filtered_error") === 1)
         .select("id", "ord"), Seq("id", "ord"), "left_anti")

@@ -50,7 +50,9 @@ object Sessionize {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                  // out-of-order events may extend the session backwards too
+                  cur = Some(s.copy(startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
                     n = s.n + 1, valueSum = s.valueSum + e.value))
                 case Some(s) =>
                   closed += Session(user, new Timestamp(s.startMs),
@@ -62,7 +64,11 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // setTimeoutTimestamp throws if the instant is not strictly
+              // ahead of the watermark (late event resuming a session whose
+              // natural deadline already passed) — clamp forward one ms.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1L))
             }
             closed.result().iterator
           }

@@ -10,12 +10,14 @@ import org.apache.spark.sql.Row
   * (A1–A3) re-expresses naturally as a watermarked tumbling-window
   * aggregation over the `events` stream.
   *
-  * Scale notes: state is keyed by (user, day window) and bounded by the
-  * 2-day watermark — late events beyond it are dropped and their state
-  * evicted; the aggregation is the same single-pass conditional-aggregate
-  * shape as the batch `DailyMetrics.panel`, so the streaming and batch
-  * plans share map-side partial aggregation and one shuffle per
-  * micro-batch.
+  * Scale notes: state is keyed by (user, day window); in the production
+  * `append`-mode sink ([[appendWriter]]) the 2-day watermark finalizes and
+  * EVICTS each window's state, so state stays bounded. (`complete` mode —
+  * used only by the in-memory test sink below — retains all windows by
+  * definition; never use it on a long-running stream.) The aggregation is
+  * the same single-pass conditional-aggregate shape as the batch
+  * `DailyMetrics.panel`, so the streaming and batch plans share map-side
+  * partial aggregation and one shuffle per micro-batch.
   */
 object StreamingDaily {
 
@@ -28,7 +30,7 @@ object StreamingDaily {
     spark.readStream
       .schema(schema)
       .parquet(path)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** watermarked 1-day tumbling-window daily panel per user. */
@@ -47,8 +49,18 @@ object StreamingDaily {
         col("value_sum"), col("trade_count"), col("first_value"),
         col("last_value"), col("hi"), col("lo"))
 
-  /** run to completion over the files currently in `path` (AvailableNow)
-    * into an in-memory table; returns the collected result.
+  /** Production path: append-mode writer — rows emit once their window is
+    * finalized by the watermark, which is also when the state is evicted
+    * (the bounded-state guarantee above). Caller picks format/location.
+    */
+  def appendWriter(panel: DataFrame): DataStreamWriter[Row] =
+    panel.writeStream.outputMode("append")
+
+  /** TEST-ONLY: run to completion over the files currently in `path`
+    * (AvailableNow) into an in-memory table; returns the collected result.
+    * Uses `complete` mode so a single AvailableNow batch emits every
+    * window without waiting on watermark advancement — acceptable only
+    * because the memory sink and the stream are both bounded here.
     */
   def runAvailableNow(
       spark: SparkSession,
