@@ -182,6 +182,99 @@ object QTracePipeline extends Registry {
                       side, contra
                FROM corrected)"""
 
+  /** `ctr` → flagged (id, ord) rows: a DuckDB `WITH RECURSIVE` port of the
+    * bounce-back scan ([[BounceBack.scanGroup]], defaults from Params).
+    *
+    * Each id's price series becomes a LIST; the recursion advances the
+    * cursor `i` exactly like the Scala loop (skip-during-cooldown, candidate
+    * detection, first-match lookahead, blame reassignment, plateau/par-run
+    * flagging, cooldown), accumulating flagged 0-based indexes in `fl`. One
+    * row per id survives with `i >= m`; its indexes join back to ords.
+    * Constants: thrLo = 35−1 = 34, backTol = 0.25·35 = 8.75, lookahead =
+    * maxSpan = 5, baseline window = 6, reassign margin = 5, par level 100
+    * (tol 1e-8, min run 3, cooldown 2), eps = 1e-12 — every comparison is
+    * plain IEEE arithmetic, so it matches the Scala scan bit-for-bit.
+    */
+  private val bounceSql: String = {
+    val slI = "list_sort(list_distinct(arr[greatest(0, i - 6) + 1 : i]))"
+    val slP = "list_sort(list_distinct(arr[greatest(0, i - 7) + 1 : i - 1]))"
+    s"""bb AS (SELECT id, ord, CAST(price AS DOUBLE) AS p FROM ctr),
+       bg AS (SELECT id, list(p ORDER BY ord) AS arr,
+                     list(ord ORDER BY ord) AS ords,
+                     CAST(count(*) AS BIGINT) AS m
+              FROM bb GROUP BY id),
+       walk AS (
+         SELECT id, CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS cd,
+                CAST([] AS BIGINT[]) AS fl
+         FROM bg
+         UNION ALL
+         SELECT id,
+           CASE WHEN brd THEN stopat + 1
+                WHEN bre THEN runend + 1 ELSE i + 1 END AS i,
+           CASE WHEN brd AND condpar THEN greatest(cd, stopat + 2)
+                WHEN bre THEN greatest(cd, runend + 2) ELSE cd END AS cd,
+           CASE WHEN brd THEN list_concat(fl, list_concat(startflag, plateau))
+                WHEN bre THEN list_concat(fl, parrun) ELSE fl END AS fl
+         FROM (
+          SELECT *,
+            (NOT skippar AND cand AND NOT paronly AND stopat IS NOT NULL) AS brd,
+            (NOT skippar AND condpar AND (paronly OR stopat IS NULL)
+              AND runlen >= 3) AS bre,
+            CASE WHEN stopat IS NULL THEN CAST([] AS BIGINT[])
+                 WHEN condpar THEN list_filter(
+                   generate_series(flagstart + 1, spanend),
+                   k -> abs(arr[k + 1] - 100.0e0) <= 1e-8)
+                 ELSE generate_series(flagstart + 1,
+                   coalesce(list_filter(generate_series(flagstart + 1, spanend),
+                     k -> NOT (bstart IS NOT NULL
+                               AND abs(arr[k + 1] - bstart) >= 8.75e0 - 1e-12))[1] - 1,
+                     spanend)) END AS plateau,
+            CASE WHEN runlen >= 3 THEN generate_series(i, runend)
+                 ELSE CAST([] AS BIGINT[]) END AS parrun
+          FROM (
+           SELECT *,
+             (condpar AND NOT condjump) AS paronly,
+             (condjump OR condfar OR condpar) AS cand,
+             CASE WHEN flagstart = i THEN b_i ELSE b_prev END AS bstart,
+             least(stopat, flagstart + 5) AS spanend,
+             runend - i + 1 AS runlen,
+             CASE WHEN NOT condpar OR abs(arr[flagstart + 1] - 100.0e0) <= 1e-8
+                  THEN [flagstart] ELSE CAST([] AS BIGINT[]) END AS startflag
+           FROM (
+            SELECT *,
+              (i <= cd AND abs(p_i - 100.0e0) > 1e-8) AS skippar,
+              (d_i IS NOT NULL AND abs(d_i) >= 34.0e0 - 1e-12) AS condjump,
+              (b_i IS NOT NULL AND abs(p_i - b_i) >= 34.0e0 - 1e-12) AS condfar,
+              (abs(p_i - 100.0e0) <= 1e-8 AND b_i IS NOT NULL
+                AND abs(p_i - b_i) >= 8.75e0 - 1e-12) AS condpar,
+              list_filter(generate_series(i + 1, least(m - 1, i + 5)),
+                j -> (d_i IS NOT NULL
+                      AND sign(arr[j + 1] - arr[j]) = -sign(d_i)
+                      AND abs(arr[j + 1] - arr[j]) >= 34.0e0 - 1e-12)
+                  OR (b_i IS NOT NULL
+                      AND abs(arr[j + 1] - b_i) <= 8.75e0 + 1e-12))[1] AS stopat,
+              CASE WHEN i >= 1 AND b_prev IS NOT NULL AND b_i IS NOT NULL
+                     AND abs(arr[i] - b_prev) - abs(p_i - b_i) >= 5.0e0 - 1e-12
+                     AND abs(arr[i] - b_prev) >= 8.75e0 - 1e-12
+                   THEN i - 1 ELSE i END AS flagstart,
+              coalesce(list_filter(generate_series(i + 1, m - 1),
+                k -> abs(arr[k + 1] - 100.0e0) > 1e-8)[1] - 1, m - 1) AS runend
+            FROM (
+             SELECT *, ${dmed("sl_i")} AS b_i, ${dmed("sl_prev")} AS b_prev
+             FROM (
+              SELECT w.id, w.i, w.cd, w.fl, bg.arr, bg.m,
+                     arr[w.i + 1] AS p_i,
+                     CASE WHEN w.i = 0 THEN NULL
+                          ELSE arr[w.i + 1] - arr[w.i] END AS d_i,
+                     $slI AS sl_i, $slP AS sl_prev
+              FROM walk w JOIN bg USING (id) WHERE w.i < bg.m) la) lb) lc) ld) le
+       ),
+       bdone AS (SELECT w.id, w.fl FROM walk w JOIN bg USING (id)
+                 WHERE w.i >= bg.m),
+       bflags AS (SELECT DISTINCT id, idx FROM
+                  (SELECT id, unnest(fl) AS idx FROM bdone) u)"""
+  }
+
   def qs: Seq[Q] = Seq(
 
     // J3+J7+J9 — the Dick-Nielsen-shaped cleaning chain end-to-end.
@@ -242,13 +335,17 @@ object QTracePipeline extends Registry {
                 arg_max(secs, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_time_last
               FROM ctr GROUP BY id, dt""")),
 
-    // W8 — bounce-back flags (no SQL oracle: inherently sequential state
-    // machine; correctness is pinned by the reference docs' golden vectors
-    // in BounceBackSpec). Driver records a rows-only check.
+    // W8 — bounce-back flags. The state machine is sequential per id, but
+    // it IS a linear scan — so the DuckDB oracle walks it with a recursive
+    // CTE over per-id price lists (bounceSql above); golden-vector specs in
+    // BounceBackSpec additionally pin the reference's worked examples.
     Q("tp_bounceback_flags",
       (s, d) => BounceBack.flags(corrected(s, d), "id", "ord", "price")
         .filter(col("filtered_error") === 1)
         .select(col("id"), col("ord"), col("filtered_error")),
-      None)
+      Some(s"""WITH RECURSIVE $cleanSql, $shiftSql, $correctedSql, $bounceSql
+              SELECT f.id, bg.ords[f.idx + 1] AS ord,
+                     CAST(1 AS INT) AS filtered_error
+              FROM bflags f JOIN bg USING (id)"""))
   )
 }
