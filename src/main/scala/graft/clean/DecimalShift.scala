@@ -87,39 +87,58 @@ object DecimalShift {
       .join(anchored, Seq(idCol, dtCol, "__p"), "left")
 
     val anchor = col("anchor_price")
-    val rawRel = abs(col("__p") - anchor) / anchor
 
-    // factor fold: first strictly-better candidate wins (reference order)
-    case class Best(rel: Column, factor: Column, price: Column)
-    val init = Best(lit(null).cast("double"), lit(null).cast("double"),
-      lit(null).cast("double"))
-    val best = p.factors.foldLeft(init) { (b, f) =>
-      val cand = col("__p") * f
-      val plausible = cand >= p.lowPr && cand <= p.highPr
-      val rel = when(plausible, abs(cand - anchor) / anchor)
-      val take = rel.isNotNull && (b.rel.isNull || rel < b.rel)
-      Best(
-        when(take, rel).otherwise(b.rel),
-        when(take, lit(f)).otherwise(b.factor),
-        when(take, cand).otherwise(b.price))
+    // Per-factor relative deviations as REAL COLUMNS, then least() + a
+    // first-match CASE — semantically the "first strictly-better candidate
+    // wins" rule of the reference, and exactly the r1..r4 formulation the
+    // DuckDB oracle uses. (The previous Column-level foldLeft embedded the
+    // accumulated tree twice per factor — exponential expression blowup
+    // that pushed the generated projection past janino's 64 KB method
+    // limit, silently dropping the whole stage out of codegen and paying
+    // a multi-second doomed-compile on first run. Stacked withColumns stay
+    // separate projections because each alias is non-cheap and
+    // multiply-referenced, so codegen evaluates each once.)
+    val withR = p.factors.zipWithIndex.foldLeft(
+        joined.withColumn("__raw_rel", abs(col("__p") - anchor) / anchor)) {
+      case (d, (f, i)) =>
+        val cand = col("__p") * f
+        d.withColumn(s"__r${i + 1}",
+          when(cand >= p.lowPr && cand <= p.highPr, abs(cand - anchor) / anchor))
     }
+    val rCols = p.factors.indices.map(i => col(s"__r${i + 1}"))
+    val withBest = withR
+      .withColumn("__best_rel", least(rCols: _*))
+      // reverse-order chains so EARLIER factors take precedence on ties
+      .withColumn("__best_price",
+        p.factors.zipWithIndex.reverse.foldLeft(lit(null).cast("double")) {
+          case (acc, (f, i)) =>
+            when(col(s"__r${i + 1}") === col("__best_rel"), col("__p") * f)
+              .otherwise(acc)
+        })
 
-    val absGood = abs(best.price - anchor) <= p.tolAbsGood + eps
+    val absGood = abs(col("__best_price") - anchor) <= p.tolAbsGood + eps
     val parOk =
       if (p.parSnap)
-        abs(anchor - 100.0) <= p.parBand && abs(best.price - 100.0) <= p.parBand
+        abs(anchor - 100.0) <= p.parBand &&
+          abs(col("__best_price") - 100.0) <= p.parBand
       else lit(false)
-    val flag = (rawRel > p.tolPctBad - eps) &&
-      ((best.rel <= p.tolPctGood + eps) || absGood || parOk) &&
-      (best.rel <= rawRel * p.improvementFrac + eps)
+    val flag = (col("__raw_rel") > p.tolPctBad - eps) &&
+      ((col("__best_rel") <= p.tolPctGood + eps) || absGood || parOk) &&
+      (col("__best_rel") <= col("__raw_rel") * p.improvementFrac + eps)
 
-    joined
+    val bestFactor = p.factors.zipWithIndex.reverse
+      .foldLeft(lit(null).cast("double")) { case (acc, (f, i)) =>
+        when(col(s"__r${i + 1}") === col("__best_rel"), lit(f)).otherwise(acc)
+      }
+    withBest
       .withColumn("dec_shift_flag", when(flag, 1).otherwise(0))
       .withColumn("dec_shift_factor",
-        when(col("dec_shift_flag") === 1, best.factor).otherwise(1.0))
+        when(col("dec_shift_flag") === 1, bestFactor).otherwise(1.0))
       .withColumn("suggested_price",
-        when(col("dec_shift_flag") === 1, best.price).otherwise(col("__p")))
-      .drop("__p")
+        when(col("dec_shift_flag") === 1, col("__best_price"))
+          .otherwise(col("__p")))
+      .drop("__p", "__raw_rel", "__best_rel", "__best_price")
+      .drop(p.factors.indices.map(i => s"__r${i + 1}"): _*)
   }
 
   /** Apply suggestions: overwrite `priceCol` (as double) where flagged. */

@@ -30,19 +30,47 @@ object Dedup {
           sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
           i => col("t").substr(i, lit(n))))).as("shingle"))
 
-  /** exact Jaccard over shingle sets for candidate pairs — used as the
-    * verification stage after any approximate candidate generator.
-    * Input: shingles (id, shingle) distinct; pairs (id_a, id_b).
+  val minhashP = 2147483647L // 2^31 − 1
+
+  /** shingle HASHES per document: (id, sh, h1, h2). The 60-bit shingle
+    * hash `sh` and both minhash bases are computed at the SCAN stage, so
+    * the shingle string never leaves it — every downstream shuffle
+    * (minhash groupBy, verification arrays) moves fixed-width int64s, not
+    * strings. h2 is an affine mix of sh computed mod p with a split
+    * multiply (hi·2³⁰ + lo keeps every intermediate below 2⁶³ — both
+    * engines would error/wrap on a direct 40503·sh), so only ONE md5 runs
+    * per shingle. Callers that fan the frame into several consumers
+    * should persist it (Spark has no plan-subtree sharing).
     */
-  def jaccardVerify(shingles: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
-    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = pairs
-      .join(shingles.withColumnsRenamed(Map("id" -> "id_a", "shingle" -> "sh")), Seq("id_a"))
-      .join(shingles.withColumnsRenamed(Map("id" -> "id_b", "shingle" -> "sh")), Seq("id_b", "sh"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_a", "sz" -> "sz_a")), Seq("id_a"))
-      .join(sizes.withColumnsRenamed(Map("id" -> "id_b", "sz" -> "sz_b")), Seq("id_b"))
+  val h2Sql: String =
+    """((40503 * (sh div 1073741824)) % 2147483647 * 1073741824 % 2147483647
+       + 40503 * (sh % 1073741824) + 12345) % 2147483647"""
+
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    charShingles(docs, idCol, textCol, n)
+      .select(col("id"), TextOps.hash60(col("shingle")).as("sh"))
+      .select(col("id"), col("sh"),
+        (col("sh") % minhashP).as("h1"), expr(h2Sql).as("h2"))
+
+  /** exact Jaccard over shingle-hash sets for candidate pairs — the
+    * verification stage after any approximate candidate generator.
+    * Input: hashes (id, sh) DISTINCT per id; pairs (id_a, id_b).
+    *
+    * Per-doc hash ARRAYS + array_intersect instead of a pairs×shingles
+    * double join: the join form shuffles |pairs|·|shingles/doc| rows to
+    * group the intersection counts, while the array form ships each doc's
+    * set once per pair (bounded by max doc size) and intersects in the map
+    * stage — the shape that survives a corpus-scale candidate volume.
+    */
+  def jaccardVerify(hashes: DataFrame, pairs: DataFrame, threshold: Double): DataFrame = {
+    val arrs = hashes.groupBy(col("id"))
+      .agg(collect_list(col("sh")).as("arr"), count(lit(1)).as("sz"))
+    pairs
+      .join(arrs.select(col("id").as("id_a"), col("arr").as("arr_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(arrs.select(col("id").as("id_b"), col("arr").as("arr_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
@@ -51,24 +79,53 @@ object Dedup {
   }
 
   /** MinHash signatures via the (h1 + i·h2) mod p family: TWO md5-derived
-    * base hashes per shingle (not k), then k cheap arithmetic mixes; the k
-    * minima are computed as k aggregate columns in ONE groupBy pass
-    * (map-side partial aggregation — no k× row explosion) and unpivoted
-    * with stack(). Output: (id, i, mh) — engine-portable arithmetic.
+    * base hashes per shingle (not k, precomputed in [[shingleHashes]]),
+    * then k cheap arithmetic mixes; the k minima are computed as k
+    * aggregate columns in ONE groupBy pass (map-side partial aggregation —
+    * no k× row explosion) and unpivoted with stack(). Output: (id, i, mh).
     */
-  val minhashP = 2147483647L // 2^31 − 1
-
-  def minhash(shingles: DataFrame, k: Int): DataFrame = {
-    val based = shingles
-      .withColumn("h1", TextOps.hash60(col("shingle")) % minhashP)
-      .withColumn("h2", TextOps.hash60(concat(lit("s:"), col("shingle"))) % minhashP)
+  def minhash(hashes: DataFrame, k: Int): DataFrame = {
     val mins = (0 until k).map(i =>
       min((col("h1") + lit(i.toLong) * col("h2")) % minhashP).as(s"mh$i"))
-    val wide = based.groupBy(col("id")).agg(mins.head, mins.tail: _*)
-    val stackArgs = (0 until k).map(i => s"$i, mh$i").mkString(", ")
-    wide.select(col("id"),
-      expr(s"stack($k, $stackArgs) as (i, mh)"))
+    val wide = hashes.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    signatureRows(wide, k)
   }
+
+  /** unpivot (id, mh0..mh{k-1}) to (id, i, mh) */
+  def signatureRows(wide: DataFrame, k: Int): DataFrame = {
+    val stackArgs = (0 until k).map(i => s"$i, mh$i").mkString(", ")
+    wide.select(col("id"), expr(s"stack($k, $stackArgs) as (i, mh)"))
+  }
+
+  /** Per-document profile in ONE aggregation pass over the shingle-hash
+    * relation: the k minhash minima AND the distinct-hash set + its size
+    * (what exact-Jaccard verification needs). The 10⁷-row shingle relation
+    * is scanned and shuffled exactly once; what's worth caching afterwards
+    * is this per-DOC frame, orders of magnitude smaller. Output:
+    * (id, mh0..mh{k-1}, arr, sz).
+    */
+  def docProfiles(hashes: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i =>
+      min((col("h1") + lit(i.toLong) * col("h2")) % minhashP).as(s"mh$i"))
+    hashes.groupBy(col("id"))
+      .agg(mins.head, mins.tail :+ collect_set(col("sh")).as("arr"): _*)
+      .withColumn("sz", size(col("arr")).cast("long"))
+  }
+
+  /** Jaccard filter over precomputed profiles (id, arr, sz). */
+  def jaccardOnProfiles(profiles: DataFrame, pairs: DataFrame,
+      threshold: Double): DataFrame =
+    pairs
+      .join(profiles.select(col("id").as("id_a"), col("arr").as("arr_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(profiles.select(col("id").as("id_b"), col("arr").as("arr_b"),
+        col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
 
   /** LSH candidate pairs: band the k signatures into `bands` groups of
     * k/bands rows; docs sharing any band bucket become a candidate pair

@@ -24,13 +24,25 @@ object AuditedFilter {
 
   /** the audit ledger: one row per stage with before/after/removed counts,
     * computed in a single aggregation pass.
+    *
+    * Internally: first-FAILING-stage per row, so each predicate is
+    * evaluated once (the naive cumulative-AND form repeats stage i's
+    * predicate in every later counter — O(n²) expression size that blew
+    * past janino's 64 KB method limit at ~9 stages and dropped the whole
+    * stage out of codegen). A row survives stages 0..i iff its first
+    * failure is > i. Null predicates count as failures, matching what
+    * `filter()` does to the frame itself.
     */
   def ledger(df: DataFrame, stages: Seq[Stage]): DataFrame = {
-    val cumulative = stages.scanLeft(lit(true))((acc, s) => acc && s.predicate).tail
-    val survivors = cumulative.zipWithIndex.map { case (p, i) =>
-      sum(when(p, 1L).otherwise(0L)).as(s"__s$i")
+    val failStage = stages.zipWithIndex.foldRight(lit(stages.length)) {
+      case ((s, i), acc) =>
+        when(!coalesce(s.predicate, lit(false)), lit(i)).otherwise(acc)
     }
-    val totals = df.agg(count(lit(1)).as("__n"), survivors: _*)
+    val survivors = stages.indices.map { i =>
+      sum(when(col("__fs") > i, 1L).otherwise(0L)).as(s"__s$i")
+    }
+    val totals = df.withColumn("__fs", failStage)
+      .agg(count(lit(1)).as("__n"), survivors: _*)
     val rows = stages.indices.map { i =>
       val before = if (i == 0) col("__n") else col(s"__s${i - 1}")
       struct(lit(stages(i).name).as("stage"),

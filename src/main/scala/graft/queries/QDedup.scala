@@ -38,28 +38,34 @@ object QDedup extends Registry {
               GROUP BY fp""")),
 
     // Tier 2 — MinHash(k=32) + LSH(4 bands × 8 rows, threshold τ* =
-    // (1/b)^(1/r) ≈ 0.84) candidates, verified with exact shingle Jaccard
-    // ≥ 0.7. The oracle mirrors the banding. Wider bands matter: this
-    // corpus is mid-similarity-dense, and 2-row bands would admit
+    // (1/b)^(1/r) ≈ 0.84) candidates, verified with exact shingle-hash
+    // Jaccard ≥ 0.7. The oracle mirrors the banding. Wider bands matter:
+    // this corpus is mid-similarity-dense, and 2-row bands would admit
     // millions of candidate pairs (collision prob = sim²), degenerating
-    // LSH into the all-pairs scan it exists to avoid.
+    // LSH into the all-pairs scan it exists to avoid. Shingles are hashed
+    // to int64 AT THE SCAN (strings never shuffle) and the hashed frame is
+    // persisted across its two consumers (signatures + verification).
     Q("dd_minhash_lsh",
       (s, d) => {
-        val sh = Dedup.charShingles(Tables.documents(s, d), "doc_id", "text", 5)
-        val sigs = Dedup.minhash(sh, k = 32)
-        val cands = Dedup.lshCandidates(sigs, k = 32, bands = 4)
-        Dedup.jaccardVerify(sh, cands, threshold = 0.7)
+        val hashed = Dedup.shingleHashes(Tables.documents(s, d), "doc_id", "text", 5)
+        // ONE pass over the shingle relation builds minima + hash sets;
+        // only the tiny per-doc profile is cached for its three consumers
+        val prof = graft.Caches.registerTransient(
+          Dedup.docProfiles(hashed, k = 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cands = Dedup.lshCandidates(Dedup.signatureRows(prof, 32), k = 32, bands = 4)
+        Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
       },
       Some(s"""WITH $shinglesSql,
-              based AS (
-                SELECT id,
-                       ${h60("shingle")} % 2147483647 AS h1,
-                       ${h60("'s:' || shingle")} % 2147483647 AS h2
-                FROM shingles),
+              hashed AS (
+                SELECT id, sh, sh % 2147483647 AS h1,
+                       ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
+                        + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
+                FROM (SELECT id, ${h60("shingle")} AS sh FROM shingles) hs),
               mh AS (
                 SELECT id, CAST(i AS INT) AS i,
                        min((h1 + i * h2) % 2147483647) AS mh
-                FROM based CROSS JOIN generate_series(0, 31) g(i)
+                FROM hashed CROSS JOIN generate_series(0, 31) g(i)
                 GROUP BY id, CAST(i AS INT)),
               banded AS (
                 SELECT id, CAST(i // 8 AS INT) AS band,
@@ -70,19 +76,17 @@ object QDedup extends Registry {
                 SELECT DISTINCT a.id AS id_a, b.id AS id_b
                 FROM banded a JOIN banded b
                   ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-              sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
-              inter AS (
-                SELECT c.id_a, c.id_b, count(*) AS inter
-                FROM cands c
-                JOIN shingles sa ON sa.id = c.id_a
-                JOIN shingles sb ON sb.id = c.id_b AND sb.shingle = sa.shingle
-                GROUP BY c.id_a, c.id_b)
-              SELECT i.id_a, i.id_b,
-                     CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
-              FROM inter i
-              JOIN sizes za ON za.id = i.id_a
-              JOIN sizes zb ON zb.id = i.id_b
-              WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.7e0""")),
+              arrs AS (SELECT id, list(DISTINCT sh) AS arr,
+                              count(DISTINCT sh) AS sz
+                       FROM hashed GROUP BY id)
+              SELECT c.id_a, c.id_b,
+                     CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                       / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) AS jaccard
+              FROM cands c
+              JOIN arrs a ON a.id = c.id_a
+              JOIN arrs b ON b.id = c.id_b
+              WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                      / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.7e0""")),
 
     // Tier 3 — SimHash(60-bit) signatures + 15-bit-band candidates with
     // hamming ≤ 3 verification, fully mirrored in SQL.
@@ -120,11 +124,12 @@ object QDedup extends Registry {
     Q("dd_ngram_jaccard",
       (s, d) => {
         val docs = Tables.documents(s, d).filter(col("doc_id") < 150)
-        val sh = Dedup.charShingles(docs, "doc_id", "text", 5)
+        val hashed = Dedup.shingleHashes(docs, "doc_id", "text", 5)
+          .select(col("id"), col("sh")).dropDuplicates("id", "sh")
         val ids = docs.select(col("doc_id").as("id_a"))
           .crossJoin(docs.select(col("doc_id").as("id_b")))
           .filter(col("id_a") < col("id_b"))
-        Dedup.jaccardVerify(sh, ids, threshold = 0.25)
+        Dedup.jaccardVerify(hashed, ids, threshold = 0.25)
       },
       Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t
                              FROM documents WHERE doc_id < 150),
@@ -132,17 +137,20 @@ object QDedup extends Registry {
                 SELECT DISTINCT id, substr(t, CAST(i AS INT), 5) AS shingle
                 FROM norm CROSS JOIN generate_series(1, 5000) g(i)
                 WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1)),
-              sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
-              inter AS (
-                SELECT sa.id AS id_a, sb.id AS id_b, count(*) AS inter
-                FROM shingles sa JOIN shingles sb
-                  ON sa.shingle = sb.shingle AND sa.id < sb.id
-                GROUP BY sa.id, sb.id)
-              SELECT i.id_a, i.id_b,
-                     CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) AS jaccard
-              FROM inter i
-              JOIN sizes za ON za.id = i.id_a
-              JOIN sizes zb ON zb.id = i.id_b
-              WHERE CAST(i.inter AS DOUBLE) / CAST(za.sz + zb.sz - i.inter AS DOUBLE) >= 0.25e0"""))
+              hv AS (SELECT DISTINCT id, ${h60("shingle")} AS sh FROM shingles),
+              arrs AS (SELECT id, list(sh) AS arr, count(*) AS sz
+                       FROM hv GROUP BY id),
+              pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b
+                FROM (SELECT DISTINCT id FROM norm) a
+                JOIN (SELECT DISTINCT id FROM norm) b ON a.id < b.id)
+              SELECT p.id_a, p.id_b,
+                     CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                       / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) AS jaccard
+              FROM pairs p
+              JOIN arrs a ON a.id = p.id_a
+              JOIN arrs b ON b.id = p.id_b
+              WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                      / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.25e0"""))
   )
 }

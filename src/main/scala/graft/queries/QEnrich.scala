@@ -76,6 +76,81 @@ object QEnrich extends Registry {
               FROM panel p
               LEFT JOIN chars c ON c.id = p.id
               ASOF LEFT JOIN ratings r ON r.id = p.id AND p.dt >= r.r_dt
-              LEFT JOIN callable cb ON cb.id = p.id"""))
+              LEFT JOIN callable cb ON cb.id = p.id""")),
+
+    // J13 + composite ratings (stage1/stage1_pipeline.py:816-832, 927-956):
+    // agency rating tables join INNER to the issue master on issue_id to
+    // pick up the cusip (J13), then the composite derivation: Moody's >= 21
+    // collapses to 22 (NR band), sp/mdy composites coalesce across
+    // agencies, comp_rating is the null-skipping two-column mean — exactly
+    // pandas' np.where + mean(axis=1) semantics. All small-int arithmetic;
+    // the ratings sides here are deterministic derivations from lineitem
+    // keys (l_linenumber 1 → S&P, 2 → Moody's, with key-based null gaps).
+    Q("enrich_ratings_composite",
+      (s, d) => {
+        val issues = Tables.orders(s, d)
+          .select(col("o_orderkey").as("issue_id"),
+            expr("concat('CUSIP', lpad(CAST(o_custkey AS STRING), 9, '0'))")
+              .as("cusip_id"))
+        val sp = Tables.lineitem(s, d).filter(col("l_linenumber") === 1)
+          .select(col("l_orderkey").as("issue_id"),
+            expr("CASE WHEN l_partkey % 5 = 0 THEN NULL ELSE CAST(1 + l_partkey % 22 AS INT) END")
+              .as("sp_rating"))
+        val mdy = Tables.lineitem(s, d).filter(col("l_linenumber") === 2)
+          .select(col("l_orderkey").as("issue_id"),
+            expr("CASE WHEN l_suppkey % 7 = 0 THEN NULL ELSE CAST(1 + l_suppkey % 23 AS INT) END")
+              .as("mdy_rating"))
+        sp.join(issues, Seq("issue_id"), "inner")   // J13: ratings -> cusip
+          .join(mdy, Seq("issue_id"), "left")
+          .withColumn("mdy_adj",
+            expr("CASE WHEN mdy_rating >= 21 THEN 22 ELSE mdy_rating END"))
+          .withColumn("spc_rating", coalesce(col("sp_rating"), col("mdy_adj")))
+          .withColumn("mdc_rating", coalesce(col("mdy_adj"), col("sp_rating")))
+          .withColumn("comp_rating",
+            expr("""(coalesce(spc_rating, 0) + coalesce(mdc_rating, 0))
+                    / nullif((CASE WHEN spc_rating IS NULL THEN 0 ELSE 1 END)
+                           + (CASE WHEN mdc_rating IS NULL THEN 0 ELSE 1 END), 0)"""))
+          .withColumn("has_rating",
+            expr("CASE WHEN comp_rating IS NULL THEN 0 ELSE 1 END"))
+          .select(col("issue_id"), col("cusip_id"), col("sp_rating"),
+            col("mdy_rating"), col("spc_rating"), col("mdc_rating"),
+            col("comp_rating"), col("has_rating"))
+      },
+      Some("""WITH issues AS (
+                SELECT o_orderkey AS issue_id,
+                       concat('CUSIP', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) AS cusip_id
+                FROM orders),
+              sp AS (
+                SELECT l_orderkey AS issue_id,
+                       CASE WHEN l_partkey % 5 = 0 THEN NULL
+                            ELSE CAST(1 + l_partkey % 22 AS INT) END AS sp_rating
+                FROM lineitem WHERE l_linenumber = 1),
+              mdy AS (
+                SELECT l_orderkey AS issue_id,
+                       CASE WHEN l_suppkey % 7 = 0 THEN NULL
+                            ELSE CAST(1 + l_suppkey % 23 AS INT) END AS mdy_rating
+                FROM lineitem WHERE l_linenumber = 2),
+              j AS (
+                SELECT s.issue_id, i.cusip_id, s.sp_rating, m.mdy_rating,
+                       CASE WHEN m.mdy_rating >= 21 THEN 22
+                            ELSE m.mdy_rating END AS mdy_adj
+                FROM sp s
+                JOIN issues i ON s.issue_id = i.issue_id
+                LEFT JOIN mdy m ON s.issue_id = m.issue_id),
+              cmp AS (
+                SELECT *, coalesce(sp_rating, mdy_adj) AS spc_rating,
+                          coalesce(mdy_adj, sp_rating) AS mdc_rating
+                FROM j)
+              SELECT issue_id, cusip_id, sp_rating, mdy_rating, spc_rating,
+                     mdc_rating,
+                     (coalesce(spc_rating, 0) + coalesce(mdc_rating, 0))
+                       / nullif((CASE WHEN spc_rating IS NULL THEN 0 ELSE 1 END)
+                              + (CASE WHEN mdc_rating IS NULL THEN 0 ELSE 1 END), 0)
+                       AS comp_rating,
+                     CASE WHEN (coalesce(spc_rating, 0) + coalesce(mdc_rating, 0))
+                       / nullif((CASE WHEN spc_rating IS NULL THEN 0 ELSE 1 END)
+                              + (CASE WHEN mdc_rating IS NULL THEN 0 ELSE 1 END), 0)
+                       IS NULL THEN 0 ELSE 1 END AS has_rating
+              FROM cmp"""))
   )
 }

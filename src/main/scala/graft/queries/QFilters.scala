@@ -196,6 +196,72 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 'dollar_vol', s2, s3, s2 - s3 FROM c""")),
 
+    // F2/F3/F8/F10–F13 — the pre-2012 base-filter family run the way the
+    // reference runs it: ONE audited sequence over the trades view
+    // (stage0/create_daily_enhanced_trace.py:1520-1558), including the
+    // NaN→'None' string normalization before the settlement/special-
+    // condition membership tests. Indicator columns are deterministic
+    // derivations from `ord` (the synthetic stand-ins for days_to_sttl_ct,
+    // wis_fl, lckd_in_ind, sale_cndtn_cd); the ledger itself is the
+    // one-pass conditional-aggregate AuditedFilter.
+    Q("f_pre2012_audited_chain",
+      (s, d) => {
+        import graft.operators.AuditedFilter
+        val tr = Trades.df(s, d).select(
+          col("*"),
+          expr("CASE WHEN ord % 7 = 0 THEN 'None' " +
+            "ELSE lpad(CAST(CAST(ord % 5 AS INT) AS STRING), 3, '0') END")
+            .as("days_to_sttl_ct"),
+          expr("CASE WHEN ord % 11 = 0 THEN 'Y' ELSE 'N' END").as("wis_fl"),
+          expr("CASE WHEN ord % 13 = 0 THEN 'Y' ELSE 'N' END").as("lckd_in_ind"),
+          expr("CASE WHEN ord % 17 = 0 THEN 'Z' WHEN ord % 3 = 0 THEN '@' " +
+            "ELSE 'None' END").as("sale_cndtn_cd"))
+        AuditedFilter.ledger(tr, Seq(
+          AuditedFilter.Stage("pre_settle_<=2d",
+            col("days_to_sttl_ct").isin("000", "001", "002", "None")),
+          AuditedFilter.Stage("pre_exclude_WIS", col("wis_fl") =!= "Y"),
+          AuditedFilter.Stage("pre_exclude_locked_in", col("lckd_in_ind") =!= "Y"),
+          AuditedFilter.Stage("pre_exclude_special_cond",
+            col("sale_cndtn_cd").isin("None", "@")),
+          AuditedFilter.Stage("yld_ne_price", col("price") =!= col("qty")),
+          AuditedFilter.Stage("positive_price", col("price") > 0),
+          AuditedFilter.Stage("positive_qty", col("qty") > 0),
+          AuditedFilter.Stage("known_side", col("side").isin("B", "S")),
+          AuditedFilter.Stage("trade_reports_only", col("trc_st") === "T")))
+      },
+      Some {
+        val preds = Seq(
+          "pre_settle_<=2d" ->
+            """(CASE WHEN ord % 7 = 0 THEN 'None'
+               ELSE lpad(CAST(CAST(ord % 5 AS INT) AS VARCHAR), 3, '0') END)
+               IN ('000', '001', '002', 'None')""",
+          "pre_exclude_WIS" ->
+            "(CASE WHEN ord % 11 = 0 THEN 'Y' ELSE 'N' END) <> 'Y'",
+          "pre_exclude_locked_in" ->
+            "(CASE WHEN ord % 13 = 0 THEN 'Y' ELSE 'N' END) <> 'Y'",
+          "pre_exclude_special_cond" ->
+            """(CASE WHEN ord % 17 = 0 THEN 'Z' WHEN ord % 3 = 0 THEN '@'
+               ELSE 'None' END) IN ('None', '@')""",
+          "yld_ne_price" -> "price <> qty",
+          "positive_price" -> "price > 0",
+          "positive_qty" -> "qty > 0",
+          "known_side" -> "side IN ('B', 'S')",
+          "trade_reports_only" -> "trc_st = 'T'")
+        val failSql = preds.zipWithIndex
+          .map { case ((_, p), i) => s"WHEN NOT ($p) THEN $i" }
+          .mkString("CASE ", " ", s" ELSE ${preds.length} END")
+        val counts = preds.indices
+          .map(i => s"count(*) FILTER (WHERE fs > $i) AS s$i").mkString(",\n")
+        val rows = preds.zipWithIndex.map { case ((name, _), i) =>
+          val before = if (i == 0) "n" else s"s${i - 1}"
+          s"SELECT '$name' AS stage, $before AS rows_before, s$i AS rows_after, $before - s$i AS removed FROM c"
+        }.mkString("\nUNION ALL\n")
+        s"""WITH tr AS (${Trades.sql}),
+           f AS (SELECT $failSql AS fs FROM tr),
+           c AS (SELECT count(*) AS n, $counts FROM f)
+           $rows"""
+      }),
+
     // F14 — scalar-aggregate cutoff: keep lineitem rows shipped strictly
     // after the max 'F'-order date (stage1/stage1_pipeline.py:218-240).
     // The 1-row max side is cross-joined (broadcast) to stay fully lazy.

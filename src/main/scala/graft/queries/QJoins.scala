@@ -120,6 +120,93 @@ object QJoins extends Registry {
                 SELECT 1 FROM r WHERE r.l_orderkey = t.l_orderkey
                   AND r.l_suppkey = t.l_suppkey AND r.seq = t.seq)""")),
 
+    // J5 — pre-2012 cancel matching: a 7-key composite including the REPORT
+    // date plus the asymmetric orig_msg_seq_nb pointer
+    // (stage0/create_daily_enhanced_trace.py:1790-1825). Synthetic analog:
+    // rpt_dt = dt + (ord div 10) % 3 days; the cancel ('X') row repeats the
+    // original's fields, reconstructed here deterministically from its
+    // pointer ord-1 (the reference's cancel record carries them verbatim).
+    Q("j5_pre2012_cancel_anti",
+      (s, d) => {
+        val tr = Trades.df(s, d)
+        val t = tr.filter(col("trc_st") === "T")
+          .withColumn("rpt_dt", expr("date_add(dt, CAST((ord div 10) % 3 AS INT))"))
+        val c = tr.filter(col("trc_st") === "X")
+          .select(col("id"), col("dt"),
+            expr("date_add(dt, CAST(((ord - 1) div 10) % 3 AS INT))").as("rpt_dt"),
+            expr("CAST((ord - 1) % 97 + 1 AS DECIMAL(18,2))").as("qty"),
+            (col("ord") - 1).as("ord")).distinct()
+        t.join(c, Seq("id", "dt", "rpt_dt", "qty", "ord"), "left_anti")
+          .select(col("id"), col("ord"),
+            col("price").cast("double").as("price"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql})
+              SELECT t.id, t.ord, CAST(t.price AS DOUBLE) AS price
+              FROM tr t WHERE t.trc_st = 'T' AND NOT EXISTS (
+                SELECT 1 FROM tr c WHERE c.trc_st = 'X'
+                  AND c.id = t.id AND c.dt = t.dt
+                  AND c.dt + to_days(CAST(((c.ord - 1) // 10) % 3 AS INT))
+                      = t.dt + to_days(CAST((t.ord // 10) % 3 AS INT))
+                  AND CAST((c.ord - 1) % 97 + 1 AS DECIMAL(18,2)) = t.qty
+                  AND c.ord - 1 = t.ord)""")),
+
+    // J8 — standard-regime clean_reversal end-to-end
+    // (stage0/create_daily_standard_trace.py:138-267): reversal headers and
+    // non-reversal headers get per-group sequence numbers (add_seq, :109-118),
+    // seq-matched headers are removed, and the final step keeps FULL body
+    // rows whose key appears in the surviving header set, then DISTINCT —
+    // the left-semi-of-full-rows + DISTINCT ending the verdict called out.
+    // Key analog: (id, dt, side, contra) for the reference's 6-key; body
+    // key (id, dt, secs, ord, side, contra) for the 8-key. Sequence order
+    // (secs, ord): ord tiebreaks equal times — pandas relies on stable input
+    // order there, which has no cross-engine meaning.
+    Q("j8_clean_reversal_semi",
+      (s, d) => {
+        val tr = Trades.df(s, d)
+        val keys6 = Seq("id", "dt", "side", "contra")
+        val revSeq = SeqMatch.withSeq(
+            tr.filter(col("trc_st") === "R")
+              .select("id", "dt", "side", "contra", "secs", "ord"),
+            keys6, Seq(col("secs").asc, col("ord").asc), "seq6")
+          .select((keys6 :+ "seq6").map(col): _*)
+        val body = tr.filter(!col("trc_st").isin("R", "X"))
+        val surviving = SeqMatch.withSeq(
+            body.select("id", "dt", "side", "contra", "secs", "ord"),
+            keys6, Seq(col("secs").asc, col("ord").asc), "seq6")
+          .join(revSeq, keys6 :+ "seq6", "left_anti")
+        body.join(
+            surviving.select("id", "dt", "secs", "ord", "side", "contra")
+              .distinct(),
+            Seq("id", "dt", "secs", "ord", "side", "contra"), "left_semi")
+          .select(col("id"), col("dt"), col("ord"),
+            col("price").cast("double").as("price"),
+            col("side"), col("contra"))
+          .distinct()
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              rev AS (
+                SELECT id, dt, side, contra,
+                       row_number() OVER (PARTITION BY id, dt, side, contra
+                                          ORDER BY secs, ord) AS seq6
+                FROM tr WHERE trc_st = 'R'),
+              body AS (SELECT * FROM tr WHERE trc_st NOT IN ('R', 'X')),
+              hdr AS (
+                SELECT id, dt, secs, ord, side, contra,
+                       row_number() OVER (PARTITION BY id, dt, side, contra
+                                          ORDER BY secs, ord) AS seq6
+                FROM body),
+              surv AS (
+                SELECT h.* FROM hdr h WHERE NOT EXISTS (
+                  SELECT 1 FROM rev r WHERE r.id = h.id AND r.dt = h.dt
+                    AND r.side = h.side AND r.contra = h.contra
+                    AND r.seq6 = h.seq6))
+              SELECT DISTINCT b.id, b.dt, b.ord,
+                     CAST(b.price AS DOUBLE) AS price, b.side, b.contra
+              FROM body b WHERE EXISTS (
+                SELECT 1 FROM surv s WHERE s.id = b.id AND s.dt = b.dt
+                  AND s.secs = b.secs AND s.ord = b.ord
+                  AND s.side = b.side AND s.contra = b.contra)""")),
+
     // J16 — cross join of a snapshot × generated month range
     // (stage1/helper_functions.py:595-601): region × 1995 month-ends via
     // explode(sequence(...)) — no driver-side loop, broadcastable generator.

@@ -192,6 +192,48 @@ object QScalar extends Registry {
                 FROM orders)
               SELECT o_orderkey, prio_num,
                      least(prio_num, status_num) AS composite
-              FROM m"""))
+              FROM m""")),
+
+    // Standard/144A recodes (stage0/create_daily_standard_trace.py:1735-1749):
+    // text volume caps '5MM+'/'1MM+' replaced by their numeric values before
+    // the to_numeric cast, and trc_st status unification G/M→T, H/N→C,
+    // I/O→W. The volume text and raw status are deterministic derivations
+    // from lineitem keys (quantity bands / l_partkey mod 9).
+    Q("x_recode_volume_status",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("""CASE WHEN l_quantity > 45 THEN '5MM+'
+                       WHEN l_quantity > 40 THEN '1MM+'
+                       ELSE CAST(CAST(l_quantity AS INT) * 1000 AS STRING) END""")
+            .as("ascii_rptd_vol_tx"),
+          expr("element_at(array('T','G','M','H','N','I','O','C','W'), CAST(1 + l_partkey % 9 AS INT))")
+            .as("trc_st_raw"))
+        .withColumn("entrd_vol_qt",
+          expr("""CAST(CASE ascii_rptd_vol_tx WHEN '5MM+' THEN '5000000'
+                       WHEN '1MM+' THEN '1000000'
+                       ELSE ascii_rptd_vol_tx END AS DOUBLE)"""))
+        .withColumn("trc_st",
+          expr("""CASE WHEN trc_st_raw IN ('G','M') THEN 'T'
+                       WHEN trc_st_raw IN ('H','N') THEN 'C'
+                       WHEN trc_st_raw IN ('I','O') THEN 'W'
+                       ELSE trc_st_raw END""")),
+      Some("""WITH base AS (
+                SELECT l_orderkey, l_linenumber,
+                       CASE WHEN l_quantity > 45 THEN '5MM+'
+                            WHEN l_quantity > 40 THEN '1MM+'
+                            ELSE CAST(CAST(l_quantity AS INT) * 1000 AS VARCHAR) END
+                         AS ascii_rptd_vol_tx,
+                       (['T','G','M','H','N','I','O','C','W'])[CAST(1 + l_partkey % 9 AS INT)]
+                         AS trc_st_raw
+                FROM lineitem)
+              SELECT l_orderkey, l_linenumber, ascii_rptd_vol_tx, trc_st_raw,
+                     CAST(CASE ascii_rptd_vol_tx WHEN '5MM+' THEN '5000000'
+                          WHEN '1MM+' THEN '1000000'
+                          ELSE ascii_rptd_vol_tx END AS DOUBLE) AS entrd_vol_qt,
+                     CASE WHEN trc_st_raw IN ('G','M') THEN 'T'
+                          WHEN trc_st_raw IN ('H','N') THEN 'C'
+                          WHEN trc_st_raw IN ('I','O') THEN 'W'
+                          ELSE trc_st_raw END AS trc_st
+              FROM base"""))
   )
 }

@@ -78,7 +78,12 @@ object QTracePipeline extends Registry {
         // (18,5) keeps price*dvol at precision 37 — exact in both engines
         // (Spark clamps precision-38 overflow by dropping scale digits)
         .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // eager localCheckpoint: runs the chain ONCE with full AQE and
+        // hands the four consumers plain RDD blocks (persist() would
+        // freeze AQE below the cache). On a real cluster: reliable
+        // checkpoint / staging table — localCheckpoint does not survive
+        // executor loss.
+        .localCheckpoint(true)
     }
 
   /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */

@@ -360,6 +360,41 @@ object QWindows extends Registry {
               SELECT g.id, g.dt,
                      last_value(d.last_price IGNORE NULLS) OVER
                        (PARTITION BY g.id ORDER BY g.dt) AS price_ffill
-              FROM grid g LEFT JOIN daily d ON g.id = d.id AND g.dt = d.dt"""))
+              FROM grid g LEFT JOIN daily d ON g.id = d.id AND g.dt = d.dt""")),
+
+    // W13 — intraday inconsistency: flag panel rows where some price column
+    // is < 20, >=2 price columns are present, and the spread across them
+    // exceeds 75% of their mean (stage1/helper_functions.py:1231-1273,
+    // flag_intraday_inconsistency_vectorized). Pure greatest/least
+    // expressions over the daily panel — null columns neutralized with
+    // +/-1e308 sentinels so both engines agree regardless of their
+    // greatest()-vs-NULL semantics; all arithmetic is plain IEEE.
+    Q("w13_intraday_inconsistency",
+      (s, d) => graft.agg.DailyMetrics.panel(Trades.df(s, d))
+        .select(col("id"), col("dt"), col("prc_ew"), col("prc_vw"),
+          col("prc_first"), col("prc_last"))
+        .withColumn("flag_intraday", expr(QWindows.w13FlagSql)),
+      Some(s"""WITH tr AS (${Trades.sql}),
+              panel AS (SELECT id, dt,
+                CAST(sum(CAST(price AS DECIMAL(38,6))) AS DOUBLE) / count(*) AS prc_ew,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,6))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,6))) AS DOUBLE), 0.0) AS prc_vw,
+                CAST(arg_min(price, ord) AS DOUBLE) AS prc_first,
+                CAST(arg_max(price, ord) AS DOUBLE) AS prc_last
+                FROM tr GROUP BY id, dt)
+              SELECT id, dt, prc_ew, prc_vw, prc_first, prc_last,
+                     ${QWindows.w13FlagSql} AS flag_intraday
+              FROM panel"""))
   )
+
+  /** W13 flag — SAME text on both engines (cross-engine determinism). */
+  private val w13FlagSql: String = {
+    val cols = Seq("prc_ew", "prc_vw", "prc_first", "prc_last")
+    val nn = cols.map(c => s"(CASE WHEN $c IS NULL THEN 0 ELSE 1 END)").mkString(" + ")
+    val mn = cols.map(c => s"coalesce($c, 1e308)").mkString("least(", ", ", ")")
+    val mx = cols.map(c => s"coalesce($c, -1e308)").mkString("greatest(", ", ", ")")
+    val mean = cols.map(c => s"coalesce($c, 0.0e0)").mkString("(", " + ", s") / ($nn)")
+    s"""CASE WHEN $mn < 20.0e0 AND ($nn) >= 2 AND $mean > 0.0e0
+          AND ($mx - $mn) / ($mean) > 0.75e0 THEN 1 ELSE 0 END"""
+  }
 }

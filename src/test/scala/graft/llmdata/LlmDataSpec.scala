@@ -30,9 +30,10 @@ class LlmDataSpec extends SparkSpec {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
     // minhash+LSH: identical docs are certain candidates with jaccard 1.0
-    val sh = Dedup.charShingles(docs, "doc_id", "text", 5)
-    val cands = Dedup.lshCandidates(Dedup.minhash(sh, 32), 32, 4)
-    val verified = Dedup.jaccardVerify(sh, cands, 0.7)
+    val hashed = Dedup.shingleHashes(docs, "doc_id", "text", 5)
+    val cands = Dedup.lshCandidates(Dedup.minhash(hashed, 32), 32, 4)
+    val verified = Dedup.jaccardVerify(
+      hashed.select(col("id"), col("sh")).dropDuplicates("id", "sh"), cands, 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(verified.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }

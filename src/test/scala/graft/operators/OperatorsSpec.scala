@@ -102,7 +102,12 @@ class OperatorsSpec extends SparkSpec {
     // two docs sharing half their shingles → expected agreement ≈ 1/3
     val sh = (Seq.tabulate(40)(i => (1L, s"sh$i")) ++
       Seq.tabulate(40)(i => (2L, s"sh${i + 20}"))).toDF("id", "shingle")
-    val sigs = graft.llmdata.Dedup.minhash(sh, k = 32)
+    val hashed = sh.select(col("id"),
+      (graft.llmdata.TextOps.hash60(col("shingle"))
+        % graft.llmdata.Dedup.minhashP).as("h1"),
+      (graft.llmdata.TextOps.hash60(concat(lit("s:"), col("shingle")))
+        % graft.llmdata.Dedup.minhashP).as("h2"))
+    val sigs = graft.llmdata.Dedup.minhash(hashed, k = 32)
     val agree = sigs.groupBy("i")
       .agg(countDistinct("mh").as("n"))
       .filter(col("n") === 1).count()
