@@ -27,7 +27,8 @@ object SparkEntry {
     QDedup,
     QSimilarity,
     QText,
-    QMultimodal
+    QMultimodal,
+    QStreaming
   )
 
   private lazy val all: Seq[Q] = registries.flatMap(_.qs)

@@ -196,6 +196,67 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 'dollar_vol', s2, s3, s2 - s3 FROM c""")),
 
+    // S6 — Excel scan: region rows written to an .xlsx with a 2-row
+    // preamble (the reference reads the Liu–Wu workbook with header=8,
+    // stage1/helper_functions.py:645-762), read back through the JDK-only
+    // xlsx reader (graft.sources.Xlsx), cast from the all-strings schema.
+    Q("s6_excel_scan",
+      (s, d) => {
+        import graft.sources.Xlsx
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_s6_region.xlsx"
+        val rows: Seq[Seq[Any]] =
+          Seq(Seq("Liu-Wu style preamble"), Seq("generated for S6 scan"),
+            Seq("r_regionkey", "r_name")) ++
+          Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+            .orderBy(col("r_regionkey")).collect()
+            .map(r => Seq[Any](r.getInt(0), r.getString(1))).toSeq
+        Xlsx.write(path, rows)
+        Xlsx.read(s, path, headerRow = 2)
+          .select(col("r_regionkey").cast("int").as("r_regionkey"),
+            col("r_name"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
+    // S7 — CSV-over-URL scan (FRED fetch shape,
+    // stage1/helper_functions.py:257-307): nation staged as a CSV file and
+    // read back through the URL code path (file:// here — zero egress —
+    // http(s):// in production is the same handler).
+    Q("s7_csv_over_url",
+      (s, d) => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_s7_nation.csv"
+        val rows = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey")).collect()
+          .map(r => s"${r.getInt(0)},${r.getString(1)},${r.getInt(2)}")
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          (("n_nationkey,n_name,n_regionkey" +: rows).mkString("\n") + "\n")
+            .getBytes("UTF-8"))
+        graft.sources.CsvUrl.read(s, s"file://$path")
+          .select(col("n_nationkey").cast("int").as("n_nationkey"),
+            col("n_name"),
+            col("n_regionkey").cast("int").as("n_regionkey"))
+      },
+      Some("SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+
+    // S8 — parquet-inside-zip scan (load_parquet_from_zip_url,
+    // stage1/helper_functions.py:457-472): the region parquet zipped under
+    // a member path, located by name and handed to the vectorized reader.
+    Q("s8_parquet_in_zip",
+      (s, d) => {
+        val zipPath = s"${System.getProperty("java.io.tmpdir")}/graft_s8_region.zip"
+        val zout = new java.util.zip.ZipOutputStream(
+          new java.io.FileOutputStream(zipPath))
+        try {
+          zout.putNextEntry(new java.util.zip.ZipEntry("data/region.parquet"))
+          zout.write(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$d/region.parquet")))
+          zout.closeEntry()
+        } finally zout.close()
+        graft.sources.ParquetInZip.read(s, zipPath, "data/region.parquet")
+          .select(col("r_regionkey"), col("r_name"))
+      },
+      Some("SELECT r_regionkey, r_name FROM region")),
+
     // F2/F3/F8/F10–F13 — the pre-2012 base-filter family run the way the
     // reference runs it: ONE audited sequence over the trades view
     // (stage0/create_daily_enhanced_trace.py:1520-1558), including the

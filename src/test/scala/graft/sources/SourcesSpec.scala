@@ -1,0 +1,71 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Out-of-band sources (S6 xlsx / S7 csv-over-url / S8 parquet-in-zip).
+  * URL paths are exercised via file:// — identical code path to http(s)
+  * minus the protocol handler (no egress in this sandbox).
+  */
+class SourcesSpec extends SparkSpec {
+
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+
+  test("xlsx round-trip: preamble skip, sparse rows, numeric + string cells") {
+    val path = tmp("graft_test_sheet.xlsx")
+    Xlsx.write(path, Seq(
+      Seq("junk preamble"),
+      Seq("k", "name", "score"),
+      Seq(1L, "alpha", 2.5),
+      Seq(2L, null, 4.0),        // sparse row: missing middle cell
+      Seq(3L, "gamma & <co>", 9.0))) // xml-escaped content
+    val df = Xlsx.read(spark, path, headerRow = 1)
+    assert(df.columns.toSeq == Seq("k", "name", "score"))
+    val rows = df.orderBy(col("k")).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getString(1) == "alpha" && rows(0).getString(2) == "2.5")
+    assert(rows(1).getString(1) == null)
+    assert(rows(2).getString(1) == "gamma & <co>")
+  }
+
+  test("parquet-in-zip: member located by name; missing member raises") {
+    import spark.implicits._
+    val pq = tmp("graft_test_member_dir")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(pq)
+    val part = new java.io.File(pq).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val zipPath = tmp("graft_test_member.zip")
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(zipPath))
+    zout.putNextEntry(new java.util.zip.ZipEntry("nested/t.parquet"))
+    zout.write(java.nio.file.Files.readAllBytes(part.toPath))
+    zout.closeEntry(); zout.close()
+    assert(ParquetInZip.members(zipPath) == Seq("nested/t.parquet"))
+    val back = ParquetInZip.read(spark, zipPath, "nested/t.parquet")
+    assert(back.orderBy(col("id")).collect().map(_.getString(1)).toSeq
+      == Seq("a", "b"))
+    intercept[java.io.FileNotFoundException] {
+      ParquetInZip.read(spark, zipPath, "absent.parquet")
+    }
+  }
+
+  test("csv-over-url yield panel: outer merge, ffill, percent to decimal") {
+    val a = tmp("graft_test_dgs1.csv")
+    val b = tmp("graft_test_dgs2.csv")
+    java.nio.file.Files.write(java.nio.file.Paths.get(a),
+      "DATE,DGS1\n2020-01-01,1.0\n2020-01-03,2.0\n".getBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(b),
+      "DATE,DGS2\n2020-01-01,3.0\n2020-01-02,4.0\n".getBytes)
+    val panel = CsvUrl.yieldPanel(spark,
+      Seq(("DGS1", "oneyr", s"file://$a"), ("DGS2", "twoyr", s"file://$b")),
+      dateCol = "DATE")
+    val rows = panel.collect().map(r =>
+      (r.getDate(0).toString, r.getDouble(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(
+      ("2020-01-01", 0.01, 0.03),
+      ("2020-01-02", 0.01, 0.04),  // oneyr forward-filled
+      ("2020-01-03", 0.02, 0.04))) // twoyr forward-filled
+  }
+}
