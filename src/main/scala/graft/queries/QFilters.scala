@@ -117,6 +117,10 @@ object QFilters extends Registry {
           "          2900-2999 Refining")
         val lines = raw.zipWithIndex.map { case (l, i) => (i, l) }
           .toDF("pos", "line")
+        // Window.orderBy with NO partition key moves everything to one
+        // task — acceptable ONLY because this input is 8 literal driver
+        // rows (a fixed text-file parse); NEVER use this shape on a real
+        // table (see operators.PrefixSum for the distributed alternative).
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("pos"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
