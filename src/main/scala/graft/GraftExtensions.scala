@@ -1,0 +1,21 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.expressions.Md5Prefix60
+
+/** SparkSessionExtensions hook registering the library's native
+  * expressions as SQL functions. Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all the
+  * library's mains and the test session do).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("md5prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5prefix60"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        Md5Prefix60(children.head)))
+  }
+}

@@ -24,9 +24,11 @@ object TextOps {
 
   /** stable 60-bit non-negative hash of a string (15 hex chars of md5) —
     * identical in DuckDB via CAST('0x' || substr(md5(s),1,15) AS BIGINT).
+    * Backed by the native codegen'd [[graft.expressions.Md5Prefix60]]
+    * (hex-string-free digest path; requires the `graft.GraftExtensions`
+    * session extension, which every library main and spec configures).
     */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+  def hash60(s: Column): Column = call_function("md5prefix60", s)
 
   /** document fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
