@@ -157,6 +157,85 @@ object QSimilarity extends Registry {
                 JOIN norms na ON na.vec_id = a.vec_id
                 JOIN norms nb ON nb.vec_id = b.vec_id
                 WHERE a.vec_id < 200)
-              SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.22e0"""))
+              SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.22e0""")),
+
+    // Random-hyperplane LSH near-dup — the SCALE path for embedding
+    // near-duplicates (the brute-force tier above is the bounded
+    // baseline): 16 deterministic integer hyperplanes (weights from the
+    // md5 hash family, so the oracle reproduces them exactly), sign bits
+    // banded 4×4; vectors sharing any band key become candidates, then
+    // exact quantized cosine ≥ 0.4 verifies. Candidate generation is
+    // linear + collisions — never the O(n²) pair space. Band geometry is
+    // tuned to this corpus's LOW-similarity regime (max cosine ≈ 0.5):
+    // production near-dup at cosine ≥ 0.9 would use 8-bit bands, where
+    // RHP collision probability (1 − θ/π per bit) turns razor-selective.
+    Q("sim_rhp_neardup",
+      (s, d) => {
+        import graft.llmdata.{Embeddings, TextOps}
+        val planes = s.range(16).select(col("id").as("j"))
+          .crossJoin(s.range(64).select(col("id").as("i")))
+          .withColumn("w",
+            TextOps.hash60(concat_ws(":", lit("p"), col("j"), col("i"))) % 2001 - 1000)
+        val comps = Tables.embeddings(s, d)
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .withColumn("q", Embeddings.quant6(col("x")))
+        val keys = comps.join(broadcast(planes), Seq("i"))
+          .groupBy(col("vec_id"), col("j"))
+          .agg(sum(col("q") * col("w")).as("sgn"))
+          .withColumn("bit", when(col("sgn") >= 0, 1L).otherwise(0L))
+          .withColumn("band", (col("j") / 4).cast("int"))
+          .groupBy(col("vec_id"), col("band"))
+          .agg(sum(expr("shiftleft(bit, CAST(j % 4 AS INT))")).as("bkey"))
+        val cands = keys.as("a").join(keys.as("b"),
+            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+              col("a.vec_id") < col("b.vec_id"))
+          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+          .distinct()
+        val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          Embeddings.norm2Decimal(col("embedding")).as("n2"))
+        cands
+          .join(e.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+            col("n2").as("n2a")), Seq("id_a"))
+          .join(e.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+            col("n2").as("n2b")), Seq("id_b"))
+          .withColumn("cosine", Embeddings.cosine(
+            Embeddings.dotDecimal(col("va"), col("vb")), col("n2a"), col("n2b")))
+          .filter(col("cosine") >= 0.4)
+          .select(col("id_a"), col("id_b"), col("cosine"))
+      },
+      Some(s"""WITH planes AS (
+                SELECT j, i,
+                       CAST('0x' || substr(md5('p:' || j || ':' || i), 1, 15) AS BIGINT)
+                         % 2001 - 1000 AS w
+                FROM generate_series(0, 15) g(j)
+                CROSS JOIN generate_series(0, 63) h(i)),
+              comps AS (
+                SELECT vec_id, CAST(i AS INT) AS i,
+                       CAST(floor(embedding[CAST(i + 1 AS INT)] * 1e6 + 0.5e0) AS BIGINT) AS q
+                FROM embeddings CROSS JOIN generate_series(0, 63) g(i)),
+              bits AS (
+                SELECT vec_id, j,
+                       CASE WHEN sum(q * w) >= 0 THEN 1 ELSE 0 END AS bit
+                FROM comps JOIN planes ON planes.i = comps.i
+                GROUP BY vec_id, j),
+              bkeys AS (
+                SELECT vec_id, CAST(j // 4 AS INT) AS band,
+                       sum(bit << CAST(j % 4 AS INT)) AS bkey
+                FROM bits GROUP BY 1, 2),
+              cands AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM bkeys a JOIN bkeys b
+                  ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id),
+              $normsSql
+              SELECT c.id_a, c.id_b,
+                     CAST(${dotSql("a", "b")} AS DOUBLE)
+                       / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+              FROM cands c
+              JOIN embeddings a ON a.vec_id = c.id_a
+              JOIN embeddings b ON b.vec_id = c.id_b
+              JOIN norms na ON na.vec_id = c.id_a
+              JOIN norms nb ON nb.vec_id = c.id_b
+              WHERE CAST(${dotSql("a", "b")} AS DOUBLE)
+                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4e0"""))
   )
 }
