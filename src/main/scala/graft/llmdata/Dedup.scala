@@ -32,23 +32,25 @@ object Dedup {
 
   val minhashP = 2147483647L // 2^31 − 1
 
-  /** shingle HASHES per document: (id, sh, h1, h2). The 60-bit shingle
-    * hash `sh` and both minhash bases are computed at the SCAN stage, so
-    * the shingle string never leaves it — every downstream shuffle
-    * (minhash groupBy, verification arrays) moves fixed-width int64s, not
-    * strings. h2 is an affine mix of sh computed mod p with a split
-    * multiply (hi·2³⁰ + lo keeps every intermediate below 2⁶³ — both
-    * engines would error/wrap on a direct 40503·sh), so only ONE md5 runs
-    * per shingle. Callers that fan the frame into several consumers
-    * should persist it (Spark has no plan-subtree sharing).
+  /** shingle HASHES per document: (id, sh, h1, h2). The native
+    * [[graft.expressions.ShingleHash60]] emits every position's
+    * polynomial hash in one pass per document (no shingle substring, no
+    * digest — that per-shingle md5 dominated the whole MinHash pass), so
+    * the shingle string never exists at all — every downstream shuffle
+    * (minhash groupBy, verification arrays) moves fixed-width int64s.
+    * h2 is an affine mix of sh computed mod p with a split multiply
+    * (hi·2³⁰ + lo keeps every intermediate below 2⁶³ — both engines would
+    * error/wrap on a direct 40503·sh). Callers that fan the frame into
+    * several consumers should persist it (no plan-subtree sharing).
     */
   val h2Sql: String =
     """((40503 * (sh div 1073741824)) % 2147483647 * 1073741824 % 2147483647
        + 40503 * (sh % 1073741824) + 12345) % 2147483647"""
 
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    charShingles(docs, idCol, textCol, n)
-      .select(col("id"), TextOps.hash60(col("shingle")).as("sh"))
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(call_function("shinglehash60",
+          TextOps.normalized(col(textCol)), lit(n)))).as("sh"))
       .select(col("id"), col("sh"),
         (col("sh") % minhashP).as("h1"), expr(h2Sql).as("h2"))
 

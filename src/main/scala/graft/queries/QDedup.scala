@@ -14,11 +14,22 @@ object QDedup extends Registry {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val h60 = (s: String) => s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
-  /** distinct 5-gram shingle CTE over all documents */
+  /** positional polynomial 5-gram shingle hash (mirrors the native
+    * expressions.ShingleHash60: codepoint-weighted sum with base 293,
+    * past-end chars = 0 — DuckDB's ascii('') is 0). 293^4..293^0 weights.
+    */
+  private def shingleHashSql(t: String, i: String) =
+    s"""CAST(ascii(substr($t, CAST($i AS INT), 1)) AS BIGINT) * 7370050801
+       + CAST(ascii(substr($t, CAST($i + 1 AS INT), 1)) AS BIGINT) * 25153757
+       + CAST(ascii(substr($t, CAST($i + 2 AS INT), 1)) AS BIGINT) * 85849
+       + CAST(ascii(substr($t, CAST($i + 3 AS INT), 1)) AS BIGINT) * 293
+       + CAST(ascii(substr($t, CAST($i + 4 AS INT), 1)) AS BIGINT)"""
+
+  /** distinct 5-gram shingle-HASH CTE over all documents */
   private val shinglesSql =
     s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
-       shingles AS (
-         SELECT DISTINCT id, substr(t, CAST(i AS INT), 5) AS shingle
+       shash AS (
+         SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh
          FROM norm CROSS JOIN generate_series(1, 5000) g(i)
          WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1))"""
 
@@ -61,7 +72,7 @@ object QDedup extends Registry {
                 SELECT id, sh, sh % 2147483647 AS h1,
                        ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
                         + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
-                FROM (SELECT id, ${h60("shingle")} AS sh FROM shingles) hs),
+                FROM shash),
               mh AS (
                 SELECT id, CAST(i AS INT) AS i,
                        min((h1 + i * h2) % 2147483647) AS mh
@@ -133,11 +144,10 @@ object QDedup extends Registry {
       },
       Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t
                              FROM documents WHERE doc_id < 150),
-              shingles AS (
-                SELECT DISTINCT id, substr(t, CAST(i AS INT), 5) AS shingle
+              hv AS (
+                SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh
                 FROM norm CROSS JOIN generate_series(1, 5000) g(i)
                 WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1)),
-              hv AS (SELECT DISTINCT id, ${h60("shingle")} AS sh FROM shingles),
               arrs AS (SELECT id, list(sh) AS arr, count(*) AS sz
                        FROM hv GROUP BY id),
               pairs AS (
