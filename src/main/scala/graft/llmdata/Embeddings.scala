@@ -30,13 +30,11 @@ object Embeddings {
 
   /** exact int64 dot product of two float-array columns in micro-units:
     * |q| ≤ 1e6 → products ≤ 1e12, 64-element sums ≤ 6.4e13 ≪ 2^53, so
-    * every int→double rendering is exact.
+    * every int→double rendering is exact. Backed by the native codegen'd
+    * [[graft.expressions.DotQuant6]] (one primitive loop per pair; the
+    * zip_with/aggregate HOF form ran interpreted per element).
     */
-  def dotDecimal(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => quant6(x) * quant6(y)),
-      lit(0L),
-      (acc, v) => acc + v)
+  def dotDecimal(a: Column, b: Column): Column = call_function("dotq6", a, b)
 
   /** squared L2 norm, exact decimal. */
   def norm2Decimal(a: Column): Column = dotDecimal(a, a)

@@ -171,21 +171,31 @@ object QSimilarity extends Registry {
     // RHP collision probability (1 − θ/π per bit) turns razor-selective.
     Q("sim_rhp_neardup",
       (s, d) => {
-        import graft.llmdata.{Embeddings, TextOps}
-        val planes = s.range(16).select(col("id").as("j"))
-          .crossJoin(s.range(64).select(col("id").as("i")))
-          .withColumn("w",
-            TextOps.hash60(concat_ws(":", lit("p"), col("j"), col("i"))) % 2001 - 1000)
-        val comps = Tables.embeddings(s, d)
-          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-          .withColumn("q", Embeddings.quant6(col("x")))
-        val keys = comps.join(broadcast(planes), Seq("i"))
-          .groupBy(col("vec_id"), col("j"))
-          .agg(sum(col("q") * col("w")).as("sgn"))
-          .withColumn("bit", when(col("sgn") >= 0, 1L).otherwise(0L))
-          .withColumn("band", (col("j") / 4).cast("int"))
-          .groupBy(col("vec_id"), col("band"))
-          .agg(sum(expr("shiftleft(bit, CAST(j % 4 AS INT))")).as("bkey"))
+        import graft.llmdata.Embeddings
+        // the 16×64 integer plane weights are tiny and fully determined by
+        // the hash family — build them driver-side (same Md5Prefix60 the
+        // oracle mirrors) and embed as literals, so the whole signature is
+        // ONE shuffle-free projection per vector instead of a 16× explode
+        // + join + two aggregations
+        val planes: IndexedSeq[Seq[Long]] = (0 until 16).map(j =>
+          (0 until 64).map(i =>
+            graft.expressions.Md5Prefix60.hash(s"p:$j:$i".getBytes("UTF-8"))
+              % 2001 - 1000))
+        val bits = (0 until 16).map { j =>
+          val dot = aggregate(
+            zip_with(col("embedding"), typedLit(planes(j)),
+              (x, w) => Embeddings.quant6(x) * w),
+            lit(0L), (a, v) => a + v)
+          when(dot >= 0, 1L).otherwise(0L)
+        }
+        val bandCols = (0 until 4).map { b =>
+          struct(lit(b).as("band"),
+            (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
+              bits(4 * b + 3) * 8).as("bkey"))
+        }
+        val keys = Tables.embeddings(s, d)
+          .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
+          .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
         val cands = keys.as("a").join(keys.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.vec_id") < col("b.vec_id"))
