@@ -1,0 +1,64 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The native expressions must be value-identical to the expression-
+  * composed forms they replaced — that equivalence is what keeps the
+  * DuckDB oracles (which mirror the composed forms) green.
+  */
+class ExpressionsSpec extends SparkSpec {
+
+  test("md5prefix60 equals conv(substring(md5(s),1,15),16,10)") {
+    import spark.implicits._
+    val df = (Seq("", "a", "hello world", "ünïcödé £", "p:3:17") ++
+      (0 until 200).map(i => s"s$i")).toDF("s")
+    val mismatches = df
+      .withColumn("native", call_function("md5prefix60", col("s")))
+      .withColumn("composed", conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("shinglehash60 equals the per-position polynomial over codepoints") {
+    import spark.implicits._
+    val df = Seq("abcdefg", "abc", "", "aaaaa", "héllo wörld").toDF("t")
+    // composed form: positions 1..max(len-4,1), codepoint-weighted sum
+    // with past-end = 0 (ascii() of the empty slice via coalesce)
+    val rows = df
+      .withColumn("native", call_function("shinglehash60", col("t"), lit(5)))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+    def ref(t: String): Seq[Long] = {
+      val cps = t.codePoints().toArray
+      (0 until math.max(cps.length - 4, 1)).map { i =>
+        (0 until 5).foldLeft(0L)((h, k) =>
+          h * 293L + (if (i + k < cps.length) cps(i + k).toLong else 0L))
+      }
+    }
+    rows.foreach { case (t, got) => assert(got == ref(t), s"text '$t'") }
+    // short text contributes exactly one hash (the whole-text shingle)
+    assert(rows.find(_._1 == "abc").get._2.length == 1)
+  }
+
+  test("dotq6 equals the zip_with/aggregate micro-unit fold") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(0.1f, -0.2f, 0.3f), Array(0.5f, 0.25f, -1.0f)),
+      (Array(1.0f, 1.0f, 1.0f), Array(0.0f, 0.0f, 0.0f)),
+      (Array(0.1234567f, -0.9999999f, 3.14159f), Array(-0.5f, 0.5f, 0.5f)))
+      .toDF("a", "b")
+    val composed = aggregate(
+      zip_with(col("a"), col("b"),
+        (x, y) => floor(x.cast("double") * 1e6 + 0.5).cast("long") *
+          floor(y.cast("double") * 1e6 + 0.5).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+    val mismatches = df
+      .withColumn("native", call_function("dotq6", col("a"), col("b")))
+      .withColumn("composed", composed)
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+}
