@@ -18,7 +18,11 @@ import org.apache.spark.sql.functions._
   * pick returns an actual data value and is exactly reproducible in ANSI SQL
   * — which is what the DuckDB oracle gate needs. Scale: one shuffle by the
   * group keys; both windows share that partitioning so Catalyst plans a
-  * single sort+exchange.
+  * single sort+exchange. The per-group window SORT means group cardinality
+  * must grow with the data (the reference's per-trade-date keys do): on a
+  * few-large-groups input a single task sorts a constant fraction of the
+  * table — re-key to a finer grain (as a6/a8 do) rather than feeding a
+  * 3-value key at 100 TB.
   */
 object Quantiles {
 
