@@ -34,31 +34,37 @@ object QTracePipeline extends Registry {
 
   import org.apache.spark.sql.expressions.Window
 
-  private def cleaned(s: SparkSession, d: String): DataFrame = {
-    val tr = Trades.df(s, d)
-    val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
-    val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
-    val marked = tr
-      .withColumn("__has_cancel",
-        max(when(col("trc_st") === "X", 1)).over(wKey))
-      .withColumn("__n_rev",
-        count(when(col("trc_st") === "R", 1)).over(wSide))
-    val afterCancel = marked
-      .filter(col("trc_st") === "T" && col("__has_cancel").isNull)
-    // rn numbers only the cancel-survivors; partitioning from wSide is
-    // preserved through the filter, so this window adds a sort, not a shuffle
-    val afterReversal = afterCancel
-      .withColumn("__rn", row_number().over(wSide.orderBy(col("ord"))))
-      .filter(col("__rn") > col("__n_rev"))
-    val afterAgency = afterReversal
-      .withColumn("__has_sell",
-        max(when(col("contra") === "D" && col("side") === "S", 1)).over(wKey))
-      // coalesce matters: !(… && NULL) is NULL and filter drops NULL
-      // predicates — unmatched (B,D) rows must survive
-      .filter(!(col("contra") === "D" && col("side") === "B" &&
-        coalesce(col("__has_sell"), lit(0)) === 1))
-    afterAgency.drop("__has_cancel", "__n_rev", "__rn", "__has_sell")
-  }
+  /** Memoized like [[corrected]]: THREE consumers (the clean-chain query,
+    * the decimal-shift query, and corrected's build) each walk these three
+    * window stages otherwise.
+    */
+  private def cleaned(s: SparkSession, d: String): DataFrame =
+    graft.Caches.memo(s"tp_cleaned:${System.identityHashCode(s)}:$d") {
+      val tr = Trades.df(s, d)
+      val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
+      val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
+      val marked = tr
+        .withColumn("__has_cancel",
+          max(when(col("trc_st") === "X", 1)).over(wKey))
+        .withColumn("__n_rev",
+          count(when(col("trc_st") === "R", 1)).over(wSide))
+      val afterCancel = marked
+        .filter(col("trc_st") === "T" && col("__has_cancel").isNull)
+      // rn numbers only the cancel-survivors; partitioning from wSide is
+      // preserved through the filter, so this window adds a sort, not a shuffle
+      val afterReversal = afterCancel
+        .withColumn("__rn", row_number().over(wSide.orderBy(col("ord"))))
+        .filter(col("__rn") > col("__n_rev"))
+      val afterAgency = afterReversal
+        .withColumn("__has_sell",
+          max(when(col("contra") === "D" && col("side") === "S", 1)).over(wKey))
+        // coalesce matters: !(… && NULL) is NULL and filter drops NULL
+        // predicates — unmatched (B,D) rows must survive
+        .filter(!(col("contra") === "D" && col("side") === "B" &&
+          coalesce(col("__has_sell"), lit(0)) === 1))
+      afterAgency.drop("__has_cancel", "__n_rev", "__rn", "__has_sell")
+        .localCheckpoint(true)
+    }
 
   /** cleaned + decimal-shift-corrected, price re-entered as decimal(18,3)
     * (corrections are price×{0.1,0.01,10,100} of a 2dp price → true 3dp
