@@ -10,23 +10,45 @@ import graft.expressions.{DotQuant6, Md5Prefix60, ShingleHash60}
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` (all the
   * library's mains and the test session do).
   */
+object GraftExtensions {
+
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+
+  /** Idempotently register the native functions in an EXISTING session —
+    * belt-and-braces for harnesses that build their SparkSession without
+    * `spark.sql.extensions=graft.GraftExtensions`. Called by
+    * [[SparkEntry.queries]] so every driver entry point works regardless
+    * of how the session was constructed.
+    */
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (registered.add(System.identityHashCode(spark))) {
+      val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+      new GraftExtensions().builders.foreach { case (ident, info, builder) =>
+        if (!reg.functionExists(ident))
+          reg.registerFunction(ident, info, builder)
+      }
+    }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("md5prefix60"),
+
+  private[graft] val builders: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    (new FunctionIdentifier("md5prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5prefix60"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Md5Prefix60(children.head)))
-    ext.injectFunction((
-      new FunctionIdentifier("dotq6"),
+      children => Md5Prefix60(children.head)),
+    (new FunctionIdentifier("dotq6"),
       new ExpressionInfo(classOf[DotQuant6].getName, "dotq6"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotQuant6(children.head, children(1))))
-    ext.injectFunction((
-      new FunctionIdentifier("shinglehash60"),
+      children => DotQuant6(children.head, children(1))),
+    (new FunctionIdentifier("shinglehash60"),
       new ExpressionInfo(classOf[ShingleHash60].getName, "shinglehash60"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ShingleHash60(children.head,
-          children(1).eval().asInstanceOf[Int])))
-  }
+      children => ShingleHash60(children.head,
+        children(1).eval().asInstanceOf[Int])))
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    builders.foreach(ext.injectFunction)
 }

@@ -39,9 +39,16 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     QTracePipeline.dailyPanel(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each fn first
+    * ensures the library's native SQL functions exist in the session, so
+    * queries work even when the caller's session wasn't built with
+    * `spark.sql.extensions=graft.GraftExtensions`.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map(q => q.name -> { (s: SparkSession, d: String) =>
+      GraftExtensions.ensure(s)
+      q.fn(s, d)
+    }).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
