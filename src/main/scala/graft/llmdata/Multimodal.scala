@@ -44,6 +44,42 @@ object Multimodal {
       .toDF()
   }
 
+  final case class Feature(doc_id: Long, bucket: Int, mean_code: Long)
+
+  /** STUB feature-extract / "resize": the payload bytes (a 1-D signal
+    * standing in for decoded pixels/samples) are downsampled into
+    * `buckets` equal strides, each reduced to its integer mean — the
+    * resize-to-fixed-width shape of an image/audio featurizer, run
+    * partition-local with the same batched-iterator placement a real
+    * library would use. Integer div keeps the mean exact (oracle-safe).
+    */
+  def featureBuckets(
+      docs: DataFrame, idCol: String, binCol: String, buckets: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.flatMap { b =>
+        val n = b.payload.length
+        if (n == 0) Iterator.empty
+        else {
+          val sums = new Array[Long](buckets)
+          val counts = new Array[Long](buckets)
+          var i = 0
+          while (i < n) {
+            val bk = (i.toLong * buckets / n).toInt
+            sums(bk) += (b.payload(i) & 0xFF)
+            counts(bk) += 1
+            i += 1
+          }
+          (0 until buckets).iterator.filter(counts(_) > 0)
+            .map(bk => Feature(b.doc_id, bk, sums(bk) / counts(bk)))
+        }
+      })
+      .toDF()
+  }
+
   /** frame sampling over an opaque "video" payload: one row per sampled
     * frame offset (every strideBytes), fingerprinted — explode + project,
     * partition-local.

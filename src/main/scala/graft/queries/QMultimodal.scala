@@ -30,6 +30,22 @@ object QMultimodal extends Registry {
                      upper(hex(substr(text, 1, 8))) AS header_hex
               FROM documents""")),
 
+    // feature-extract / resize stub: payload bytes downsampled into 8
+    // equal buckets, each reduced to its exact integer mean — the
+    // fixed-width featurizer shape, partition-local. ASCII text → byte i
+    // == ascii(char i), so the oracle mirrors with generate_series.
+    Q("mm_feature_buckets",
+      (s, d) => Multimodal.featureBuckets(
+        Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", buckets = 8),
+      Some("""SELECT doc_id,
+                     CAST(((i - 1) * 8) // length(text) AS INT) AS bucket,
+                     sum(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
+                       // count(*) AS mean_code
+              FROM documents CROSS JOIN generate_series(1, 5000) g(i)
+              WHERE i <= length(text)
+              GROUP BY 1, 2""")),
+
     // frame sampling: one row per 64-byte stride, md5 fingerprint of a
     // 16-byte "frame" at each offset.
     Q("mm_frame_sample",
