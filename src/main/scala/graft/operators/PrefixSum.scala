@@ -35,13 +35,15 @@ object PrefixSum {
       numPartitions: Int = 0): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // persisted post-shuffle: the totals pass and the final plan both read
-    // the range-partitioned data; without a cache each would repeat the
-    // upstream + shuffle (repartitionByRange additionally samples its
-    // input). At cluster scale persist to disk. Registered transient: the
-    // harness unpersists it after the query's result is materialized.
+    // TWO transient persists: repartitionByRange SAMPLES its child in a
+    // separate job before shuffling it, so an unpersisted input runs its
+    // whole upstream twice; and the range-partitioned frame feeds both the
+    // totals pass and the final plan. At cluster scale persist to disk.
+    // The harness unpersists both after the query's result materializes.
+    val input = graft.Caches.registerTransient(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val ranged = graft.Caches.registerTransient(
-      df.repartitionByRange(parts, order: _*)
+      input.repartitionByRange(parts, order: _*)
         .withColumn("__pid", spark_partition_id())
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(order: _*)
