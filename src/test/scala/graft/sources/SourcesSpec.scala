@@ -29,6 +29,33 @@ class SourcesSpec extends SparkSpec {
     assert(rows(2).getString(1) == "gamma & <co>")
   }
 
+  test("xlsx shared-strings cells (t=\"s\") resolve through sharedStrings.xml") {
+    // hand-built workbook exercising the sharedStrings path the writer
+    // doesn't emit (it uses inline strings) — real-world xlsx mostly uses
+    // shared strings, so the reader must resolve indices
+    val path = tmp("graft_test_shared.xlsx")
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val shared =
+      """<?xml version="1.0"?><sst count="3" uniqueCount="3">
+        |<si><t>name</t></si><si><t>score</t></si><si><t>alice</t></si></sst>""".stripMargin
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    Seq("xl/worksheets/sheet1.xml" -> sheet,
+        "xl/sharedStrings.xml" -> shared).foreach { case (n, c) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(n))
+      zout.write(c.getBytes("UTF-8")); zout.closeEntry()
+    }
+    zout.close()
+    val df = Xlsx.read(spark, path, headerRow = 0)
+    assert(df.columns.toSeq == Seq("name", "score"))
+    val r = df.collect().head
+    assert(r.getString(0) == "alice" && r.getString(1) == "42")
+  }
+
   test("parquet-in-zip: member located by name; missing member raises") {
     import spark.implicits._
     val pq = tmp("graft_test_member_dir")
