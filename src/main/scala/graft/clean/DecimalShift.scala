@@ -98,12 +98,16 @@ object DecimalShift {
     // a multi-second doomed-compile on first run. Stacked withColumns stay
     // separate projections because each alias is non-cheap and
     // multiply-referenced, so codegen evaluates each once.)
+    // nullif guard on the anchor: an all-zero print window would make the
+    // median 0 — DuckDB's x/0 is NULL while Spark's ANSI mode throws, so
+    // the NULL is made explicit (a null rel never passes the gates)
+    val anchorDiv = expr("nullif(anchor_price, 0.0d)")
     val withR = p.factors.zipWithIndex.foldLeft(
-        joined.withColumn("__raw_rel", abs(col("__p") - anchor) / anchor)) {
+        joined.withColumn("__raw_rel", abs(col("__p") - anchor) / anchorDiv)) {
       case (d, (f, i)) =>
         val cand = col("__p") * f
         d.withColumn(s"__r${i + 1}",
-          when(cand >= p.lowPr && cand <= p.highPr, abs(cand - anchor) / anchor))
+          when(cand >= p.lowPr && cand <= p.highPr, abs(cand - anchor) / anchorDiv))
     }
     val rCols = p.factors.indices.map(i => col(s"__r${i + 1}"))
     val withBest = withR

@@ -40,10 +40,13 @@ object Embeddings {
   def norm2Decimal(a: Column): Column = dotDecimal(a, a)
 
   /** cosine similarity rendered as double (single deterministic division
-    * chain over exact decimal operands).
+    * chain over exact decimal operands). A zero-norm vector NULLs the
+    * result — DuckDB's native x/0 — instead of throwing under ANSI mode.
     */
-  def cosine(dot: Column, n2a: Column, n2b: Column): Column =
-    dot.cast("double") / (sqrt(n2a.cast("double")) * sqrt(n2b.cast("double")))
+  def cosine(dot: Column, n2a: Column, n2b: Column): Column = {
+    val denom = sqrt(n2a.cast("double")) * sqrt(n2b.cast("double"))
+    dot.cast("double") / when(denom === 0.0, lit(null).cast("double")).otherwise(denom)
+  }
 
   /** brute-force top-k: for each query vector, the k nearest others by
     * cosine, deterministic tie-break on neighbor id.

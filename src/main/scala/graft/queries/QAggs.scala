@@ -103,7 +103,7 @@ object QAggs extends Registry {
                      + cast(sum((cast(floor(l_extendedprice * 100 + 0.5) as bigint) * cast(floor(l_extendedprice * 100 + 0.5) as bigint)) % 10000) as double))
                     - cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as double)
                       * cast(sum(cast(floor(l_extendedprice * 100 + 0.5) as bigint)) as double) / count(1))
-                   / ((count(1) - 1) * 1e4)""").as("variance"),
+                   / nullif((count(1) - 1) * 1e4, 0.0d)""").as("variance"),
             min(col("l_extendedprice")).as("mn"),
             max(col("l_extendedprice")).as("mx"),
             max(col("p01")).as("p01"), max(col("p05")).as("p05"),
@@ -133,7 +133,7 @@ object QAggs extends Registry {
                   + CAST(sum((CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) % 10000) AS DOUBLE))
                  - CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
                    * CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS DOUBLE) / count(*))
-                / ((count(*) - 1) * 1e4) AS variance,
+                / nullif((count(*) - 1) * 1e4, 0.0e0) AS variance,
                 min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
                 max(p01) AS p01, max(p05) AS p05, max(p95) AS p95, max(p99) AS p99
               FROM picks GROUP BY ship_month""")),

@@ -46,15 +46,17 @@ object QWindows extends Registry {
       (s, d) => {
         val win = Window.partitionBy(col("id")).orderBy(col("ord"))
         Trades.df(s, d)
+          // nullif guard: a 0.00 print would throw under ANSI mode in
+          // Spark but silently NULL in DuckDB — make NULL explicit in both
           .withColumn("next_relchg",
             lead(col("price"), 1).over(win).cast("double") /
-              col("price").cast("double") - 1.0)
+              expr("nullif(cast(price as double), 0.0d)") - 1.0)
           .select(col("id"), col("ord"), col("next_relchg"))
       },
       Some(s"""WITH tr AS (${Trades.sql})
               SELECT id, ord,
                      CAST(lead(price, 1) OVER ($w) AS DOUBLE)
-                       / CAST(price AS DOUBLE) - 1.0 AS next_relchg
+                       / nullif(CAST(price AS DOUBLE), 0.0e0) - 1.0 AS next_relchg
               FROM tr""")),
 
     // W3 — per-group sequence numbers (SAS cumcount+1,
@@ -203,7 +205,10 @@ object QWindows extends Registry {
                 else (element_at($arr, cast(size($arr) div 2 as int))
                       + element_at($arr, cast(size($arr) div 2 + 1 as int))) / 2 end"""))
           .withColumn("anomaly",
-            when(col("hi_med") / col("price").cast("double") >= 3, 1).otherwise(0))
+            // nullif: zero prints NULL the ratio (DuckDB's native /0
+            // result) instead of throwing under ANSI; NULL ≥ 3 is false
+            when(col("hi_med") / expr("nullif(cast(price as double), 0.0d)") >= 3, 1)
+              .otherwise(0))
           .select(col("id"), col("ord"), col("hi_med"), col("anomaly"))
       },
       Some(s"""WITH tr AS (${Trades.sql}),
@@ -218,7 +223,8 @@ object QWindows extends Registry {
                            ELSE (a[len(a) // 2] + a[len(a) // 2 + 1]) / 2 END AS hi_med
                     FROM f)
               SELECT id, ord, hi_med,
-                     CASE WHEN hi_med / CAST(price AS DOUBLE) >= 3 THEN 1 ELSE 0 END AS anomaly
+                     CASE WHEN hi_med / nullif(CAST(price AS DOUBLE), 0.0e0) >= 3
+                          THEN 1 ELSE 0 END AS anomaly
               FROM m""")),
 
     // W11 — upward-spike detector (stage1/helper_functions.py:836-910):
@@ -244,8 +250,10 @@ object QWindows extends Registry {
           .withColumn("recovers", expr(
             s"exists($ahead, x -> x <= 2 * lo_med)"))
           .withColumn("spike_flag",
+            // nullif on lo_med: a lookback of zero prints gives median 0 —
+            // NULL ratio (DuckDB semantics), not an ANSI throw
             when(col("lo_med").isNotNull &&
-              col("price").cast("double") / col("lo_med") >= 3 &&
+              col("price").cast("double") / expr("nullif(lo_med, 0.0d)") >= 3 &&
               col("recovers"), 1).otherwise(0))
           .select(col("id"), col("ord"), col("lo_med"), col("spike_flag"))
       },
@@ -264,7 +272,7 @@ object QWindows extends Registry {
                     FROM f)
               SELECT id, ord, lo_med,
                      CASE WHEN lo_med IS NOT NULL
-                            AND CAST(price AS DOUBLE) / lo_med >= 3
+                            AND CAST(price AS DOUBLE) / nullif(lo_med, 0.0e0) >= 3
                             AND len(list_filter(coalesce(ahead, []), x -> x <= 2 * lo_med)) > 0
                           THEN 1 ELSE 0 END AS spike_flag
               FROM m""")),
