@@ -18,7 +18,12 @@ import scala.collection.mutable
 object Caches {
 
   private val transientFrames = mutable.ArrayBuffer.empty[Dataset[_]]
-  private val sharedFrames = mutable.Map.empty[String, DataFrame]
+  // keyed on the session OBJECT (WeakHashMap): a stopped/GC'd session's
+  // memos can never be handed to a colliding later session (identity
+  // hashcodes recycle), and dead sessions' entries fall away with GC
+  private val sharedFrames =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      mutable.Map[String, DataFrame]]()
 
   /** Register a per-query persisted frame; unpersisted at [[clearTransient]].
     * Callers must materialize every dependent result BEFORE the harness
@@ -28,9 +33,17 @@ object Caches {
     transientFrames += df; df
   }
 
-  /** Build-once memo of a persisted frame shared across queries. */
-  def memo(key: String)(build: => DataFrame): DataFrame = synchronized {
-    sharedFrames.getOrElseUpdate(key, build)
+  /** Build-once memo of a persisted frame shared across queries within one
+    * session.
+    */
+  def memo(session: org.apache.spark.sql.SparkSession, key: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    val m = Option(sharedFrames.get(session)).getOrElse {
+      val nm = mutable.Map.empty[String, DataFrame]
+      sharedFrames.put(session, nm)
+      nm
+    }
+    m.getOrElseUpdate(key, build)
   }
 
   def clearTransient(): Unit = synchronized {
@@ -38,9 +51,18 @@ object Caches {
     transientFrames.clear()
   }
 
+  /** Drop all memos. NOTE: `unpersist` is a no-op for frames materialized
+    * via `localCheckpoint(true)` (their RDD blocks are owned by the
+    * checkpoint, not the cache manager) — those blocks are reclaimed by the
+    * ContextCleaner once the memo reference is dropped here, or at session
+    * stop. What this guarantees is that no NEW query can pick up a stale
+    * memo.
+    */
   def clearAll(): Unit = synchronized {
     clearTransient()
-    sharedFrames.values.foreach(_.unpersist(false))
+    sharedFrames.values.forEach { m =>
+      m.values.foreach(_.unpersist(false)); m.clear()
+    }
     sharedFrames.clear()
   }
 }

@@ -12,9 +12,13 @@ import graft.expressions.{DotQuant6, Md5Prefix60, ShingleHash60}
   */
 object GraftExtensions {
 
+  // keyed on the session OBJECT via a WeakHashMap: identityHashCode is
+  // neither unique nor evicted, so a GC'd session's slot could collide
+  // with a later session and silently skip registration
   private val registered =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   /** Idempotently register the native functions in an EXISTING session —
     * belt-and-braces for harnesses that build their SparkSession without
@@ -23,7 +27,7 @@ object GraftExtensions {
     * of how the session was constructed.
     */
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (registered.add(System.identityHashCode(spark))) {
+    if (registered.add(spark)) {
       val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
       new GraftExtensions().builders.foreach { case (ident, info, builder) =>
@@ -46,8 +50,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => DotQuant6(children.head, children(1))),
     (new FunctionIdentifier("shinglehash60"),
       new ExpressionInfo(classOf[ShingleHash60].getName, "shinglehash60"),
-      children => ShingleHash60(children.head,
-        children(1).eval().asInstanceOf[Int])))
+      children => {
+        val nArg = children(1)
+        if (!nArg.foldable)
+          throw new IllegalArgumentException(
+            "shinglehash60(str, n): n must be a foldable integer literal")
+        val n = nArg.eval() match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case s: java.lang.Short => s.intValue
+          case b: java.lang.Byte => b.intValue
+          case other => throw new IllegalArgumentException(
+            s"shinglehash60(str, n): n must be an integer literal, got $other")
+        }
+        ShingleHash60(children.head, n)
+      }))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     builders.foreach(ext.injectFunction)

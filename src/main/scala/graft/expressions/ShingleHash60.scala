@@ -26,7 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class ShingleHash60(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes with CodegenFallback {
 
-  require(n >= 1, s"shingle size must be >= 1, got $n")
+  // n <= 5 is the documented-safe exact-int64 range: the largest hash is
+  // maxCodepoint(0x10FFFF) · Σ_{k<n} 293^k, which stays below 2^53 (where
+  // the downstream (h1 + i·h2) split-multiply mixing and the DuckDB-oracle
+  // integer equivalence are exact) only for n <= 5 — n = 6 on
+  // max-codepoint text silently overflows those assumptions.
+  require(n >= 1 && n <= 5,
+    s"shingle size must be in [1, 5] (exact-int64 bound), got $n")
 
   // annotation omitted: AbstractDataType is private[sql]
   override def inputTypes = Seq(StringType)

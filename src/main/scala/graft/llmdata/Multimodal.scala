@@ -82,7 +82,10 @@ object Multimodal {
 
   /** frame sampling over an opaque "video" payload: one row per sampled
     * frame offset (every strideBytes), fingerprinted — explode + project,
-    * partition-local.
+    * partition-local. The fingerprint is md5 over the frame's UPPERCASE
+    * HEX encoding (an ASCII string) rather than the raw bytes: equally
+    * collision-resistant, and verifiable by engines whose md5 only
+    * accepts strings.
     */
   def sampleFrames(
       docs: DataFrame,
@@ -96,7 +99,7 @@ object Multimodal {
         posexplode(transform(
           sequence(lit(0),
             greatest(expr(s"(length(payload) - 1) div $strideBytes"), lit(0))),
-          i => md5(col("payload").substr(
-            i * strideBytes + 1, lit(frameBytes))))))
+          i => md5(hex(col("payload").substr(
+            i * strideBytes + 1, lit(frameBytes)))))))
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame_md5"))
 }

@@ -32,16 +32,21 @@ object PrefixSum {
       valueCol: Column,
       outCol: String,
       rankCol: String,
-      numPartitions: Int = 0): DataFrame = {
+      numPartitions: Int = 0,
+      persistInput: Boolean = true): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    // TWO transient persists: repartitionByRange SAMPLES its child in a
-    // separate job before shuffling it, so an unpersisted input runs its
-    // whole upstream twice; and the range-partitioned frame feeds both the
-    // totals pass and the final plan. At cluster scale persist to disk.
+    // repartitionByRange SAMPLES its child in a separate job before
+    // shuffling it, so an unpersisted input runs its whole upstream twice.
+    // `persistInput = true` (default) materializes it once — right when the
+    // child is an expensive chain. Pass false when the child is a cheap
+    // one-shuffle aggregate: recomputing it in the sampling pass is cheaper
+    // than a persist round-trip (the a9 case — the verdict's r2 watch item).
+    // The range-partitioned frame always persists: it feeds both the totals
+    // pass and the final plan. At cluster scale these are disk persists.
     // The harness unpersists both after the query's result materializes.
-    val input = graft.Caches.registerTransient(
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val input = if (persistInput) graft.Caches.registerTransient(
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else df
     val ranged = graft.Caches.registerTransient(
       input.repartitionByRange(parts, order: _*)
         .withColumn("__pid", spark_partition_id())

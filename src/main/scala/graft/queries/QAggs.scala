@@ -214,11 +214,16 @@ object QAggs extends Registry {
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("v"))
         val totals = vol.agg(
           sum(col("v")).as("tot"), count(lit(1)).as("nsupp"))
+        // persistInput=false: vol is a one-shuffle aggregate (rows =
+        // #suppliers), cheaper to recompute in the range-sampling pass than
+        // to persist; 8 ranges bound task overhead for a dimension-sized
+        // frame (pass a larger hint for fact-sized inputs).
         graft.operators.PrefixSum.withRunningSumAndRank(
             vol,
             order = Seq(col("v").desc, col("l_suppkey").asc),
             valueCol = col("v"),
-            outCol = "cum", rankCol = "rk")
+            outCol = "cum", rankCol = "rk",
+            numPartitions = 8, persistInput = false)
           .withColumn("vu", expr("cast(v * 100 as bigint) div 100000"))
           .crossJoin(broadcast(totals))
           .agg(

@@ -285,6 +285,71 @@ object QJoins extends Registry {
               UNION ALL
               SELECT id, ord, CAST(price AS DOUBLE) AS price, trc_st FROM repl""")),
 
+    // J15 — equity-linker join verbatim (stage1/stage1_pipeline.py:
+    // 1055-1066): issuer key = substring(cusip_id, 1, 6), period key =
+    // yyyymm derived from the panel date, LEFT join to a linker frame —
+    // composed with the W16 forward extension (stage1/helper_functions.py:
+    // 549-621): linker coverage ends 1999-12; issuers active in that final
+    // month are extended 3 months forward, so Jan–Mar 2000 panel rows link
+    // ONLY via the extension and later months stay null. The linker is a
+    // small derived dimension → broadcast; the panel never shuffles.
+    Q("j15_linker_join",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .withColumn("odt", to_date(col("o_orderdate")))
+          .withColumn("cusip_id", lpad(col("o_custkey").cast("string"), 9, "0"))
+        val obs = o.filter(col("odt") < lit("2000-01-01"))
+          .select(substring(col("cusip_id"), 1, 6).as("issuer6"),
+            trunc(col("odt"), "MM").as("month_start"), col("o_custkey"))
+          .groupBy(col("issuer6"), col("month_start"))
+          .agg(min(col("o_custkey")).as("permno"))
+        val lastMonth = obs.agg(max(col("month_start")).as("mx"))
+        val ext = obs.join(broadcast(lastMonth), col("month_start") === col("mx"))
+          .select(col("issuer6"), col("permno"),
+            explode(array((1 to 3).map(i =>
+              add_months(col("month_start"), i)): _*)).as("month_start"))
+        val linker = graft.operators.Dedup.keepFirst(
+            obs.select("issuer6", "month_start", "permno")
+              .unionByName(ext.select("issuer6", "month_start", "permno")),
+            keys = Seq("issuer6", "month_start"), order = Seq(col("permno")))
+          .withColumn("yyyymm", date_format(col("month_start"), "yyyyMM"))
+          .select("issuer6", "yyyymm", "permno")
+        val panel = o.filter(col("odt") >= lit("1999-07-01"))
+          .select(col("o_orderkey"), col("cusip_id"),
+            substring(col("cusip_id"), 1, 6).as("issuer6"),
+            date_format(col("odt"), "yyyyMM").as("yyyymm"))
+        panel.join(broadcast(linker), Seq("issuer6", "yyyymm"), "left")
+          .select(col("o_orderkey"), col("cusip_id"), col("yyyymm"), col("permno"))
+      },
+      Some("""WITH o AS (SELECT *, CAST(o_orderdate AS DATE) AS odt,
+                       lpad(CAST(o_custkey AS VARCHAR), 9, '0') AS cusip_id
+                FROM orders),
+              obs AS (SELECT substr(cusip_id, 1, 6) AS issuer6,
+                             date_trunc('month', odt) AS month_start,
+                             min(o_custkey) AS permno
+                      FROM o WHERE odt < DATE '2000-01-01' GROUP BY 1, 2),
+              mx AS (SELECT max(month_start) AS mx FROM obs),
+              ext AS (SELECT issuer6, permno,
+                             CAST(month_start + to_months(CAST(i AS INT)) AS DATE) AS month_start
+                      FROM obs, mx, generate_series(1, 3) g(i)
+                      WHERE obs.month_start = mx.mx),
+              linker AS (SELECT issuer6,
+                                strftime(month_start, '%Y%m') AS yyyymm, permno
+                         FROM (SELECT *, row_number() OVER (
+                                 PARTITION BY issuer6, month_start
+                                 ORDER BY permno) AS rn
+                               FROM (SELECT * FROM obs
+                                     UNION ALL
+                                     SELECT issuer6, month_start, permno FROM ext) u) x
+                         WHERE rn = 1),
+              panel AS (SELECT o_orderkey, cusip_id,
+                               substr(cusip_id, 1, 6) AS issuer6,
+                               strftime(odt, '%Y%m') AS yyyymm
+                        FROM o WHERE odt >= DATE '1999-07-01')
+              SELECT p.o_orderkey, p.cusip_id, p.yyyymm, l.permno
+              FROM panel p LEFT JOIN linker l
+                ON p.issuer6 = l.issuer6 AND p.yyyymm = l.yyyymm""")),
+
     // W16 — linker forward-fill extension (stage1/helper_functions.py:
     // 549-621): users active on the final observed day are extended with
     // three future month-end rows.

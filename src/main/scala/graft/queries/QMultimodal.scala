@@ -17,44 +17,69 @@ object QMultimodal extends Registry {
 
     // binary ingest + batched decode: byte length, fake dimensions,
     // 8-byte header hex — computed row-wise in mapPartitions on the Spark
-    // side, mirrored as pure SQL in the oracle (ASCII text → bytes ==
-    // chars).
+    // side. Oracle is BYTE-safe: octet_length / hex over the UTF-8 blob
+    // (encode(text)), never character positions, so non-ASCII documents
+    // can't silently diverge.
     Q("mm_decode_stub",
       (s, d) => Multimodal.decodeBlobs(
         Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload"),
       Some("""SELECT doc_id,
-                     CAST(length(text) AS INT) AS byte_len,
-                     CAST(length(text) % 640 AS INT) AS width,
-                     CAST(length(text) % 480 AS INT) AS height,
-                     upper(hex(substr(text, 1, 8))) AS header_hex
+                     CAST(octet_length(encode(text)) AS INT) AS byte_len,
+                     CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+                     CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+                     substr(hex(encode(text)), 1, 16) AS header_hex
               FROM documents""")),
 
     // feature-extract / resize stub: payload bytes downsampled into 8
     // equal buckets, each reduced to its exact integer mean — the
-    // fixed-width featurizer shape, partition-local. ASCII text → byte i
-    // == ascii(char i), so the oracle mirrors with generate_series.
+    // fixed-width featurizer shape, partition-local. Oracle decodes each
+    // byte from the blob's hex pair (strpos arithmetic) — byte-safe, no
+    // position cap — and casts the HUGEINT integer-division mean back to
+    // BIGINT so both engines emit int64.
     Q("mm_feature_buckets",
       (s, d) => Multimodal.featureBuckets(
         Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", buckets = 8),
-      Some("""SELECT doc_id,
-                     CAST(((i - 1) * 8) // length(text) AS INT) AS bucket,
-                     sum(CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))
-                       // count(*) AS mean_code
-              FROM documents CROSS JOIN generate_series(1, 5000) g(i)
-              WHERE i <= length(text)
+      Some("""WITH b AS (
+                SELECT doc_id, octet_length(encode(text)) AS n,
+                       hex(encode(text)) AS h
+                FROM documents
+              ), e AS (
+                SELECT doc_id, n, h,
+                       unnest(range(0, CAST(n AS BIGINT))) AS i
+                FROM b
+              )
+              SELECT doc_id,
+                     CAST((i * 8) // n AS INT) AS bucket,
+                     CAST(sum(
+                         (strpos('0123456789ABCDEF',
+                                 substr(h, CAST(2*i+1 AS INT), 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF',
+                                 substr(h, CAST(2*i+2 AS INT), 1)) - 1)
+                       ) // count(*) AS BIGINT) AS mean_code
+              FROM e
               GROUP BY 1, 2""")),
 
-    // frame sampling: one row per 64-byte stride, md5 fingerprint of a
-    // 16-byte "frame" at each offset.
+    // frame sampling: one row per 64-byte stride; fingerprint = md5 of
+    // the frame's UPPERCASE HEX (both engines hash a plain ASCII string,
+    // so the row stays byte-safe even though DuckDB's md5 only accepts
+    // VARCHAR).
     Q("mm_frame_sample",
       (s, d) => Multimodal.sampleFrames(
         Tables.documents(s, d).withColumn("payload", col("text").cast("binary")),
         "doc_id", "payload", strideBytes = 64, frameBytes = 16),
-      Some("""SELECT doc_id, CAST(i AS INT) AS frame_idx,
-                     md5(substr(text, CAST(i * 64 + 1 AS INT), 16)) AS frame_md5
-              FROM documents CROSS JOIN generate_series(0, 100) g(i)
-              WHERE i <= greatest((length(text) - 1) // 64, 0)"""))
+      Some("""WITH b AS (
+                SELECT doc_id, hex(encode(text)) AS h,
+                       octet_length(encode(text)) AS n
+                FROM documents
+              ), e AS (
+                SELECT doc_id, h,
+                       unnest(range(0, greatest((n - 1) // 64, 0) + 1)) AS i
+                FROM b
+              )
+              SELECT doc_id, CAST(i AS INT) AS frame_idx,
+                     md5(substr(h, CAST(i*128+1 AS INT), 32)) AS frame_md5
+              FROM e"""))
   )
 }

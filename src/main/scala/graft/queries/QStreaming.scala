@@ -1,8 +1,9 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import graft.streaming.StreamingDaily
+import graft.streaming.{Sessionize, StreamingDaily}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 
 /** Structured Streaming surface, driver-gated (SURVEY.md §2.10 stretch):
   * the watermarked tumbling-window daily panel run to completion over the
@@ -31,6 +32,53 @@ object QStreaming extends Registry {
                      arg_min(value, event_id) AS first_value,
                      arg_max(value, event_id) AS last_value,
                      max(value) AS hi, min(value) AS lo
-              FROM events GROUP BY 1, 2"""))
+              FROM events GROUP BY 1, 2""")),
+
+    // flatMapGroupsWithState sessionization, batch-equivalence-oracled:
+    // gap-based sessions ARE SQL-expressible (gaps-and-islands), so the
+    // stateful streaming path gets a CORRECTNESS row — closed-session
+    // emission mirrored by the batch filter below. Projection is the
+    // hash-deterministic subset (value_sum is a SEQUENTIAL double fold in
+    // the state machine — not cross-engine reproducible — and stays pinned
+    // by SessionizeSpec instead).
+    Q("stream_sessionize",
+      (s, d) => {
+        import s.implicits._
+        val name = s"graft_stream_sess_${runSeq.incrementAndGet()}"
+        val ev = StreamingDaily.eventsStream(s, s"$d/events.parquet")
+          .select(col("user_id"), col("ts"),
+            col("value").cast("double").as("value"))
+          .withWatermark("ts", "0 seconds")
+        val q = Sessionize.sessions(ev.as[Sessionize.Ev], gapSeconds = 3600)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(col("user_id"), col("session_start"),
+          col("session_end"), col("n_events"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+                FROM events),
+              g AS (SELECT user_id, tms,
+                      CASE WHEN lag(tms) OVER w IS NULL
+                             OR tms - lag(tms) OVER w > 3600000
+                           THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+              si AS (SELECT user_id, tms,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM g),
+              sess AS (SELECT user_id, sid,
+                         min(tms) AS start_ms, max(tms) AS end_ms,
+                         CAST(count(*) AS INT) AS n_events,
+                         max(sid) OVER (PARTITION BY user_id) AS last_sid
+                       FROM si GROUP BY 1, 2),
+              mx AS (SELECT max(tms) AS mx FROM e)
+              SELECT user_id,
+                     make_timestamp(start_ms * 1000) AS session_start,
+                     make_timestamp(end_ms * 1000) AS session_end,
+                     n_events
+              FROM sess, mx
+              WHERE sid < last_sid OR end_ms + 3600000 <= mx"""))
   )
 }

@@ -39,7 +39,7 @@ object QTracePipeline extends Registry {
     * window stages otherwise.
     */
   private def cleaned(s: SparkSession, d: String): DataFrame =
-    graft.Caches.memo(s"tp_cleaned:${System.identityHashCode(s)}:$d") {
+    graft.Caches.memo(s, s"tp_cleaned:$d") {
       val tr = Trades.df(s, d)
       val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
       val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
@@ -78,7 +78,7 @@ object QTracePipeline extends Registry {
     * is a disk persist or a checkpointed intermediate table.
     */
   private[queries] def corrected(s: SparkSession, d: String): DataFrame =
-    graft.Caches.memo(s"tp_corrected:${System.identityHashCode(s)}:$d") {
+    graft.Caches.memo(s, s"tp_corrected:$d") {
       DecimalShift.cleaned(cleaned(s, d), "id", "dt", "ord", "price")
         .withColumn("price", col("price").cast("decimal(18,3)"))
         // (18,5) keeps price*dvol at precision 37 — exact in both engines
@@ -286,6 +286,37 @@ object QTracePipeline extends Registry {
                   (SELECT id, unnest(fl) AS idx FROM bdone) u)"""
   }
 
+  /** The A1–A3 daily-panel aggregate (mirrors [[DailyMetrics.panel]] with
+    * sumScale = 8) over any relation with the ctr column set.
+    */
+  private def panelSql(src: String): String =
+    s"""SELECT id, dt,
+                CAST(sum(CAST(price AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS prc_ew,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) AS DOUBLE), 0.0) AS prc_vw,
+                CAST(sum(CAST(price * qty AS DECIMAL(38,8))) AS DOUBLE)
+                      / nullif(CAST(sum(CAST(qty AS DECIMAL(38,8))) AS DOUBLE), 0.0) AS prc_vw_par,
+                CAST(arg_min(price, ord) AS DOUBLE) AS prc_first,
+                CAST(arg_max(price, ord) AS DOUBLE) AS prc_last,
+                CAST(max(price) AS DOUBLE) AS prc_hi,
+                CAST(min(price) AS DOUBLE) AS prc_lo,
+                count(*) AS trade_count,
+                CAST(CAST(sum(CAST(qty AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 0.000001 AS DOUBLE) AS qvolume,
+                CAST(CAST(sum(CAST(dvol AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 0.000001 AS DOUBLE) AS dvolume,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE), 0.0) AS prc_bid,
+                CAST(arg_max(price, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE) AS bid_last,
+                count(*) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_count,
+                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE)
+                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE), 0.0) AS prc_ask,
+                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count,
+                CAST(sum(secs) AS DOUBLE) / count(*) AS time_ew,
+                arg_max(secs, ord) AS time_last,
+                CAST(sum(secs) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
+                  / nullif(count(*) FILTER (WHERE side = 'B' AND contra = 'C'), 0) AS bid_time_ew,
+                arg_max(secs, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_time_last
+              FROM $src GROUP BY id, dt"""
+
   def qs: Seq[Q] = Seq(
 
     // J3+J7+J9 — the Dick-Nielsen-shaped cleaning chain end-to-end.
@@ -319,32 +350,139 @@ object QTracePipeline extends Registry {
     Q("tp_daily_panel",
       (s, d) => DailyMetrics.panel(corrected(s, d), sumScale = 8),
       Some(s"""WITH $cleanSql, $shiftSql, $correctedSql
-              SELECT id, dt,
-                CAST(sum(CAST(price AS DECIMAL(38,8))) AS DOUBLE) / count(*) AS prc_ew,
-                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) AS DOUBLE)
-                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) AS DOUBLE), 0.0) AS prc_vw,
-                CAST(sum(CAST(price * qty AS DECIMAL(38,8))) AS DOUBLE)
-                      / nullif(CAST(sum(CAST(qty AS DECIMAL(38,8))) AS DOUBLE), 0.0) AS prc_vw_par,
-                CAST(arg_min(price, ord) AS DOUBLE) AS prc_first,
-                CAST(arg_max(price, ord) AS DOUBLE) AS prc_last,
-                CAST(max(price) AS DOUBLE) AS prc_hi,
-                CAST(min(price) AS DOUBLE) AS prc_lo,
-                count(*) AS trade_count,
-                CAST(CAST(sum(CAST(qty AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 0.000001 AS DOUBLE) AS qvolume,
-                CAST(CAST(sum(CAST(dvol AS DECIMAL(28,8))) AS DECIMAL(28,8)) * 0.000001 AS DOUBLE) AS dvolume,
-                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
-                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE), 0.0) AS prc_bid,
-                CAST(arg_max(price, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE) AS bid_last,
-                count(*) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_count,
-                CAST(sum(CAST(price * dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE)
-                      / nullif(CAST(sum(CAST(dvol AS DECIMAL(38,8))) FILTER (WHERE side = 'S' AND contra = 'C') AS DOUBLE), 0.0) AS prc_ask,
-                count(*) FILTER (WHERE side = 'S' AND contra = 'C') AS ask_count,
-                CAST(sum(secs) AS DOUBLE) / count(*) AS time_ew,
-                arg_max(secs, ord) AS time_last,
-                CAST(sum(secs) FILTER (WHERE side = 'B' AND contra = 'C') AS DOUBLE)
-                  / nullif(count(*) FILTER (WHERE side = 'B' AND contra = 'C'), 0) AS bid_time_ew,
-                arg_max(secs, ord) FILTER (WHERE side = 'B' AND contra = 'C') AS bid_time_last
-              FROM ctr GROUP BY id, dt""")),
+              ${panelSql("ctr")}""")),
+
+    // THE FLAGSHIP, oracled end-to-end: clean → decimal-shift → bounce-back
+    // anti-join → daily panel — byte-identical to what the driver's
+    // `entry()` returns. The oracle composes every CTE fragment above and
+    // anti-joins the recursively-scanned flags before aggregating.
+    Q("tp_full_panel",
+      (s, d) => dailyPanel(s, d),
+      Some(s"""WITH RECURSIVE $cleanSql, $shiftSql, $correctedSql, $bounceSql,
+              ford AS (SELECT f.id, bg.ords[f.idx + 1] AS ord
+                       FROM bflags f JOIN bg USING (id)),
+              kept AS (SELECT c.* FROM ctr c WHERE NOT EXISTS (
+                         SELECT 1 FROM ford
+                         WHERE ford.id = c.id AND ford.ord = c.ord))
+              ${panelSql("kept")}""")),
+
+    // The regime-split dispatch (stage0/create_daily_enhanced_trace.py:
+    // 1519-1569): each chunk is split at the 2012-02-06 regime boundary
+    // (synthetic stand-in: 2024-01-16) and DIFFERENT cleaning chains run on
+    // each half before re-union — post-regime: composite-key cancel (J3
+    // shape, window flag) + count-based reversal (J7 shape); pre-regime:
+    // 7-key rpt_dt cancel anti (J5) → W-correction resolve-replace (J6) →
+    // ordered sequence-match reversal (J7). One date predicate steers both
+    // families; the union is by name, so Catalyst plans each branch
+    // independently (both are single-id-shuffle chains).
+    Q("tp_regime_dispatch",
+      (s, d) => {
+        val boundary = "2024-01-16"
+        val tr = Trades.df(s, d)
+
+        // -- post-regime half: window-flag J3 cancel + J7 count reversal --
+        val post = tr.filter(col("dt") >= lit(boundary))
+        val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
+        val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
+        val postClean = post
+          .withColumn("__has_cancel",
+            max(when(col("trc_st") === "X", 1)).over(wKey))
+          .withColumn("__n_rev",
+            count(when(col("trc_st") === "R", 1)).over(wSide))
+          .filter(col("trc_st") === "T" && col("__has_cancel").isNull)
+          .withColumn("__rn", row_number().over(wSide.orderBy(col("ord"))))
+          .filter(col("__rn") > col("__n_rev"))
+          .select(col("id"), col("ord"), col("price"))
+
+        // -- pre-regime half: J5 cancel → J6 W-correction → J7 reversal --
+        val pre = tr.filter(col("dt") < lit(boundary))
+        val preT = pre.filter(col("trc_st") === "T")
+          .withColumn("rpt_dt", expr("date_add(dt, CAST((ord div 10) % 3 AS INT))"))
+        // even-ord X rows play the pre-regime CANCEL role (7-key incl.
+        // rpt_dt, fields reconstructed from the ord-1 pointer as in J5)
+        val cancels = pre.filter(col("trc_st") === "X" && col("ord") % 2 === 0)
+          .select(col("id"), col("dt"),
+            expr("date_add(dt, CAST(((ord - 1) div 10) % 3 AS INT))").as("rpt_dt"),
+            expr("CAST((ord - 1) % 97 + 1 AS DECIMAL(18,2))").as("qty"),
+            (col("ord") - 1).as("ord")).distinct()
+        val afterCancel = preT
+          .join(cancels, Seq("id", "dt", "rpt_dt", "qty", "ord"), "left_anti")
+          .drop("rpt_dt")
+        // odd-ord X rows play the W-CORRECTION role (pointer ord-1)
+        val w = pre.filter(col("trc_st") === "X" && col("ord") % 2 === 1)
+          .withColumn("orig_ord", col("ord") - 1)
+        val survivors = afterCancel.join(
+          w.select(col("id"), col("orig_ord").as("ord")).distinct(),
+          Seq("id", "ord"), "left_anti")
+        val replacements = graft.operators.Dedup.keepFirst(
+            w.join(afterCancel.select(col("id"), col("ord").as("orig_ord"))
+                .distinct(),
+              Seq("id", "orig_ord"), "left_semi"),
+            keys = Seq("id", "orig_ord"), order = Seq(col("ord")))
+          .select(survivors.columns.map(col): _*)
+        val merged = survivors.unionByName(replacements)
+        val preClean = SeqMatch.antiBySequence(
+            merged, pre.filter(col("trc_st") === "R"),
+            keys = Seq("id", "dt", "side"),
+            leftOrder = Seq(col("ord").asc), rightOrder = Seq(col("ord").asc))
+          .select(col("id"), col("ord"), col("price"))
+
+        postClean.withColumn("regime", lit("post"))
+          .unionByName(preClean.withColumn("regime", lit("pre")))
+          .select(col("id"), col("ord"),
+            col("price").cast("double").as("price"), col("regime"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              post AS (SELECT * FROM tr WHERE dt >= DATE '2024-01-16'),
+              px AS (SELECT DISTINCT id, dt, price, qty FROM post WHERE trc_st = 'X'),
+              pt1 AS (SELECT t.* FROM post t WHERE t.trc_st = 'T' AND NOT EXISTS (
+                        SELECT 1 FROM px WHERE px.id = t.id AND px.dt = t.dt
+                          AND px.price = t.price AND px.qty = t.qty)),
+              prseq AS (SELECT id, dt, side,
+                          row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
+                        FROM post WHERE trc_st = 'R'),
+              pt1s AS (SELECT *,
+                         row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
+                       FROM pt1),
+              postc AS (SELECT id, ord, price FROM pt1s t WHERE NOT EXISTS (
+                          SELECT 1 FROM prseq r WHERE r.id = t.id AND r.dt = t.dt
+                            AND r.side = t.side AND r.seq = t.seq)),
+              pre AS (SELECT * FROM tr WHERE dt < DATE '2024-01-16'),
+              pret AS (SELECT *, dt + to_days(CAST((ord // 10) % 3 AS INT)) AS rpt_dt
+                       FROM pre WHERE trc_st = 'T'),
+              cxl AS (SELECT DISTINCT id, dt,
+                             dt + to_days(CAST(((ord - 1) // 10) % 3 AS INT)) AS rpt_dt,
+                             CAST((ord - 1) % 97 + 1 AS DECIMAL(18,2)) AS qty,
+                             ord - 1 AS ord
+                      FROM pre WHERE trc_st = 'X' AND ord % 2 = 0),
+              ac AS (SELECT t.id, t.dt, t.ts, t.ord, t.secs, t.price, t.qty,
+                            t.dvol, t.side, t.contra, t.trc_st
+                     FROM pret t WHERE NOT EXISTS (
+                       SELECT 1 FROM cxl c WHERE c.id = t.id AND c.dt = t.dt
+                         AND c.rpt_dt = t.rpt_dt AND c.qty = t.qty AND c.ord = t.ord)),
+              w AS (SELECT *, ord - 1 AS orig_ord
+                    FROM pre WHERE trc_st = 'X' AND ord % 2 = 1),
+              surv AS (SELECT * FROM ac WHERE NOT EXISTS (
+                         SELECT 1 FROM w WHERE w.id = ac.id AND w.orig_ord = ac.ord)),
+              repl AS (SELECT id, dt, ts, ord, secs, price, qty, dvol, side, contra, trc_st
+                       FROM (SELECT w.*, row_number() OVER (PARTITION BY id, orig_ord
+                               ORDER BY ord) AS rn
+                             FROM w WHERE EXISTS (
+                               SELECT 1 FROM ac WHERE ac.id = w.id AND ac.ord = w.orig_ord)) x
+                       WHERE rn = 1),
+              merged AS (SELECT * FROM surv UNION ALL SELECT * FROM repl),
+              mseq AS (SELECT *,
+                         row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
+                       FROM merged),
+              rre AS (SELECT id, dt, side,
+                        row_number() OVER (PARTITION BY id, dt, side ORDER BY ord) AS seq
+                      FROM pre WHERE trc_st = 'R'),
+              prec AS (SELECT id, ord, price FROM mseq m WHERE NOT EXISTS (
+                         SELECT 1 FROM rre r WHERE r.id = m.id AND r.dt = m.dt
+                           AND r.side = m.side AND r.seq = m.seq))
+              SELECT id, ord, CAST(price AS DOUBLE) AS price, 'post' AS regime FROM postc
+              UNION ALL
+              SELECT id, ord, CAST(price AS DOUBLE) AS price, 'pre' AS regime FROM prec""")),
 
     // W8 — bounce-back flags. The state machine is sequential per id, but
     // it IS a linear scan — so the DuckDB oracle walks it with a recursive

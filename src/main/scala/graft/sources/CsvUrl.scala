@@ -15,13 +15,24 @@ import org.apache.spark.sql.functions._
   */
 object CsvUrl {
 
-  /** read one CSV (header row) from a URL or path into a DataFrame */
+  /** read one CSV (header row) from a URL or path into a DataFrame.
+    *
+    * The fetched bytes are staged to a temp file and read with
+    * `multiLine=true`, so RFC-4180 quoting — embedded newlines and blank
+    * lines inside quoted fields — behaves exactly like `spark.read.csv` on
+    * a landed file (a line-split + re-parse corrupts such records). The
+    * temp file is driver-local: correct for local/single-JVM runs; on a
+    * multi-node cluster land the bytes on shared storage first (which is
+    * what the reference does with its download directory).
+    */
   def read(spark: SparkSession, urlOrPath: String): DataFrame = {
-    import spark.implicits._
-    val text = new String(UrlBytes.fetch(urlOrPath), "UTF-8")
-    val lines = text.split("\r?\n").toIndexedSeq.filter(_.nonEmpty)
+    val bytes = UrlBytes.fetch(urlOrPath)
+    val tmp = java.nio.file.Files.createTempFile("graft_csv_", ".csv")
+    tmp.toFile.deleteOnExit()
+    java.nio.file.Files.write(tmp, bytes)
     spark.read.option("header", "true").option("inferSchema", "false")
-      .csv(lines.toDS())
+      .option("multiLine", "true")
+      .csv(tmp.toUri.toString)
   }
 
   /** FRED-style multi-series merge: each (seriesName → url) CSV has columns

@@ -48,6 +48,13 @@ object Xlsx {
   private def parse(xml: Array[Byte]) = {
     val f = DocumentBuilderFactory.newInstance()
     f.setNamespaceAware(false)
+    // workbooks can arrive from remote URLs (UrlBytes): forbid DOCTYPE
+    // outright so a malicious part can neither exfiltrate local files via
+    // external entities (XXE) nor blow up via entity expansion
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature(javax.xml.XMLConstants.FEATURE_SECURE_PROCESSING, true)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
     f.newDocumentBuilder().parse(new ByteArrayInputStream(xml))
   }
 
