@@ -34,37 +34,51 @@ object QTracePipeline extends Registry {
 
   import org.apache.spark.sql.expressions.Window
 
+  /** The raw cleaning DAG (no memo/checkpoint) — [[cleaned]] materializes
+    * it; [[graft.Plans]] explains it for the exchange-count evidence.
+    */
+  private[graft] def cleanedDag(s: SparkSession, d: String): DataFrame = {
+    val tr = Trades.df(s, d)
+    val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
+    val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
+    val marked = tr
+      .withColumn("__has_cancel",
+        max(when(col("trc_st") === "X", 1)).over(wKey))
+      .withColumn("__n_rev",
+        count(when(col("trc_st") === "R", 1)).over(wSide))
+    val afterCancel = marked
+      .filter(col("trc_st") === "T" && col("__has_cancel").isNull)
+    // rn numbers only the cancel-survivors; partitioning from wSide is
+    // preserved through the filter, so this window adds a sort, not a shuffle
+    val afterReversal = afterCancel
+      .withColumn("__rn", row_number().over(wSide.orderBy(col("ord"))))
+      .filter(col("__rn") > col("__n_rev"))
+    val afterAgency = afterReversal
+      .withColumn("__has_sell",
+        max(when(col("contra") === "D" && col("side") === "S", 1)).over(wKey))
+      // coalesce matters: !(… && NULL) is NULL and filter drops NULL
+      // predicates — unmatched (B,D) rows must survive
+      .filter(!(col("contra") === "D" && col("side") === "B" &&
+        coalesce(col("__has_sell"), lit(0)) === 1))
+    afterAgency.drop("__has_cancel", "__n_rev", "__rn", "__has_sell")
+  }
+
   /** Memoized like [[corrected]]: THREE consumers (the clean-chain query,
     * the decimal-shift query, and corrected's build) each walk these three
     * window stages otherwise.
     */
   private def cleaned(s: SparkSession, d: String): DataFrame =
     graft.Caches.memo(s, s"tp_cleaned:$d") {
-      val tr = Trades.df(s, d)
-      val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
-      val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
-      val marked = tr
-        .withColumn("__has_cancel",
-          max(when(col("trc_st") === "X", 1)).over(wKey))
-        .withColumn("__n_rev",
-          count(when(col("trc_st") === "R", 1)).over(wSide))
-      val afterCancel = marked
-        .filter(col("trc_st") === "T" && col("__has_cancel").isNull)
-      // rn numbers only the cancel-survivors; partitioning from wSide is
-      // preserved through the filter, so this window adds a sort, not a shuffle
-      val afterReversal = afterCancel
-        .withColumn("__rn", row_number().over(wSide.orderBy(col("ord"))))
-        .filter(col("__rn") > col("__n_rev"))
-      val afterAgency = afterReversal
-        .withColumn("__has_sell",
-          max(when(col("contra") === "D" && col("side") === "S", 1)).over(wKey))
-        // coalesce matters: !(… && NULL) is NULL and filter drops NULL
-        // predicates — unmatched (B,D) rows must survive
-        .filter(!(col("contra") === "D" && col("side") === "B" &&
-          coalesce(col("__has_sell"), lit(0)) === 1))
-      afterAgency.drop("__has_cancel", "__n_rev", "__rn", "__has_sell")
-        .localCheckpoint(true)
+      cleanedDag(s, d).localCheckpoint(true)
     }
+
+  /** The raw shift-correction DAG over any cleaned frame — see [[corrected]]. */
+  private[graft] def correctedDag(base: DataFrame): DataFrame =
+    DecimalShift.cleaned(base, "id", "dt", "ord", "price")
+      .withColumn("price", col("price").cast("decimal(18,3)"))
+      // (18,5) keeps price*dvol at precision 37 — exact in both engines
+      // (Spark clamps precision-38 overflow by dropping scale digits)
+      .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
 
   /** cleaned + decimal-shift-corrected, price re-entered as decimal(18,3)
     * (corrections are price×{0.1,0.01,10,100} of a 2dp price → true 3dp
@@ -79,17 +93,12 @@ object QTracePipeline extends Registry {
     */
   private[queries] def corrected(s: SparkSession, d: String): DataFrame =
     graft.Caches.memo(s, s"tp_corrected:$d") {
-      DecimalShift.cleaned(cleaned(s, d), "id", "dt", "ord", "price")
-        .withColumn("price", col("price").cast("decimal(18,3)"))
-        // (18,5) keeps price*dvol at precision 37 — exact in both engines
-        // (Spark clamps precision-38 overflow by dropping scale digits)
-        .withColumn("dvol", (col("price") * col("qty")).cast("decimal(18,5)"))
-        // eager localCheckpoint: runs the chain ONCE with full AQE and
-        // hands the four consumers plain RDD blocks (persist() would
-        // freeze AQE below the cache). On a real cluster: reliable
-        // checkpoint / staging table — localCheckpoint does not survive
-        // executor loss.
-        .localCheckpoint(true)
+      // eager localCheckpoint: runs the chain ONCE with full AQE and
+      // hands the four consumers plain RDD blocks (persist() would
+      // freeze AQE below the cache). On a real cluster: reliable
+      // checkpoint / staging table — localCheckpoint does not survive
+      // executor loss.
+      correctedDag(cleaned(s, d)).localCheckpoint(true)
     }
 
   /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */
