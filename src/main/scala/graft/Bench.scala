@@ -31,12 +31,16 @@ object Bench {
       Caches.clearTransient()
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal (ms) precision: full-precision doubles made the stdout line
+    // ~5KB and the driver's tail window truncated it mid-object both prior
+    // rounds ("parsed": null) — compact so the WHOLE line fits in the tail
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     println(json)
     // stdout gets tail-truncated by harnesses; the file copy is canonical
     try java.nio.file.Files.write(

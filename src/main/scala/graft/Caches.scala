@@ -18,9 +18,11 @@ import scala.collection.mutable
 object Caches {
 
   private val transientFrames = mutable.ArrayBuffer.empty[Dataset[_]]
-  // keyed on the session OBJECT (WeakHashMap): a stopped/GC'd session's
-  // memos can never be handed to a colliding later session (identity
-  // hashcodes recycle), and dead sessions' entries fall away with GC
+  // keyed on the session OBJECT so a later session can never be handed a
+  // colliding earlier session's memos (identity hashcodes recycle). The
+  // WeakHashMap does NOT reclaim entries on its own: each DataFrame value
+  // strongly references its SparkSession (the key) via queryExecution, so
+  // reclamation relies on clearAll() at end of run, not on GC.
   private val sharedFrames =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       mutable.Map[String, DataFrame]]()

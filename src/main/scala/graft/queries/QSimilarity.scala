@@ -172,30 +172,16 @@ object QSimilarity extends Registry {
     Q("sim_rhp_neardup",
       (s, d) => {
         import graft.llmdata.Embeddings
-        // the 16×64 integer plane weights are tiny and fully determined by
-        // the hash family — build them driver-side (same Md5Prefix60 the
-        // oracle mirrors) and embed as literals, so the whole signature is
-        // ONE shuffle-free projection per vector instead of a 16× explode
-        // + join + two aggregations
-        val planes: IndexedSeq[Seq[Long]] = (0 until 16).map(j =>
-          (0 until 64).map(i =>
-            graft.expressions.Md5Prefix60.hash(s"p:$j:$i".getBytes("UTF-8"))
-              % 2001 - 1000))
-        val bits = (0 until 16).map { j =>
-          val dot = aggregate(
-            zip_with(col("embedding"), typedLit(planes(j)),
-              (x, w) => Embeddings.quant6(x) * w),
-            lit(0L), (a, v) => a + v)
-          when(dot >= 0, 1L).otherwise(0L)
-        }
-        val bandCols = (0 until 4).map { b =>
-          struct(lit(b).as("band"),
-            (bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
-              bits(4 * b + 3) * 8).as("bkey"))
-        }
+        // the 16×64 integer plane weights are baked into the native
+        // codegen'd [[graft.expressions.RhpBandKeys]] (same Md5Prefix60
+        // family the oracle mirrors): the whole 16-plane signature is ONE
+        // shuffle-free primitive-loop projection per vector. The earlier
+        // 16× aggregate(zip_with(...)) HOF form ran interpreted per
+        // element (~1024 boxed ops/row) and dominated the bench.
         val keys = Tables.embeddings(s, d)
-          .select(col("vec_id"), explode(array(bandCols: _*)).as("bk"))
-          .select(col("vec_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+          .select(col("vec_id"),
+            posexplode(call_function("rhpbands", col("embedding"))))
+          .toDF("vec_id", "band", "bkey")
         val cands = keys.as("a").join(keys.as("b"),
             col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
               col("a.vec_id") < col("b.vec_id"))

@@ -41,6 +41,18 @@ object QStreaming extends Registry {
     // hash-deterministic subset (value_sum is a SEQUENTIAL double fold in
     // the state machine — not cross-engine reproducible — and stays pinned
     // by SessionizeSpec instead).
+    //
+    // SINGLE-BATCH ASSUMPTION: the batch oracle is valid only because
+    // eventsStream stages events.parquet as ONE file, so AvailableNow
+    // delivers every event in one data micro-batch and the in-batch sortBy
+    // in Sessionize repairs all out-of-order arrivals. With watermark
+    // "0 seconds", a multi-file source could drop late rows that arrive in
+    // a later batch (or split sessions), silently diverging from the
+    // gaps-and-islands SQL. If the source ever becomes multi-file, set
+    // maxFilesPerTrigger=total or a real watermark delay here.
+    // Tail emission below is STRICT (`end_ms + gap < mx`) because Spark
+    // fires EventTimeTimeout only when timeoutTimestamp < the eviction
+    // watermark — a session ending exactly gap before max(ts) stays open.
     Q("stream_sessionize",
       (s, d) => {
         import s.implicits._
@@ -79,6 +91,6 @@ object QStreaming extends Registry {
                      make_timestamp(end_ms * 1000) AS session_end,
                      n_events
               FROM sess, mx
-              WHERE sid < last_sid OR end_ms + 3600000 <= mx"""))
+              WHERE sid < last_sid OR end_ms + 3600000 < mx"""))
   )
 }

@@ -504,6 +504,30 @@ object QTracePipeline extends Registry {
       Some(s"""WITH RECURSIVE $cleanSql, $shiftSql, $correctedSql, $bounceSql
               SELECT f.id, bg.ords[f.idx + 1] AS ord,
                      CAST(1 AS INT) AS filtered_error
-              FROM bflags f JOIN bg USING (id)"""))
+              FROM bflags f JOIN bg USING (id)""")),
+
+    // S4/S10 — the parquet(snappy) and CSV-gzip SINKS, driver-gated: the
+    // oracled panel is pushed through BOTH sinks and re-read, and the
+    // re-read frame must still hash-match the panel oracle
+    // (stage0/create_daily_enhanced_trace.py:2838-2860 writes the same
+    // artifact pair). Doubles survive CSV bit-exactly because Spark writes
+    // Java shortest-repr strings and Double.parseDouble inverts them; the
+    // CSV read uses the parquet schema (no inference nondeterminism).
+    Q("s4_sink_roundtrip",
+      (s, d) => {
+        val panel = DailyMetrics.panel(corrected(s, d), sumScale = 8)
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_s4_roundtrip").toString
+        panel.write.mode("overwrite")
+          .option("compression", "snappy").parquet(s"$dir/panel_parquet")
+        val backP = s.read.parquet(s"$dir/panel_parquet")
+        backP.write.mode("overwrite")
+          .option("compression", "gzip").option("header", "true")
+          .csv(s"$dir/panel_csv")
+        s.read.schema(backP.schema).option("header", "true")
+          .csv(s"$dir/panel_csv")
+      },
+      Some(s"""WITH $cleanSql, $shiftSql, $correctedSql
+              ${panelSql("ctr")}"""))
   )
 }

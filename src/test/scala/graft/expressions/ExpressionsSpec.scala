@@ -61,4 +61,33 @@ class ExpressionsSpec extends SparkSpec {
       .count()
     assert(mismatches == 0)
   }
+
+  test("rhpbands equals the 16x aggregate(zip_with) sign-bit fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 50)
+      .map(_ => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+      .toDF("embedding")
+    // the HOF formulation rhpbands replaced (QSimilarity round 2/3)
+    val planes: IndexedSeq[Seq[Long]] = (0 until 16).map(j =>
+      (0 until 64).map(i =>
+        Md5Prefix60.hash(s"p:$j:$i".getBytes("UTF-8")) % 2001 - 1000))
+    val bits = (0 until 16).map { j =>
+      val dot = aggregate(
+        zip_with(col("embedding"), typedLit(planes(j)),
+          (x, w) => floor(x.cast("double") * 1e6 + 0.5).cast("long") * w),
+        lit(0L), (a, v) => a + v)
+      when(dot >= 0, 1L).otherwise(0L)
+    }
+    val composed = array((0 until 4).map { b =>
+      bits(4 * b) + bits(4 * b + 1) * 2 + bits(4 * b + 2) * 4 +
+        bits(4 * b + 3) * 8
+    }: _*)
+    val mismatches = df
+      .withColumn("native", call_function("rhpbands", col("embedding")))
+      .withColumn("composed", composed)
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
 }
