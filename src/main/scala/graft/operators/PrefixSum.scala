@@ -25,6 +25,13 @@ object PrefixSum {
   /** Adds `<outCol>` = running sum of `valueCol` and `<rankCol>` = 1-based
     * position, over the global total order given by `order` (must be a
     * total order for determinism).
+    *
+    * `grandTotals = Some((sumCol, countCol))` additionally attaches the
+    * GRAND total sum/count as literal columns — they fall out of the
+    * driver-side prefix for free (the accumulators' final values), so
+    * callers that need "share of total" metrics (the a9 concentration
+    * case) skip a whole extra aggregation pass over the input plus the
+    * broadcast cross-join that carried it.
     */
   def withRunningSumAndRank(
       df: DataFrame,
@@ -33,7 +40,8 @@ object PrefixSum {
       outCol: String,
       rankCol: String,
       numPartitions: Int = 0,
-      persistInput: Boolean = true): DataFrame = {
+      persistInput: Boolean = true,
+      grandTotals: Option[(String, String)] = None): DataFrame = {
     val parts = if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // repartitionByRange SAMPLES its child in a separate job before
@@ -82,9 +90,15 @@ object PrefixSum {
       .map { case (pid, s, c) => (pid, s.toString, c) }
       .toDF("__pid", "__offS", "__offC")
     val runType = local.schema("__run").dataType
-    local.join(broadcast(offDf), Seq("__pid"))
+    val joined = local.join(broadcast(offDf), Seq("__pid"))
       .withColumn(outCol, col("__run") + col("__offS").cast(runType))
       .withColumn(rankCol, col("__rn") + col("__offC"))
       .drop("__pid", "__run", "__rn", "__offS", "__offC")
+    grandTotals match {
+      case Some((sumCol, countCol)) => joined
+        .withColumn(sumCol, lit(accS.underlying()).cast(runType))
+        .withColumn(countCol, lit(accC))
+      case None => joined
+    }
   }
 }

@@ -212,20 +212,20 @@ object QAggs extends Registry {
         val vol = Tables.lineitem(s, d)
           .groupBy(col("l_suppkey"))
           .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("v"))
-        val totals = vol.agg(
-          sum(col("v")).as("tot"), count(lit(1)).as("nsupp"))
         // persistInput=false: vol is a one-shuffle aggregate (rows =
         // #suppliers), cheaper to recompute in the range-sampling pass than
         // to persist; 8 ranges bound task overhead for a dimension-sized
-        // frame (pass a larger hint for fact-sized inputs).
+        // frame (pass a larger hint for fact-sized inputs). grandTotals
+        // rides along from PrefixSum's driver-side prefix — no third pass
+        // over lineitem and no broadcast cross-join for tot/nsupp.
         graft.operators.PrefixSum.withRunningSumAndRank(
             vol,
             order = Seq(col("v").desc, col("l_suppkey").asc),
             valueCol = col("v"),
             outCol = "cum", rankCol = "rk",
-            numPartitions = 8, persistInput = false)
+            numPartitions = 8, persistInput = false,
+            grandTotals = Some(("tot", "nsupp")))
           .withColumn("vu", expr("cast(v * 100 as bigint) div 100000"))
-          .crossJoin(broadcast(totals))
           .agg(
             count(when(col("cum") < col("tot") * 0.5, 1)).as("n_50"),
             count(when(col("cum") < col("tot") * 0.75, 1)).as("n_75"),

@@ -101,14 +101,21 @@ object QTracePipeline extends Registry {
       correctedDag(cleaned(s, d)).localCheckpoint(true)
     }
 
-  /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */
-  def dailyPanel(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = corrected(spark, sfDir)
+  /** bounce-back anti-join + panel aggregate over any corrected frame —
+    * split out so [[graft.Plans]] can explain the WHOLE chain as one raw
+    * DAG (the memoized [[corrected]] is a checkpoint scan, which hides the
+    * upstream exchanges from plan evidence).
+    */
+  private[graft] def dailyPanelDag(base: DataFrame): DataFrame = {
     val flags = BounceBack.flags(base, "id", "ord", "price")
     val kept = base.join(flags.filter(col("filtered_error") === 1)
         .select("id", "ord"), Seq("id", "ord"), "left_anti")
     DailyMetrics.panel(kept, sumScale = 8)
   }
+
+  /** Full pipeline incl. the bounce-back filter — the driver's `entry`. */
+  def dailyPanel(spark: SparkSession, sfDir: String): DataFrame =
+    dailyPanelDag(corrected(spark, sfDir))
 
   // ---- oracle SQL mirrors -------------------------------------------
 

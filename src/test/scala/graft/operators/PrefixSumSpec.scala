@@ -29,4 +29,20 @@ class PrefixSumSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).sortBy(_._1)
     assert(twoPhase.toSeq == reference.toSeq)
   }
+
+  test("grandTotals columns equal a full aggregate over the input") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => (i.toLong, ((i * 13) % 90).toLong))
+      .toDF("k", "raw")
+      .withColumn("v", col("raw").cast("decimal(18,2)"))
+    val out = PrefixSum.withRunningSumAndRank(
+        df, order = Seq(col("v").desc, col("k").asc),
+        valueCol = col("v"), outCol = "cum", rankCol = "rk",
+        numPartitions = 5, persistInput = false,
+        grandTotals = Some(("tot", "n")))
+      .select(col("tot").cast("double"), col("n")).distinct().collect()
+    assert(out.length == 1)
+    val expTot = df.agg(sum(col("v")).cast("double")).head.getDouble(0)
+    assert(out.head.getDouble(0) == expTot && out.head.getLong(1) == 200L)
+  }
 }
