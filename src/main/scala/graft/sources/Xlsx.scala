@@ -75,9 +75,15 @@ object Xlsx {
     (0 until rows.getLength).map { r =>
       val cells = rows.item(r).asInstanceOf[org.w3c.dom.Element]
         .getElementsByTagName("c")
+      // the r="BC12" cell reference is OPTIONAL in OOXML: streaming
+      // writers omit it, and an unreferenced cell occupies the column
+      // right after the previous cell (column 0 at row start)
+      var cur = -1
       (0 until cells.getLength).flatMap { c =>
         val cell = cells.item(c).asInstanceOf[org.w3c.dom.Element]
-        val idx = colIndex(cell.getAttribute("r"))
+        val ref = cell.getAttribute("r")
+        val idx = if (ref.isEmpty) cur + 1 else colIndex(ref)
+        cur = idx
         val t = cell.getAttribute("t")
         val vNodes = cell.getElementsByTagName(if (t == "inlineStr") "t" else "v")
         if (vNodes.getLength == 0) None

@@ -56,6 +56,40 @@ class SourcesSpec extends SparkSpec {
     assert(r.getString(0) == "alice" && r.getString(1) == "42")
   }
 
+  test("xlsx adversarial layout: missing r= refs, mixed inline/shared cells") {
+    // the r="A1" cell reference is optional — streaming writers omit it
+    // and the cell then occupies the column after the previous one; a
+    // mid-row explicit ref must also re-anchor the cursor for following
+    // unreferenced cells
+    val path = tmp("graft_test_nrefs.xlsx")
+    val sheet =
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row><c t="s"><v>0</v></c><c t="s"><v>1</v></c><c t="s"><v>2</v></c></row>
+        |<row><c><v>1</v></c><c t="inlineStr"><is><t>one</t></is></c><c><v>1.5</v></c></row>
+        |<row><c r="A3"><v>2</v></c><c r="C3"><v>2.5</v></c><c><v>99</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val shared =
+      """<?xml version="1.0"?><sst count="3" uniqueCount="3">
+        |<si><t>k</t></si><si><t>label</t></si><si><t>x</t></si></sst>""".stripMargin
+    val zout = new java.util.zip.ZipOutputStream(
+      new java.io.FileOutputStream(path))
+    Seq("xl/worksheets/sheet1.xml" -> sheet,
+        "xl/sharedStrings.xml" -> shared).foreach { case (n, c) =>
+      zout.putNextEntry(new java.util.zip.ZipEntry(n))
+      zout.write(c.getBytes("UTF-8")); zout.closeEntry()
+    }
+    zout.close()
+    val df = Xlsx.read(spark, path, headerRow = 0)
+    assert(df.columns.toSeq == Seq("k", "label", "x", "_c3"))
+    val rows = df.orderBy(col("k")).collect()
+    // row 2: all three cells unreferenced -> columns 0,1,2
+    assert(rows(0).getString(0) == "1" && rows(0).getString(1) == "one" &&
+      rows(0).getString(2) == "1.5")
+    // row 3: explicit C3 skips B; the trailing unreferenced cell lands in D
+    assert(rows(1).getString(0) == "2" && rows(1).getString(1) == null &&
+      rows(1).getString(2) == "2.5" && rows(1).getString(3) == "99")
+  }
+
   test("parquet-in-zip: member located by name; missing member raises") {
     import spark.implicits._
     val pq = tmp("graft_test_member_dir")
