@@ -16,7 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * All hashes are md5-derived ([[TextOps.hash60]]) so every stage is
   * engine-portable and DuckDB-oracle-checkable — no engine-private murmur
-  * seeds. At cluster scale swap hash60 for xxhash64 (same plan shape).
+  * seeds. At cluster scale set `spark.graft.dedup.hashProfile=xxhash64`
+  * ([[TextOps.hashProfile]]): Spark's codegen'd XxHash64 replaces the md5
+  * family in every tier with identical plan shapes and identical
+  * exact-duplicate decisions (only near-dup bucket geometry shifts —
+  * and loses DuckDB oracle checkability, which is why `md5` is default).
   */
 object Dedup {
 
@@ -47,12 +51,25 @@ object Dedup {
     """((40503 * (sh div 1073741824)) % 2147483647 * 1073741824 % 2147483647
        + 40503 * (sh % 1073741824) + 12345) % 2147483647"""
 
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-        explode(array_distinct(call_function("shinglehash60",
-          TextOps.normalized(col(textCol)), lit(n)))).as("sh"))
-      .select(col("id"), col("sh"),
-        (col("sh") % minhashP).as("h1"), expr(h2Sql).as("h2"))
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    // md5 profile: the native one-pass polynomial (shingle strings never
+    // exist). xxhash64 profile (cluster scale): materialize shingles and
+    // hash with codegen'd XxHash64 — same output shape (id, sh, h1, h2),
+    // so every downstream stage (minhash, banding, verify) is untouched.
+    val hashed = TextOps.hashProfile(docs.sparkSession) match {
+      case "xxhash64" =>
+        charShingles(docs, idCol, textCol, n)
+          .select(col("id"),
+            xxhash64(col("shingle")).bitwiseAND(lit((1L << 60) - 1)).as("sh"))
+          .distinct()
+      case _ =>
+        docs.select(col(idCol).as("id"),
+          explode(array_distinct(call_function("shinglehash60",
+            TextOps.normalized(col(textCol)), lit(n)))).as("sh"))
+    }
+    hashed.select(col("id"), col("sh"),
+      (col("sh") % minhashP).as("h1"), expr(h2Sql).as("h2"))
+  }
 
   /** exact Jaccard over shingle-hash sets for candidate pairs — the
     * verification stage after any approximate candidate generator.
@@ -159,7 +176,7 @@ object Dedup {
     // higher-order-function fold, which runs interpreted per row.
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
-      .withColumn("h", TextOps.hash60(col("tok")))
+      .withColumn("h", TextOps.profileHash60(docs.sparkSession)(col("tok")))
     val bitSums = (0 until 60).map(j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"c$j"))
     val wide = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)

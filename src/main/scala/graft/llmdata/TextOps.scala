@@ -30,8 +30,36 @@ object TextOps {
     */
   def hash60(s: Column): Column = call_function("md5prefix60", s)
 
-  /** document fingerprint: md5 of the normalized text. */
+  /** Hash-profile flag for the dedup ladder (`spark.graft.dedup.
+    * hashProfile`): `md5` (default) is the engine-portable, DuckDB-
+    * oracle-checkable family above; `xxhash64` swaps in Spark's codegen'd
+    * XxHash64 — far cheaper per byte at cluster scale, not reproducible
+    * in DuckDB. The swap changes NO plan shape and no dedup decision on
+    * exact duplicates (identical inputs collide under any hash); only the
+    * near-dup bucket geometry differs. Masked to the same non-negative
+    * 60-bit domain so every downstream mod/band formula is unchanged.
+    */
+  def hashProfile(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get("spark.graft.dedup.hashProfile", "md5")
+
+  def profileHash60(spark: org.apache.spark.sql.SparkSession)(s: Column): Column =
+    hashProfile(spark) match {
+      case "xxhash64" => xxhash64(s).bitwiseAND(lit((1L << 60) - 1))
+      case _ => hash60(s)
+    }
+
+  /** document fingerprint: md5 of the normalized text (hash-profile-
+    * aware; both profiles render as a string key so the frame shape is
+    * identical).
+    */
   def fingerprint(text: Column): Column = md5(normalized(text))
+
+  def profileFingerprint(spark: org.apache.spark.sql.SparkSession)(
+      text: Column): Column =
+    hashProfile(spark) match {
+      case "xxhash64" => xxhash64(normalized(text)).cast("string")
+      case _ => fingerprint(text)
+    }
 
   /** per-language stopword hit counts → argmax language with deterministic
     * tie-break (first in list order). An n-gram-free heuristic language ID.

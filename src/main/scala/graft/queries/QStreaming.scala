@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import graft.streaming.{Sessionize, StreamingDaily}
+import graft.streaming.{Sessionize, StreamingDaily, StreamingDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -91,6 +91,26 @@ object QStreaming extends Registry {
                      make_timestamp(end_ms * 1000) AS session_end,
                      n_events
               FROM sess, mx
-              WHERE sid < last_sid OR end_ms + 3600000 < mx"""))
+              WHERE sid < last_sid OR end_ms + 3600000 < mx""")),
+
+    // Streaming exact dedup (dedup-ladder tier 1 in-stream): documents
+    // stream in, duplicate fingerprints are dropped, the surviving
+    // distinct-fingerprint SET equals the batch DISTINCT — the only
+    // deterministic projection (which row survives depends on arrival
+    // order). The bounded-state dropDuplicatesWithinWatermark variant is
+    // pinned by StreamingDedupSpec; this row uses the plain form because
+    // the backfill here is bounded.
+    Q("stream_dedup_exact",
+      (s, d) => {
+        val name = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
+        val q = StreamingDedup.distinctFingerprints(
+            StreamingDedup.parquetStream(s, s"$d/documents.parquet"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(col("fp"))
+      },
+      Some("""SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+              FROM documents"""))
   )
 }

@@ -1,0 +1,55 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming dedup over a MemoryStream: duplicates collapse across
+  * micro-batches, and the watermarked variant EVICTS key state at the
+  * horizon (re-emitting a key that returns after it) — the bounded-state
+  * contract an unbounded ingest needs.
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  case class Doc(doc_id: Long, text: String, ts: Timestamp)
+  private def ts(s: Long) = new Timestamp(1700000000000L + s * 1000)
+
+  test("dropDuplicates collapses re-arrivals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.distinctFingerprints(input.toDF())
+      .writeStream.format("memory").queryName("dedup_plain")
+      .outputMode("append").start()
+    input.addData(Doc(1, "alpha beta", ts(0)), Doc(2, "gamma", ts(1)))
+    q.processAllAvailable()
+    input.addData(Doc(3, "ALPHA   beta", ts(2))) // normalizes to doc 1's text
+    q.processAllAvailable()
+    assert(spark.table("dedup_plain").count() == 2)
+    q.stop()
+  }
+
+  test("watermarked dedup evicts state at the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = StreamingDedup.distinctFingerprintsWithinWatermark(
+        input.toDF(), "ts", horizon = "10 seconds")
+      .writeStream.format("memory").queryName("dedup_wm")
+      .outputMode("append").start()
+    // batch 1: the key arrives; duplicate inside the horizon collapses
+    input.addData(Doc(1, "alpha beta", ts(0)), Doc(2, "alpha beta", ts(5)))
+    q.processAllAvailable()
+    // batch 2: advance the watermark far past ts(0)+10s → key state evicted
+    input.addData(Doc(3, "gamma", ts(100)))
+    q.processAllAvailable()
+    // batch 3: the SAME key re-arrives after eviction → re-emitted
+    input.addData(Doc(4, "alpha beta", ts(101)))
+    q.processAllAvailable()
+    val fps = spark.table("dedup_wm").select(col("fp")).collect().map(_.getString(0))
+    assert(fps.length == 3, s"expected re-emission after eviction: ${fps.length}")
+    assert(fps.toSet.size == 2) // alpha-beta twice, gamma once
+    q.stop()
+  }
+}
