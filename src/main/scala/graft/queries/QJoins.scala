@@ -397,6 +397,34 @@ object QJoins extends Registry {
                    (SELECT l_orderkey,
                            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
                     FROM lineitem WHERE l_linestatus = 'O' GROUP BY 1) p
-                ON q.l_orderkey = p.l_orderkey"""))
+                ON q.l_orderkey = p.l_orderkey""")),
+
+    // Skew-mitigated join (operators.SaltedJoin), driver-gated: ~90% of
+    // left rows collapse onto ONE hot key (the hot-CUSIP / null-ish
+    // default-id shape), which a plain shuffle join lands on a single
+    // task and AQE cannot split (it can't break one key group). Salting
+    // spreads the hot key across 8 sub-keys; results are provably
+    // IDENTICAL to the plain join — which is exactly what the DuckDB
+    // oracle checks (it runs the unsalted join).
+    Q("j20_salted_skew",
+      (s, d) => {
+        val tr = Trades.df(s, d).select(
+          when(col("ord") % 10 =!= 0, 0L).otherwise(col("id")).as("k"),
+          col("ord"))
+        val dim = Trades.df(s, d).select(col("id").as("k")).distinct()
+          .select(col("k"),
+            concat(lit("g"), (col("k") % 8).cast("string")).as("payload"))
+        graft.operators.SaltedJoin.inner(tr, dim, Seq("k"),
+            leftSaltFrom = col("ord"), salt = 8)
+          .select(col("k"), col("ord"), col("payload"))
+      },
+      Some(s"""WITH tr AS (${Trades.sql}),
+              l AS (SELECT CASE WHEN ord % 10 <> 0 THEN 0 ELSE id END AS k, ord
+                    FROM tr),
+              dim AS (SELECT DISTINCT id AS k,
+                             'g' || CAST(id % 8 AS VARCHAR) AS payload
+                      FROM tr)
+              SELECT l.k, l.ord, dim.payload
+              FROM l JOIN dim ON l.k = dim.k"""))
   )
 }
