@@ -1,0 +1,53 @@
+package graft.app
+
+import graft.{Plans, SparkSpec}
+
+/** Exchange BUDGETS for the headline chains: the scale claims in the
+  * scaladoc ("3 exchanges", "one shuffle", "broadcast, no fact shuffle")
+  * become regression tests — a refactor that silently doubles the shuffle
+  * count of a 100 TB chain fails here, not in production.
+  *
+  * Budgets are pre-execution upper bounds (AQE can only coalesce/elide at
+  * runtime, never add exchanges).
+  */
+class PlanBudgetSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    graft.SparkEntry.queries(name)(spark, sf)
+
+  test("cleaning chain is the 3-exchange window-flag formulation") {
+    val c = Plans.planCounts(graft.queries.QTracePipeline.cleanedDag(spark, sf))
+    assert(c.shuffles <= 3, s"cleanedDag shuffles: ${c.shuffles}")
+  }
+
+  test("daily panel over the corrected memo is one aggregation shuffle") {
+    val c = Plans.planCounts(q("tp_daily_panel"))
+    assert(c.shuffles <= 1, s"tp_daily_panel shuffles: ${c.shuffles}")
+    graft.Caches.clearAll()
+  }
+
+  test("RHP signature projection is shuffle-free; one candidate shuffle") {
+    val c = Plans.planCounts(q("sim_rhp_neardup"))
+    assert(c.shuffles <= 1, s"sim_rhp_neardup shuffles: ${c.shuffles}")
+  }
+
+  test("broadcast-dim joins never shuffle the fact side") {
+    val c = Plans.planCounts(q("j2_broadcast_theta"))
+    assert(c.shuffles == 0 && c.broadcasts >= 1,
+      s"j2 shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
+  test("single-pass daily panel aggregates in one shuffle") {
+    val c = Plans.planCounts(q("a1_daily_panel"))
+    assert(c.shuffles <= 1, s"a1_daily_panel shuffles: ${c.shuffles}")
+  }
+
+  test("minhash ladder stays within its four-exchange budget") {
+    // profiles agg + banded agg + candidate join + distinct
+    val c = Plans.planCounts(q("dd_minhash_lsh"))
+    assert(c.shuffles <= 4, s"dd_minhash_lsh shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+}
