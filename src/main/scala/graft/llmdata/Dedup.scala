@@ -165,6 +165,46 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over near-dup pairs, each node labeled with its
+    * component's MIN id — the canonical-keeper map a dedup pipeline ends
+    * with (keep `canonical`, drop the rest; transitive dups collapse even
+    * when only pairwise edges were found).
+    *
+    * Min-label propagation: each round every node takes the min of its
+    * own label and its neighbors' — O(graph diameter) rounds of one
+    * join + one aggregate. The candidate graph holds only near-dup NODES
+    * (vastly smaller than the corpus), and real dup clusters are
+    * shallow, so a handful of rounds converges. Each round
+    * localCheckpoints to truncate the growing lineage (iterative DAGs
+    * re-plan from scratch otherwise); at web-graph scale swap in the
+    * large-star/small-star formulation — same per-round plan shape.
+    */
+  def canonicalClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true) // reused every round
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("canonical", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val viaNbr = edges
+        .join(labels.select(col("id").as("dst"), col("canonical")), Seq("dst"))
+        .select(col("src").as("id"), col("canonical"))
+      val next = labels.unionByName(viaNbr)
+        .groupBy(col("id")).agg(min(col("canonical")).as("canonical"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.select(col("id"), col("canonical").as("prev")), Seq("id"))
+        .filter(col("canonical") =!= col("prev"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   /** 60-bit SimHash signature from whitespace tokens: bit j is set when
     * the weighted sum over tokens of (bit j of hash60(token) ? +1 : −1)
     * is non-negative. Pure higher-order functions — one pass per doc.

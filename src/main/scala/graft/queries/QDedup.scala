@@ -33,6 +33,32 @@ object QDedup extends Registry {
          FROM norm CROSS JOIN generate_series(1, 5000) g(i)
          WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1))"""
 
+  /** SimHash signature → banded candidate `pairs` CTE chain (shared by
+    * dd_simhash and the cluster canonicalization).
+    */
+  private val simhashCte =
+    s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+       toks AS (SELECT id, unnest(string_split(t, ' ')) AS tok FROM norm),
+       th AS (SELECT id, tok, ${h60("tok")} AS h FROM toks),
+       bits AS (
+         SELECT id, j,
+                sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
+         FROM th, generate_series(0, 59) g(j)
+         GROUP BY id, j),
+       sig AS (
+         SELECT id,
+                sum(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
+         FROM bits GROUP BY id),
+       bk AS (
+         SELECT id, simhash, b AS band,
+                (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
+         FROM sig, generate_series(0, 3) g(b)),
+       pairs AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                a.simhash AS sh_a, b.simhash AS sh_b
+         FROM bk a JOIN bk b
+           ON a.band = b.band AND a.key = b.key AND a.id < b.id)"""
+
   def qs: Seq[Q] = Seq(
 
     // Tier 1 — exact dedup: md5-fingerprint groups, keep min doc_id.
@@ -106,29 +132,37 @@ object QDedup extends Registry {
         val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
         Dedup.simhashPairs(sigs, maxDist = 3)
       },
-      Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
-              toks AS (SELECT id, unnest(string_split(t, ' ')) AS tok FROM norm),
-              th AS (SELECT id, tok, ${h60("tok")} AS h FROM toks),
-              bits AS (
-                SELECT id, j,
-                       sum(CASE WHEN (h >> CAST(j AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS c
-                FROM th, generate_series(0, 59) g(j)
-                GROUP BY id, j),
-              sig AS (
-                SELECT id,
-                       sum(CASE WHEN c >= 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS simhash
-                FROM bits GROUP BY id),
-              bk AS (
-                SELECT id, simhash, b AS band,
-                       (simhash >> CAST(b * 15 AS INT)) & 32767 AS key
-                FROM sig, generate_series(0, 3) g(b)),
-              pairs AS (
-                SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-                       a.simhash AS sh_a, b.simhash AS sh_b
-                FROM bk a JOIN bk b
-                  ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+      Some(s"""WITH $simhashCte
               SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
               FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""")),
+
+    // Cluster canonicalization — the step a dedup pipeline actually ends
+    // with: near-dup PAIRS (simhash tier here) are closed into connected
+    // components and every document maps to its cluster's min doc_id (the
+    // canonical keeper). Spark side: min-label propagation
+    // (Dedup.canonicalClusters) — O(graph diameter) rounds of one
+    // join+aggregate each, the standard distributed CC loop. The oracle
+    // replays reachability with a recursive CTE and takes min over each
+    // node's reachable set.
+    Q("dd_cluster_canonical",
+      (s, d) => {
+        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        Dedup.canonicalClusters(
+          Dedup.simhashPairs(sigs, maxDist = 3)
+            .select(col("id_a"), col("id_b")))
+      },
+      Some(s"""WITH RECURSIVE $simhashCte,
+              vp AS (SELECT id_a, id_b FROM pairs
+                     WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+                        UNION ALL
+                        SELECT id_b, id_a FROM vp),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              walk(id, lbl) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst)
+              SELECT id, min(lbl) AS canonical FROM walk GROUP BY id""")),
 
     // Tier 4 — exact n-gram Jaccard on the full pair space of a bounded
     // subset (the brute-force baseline the LSH tiers approximate).

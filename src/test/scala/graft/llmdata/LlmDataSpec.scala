@@ -38,6 +38,16 @@ class LlmDataSpec extends SparkSpec {
     assert(verified.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("canonicalClusters closes transitive chains to the min id") {
+    import spark.implicits._
+    // chain 5-3-9 (pairwise edges only), isolated pair 2-7: transitivity
+    // must put 9 in 3's cluster even though (3,9) was never a pair
+    val pairs = Seq((3L, 5L), (5L, 9L), (2L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.canonicalClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L, 2L -> 2L, 7L -> 2L))
+  }
+
   test("xxhash64 hash profile: same plan shapes, same exact-dup decisions") {
     import spark.implicits._
     val docs = Seq(
