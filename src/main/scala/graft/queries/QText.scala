@@ -15,6 +15,22 @@ object QText extends Registry {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** per-language stopword hit columns (`c_<lang>`) for a SELECT list */
+  private val langHitsSql: String = TextOps.stopwords.map { case (lang, ws) =>
+    val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
+    s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS c_$lang"
+  }.mkString(",\n                ")
+
+  /** argmax language over the `c_<lang>` columns, first-wins tie-break —
+    * mirrors [[TextOps.langId]] */
+  private val langPickSql: String = {
+    val langs = TextOps.stopwords.map(_._1)
+    val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    langs.foldRight("'und'") { (l, acc) =>
+      s"CASE WHEN c_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
+    }
+  }
+
   def qs: Seq[Q] = Seq(
 
     // Quality scoring: lengths, token stats, stopword/punct/upper ratios.
@@ -51,21 +67,56 @@ object QText extends Registry {
       (s, d) => Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("lang_label"),
           TextOps.langId(TextOps.tokens(col("text"))).as("lang_pred")),
-      Some {
-        val hits = TextOps.stopwords.map { case (lang, ws) =>
-          val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
-          s"len(list_filter($toksSql, t -> list_contains($arr, t))) AS c_$lang"
-        }.mkString(",\n                ")
-        val langs = TextOps.stopwords.map(_._1)
-        val best = s"greatest(${langs.map("c_" + _).mkString(", ")})"
-        val pick = langs.foldRight("'und'") { (l, acc) =>
-          s"CASE WHEN c_$l = $best AND $best > 0 THEN '$l' ELSE $acc END"
-        }
+      Some(
         s"""WITH h AS (SELECT doc_id, lang,
-                $hits
+                $langHitsSql
               FROM documents)
-            SELECT doc_id, lang AS lang_label, $pick AS lang_pred FROM h"""
-      }),
+            SELECT doc_id, lang AS lang_label, $langPickSql AS lang_pred FROM h""")),
+
+    // The curation CHAIN a 100 TB training-data pipeline actually runs:
+    // quality gates (token-count bounds + English-stopword ratio) →
+    // language filter (heuristic langid) → exact-dedup keeper semi-join
+    // (min doc_id per fingerprint among the survivors). One linear frame:
+    // the gates are a codegen'd filter over the scan, the dedup is one
+    // fingerprint shuffle — nothing upstream of the filter is recomputed.
+    Q("tx_curation_chain",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val scored = Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          (TextOps.stopwordHits(toks, TextOps.stopwords.head._2).cast("double") /
+            size(toks)).as("stop_ratio_en"),
+          TextOps.langId(toks).as("lang_pred"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val passed = scored.filter(
+          col("n_tokens") >= 15 && col("n_tokens") <= 2000 &&
+            col("stop_ratio_en") >= 0.03 && col("lang_pred") === "en")
+        val keepers = passed.groupBy(col("fp"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        passed.join(keepers, Seq("fp", "doc_id"), "left_semi")
+          .select(col("doc_id"), col("n_tokens"), col("stop_ratio_en"))
+      },
+      Some(s"""WITH scored AS (
+                SELECT doc_id,
+                       len($toksSql) AS n_tokens,
+                       CAST(len(list_filter($toksSql,
+                         t -> list_contains(['the','a','of','to','and','in','is','it'], t)))
+                         AS DOUBLE) / len($toksSql) AS stop_ratio_en,
+                       md5($normSql) AS fp,
+                       $langHitsSql
+                FROM documents),
+              passed AS (
+                SELECT doc_id, n_tokens, stop_ratio_en, fp
+                FROM scored
+                WHERE n_tokens BETWEEN 15 AND 2000
+                  AND stop_ratio_en >= 0.03e0
+                  AND $langPickSql = 'en'),
+              keepers AS (SELECT fp, min(doc_id) AS doc_id
+                          FROM passed GROUP BY fp)
+              SELECT p.doc_id, p.n_tokens, p.stop_ratio_en
+              FROM passed p
+              JOIN keepers k ON k.fp = p.fp AND k.doc_id = p.doc_id""")),
 
     // Fingerprinting: md5 of normalized text + duplicate-group size.
     Q("tx_fingerprint",
