@@ -170,16 +170,18 @@ object Dedup {
     * with (keep `canonical`, drop the rest; transitive dups collapse even
     * when only pairwise edges were found).
     *
-    * Min-label propagation: each round every node takes the min of its
-    * own label and its neighbors' — O(graph diameter) rounds of one
-    * join + one aggregate. The candidate graph holds only near-dup NODES
-    * (vastly smaller than the corpus), and real dup clusters are
-    * shallow, so a handful of rounds converges. Each round
-    * localCheckpoints to truncate the growing lineage (iterative DAGs
-    * re-plan from scratch otherwise); at web-graph scale swap in the
-    * large-star/small-star formulation — same per-round plan shape.
+    * Each round does a neighbor-min step (every node takes the min of its
+    * own and its neighbors' labels) FOLLOWED by pointer doubling (label ←
+    * label's label, valid because labels are node ids and only ever
+    * decrease) — O(log diameter) rounds where neighbor-min alone is
+    * O(diameter), which matters because near-dup chains are path-shaped.
+    * The candidate graph holds only near-dup NODES (vastly smaller than
+    * the corpus). Each round localCheckpoints to truncate the growing
+    * lineage (iterative DAGs re-plan from scratch otherwise); at
+    * web-graph scale swap in the large-star/small-star formulation —
+    * same per-round plan shape.
     */
-  def canonicalClusters(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+  def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true) // reused every round
@@ -192,16 +194,28 @@ object Dedup {
       val viaNbr = edges
         .join(labels.select(col("id").as("dst"), col("canonical")), Seq("dst"))
         .select(col("src").as("id"), col("canonical"))
-      val next = labels.unionByName(viaNbr)
+      val stepped = labels.unionByName(viaNbr)
         .groupBy(col("id")).agg(min(col("canonical")).as("canonical"))
+      // pointer doubling: canonical(canonical(id)) ≤ canonical(id) always
+      // (labels are node ids, monotonically non-increasing), so the inner
+      // join hits every row and the double-hop label wins outright.
+      // Neighbor-min + one doubling hop is the O(log n)-round hybrid; a
+      // measured second hop did not reduce rounds (the bound is log of
+      // the largest component, not hop distance), so one is kept.
+      val next = stepped
+        .join(stepped.select(col("id").as("canonical"),
+          col("canonical").as("c2")), Seq("canonical"))
+        .select(col("id"), col("c2").as("canonical"))
         .localCheckpoint(true)
-      converged = next.as("n")
+      converged = next
         .join(labels.select(col("id"), col("canonical").as("prev")), Seq("id"))
         .filter(col("canonical") =!= col("prev"))
         .isEmpty
       labels = next
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc] converged=$converged after $iter rounds")
     labels
   }
 

@@ -59,6 +59,20 @@ object QDedup extends Registry {
          FROM bk a JOIN bk b
            ON a.band = b.band AND a.key = b.key AND a.id < b.id)"""
 
+  /** verified simhash near-dup pairs, memoized per (session, sfDir):
+    * TWO consumers (the dd_simhash row and the cluster canonicalization)
+    * each walk the token-explode + 60-bit-sum signature pipeline
+    * otherwise — same build-once pattern as the trace chain's
+    * `corrected`. Released by Caches.clearAll at end of run.
+    */
+  private def simhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s, s"dd_simhash_pairs:$d") {
+      Dedup.simhashPairs(
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
+        maxDist = 3).localCheckpoint(true)
+    }
+
   def qs: Seq[Q] = Seq(
 
     // Tier 1 — exact dedup: md5-fingerprint groups, keep min doc_id.
@@ -128,10 +142,7 @@ object QDedup extends Registry {
     // Tier 3 — SimHash(60-bit) signatures + 15-bit-band candidates with
     // hamming ≤ 3 verification, fully mirrored in SQL.
     Q("dd_simhash",
-      (s, d) => {
-        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
-        Dedup.simhashPairs(sigs, maxDist = 3)
-      },
+      (s, d) => simhashPairs(s, d),
       Some(s"""WITH $simhashCte
               SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
               FROM pairs WHERE bit_count(xor(sh_a, sh_b)) <= 3""")),
@@ -145,12 +156,8 @@ object QDedup extends Registry {
     // replays reachability with a recursive CTE and takes min over each
     // node's reachable set.
     Q("dd_cluster_canonical",
-      (s, d) => {
-        val sigs = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
-        Dedup.canonicalClusters(
-          Dedup.simhashPairs(sigs, maxDist = 3)
-            .select(col("id_a"), col("id_b")))
-      },
+      (s, d) => Dedup.canonicalClusters(
+        simhashPairs(s, d).select(col("id_a"), col("id_b"))),
       Some(s"""WITH RECURSIVE $simhashCte,
               vp AS (SELECT id_a, id_b FROM pairs
                      WHERE bit_count(xor(sh_a, sh_b)) <= 3),
