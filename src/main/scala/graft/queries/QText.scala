@@ -118,6 +118,43 @@ object QText extends Registry {
               FROM passed p
               JOIN keepers k ON k.fp = p.fp AND k.doc_id = p.doc_id""")),
 
+    // Repetition quality signal (the Gopher-rule family): the share of a
+    // document's token bigrams taken by its single most frequent bigram —
+    // templated/boilerplate text scores high and gets filtered. One
+    // explode + one (doc, bigram) count + one max per doc; the ratio is a
+    // division of identical integer operands in both engines.
+    Q("tx_repetition",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val bi = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))"))
+              .as("bigram"))
+        bi.groupBy(col("doc_id"), col("bigram"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(max(col("c")).as("top_bigram_count"),
+            sum(col("c")).as("n_bigrams"))
+          .select(col("doc_id"), col("top_bigram_count"), col("n_bigrams"),
+            (col("top_bigram_count").cast("double") /
+              col("n_bigrams").cast("double")).as("rep_ratio"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              bi AS (SELECT doc_id,
+                            unnest(list_transform(
+                              generate_series(1, len(toks) - 1),
+                              i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+                     FROM t WHERE len(toks) >= 2),
+              cnt AS (SELECT doc_id, bigram, count(*) AS c
+                      FROM bi GROUP BY 1, 2)
+              SELECT doc_id, max(c) AS top_bigram_count,
+                     CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
+              FROM cnt GROUP BY doc_id""")),
+
     // Fingerprinting: md5 of normalized text + duplicate-group size.
     Q("tx_fingerprint",
       (s, d) => {
