@@ -111,6 +111,49 @@ object QStreaming extends Registry {
         s.table(name).select(col("fp"))
       },
       Some("""SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
-              FROM documents"""))
+              FROM documents""")),
+
+    // Watermarked STREAM-STREAM inner join: purchase events join each
+    // user's error events from the trailing 6 hours — the equality +
+    // event-time-range condition Spark requires to bound both sides'
+    // state (each side's buffer evicts once the other's watermark passes
+    // the range). With AvailableNow both sides arrive in one batch and
+    // run to completion, so the emitted set equals the batch join the
+    // DuckDB oracle runs. Timestamps are micro-truncated on BOTH sides
+    // (graft.Tables nanos handling / CAST to TIMESTAMP in the oracle).
+    Q("stream_stream_join",
+      (s, d) => {
+        val name = s"graft_stream_ssj_${runSeq.incrementAndGet()}"
+        def side(tag: String) = StreamingDaily
+          .eventsStream(s, s"$d/events.parquet")
+        val buys = side("a").filter(col("event_type") === "purchase")
+          .select(col("user_id").as("uid"), col("ts").as("ts_buy"),
+            col("event_id").as("eid_buy"))
+          .withWatermark("ts_buy", "0 seconds")
+        val errs = side("b").filter(col("event_type") === "error")
+          .select(col("user_id").as("uid2"), col("ts").as("ts_err"),
+            col("event_id").as("eid_err"))
+          .withWatermark("ts_err", "0 seconds")
+        val joined = buys.join(errs,
+          col("uid") === col("uid2") &&
+            col("ts_err") >= col("ts_buy") - expr("INTERVAL 6 HOURS") &&
+            col("ts_err") <= col("ts_buy"))
+        val q = joined
+          .select(col("uid"), col("eid_buy"), col("eid_err"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(col("uid"), col("eid_buy"), col("eid_err"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+                                CAST(ts AS TIMESTAMP) AS mts
+                         FROM events)
+              SELECT b.user_id AS uid, b.event_id AS eid_buy,
+                     r.event_id AS eid_err
+              FROM e b JOIN e r
+                ON b.event_type = 'purchase' AND r.event_type = 'error'
+               AND r.user_id = b.user_id
+               AND r.mts >= b.mts - INTERVAL 6 HOUR
+               AND r.mts <= b.mts"""))
   )
 }
