@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import graft.streaming.{Sessionize, StreamingDaily, StreamingDedup}
+import graft.streaming.{Sessionize, StreamJoins, StreamingDaily, StreamingDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -134,10 +134,9 @@ object QStreaming extends Registry {
           .select(col("user_id").as("uid2"), col("ts").as("ts_err"),
             col("event_id").as("eid_err"))
           .withWatermark("ts_err", "0 seconds")
-        val joined = buys.join(errs,
-          col("uid") === col("uid2") &&
-            col("ts_err") >= col("ts_buy") - expr("INTERVAL 6 HOURS") &&
-            col("ts_err") <= col("ts_buy"))
+        val joined = StreamJoins.recentInner(buys, errs,
+          col("uid"), col("uid2"), col("ts_buy"), col("ts_err"),
+          horizon = "6 HOURS")
         val q = joined
           .select(col("uid"), col("eid_buy"), col("eid_err"))
           .writeStream.format("memory").queryName(name)
