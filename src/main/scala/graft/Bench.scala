@@ -27,8 +27,17 @@ object Bench {
     // 2-8x vs controlled re-runs). Caches.clearAll() between reps rebuilds
     // the memoized shared chains, so every rep pays the true per-query
     // cost — the min is a fair steady-state number, not a memo hit.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
-    val perRep = (1 to reps).map { _ =>
+    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // wall-clock guard: a second rep only runs if the first stayed inside
+    // the budget — on a contended machine (both prior driver runs were
+    // inflated 2-8x) one rep's honest numbers beat risking a harness
+    // timeout for a min-of-2
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "150").toDouble
+    val benchT0 = System.nanoTime()
+    val perRep = scala.collection.mutable.ListBuffer.empty[Map[String, Double]]
+    var rep = 0
+    while (rep < maxReps &&
+        (rep == 0 || (System.nanoTime() - benchT0) / 1e9 < budgetSec)) {
       val r = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
@@ -40,8 +49,10 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
       Caches.clearAll()
-      r
+      perRep += r
+      rep += 1
     }
+    val reps = perRep.size
     val results = perRep.head.keys.map { name =>
       name -> perRep.map(_(name)).min
     }.toMap
