@@ -25,13 +25,19 @@ object QDedup extends Registry {
        + CAST(ascii(substr($t, CAST($i + 3 AS INT), 1)) AS BIGINT) * 293
        + CAST(ascii(substr($t, CAST($i + 4 AS INT), 1)) AS BIGINT)"""
 
-  /** distinct 5-gram shingle-HASH CTE over all documents */
+  /** distinct 5-gram shingle-HASH CTE over all documents. The shingle
+    * positions come from a per-row correlated generate_series LIST (the
+    * table-function form can't correlate) — exact for any text length,
+    * unlike the earlier fixed `1..5000` cap that would silently drop
+    * shingles of a >5004-char document.
+    */
   private val shinglesSql =
     s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+       spos AS (SELECT id, t,
+                  unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+                FROM norm),
        shash AS (
-         SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh
-         FROM norm CROSS JOIN generate_series(1, 5000) g(i)
-         WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1))"""
+         SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh FROM spos)"""
 
   /** SimHash signature → banded candidate `pairs` CTE chain (shared by
     * dd_simhash and the cluster canonicalization).
@@ -185,10 +191,11 @@ object QDedup extends Registry {
       },
       Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t
                              FROM documents WHERE doc_id < 150),
+              npos AS (SELECT id, t,
+                         unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+                       FROM norm),
               hv AS (
-                SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh
-                FROM norm CROSS JOIN generate_series(1, 5000) g(i)
-                WHERE CAST(i AS INT) <= greatest(length(t) - 4, 1)),
+                SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh FROM npos),
               arrs AS (SELECT id, list(sh) AS arr, count(*) AS sz
                        FROM hv GROUP BY id),
               pairs AS (
