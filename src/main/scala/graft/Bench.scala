@@ -27,7 +27,8 @@ object Bench {
     // 2-8x vs controlled re-runs). Caches.clearAll() between reps rebuilds
     // the memoized shared chains, so every rep pays the true per-query
     // cost — the min is a fair steady-state number, not a memo hit.
-    val maxReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // at least one rep always runs (REPS=0 would leave perRep empty)
+    val maxReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     // wall-clock guard: a second rep only runs if the first stayed inside
     // the budget — on a contended machine (both prior driver runs were
     // inflated 2-8x) one rep's honest numbers beat risking a harness
@@ -53,8 +54,12 @@ object Bench {
       rep += 1
     }
     val reps = perRep.size
+    // min over reps is only fair for queries that SUCCEEDED every rep; a
+    // query that failed in some rep would otherwise report its (fast)
+    // time-to-failure — for those take the max, the most conservative number
     val results = perRep.head.keys.map { name =>
-      name -> perRep.map(_(name)).min
+      val ts = perRep.map(_(name))
+      name -> (if (failed.contains(name)) ts.max else ts.min)
     }.toMap
     // 3-decimal (ms) precision: full-precision doubles made the stdout line
     // ~5KB and the driver's tail window truncated it mid-object both prior

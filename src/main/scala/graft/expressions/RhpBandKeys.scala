@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Random-hyperplane LSH band keys for a float-array embedding, in ONE
   * codegen'd pass: 16 deterministic integer hyperplanes (weights
@@ -18,16 +18,27 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * loop: quantize the 64 components once, then 16 int64 dot products
   * against a static weight table, inside whole-stage codegen.
   */
-case class RhpBandKeys(child: Expression) extends UnaryExpression {
+case class RhpBandKeys(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  // analysis-time contract: anything but array<float> (e.g. array<double>,
+  // or a scalar) is an AnalysisException, not a runtime ClassCastException
+  // or silently-garbage ArrayData.getFloat reads
+  override def inputTypes = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "rhpbands"
 
   override protected def nullSafeEval(a: Any): Any =
     RhpBandKeys.keys(a.asInstanceOf[ArrayData])
 
+  // keys() null-propagates on a null ELEMENT (matching the zip_with form it
+  // replaced), so the generated code must re-check the result for null
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.RhpBandKeys.keys($c)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.expressions.RhpBandKeys.keys($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
 
   override protected def withNewChildInternal(newChild: Expression): RhpBandKeys =
     copy(child = newChild)
@@ -58,11 +69,16 @@ object RhpBandKeys {
     arr
   }
 
+  /** Null on a null element (the zip_with form this replaced propagated
+    * element nulls to a null signature; reading a null slot via getFloat
+    * would be undefined).
+    */
   def keys(a: ArrayData): ArrayData = {
     val n = math.min(a.numElements(), Dims)
     val q = new Array[Long](Dims)
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i)) return null
       q(i) = DotQuant6.quant6(a.getFloat(i))
       i += 1
     }

@@ -58,10 +58,16 @@ object Dedup {
     // so every downstream stage (minhash, banding, verify) is untouched.
     val hashed = TextOps.hashProfile(docs.sparkSession) match {
       case "xxhash64" =>
-        charShingles(docs, idCol, textCol, n)
-          .select(col("id"),
-            xxhash64(col("shingle")).bitwiseAND(lit((1L << 60) - 1)).as("sh"))
-          .distinct()
+        // per-document array_distinct on the HASHES, mirroring the md5
+        // branch — an earlier global .distinct() here added an exchange+
+        // aggregate the md5 branch doesn't have, contradicting the
+        // "same plan shape" contract of the profile flag
+        docs.select(col(idCol).as("id"),
+            TextOps.normalized(col(textCol)).as("t"))
+          .select(col("id"), explode(array_distinct(transform(
+            sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+            i => xxhash64(col("t").substr(i, lit(n)))
+              .bitwiseAND(lit((1L << 60) - 1))))).as("sh"))
       case _ =>
         docs.select(col(idCol).as("id"),
           explode(array_distinct(call_function("shinglehash60",

@@ -523,8 +523,15 @@ object QTracePipeline extends Registry {
     Q("s4_sink_roundtrip",
       (s, d) => {
         val panel = DailyMetrics.panel(corrected(s, d), sumScale = 8)
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_s4_roundtrip").toString
+        // deterministic per-sfDir dir, NOT a fresh createTempDirectory per
+        // invocation: bench reps / verify / plan runs would otherwise each
+        // leave two full panel copies behind; overwrite mode makes reruns
+        // land on the same files
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val dir = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_s4_roundtrip_$digest")
+        java.nio.file.Files.createDirectories(dir)
         panel.write.mode("overwrite")
           .option("compression", "snappy").parquet(s"$dir/panel_parquet")
         val backP = s.read.parquet(s"$dir/panel_parquet")

@@ -28,21 +28,11 @@ object StreamingDaily {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(path).schema
     // the file stream source monitors a DIRECTORY; when pointed at a
-    // single parquet file, stage it into a temp dir via symlink (no copy)
-    val f = new java.io.File(path)
-    val dir = if (!f.isFile) path else {
-      val d = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_stream_${Integer.toHexString(f.getAbsolutePath.hashCode)}")
-      java.nio.file.Files.createDirectories(d)
-      val link = d.resolve(f.getName)
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
-      d.toString
-    }
+    // single parquet file, stage it via symlink (shared, collision-free
+    // staging in [[StreamStaging]])
     spark.readStream
       .schema(schema)
-      .parquet(dir)
+      .parquet(StreamStaging.dirFor(path))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -20,22 +20,12 @@ import org.apache.spark.sql.functions._
 object StreamingDedup {
 
   /** file-source stream over a parquet path; a single file is staged into
-    * a temp dir via symlink (streaming file sources monitor directories).
+    * a temp dir via symlink (streaming file sources monitor directories —
+    * shared, collision-free staging in [[StreamStaging]]).
     */
   def parquetStream(spark: SparkSession, path: String): DataFrame = {
     val schema = spark.read.parquet(path).schema
-    val f = new java.io.File(path)
-    val dir = if (!f.isFile) path else {
-      val d = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_stream_${Integer.toHexString(f.getAbsolutePath.hashCode)}")
-      java.nio.file.Files.createDirectories(d)
-      val link = d.resolve(f.getName)
-      if (!java.nio.file.Files.exists(link))
-        java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
-      d.toString
-    }
-    spark.readStream.schema(schema).parquet(dir)
+    spark.readStream.schema(schema).parquet(StreamStaging.dirFor(path))
   }
 
   /** The DETERMINISTIC projection of streaming dedup: the distinct
