@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotQuant6, Md5Prefix60, RhpBandKeys, ShingleHash60}
+import graft.expressions.{DotQuant6, Md5Prefix60, MinHashK, RhpBandKeys, ShingleHash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -67,6 +67,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shinglehash60(str, n): n must be an integer literal, got $other")
         }
         ShingleHash60(children.head, n)
+      }),
+    (new FunctionIdentifier("minhashk"),
+      new ExpressionInfo(classOf[MinHashK].getName, "minhashk"),
+      children => {
+        val kArg = children(1)
+        if (!kArg.foldable)
+          throw new IllegalArgumentException(
+            "minhashk(arr, k): k must be a foldable integer literal")
+        val k = kArg.eval() match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case s: java.lang.Short => s.intValue
+          case b: java.lang.Byte => b.intValue
+          case other => throw new IllegalArgumentException(
+            s"minhashk(arr, k): k must be an integer literal, got $other")
+        }
+        MinHashK(children.head, k)
       }))
 
   override def apply(ext: SparkSessionExtensions): Unit =

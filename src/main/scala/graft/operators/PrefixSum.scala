@@ -46,13 +46,14 @@ object PrefixSum {
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // repartitionByRange SAMPLES its child in a separate job before
     // shuffling it, so an unpersisted input runs its whole upstream twice.
-    // `persistInput = true` (default) materializes it once — right when the
-    // child is an expensive chain. Pass false when the child is a cheap
-    // one-shuffle aggregate: recomputing it in the sampling pass is cheaper
-    // than a persist round-trip (the a9 case — the verdict's r2 watch item).
-    // The range-partitioned frame always persists: it feeds both the totals
-    // pass and the final plan. At cluster scale these are disk persists.
-    // The harness unpersists both after the query's result materializes.
+    // `persistInput = true` (default) materializes it once — the right call
+    // whenever the child does real work, INCLUDING a small aggregate over a
+    // big scan (a9's supplier rollup: persisting 1.5k rows beat re-scanning
+    // 600k lineitem rows 4x head-to-head). Pass false only when the child
+    // is itself a cheap scan. The range-partitioned frame always persists:
+    // it feeds both the totals pass and the final plan. At cluster scale
+    // these are disk persists. The harness unpersists both after the
+    // query's result materializes.
     val input = if (persistInput) graft.Caches.registerTransient(
       df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)) else df
     val ranged = graft.Caches.registerTransient(

@@ -99,18 +99,20 @@ object QDedup extends Registry {
     // Jaccard ≥ 0.7. The oracle mirrors the banding. Wider bands matter:
     // this corpus is mid-similarity-dense, and 2-row bands would admit
     // millions of candidate pairs (collision prob = sim²), degenerating
-    // LSH into the all-pairs scan it exists to avoid. Shingles are hashed
-    // to int64 AT THE SCAN (strings never shuffle) and the hashed frame is
-    // persisted across its two consumers (signatures + verification).
+    // LSH into the all-pairs scan it exists to avoid. The profile pass is
+    // SHUFFLE-FREE: shingle hashes, set sizes and the k=32 signature
+    // minima are computed inside each document's row (native
+    // ShingleHash60 + MinHashK); only the 4 band keys/doc and the
+    // candidate pairs ever shuffle — the 100 TB shape. The DuckDB oracle
+    // mirrors the exploded groupBy-min formulation, which is
+    // value-identical (LlmDataSpec pins the two paths equal).
     Q("dd_minhash_lsh",
       (s, d) => {
-        val hashed = Dedup.shingleHashes(Tables.documents(s, d), "doc_id", "text", 5)
-        // ONE pass over the shingle relation builds minima + hash sets;
-        // only the tiny per-doc profile is cached for its three consumers
         val prof = graft.Caches.registerTransient(
-          Dedup.docProfiles(hashed, k = 32)
+          Dedup.docProfilesLocal(Tables.documents(s, d), "doc_id", "text",
+              n = 5, k = 32)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val cands = Dedup.lshCandidates(Dedup.signatureRows(prof, 32), k = 32, bands = 4)
+        val cands = Dedup.lshCandidatesLocal(prof, k = 32, bands = 4)
         Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
       },
       Some(s"""WITH $shinglesSql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import graft.streaming.{Sessionize, StreamJoins, StreamingDaily, StreamingDedup}
+import graft.streaming.{Sessionize, StreamConf, StreamJoins, StreamingDaily, StreamingDedup}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -21,7 +21,10 @@ object QStreaming extends Registry {
     Q("stream_daily_panel",
       (s, d) => {
         val name = s"graft_stream_daily_${runSeq.incrementAndGet()}"
-        StreamingDaily.runAvailableNow(s, s"$d/events.parquet", name)
+        // state partitions sized to key volume, not CPU count (StreamConf)
+        StreamConf.withStatePartitions(s) {
+          StreamingDaily.runAvailableNow(s, s"$d/events.parquet", name)
+        }
         s.table(name).select(col("id"), col("dt"), col("value_sum"),
           col("trade_count"), col("first_value"), col("last_value"),
           col("hi"), col("lo"))
@@ -61,10 +64,12 @@ object QStreaming extends Registry {
           .select(col("user_id"), col("ts"),
             col("value").cast("double").as("value"))
           .withWatermark("ts", "0 seconds")
-        val q = Sessionize.sessions(ev.as[Sessionize.Ev], gapSeconds = 3600)
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamConf.withStatePartitions(s) {
+          val q = Sessionize.sessions(ev.as[Sessionize.Ev], gapSeconds = 3600)
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(name).select(col("user_id"), col("session_start"),
           col("session_end"), col("n_events"))
       },
@@ -103,11 +108,13 @@ object QStreaming extends Registry {
     Q("stream_dedup_exact",
       (s, d) => {
         val name = s"graft_stream_dedup_${runSeq.incrementAndGet()}"
-        val q = StreamingDedup.distinctFingerprints(
-            StreamingDedup.parquetStream(s, s"$d/documents.parquet"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        StreamConf.withStatePartitions(s) {
+          val q = StreamingDedup.distinctFingerprints(
+              StreamingDedup.parquetStream(s, s"$d/documents.parquet"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(name).select(col("fp"))
       },
       Some("""SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
@@ -137,11 +144,14 @@ object QStreaming extends Registry {
         val joined = StreamJoins.recentInner(buys, errs,
           col("uid"), col("uid2"), col("ts_buy"), col("ts_err"),
           horizon = "6 HOURS")
-        val q = joined
-          .select(col("uid"), col("eid_buy"), col("eid_err"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
+        // 4 state stores per partition here — the knob matters most
+        StreamConf.withStatePartitions(s) {
+          val q = joined
+            .select(col("uid"), col("eid_buy"), col("eid_err"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
         s.table(name).select(col("uid"), col("eid_buy"), col("eid_err"))
       },
       Some("""WITH e AS (SELECT user_id, event_id, event_type,

@@ -532,10 +532,14 @@ object QTracePipeline extends Registry {
         val dir = java.nio.file.Paths.get(
           System.getProperty("java.io.tmpdir"), s"graft_s4_roundtrip_$digest")
         java.nio.file.Files.createDirectories(dir)
-        panel.write.mode("overwrite")
+        // coalesce(4): the panel is a ~100-bytes/row aggregate — writing it
+        // as 32 near-empty files pays 8x the task/file overhead for zero
+        // parallelism benefit. At fact-table scale keep the natural
+        // partitioning (drop the coalesce); the sink itself is unchanged.
+        panel.coalesce(4).write.mode("overwrite")
           .option("compression", "snappy").parquet(s"$dir/panel_parquet")
         val backP = s.read.parquet(s"$dir/panel_parquet")
-        backP.write.mode("overwrite")
+        backP.coalesce(4).write.mode("overwrite")
           .option("compression", "gzip").option("header", "true")
           .csv(s"$dir/panel_csv")
         s.read.schema(backP.schema).option("header", "true")

@@ -38,6 +38,37 @@ class LlmDataSpec extends SparkSpec {
     assert(verified.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
   }
 
+  test("docProfilesLocal equals the exploded groupBy-min formulation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (3L, "completely different content about spark catalyst planning"),
+      (4L, "abc")) // shorter than the shingle width
+      .toDF("doc_id", "text")
+    // signatures: per-doc MinHashK minima == the exploded min-aggregate
+    val hashed = Dedup.shingleHashes(docs, "doc_id", "text", 5)
+    val exploded = Dedup.minhash(hashed, 32)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val local = Dedup.docProfilesLocal(docs, "doc_id", "text", 5, 32)
+    val localSigs = local.select(col("id"), posexplode(col("mh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(localSigs == exploded)
+    // candidates: band buckets built from the array == the grouped form
+    val candsG = Dedup.lshCandidates(Dedup.minhash(hashed, 32), 32, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candsL = Dedup.lshCandidatesLocal(local, 32, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candsL == candsG)
+    // the distinct-hash sets and sizes match the exploded relation
+    val szG = hashed.select(col("id"), col("sh")).distinct()
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val szL = local.select(col("id"), col("sz")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(szL == szG)
+  }
+
   test("canonicalClusters closes transitive chains to the min id") {
     import spark.implicits._
     // chain 5-3-9 (pairwise edges only), isolated pair 2-7: transitivity
