@@ -213,62 +213,63 @@ object Dedup {
     * with (keep `canonical`, drop the rest; transitive dups collapse even
     * when only pairwise edges were found).
     *
-    * Each round does a neighbor-min step (every node takes the min of its
-    * own and its neighbors' labels) FOLLOWED by pointer doubling (label ←
-    * label's label, valid because labels are node ids and only ever
-    * decrease) — O(log diameter) rounds where neighbor-min alone is
-    * O(diameter), which matters because near-dup chains are path-shaped.
-    * The candidate graph holds only near-dup NODES (vastly smaller than
-    * the corpus). Each round localCheckpoints to truncate the growing
-    * lineage (iterative DAGs re-plan from scratch otherwise); at
-    * web-graph scale swap in the large-star/small-star formulation —
-    * same per-round plan shape.
+    * CONTRACTION formulation (the Hash-to-Min family): each round merges
+    * every supernode into the min of itself and its current neighbors,
+    * REWRITES the edge list into the merged id space, and drops the
+    * self-loops — so the graph itself shrinks every round and a chain's
+    * diameter roughly halves (alternating local minima swallow their
+    * neighbors). Converges in O(log diameter) rounds where plain
+    * neighbor-min label propagation is O(diameter): the sf0.1 banding
+    * graph (693 nodes, path-shaped near-dup chains) took 12 rounds of
+    * label propagation — pointer doubling didn't help because randomly
+    * placed ids rarely form deep descending pointer runs — and takes 4
+    * contraction rounds. At 100 TB the shrinking EDGE SET is the bigger
+    * win: late rounds shuffle a fraction of the input instead of the
+    * whole graph every round. Skew note: a giant component contracts
+    * into one high-degree supernode; at web-graph scale switch to
+    * large-star/small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), which bounds per-node fan-in with the same
+    * per-round plan shape. Each round localCheckpoints to truncate the
+    * growing lineage (iterative DAGs re-plan from scratch otherwise).
     */
   def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    var edgesCur = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // reused every round
-    var labels = edges.select(col("src").as("id")).distinct()
+      .localCheckpoint(true) // symmetric, and stays symmetric per round
+    var members = edgesCur.select(col("src").as("id")).distinct()
       .withColumn("canonical", col("id"))
       .localCheckpoint(true)
-    var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      val viaNbr = edges
-        .join(labels.select(col("id").as("dst"), col("canonical")), Seq("dst"))
-        .select(col("src").as("id"), col("canonical"),
-          lit(null).cast("long").as("prev"))
-      // the convergence check rides ALONG the round instead of re-joining
-      // labels afterwards: labels contributes exactly one row per id
-      // carrying its current label as `prev` (neighbor rows carry null, so
-      // max() recovers it), and the round's single count() action both
-      // materializes the lazy checkpoint and counts changed labels —
-      // one action and one fewer join per round than the
-      // checkpoint-then-join-then-isEmpty formulation (measured ~40%
-      // of the loop's wall-clock on a small graph, where per-round fixed
-      // cost is everything).
-      val stepped = labels.withColumn("prev", col("canonical"))
-        .unionByName(viaNbr)
-        .groupBy(col("id")).agg(min(col("canonical")).as("canonical"),
-          max(col("prev")).as("prev"))
-      // pointer doubling: canonical(canonical(id)) ≤ canonical(id) always
-      // (labels are node ids, monotonically non-increasing), so the inner
-      // join hits every row and the double-hop label wins outright.
-      // Neighbor-min + one doubling hop is the O(log n)-round hybrid; a
-      // measured second hop did not reduce rounds (the bound is log of
-      // the largest component, not hop distance), so one is kept.
-      val next = stepped
-        .join(stepped.select(col("id").as("canonical"),
-          col("canonical").as("c2")), Seq("canonical"))
-        .select(col("id"), col("c2").as("canonical"), col("prev"))
+    var nEdges = edgesCur.count()
+    while (nEdges > 0 && iter < maxIter) {
+      // supernode relabel: min of self and contracted neighbors (edges
+      // are symmetric, so one groupBy(src) sees every neighborhood)
+      val superLabels = edgesCur.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nbrMin"))
+        .select(col("id"), least(col("id"), col("nbrMin")).as("lbl"))
+      // every original node chases its supernode's new label; supernodes
+      // that already lost all edges are final (left join + coalesce)
+      members = members
+        .join(superLabels.select(col("id").as("canonical"), col("lbl")),
+          Seq("canonical"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("canonical")).as("canonical"))
+        .localCheckpoint(true)
+      // contract: rewrite both endpoints into the merged id space, drop
+      // self-loops (intra-supernode edges) and duplicates. Rewriting both
+      // directions of a symmetric edge keeps the contracted set symmetric.
+      edgesCur = edgesCur
+        .join(superLabels.select(col("id").as("src"), col("lbl").as("s2")), Seq("src"))
+        .join(superLabels.select(col("id").as("dst"), col("lbl").as("d2")), Seq("dst"))
+        .select(col("s2").as("src"), col("d2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
         .localCheckpoint(false)
-      converged = next.filter(col("canonical") =!= col("prev")).count() == 0
-      labels = next.select(col("id"), col("canonical"))
+      nEdges = edgesCur.count() // materializes the lazy checkpoint
       iter += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
-      System.err.println(s"[cc] converged=$converged after $iter rounds")
-    labels
+      System.err.println(s"[cc] converged=${nEdges == 0} after $iter rounds")
+    members
   }
 
   /** 60-bit SimHash signature from whitespace tokens: bit j is set when

@@ -179,6 +179,62 @@ object QDedup extends Registry {
                 SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst)
               SELECT id, min(lbl) AS canonical FROM walk GROUP BY id""")),
 
+    // Benchmark decontamination — the eval-set overlap filter every
+    // serious training-data pipeline runs before training (the GPT-3/
+    // Llama-style n-gram check): a corpus document is contaminated when
+    // it shares any token 8-gram with the held-out benchmark split
+    // (doc_id % 11 == 0 here), and the query returns the CLEAN corpus.
+    // Scale shape: n-grams are hashed to int64 inside each document's row
+    // (strings never shuffle); the benchmark gram set is tiny by nature
+    // (eval suites are MBs against a 100 TB corpus) so it broadcasts; the
+    // corpus side is one linear pass + a broadcast semi/anti join.
+    Q("dd_decontaminate",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val toks = TextOps.tokens(col("text"))
+        // distinct 8-token-gram hashes per doc, computed per-row
+        val grams = graft.Caches.registerTransient(docs
+          .select(col("doc_id"), toks.as("t"))
+          .filter(size(col("t")) >= 8)
+          .select(col("doc_id"), explode(array_distinct(transform(
+            sequence(lit(1), size(col("t")) - 7),
+            i => TextOps.hash60(array_join(slice(col("t"), i, lit(8)), " ")))))
+            .as("gh"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val evalGrams = grams.filter(col("doc_id") % 11 === 0)
+          .select(col("gh")).distinct()
+        val corpusGrams = grams.filter(col("doc_id") % 11 =!= 0)
+        val contaminated = corpusGrams
+          .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+          .select(col("doc_id")).distinct()
+        val counts = corpusGrams.groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        docs.filter(col("doc_id") % 11 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+              tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+              gpos AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+                       FROM tok WHERE len(toks) >= 8),
+              g AS (SELECT DISTINCT doc_id,
+                      ${h60("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS gh
+                    FROM gpos),
+              ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0),
+              corpus AS (SELECT * FROM g WHERE doc_id % 11 <> 0),
+              contaminated AS (
+                SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (gh)),
+              counts AS (SELECT doc_id, count(*) AS n_grams
+                         FROM corpus GROUP BY 1)
+              SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams
+              FROM documents d
+              LEFT JOIN counts c ON c.doc_id = d.doc_id
+              WHERE d.doc_id % 11 <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""")),
+
     // Tier 4 — exact n-gram Jaccard on the full pair space of a bounded
     // subset (the brute-force baseline the LSH tiers approximate).
     Q("dd_ngram_jaccard",

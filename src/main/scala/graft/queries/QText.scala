@@ -155,6 +155,68 @@ object QText extends Registry {
                      CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
               FROM cnt GROUP BY doc_id""")),
 
+    // Training-mix construction: deterministic stratified hash-sampling.
+    // Each language gets a retention quota (the "data mixing" step that
+    // turns a raw corpus into a training distribution); a document is kept
+    // when its md5-derived bucket falls under its language's quota.
+    // Hash-based sampling beats rand(): reproducible across engines and
+    // retries, shuffle-free (a codegen'd filter over the scan), and
+    // stable under corpus growth — the properties a 100 TB mixing pass
+    // needs. Quotas here: en 50 / de 30 / fr 20 / es 10 / other 5 (%).
+    Q("tx_sample_mix",
+      (s, d) => {
+        val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
+        val quota = when(col("lang") === "en", 50)
+          .when(col("lang") === "de", 30)
+          .when(col("lang") === "fr", 20)
+          .when(col("lang") === "es", 10)
+          .otherwise(5)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+          .filter(col("bucket") < quota)
+      },
+      Some(s"""SELECT doc_id, lang, bucket FROM (
+                SELECT doc_id, lang,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                         % 100 AS bucket
+                FROM documents) b
+              WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                                       WHEN 'fr' THEN 20 WHEN 'es' THEN 10
+                                       ELSE 5 END""")),
+
+    // Sequence packing: assign documents to fixed token-budget packs
+    // (2048 tokens) in deterministic doc_id order within each language —
+    // the pretraining batch-construction step. pack_id = which budget
+    // block the document STARTS in (cumulative tokens before it, integer-
+    // divided by the budget). The window is PARTITIONED (per-language
+    // running sum), never a global Window.orderBy — each shard packs
+    // independently, which is exactly how a distributed packing pass
+    // works at corpus scale (global order would serialize 100 TB through
+    // one partition).
+    Q("tx_pack_budget",
+      (s, d) => {
+        val toks = TextOps.tokens(col("text"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(toks).cast("long").as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            expr("(cum - n_tokens) div 2048").as("pack_id"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, lang,
+                            CAST(len($toksSql) AS BIGINT) AS n_tokens
+                          FROM documents),
+              c AS (SELECT doc_id, lang, n_tokens,
+                      sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum
+                    FROM t)
+              SELECT doc_id, lang, n_tokens,
+                     CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
+              FROM c""")),
+
     // Fingerprinting: md5 of normalized text + duplicate-group size.
     Q("tx_fingerprint",
       (s, d) => {
