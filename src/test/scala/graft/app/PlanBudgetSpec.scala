@@ -44,10 +44,31 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 1, s"a1_daily_panel shuffles: ${c.shuffles}")
   }
 
-  test("minhash ladder stays within its four-exchange budget") {
-    // profiles agg + banded agg + candidate join + distinct
+  test("minhash ladder: per-doc profiles leave at most candidate shuffles") {
+    // profiles (hashes + sizes + signatures) are computed inside each
+    // document's row — the only exchanges left are the band-key candidate
+    // join + distinct (2 allows for the join strategy flipping from
+    // broadcast to shuffle when stats grow)
     val c = Plans.planCounts(q("dd_minhash_lsh"))
-    assert(c.shuffles <= 4, s"dd_minhash_lsh shuffles: ${c.shuffles}")
+    assert(c.shuffles <= 2, s"dd_minhash_lsh shuffles: ${c.shuffles}")
     graft.Caches.clearTransient()
+  }
+
+  test("decontamination broadcasts the eval gram set, never the corpus") {
+    val c = Plans.planCounts(q("dd_decontaminate"))
+    assert(c.broadcasts >= 1, s"dd_decontaminate broadcasts: ${c.broadcasts}")
+    assert(c.shuffles <= 3, s"dd_decontaminate shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("training-mix sampling is a pure codegen filter — zero exchanges") {
+    val c = Plans.planCounts(q("tx_sample_mix"))
+    assert(c.shuffles == 0 && c.broadcasts == 0,
+      s"tx_sample_mix shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
+  test("sequence packing shuffles once (the per-language window)") {
+    val c = Plans.planCounts(q("tx_pack_budget"))
+    assert(c.shuffles <= 1, s"tx_pack_budget shuffles: ${c.shuffles}")
   }
 }

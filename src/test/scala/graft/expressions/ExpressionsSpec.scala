@@ -42,6 +42,34 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows.find(_._1 == "abc").get._2.length == 1)
   }
 
+  test("minhashk equals the (h1 + i*h2) mod p expression fold") {
+    import spark.implicits._
+    val df = Seq(
+      Seq(0L, 1L, 293L, (1L << 53) - 1),
+      Seq(7370050801L * 96 + 25153757L * 97),
+      Seq.range(0L, 500L).map(_ * 104729L))
+      .toDF("arr")
+    val p = 2147483647L
+    def h2(sh: Long): Long =
+      ((40503L * (sh / 1073741824L)) % p * 1073741824L % p
+        + 40503L * (sh % 1073741824L) + 12345L) % p
+    val rows = df
+      .withColumn("native", call_function("minhashk", col("arr"), lit(32)))
+      .collect()
+      .map(r => (r.getSeq[Long](0), r.getSeq[Long](1)))
+    rows.foreach { case (arr, got) =>
+      val ref = (0 until 32).map(i =>
+        arr.map(sh => (sh % p + i.toLong * h2(sh)) % p).min)
+      assert(got == ref, s"arr $arr")
+    }
+    // misuse (non-array input) must fail analysis, not codegen
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq("x").toDF("s")
+        .select(call_function("minhashk", col("s"), lit(4))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
+  }
+
   test("dotq6 equals the zip_with/aggregate micro-unit fold") {
     import spark.implicits._
     val df = Seq(
