@@ -48,6 +48,50 @@ object Embeddings {
     dot.cast("double") / when(denom === 0.0, lit(null).cast("double")).otherwise(denom)
   }
 
+  /** vector as exact micro-unit int64 array (see [[quant6]]). */
+  def quantArray(vec: Column): Column = transform(vec, x => quant6(x))
+
+  /** One Lloyd ASSIGNMENT step against integer centroids: every vector
+    * goes to its nearest centroid by squared L2 distance, computed
+    * entirely in exact int64 micro-units. Since ‖x‖² is constant per
+    * vector, argmin ‖x−c‖² == argmin (‖c‖² − 2x·c) — the vector's own
+    * norm never needs computing. Ties break on cell id. Centroids
+    * BROADCAST (k rows); the scored frame is the only wide pass.
+    *
+    * The zip_with/aggregate dot runs interpreted — bounded by n·k·dim;
+    * nativize like [[graft.expressions.DotQuant6]] if k grows past the
+    * coarse-quantization regime.
+    */
+  def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(xq, cq, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
+      .withColumn("n2c", expr(
+        "aggregate(transform(cq, c -> c * c), 0L, (acc, v) -> acc + v)"))
+      .withColumn("score", col("n2c") - lit(2L) * col("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("score").asc, col("cell").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("cell"), col("xq"))
+  }
+
+  /** One Lloyd UPDATE step: component-wise integer mean of each cell's
+    * members. Sums are exact int64 (micro-units × corpus size ≪ 2⁵³), the
+    * mean is floor(sum/count) over the exact double rendering — floor is
+    * bit-deterministic across engines where integer-division semantics
+    * (truncate vs floor on negatives) are not. Cells that lost every
+    * member simply disappear (both engines drop empty groups).
+    */
+  def updateCentroids(assign: DataFrame): DataFrame =
+    assign.select(col("cell"), posexplode(col("xq")).as(Seq("pos", "comp")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(sum(col("comp")).as("s"), count(lit(1)).as("c"))
+      .withColumn("cqi",
+        floor(col("s").cast("double") / col("c").cast("double")).cast("long"))
+      .groupBy(col("cell"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cqi")))),
+        x => x.getField("cqi")).as("cq"))
+
   /** brute-force top-k: for each query vector, the k nearest others by
     * cosine, deterministic tie-break on neighbor id.
     */

@@ -232,6 +232,64 @@ object QSimilarity extends Registry {
               JOIN norms na ON na.vec_id = c.id_a
               JOIN norms nb ON nb.vec_id = c.id_b
               WHERE CAST(${dotSql("a", "b")} AS DOUBLE)
-                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4e0"""))
+                      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.4e0""")),
+
+    // K-means clustering (two exact Lloyd rounds): seed centroids =
+    // vec_id % 50 == 0, assignment by squared-L2 argmin computed entirely
+    // in int64 micro-units (argmin ‖x−c‖² == argmin (‖c‖² − 2x·c): the
+    // vector's own norm cancels), centroid update = component-wise
+    // floor-mean in the same integer space — every step bit-reproducible
+    // in DuckDB, so the oracle replays BOTH rounds. Scale shape: k
+    // centroids broadcast; the assignment pass is linear per round; the
+    // update shuffles (cell, pos) partial sums — dim·k rows after
+    // map-side combine. This is the centroid-training counterpart to
+    // sim_ivf_topk's fixed-seed inverted file.
+    Q("sim_kmeans_assign",
+      (s, d) => {
+        val vecs = graft.Caches.registerTransient(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"),
+              Embeddings.quantArray(col("embedding")).as("xq"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cents0 = vecs.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell"), col("xq").as("cq"))
+        val a0 = Embeddings.assignToCentroids(vecs, cents0)
+        val cents1 = Embeddings.updateCentroids(a0)
+        val a1 = Embeddings.assignToCentroids(vecs, cents1)
+        a1.select(col("vec_id"), col("cell"))
+      },
+      Some {
+        def scoreSql(cents: String) =
+          s"""SELECT v.vec_id, c.cell,
+                (SELECT sum(c.cq[CAST(i AS INT)] * c.cq[CAST(i AS INT)])
+                 FROM generate_series(1, 64) g(i))
+                - 2 * (SELECT sum(v.xq[CAST(i AS INT)] * c.cq[CAST(i AS INT)])
+                       FROM generate_series(1, 64) g(i)) AS score
+              FROM q v CROSS JOIN $cents c"""
+        def argminSql(scored: String) =
+          s"""SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY score, cell) AS rn
+                FROM $scored) r WHERE rn = 1"""
+        s"""WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS xq
+              FROM embeddings),
+            c0 AS (SELECT vec_id AS cell, xq AS cq FROM q WHERE vec_id % 50 = 0),
+            s0 AS (${scoreSql("c0")}),
+            a0 AS (${argminSql("s0")}),
+            m1 AS (SELECT a.cell, g.i AS pos,
+                     CAST(floor(CAST(sum(v.xq[CAST(g.i AS INT)]) AS DOUBLE)
+                                / CAST(count(*) AS DOUBLE)) AS BIGINT) AS cqi
+                   FROM a0 a JOIN q v USING (vec_id)
+                   CROSS JOIN generate_series(1, 64) g(i)
+                   GROUP BY a.cell, g.i),
+            c1 AS (SELECT cell, list(cqi ORDER BY pos) AS cq FROM m1 GROUP BY cell),
+            s1 AS (${scoreSql("c1")}),
+            a1 AS (${argminSql("s1")})
+            SELECT vec_id, cell FROM a1"""
+      })
   )
 }

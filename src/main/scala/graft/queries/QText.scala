@@ -217,6 +217,70 @@ object QText extends Registry {
                      CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
               FROM c""")),
 
+    // Per-document top terms by raw counts: rank tokens by (tf desc,
+    // df asc, token asc) — the tf-idf salience ordering WITHOUT the
+    // transcendental log (libm log() differs across engines at the ulp
+    // level; the rank ordering by (tf, -df) is what idf weighting
+    // computes for single documents, and stays integer-exact). Two hash
+    // aggregations (token counts, document frequencies) + a broadcast
+    // of the df side at dimension scale.
+    Q("tx_top_terms",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("tok").asc)
+        tf.join(dfreq, Seq("tok"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("tok"), col("tf"), col("df"))
+      },
+      Some(s"""WITH tf AS (
+                SELECT doc_id, t AS tok, count(*) AS tf
+                FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) u
+                GROUP BY 1, 2),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              ranked AS (
+                SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+                       row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, dfreq.df ASC, tf.tok ASC) AS rank
+                FROM tf JOIN dfreq USING (tok))
+              SELECT doc_id, rank, tok, tf, df FROM ranked WHERE rank <= 3""")),
+
+    // Context-window chunking: split each document into 128-token chunks
+    // with stride 96 (32-token overlap) — the pretraining tokenize-and-
+    // chunk step. Chunk starts come from a per-row sequence (no shuffle;
+    // the explode fans out inside the scan partition), each chunk carries
+    // its md5 fingerprint so content — not just counts — is hash-gated.
+    Q("tx_chunk_windows",
+      (s, d) => {
+        val t = TextOps.tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), t.as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0), size(col("t")) - 1, lit(96))).as("start"))
+          .select(col("doc_id"),
+            expr("cast(start div 96 as bigint)").as("chunk_id"),
+            size(slice(col("t"), col("start") + 1, lit(128))).cast("long")
+              .as("n_chunk_tokens"),
+            md5(array_join(slice(col("t"), col("start") + 1, lit(128)), " "))
+              .as("chunk_fp"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+              st AS (SELECT doc_id, toks,
+                       unnest(generate_series(0, len(toks) - 1, 96)) AS start
+                     FROM t)
+              SELECT doc_id,
+                     start // 96 AS chunk_id,
+                     CAST(len(list_slice(toks, start + 1, start + 128)) AS BIGINT)
+                       AS n_chunk_tokens,
+                     md5(array_to_string(list_slice(toks, start + 1, start + 128), ' '))
+                       AS chunk_fp
+              FROM st""")),
+
     // Fingerprinting: md5 of normalized text + duplicate-group size.
     Q("tx_fingerprint",
       (s, d) => {
