@@ -1,0 +1,71 @@
+package graft.llmdata
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the dedup ladder's per-document formulations:
+  * random corpora must produce byte-identical signatures/candidates in
+  * the shuffle-free local path and the exploded groupBy formulation the
+  * DuckDB oracles mirror, and connected components must equal a
+  * driver-side union-find on the same edges. Plain ScalaCheck generators
+  * sampled under fixed seeds (the scalatest-scalacheck bridge is not on
+  * the offline classpath).
+  */
+class DedupPropertiesSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(1042L + i)))
+
+  // word-salad docs over a tiny vocabulary — maximizes shingle collisions
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "rho", "phi")
+  private val docGen: Gen[String] =
+    Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+
+  test("local MinHash profiles equal the exploded formulation on random corpora") {
+    import spark.implicits._
+    val docs = samples(docGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val hashed = Dedup.shingleHashes(docs, "doc_id", "text", 5)
+    val exploded = Dedup.minhash(hashed, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val local = Dedup.docProfilesLocal(docs, "doc_id", "text", 5, 16)
+    val localSigs = local.select(col("id"), posexplode(col("mh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(localSigs == exploded)
+    val candsG = Dedup.lshCandidates(Dedup.minhash(hashed, 16), 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candsL = Dedup.lshCandidatesLocal(local, 16, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(candsL == candsG)
+  }
+
+  test("canonicalClusters equals driver-side union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen: Gen[List[(Long, Long)]] =
+      Gen.chooseNum(1, 60).flatMap(m => Gen.listOfN(m,
+        Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))
+          .suchThat(p => p._1 != p._2)))
+    samples(edgeGen, 8).foreach { edges =>
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.canonicalClusters(pairs)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // reference: plain union-find with min-id roots
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      def union(a: Long, b: Long): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      edges.foreach { case (a, b) => union(a, b) }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(x => x -> find(x)).toMap
+      assert(got == want, s"edges $edges")
+    }
+  }
+}
