@@ -58,16 +58,14 @@ object Embeddings {
     * norm never needs computing. Ties break on cell id. Centroids
     * BROADCAST (k rows); the scored frame is the only wide pass.
     *
-    * The zip_with/aggregate dot runs interpreted — bounded by n·k·dim;
-    * nativize like [[graft.expressions.DotQuant6]] if k grows past the
-    * coarse-quantization regime.
+    * The dot products run in the native codegen'd
+    * [[graft.expressions.DotLongs]] — the interpreted zip_with/aggregate
+    * fold cost 2 s/round at n·k = 80k pairs.
     */
   def assignToCentroids(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(xq, cq, (a, b) -> a * b), 0L, (acc, v) -> acc + v)"))
-      .withColumn("n2c", expr(
-        "aggregate(transform(cq, c -> c * c), 0L, (acc, v) -> acc + v)"))
+      .withColumn("dot", call_function("dotl", col("xq"), col("cq")))
+      .withColumn("n2c", call_function("dotl", col("cq"), col("cq")))
       .withColumn("score", col("n2c") - lit(2L) * col("dot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("score").asc, col("cell").asc)

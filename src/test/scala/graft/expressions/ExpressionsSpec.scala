@@ -42,6 +42,22 @@ class ExpressionsSpec extends SparkSpec {
     assert(rows.find(_._1 == "abc").get._2.length == 1)
   }
 
+  test("dotl equals the zip_with/aggregate fold on long arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, -2L, 3L), Seq(4L, 5L, -6L)),
+      (Seq(1000000L, -999999L), Seq(1000000L, 1000000L)),
+      (Seq.empty[Long], Seq(1L)))
+      .toDF("a", "b")
+    val mismatches = df
+      .withColumn("native", call_function("dotl", col("a"), col("b")))
+      .withColumn("composed", expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + coalesce(v, 0L))"))
+      .filter(col("native") =!= col("composed"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("minhashk equals the (h1 + i*h2) mod p expression fold") {
     import spark.implicits._
     val df = Seq(
