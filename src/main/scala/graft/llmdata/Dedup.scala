@@ -272,6 +272,81 @@ object Dedup {
     members
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the web-graph-scale alternative to [[canonicalClusters]]'s
+    * contraction: provably O(log² n) rounds with NO per-node neighborhood
+    * materialization (everything is a grouped min joined back per edge,
+    * so a hub node never gathers its neighbor list on one task — the
+    * skew contraction cannot avoid when a giant component collapses into
+    * one supernode).
+    *
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m(u) = min(Γ(u) ∪ u). Processing the SYMMETRIC edge view means
+    *    each undirected edge {a<b} contributes exactly (b, m(a)).
+    *  - small-star(u): the smaller neighbors (and u itself) re-attach to
+    *    their min.
+    *
+    * Converged when the small-star output stabilizes: edges then form
+    * stars rooted at each component's min, which IS the canonical map.
+    * Selected by `spark.graft.cc.algo = starstar` in the dd_cluster row;
+    * contraction stays the default (fewer rounds on the corpus-sized
+    * candidate graphs this library benches — star-star wins when a
+    * component is too big for its supernode).
+    */
+  def canonicalClustersStarStar(pairs: DataFrame, maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df.select(
+      least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .filter(col("a") =!= col("b"))
+      .localCheckpoint(true)
+    val allNodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      val sym = edges.unionByName(
+        edges.select(col("b").as("a"), col("a").as("b")))
+      // m(u) over the FULL neighborhood (plus u itself)
+      val mFull = sym.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // large-star: per symmetric edge (u, v) with v > u → (v, m(u))
+      val large = sym.filter(col("b") > col("a"))
+        .join(mFull, col("a") === col("u"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val largeE = canon(large).filter(col("a") =!= col("b"))
+        .localCheckpoint(true)
+      // small-star over the large-star output: per edge (u, v) v < u,
+      // m = min of u's smaller neighbors; emit (v, m) [v ≠ m] and (u, m)
+      val symL = largeE.unionByName(
+        largeE.select(col("b").as("a"), col("a").as("b")))
+      val smaller = symL.filter(col("b") < col("a"))
+      val mSmall = smaller.groupBy(col("a").as("u"))
+        .agg(min(col("b")).as("m"))
+      val viaNbrs = smaller.join(mSmall, col("a") === col("u"))
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val viaSelf = mSmall.select(col("u").as("a"), col("m").as("b"))
+      val next = canon(viaNbrs.unionByName(viaSelf))
+        .filter(col("a") =!= col("b"))
+        .localCheckpoint(true)
+      stable = next.exceptAll(edges).unionByName(edges.exceptAll(next)).isEmpty
+      edges = next
+      iter += 1
+    }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-starstar] stable=$stable after $iter rounds")
+    // converged edges are star edges (root = a, child = b): label children
+    // by their root, roots (and any node isolated by contraction of a
+    // 2-cycle) by themselves
+    val childLabels = edges.select(col("b").as("id"), col("a").as("canonical"))
+    allNodes.join(childLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("canonical"), col("id")).as("canonical"))
+  }
+
   /** 60-bit SimHash signature from whitespace tokens: bit j is set when
     * the weighted sum over tokens of (bit j of hash60(token) ? +1 : −1)
     * is non-negative. Pure higher-order functions — one pass per doc.

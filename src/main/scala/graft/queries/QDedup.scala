@@ -163,9 +163,18 @@ object QDedup extends Registry {
     // join+aggregate each, the standard distributed CC loop. The oracle
     // replays reachability with a recursive CTE and takes min over each
     // node's reachable set.
+    // `spark.graft.cc.algo=starstar` swaps in the large-star/small-star
+    // formulation (bounded per-node fan-in — the web-graph-scale choice);
+    // contraction is default. Both produce the identical canonical map
+    // (DedupPropertiesSpec pins each against a union-find reference).
     Q("dd_cluster_canonical",
-      (s, d) => Dedup.canonicalClusters(
-        simhashPairs(s, d).select(col("id_a"), col("id_b"))),
+      (s, d) => {
+        val pairs = simhashPairs(s, d).select(col("id_a"), col("id_b"))
+        s.conf.get("spark.graft.cc.algo", "contraction") match {
+          case "starstar" => Dedup.canonicalClustersStarStar(pairs)
+          case _ => Dedup.canonicalClusters(pairs)
+        }
+      },
       Some(s"""WITH RECURSIVE $simhashCte,
               vp AS (SELECT id_a, id_b FROM pairs
                      WHERE bit_count(xor(sh_a, sh_b)) <= 3),

@@ -42,30 +42,44 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(candsL == candsG)
   }
 
+  /** min-id union-find reference over an edge list */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(a: Long, b: Long): Unit = {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(x => x -> find(x)).toMap
+  }
+
+  private val edgeGen: Gen[List[(Long, Long)]] =
+    Gen.chooseNum(1, 60).flatMap(m => Gen.listOfN(m,
+      Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))
+        .suchThat(p => p._1 != p._2)))
+
   test("canonicalClusters equals driver-side union-find on random graphs") {
     import spark.implicits._
-    val edgeGen: Gen[List[(Long, Long)]] =
-      Gen.chooseNum(1, 60).flatMap(m => Gen.listOfN(m,
-        Gen.zip(Gen.chooseNum(0L, 40L), Gen.chooseNum(0L, 40L))
-          .suchThat(p => p._1 != p._2)))
     samples(edgeGen, 8).foreach { edges =>
-      val pairs = edges.toDF("id_a", "id_b")
-      val got = Dedup.canonicalClusters(pairs)
+      val got = Dedup.canonicalClusters(edges.toDF("id_a", "id_b"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-      // reference: plain union-find with min-id roots
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        val p = parent.getOrElseUpdate(x, x)
-        if (p == x) x else { val r = find(p); parent(x) = r; r }
-      }
-      def union(a: Long, b: Long): Unit = {
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
-      }
-      edges.foreach { case (a, b) => union(a, b) }
-      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
-        .map(x => x -> find(x)).toMap
-      assert(got == want, s"edges $edges")
+      assert(got == unionFind(edges), s"edges $edges")
+    }
+  }
+
+  test("large-star/small-star equals union-find on random graphs") {
+    import spark.implicits._
+    // includes a long path — the adversarial shape for round counts
+    val path = (0 until 20).map(i => ((i * 7919L) % 101, ((i + 1) * 7919L) % 101))
+    (samples(edgeGen, 6) :+ path.toList).foreach { edges =>
+      val got = Dedup.canonicalClustersStarStar(edges.toDF("id_a", "id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == unionFind(edges), s"edges $edges")
     }
   }
 }
