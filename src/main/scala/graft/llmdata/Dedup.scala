@@ -226,11 +226,11 @@ object Dedup {
     * contraction rounds. At 100 TB the shrinking EDGE SET is the bigger
     * win: late rounds shuffle a fraction of the input instead of the
     * whole graph every round. Skew note: a giant component contracts
-    * into one high-degree supernode; at web-graph scale switch to
-    * large-star/small-star (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond"), which bounds per-node fan-in with the same
-    * per-round plan shape. Each round localCheckpoints to truncate the
-    * growing lineage (iterative DAGs re-plan from scratch otherwise).
+    * into one high-degree supernode; for that regime
+    * [[canonicalClustersStarStar]] (selected via
+    * `spark.graft.cc.algo=starstar`) bounds per-node fan-in. Each round
+    * localCheckpoints to truncate the growing lineage (iterative DAGs
+    * re-plan from scratch otherwise).
     */
   def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     var edgesCur = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -61,6 +61,20 @@ object TextOps {
       case _ => fingerprint(text)
     }
 
+  /** distinct token n-gram HASHES per document: (id, gh). Grams are
+    * hashed to int64 inside the document's own row ([[hash60]] of the
+    * space-joined token window) — strings never shuffle. The workhorse
+    * of benchmark decontamination.
+    */
+  def gramHashes(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("id"), explode(array_distinct(transform(
+        sequence(lit(1), size(col("t")) - (n - 1)),
+        i => hash60(array_join(slice(col("t"), i, lit(n)), " ")))))
+        .as("gh"))
+
   /** per-language stopword hit counts → argmax language with deterministic
     * tie-break (first in list order). An n-gram-free heuristic language ID.
     */

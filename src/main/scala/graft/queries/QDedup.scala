@@ -12,13 +12,13 @@ import org.apache.spark.sql.functions._
 object QDedup extends Registry {
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-  private val h60 = (s: String) => s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
+  private[queries] val h60 = (s: String) => s"CAST('0x' || substr(md5($s), 1, 15) AS BIGINT)"
 
   /** positional polynomial 5-gram shingle hash (mirrors the native
     * expressions.ShingleHash60: codepoint-weighted sum with base 293,
     * past-end chars = 0 — DuckDB's ascii('') is 0). 293^4..293^0 weights.
     */
-  private def shingleHashSql(t: String, i: String) =
+  private[queries] def shingleHashSql(t: String, i: String) =
     s"""CAST(ascii(substr($t, CAST($i AS INT), 1)) AS BIGINT) * 7370050801
        + CAST(ascii(substr($t, CAST($i + 1 AS INT), 1)) AS BIGINT) * 25153757
        + CAST(ascii(substr($t, CAST($i + 2 AS INT), 1)) AS BIGINT) * 85849
@@ -200,23 +200,17 @@ object QDedup extends Registry {
     Q("dd_decontaminate",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val toks = TextOps.tokens(col("text"))
         // distinct 8-token-gram hashes per doc, computed per-row
-        val grams = graft.Caches.registerTransient(docs
-          .select(col("doc_id"), toks.as("t"))
-          .filter(size(col("t")) >= 8)
-          .select(col("doc_id"), explode(array_distinct(transform(
-            sequence(lit(1), size(col("t")) - 7),
-            i => TextOps.hash60(array_join(slice(col("t"), i, lit(8)), " ")))))
-            .as("gh"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val evalGrams = grams.filter(col("doc_id") % 11 === 0)
+        val grams = graft.Caches.registerTransient(
+          TextOps.gramHashes(docs, "doc_id", "text", 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val evalGrams = grams.filter(col("id") % 11 === 0)
           .select(col("gh")).distinct()
-        val corpusGrams = grams.filter(col("doc_id") % 11 =!= 0)
+        val corpusGrams = grams.filter(col("id") % 11 =!= 0)
         val contaminated = corpusGrams
           .join(broadcast(evalGrams), Seq("gh"), "left_semi")
-          .select(col("doc_id")).distinct()
-        val counts = corpusGrams.groupBy(col("doc_id"))
+          .select(col("id").as("doc_id")).distinct()
+        val counts = corpusGrams.groupBy(col("id").as("doc_id"))
           .agg(count(lit(1)).as("n_grams"))
         docs.filter(col("doc_id") % 11 =!= 0)
           .join(contaminated, Seq("doc_id"), "left_anti")

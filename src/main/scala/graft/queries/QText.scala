@@ -217,6 +217,140 @@ object QText extends Registry {
                      CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id
               FROM c""")),
 
+    // The END-TO-END corpus build — the LLM-data counterpart of
+    // tp_full_panel: quality gates → exact-dedup keepers → MinHash+LSH
+    // near-dup clustering with canonical keepers → benchmark
+    // decontamination vs the held-out eval split → per-language
+    // training-mix sampling. Every stage is the library's production
+    // operator (shuffle-free profiles, broadcast eval grams, distributed
+    // CC) and the oracle replays the WHOLE chain, recursive-CTE
+    // reachability included — one hash gate over the final corpus.
+    Q("tx_corpus_build",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val toks = TextOps.tokens(col("text"))
+        val corpus = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0)
+        val scored = corpus.select(col("doc_id"), col("lang"), col("text"),
+          size(toks).cast("long").as("n_tokens"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val passed = scored.filter(col("n_tokens").between(15, 2000))
+        val keepers = passed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        val surv = graft.Caches.registerTransient(
+          passed.join(keepers, Seq("fp", "doc_id"), "left_semi")
+            .persist(MEMORY_AND_DISK))
+        // near-dup canonicalization (minhash tier) among the survivors
+        val prof = graft.Caches.registerTransient(
+          graft.llmdata.Dedup.docProfilesLocal(surv, "doc_id", "text", n = 5, k = 32)
+            .persist(MEMORY_AND_DISK))
+        val pairs = graft.llmdata.Dedup.jaccardOnProfiles(prof,
+            graft.llmdata.Dedup.lshCandidatesLocal(prof, k = 32, bands = 4),
+            threshold = 0.7)
+          .select(col("id_a"), col("id_b"))
+        val clusters = graft.llmdata.Dedup.canonicalClusters(pairs)
+        val canon = surv.join(
+          clusters.filter(col("id") =!= col("canonical"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        // decontaminate vs the eval split (external — never curated)
+        val evalGrams = TextOps.gramHashes(
+            Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
+            "doc_id", "text", 8)
+          .select(col("gh")).distinct()
+        val contaminated = TextOps.gramHashes(canon, "doc_id", "text", 8)
+          .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+          .select(col("id").as("doc_id")).distinct()
+        val clean = canon.join(contaminated, Seq("doc_id"), "left_anti")
+        // per-language training-mix quota
+        val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
+        val quota = when(col("lang") === "en", 50)
+          .when(col("lang") === "de", 30)
+          .when(col("lang") === "fr", 20)
+          .when(col("lang") === "es", 10)
+          .otherwise(5)
+        clean.filter(bucket < quota)
+          .select(col("doc_id"), col("lang"), col("n_tokens"))
+      },
+      Some {
+        val h60 = QDedup.h60
+        s"""WITH RECURSIVE
+            corpus AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+            scored AS (SELECT doc_id, lang, text,
+                         CAST(len($toksSql) AS BIGINT) AS n_tokens,
+                         md5($normSql) AS fp
+                       FROM corpus),
+            passed AS (SELECT * FROM scored WHERE n_tokens BETWEEN 15 AND 2000),
+            keep0 AS (SELECT fp, min(doc_id) AS doc_id FROM passed GROUP BY fp),
+            surv AS (SELECT p.* FROM passed p
+                     JOIN keep0 k ON k.fp = p.fp AND k.doc_id = p.doc_id),
+            snorm AS (SELECT doc_id AS id, $normSql AS t FROM surv),
+            spos AS (SELECT id, t,
+                       unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
+                     FROM snorm),
+            shash AS (SELECT DISTINCT id, ${QDedup.shingleHashSql("t", "i")} AS sh
+                      FROM spos),
+            hashed AS (
+              SELECT id, sh, sh % 2147483647 AS h1,
+                     ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
+                      + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
+              FROM shash),
+            mh AS (
+              SELECT id, CAST(i AS INT) AS i,
+                     min((h1 + i * h2) % 2147483647) AS mh
+              FROM hashed CROSS JOIN generate_series(0, 31) g(i)
+              GROUP BY id, CAST(i AS INT)),
+            banded AS (
+              SELECT id, CAST(i // 8 AS INT) AS band,
+                     md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+                         '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
+              FROM mh GROUP BY id, band),
+            cands AS (
+              SELECT DISTINCT a.id AS id_a, b.id AS id_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+            arrs AS (SELECT id, list(DISTINCT sh) AS arr,
+                            count(DISTINCT sh) AS sz
+                     FROM hashed GROUP BY id),
+            vp AS (SELECT c.id_a, c.id_b
+                   FROM cands c
+                   JOIN arrs a ON a.id = c.id_a
+                   JOIN arrs b ON b.id = c.id_b
+                   WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                           / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                         >= 0.7e0),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+                      UNION ALL SELECT id_b, id_a FROM vp),
+            cnodes AS (SELECT DISTINCT src AS id FROM edges),
+            walk(id, lbl) AS (
+              SELECT id, id FROM cnodes
+              UNION
+              SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+            clus AS (SELECT id, min(lbl) AS canonical FROM walk GROUP BY id),
+            canon AS (SELECT * FROM surv WHERE doc_id NOT IN
+                        (SELECT id FROM clus WHERE id <> canonical)),
+            evtok AS (SELECT doc_id, $toksSql AS toks FROM documents
+                      WHERE doc_id % 11 = 0),
+            evpos AS (SELECT doc_id, toks,
+                        unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+                      FROM evtok WHERE len(toks) >= 8),
+            evg AS (SELECT DISTINCT
+                      ${h60("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS gh
+                    FROM evpos),
+            ctok AS (SELECT doc_id, $toksSql AS toks FROM canon),
+            cpos AS (SELECT doc_id, toks,
+                       unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+                     FROM ctok WHERE len(toks) >= 8),
+            cg AS (SELECT DISTINCT doc_id,
+                     ${h60("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS gh
+                   FROM cpos),
+            contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (gh)),
+            clean AS (SELECT * FROM canon WHERE doc_id NOT IN
+                        (SELECT doc_id FROM contaminated))
+            SELECT doc_id, lang, n_tokens FROM clean
+            WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 <
+                  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                            WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 5 END"""
+      }),
+
     // Per-document top terms by raw counts: rank tokens by (tf desc,
     // df asc, token asc) — the tf-idf salience ordering WITHOUT the
     // transcendental log (libm log() differs across engines at the ulp
