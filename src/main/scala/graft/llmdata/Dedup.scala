@@ -152,6 +152,21 @@ object Dedup {
       .withColumn("mh", call_function("minhashk", col("arr"), lit(k)))
   }
 
+  /** Per-document band keys from signature arrays — the unit the LSH
+    * index is actually keyed on. Shared by [[lshCandidatesLocal]]
+    * (self-join) and the incremental admission path (new-batch keys
+    * probe the existing corpus's keys).
+    */
+  def bandKeys(profiles: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rpb = k / bands
+    profiles.select(col("id"), posexplode(expr(
+      s"""transform(sequence(0, ${bands - 1}), b ->
+            md5(concat_ws('_', sort_array(transform(
+              sequence(b * $rpb, b * $rpb + ${rpb - 1}),
+              i -> concat(cast(i as string), ':', cast(mh[i] as string)))))))""")))
+      .toDF("id", "band", "bucket")
+  }
+
   /** LSH candidate pairs from per-document signature ARRAYS (the
     * [[docProfilesLocal]] `mh` column): each band's bucket key is an md5
     * over the band's sorted "i:mh" member strings — byte-identical to the
@@ -160,14 +175,8 @@ object Dedup {
     * (band, bucket) is the ONLY shuffle in the whole candidate pass.
     */
   def lshCandidatesLocal(profiles: DataFrame, k: Int, bands: Int): DataFrame = {
-    val rpb = k / bands
-    val bandKeys = profiles.select(col("id"), posexplode(expr(
-      s"""transform(sequence(0, ${bands - 1}), b ->
-            md5(concat_ws('_', sort_array(transform(
-              sequence(b * $rpb, b * $rpb + ${rpb - 1}),
-              i -> concat(cast(i as string), ':', cast(mh[i] as string)))))))""")))
-      .toDF("id", "band", "bucket")
-    bandKeys.as("a").join(bandKeys.as("b"),
+    val keys = bandKeys(profiles, k, bands)
+    keys.as("a").join(keys.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

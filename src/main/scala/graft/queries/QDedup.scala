@@ -188,6 +188,80 @@ object QDedup extends Registry {
                 SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst)
               SELECT id, min(lbl) AS canonical FROM walk GROUP BY id""")),
 
+    // Incremental dedup ADMISSION — the shape a production pipeline
+    // actually runs daily: a new crawl batch (doc_id % 7 == 0) is
+    // admitted against the EXISTING corpus, rejecting exact duplicates
+    // (fingerprint membership) and near-duplicates (batch band keys
+    // probe the corpus's LSH index; bucket collisions verify with exact
+    // Jaccard ≥ 0.7). At 100 TB the corpus-side profiles and band keys
+    // are a persisted index that only ever grows by admitted batches —
+    // the batch side is the only thing recomputed, and the probe join is
+    // batch-sized, not corpus-sized.
+    Q("dd_incremental_admit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val prof = graft.Caches.registerTransient(
+          Dedup.docProfilesLocal(docs, "doc_id", "text", n = 5, k = 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val isBatch = col("id") % 7 === 0
+        val fps = docs.select(col("doc_id").as("id"),
+          TextOps.fingerprint(col("text")).as("fp"))
+        val fpRejected = fps.filter(isBatch)
+          .join(fps.filter(!isBatch).select(col("fp")).distinct(),
+            Seq("fp"), "left_semi")
+          .select(col("id"))
+        val keys = Dedup.bandKeys(prof, k = 32, bands = 4)
+        val cands = keys.filter(isBatch).as("b")
+          .join(keys.filter(!isBatch).as("c"),
+            col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+          .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+          .distinct()
+        val ndRejected = Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
+          .select(col("id_a").as("id")).distinct()
+        prof.filter(isBatch)
+          .join(fpRejected.unionByName(ndRejected), Seq("id"), "left_anti")
+          .select(col("id").as("doc_id"), col("sz").as("n_shingles"))
+      },
+      Some(s"""WITH $shinglesSql,
+              hashed AS (
+                SELECT id, sh, sh % 2147483647 AS h1,
+                       ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
+                        + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
+                FROM shash),
+              mh AS (
+                SELECT id, CAST(i AS INT) AS i,
+                       min((h1 + i * h2) % 2147483647) AS mh
+                FROM hashed CROSS JOIN generate_series(0, 31) g(i)
+                GROUP BY id, CAST(i AS INT)),
+              banded AS (
+                SELECT id, CAST(i // 8 AS INT) AS band,
+                       md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+                           '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
+                FROM mh GROUP BY id, band),
+              fps AS (SELECT doc_id AS id, md5($normSql) AS fp FROM documents),
+              fprej AS (SELECT id FROM fps
+                        WHERE id % 7 = 0 AND fp IN
+                          (SELECT fp FROM fps WHERE id % 7 <> 0)),
+              cand AS (SELECT DISTINCT b.id AS id_a, c.id AS id_b
+                       FROM banded b JOIN banded c
+                         ON b.band = c.band AND b.bucket = c.bucket
+                       WHERE b.id % 7 = 0 AND c.id % 7 <> 0),
+              arrs AS (SELECT id, list(DISTINCT sh) AS arr,
+                              count(DISTINCT sh) AS sz
+                       FROM hashed GROUP BY id),
+              ndrej AS (SELECT DISTINCT cand.id_a AS id
+                        FROM cand
+                        JOIN arrs a ON a.id = cand.id_a
+                        JOIN arrs b ON b.id = cand.id_b
+                        WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                                / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                              >= 0.7e0)
+              SELECT a.id AS doc_id, a.sz AS n_shingles
+              FROM arrs a
+              WHERE a.id % 7 = 0
+                AND a.id NOT IN (SELECT id FROM fprej)
+                AND a.id NOT IN (SELECT id FROM ndrej)""")),
+
     // Benchmark decontamination — the eval-set overlap filter every
     // serious training-data pipeline runs before training (the GPT-3/
     // Llama-style n-gram check): a corpus document is contaminated when
