@@ -62,9 +62,10 @@ object TextOps {
     }
 
   /** distinct token n-gram HASHES per document: (id, gh). Grams are
-    * hashed to int64 inside the document's own row ([[hash60]] of the
-    * space-joined token window) — strings never shuffle. The workhorse
-    * of benchmark decontamination.
+    * hashed to int64 inside the document's own row — strings never
+    * shuffle. The workhorse of benchmark decontamination. Honors the
+    * dedup ladder's [[hashProfile]]: md5 (default, DuckDB-mirrored) or
+    * xxhash64 at cluster scale.
     */
   def gramHashes(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, n: Int): org.apache.spark.sql.DataFrame =
@@ -72,7 +73,8 @@ object TextOps {
       .filter(size(col("t")) >= n)
       .select(col("id"), explode(array_distinct(transform(
         sequence(lit(1), size(col("t")) - (n - 1)),
-        i => hash60(array_join(slice(col("t"), i, lit(n)), " ")))))
+        i => profileHash60(docs.sparkSession)(
+          array_join(slice(col("t"), i, lit(n)), " ")))))
         .as("gh"))
 
   /** per-language stopword hit counts → argmax language with deterministic

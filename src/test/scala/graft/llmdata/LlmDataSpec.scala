@@ -108,6 +108,13 @@ class LlmDataSpec extends SparkSpec {
         TextOps.profileFingerprint(spark)(col("text")).as("fp"))
         .collect().map(r => (r.getLong(0), r.getString(1))).toMap
       assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+      // gram hashing follows the profile too: identical docs share every
+      // 8-gram under any hash family
+      val grams = TextOps.gramHashes(docs, "doc_id", "text", 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val g1 = grams.filter(_._1 == 1L).map(_._2).toSet
+      val g2 = grams.filter(_._1 == 2L).map(_._2).toSet
+      assert(g1.nonEmpty && g1 == g2)
     } finally spark.conf.unset("spark.graft.dedup.hashProfile")
   }
 
