@@ -1,9 +1,9 @@
 package graft.expressions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Exact int64 dot product of two long-array columns — the kernel under
   * the k-means assignment step ([[graft.llmdata.Embeddings
@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * |q| ≤ 1e6 → 64-element sums ≤ 6.4e13).
   */
 case class DotLongs(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // declared input types make misuse (int arrays, strings) an
+  // analysis-time error instead of silent garbage from getLong on
+  // 4-byte-element UnsafeArrayData — same rationale as RhpBandKeys
+  // annotation omitted: AbstractDataType is private[sql]
+  override def inputTypes = Seq(ArrayType(LongType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "dotl"
 
@@ -40,7 +45,11 @@ object DotLongs {
     var s = 0L
     var i = 0
     while (i < n) {
-      s += a.getLong(i) * b.getLong(i)
+      // null elements contribute 0 (the library's producers emit
+      // containsNull=false arrays; a null slot must not be read as an
+      // undefined long)
+      if (!a.isNullAt(i) && !b.isNullAt(i))
+        s += a.getLong(i) * b.getLong(i)
       i += 1
     }
     s

@@ -136,18 +136,21 @@ object Dedup {
     */
   def docProfilesLocal(docs: DataFrame, idCol: String, textCol: String,
       n: Int, k: Int): DataFrame = {
+    // normalize ONCE into its own projection before the per-position
+    // lambda — normalized() inside the transform body would re-run the
+    // whole-document regex per shingle position (O(len²) per document)
+    val normed = docs.select(col(idCol).as("id"),
+      TextOps.normalized(col(textCol)).as("t"))
     val arr = TextOps.hashProfile(docs.sparkSession) match {
       case "xxhash64" =>
         array_distinct(transform(
-          sequence(lit(1), greatest(
-            length(TextOps.normalized(col(textCol))) - (n - 1), lit(1))),
-          i => xxhash64(TextOps.normalized(col(textCol)).substr(i, lit(n)))
+          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
+          i => xxhash64(col("t").substr(i, lit(n)))
             .bitwiseAND(lit((1L << 60) - 1))))
       case _ =>
-        array_distinct(call_function("shinglehash60",
-          TextOps.normalized(col(textCol)), lit(n)))
+        array_distinct(call_function("shinglehash60", col("t"), lit(n)))
     }
-    docs.select(col(idCol).as("id"), arr.as("arr"))
+    normed.select(col("id"), arr.as("arr"))
       .withColumn("sz", size(col("arr")).cast("long"))
       .withColumn("mh", call_function("minhashk", col("arr"), lit(k)))
   }
@@ -348,6 +351,13 @@ object Dedup {
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc-starstar] stable=$stable after $iter rounds")
+    // the post-loop labeling is only valid on a CONVERGED star graph —
+    // a non-stable edge set can hold two roots for one child, which
+    // would silently emit a multi-row canonical map; fail loudly instead
+    // (contraction's worst case is stale-but-unique labels, this one's
+    // is corrupt output)
+    if (!stable) throw new IllegalStateException(
+      s"canonicalClustersStarStar did not converge in $maxIter rounds — raise maxIter")
     // converged edges are star edges (root = a, child = b): label children
     // by their root, roots (and any node isolated by contraction of a
     // 2-cycle) by themselves

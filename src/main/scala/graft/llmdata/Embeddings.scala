@@ -67,10 +67,15 @@ object Embeddings {
       .withColumn("dot", call_function("dotl", col("xq"), col("cq")))
       .withColumn("n2c", call_function("dotl", col("cq"), col("cq")))
       .withColumn("score", col("n2c") - lit(2L) * col("dot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("score").asc, col("cell").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("vec_id"), col("cell"), col("xq"))
+    // argmin via min-of-struct, NOT a row_number window: the aggregate
+    // partially combines map-side so only ~n pre-reduced rows shuffle,
+    // where the window would shuffle and sort all n·k scored rows.
+    // (score, cell) is a total order per vector (cells are distinct), so
+    // the struct comparison never reaches the xq payload field.
+    scored.groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"), col("xq"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"),
+        col("best.xq").as("xq"))
   }
 
   /** One Lloyd UPDATE step: component-wise integer mean of each cell's

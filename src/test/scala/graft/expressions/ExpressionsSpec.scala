@@ -56,6 +56,12 @@ class ExpressionsSpec extends SparkSpec {
       .filter(col("native") =!= col("composed"))
       .count()
     assert(mismatches == 0)
+    // wrong element type must fail analysis, not read garbage
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1, 2), Seq(3, 4))).toDF("x", "y")
+        .select(call_function("dotl", col("x"), col("y"))).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
   }
 
   test("minhashk equals the (h1 + i*h2) mod p expression fold") {
