@@ -71,4 +71,21 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("tx_pack_budget"))
     assert(c.shuffles <= 1, s"tx_pack_budget shuffles: ${c.shuffles}")
   }
+
+  test("k-means: centroids broadcast; only argmin/update aggregates shuffle") {
+    // per Lloyd round: one argmin aggregate + (round 1 only) the two
+    // centroid-update aggregates; the n·k scored frame itself never
+    // shuffles (no window) and both centroid frames broadcast
+    val c = Plans.planCounts(q("sim_kmeans_assign"))
+    assert(c.shuffles <= 4 && c.broadcasts >= 2,
+      s"sim_kmeans_assign shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  test("incremental admission probes via broadcast, batch-sized shuffles only") {
+    val c = Plans.planCounts(q("dd_incremental_admit"))
+    assert(c.shuffles <= 5 && c.broadcasts >= 1,
+      s"dd_incremental_admit shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
 }
