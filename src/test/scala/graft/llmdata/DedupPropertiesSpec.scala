@@ -72,6 +72,23 @@ class DedupPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dd_cluster_canonical yields the same map under cc.algo=starstar") {
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("dd_cluster_canonical")
+    val viaContraction = q(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    graft.Caches.clearAll()
+    spark.conf.set("spark.graft.cc.algo", "starstar")
+    try {
+      val viaStars = q(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(viaStars == viaContraction)
+    } finally {
+      spark.conf.unset("spark.graft.cc.algo")
+      graft.Caches.clearAll()
+    }
+  }
+
   test("large-star/small-star equals union-find on random graphs") {
     import spark.implicits._
     // includes a long path — the adversarial shape for round counts
