@@ -39,6 +39,54 @@ object QDedup extends Registry {
        shash AS (
          SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh FROM spos)"""
 
+  /** Oracle for LSH-indexed incremental admission — shared verbatim with
+    * [[QStreaming]]'s `stream_lsh_admit`: the streaming path runs the
+    * SAME admission operator inside `foreachBatch` (micro-batches probe
+    * only the STATIC corpus index, never each other, so any micro-batch
+    * split yields the identical admitted set) and therefore has the
+    * identical batch oracle.
+    */
+  private[queries] val incrementalAdmitOracle: String =
+    s"""WITH $shinglesSql,
+       hashed AS (
+         SELECT id, sh, sh % 2147483647 AS h1,
+                ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
+                 + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
+         FROM shash),
+       mh AS (
+         SELECT id, CAST(i AS INT) AS i,
+                min((h1 + i * h2) % 2147483647) AS mh
+         FROM hashed CROSS JOIN generate_series(0, 31) g(i)
+         GROUP BY id, CAST(i AS INT)),
+       banded AS (
+         SELECT id, CAST(i // 8 AS INT) AS band,
+                md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+                    '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
+         FROM mh GROUP BY id, band),
+       fps AS (SELECT doc_id AS id, md5($normSql) AS fp FROM documents),
+       fprej AS (SELECT id FROM fps
+                 WHERE id % 7 = 0 AND fp IN
+                   (SELECT fp FROM fps WHERE id % 7 <> 0)),
+       cand AS (SELECT DISTINCT b.id AS id_a, c.id AS id_b
+                FROM banded b JOIN banded c
+                  ON b.band = c.band AND b.bucket = c.bucket
+                WHERE b.id % 7 = 0 AND c.id % 7 <> 0),
+       arrs AS (SELECT id, list(DISTINCT sh) AS arr,
+                       count(DISTINCT sh) AS sz
+                FROM hashed GROUP BY id),
+       ndrej AS (SELECT DISTINCT cand.id_a AS id
+                 FROM cand
+                 JOIN arrs a ON a.id = cand.id_a
+                 JOIN arrs b ON b.id = cand.id_b
+                 WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                         / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                       >= 0.7e0)
+       SELECT a.id AS doc_id, a.sz AS n_shingles
+       FROM arrs a
+       WHERE a.id % 7 = 0
+         AND a.id NOT IN (SELECT id FROM fprej)
+         AND a.id NOT IN (SELECT id FROM ndrej)"""
+
   /** SimHash signature → banded candidate `pairs` CTE chain (shared by
     * dd_simhash and the cluster canonicalization).
     */
@@ -222,45 +270,7 @@ object QDedup extends Registry {
           .join(fpRejected.unionByName(ndRejected), Seq("id"), "left_anti")
           .select(col("id").as("doc_id"), col("sz").as("n_shingles"))
       },
-      Some(s"""WITH $shinglesSql,
-              hashed AS (
-                SELECT id, sh, sh % 2147483647 AS h1,
-                       ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
-                        + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
-                FROM shash),
-              mh AS (
-                SELECT id, CAST(i AS INT) AS i,
-                       min((h1 + i * h2) % 2147483647) AS mh
-                FROM hashed CROSS JOIN generate_series(0, 31) g(i)
-                GROUP BY id, CAST(i AS INT)),
-              banded AS (
-                SELECT id, CAST(i // 8 AS INT) AS band,
-                       md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
-                           '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
-                FROM mh GROUP BY id, band),
-              fps AS (SELECT doc_id AS id, md5($normSql) AS fp FROM documents),
-              fprej AS (SELECT id FROM fps
-                        WHERE id % 7 = 0 AND fp IN
-                          (SELECT fp FROM fps WHERE id % 7 <> 0)),
-              cand AS (SELECT DISTINCT b.id AS id_a, c.id AS id_b
-                       FROM banded b JOIN banded c
-                         ON b.band = c.band AND b.bucket = c.bucket
-                       WHERE b.id % 7 = 0 AND c.id % 7 <> 0),
-              arrs AS (SELECT id, list(DISTINCT sh) AS arr,
-                              count(DISTINCT sh) AS sz
-                       FROM hashed GROUP BY id),
-              ndrej AS (SELECT DISTINCT cand.id_a AS id
-                        FROM cand
-                        JOIN arrs a ON a.id = cand.id_a
-                        JOIN arrs b ON b.id = cand.id_b
-                        WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
-                                / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE)
-                              >= 0.7e0)
-              SELECT a.id AS doc_id, a.sz AS n_shingles
-              FROM arrs a
-              WHERE a.id % 7 = 0
-                AND a.id NOT IN (SELECT id FROM fprej)
-                AND a.id NOT IN (SELECT id FROM ndrej)""")),
+      Some(incrementalAdmitOracle)),
 
     // Benchmark decontamination — the eval-set overlap filter every
     // serious training-data pipeline runs before training (the GPT-3/

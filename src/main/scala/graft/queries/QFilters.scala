@@ -340,6 +340,35 @@ object QFilters extends Registry {
       },
       Some("""SELECT l_orderkey, l_linenumber FROM lineitem
               WHERE l_shipdate > (SELECT max(o_orderdate) FROM orders
-                                  WHERE o_orderstatus = 'F')"""))
+                                  WHERE o_orderstatus = 'F')""")),
+
+    // S11 — PARTITIONED sink + partition-PRUNED scan: orders written
+    // `partitionBy` month (~80 dirs), read back with a month-range
+    // predicate that Catalyst resolves against the directory layout —
+    // only 12/80 partitions are ever listed or read (PartitionFilters in
+    // the scan; pinned by PartitionPruneSpec). At 100 TB partition-on-
+    // ingest-date is the first-order scan reducer: a month-window query
+    // touches 1% of the files, no row-group stats needed. The read-back
+    // passes an explicit schema — partition-value inference would parse
+    // '1995-01' as a DATE and silently change the column's type.
+    Q("s11_partition_prune",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s11_part", d)
+        val withMonth = Tables.orders(s, d)
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        withMonth.write.mode("overwrite").partitionBy("o_month")
+          .parquet(s"$dir/orders_bymonth")
+        s.read.schema(withMonth.schema).parquet(s"$dir/orders_bymonth")
+          .filter(col("o_month").between("1995-01", "1995-12"))
+          .groupBy(col("o_month"))
+          .agg(count(lit(1)).as("n_orders"),
+            Tables.dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""SELECT strftime(o_orderdate, '%Y-%m') AS o_month,
+                     count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders
+              WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
+              GROUP BY 1"""))
   )
 }

@@ -425,6 +425,38 @@ object QJoins extends Registry {
                              'g' || CAST(id % 8 AS VARCHAR) AS payload
                       FROM tr)
               SELECT l.k, l.ord, dim.payload
-              FROM l JOIN dim ON l.k = dim.k"""))
+              FROM l JOIN dim ON l.k = dim.k""")),
+
+    // J21 — bucketed CO-LOCATED join (SURVEY §4 physical-execution
+    // pattern): both sides are written `bucketBy` the join key, so the
+    // sort-merge join zips co-located buckets with ZERO shuffle exchange
+    // on either side (pinned by BucketedJoinSpec + PlanBudgetSpec). At
+    // 100 TB this is THE pattern for the pipeline's repeated id-keyed
+    // joins: bucket the fact tables once at ingest and every subsequent
+    // join in the chain is exchange-free. The `merge` hint keeps the
+    // demo honest at test scale — without it Catalyst would (correctly)
+    // broadcast the small dimension and never exercise the bucket path.
+    Q("j21_bucketed_join",
+      (s, d) => {
+        val base = graft.Scratch.dirFor("j21_bkt", d)
+        Tables.orders(s, d).write.mode("overwrite")
+          .option("path", s"$base/orders")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_bkt_orders")
+        Tables.customer(s, d).write.mode("overwrite")
+          .option("path", s"$base/customer")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_bkt_customer")
+        s.table("graft_bkt_orders").hint("merge")
+          .join(s.table("graft_bkt_customer"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            Tables.dsum(col("o_totalprice")).as("sum_price"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+              FROM orders JOIN customer ON o_custkey = c_custkey
+              GROUP BY c_mktsegment"""))
   )
 }

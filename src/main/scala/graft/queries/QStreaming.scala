@@ -163,6 +163,72 @@ object QStreaming extends Registry {
                 ON b.event_type = 'purchase' AND r.event_type = 'error'
                AND r.user_id = b.user_id
                AND r.mts >= b.mts - INTERVAL 6 HOUR
-               AND r.mts <= b.mts"""))
+               AND r.mts <= b.mts""")),
+
+    // Streaming NEAR-DUP admission: the batch LSH-admission operator
+    // (dd_incremental_admit) run INSIDE foreachBatch — the production
+    // pattern for continuous corpus ingest. Each micro-batch of arriving
+    // documents probes the STATIC corpus LSH index (profiles + band keys
+    // + fingerprints, built once and persisted; at cluster scale a stored
+    // index table that grows by admitted batches) and only the survivors
+    // are appended. ZERO streaming state: the probe is a stream-static
+    // join inside the batch closure, so state never grows with the
+    // stream — the unbounded thing is the INDEX, which lives in storage,
+    // not in the state store. Because micro-batches are checked against
+    // the corpus only (never each other), any micro-batch split yields
+    // the identical admitted set — which is why the batch oracle is
+    // shared verbatim with dd_incremental_admit.
+    Q("stream_lsh_admit",
+      (s, d) => {
+        import graft.llmdata.{Dedup, TextOps}
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val outDir = graft.Scratch.dirFor("stream_admit", d) + "/admitted"
+        graft.Scratch.clear(outDir)
+        val docs = graft.Tables.documents(s, d)
+        val isCorpus = col("doc_id") % 7 =!= 0
+        val corpusProf = graft.Caches.registerTransient(
+          Dedup.docProfilesLocal(docs.filter(isCorpus), "doc_id", "text",
+              n = 5, k = 32)
+            .persist(MEMORY_AND_DISK))
+        val corpusKeys = graft.Caches.registerTransient(
+          Dedup.bandKeys(corpusProf, k = 32, bands = 4)
+            .persist(MEMORY_AND_DISK))
+        val corpusFps = graft.Caches.registerTransient(
+          docs.filter(isCorpus)
+            .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+            .persist(MEMORY_AND_DISK))
+        val arrivals = StreamingDedup
+          .parquetStream(s, s"$d/documents.parquet")
+          .filter(col("doc_id") % 7 === 0)
+        val q = arrivals.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val bprof = Dedup.docProfilesLocal(batch, "doc_id", "text",
+                n = 5, k = 32)
+              .persist(MEMORY_AND_DISK)
+            try {
+              val fpRej = batch.select(col("doc_id").as("id"),
+                  TextOps.fingerprint(col("text")).as("fp"))
+                .join(corpusFps, Seq("fp"), "left_semi")
+                .select(col("id"))
+              val cands = Dedup.bandKeys(bprof, k = 32, bands = 4).as("b")
+                .join(corpusKeys.as("c"),
+                  col("b.band") === col("c.band") &&
+                    col("b.bucket") === col("c.bucket"))
+                .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+                .distinct()
+              val ndRej = Dedup.jaccardOnProfiles(
+                  bprof.unionByName(corpusProf), cands, threshold = 0.7)
+                .select(col("id_a").as("id")).distinct()
+              bprof.join(fpRej.unionByName(ndRej), Seq("id"), "left_anti")
+                .select(col("id").as("doc_id"), col("sz").as("n_shingles"))
+                .write.mode("append").parquet(outDir)
+            } finally bprof.unpersist()
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+      },
+      Some(QDedup.incrementalAdmitOracle))
   )
 }

@@ -523,15 +523,11 @@ object QTracePipeline extends Registry {
     Q("s4_sink_roundtrip",
       (s, d) => {
         val panel = DailyMetrics.panel(corrected(s, d), sumScale = 8)
-        // deterministic per-sfDir dir, NOT a fresh createTempDirectory per
-        // invocation: bench reps / verify / plan runs would otherwise each
-        // leave two full panel copies behind; overwrite mode makes reruns
-        // land on the same files
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString
-        val dir = java.nio.file.Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_s4_roundtrip_$digest")
-        java.nio.file.Files.createDirectories(dir)
+        // deterministic per-sfDir dir (graft.Scratch), NOT a fresh
+        // createTempDirectory per invocation: bench reps / verify / plan
+        // runs would otherwise each leave two full panel copies behind;
+        // overwrite mode makes reruns land on the same files
+        val dir = graft.Scratch.dirFor("s4_roundtrip", d)
         // coalesce(4): the panel is a ~100-bytes/row aggregate — writing it
         // as 32 near-empty files pays 8x the task/file overhead for zero
         // parallelism benefit. At fact-table scale keep the natural

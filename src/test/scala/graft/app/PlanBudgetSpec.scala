@@ -88,4 +88,10 @@ class PlanBudgetSpec extends SparkSpec {
       s"dd_incremental_admit shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
     graft.Caches.clearTransient()
   }
+
+  test("bucketed join is exchange-free; only the final agg shuffles") {
+    val c = Plans.planCounts(q("j21_bucketed_join"))
+    assert(c.shuffles <= 1 && c.broadcasts == 0,
+      s"j21_bucketed_join shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
 }

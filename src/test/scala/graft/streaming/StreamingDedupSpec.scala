@@ -52,4 +52,17 @@ class StreamingDedupSpec extends SparkSpec {
     assert(fps.toSet.size == 2) // alpha-beta twice, gamma once
     q.stop()
   }
+
+  test("foreachBatch LSH admission equals the batch admission operator") {
+    val sf = "/root/testdata/sf0.001"
+    def rows(name: String) =
+      graft.SparkEntry.queries(name)(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val streamed = rows("stream_lsh_admit")
+    val batch = rows("dd_incremental_admit")
+    assert(streamed == batch,
+      s"stream/batch admission diverge: ${streamed.diff(batch)} vs ${batch.diff(streamed)}")
+    assert(streamed.nonEmpty)
+    graft.Caches.clearTransient()
+  }
 }
