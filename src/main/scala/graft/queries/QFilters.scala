@@ -356,7 +356,12 @@ object QFilters extends Registry {
         val dir = graft.Scratch.dirFor("s11_part", d)
         val withMonth = Tables.orders(s, d)
           .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        withMonth.write.mode("overwrite").partitionBy("o_month")
+        // repartition ON the partition column before the write: without it
+        // every input task writes a file into every month dir (tasks ×
+        // months small files — the classic partitioned-sink file
+        // explosion); with it each dir gets one file per owning task
+        withMonth.repartition(col("o_month"))
+          .write.mode("overwrite").partitionBy("o_month")
           .parquet(s"$dir/orders_bymonth")
         s.read.schema(withMonth.schema).parquet(s"$dir/orders_bymonth")
           .filter(col("o_month").between("1995-01", "1995-12"))
