@@ -425,6 +425,68 @@ object QText extends Registry {
       },
       Some(s"""WITH fp AS (SELECT doc_id, md5($normSql) AS fp FROM documents),
               g AS (SELECT fp, count(*) AS dup_count FROM fp GROUP BY fp)
-              SELECT doc_id, fp.fp, dup_count FROM fp JOIN g ON fp.fp = g.fp"""))
+              SELECT doc_id, fp.fp, dup_count FROM fp JOIN g ON fp.fp = g.fp""")),
+
+    // Deterministic global SHUFFLE + sharding — the data-loader prep step
+    // of a training pipeline: every document gets a pseudo-random but
+    // REPRODUCIBLE position (hash-ordered, stable under retries/re-runs,
+    // unlike rand()-ordering), bucketed into shards a loader can read
+    // independently. One shuffle (the per-shard window); at 100 TB the
+    // shard count scales with the corpus so each shard's sort stays
+    // executor-sized — never a global orderBy.
+    Q("tx_shard_shuffle",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("hh"), col("doc_id"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            TextOps.hash60(col("doc_id").cast("string")).as("hh"))
+          .withColumn("shard", col("hh") % 16)
+          .withColumn("pos", row_number().over(w).cast("long"))
+          .select(col("doc_id"), col("shard"), col("pos"))
+      },
+      Some("""WITH h AS (SELECT doc_id,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+                   FROM documents)
+              SELECT doc_id, hh % 16 AS shard,
+                     row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS pos
+              FROM h""")),
+
+    // PII redaction — the scrub pass every corpus runs before training.
+    // The synthetic texts carry no contact strings, so the query FIRST
+    // derives a contaminated variant (email + phone appended from
+    // doc_id/source — deterministic, both engines build the identical
+    // string), then redacts with conservative patterns that parse the
+    // same under Java regex and RE2, and hash-gates the REDACTED text.
+    // Pure per-row expressions — zero exchanges at any scale.
+    Q("tx_redact_pii",
+      (s, d) => {
+        val contaminated = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"), lit("@"),
+          col("source"), lit(".example.com or 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phoneRe = "555-[0-9]{4}"
+        Tables.documents(s, d)
+          .select(col("doc_id"), contaminated.as("raw"))
+          .select(col("doc_id"),
+            regexp_count(col("raw"), lit(emailRe)).cast("long").as("n_emails"),
+            regexp_count(col("raw"), lit(phoneRe)).cast("long").as("n_phones"),
+            md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              phoneRe, "<PHONE>")).as("red_fp"))
+      },
+      Some("""WITH raw AS (
+                SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR) || '@'
+                            || source || '.example.com or 555-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+                FROM documents)
+              SELECT doc_id,
+                     len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+                     len(regexp_extract_all(raw, '555-[0-9]{4}')) AS n_phones,
+                     md5(regexp_replace(regexp_replace(raw,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
+              FROM raw"""))
   )
 }

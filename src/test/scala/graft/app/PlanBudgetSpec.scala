@@ -89,6 +89,17 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearTransient()
   }
 
+  test("PII redaction is a pure codegen projection — zero exchanges") {
+    val c = Plans.planCounts(q("tx_redact_pii"))
+    assert(c.shuffles == 0 && c.broadcasts == 0,
+      s"tx_redact_pii shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
+  test("shard shuffle pays exactly one exchange (the per-shard window)") {
+    val c = Plans.planCounts(q("tx_shard_shuffle"))
+    assert(c.shuffles <= 1, s"tx_shard_shuffle shuffles: ${c.shuffles}")
+  }
+
   test("bucketed join is exchange-free; only the final agg shuffles") {
     val c = Plans.planCounts(q("j21_bucketed_join"))
     assert(c.shuffles <= 1 && c.broadcasts == 0,
