@@ -427,6 +427,42 @@ object QJoins extends Registry {
               SELECT l.k, l.ord, dim.payload
               FROM l JOIN dim ON l.k = dim.k""")),
 
+    // J18 — treasury-curve join (stage1/helper_functions.py:381): a DAILY
+    // curve (tiny by nature — one row per calendar day) is resampled onto
+    // the fact table's date spine with a forward-fill, then broadcast
+    // left-joined to the facts. The ffill window is a global orderBy over
+    // the CURVE only — a few thousand rows regardless of corpus size —
+    // never over the facts; the fact side pays zero shuffle (broadcast).
+    Q("j18_curve_join",
+      (s, d) => {
+        val curve = Tables.orders(s, d)
+          .groupBy(col("o_orderdate").as("dt"))
+          .agg((Tables.dsum(col("o_totalprice")) / count(lit(1))).as("rate"))
+        val spine = Tables.lineitem(s, d)
+          .select(col("l_shipdate").as("dt")).distinct()
+        val w = org.apache.spark.sql.expressions.Window.orderBy(col("dt"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val filled = spine.join(curve, Seq("dt"), "left")
+          .withColumn("rate", last(col("rate"), ignoreNulls = true).over(w))
+        Tables.lineitem(s, d)
+          .join(broadcast(filled), col("l_shipdate") === filled("dt"))
+          .select(col("l_orderkey"), col("l_linenumber"), col("dt"),
+            col("rate"))
+      },
+      Some("""WITH curve AS (
+                SELECT o_orderdate AS dt,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                         / count(*) AS rate
+                FROM orders GROUP BY 1),
+              spine AS (SELECT DISTINCT l_shipdate AS dt FROM lineitem),
+              filled AS (
+                SELECT spine.dt,
+                       last_value(curve.rate IGNORE NULLS)
+                         OVER (ORDER BY spine.dt ROWS UNBOUNDED PRECEDING) AS rate
+                FROM spine LEFT JOIN curve ON spine.dt = curve.dt)
+              SELECT l_orderkey, l_linenumber, filled.dt, rate
+              FROM lineitem JOIN filled ON l_shipdate = filled.dt""")),
+
     // J21 — bucketed CO-LOCATED join (SURVEY §4 physical-execution
     // pattern): both sides are written `bucketBy` the join key, so the
     // sort-merge join zips co-located buckets with ZERO shuffle exchange
