@@ -42,4 +42,32 @@ class PartitionPruneSpec extends SparkSpec {
     val written = dir.listFiles().count(_.getName.startsWith("o_month="))
     assert(written > 12, s"expected >12 written partitions, got $written")
   }
+
+  test("dynamic partition pruning fires when a filtered dim drives the scan") {
+    import spark.implicits._
+    // the s11 table partitioned by month (written by the test above or
+    // any prior run of the query)
+    graft.SparkEntry.queries("s11_partition_prune")(
+      spark, "/root/testdata/sf0.001").count()
+    val dir = new java.io.File(
+      graft.Scratch.dirFor("s11_part", "/root/testdata/sf0.001"),
+      "orders_bymonth").getAbsolutePath
+    val facts = spark.read.parquet(dir)
+    // a tiny month dimension filtered at runtime: the fact side's
+    // partition filter is not known until the dim is evaluated — exactly
+    // the shape DPP exists for (dim filter -> fact partitions skipped).
+    // The dim must be a SCANNED source with a real Filter node: an
+    // in-memory LocalTableScan constant-folds the predicate away and
+    // PartitionPruning never sees a pruning filter to propagate.
+    val dimPath = graft.Scratch.dirFor("dpp_dim", "spec") + "/months"
+    Seq(("1996-03", "target"), ("1996-04", "target"), ("1997-01", "other"))
+      .toDF("m", "tag").write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = facts.join(dim, facts("o_month") === dim("m"))
+      .filter($"tag" === "target")
+    assert(joined.count() > 0)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamicpruning subquery in the fact scan:\n$plan")
+  }
 }
