@@ -30,12 +30,7 @@ object Bench {
     // at least one rep always runs (REPS=0 would leave perRep empty)
     val maxReps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt)
     // local-iteration filter: comma-separated query names; unset = all
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val queries = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
-    }
+    val queries = SparkEntry.filteredQueries("SPARK_GRAFT_BENCH_ONLY")
     // wall-clock guard: a second rep only runs if the first stayed inside
     // the budget — on a contended machine (both prior driver runs were
     // inflated 2-8x) one rep's honest numbers beat risking a harness

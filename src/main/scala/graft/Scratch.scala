@@ -25,8 +25,13 @@ object Scratch {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq
-        .sortBy(-_.getNameCount)
+      // Files.walk holds open directory handles — close the stream, or
+      // every call leaks an fd until GC
+      val stream = java.nio.file.Files.walk(root)
+      val paths =
+        try stream.iterator().asScala.toSeq
+        finally stream.close()
+      paths.sortBy(-_.getNameCount)
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }

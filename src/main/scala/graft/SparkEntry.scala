@@ -55,4 +55,23 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Dev-loop subset filter shared by [[Verify]] and [[Bench]]: a
+    * comma-separated query-name list in `envVar` restricts the run;
+    * unset runs everything. Unknown names WARN to stderr — a typo that
+    * silently filtered everything out would otherwise overwrite the
+    * canonical artifacts with a plausible-looking empty run.
+    */
+  def filteredQueries(envVar: String)
+      : Map[String, (SparkSession, String) => DataFrame] =
+    sys.env.get(envVar)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet) match {
+      case Some(names) =>
+        val unknown = names.diff(queries.keySet)
+        if (unknown.nonEmpty)
+          System.err.println(
+            s"[$envVar] unknown query name(s): ${unknown.mkString(", ")}")
+        queries.filter(kv => names(kv._1))
+      case None => queries
+    }
 }

@@ -28,19 +28,17 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // local-iteration filter mirroring Bench's: unset = all queries
+    val queries = SparkEntry.filteredQueries("SPARK_GRAFT_VERIFY_ONLY")
     // write the oracle file BEFORE running any query: if one query hangs
     // or the JVM dies mid-run, the completed results remain comparable
-    // instead of the whole round silently losing its oracle map
-    val json = SparkEntry.oracleSql
+    // instead of the whole round silently losing its oracle map. The
+    // map is restricted to the filtered set — a full map over a
+    // filtered dump would make every unrun query read as a failure to
+    // an oracle-map-driven comparer
+    val json = SparkEntry.oracleSql.filter(kv => queries.contains(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // local-iteration filter mirroring Bench's: unset = all queries
-    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val queries = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None => SparkEntry.queries
-    }
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -227,7 +227,15 @@ object QStreaming extends Registry {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        s.read.parquet(outDir)
+        // schema-pinned read: an all-rejected run writes no parquet, and
+        // a schemaless read of the empty dir would throw instead of
+        // returning the contract's empty (doc_id, n_shingles) frame
+        s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_shingles",
+              org.apache.spark.sql.types.LongType))))
+          .parquet(outDir)
       },
       Some(QDedup.incrementalAdmitOracle))
   )

@@ -17,13 +17,10 @@ object StreamStaging {
     val f = new java.io.File(path)
     if (!f.isFile) path
     else {
-      val abs = f.getAbsolutePath
-      val digest = java.security.MessageDigest.getInstance("MD5")
-        .digest(abs.getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
+      // digest/mkdir convention lives in graft.Scratch (same
+      // "graft_stream_<md5>" name this produced before the extraction)
       val d = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), s"graft_stream_$digest")
-      java.nio.file.Files.createDirectories(d)
+        graft.Scratch.dirFor("stream", f.getAbsolutePath))
       val link = d.resolve(f.getName)
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link, f.toPath.toAbsolutePath)
