@@ -201,6 +201,36 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** LSH-index ADMISSION of one batch against a static corpus index:
+    * reject on exact-fingerprint membership, then on any band-bucket
+    * collision that verifies at `threshold` Jaccard; everything else is
+    * admitted as (doc_id, n_shingles). Shared verbatim by the batch
+    * operator (`dd_incremental_admit` shape), the foreachBatch streaming
+    * path (`stream_lsh_admit`) and the multi-micro-batch equivalence
+    * spec — admission depends only on (batch row, corpus index), so ANY
+    * partition of arrivals into batches yields the same admitted set.
+    *
+    * @param bprof    batch-side profiles from [[docProfilesLocal]]
+    *                 (persist before calling — consumed three times)
+    * @param batchFps batch-side (id, fp) fingerprints
+    */
+  def admitOnProfiles(bprof: DataFrame, batchFps: DataFrame,
+      corpusProf: DataFrame, corpusKeys: DataFrame, corpusFps: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val fpRej = batchFps
+      .join(corpusFps, Seq("fp"), "left_semi")
+      .select(col("id"))
+    val cands = bandKeys(bprof, k, bands).as("b")
+      .join(corpusKeys.as("c"),
+        col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
+      .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+      .distinct()
+    val ndRej = jaccardOnProfiles(bprof.unionByName(corpusProf), cands, threshold)
+      .select(col("id_a").as("id")).distinct()
+    bprof.join(fpRej.unionByName(ndRej), Seq("id"), "left_anti")
+      .select(col("id").as("doc_id"), col("sz").as("n_shingles"))
+  }
+
   /** LSH candidate pairs: band the k signatures into `bands` groups of
     * k/bands rows; docs sharing any band bucket become a candidate pair
     * (id_a < id_b).

@@ -205,24 +205,13 @@ object QStreaming extends Registry {
             val bprof = Dedup.docProfilesLocal(batch, "doc_id", "text",
                 n = 5, k = 32)
               .persist(MEMORY_AND_DISK)
-            try {
-              val fpRej = batch.select(col("doc_id").as("id"),
-                  TextOps.fingerprint(col("text")).as("fp"))
-                .join(corpusFps, Seq("fp"), "left_semi")
-                .select(col("id"))
-              val cands = Dedup.bandKeys(bprof, k = 32, bands = 4).as("b")
-                .join(corpusKeys.as("c"),
-                  col("b.band") === col("c.band") &&
-                    col("b.bucket") === col("c.bucket"))
-                .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
-                .distinct()
-              val ndRej = Dedup.jaccardOnProfiles(
-                  bprof.unionByName(corpusProf), cands, threshold = 0.7)
-                .select(col("id_a").as("id")).distinct()
-              bprof.join(fpRej.unionByName(ndRej), Seq("id"), "left_anti")
-                .select(col("id").as("doc_id"), col("sz").as("n_shingles"))
-                .write.mode("append").parquet(outDir)
-            } finally bprof.unpersist()
+            try Dedup.admitOnProfiles(bprof,
+                batch.select(col("doc_id").as("id"),
+                  TextOps.fingerprint(col("text")).as("fp")),
+                corpusProf, corpusKeys, corpusFps,
+                k = 32, bands = 4, threshold = 0.7)
+              .write.mode("append").parquet(outDir)
+            finally bprof.unpersist()
             ()
           }
           .trigger(Trigger.AvailableNow()).start()

@@ -53,6 +53,53 @@ class StreamingDedupSpec extends SparkSpec {
     q.stop()
   }
 
+  test("admission is invariant to how arrivals split into micro-batches") {
+    import spark.implicits._
+    import graft.llmdata.{Dedup, TextOps}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus: three docs; arrivals: one exact dup, one near-dup (same
+    // text, one word changed), two genuinely new docs
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "colorless green ideas sleep furiously in the summer night sky"),
+      (3L, "pack my box with five dozen liquor jugs and nothing else"))
+      .toDF("doc_id", "text")
+    val arrivals = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"),
+      (11L, "colorless green ideas sleep furiously in the winter night sky"),
+      (12L, "sphinx of black quartz judge my vow tonight before midnight"),
+      (13L, "how vexingly quick daft zebras jump over complacent hounds"))
+    val corpusProf = Dedup.docProfilesLocal(corpus, "doc_id", "text", n = 5, k = 32)
+    val corpusKeys = Dedup.bandKeys(corpusProf, k = 32, bands = 4)
+    val corpusFps = corpus.select(TextOps.fingerprint(col("text")).as("fp"))
+    def admit(batch: org.apache.spark.sql.DataFrame) =
+      Dedup.admitOnProfiles(
+        Dedup.docProfilesLocal(batch, "doc_id", "text", n = 5, k = 32),
+        batch.select(col("doc_id").as("id"),
+          TextOps.fingerprint(col("text")).as("fp")),
+        corpusProf, corpusKeys, corpusFps, k = 32, bands = 4, threshold = 0.5)
+    // all-at-once reference
+    val allAtOnce = admit(arrivals.toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    // streamed in TWO micro-batches through the same foreachBatch body
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= admit(batch).collect().map(_.getLong(0)); ()
+      }
+      .start()
+    input.addData(arrivals.take(2): _*)
+    q.processAllAvailable()
+    input.addData(arrivals.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(got.toSet == allAtOnce,
+      s"micro-batch split changed the admitted set: $got vs $allAtOnce")
+    // and the dedup logic actually fired: exact dup 10 rejected
+    assert(!allAtOnce.contains(10L) && allAtOnce.contains(12L))
+  }
+
   test("foreachBatch LSH admission equals the batch admission operator") {
     val sf = "/root/testdata/sf0.001"
     def rows(name: String) =
