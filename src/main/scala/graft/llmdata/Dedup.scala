@@ -285,10 +285,14 @@ object Dedup {
     var nEdges = edgesCur.count()
     while (nEdges > 0 && iter < maxIter) {
       // supernode relabel: min of self and contracted neighbors (edges
-      // are symmetric, so one groupBy(src) sees every neighborhood)
+      // are symmetric, so one groupBy(src) sees every neighborhood).
+      // PERSISTED for the round: three consumers below (members join +
+      // both edge-endpoint rewrites) would otherwise re-run the groupBy
+      // three times per round — 6-round graphs paid the relabel 18x
       val superLabels = edgesCur.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("nbrMin"))
         .select(col("id"), least(col("id"), col("nbrMin")).as("lbl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // every original node chases its supernode's new label; supernodes
       // that already lost all edges are final (left join + coalesce)
       members = members
@@ -307,6 +311,9 @@ object Dedup {
         .distinct()
         .localCheckpoint(false)
       nEdges = edgesCur.count() // materializes the lazy checkpoint
+      // members (eager checkpoint) and edges (just counted) are both
+      // materialized — the round's relabel frame can go
+      superLabels.unpersist(false)
       iter += 1
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -184,6 +184,9 @@ object QStreaming extends Registry {
         import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
         val outDir = graft.Scratch.dirFor("stream_admit", d) + "/admitted"
         graft.Scratch.clear(outDir)
+        // recreate eagerly: a zero-batch run would otherwise leave no dir
+        // for the schema-pinned read-back below
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
         val docs = graft.Tables.documents(s, d)
         val isCorpus = col("doc_id") % 7 =!= 0
         val corpusProf = graft.Caches.registerTransient(
