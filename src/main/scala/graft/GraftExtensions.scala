@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, RhpBandKeys, ShingleHash60}
+import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier("dotl"),
       new ExpressionInfo(classOf[DotLongs].getName, "dotl"),
       children => DotLongs(children.head, children(1))),
+    (new FunctionIdentifier("normws"),
+      new ExpressionInfo(classOf[NormalizeWs].getName, "normws"),
+      children => NormalizeWs(children.head)),
     (new FunctionIdentifier("rhpbands"),
       new ExpressionInfo(classOf[RhpBandKeys].getName, "rhpbands"),
       children => RhpBandKeys(children.head)),

@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** lowercase, collapse whitespace runs to single spaces, trim. */
-  def normalized(text: Column): Column =
-    trim(regexp_replace(lower(text), "\\s+", " "))
+  /** lowercase + collapse `\s+` runs + trim, as ONE codegen'd pass
+    * ([[graft.expressions.NormalizeWs]]) — value-identical to the
+    * `trim(regexp_replace(lower(text), "\\s+", " "))` form the DuckDB
+    * oracles mirror (NormalizeWsSpec pins the equality).
+    */
+  def normalized(text: Column): Column = call_function("normws", text)
 
   /** whitespace tokens of the normalized text. */
   def tokens(text: Column): Column = split(normalized(text), " ")
