@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60}
+import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60, Simhash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -54,6 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier("normws"),
       new ExpressionInfo(classOf[NormalizeWs].getName, "normws"),
       children => NormalizeWs(children.head)),
+    (new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
+      children => {
+        val flag = children(1)
+        if (!flag.foldable)
+          throw new IllegalArgumentException(
+            "simhash60(norm, useXx): useXx must be a foldable boolean literal")
+        flag.eval() match {
+          case b: java.lang.Boolean => Simhash60(children.head, b.booleanValue)
+          case other => throw new IllegalArgumentException(
+            s"simhash60(norm, useXx): useXx must be a boolean literal, got $other")
+        }
+      }),
     (new FunctionIdentifier("rhpbands"),
       new ExpressionInfo(classOf[RhpBandKeys].getName, "rhpbands"),
       children => RhpBandKeys(children.head)),

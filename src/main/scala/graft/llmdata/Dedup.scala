@@ -408,10 +408,27 @@ object Dedup {
     * is non-negative. Pure higher-order functions — one pass per doc.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // explode tokens once, hash once per token, then 60 conditional-sum
-    // aggregate columns in ONE hash aggregation (map-side combined,
-    // whole-stage codegen) — an order of magnitude faster than a nested
-    // higher-order-function fold, which runs interpreted per row.
+    // per-row native signature (graft.expressions.Simhash60): tokenize,
+    // hash and bit-vote inside the document's own row — the token
+    // relation never exists and the per-doc aggregation EXCHANGE
+    // disappears; only band keys shuffle downstream (same scale shape
+    // as docProfilesLocal). Value-pinned against simhashExploded.
+    val useXx = TextOps.hashProfile(docs.sparkSession) == "xxhash64"
+    docs.select(col(idCol).as("id"),
+        call_function("simhash60",
+          TextOps.normalized(col(textCol)), lit(useXx)).as("simhash"))
+      // a null text has no token rows in the exploded form — drop it
+      // here too so both formulations emit the same id set
+      .filter(col("simhash").isNotNull)
+  }
+
+  /** The exploded groupBy formulation simhash() replaced — kept as the
+    * independent reference implementation the property spec checks the
+    * native expression against (explode tokens, hash per token, 60
+    * conditional-sum aggregate columns in one hash aggregation).
+    */
+  private[graft] def simhashExploded(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("tok"))
       .withColumn("h", TextOps.profileHash60(docs.sparkSession)(col("tok")))

@@ -89,6 +89,11 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearTransient()
   }
 
+  test("simhash signatures are per-row; only the candidate join shuffles") {
+    val c = Plans.planCounts(q("dd_simhash"))
+    assert(c.shuffles <= 2, s"dd_simhash shuffles: ${c.shuffles}")
+  }
+
   test("PII redaction is a pure codegen projection — zero exchanges") {
     val c = Plans.planCounts(q("tx_redact_pii"))
     assert(c.shuffles == 0 && c.broadcasts == 0,
