@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60, Simhash60}
+import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60, Simhash60, TokenGramHash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -66,6 +66,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"simhash60(norm, useXx): useXx must be a boolean literal, got $other")
         }
+      }),
+    (new FunctionIdentifier("tokengramhash60"),
+      new ExpressionInfo(classOf[TokenGramHash60].getName, "tokengramhash60"),
+      children => {
+        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+            what: String): Int = {
+          if (!e.foldable) throw new IllegalArgumentException(
+            s"tokengramhash60: $what must be a foldable literal")
+          e.eval() match {
+            case i: java.lang.Integer => i.intValue
+            case l: java.lang.Long => l.intValue
+            case other => throw new IllegalArgumentException(
+              s"tokengramhash60: $what must be an integer literal, got $other")
+          }
+        }
+        val flag = children(2)
+        if (!flag.foldable) throw new IllegalArgumentException(
+          "tokengramhash60: useXx must be a foldable boolean literal")
+        val useXx = flag.eval() match {
+          case b: java.lang.Boolean => b.booleanValue
+          case other => throw new IllegalArgumentException(
+            s"tokengramhash60: useXx must be a boolean literal, got $other")
+        }
+        TokenGramHash60(children.head, intLit(children(1), "n"), useXx)
       }),
     (new FunctionIdentifier("rhpbands"),
       new ExpressionInfo(classOf[RhpBandKeys].getName, "rhpbands"),

@@ -53,6 +53,20 @@ object Md5Prefix60 {
     val md = digests.get()
     md.reset()
     val d = md.digest(bytes)
+    first60(d)
+  }
+
+  /** same hash over a byte RANGE — lets callers ([[TokenGramHash60]])
+    * hash substrings without slicing a fresh array per call.
+    */
+  def hashRange(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(bytes, off, len)
+    first60(md.digest())
+  }
+
+  private def first60(d: Array[Byte]): Long = {
     val v64 =
       ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
       ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |

@@ -72,7 +72,24 @@ object TextOps {
     * xxhash64 at cluster scale.
     */
   def gramHashes(docs: org.apache.spark.sql.DataFrame, idCol: String,
-      textCol: String, n: Int): org.apache.spark.sql.DataFrame =
+      textCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    // native one-pass gram hashing (graft.expressions.TokenGramHash60):
+    // after normalization every joined n-gram IS a byte range of the
+    // document, so hashes come straight off the UTF-8 bytes — no token
+    // array, no per-gram string. Short documents yield an empty array,
+    // which explode drops (same rows as the old size>=n pre-filter).
+    val useXx = hashProfile(docs.sparkSession) == "xxhash64"
+    docs.select(col(idCol).as("id"),
+        explode(call_function("tokengramhash60",
+          normalized(col(textCol)), lit(n), lit(useXx))).as("gh"))
+  }
+
+  /** The composed per-row-lambda formulation gramHashes() replaced —
+    * kept as the independent reference the property spec pins the
+    * native expression against.
+    */
+  private[graft] def gramHashesComposed(docs: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int): org.apache.spark.sql.DataFrame =
     docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
       .filter(size(col("t")) >= n)
       .select(col("id"), explode(array_distinct(transform(
