@@ -90,8 +90,14 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("simhash signatures are per-row; only the candidate join shuffles") {
-    val c = Plans.planCounts(q("dd_simhash"))
-    assert(c.shuffles <= 2, s"dd_simhash shuffles: ${c.shuffles}")
+    // raw DAG, not the memoized query row (whose plan is a checkpoint
+    // scan): signature computation must stay inside the document's row —
+    // the only exchanges allowed are the band-key self-join + distinct
+    val docs = graft.Tables.documents(spark, sf)
+    val pairs = graft.llmdata.Dedup.simhashPairs(
+      graft.llmdata.Dedup.simhash(docs, "doc_id", "text"), maxDist = 3)
+    val c = Plans.planCounts(pairs)
+    assert(c.shuffles <= 3, s"raw simhash pairs shuffles: ${c.shuffles}")
   }
 
   test("PII redaction is a pure codegen projection — zero exchanges") {
