@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60, Simhash60, TokenGramHash60}
+import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -110,6 +110,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"shinglehash60(str, n): n must be an integer literal, got $other")
         }
         ShingleHash60(children.head, n)
+      }),
+    (new FunctionIdentifier("shinglexx60"),
+      new ExpressionInfo(classOf[ShingleXx60].getName, "shinglexx60"),
+      children => {
+        val nArg = children(1)
+        if (!nArg.foldable)
+          throw new IllegalArgumentException(
+            "shinglexx60(str, n): n must be a foldable integer literal")
+        val n = nArg.eval() match {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+          case other => throw new IllegalArgumentException(
+            s"shinglexx60(str, n): n must be an integer literal, got $other")
+        }
+        ShingleXx60(children.head, n)
       }),
     (new FunctionIdentifier("minhashk"),
       new ExpressionInfo(classOf[MinHashK].getName, "minhashk"),

@@ -52,27 +52,18 @@ object Dedup {
        + 40503 * (sh % 1073741824) + 12345) % 2147483647"""
 
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    // md5 profile: the native one-pass polynomial (shingle strings never
-    // exist). xxhash64 profile (cluster scale): materialize shingles and
-    // hash with codegen'd XxHash64 — same output shape (id, sh, h1, h2),
-    // so every downstream stage (minhash, banding, verify) is untouched.
-    val hashed = TextOps.hashProfile(docs.sparkSession) match {
-      case "xxhash64" =>
-        // per-document array_distinct on the HASHES, mirroring the md5
-        // branch — an earlier global .distinct() here added an exchange+
-        // aggregate the md5 branch doesn't have, contradicting the
-        // "same plan shape" contract of the profile flag
-        docs.select(col(idCol).as("id"),
-            TextOps.normalized(col(textCol)).as("t"))
-          .select(col("id"), explode(array_distinct(transform(
-            sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
-            i => xxhash64(col("t").substr(i, lit(n)))
-              .bitwiseAND(lit((1L << 60) - 1))))).as("sh"))
-      case _ =>
-        docs.select(col(idCol).as("id"),
-          explode(array_distinct(call_function("shinglehash60",
-            TextOps.normalized(col(textCol)), lit(n)))).as("sh"))
+    // both profiles are native one-pass expressions over the normalized
+    // text (shinglehash60 polynomial / shinglexx60 XxHash64 byte ranges)
+    // — identical plan shape, per-document distinct, shingle strings
+    // never exist
+    val shingleFn = TextOps.hashProfile(docs.sparkSession) match {
+      case "xxhash64" => "shinglexx60"
+      case _ => "shinglehash60"
     }
+    val hashed =
+      docs.select(col(idCol).as("id"),
+        explode(array_distinct(call_function(shingleFn,
+          TextOps.normalized(col(textCol)), lit(n)))).as("sh"))
     hashed.select(col("id"), col("sh"),
       (col("sh") % minhashP).as("h1"), expr(h2Sql).as("h2"))
   }
@@ -141,15 +132,11 @@ object Dedup {
     // whole-document regex per shingle position (O(len²) per document)
     val normed = docs.select(col(idCol).as("id"),
       TextOps.normalized(col(textCol)).as("t"))
-    val arr = TextOps.hashProfile(docs.sparkSession) match {
-      case "xxhash64" =>
-        array_distinct(transform(
-          sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))),
-          i => xxhash64(col("t").substr(i, lit(n)))
-            .bitwiseAND(lit((1L << 60) - 1))))
-      case _ =>
-        array_distinct(call_function("shinglehash60", col("t"), lit(n)))
+    val shingleFn = TextOps.hashProfile(docs.sparkSession) match {
+      case "xxhash64" => "shinglexx60"
+      case _ => "shinglehash60"
     }
+    val arr = array_distinct(call_function(shingleFn, col("t"), lit(n)))
     normed.select(col("id"), arr.as("arr"))
       .withColumn("sz", size(col("arr")).cast("long"))
       .withColumn("mh", call_function("minhashk", col("arr"), lit(k)))
