@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60}
+import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -91,6 +91,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         TokenGramHash60(children.head, intLit(children(1), "n"), useXx)
       }),
+    (new FunctionIdentifier("quant6arr"),
+      new ExpressionInfo(classOf[Quant6Array].getName, "quant6arr"),
+      children => Quant6Array(children.head)),
     (new FunctionIdentifier("rhpbands"),
       new ExpressionInfo(classOf[RhpBandKeys].getName, "rhpbands"),
       children => RhpBandKeys(children.head)),

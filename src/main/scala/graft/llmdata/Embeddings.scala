@@ -48,8 +48,11 @@ object Embeddings {
     dot.cast("double") / when(denom === 0.0, lit(null).cast("double")).otherwise(denom)
   }
 
-  /** vector as exact micro-unit int64 array (see [[quant6]]). */
-  def quantArray(vec: Column): Column = transform(vec, x => quant6(x))
+  /** vector as exact micro-unit int64 array (see [[quant6]]) — the
+    * native one-pass [[graft.expressions.Quant6Array]]; the transform
+    * lambda it replaced ran interpreted per component.
+    */
+  def quantArray(vec: Column): Column = call_function("quant6arr", vec)
 
   /** One Lloyd ASSIGNMENT step against integer centroids: every vector
     * goes to its nearest centroid by squared L2 distance, computed
