@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional dedup hash profile (md5 default): lets the cluster-scale
+    // xxhash64 family be benched — results are NOT oracle-comparable
+    sys.env.get("SPARK_GRAFT_HASH_PROFILE")
+      .foreach(p => spark.conf.set("spark.graft.dedup.hashProfile", p))
     // warm the session once (parquet reader, shuffle machinery, codegen
     // infrastructure) so the first timed query measures itself, not
     // SparkSession startup
