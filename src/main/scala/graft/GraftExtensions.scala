@@ -39,6 +39,32 @@ object GraftExtensions {
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** shared foldable-literal extractors for the builders below */
+  private def intLit(fn: String, what: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Int = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a foldable integer literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case sh: java.lang.Short => sh.intValue
+      case b: java.lang.Byte => b.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, got $other")
+    }
+  }
+
+  private def boolLit(fn: String, what: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    if (!e.foldable) throw new IllegalArgumentException(
+      s"$fn: $what must be a foldable boolean literal")
+    e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be a boolean literal, got $other")
+    }
+  }
+
   private[graft] val builders: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
@@ -56,41 +82,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => NormalizeWs(children.head)),
     (new FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[Simhash60].getName, "simhash60"),
-      children => {
-        val flag = children(1)
-        if (!flag.foldable)
-          throw new IllegalArgumentException(
-            "simhash60(norm, useXx): useXx must be a foldable boolean literal")
-        flag.eval() match {
-          case b: java.lang.Boolean => Simhash60(children.head, b.booleanValue)
-          case other => throw new IllegalArgumentException(
-            s"simhash60(norm, useXx): useXx must be a boolean literal, got $other")
-        }
-      }),
+      children => Simhash60(children.head,
+        boolLit("simhash60", "useXx")(children(1)))),
     (new FunctionIdentifier("tokengramhash60"),
       new ExpressionInfo(classOf[TokenGramHash60].getName, "tokengramhash60"),
-      children => {
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
-            what: String): Int = {
-          if (!e.foldable) throw new IllegalArgumentException(
-            s"tokengramhash60: $what must be a foldable literal")
-          e.eval() match {
-            case i: java.lang.Integer => i.intValue
-            case l: java.lang.Long => l.intValue
-            case other => throw new IllegalArgumentException(
-              s"tokengramhash60: $what must be an integer literal, got $other")
-          }
-        }
-        val flag = children(2)
-        if (!flag.foldable) throw new IllegalArgumentException(
-          "tokengramhash60: useXx must be a foldable boolean literal")
-        val useXx = flag.eval() match {
-          case b: java.lang.Boolean => b.booleanValue
-          case other => throw new IllegalArgumentException(
-            s"tokengramhash60: useXx must be a boolean literal, got $other")
-        }
-        TokenGramHash60(children.head, intLit(children(1), "n"), useXx)
-      }),
+      children => TokenGramHash60(children.head,
+        intLit("tokengramhash60", "n")(children(1)),
+        boolLit("tokengramhash60", "useXx")(children(2)))),
     (new FunctionIdentifier("quant6arr"),
       new ExpressionInfo(classOf[Quant6Array].getName, "quant6arr"),
       children => Quant6Array(children.head)),
@@ -99,53 +97,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => RhpBandKeys(children.head)),
     (new FunctionIdentifier("shinglehash60"),
       new ExpressionInfo(classOf[ShingleHash60].getName, "shinglehash60"),
-      children => {
-        val nArg = children(1)
-        if (!nArg.foldable)
-          throw new IllegalArgumentException(
-            "shinglehash60(str, n): n must be a foldable integer literal")
-        val n = nArg.eval() match {
-          case i: java.lang.Integer => i.intValue
-          case l: java.lang.Long => l.intValue
-          case s: java.lang.Short => s.intValue
-          case b: java.lang.Byte => b.intValue
-          case other => throw new IllegalArgumentException(
-            s"shinglehash60(str, n): n must be an integer literal, got $other")
-        }
-        ShingleHash60(children.head, n)
-      }),
+      children => ShingleHash60(children.head,
+        intLit("shinglehash60", "n")(children(1)))),
     (new FunctionIdentifier("shinglexx60"),
       new ExpressionInfo(classOf[ShingleXx60].getName, "shinglexx60"),
-      children => {
-        val nArg = children(1)
-        if (!nArg.foldable)
-          throw new IllegalArgumentException(
-            "shinglexx60(str, n): n must be a foldable integer literal")
-        val n = nArg.eval() match {
-          case i: java.lang.Integer => i.intValue
-          case l: java.lang.Long => l.intValue
-          case other => throw new IllegalArgumentException(
-            s"shinglexx60(str, n): n must be an integer literal, got $other")
-        }
-        ShingleXx60(children.head, n)
-      }),
+      children => ShingleXx60(children.head,
+        intLit("shinglexx60", "n")(children(1)))),
     (new FunctionIdentifier("minhashk"),
       new ExpressionInfo(classOf[MinHashK].getName, "minhashk"),
-      children => {
-        val kArg = children(1)
-        if (!kArg.foldable)
-          throw new IllegalArgumentException(
-            "minhashk(arr, k): k must be a foldable integer literal")
-        val k = kArg.eval() match {
-          case i: java.lang.Integer => i.intValue
-          case l: java.lang.Long => l.intValue
-          case s: java.lang.Short => s.intValue
-          case b: java.lang.Byte => b.intValue
-          case other => throw new IllegalArgumentException(
-            s"minhashk(arr, k): k must be an integer literal, got $other")
-        }
-        MinHashK(children.head, k)
-      }))
+      children => MinHashK(children.head,
+        intLit("minhashk", "k")(children(1)))))
 
   override def apply(ext: SparkSessionExtensions): Unit =
     builders.foreach(ext.injectFunction)

@@ -30,6 +30,7 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val copies = args.lift(1).map(_.toInt).getOrElse(5)
+    require(copies >= 2, s"need at least 2 copies for a slope, got $copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val work = Scratch.dirFor("scaleprobe", s"$src:$copies")
     val spark = SparkSession.builder()
@@ -42,21 +43,30 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    def replicate(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+    // key strides are derived from the SOURCE's max id, so copies can
+    // never collide at any scale factor (fixed strides would silently
+    // overlap once ids outgrow them, shrinking the entity count and
+    // corrupting the probe's K-times-entities premise)
+    def replicate(name: String, idCols: Seq[String],
+        extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      (0 until copies).map(k => f(base, k)).reduce(_.unionByName(_))
+      val strides = idCols.map { c =>
+        c -> (base.agg(max(col(c))).head.getLong(0) + 1L)
+      }
+      (0 until copies).map { k =>
+        extra(strides.foldLeft(base) { case (df, (c, stride)) =>
+          df.withColumn(c, col(c) + lit(k.toLong * stride))
+        }, k)
+      }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$work/$name.parquet")
     }
     // events: ts stays a nanos LONG exactly as the source stores it, so
     // graft.Tables' events normalization applies unchanged to the copy
-    replicate("events", (df, k) => df
-      .withColumn("user_id", col("user_id") + lit(k.toLong * 1000000L))
-      .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000L)))
-    replicate("documents", (df, k) => df
-      .withColumn("doc_id", col("doc_id") + lit(k.toLong * 10000000L))
-      .withColumn("text", concat(col("text"), lit(s" probecopy$k"))))
-    replicate("embeddings", (df, k) => df
-      .withColumn("vec_id", col("vec_id") + lit(k.toLong * 10000000L)))
+    replicate("events", Seq("user_id", "event_id"))
+    replicate("documents", Seq("doc_id"),
+      (df, k) => df.withColumn("text",
+        concat(col("text"), lit(s" probecopy$k"))))
+    replicate("embeddings", Seq("vec_id"))
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem")) {
       val link = java.nio.file.Paths.get(s"$work/$t.parquet")

@@ -34,23 +34,23 @@ case class ShingleXx60(child: Expression, n: Int)
     val s = input.asInstanceOf[UTF8String]
     val bytes = s.getBytes
     val len = bytes.length
-    // byte offset of each character start (UTF-8 lead bytes), plus end
-    val charStarts = new java.util.ArrayList[Integer]()
+    // byte offset of each character start (UTF-8 lead bytes), plus end —
+    // a primitive array sized len+1 (chars <= bytes), no boxing
+    val charStarts = new Array[Int](len + 1)
+    var chars = 0
     var i = 0
     while (i < len) {
-      if ((bytes(i) & 0xC0) != 0x80) charStarts.add(i)
+      if ((bytes(i) & 0xC0) != 0x80) { charStarts(chars) = i; chars += 1 }
       i += 1
     }
-    charStarts.add(len)
-    val chars = charStarts.size() - 1
+    charStarts(chars) = len
     val count = math.max(chars - (n - 1), 1)
     val out = new Array[Long](count)
     var p = 0
     while (p < count) {
-      val from = charStarts.get(p)
+      val from = charStarts(p)
       // substr clips at the end for short texts
-      val untilIdx = math.min(p + n, chars)
-      val until = charStarts.get(untilIdx)
+      val until = charStarts(math.min(p + n, chars))
       out(p) = XXH64.hashUnsafeBytes(bytes,
         Platform.BYTE_ARRAY_OFFSET + from, until - from, 42L) & ShingleXx60.Mask60
       p += 1

@@ -3,6 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native 60-bit SimHash of a NORMALIZED document in one pass — the
@@ -46,30 +47,30 @@ object Simhash60 {
 
   private val Mask60 = (1L << 60) - 1
 
-  private def tokenHash(tok: String, useXx: Boolean): Long =
-    if (useXx) {
-      val u = UTF8String.fromString(tok)
-      XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L) & Mask60
-    } else Md5Prefix60.hash(tok.getBytes("UTF-8"))
-
   def signature(s: UTF8String, useXx: Boolean): Long = {
-    val str = s.toString
+    // tokens are byte ranges between 0x20 separators (0x20 never occurs
+    // inside a UTF-8 multi-byte sequence) — no String decode, no
+    // per-token substring/re-encode; empty string = one empty token,
+    // exactly like split('', ' ')
+    val bytes = s.getBytes
+    val len = bytes.length
     val counts = new Array[Int](60)
     var start = 0
-    val n = str.length
-    // split on ' ' — normalized input has single-space separators, and
-    // ""/"" edge cases mirror Spark's split: empty string = one empty token
     var done = false
     while (!done) {
-      val sp = str.indexOf(' ', start)
-      val end = if (sp < 0) n else sp
-      val h = tokenHash(str.substring(start, end), useXx)
+      var end = start
+      while (end < len && bytes(end) != ' '.toByte) end += 1
+      val h =
+        if (useXx)
+          XXH64.hashUnsafeBytes(bytes,
+            Platform.BYTE_ARRAY_OFFSET + start, end - start, 42L) & Mask60
+        else Md5Prefix60.hashRange(bytes, start, end - start)
       var j = 0
       while (j < 60) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
         j += 1
       }
-      if (sp < 0) done = true else start = sp + 1
+      if (end >= len) done = true else start = end + 1
     }
     var sig = 0L
     var j = 0

@@ -29,6 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
 case class TokenGramHash60(child: Expression, n: Int, useXx: Boolean)
     extends UnaryExpression with ExpectsInputTypes {
 
+  require(n >= 1, s"gram width must be >= 1, got $n")
+
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "tokengramhash60"
@@ -51,23 +53,24 @@ object TokenGramHash60 {
   def hashes(s: UTF8String, n: Int, useXx: Boolean): GenericArrayData = {
     val bytes = s.getBytes
     val len = bytes.length
-    // token start offsets (normalized text: single-space separators)
-    val starts = new java.util.ArrayList[Integer]()
-    starts.add(0) // "" is one empty token, exactly like split('', ' ')
+    // token start offsets (normalized text: single-space separators) —
+    // primitive array sized len+1 (tokens <= bytes+1), no boxing
+    val starts = new Array[Int](len + 2)
+    starts(0) = 0 // "" is one empty token, exactly like split('', ' ')
+    var tokens = 1
     var i = 0
     while (i < len) {
-      if (bytes(i) == ' '.toByte) starts.add(i + 1)
+      if (bytes(i) == ' '.toByte) { starts(tokens) = i + 1; tokens += 1 }
       i += 1
     }
-    val tokens = starts.size()
     if (tokens < n) return new GenericArrayData(new Array[Long](0))
     // end offset of token j = starts(j+1) - 1 (one separator), or len
     def gramEnd(j: Int): Int =
-      if (j + 1 < tokens) starts.get(j + 1) - 1 else len
+      if (j + 1 < tokens) starts(j + 1) - 1 else len
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     var g = 0
     while (g + n <= tokens) {
-      val from = starts.get(g)
+      val from = starts(g)
       val until = gramEnd(g + n - 1)
       val h =
         if (useXx)

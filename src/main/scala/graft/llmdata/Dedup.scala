@@ -56,13 +56,10 @@ object Dedup {
     // text (shinglehash60 polynomial / shinglexx60 XxHash64 byte ranges)
     // — identical plan shape, per-document distinct, shingle strings
     // never exist
-    val shingleFn = TextOps.hashProfile(docs.sparkSession) match {
-      case "xxhash64" => "shinglexx60"
-      case _ => "shinglehash60"
-    }
     val hashed =
       docs.select(col(idCol).as("id"),
-        explode(array_distinct(call_function(shingleFn,
+        explode(array_distinct(call_function(
+          TextOps.shingleFn(docs.sparkSession),
           TextOps.normalized(col(textCol)), lit(n)))).as("sh"))
     hashed.select(col("id"), col("sh"),
       (col("sh") % minhashP).as("h1"), expr(h2Sql).as("h2"))
@@ -132,11 +129,8 @@ object Dedup {
     // whole-document regex per shingle position (O(len²) per document)
     val normed = docs.select(col(idCol).as("id"),
       TextOps.normalized(col(textCol)).as("t"))
-    val shingleFn = TextOps.hashProfile(docs.sparkSession) match {
-      case "xxhash64" => "shinglexx60"
-      case _ => "shinglehash60"
-    }
-    val arr = array_distinct(call_function(shingleFn, col("t"), lit(n)))
+    val arr = array_distinct(call_function(
+      TextOps.shingleFn(docs.sparkSession), col("t"), lit(n)))
     normed.select(col("id"), arr.as("arr"))
       .withColumn("sz", size(col("arr")).cast("long"))
       .withColumn("mh", call_function("minhashk", col("arr"), lit(k)))

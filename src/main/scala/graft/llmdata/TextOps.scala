@@ -11,7 +11,6 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** lowercase, collapse whitespace runs to single spaces, trim. */
   /** lowercase + collapse `\s+` runs + trim, as ONE codegen'd pass
     * ([[graft.expressions.NormalizeWs]]) — value-identical to the
     * `trim(regexp_replace(lower(text), "\\s+", " "))` form the DuckDB
@@ -45,6 +44,13 @@ object TextOps {
     */
   def hashProfile(spark: org.apache.spark.sql.SparkSession): String =
     spark.conf.get("spark.graft.dedup.hashProfile", "md5")
+
+  /** native shingle-hash SQL function for the session's hash profile */
+  def shingleFn(spark: org.apache.spark.sql.SparkSession): String =
+    hashProfile(spark) match {
+      case "xxhash64" => "shinglexx60"
+      case _ => "shinglehash60"
+    }
 
   def profileHash60(spark: org.apache.spark.sql.SparkSession)(s: Column): Column =
     hashProfile(spark) match {
