@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60}
+import graft.expressions.{BandBuckets, DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -92,6 +92,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier("quant6arr"),
       new ExpressionInfo(classOf[Quant6Array].getName, "quant6arr"),
       children => Quant6Array(children.head)),
+    (new FunctionIdentifier("bandbuckets"),
+      new ExpressionInfo(classOf[BandBuckets].getName, "bandbuckets"),
+      children => BandBuckets(children.head,
+        intLit("bandbuckets", "rowsPerBand")(children(1)),
+        intLit("bandbuckets", "bands")(children(2)))),
     (new FunctionIdentifier("rhpbands"),
       new ExpressionInfo(classOf[RhpBandKeys].getName, "rhpbands"),
       children => RhpBandKeys(children.head)),

@@ -142,6 +142,21 @@ object Dedup {
     * probe the existing corpus's keys).
     */
   def bandKeys(profiles: DataFrame, k: Int, bands: Int): DataFrame = {
+    // native per-row banding (graft.expressions.BandBuckets) — the
+    // nested transform/sort_array/concat lambdas this replaces ran
+    // interpreted per band per row; bucket values are byte-identical
+    // (BandBucketsSpec) so the DuckDB oracle is untouched
+    val rpb = k / bands
+    profiles.select(col("id"), posexplode(
+        call_function("bandbuckets", col("mh"), lit(rpb), lit(bands))))
+      .toDF("id", "band", "bucket")
+  }
+
+  /** The composed-lambda banding bandKeys() replaced — the reference
+    * the property spec pins the native expression against.
+    */
+  private[graft] def bandKeysComposed(
+      profiles: DataFrame, k: Int, bands: Int): DataFrame = {
     val rpb = k / bands
     profiles.select(col("id"), posexplode(expr(
       s"""transform(sequence(0, ${bands - 1}), b ->

@@ -1,0 +1,33 @@
+package graft.expressions
+
+import graft.SparkSpec
+import graft.llmdata.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Native `bandbuckets` must emit byte-identical (id, band, bucket) rows
+  * to the composed transform/sort_array/md5 lambda it replaced — the
+  * bucket strings ARE the LSH index keys, so any divergence silently
+  * re-buckets the whole corpus.
+  */
+class BandBucketsSpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(19042L + i)))
+
+  test("native banding equals the composed lambda on random signatures") {
+    import spark.implicits._
+    graft.GraftExtensions.ensure(spark)
+    val sigGen = Gen.listOfN(32, Gen.chooseNum(0L, 2147483646L))
+    val profiles = samples(sigGen, 60).zipWithIndex
+      .map { case (mh, i) => (i.toLong, mh) }.toDF("id", "mh")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val native = rows(Dedup.bandKeys(profiles, k = 32, bands = 4))
+    val composed = rows(Dedup.bandKeysComposed(profiles, k = 32, bands = 4))
+    assert(native == composed,
+      s"banding diverges: ${native.diff(composed).take(3)}")
+    assert(native.size == 60 * 4)
+  }
+}
