@@ -17,6 +17,34 @@ import scala.collection.mutable
   */
 object Caches {
 
+  /** Materialization barrier for iterative and memoized intermediates
+    * (the CC loops' per-round lineage truncation, the `corrected` /
+    * `cleaned` / simhash-pair memos).
+    *
+    * Default: `localCheckpoint` — correct and fast on one JVM, but the
+    * blocks die with their executor. With `spark.graft.checkpoint.dir`
+    * set, the SAME call sites use RELIABLE `checkpoint()` into that
+    * directory (HDFS/object-store path on a cluster), which survives
+    * executor loss — the config switch that turns the scaling prose
+    * into tested behavior (`CheckpointModeSpec` runs both ways).
+    */
+  def barrier(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption("spark.graft.checkpoint.dir")
+      .filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        // setCheckpointDir stores <dir>/<uuid> — prefix-match (with the
+        // scheme qualification stripped) so repeated barriers reuse one
+        // session subdir instead of minting a fresh UUID per call
+        if (!sc.getCheckpointDir.exists(cur =>
+            cur.startsWith(dir) || cur.stripPrefix("file:").startsWith(dir)))
+          sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case None => df.localCheckpoint(eager)
+    }
+  }
+
   private val transientFrames = mutable.ArrayBuffer.empty[Dataset[_]]
   // keyed on the session OBJECT so a later session can never be handed a
   // colliding earlier session's memos (identity hashcodes recycle). The

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off diagnostic: per-(band,bucket) occupancy distribution for the
+  * MinHash-LSH and RHP banding layers at a given sfDir — the data behind
+  * the `spark.graft.lsh.maxBucket` / `spark.graft.rhp.maxBucket`
+  * defaults (cap must never fire at oracle geometry, must fire at the
+  * degenerate-bucket scale the ScaleProbe's near-dup replication
+  * creates).
+  */
+object OccProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for (d <- args) {
+      val prof = graft.llmdata.Dedup.docProfilesLocal(
+        Tables.documents(spark, d), "doc_id", "text", n = 5, k = 32)
+      val mk = graft.llmdata.Dedup.bandKeys(prof, k = 32, bands = 4)
+      val mOcc = mk.groupBy("band", "bucket").count()
+        .agg(max("count").as("max"), expr("percentile(count, 0.999)").as("p999"),
+          expr("percentile(count, 0.99)").as("p99"), count(lit(1)).as("nBuckets"),
+          sum(expr("count * (count - 1) / 2")).as("pairs"))
+      println(s"[minhash] $d " + mOcc.collect().head)
+      val rk = Tables.embeddings(spark, d)
+        .select(col("vec_id"), posexplode(call_function("rhpbands", col("embedding"))))
+        .toDF("id", "band", "bucket")
+      val rOcc = rk.groupBy("band", "bucket").count()
+        .agg(max("count").as("max"), expr("percentile(count, 0.999)").as("p999"),
+          expr("percentile(count, 0.99)").as("p99"), count(lit(1)).as("nBuckets"),
+          sum(expr("count * (count - 1) / 2")).as("pairs"))
+      println(s"[rhp]     $d " + rOcc.collect().head)
+    }
+    spark.stop()
+  }
+}

@@ -51,7 +51,10 @@ object ScaleProbe {
         extra: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
       val strides = idCols.map { c =>
-        c -> (base.agg(max(col(c))).head.getLong(0) + 1L)
+        val row = base.agg(max(col(c).cast("long")).as("mx")).head
+        require(!row.isNullAt(0),
+          s"$src/$name.parquet is empty or '$c' is all-null — cannot derive a stride")
+        c -> (row.getLong(0) + 1L)
       }
       (0 until copies).map { k =>
         extra(strides.foldLeft(base) { case (df, (c, stride)) =>

@@ -23,6 +23,7 @@ object SparkEntry {
     QAsOf,
     QEnrich,
     QTracePipeline,
+    QStage1,
     QBond,
     QDedup,
     QSimilarity,

@@ -36,11 +36,20 @@ case class MinHashK(child: Expression, k: Int)
   // annotation omitted: AbstractDataType is private[sql]
   override def inputTypes = Seq(ArrayType(LongType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // an empty (non-null) input yields null output — see nullSafeEval
+  override def nullable: Boolean = true
   override def prettyName: String = "minhashk"
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // a zero-element set has no minima: return null rather than an
+    // all-Long.MaxValue sentinel signature (which would collide in every
+    // LSH band). Mirrors the exploded groupBy-min formulation, where an
+    // empty set contributes no rows at all. Unreachable via the
+    // library's shingle producers (shortest text still emits one
+    // shingle) but reachable through the SQL-registered minhashk.
+    if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     var j = 0
     while (j < n) {

@@ -1,6 +1,7 @@
 package graft.llmdata
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for document corpora at training-data scale.
@@ -166,21 +167,119 @@ object Dedup {
       .toDF("id", "band", "bucket")
   }
 
+  /** Per-(band, bucket) occupancy cap for LSH candidate generation,
+    * `spark.graft.lsh.maxBucket` (MinHash banding) /
+    * `spark.graft.rhp.maxBucket` (random-hyperplane banding). A band
+    * self-join is quadratic in bucket occupancy, so ONE degenerate
+    * bucket (boilerplate license headers, templated pages, the probe's
+    * deliberate near-dup replication) turns candidate generation into
+    * the all-pairs scan LSH exists to avoid — measured on the 5×
+    * near-dup-dense scale probe: MinHash candidate pairs grew 953 →
+    * 223,075 (max occupancy 5 → 30) and RHP pairs 529k → 13.3M (max
+    * 220 → 1,100), the two superlinear wall-time slopes in
+    * SCALE_PROBE.json. Buckets over the cap are STAR-PAIRED instead of
+    * clique-paired (see [[bandedPairs]]). Defaults clear every measured
+    * oracle/bench geometry (max occupancy: MinHash 3 at sf0.01, 5 at
+    * sf0.1 — a bucket of exactly 5 keeps its clique; RHP 57 at sf0.01),
+    * so the cap never fires where a DuckDB oracle mirrors the uncapped
+    * formulation.
+    */
+  def lshMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.lsh.maxBucket", "8").toInt
+  def rhpMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.rhp.maxBucket", "128").toInt
+
+  /** Candidate pairs from band keys (id, band, bucket) with the
+    * occupancy cap applied:
+    *
+    *  - buckets with ≤ maxBucket members emit the full clique (the
+    *    exact LSH semantics every oracle mirrors);
+    *  - oversized buckets emit a STAR around their min-id member
+    *    (rep, id) — occ−1 pairs instead of occ·(occ−1)/2. Members of
+    *    one bucket are near-certain duplicates (they agree on a whole
+    *    band of signature rows), so the star preserves what matters at
+    *    scale: every member still reaches the verification stage paired
+    *    with a same-bucket representative, and connected-component
+    *    canonicalization sees the same reachability (x–rep–y) the
+    *    clique would give. Recall loss is confined to pairs BOTH inside
+    *    an oversized bucket whose similarity to the representative
+    *    fails verification while their mutual similarity passes.
+    *
+    * The cap is applied through a BROADCAST of the oversized-bucket
+    * stats, not a window over the keys: oversized buckets are rare by
+    * nature (if they weren't, the corpus is degenerate everywhere and
+    * no pairing strategy survives), so `occ > maxBucket` aggregates to
+    * a tiny frame at any corpus size, while a count/min window over the
+    * full key relation would re-sort it once per consumer — measured 2×
+    * on the whole candidate pass. When no bucket is oversized the plan
+    * degenerates to the original self-join plus one cheap aggregate.
+    * [[oversizedBuckets]] is the audit view of what was capped.
+    */
+  def bandedPairs(keys: DataFrame, maxBucket: Int): DataFrame = {
+    val k = keys.select(col("id"), col("band"), col("bucket"))
+    val big = broadcast(k.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"), min(col("id")).as("rep"))
+      .filter(col("occ") > maxBucket)
+      .select(col("band"), col("bucket"), col("rep")))
+    val small = k.join(big, Seq("band", "bucket"), "left_anti")
+    val clique = small.as("a").join(small.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // rep = bucket min, so rep < id on every starred row — the
+    // id_a < id_b invariant holds without a least/greatest pass
+    val star = k.join(big, Seq("band", "bucket"))
+      .filter(col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"))
+    clique.unionByName(star).distinct()
+  }
+
+  /** Audit view of the capped buckets: (band, bucket, occ) for every
+    * bucket over maxBucket. A production pipeline logs/sinks this next
+    * to its candidate output — capping is silent otherwise.
+    */
+  def oversizedBuckets(keys: DataFrame, maxBucket: Int): DataFrame =
+    keys.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBucket)
+
+  /** Cap an LSH probe INDEX (the corpus side of incremental admission)
+    * at maxBucket members per (band, bucket), keeping the lowest ids —
+    * deterministic, and bounds the probe join's per-bucket fan-out
+    * (batch×corpus occupancy) linearly in the batch. Members beyond the
+    * cap are near-duplicates of the kept ones, so a batch doc that
+    * would only have matched a dropped member still meets the kept
+    * representatives in the same bucket.
+    */
+  def capProbeKeys(keys: DataFrame, maxBucket: Int): DataFrame = {
+    // same broadcast-the-rare-buckets shape as [[bandedPairs]]: rows of
+    // buckets at-or-under the cap pass through untouched (no window, no
+    // extra exchange on the index); only the oversized slice — small by
+    // nature — is ranked, and that window runs over just those rows
+    val big = broadcast(oversizedBuckets(keys, maxBucket)
+      .select(col("band"), col("bucket")))
+    val fine = keys.join(big, Seq("band", "bucket"), "left_anti")
+      .select(keys.columns.map(col): _*)
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val trimmed = keys.join(big, Seq("band", "bucket"), "left_semi")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxBucket)
+      .drop("rn")
+      .select(keys.columns.map(col): _*)
+    fine.unionByName(trimmed)
+  }
+
   /** LSH candidate pairs from per-document signature ARRAYS (the
     * [[docProfilesLocal]] `mh` column): each band's bucket key is an md5
     * over the band's sorted "i:mh" member strings — byte-identical to the
     * grouped construction in [[lshCandidates]], so the same DuckDB oracle
-    * covers both paths. Band keys are 4 rows/doc; the self-join on
+    * covers both paths (the [[lshMaxBucket]] occupancy cap never fires at
+    * oracle geometry). Band keys are 4 rows/doc; the self-join on
     * (band, bucket) is the ONLY shuffle in the whole candidate pass.
     */
-  def lshCandidatesLocal(profiles: DataFrame, k: Int, bands: Int): DataFrame = {
-    val keys = bandKeys(profiles, k, bands)
-    keys.as("a").join(keys.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-  }
+  def lshCandidatesLocal(profiles: DataFrame, k: Int, bands: Int): DataFrame =
+    bandedPairs(bandKeys(profiles, k, bands),
+      lshMaxBucket(profiles.sparkSession))
 
   /** Jaccard filter over precomputed profiles (id, arr, sz). */
   def jaccardOnProfiles(profiles: DataFrame, pairs: DataFrame,
@@ -206,6 +305,15 @@ object Dedup {
     * spec — admission depends only on (batch row, corpus index), so ANY
     * partition of arrivals into batches yields the same admitted set.
     *
+    * Batch and corpus doc ids MUST be disjoint: an id on both sides
+    * would duplicate profile rows in the union below and double-match
+    * in [[jaccardOnProfiles]], so corpus rows whose id appears in the
+    * batch are dropped defensively before the union.
+    *
+    * The corpus index is probed through [[capProbeKeys]]
+    * ([[lshMaxBucket]]): a degenerate corpus bucket would otherwise
+    * multiply every colliding batch doc by its full occupancy.
+    *
     * @param bprof    batch-side profiles from [[docProfilesLocal]]
     *                 (persist before calling — consumed three times)
     * @param batchFps batch-side (id, fp) fingerprints
@@ -217,11 +325,12 @@ object Dedup {
       .join(corpusFps, Seq("fp"), "left_semi")
       .select(col("id"))
     val cands = bandKeys(bprof, k, bands).as("b")
-      .join(corpusKeys.as("c"),
+      .join(capProbeKeys(corpusKeys, lshMaxBucket(bprof.sparkSession)).as("c"),
         col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
       .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
       .distinct()
-    val ndRej = jaccardOnProfiles(bprof.unionByName(corpusProf), cands, threshold)
+    val corpusOnly = corpusProf.join(bprof.select(col("id")), Seq("id"), "left_anti")
+    val ndRej = jaccardOnProfiles(bprof.unionByName(corpusOnly), cands, threshold)
       .select(col("id_a").as("id")).distinct()
     bprof.join(fpRej.unionByName(ndRej), Seq("id"), "left_anti")
       .select(col("id").as("doc_id"), col("sz").as("n_shingles"))
@@ -229,7 +338,9 @@ object Dedup {
 
   /** LSH candidate pairs: band the k signatures into `bands` groups of
     * k/bands rows; docs sharing any band bucket become a candidate pair
-    * (id_a < id_b).
+    * (id_a < id_b). UNCAPPED exploded reference formulation — the shape
+    * the DuckDB oracles mirror and the property specs pin
+    * [[lshCandidatesLocal]] against (with the occupancy cap disabled).
     */
   def lshCandidates(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rowsPerBand = k / bands
@@ -267,16 +378,22 @@ object Dedup {
     * into one high-degree supernode; for that regime
     * [[canonicalClustersStarStar]] (selected via
     * `spark.graft.cc.algo=starstar`) bounds per-node fan-in. Each round
-    * localCheckpoints to truncate the growing lineage (iterative DAGs
-    * re-plan from scratch otherwise).
+    * passes through [[graft.Caches.barrier]] to truncate the growing
+    * lineage (iterative DAGs re-plan from scratch otherwise); with
+    * `spark.graft.checkpoint.dir` set the barrier is a RELIABLE
+    * checkpoint that survives executor loss.
     */
   def canonicalClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    var edgesCur = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true) // symmetric, and stays symmetric per round
+    // materialize the INPUT once before symmetrizing: the union reads
+    // `pairs` twice, and callers hand in full candidate+verification
+    // DAGs — without this barrier the whole upstream pipeline ran twice
+    val p0 = graft.Caches.barrier(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    var edgesCur = p0 // symmetric, and stays symmetric per round
+      .unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
     var members = edgesCur.select(col("src").as("id")).distinct()
       .withColumn("canonical", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.Caches.barrier(_))
     var iter = 0
     var nEdges = edgesCur.count()
     while (nEdges > 0 && iter < maxIter) {
@@ -295,7 +412,7 @@ object Dedup {
         .join(superLabels.select(col("id").as("canonical"), col("lbl")),
           Seq("canonical"), "left")
         .select(col("id"), coalesce(col("lbl"), col("canonical")).as("canonical"))
-        .localCheckpoint(true)
+        .transform(graft.Caches.barrier(_))
       // contract: rewrite both endpoints into the merged id space, drop
       // self-loops (intra-supernode edges) and duplicates. Rewriting both
       // directions of a symmetric edge keeps the contracted set symmetric.
@@ -305,7 +422,7 @@ object Dedup {
         .select(col("s2").as("src"), col("d2").as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint(false)
+        .transform(graft.Caches.barrier(_, eager = false))
       nEdges = edgesCur.count() // materializes the lazy checkpoint
       // members (eager checkpoint) and edges (just counted) are both
       // materialized — the round's relabel frame can go
@@ -314,6 +431,13 @@ object Dedup {
     }
     if (sys.env.contains("GRAFT_CC_DEBUG"))
       System.err.println(s"[cc] converged=${nEdges == 0} after $iter rounds")
+    // mirror the star-star path's failure behavior: labels are only
+    // guaranteed component-consistent at convergence — mid-contraction
+    // labels can under-merge a component, which would silently split
+    // clusters downstream
+    if (nEdges > 0) throw new IllegalStateException(
+      s"canonicalClusters did not converge in $maxIter rounds " +
+        s"($nEdges edges remain) — raise maxIter")
     members
   }
 
@@ -345,10 +469,10 @@ object Dedup {
       .distinct()
     var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
       .filter(col("a") =!= col("b"))
-      .localCheckpoint(true)
+      .transform(graft.Caches.barrier(_))
     val allNodes = edges.select(col("a").as("id"))
       .unionByName(edges.select(col("b").as("id"))).distinct()
-      .localCheckpoint(true)
+      .transform(graft.Caches.barrier(_))
     var iter = 0
     var stable = false
     while (!stable && iter < maxIter) {
@@ -363,7 +487,7 @@ object Dedup {
         .join(mFull, col("a") === col("u"))
         .select(col("b").as("a"), col("m").as("b"))
       val largeE = canon(large).filter(col("a") =!= col("b"))
-        .localCheckpoint(true)
+        .transform(graft.Caches.barrier(_))
       // small-star over the large-star output: per edge (u, v) v < u,
       // m = min of u's smaller neighbors; emit (v, m) [v ≠ m] and (u, m)
       val symL = largeE.unionByName(
@@ -377,7 +501,7 @@ object Dedup {
       val viaSelf = mSmall.select(col("u").as("a"), col("m").as("b"))
       val next = canon(viaNbrs.unionByName(viaSelf))
         .filter(col("a") =!= col("b"))
-        .localCheckpoint(true)
+        .transform(graft.Caches.barrier(_))
       stable = next.exceptAll(edges).unionByName(edges.exceptAll(next)).isEmpty
       edges = next
       iter += 1

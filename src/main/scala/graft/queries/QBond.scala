@@ -40,7 +40,7 @@ object QBond extends Registry {
     "2.0e0 + (o_orderkey % 13) / 2.0e0 AS c_pct",
     "(200 + o_orderkey % 400) / 10000.0e0 AS y")
 
-  private val vnExpr =
+  private[queries] val vnExpr =
     """(CASE WHEN (n & 1) != 0 THEN v ELSE 1.0e0 END)
       | * (CASE WHEN (n & 2) != 0 THEN p2 ELSE 1.0e0 END)
       | * (CASE WHEN (n & 4) != 0 THEN p4 ELSE 1.0e0 END)
@@ -50,7 +50,7 @@ object QBond extends Registry {
 
   // pv: level-annuity + redemption. s1 = Σ_{k=1..n} k·vᵏ,
   // s2 = Σ_{k=1..n} k²·vᵏ (closed forms; w = 1-v).
-  private val steps: Seq[Seq[String]] = Seq(
+  private[queries] val steps: Seq[Seq[String]] = Seq(
     Seq("years * m AS n", "c_pct / m AS cpn", "y / m AS i"),
     Seq("1.0e0 / (1.0e0 + i) AS v"),
     Seq("v * v AS p2"),
@@ -65,7 +65,7 @@ object QBond extends Registry {
       "v * (1.0e0 - (n + 1) * vn + n * vn1) / (w * w) AS s1",
       "(v + v * v - (n + 1) * (n + 1) * vn1 + (2 * n * n + 2 * n - 1) * vn2 - n * n * vn3) / (w * w * w) AS s2"))
 
-  private val macExpr = "(cpn / m * s1 + 100.0e0 * n / m * vn) / pv"
+  private[queries] val macExpr = "(cpn / m * s1 + 100.0e0 * n / m * vn) / pv"
   private val outX1 = Seq(
     "bond_id", "n AS n_periods", "y AS ytm", "pv AS prfull",
     s"$macExpr AS mac_dur",
@@ -77,7 +77,7 @@ object QBond extends Registry {
   // stage1/helper_functions.py:309-408). Nodes (1y,5.0%) (2y,4.8%)
   // (5y,4.5%) (7y,4.6%) (10y,4.7%).
   private val tenorExpr = "CAST(2 + o_custkey % 9 AS DOUBLE) AS tenor"
-  private val curveExpr =
+  private[queries] val curveExpr =
     """CASE WHEN tenor <= 1.0e0 THEN 0.05e0
       | WHEN tenor <= 2.0e0 THEN 0.05e0 + (tenor - 1.0e0) / 1.0e0 * (0.048e0 - 0.05e0)
       | WHEN tenor <= 5.0e0 THEN 0.048e0 + (tenor - 2.0e0) / 3.0e0 * (0.045e0 - 0.048e0)
@@ -86,7 +86,7 @@ object QBond extends Registry {
       | ELSE 0.047e0 END""".stripMargin
 
   /** the oracle's FROM chain: same expression strings, nested subselects */
-  private def nestedSql(inner: Seq[String], chain: Seq[Seq[String]],
+  private[queries] def nestedSql(inner: Seq[String], chain: Seq[Seq[String]],
       outer: Seq[String]): String = {
     val base = s"(SELECT ${inner.mkString(", ")} FROM orders) t0"
     val from = chain.zipWithIndex.foldLeft(base) { case (acc, (st, ix)) =>

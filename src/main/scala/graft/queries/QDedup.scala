@@ -124,7 +124,7 @@ object QDedup extends Registry {
     graft.Caches.memo(s, s"dd_simhash_pairs:$d") {
       Dedup.simhashPairs(
         Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-        maxDist = 3).localCheckpoint(true)
+        maxDist = 3).transform(graft.Caches.barrier(_))
     }
 
   def qs: Seq[Q] = Seq(
@@ -252,15 +252,21 @@ object QDedup extends Registry {
           Dedup.docProfilesLocal(docs, "doc_id", "text", n = 5, k = 32)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val isBatch = col("id") % 7 === 0
+        // profileFingerprint: md5 by default (the oracle's hash), the
+        // codegen'd xxhash64 under the cluster-scale hash profile
         val fps = docs.select(col("doc_id").as("id"),
-          TextOps.fingerprint(col("text")).as("fp"))
+          TextOps.profileFingerprint(s)(col("text")).as("fp"))
         val fpRejected = fps.filter(isBatch)
           .join(fps.filter(!isBatch).select(col("fp")).distinct(),
             Seq("fp"), "left_semi")
           .select(col("id"))
         val keys = Dedup.bandKeys(prof, k = 32, bands = 4)
+        // corpus-side probe index capped at lshMaxBucket members per
+        // bucket (lowest ids kept) — bounds the probe join's fan-out;
+        // never fires at oracle geometry (sf0.01 max occupancy 3)
         val cands = keys.filter(isBatch).as("b")
-          .join(keys.filter(!isBatch).as("c"),
+          .join(Dedup.capProbeKeys(keys.filter(!isBatch),
+              Dedup.lshMaxBucket(s)).as("c"),
             col("b.band") === col("c.band") && col("b.bucket") === col("c.bucket"))
           .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
           .distinct()

@@ -179,14 +179,17 @@ object QSimilarity extends Registry {
         // 16× aggregate(zip_with(...)) HOF form ran interpreted per
         // element (~1024 boxed ops/row) and dominated the bench.
         val keys = Tables.embeddings(s, d)
-          .select(col("vec_id"),
+          .select(col("vec_id").as("id"),
             posexplode(call_function("rhpbands", col("embedding"))))
-          .toDF("vec_id", "band", "bkey")
-        val cands = keys.as("a").join(keys.as("b"),
-            col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-              col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-          .distinct()
+          .toDF("id", "band", "bucket")
+        // occupancy-capped candidate generation (Dedup.bandedPairs):
+        // 4-bit band keys make RHP buckets wide by construction — at the
+        // 5x near-dup probe a single bucket holds 1,100 vectors (13.3M
+        // clique pairs); over rhpMaxBucket the bucket star-pairs around
+        // its min-id member. Never fires at oracle geometry (sf0.01 max
+        // occupancy 57 < 128 default).
+        val cands = graft.llmdata.Dedup.bandedPairs(
+          keys, graft.llmdata.Dedup.rhpMaxBucket(s))
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
           Embeddings.norm2Decimal(col("embedding")).as("n2"))
         cands

@@ -198,7 +198,7 @@ object QStreaming extends Registry {
             .persist(MEMORY_AND_DISK))
         val corpusFps = graft.Caches.registerTransient(
           docs.filter(isCorpus)
-            .select(TextOps.fingerprint(col("text")).as("fp")).distinct()
+            .select(TextOps.profileFingerprint(s)(col("text")).as("fp")).distinct()
             .persist(MEMORY_AND_DISK))
         val arrivals = StreamingDedup
           .parquetStream(s, s"$d/documents.parquet")
@@ -210,7 +210,7 @@ object QStreaming extends Registry {
               .persist(MEMORY_AND_DISK)
             try Dedup.admitOnProfiles(bprof,
                 batch.select(col("doc_id").as("id"),
-                  TextOps.fingerprint(col("text")).as("fp")),
+                  TextOps.profileFingerprint(s)(col("text")).as("fp")),
                 corpusProf, corpusKeys, corpusFps,
                 k = 32, bands = 4, threshold = 0.7)
               .write.mode("append").parquet(outDir)

@@ -69,7 +69,7 @@ object QTracePipeline extends Registry {
     */
   private def cleaned(s: SparkSession, d: String): DataFrame =
     graft.Caches.memo(s, s"tp_cleaned:$d") {
-      cleanedDag(s, d).localCheckpoint(true)
+      graft.Caches.barrier(cleanedDag(s, d))
     }
 
   /** The raw shift-correction DAG over any cleaned frame — see [[corrected]]. */
@@ -98,7 +98,7 @@ object QTracePipeline extends Registry {
       // freeze AQE below the cache). On a real cluster: reliable
       // checkpoint / staging table — localCheckpoint does not survive
       // executor loss.
-      correctedDag(cleaned(s, d)).localCheckpoint(true)
+      graft.Caches.barrier(correctedDag(cleaned(s, d)))
     }
 
   /** bounce-back anti-join + panel aggregate over any corrected frame —

@@ -28,9 +28,13 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearAll()
   }
 
-  test("RHP signature projection is shuffle-free; one candidate shuffle") {
+  test("RHP signature projection is shuffle-free; banded candidate shuffles only") {
+    // the occupancy cap adds one aggregate over the band keys (the
+    // oversized-bucket stats, broadcast back) on top of the candidate
+    // self-join + distinct — 4 exchanges, all over the tiny key/pair
+    // relations, never the embedding vectors
     val c = Plans.planCounts(q("sim_rhp_neardup"))
-    assert(c.shuffles <= 1, s"sim_rhp_neardup shuffles: ${c.shuffles}")
+    assert(c.shuffles <= 4, s"sim_rhp_neardup shuffles: ${c.shuffles}")
   }
 
   test("broadcast-dim joins never shuffle the fact side") {
@@ -46,11 +50,11 @@ class PlanBudgetSpec extends SparkSpec {
 
   test("minhash ladder: per-doc profiles leave at most candidate shuffles") {
     // profiles (hashes + sizes + signatures) are computed inside each
-    // document's row — the only exchanges left are the band-key candidate
-    // join + distinct (2 allows for the join strategy flipping from
-    // broadcast to shuffle when stats grow)
+    // document's row — the exchanges left are the band-key candidate
+    // join + distinct plus the occupancy-cap stats aggregate (all over
+    // the 4-rows/doc key relation, never the shingle sets)
     val c = Plans.planCounts(q("dd_minhash_lsh"))
-    assert(c.shuffles <= 2, s"dd_minhash_lsh shuffles: ${c.shuffles}")
+    assert(c.shuffles <= 4, s"dd_minhash_lsh shuffles: ${c.shuffles}")
     graft.Caches.clearTransient()
   }
 
@@ -83,8 +87,11 @@ class PlanBudgetSpec extends SparkSpec {
   }
 
   test("incremental admission probes via broadcast, batch-sized shuffles only") {
+    // +3 over the uncapped shape: the corpus-index occupancy cap
+    // (capProbeKeys) pays a stats aggregate and a ranked trim of the
+    // (rare) oversized slice — index-sized, not corpus-sized
     val c = Plans.planCounts(q("dd_incremental_admit"))
-    assert(c.shuffles <= 5 && c.broadcasts >= 1,
+    assert(c.shuffles <= 8 && c.broadcasts >= 1,
       s"dd_incremental_admit shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
     graft.Caches.clearTransient()
   }

@@ -37,8 +37,14 @@ class DedupPropertiesSpec extends SparkSpec {
     assert(localSigs == exploded)
     val candsG = Dedup.lshCandidates(Dedup.minhash(hashed, 16), 16, 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val candsL = Dedup.lshCandidatesLocal(local, 16, 4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the tiny-vocab corpus collides signatures aggressively — disable
+    // the occupancy cap so the equivalence is against the full clique
+    // (LshCapSpec pins the capped behavior)
+    spark.conf.set("spark.graft.lsh.maxBucket", Int.MaxValue.toString)
+    val candsL =
+      try Dedup.lshCandidatesLocal(local, 16, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.lsh.maxBucket")
     assert(candsL == candsG)
   }
 
