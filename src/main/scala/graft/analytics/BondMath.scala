@@ -18,63 +18,15 @@ import java.time.{DayOfWeek, LocalDate}
 object BondMath {
 
   // ---- calendar ------------------------------------------------------
+  // Holiday rules live in [[TradingCalendar]] (rule-generated sessions,
+  // year-gated MLK/Juneteenth, the Saturday-New-Year non-observance, and
+  // the one-off closures) so schedules, T+2 settlement and the F6
+  // session table all read the SAME calendar.
 
-  /** Gregorian Easter Sunday (anonymous/Meeus algorithm). */
-  private def easter(year: Int): LocalDate = {
-    val a = year % 19; val b = year / 100; val c = year % 100
-    val d = b / 4; val e = b % 4; val f = (b + 8) / 25
-    val g = (b - f + 1) / 3; val h = (19 * a + b - d - g + 15) % 30
-    val i = c / 4; val k = c % 4; val l = (32 + 2 * e + 2 * i - h - k) % 7
-    val m = (a + 11 * h + 22 * l) / 451
-    val month = (h + l - 7 * m + 114) / 31
-    val day = ((h + l - 7 * m + 114) % 31) + 1
-    LocalDate.of(year, month, day)
-  }
+  /** rule-generated NYSE holiday set for one year */
+  def nyseHolidays(year: Int): Set[LocalDate] = TradingCalendar.holidays(year)
 
-  private def nthWeekday(year: Int, month: Int, dow: DayOfWeek, n: Int): LocalDate = {
-    var d = LocalDate.of(year, month, 1)
-    while (d.getDayOfWeek != dow) d = d.plusDays(1)
-    d.plusDays(7L * (n - 1))
-  }
-
-  private def lastWeekday(year: Int, month: Int, dow: DayOfWeek): LocalDate = {
-    var d = LocalDate.of(year, month, 1).plusMonths(1).minusDays(1)
-    while (d.getDayOfWeek != dow) d = d.minusDays(1)
-    d
-  }
-
-  /** fixed-date holiday with weekend observation (Sat→Fri, Sun→Mon) */
-  private def observed(d: LocalDate): LocalDate = d.getDayOfWeek match {
-    case DayOfWeek.SATURDAY => d.minusDays(1)
-    case DayOfWeek.SUNDAY => d.plusDays(1)
-    case _ => d
-  }
-
-  private val holidayCache =
-    new java.util.concurrent.ConcurrentHashMap[Int, Set[LocalDate]]()
-
-  /** memoized per year — business-day checks run in per-row loops
-    * (schedules, T+2 advances) and rebuilding the set dominates otherwise.
-    */
-  def nyseHolidays(year: Int): Set[LocalDate] =
-    holidayCache.computeIfAbsent(year, y => computeNyseHolidays(y))
-
-  private def computeNyseHolidays(year: Int): Set[LocalDate] = Set(
-    observed(LocalDate.of(year, 1, 1)),                       // New Year
-    nthWeekday(year, 1, DayOfWeek.MONDAY, 3),                 // MLK
-    nthWeekday(year, 2, DayOfWeek.MONDAY, 3),                 // Presidents
-    easter(year).minusDays(2),                                // Good Friday
-    lastWeekday(year, 5, DayOfWeek.MONDAY),                   // Memorial
-    observed(LocalDate.of(year, 6, 19)),                      // Juneteenth
-    observed(LocalDate.of(year, 7, 4)),                       // Independence
-    nthWeekday(year, 9, DayOfWeek.MONDAY, 1),                 // Labor
-    nthWeekday(year, 11, DayOfWeek.THURSDAY, 4),              // Thanksgiving
-    observed(LocalDate.of(year, 12, 25)))                     // Christmas
-
-  def isBusinessDay(d: LocalDate): Boolean =
-    d.getDayOfWeek != DayOfWeek.SATURDAY &&
-      d.getDayOfWeek != DayOfWeek.SUNDAY &&
-      !nyseHolidays(d.getYear).contains(d)
+  def isBusinessDay(d: LocalDate): Boolean = TradingCalendar.isSession(d)
 
   /** ModifiedFollowing: next business day unless it crosses a month end,
     * then previous business day.

@@ -61,22 +61,75 @@ object QFilters extends Registry {
                 AND round(l_extendedprice * (1.0 - l_discount), 4) >= 20000
                 AND l_quantity <= 45""")),
 
-    // F6 — trading-calendar semi-join: keep only ship dates that appear in
-    // the valid-dates set (stage0/create_daily_enhanced_trace.py:1397-1456).
-    // The dates side is tiny → Catalyst broadcasts the semi-join.
+    // F6 — trading-calendar semi-join: keep only ship dates that are NYSE
+    // sessions (stage0/create_daily_enhanced_trace.py:1397-1456). The
+    // session set is GENERATED from holiday rules
+    // (analytics.TradingCalendar — the pandas_market_calendars analogue),
+    // not shipped: ~250 rows/year → always a broadcast semi-join. The
+    // oracle re-derives the same rule set independently in pure SQL
+    // (weekday filter + per-year holiday construction, Gregorian Easter
+    // computus included), so the two calendars cross-check each other.
     Q("f6_calendar_semi_join",
       (s, d) => {
-        val dates = Tables.orders(s, d)
-          .select(to_date(col("o_orderdate")).as("ship_d")).distinct()
+        // lineitem's ship-date domain (1995-01..2001-11 — which spans
+        // the September 2001 closures)
+        val cal = graft.analytics.TradingCalendar.table(s,
+          java.time.LocalDate.of(1995, 1, 1),
+          java.time.LocalDate.of(2001, 12, 31))
         Tables.lineitem(s, d)
           .withColumn("ship_d", to_date(col("l_shipdate")))
-          .join(broadcast(dates), Seq("ship_d"), "left_semi")
+          .join(broadcast(cal), col("ship_d") === col("valid_dt"), "left_semi")
           .groupBy(col("ship_d")).agg(count(lit(1)).as("n"))
       },
-      Some("""SELECT CAST(l_shipdate AS DATE) AS ship_d, count(*) AS n
+      Some("""WITH years AS (SELECT y FROM generate_series(1995, 2001) g(y)),
+              -- anonymous/Meeus Gregorian Easter, pure integer arithmetic
+              e1 AS (SELECT y, y % 19 AS a, y // 100 AS b, y % 100 AS c FROM years),
+              e2 AS (SELECT *, b // 4 AS d, b % 4 AS ee, (b + 8) // 25 AS f FROM e1),
+              e3 AS (SELECT *, (b - f + 1) // 3 AS g FROM e2),
+              e4 AS (SELECT *, (19*a + b - d - g + 15) % 30 AS h, c // 4 AS i, c % 4 AS k FROM e3),
+              e5 AS (SELECT *, (32 + 2*ee + 2*i - h - k) % 7 AS l FROM e4),
+              e6 AS (SELECT *, (a + 11*h + 22*l) // 451 AS m FROM e5),
+              easterd AS (SELECT y, make_date(y, (h + l - 7*m + 114) // 31,
+                                  (h + l - 7*m + 114) % 31 + 1) AS es FROM e6),
+              fom AS (SELECT y,
+                        make_date(y, 1, 1) AS jan1, make_date(y, 2, 1) AS feb1,
+                        make_date(y, 9, 1) AS sep1, make_date(y, 11, 1) AS nov1,
+                        make_date(y, 5, 31) AS may31
+                      FROM years),
+              hol AS (
+                -- New Year: Sun -> Mon, Sat -> NOT observed
+                SELECT y, CASE isodow(jan1) WHEN 7 THEN jan1 + CAST(1 AS INT)
+                               WHEN 6 THEN NULL ELSE jan1 END AS hd FROM fom
+                UNION ALL  -- MLK: 3rd Monday Jan, observed since 1998
+                SELECT y, jan1 + CAST((8 - isodow(jan1)) % 7 + 14 AS INT) FROM fom WHERE y >= 1998
+                UNION ALL  -- September 2001 market closure
+                SELECT 2001, make_date(2001, 9, CAST(dd AS INT))
+                FROM generate_series(11, 14) q(dd)
+                UNION ALL  -- Washington: 3rd Monday Feb
+                SELECT y, feb1 + CAST((8 - isodow(feb1)) % 7 + 14 AS INT) FROM fom
+                UNION ALL  -- Good Friday
+                SELECT y, es - CAST(2 AS INT) FROM easterd
+                UNION ALL  -- Memorial: last Monday May
+                SELECT y, may31 - CAST((isodow(may31) - 1) % 7 AS INT) FROM fom
+                UNION ALL  -- Independence Day, observed
+                SELECT y, CASE isodow(make_date(y, 7, 4))
+                               WHEN 6 THEN make_date(y, 7, 4) - CAST(1 AS INT)
+                               WHEN 7 THEN make_date(y, 7, 4) + CAST(1 AS INT)
+                               ELSE make_date(y, 7, 4) END FROM years
+                UNION ALL  -- Labor: 1st Monday Sep
+                SELECT y, sep1 + CAST((8 - isodow(sep1)) % 7 AS INT) FROM fom
+                UNION ALL  -- Thanksgiving: 4th Thursday Nov
+                SELECT y, nov1 + CAST((11 - isodow(nov1)) % 7 + 21 AS INT) FROM fom
+                UNION ALL  -- Christmas, observed
+                SELECT y, CASE isodow(make_date(y, 12, 25))
+                               WHEN 6 THEN make_date(y, 12, 25) - CAST(1 AS INT)
+                               WHEN 7 THEN make_date(y, 12, 25) + CAST(1 AS INT)
+                               ELSE make_date(y, 12, 25) END FROM years)
+              SELECT CAST(l_shipdate AS DATE) AS ship_d, count(*) AS n
               FROM lineitem
-              WHERE CAST(l_shipdate AS DATE) IN
-                    (SELECT DISTINCT CAST(o_orderdate AS DATE) FROM orders)
+              WHERE isodow(CAST(l_shipdate AS DATE)) <= 5
+                AND CAST(l_shipdate AS DATE) NOT IN
+                    (SELECT hd FROM hol WHERE hd IS NOT NULL)
               GROUP BY 1""")),
 
     // F7/X4 — time-of-day seconds + wrap-around window filter

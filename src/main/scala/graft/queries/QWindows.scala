@@ -277,39 +277,43 @@ object QWindows extends Registry {
                           THEN 1 ELSE 0 END AS spike_flag
               FROM m""")),
 
-    // W12 — plateau detector: runs of exactly-equal prices (gaps-and-
-    // islands), suspicious when run length ≥ 2
-    // (stage1/helper_functions.py:913-979).
+    // W12 — plateau detector: runs of equal WHOLE-DOLLAR price levels
+    // (gaps-and-islands), suspicious when run length ≥ 2
+    // (stage1/helper_functions.py:913-979 — the reference flags "round
+    // plateau" prices; floor() avoids the engines' round-half edge on
+    // exact .50 decimals and makes the sf0.01 row discriminating: 81
+    // qualifying runs vs 0 under exact-price equality, which left the
+    // oracle row vacuously green).
     Q("w12_plateau_islands",
       (s, d) => {
         val islands = GapsIslands.islandId(
-          Trades.df(s, d),
+          Trades.df(s, d).withColumn("price_lvl", floor(col("price"))),
           partition = Seq("id"),
           order = Seq(col("ord").asc),
-          valueCol = "price",
+          valueCol = "price_lvl",
           islandCol = "island")
         islands
           .groupBy(col("id"), col("island"))
           .agg(count(lit(1)).as("run_len"),
             min(col("ord")).as("run_start"),
-            max(col("price")).cast("double").as("price"))
+            max(col("price_lvl")).cast("double").as("price_lvl"))
           .filter(col("run_len") >= 2)
-          .select(col("id"), col("run_start"), col("run_len"), col("price"))
+          .select(col("id"), col("run_start"), col("run_len"), col("price_lvl"))
       },
       Some(s"""WITH tr AS (${Trades.sql}),
-              a AS (SELECT id, ord, price,
-                      CASE WHEN lag(price, 1) OVER ($w) IS NULL
-                             OR lag(price, 1) OVER ($w) <> price
+              a AS (SELECT id, ord, floor(price) AS price_lvl,
+                      CASE WHEN lag(floor(price), 1) OVER ($w) IS NULL
+                             OR lag(floor(price), 1) OVER ($w) <> floor(price)
                            THEN 1 ELSE 0 END AS chg
                     FROM tr),
-              b AS (SELECT id, ord, price,
+              b AS (SELECT id, ord, price_lvl,
                       sum(chg) OVER ($w ROWS UNBOUNDED PRECEDING) AS island
                     FROM a),
               c AS (SELECT id, island, count(*) AS run_len,
                       min(ord) AS run_start,
-                      CAST(max(price) AS DOUBLE) AS price
+                      CAST(max(price_lvl) AS DOUBLE) AS price_lvl
                     FROM b GROUP BY id, island)
-              SELECT id, run_start, run_len, price FROM c WHERE run_len >= 2""")),
+              SELECT id, run_start, run_len, price_lvl FROM c WHERE run_len >= 2""")),
 
     // W14 — first-change flag: the 2nd observation per id is flagged when
     // |Δprice| > 35 inside a fixed month (prc_dip,
