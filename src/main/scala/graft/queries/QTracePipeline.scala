@@ -37,8 +37,16 @@ object QTracePipeline extends Registry {
   /** The raw cleaning DAG (no memo/checkpoint) — [[cleaned]] materializes
     * it; [[graft.Plans]] explains it for the exchange-count evidence.
     */
-  private[graft] def cleanedDag(s: SparkSession, d: String): DataFrame = {
-    val tr = Trades.df(s, d)
+  private[graft] def cleanedDag(s: SparkSession, d: String): DataFrame =
+    cleanedDagFrom(Trades.df(s, d))
+
+  /** Same DAG over any trades-shaped frame — the seam the bucketed-layout
+    * path plugs into: a source bucketed by `id` satisfies every cleaning
+    * window's ClusteredDistribution (each partitions by a superset of
+    * `id`), so the whole clean+correct chain plans with ZERO exchanges
+    * (`BucketedTradesSpec`).
+    */
+  private[graft] def cleanedDagFrom(tr: DataFrame): DataFrame = {
     val wKey = Window.partitionBy(col("id"), col("dt"), col("price"), col("qty"))
     val wSide = Window.partitionBy(col("id"), col("dt"), col("side"))
     val marked = tr
