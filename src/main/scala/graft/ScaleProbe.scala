@@ -17,22 +17,26 @@ import org.apache.spark.sql.functions._
   * ladder's candidate volume a worst-case-dense stress, not a free pass.
   * Small dimension tables are symlinked unscaled.
   *
+  * EACH measured pass runs in its OWN child JVM (same classpath and
+  * --add-opens as this one): a shared session accumulates checkpoint
+  * blocks and code-cache state across passes, and the later pass then
+  * measures GC pressure instead of the operators — observed swings of
+  * ±2× on the x5 near-dup numbers, and a 4× swing on a trivial window
+  * query, between identical runs. A child does its own JIT warm-up pass
+  * and prints one line; the parent only replicates data and aggregates.
+  *
   * Emits one JSON line (and SCALE_PROBE.json) with per-query seconds at
   * 1× and K× for the slope.
   */
 object ScaleProbe {
 
   private val Probes = Seq(
-    "tp_full_panel", "tp_clean_chain", "a1_daily_panel",
+    "tp_full_panel", "tp_stage1_panel", "tp_clean_chain", "a1_daily_panel",
     "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_decontaminate",
     "tx_corpus_build", "tx_shard_shuffle", "sim_rhp_neardup")
 
-  def main(args: Array[String]): Unit = {
-    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val copies = args.lift(1).map(_.toInt).getOrElse(5)
-    require(copies >= 2, s"need at least 2 copies for a slope, got $copies")
+  private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val work = Scratch.dirFor("scaleprobe", s"$src:$copies")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -42,6 +46,72 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def main(args: Array[String]): Unit =
+    if (args.headOption.contains("--pass")) childMain(args(1))
+    else parentMain(args)
+
+  // ---- child: one measured pass in a fresh JVM -----------------------
+
+  private def childMain(dir: String): Unit = {
+    val spark = session()
+    def timeAll(): Map[String, Double] = Probes.map { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      // settle OUTSIDE the timed window: blocks behind the previous
+      // query's localCheckpoints are reclaimed asynchronously on GC of
+      // their RDD references — without this the LATER queries in the
+      // pass (the chain queries) time the accumulated GC pressure
+      Caches.clearTransient()
+      System.gc()
+      Thread.sleep(1000)
+      name -> secs
+    }.toMap
+    timeAll(); Caches.clearAll() // discard the JIT/codegen-cold pass
+    System.gc(); Thread.sleep(2000)
+    val timed = timeAll()
+    // parse-free line protocol on stdout; Spark logs go to stderr
+    println("PROBE " + Probes.map(n =>
+      s"$n=${"%.3f".formatLocal(java.util.Locale.ROOT, timed(n))}")
+      .mkString(","))
+    Caches.clearAll()
+    spark.stop()
+  }
+
+  private def runChild(dir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val jvmArgs = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getInputArguments.asScala
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("-Xmx")
+        || a.startsWith("-D"))
+    val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq(
+      "-cp", System.getProperty("java.class.path"),
+      "graft.ScaleProbe", "--pass", dir)).asJava
+    val p = new ProcessBuilder(cmd)
+      .redirectError(ProcessBuilder.Redirect.INHERIT)
+      .start()
+    val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+    require(p.waitFor() == 0, s"probe child for $dir failed")
+    val line = out.linesIterator.find(_.startsWith("PROBE "))
+      .getOrElse(sys.error(s"no PROBE line from child for $dir:\n$out"))
+    line.stripPrefix("PROBE ").split(",").map { kv =>
+      val Array(k, v) = kv.split("=")
+      k -> v.toDouble
+    }.toMap
+  }
+
+  // ---- parent: replicate, then one child JVM per pass ----------------
+
+  private def parentMain(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val copies = args.lift(1).map(_.toInt).getOrElse(5)
+    require(copies >= 2, s"need at least 2 copies for a slope, got $copies")
+    val work = Scratch.dirFor("scaleprobe", s"$src:$copies")
+    val spark = session()
 
     // key strides are derived from the SOURCE's max id, so copies can
     // never collide at any scale factor (fixed strides would silently
@@ -77,18 +147,17 @@ object ScaleProbe {
         java.nio.file.Files.createSymbolicLink(link,
           java.nio.file.Paths.get(s"$src/$t.parquet"))
     }
+    spark.stop() // the parent JVM holds no session while children run
 
-    def timeAll(dir: String): Map[String, Double] = Probes.map { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
-      Caches.clearTransient()
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    // discard a full warm-up pass first: JIT/codegen-cold timings would
-    // otherwise inflate x1 and flatter every slope
-    timeAll(src); Caches.clearAll()
-    val base = timeAll(src); Caches.clearAll()
-    val scaled = timeAll(work); Caches.clearAll()
+    // per-query MIN over two isolated children per scale — the same
+    // rationale as Bench's min-over-reps: measurement noise (page-cache
+    // eviction, host contention, GC timing) is strictly additive, and
+    // single-shot x5 numbers were observed to swing up to 4× between
+    // identical runs on an idle machine
+    def minOf(a: Map[String, Double], b: Map[String, Double]) =
+      a.map { case (k, v) => k -> math.min(v, b(k)) }
+    val base = minOf(runChild(src), runChild(src))
+    val scaled = minOf(runChild(work), runChild(work))
 
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = Probes.map { n =>
@@ -101,6 +170,5 @@ object ScaleProbe {
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"probe write failed: $e") }
-    spark.stop()
   }
 }

@@ -67,26 +67,28 @@ object QStage1 extends Registry {
       .selectExpr("*", s"${QBond.curveExpr} AS curve_y")
       .withColumn("credit_spread", col("y") - col("curve_y"))
 
-    // 4 ── ratings + amount-outstanding as-of enrichment in ONE pass
+    // 4 ── ratings + amount-outstanding as-of enrichment in ONE pass.
+    // No keepLast pre-dedup: the per-source tieBreak folds the
+    // latest-event-per-day rule into the as-of window's own sort (among
+    // equal dates the max-ord row's payload wins the forward fill), so
+    // the event tables reach the union un-shuffled — two fewer
+    // exchanges than dedup-then-join, same values (the oracle still
+    // replays the dedup formulation).
     val ev = Tables.events(s, d)
-    val ratings = Dedup.keepLast(
-      ev.filter(col("event_type") === "purchase")
-        .select(col("user_id").as("id"), to_date(col("ts")).as("r_dt"),
-          col("event_id").as("r_ord"),
-          col("value").cast("decimal(18,2)").cast("double").as("rating")),
-      keys = Seq("id", "r_dt"), order = Seq(col("r_ord")))
-      .drop("r_ord")
-    val amounts = Dedup.keepLast(
-      ev.filter(col("event_type") === "click")
-        .select(col("user_id").as("id"), to_date(col("ts")).as("a_dt"),
-          col("event_id").as("a_ord"),
-          col("value").cast("decimal(18,2)").cast("double").as("amt_out")),
-      keys = Seq("id", "a_dt"), order = Seq(col("a_ord")))
-      .drop("a_ord")
+    val ratings = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("id"), to_date(col("ts")).as("r_dt"),
+        col("event_id").as("r_ord"),
+        col("value").cast("decimal(18,2)").cast("double").as("rating"))
+    val amounts = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("id"), to_date(col("ts")).as("a_dt"),
+        col("event_id").as("a_ord"),
+        col("value").cast("decimal(18,2)").cast("double").as("amt_out"))
     val asOf = AsOfJoin.backwardMulti(analytics, by = Seq("id"), leftOn = "dt",
       rights = Seq(
-        AsOfJoin.Right(ratings, on = "r_dt", payload = Seq("rating")),
-        AsOfJoin.Right(amounts, on = "a_dt", payload = Seq("amt_out"))))
+        AsOfJoin.Right(ratings, on = "r_dt", payload = Seq("rating"),
+          tieBreak = Seq("r_ord")),
+        AsOfJoin.Right(amounts, on = "a_dt", payload = Seq("amt_out"),
+          tieBreak = Seq("a_ord"))))
       .withColumn("amt_filled", coalesce(col("amt_out"), col("offering_amt")))
 
     // 5 ── J14 callable flag + J15 issuer→permno monthly linker
