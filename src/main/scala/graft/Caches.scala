@@ -36,11 +36,24 @@ object Caches {
         val sc = spark.sparkContext
         // setCheckpointDir stores <dir>/<uuid> — prefix-match (with the
         // scheme qualification stripped) so repeated barriers reuse one
-        // session subdir instead of minting a fresh UUID per call
+        // session subdir instead of minting a fresh UUID per call. The
+        // prefix must end at a path boundary: a pre-existing dir like
+        // /mnt/ckpt_legacy must NOT satisfy a configured /mnt/ck
+        val pfx = dir.stripSuffix("/") + "/"
         if (!sc.getCheckpointDir.exists(cur =>
-            cur.startsWith(dir) || cur.stripPrefix("file:").startsWith(dir)))
+            cur.startsWith(pfx) || cur.stripPrefix("file:").startsWith(pfx)))
           sc.setCheckpointDir(dir)
-        df.checkpoint(eager)
+        if (eager) {
+          // reliable checkpoint runs TWO jobs over the DAG: the eager
+          // materializing action, then ReliableRDDCheckpointData's
+          // write job — persist first so the second job reads blocks
+          // instead of recomputing (the doubling the barrier exists to
+          // bound), release the blocks once the files are written
+          val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val out = p.checkpoint(eager = true)
+          p.unpersist(blocking = false)
+          out
+        } else df.checkpoint(eager = false)
       case None => df.localCheckpoint(eager)
     }
   }

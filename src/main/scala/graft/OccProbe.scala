@@ -30,9 +30,7 @@ object OccProbe {
           expr("percentile(count, 0.99)").as("p99"), count(lit(1)).as("nBuckets"),
           sum(expr("count * (count - 1) / 2")).as("pairs"))
       println(s"[minhash] $d " + mOcc.collect().head)
-      val rk = Tables.embeddings(spark, d)
-        .select(col("vec_id"), posexplode(call_function("rhpbands", col("embedding"))))
-        .toDF("id", "band", "bucket")
+      val rk = graft.llmdata.Dedup.rhpBandKeys(Tables.embeddings(spark, d))
       val rOcc = rk.groupBy("band", "bucket").count()
         .agg(max("count").as("max"), expr("percentile(count, 0.999)").as("p999"),
           expr("percentile(count, 0.99)").as("p99"), count(lit(1)).as("nBuckets"),

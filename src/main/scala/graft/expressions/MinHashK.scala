@@ -51,12 +51,14 @@ case class MinHashK(child: Expression, k: Int)
     // shingle) but reachable through the SQL-registered minhashk.
     if (n == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
+    var contributed = 0
     var j = 0
     while (j < n) {
       // null elements are skipped (mirrors the aggregate min, which
       // ignores nulls); the shingle producers emit containsNull=false
       // arrays so this branch never fires on the library's own frames
       if (!arr.isNullAt(j)) {
+        contributed += 1
         val sh = arr.getLong(j)
         val h1 = sh % P
         val h2 = ((40503L * (sh / 1073741824L)) % P * 1073741824L % P
@@ -72,6 +74,10 @@ case class MinHashK(child: Expression, k: Int)
       }
       j += 1
     }
+    // an array of ONLY null elements is the empty set too — without this
+    // it would return the all-Long.MaxValue sentinel the n == 0 guard
+    // exists to prevent (universal collision in every LSH band)
+    if (contributed == 0) return null
     new GenericArrayData(mins)
   }
 

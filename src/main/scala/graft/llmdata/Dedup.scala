@@ -153,6 +153,18 @@ object Dedup {
       .toDF("id", "band", "bucket")
   }
 
+  /** Per-vector RHP band keys (id, band, bucket) from the native
+    * 16-plane signature — the single construction shared by the
+    * `sim_rhp_neardup` query, the occupancy diagnostic ([[graft.OccProbe]])
+    * and the geometry specs, so the probe can never drift from the
+    * query it measures.
+    */
+  def rhpBandKeys(embeddings: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol).as("id"),
+        posexplode(call_function("rhpbands", col(embCol))))
+      .toDF("id", "band", "bucket")
+
   /** The composed-lambda banding bandKeys() replaced — the reference
     * the property spec pins the native expression against.
     */
@@ -179,15 +191,18 @@ object Dedup {
     * 220 → 1,100), the two superlinear wall-time slopes in
     * SCALE_PROBE.json. Buckets over the cap are STAR-PAIRED instead of
     * clique-paired (see [[bandedPairs]]). Defaults clear every measured
-    * oracle/bench geometry (max occupancy: MinHash 3 at sf0.01, 5 at
-    * sf0.1 — a bucket of exactly 5 keeps its clique; RHP 57 at sf0.01),
-    * so the cap never fires where a DuckDB oracle mirrors the uncapped
-    * formulation.
+    * oracle/bench geometry (max occupancy by OccProbe: MinHash 3 at
+    * sf0.01 and 5 at sf0.1 vs cap 8 — a bucket of exactly 5 keeps its
+    * clique; RHP 57 at sf0.01 and 220 at sf0.1 vs cap 256), so the cap
+    * never fires where a DuckDB oracle mirrors the uncapped
+    * formulation; `LshCapSpec` pins both geometries against the
+    * defaults. At the 5× probe the RHP family buckets reach ~1,100 and
+    * are starred under either cap value.
     */
   def lshMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get("spark.graft.lsh.maxBucket", "8").toInt
   def rhpMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
-    spark.conf.get("spark.graft.rhp.maxBucket", "128").toInt
+    spark.conf.get("spark.graft.rhp.maxBucket", "256").toInt
 
   /** Candidate pairs from band keys (id, band, bucket) with the
     * occupancy cap applied:

@@ -114,6 +114,13 @@ object AsOfJoin {
     val allPayload = rights.flatMap(_.payload)
     require(allPayload.distinct.size == allPayload.size,
       s"payload columns must be disjoint across sources: $allPayload")
+    // and disjoint from the left frame itself — the final select emits
+    // left's columns plus the payload aliases, so an overlap would
+    // produce a duplicate output column that only fails (ambiguous
+    // reference) at the caller's NEXT col() use, far from here
+    val clash = allPayload.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"payload columns collide with left-frame columns: $clash")
     rights.foreach(r => require(
       r.right.schema(r.on).dataType == left.schema(leftOn).dataType,
       s"'${r.on}' must match '$leftOn' type (${left.schema(leftOn).dataType})"))

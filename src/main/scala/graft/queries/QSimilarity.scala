@@ -178,16 +178,14 @@ object QSimilarity extends Registry {
         // shuffle-free primitive-loop projection per vector. The earlier
         // 16× aggregate(zip_with(...)) HOF form ran interpreted per
         // element (~1024 boxed ops/row) and dominated the bench.
-        val keys = Tables.embeddings(s, d)
-          .select(col("vec_id").as("id"),
-            posexplode(call_function("rhpbands", col("embedding"))))
-          .toDF("id", "band", "bucket")
+        val keys = graft.llmdata.Dedup.rhpBandKeys(Tables.embeddings(s, d))
         // occupancy-capped candidate generation (Dedup.bandedPairs):
         // 4-bit band keys make RHP buckets wide by construction — at the
         // 5x near-dup probe a single bucket holds 1,100 vectors (13.3M
         // clique pairs); over rhpMaxBucket the bucket star-pairs around
-        // its min-id member. Never fires at oracle geometry (sf0.01 max
-        // occupancy 57 < 128 default).
+        // its min-id member. Never fires at oracle or bench geometry
+        // (max occupancy 57 at sf0.01, 220 at sf0.1 < 256 default —
+        // pinned by LshCapSpec).
         val cands = graft.llmdata.Dedup.bandedPairs(
           keys, graft.llmdata.Dedup.rhpMaxBucket(s))
         val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),

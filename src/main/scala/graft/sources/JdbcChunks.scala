@@ -27,6 +27,11 @@ object JdbcChunks {
   def inListPredicates(keyCol: String, keys: Seq[String],
       chunkSize: Int): Array[String] = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    // an empty predicates array makes spark.read.jdbc build a ZERO-
+    // partition relation — the pipeline would proceed on 0 rows with no
+    // signal that the chunk list (not the table) was empty
+    require(keys.nonEmpty,
+      s"empty key list for '$keyCol' — an empty predicates array reads 0 rows silently")
     keys.distinct.sorted.grouped(chunkSize).map { chunk =>
       s"$keyCol IN (${chunk.map(k => s"'${k.replace("'", "''")}'").mkString(", ")})"
     }.toArray

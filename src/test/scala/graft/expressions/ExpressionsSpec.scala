@@ -90,6 +90,16 @@ class ExpressionsSpec extends SparkSpec {
         .select(call_function("minhashk", col("s"), lit(4))).collect()
     }
     assert(err.getMessage.toLowerCase.contains("type"))
+    // the empty SET has no minima: empty arrays AND all-null-element
+    // arrays both yield null, never the all-Long.MaxValue sentinel
+    // (which would collide in every LSH band). Reachable only through
+    // the SQL-registered function, not the library's shingle producers.
+    val degenerate = spark.sql(
+      """SELECT minhashk(CAST(array() AS ARRAY<BIGINT>), 4) AS e,
+                minhashk(array(CAST(NULL AS BIGINT)), 4) AS an,
+                minhashk(array(1L, NULL), 4)             AS part""").head
+    assert(degenerate.isNullAt(0) && degenerate.isNullAt(1))
+    assert(!degenerate.isNullAt(2)) // a non-null element still signs
   }
 
   test("dotq6 equals the zip_with/aggregate micro-unit fold") {

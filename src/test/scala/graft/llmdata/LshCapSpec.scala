@@ -71,17 +71,27 @@ class LshCapSpec extends SparkSpec {
   test("default caps clear the oracle geometry at sf0.001") {
     // the driver's correctness harness relies on the cap never firing
     // at oracle scale: assert no bucket reaches the default caps
-    val d = "/root/testdata/sf0.001"
+    assertCapsClear("/root/testdata/sf0.001")
+  }
+
+  test("default caps clear the sf0.01 oracle and sf0.1 bench geometry") {
+    // sf0.01 is the driver's DuckDB-compare scale; sf0.1 is the bench
+    // scale — at BOTH the capped queries must compute the exact clique
+    // semantics the uncapped oracle SQL mirrors. (The first shipped RHP
+    // default, 128, silently starred every sf0.1 bucket: measured max
+    // occupancy there is 220.)
+    assertCapsClear("/root/testdata/sf0.01")
+    assertCapsClear("/root/testdata/sf0.1")
+  }
+
+  private def assertCapsClear(d: String): Unit = {
     val prof = Dedup.docProfilesLocal(
       graft.Tables.documents(spark, d), "doc_id", "text", n = 5, k = 32)
     val mOver = Dedup.oversizedBuckets(
       Dedup.bandKeys(prof, 32, 4), Dedup.lshMaxBucket(spark)).count()
-    assert(mOver == 0L)
-    val rk = graft.Tables.embeddings(spark, d)
-      .select(col("vec_id").as("id"),
-        posexplode(call_function("rhpbands", col("embedding"))))
-      .toDF("id", "band", "bucket")
+    assert(mOver == 0L, s"minhash bucket over cap at $d")
+    val rk = Dedup.rhpBandKeys(graft.Tables.embeddings(spark, d))
     val rOver = Dedup.oversizedBuckets(rk, Dedup.rhpMaxBucket(spark)).count()
-    assert(rOver == 0L)
+    assert(rOver == 0L, s"rhp bucket over cap at $d")
   }
 }

@@ -67,4 +67,12 @@ class JdbcSourceSpec extends SparkSpec {
     val preds = JdbcChunks.inListPredicates("k", Seq("o'brien", "plain"), 10)
     assert(preds.head == "k IN ('o''brien', 'plain')")
   }
+
+  test("IN-list predicates refuse an empty key list") {
+    // an empty predicates array would read 0 rows with no signal
+    val err = intercept[IllegalArgumentException] {
+      JdbcChunks.inListPredicates("k", Nil, 10)
+    }
+    assert(err.getMessage.contains("empty key list"))
+  }
 }
