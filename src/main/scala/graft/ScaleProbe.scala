@@ -57,9 +57,15 @@ object ScaleProbe {
 
   private def childMain(dir: String): Unit = {
     val spark = session()
-    def timeAll(): Map[String, Double] = Probes.map { name =>
+    // (seconds, output rows) — rows let the parent separate "the
+    // operator degraded" from "the answer grew": the probe's per-copy
+    // near-dup suffixes make the dedup ladder's TRUE result set grow
+    // much faster than the input (every entity gains K-1 near-dup
+    // siblings), so a wall-time slope above K/copies is expected
+    // whenever the rows slope is too
+    def timeAll(): Map[String, (Double, Long)] = Probes.map { name =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      val rows = SparkEntry.queries(name)(spark, dir).count()
       val secs = (System.nanoTime() - t0) / 1e9
       // settle OUTSIDE the timed window: blocks behind the previous
       // query's localCheckpoints are reclaimed asynchronously on GC of
@@ -68,20 +74,21 @@ object ScaleProbe {
       Caches.clearTransient()
       System.gc()
       Thread.sleep(1000)
-      name -> secs
+      name -> ((secs, rows))
     }.toMap
     timeAll(); Caches.clearAll() // discard the JIT/codegen-cold pass
     System.gc(); Thread.sleep(2000)
     val timed = timeAll()
     // parse-free line protocol on stdout; Spark logs go to stderr
-    println("PROBE " + Probes.map(n =>
-      s"$n=${"%.3f".formatLocal(java.util.Locale.ROOT, timed(n))}")
-      .mkString(","))
+    println("PROBE " + Probes.map { n =>
+      val (secs, rows) = timed(n)
+      s"$n=${"%.3f".formatLocal(java.util.Locale.ROOT, secs)}:$rows"
+    }.mkString(","))
     Caches.clearAll()
     spark.stop()
   }
 
-  private def runChild(dir: String): Map[String, Double] = {
+  private def runChild(dir: String): Map[String, (Double, Long)] = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
@@ -100,7 +107,8 @@ object ScaleProbe {
       .getOrElse(sys.error(s"no PROBE line from child for $dir:\n$out"))
     line.stripPrefix("PROBE ").split(",").map { kv =>
       val Array(k, v) = kv.split("=")
-      k -> v.toDouble
+      val Array(secs, rows) = v.split(":")
+      k -> ((secs.toDouble, rows.toLong))
     }.toMap
   }
 
@@ -154,15 +162,25 @@ object ScaleProbe {
     // eviction, host contention, GC timing) is strictly additive, and
     // single-shot x5 numbers were observed to swing up to 4× between
     // identical runs on an idle machine
-    def minOf(a: Map[String, Double], b: Map[String, Double]) =
-      a.map { case (k, v) => k -> math.min(v, b(k)) }
+    def minOf(a: Map[String, (Double, Long)], b: Map[String, (Double, Long)]) =
+      a.map { case (k, (s, r)) =>
+        require(r == b(k)._2,
+          s"$k returned different row counts across reps: $r vs ${b(k)._2}")
+        k -> ((math.min(s, b(k)._1), r))
+      }
     val base = minOf(runChild(src), runChild(src))
     val scaled = minOf(runChild(work), runChild(work))
 
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = Probes.map { n =>
-      s""""$n":{"x1":${f3(base(n))},"x$copies":${f3(scaled(n))},"slope":${
-        f3(scaled(n) / math.max(base(n), 1e-9))}}"""
+      val (bs, br) = base(n)
+      val (ss, sr) = scaled(n)
+      // rowsSlope > copies marks an answer-bound query: the probe's
+      // near-dup construction grows the true result superlinearly, so
+      // judge its wall-time slope against the rows slope, not 1.0
+      s""""$n":{"x1":${f3(bs)},"x$copies":${f3(ss)},"slope":${
+        f3(ss / math.max(bs, 1e-9))},"rowsX1":$br,"rowsX$copies":$sr,"rowsSlope":${
+        f3(sr.toDouble / math.max(br.toDouble, 1.0))}}"""
     }.mkString("{", ",", "}")
     val json =
       s"""{"copies":$copies,"src":"$src","queries":$qs}"""

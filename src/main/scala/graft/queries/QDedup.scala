@@ -39,6 +39,64 @@ object QDedup extends Registry {
        shash AS (
          SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh FROM spos)"""
 
+  /** MinHash(k=32) + LSH(4×8) candidates verified with exact shingle-hash
+    * Jaccard ≥ 0.7, as a `verified(id_a, id_b, jaccard)` CTE chain —
+    * shared by `dd_minhash_lsh` and [[QText]]'s `tx_source_blocklist`
+    * (per-source duplication profiling), so the blocklist's notion of
+    * "near-duplicate" can never drift from the dedup tier's.
+    */
+  private[queries] val minhashVerifiedCte: String =
+    s"""$shinglesSql,
+       hashed AS (
+         SELECT id, sh, sh % 2147483647 AS h1,
+                ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
+                 + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
+         FROM shash),
+       mh AS (
+         SELECT id, CAST(i AS INT) AS i,
+                min((h1 + i * h2) % 2147483647) AS mh
+         FROM hashed CROSS JOIN generate_series(0, 31) g(i)
+         GROUP BY id, CAST(i AS INT)),
+       banded AS (
+         SELECT id, CAST(i // 8 AS INT) AS band,
+                md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
+                    '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
+         FROM mh GROUP BY id, band),
+       cands AS (
+         SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       arrs AS (SELECT id, list(DISTINCT sh) AS arr,
+                       count(DISTINCT sh) AS sz
+                FROM hashed GROUP BY id),
+       verified AS (
+         SELECT c.id_a, c.id_b,
+                CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                  / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) AS jaccard
+         FROM cands c
+         JOIN arrs a ON a.id = c.id_a
+         JOIN arrs b ON b.id = c.id_b
+         WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                 / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.7e0)"""
+
+  /** Verified MinHash+LSH near-dup pairs, memoized per (session, sfDir) —
+    * same build-once pattern as [[simhashPairs]]: TWO consumers
+    * (`dd_minhash_lsh` and `tx_source_blocklist`) otherwise each walk the
+    * shingle → signature → band → verify pipeline. Released by
+    * Caches.clearAll at end of run.
+    */
+  private[queries] def minhashPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s, s"dd_minhash_pairs:$d") {
+      val prof = graft.Caches.registerTransient(
+        Dedup.docProfilesLocal(Tables.documents(s, d), "doc_id", "text",
+            n = 5, k = 32)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val cands = Dedup.lshCandidatesLocal(prof, k = 32, bands = 4)
+      Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
+        .transform(graft.Caches.barrier(_))
+    }
+
   /** Oracle for LSH-indexed incremental admission — shared verbatim with
     * [[QStreaming]]'s `stream_lsh_admit`: the streaming path runs the
     * SAME admission operator inside `foreachBatch` (micro-batches probe
@@ -155,45 +213,9 @@ object QDedup extends Registry {
     // mirrors the exploded groupBy-min formulation, which is
     // value-identical (LlmDataSpec pins the two paths equal).
     Q("dd_minhash_lsh",
-      (s, d) => {
-        val prof = graft.Caches.registerTransient(
-          Dedup.docProfilesLocal(Tables.documents(s, d), "doc_id", "text",
-              n = 5, k = 32)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val cands = Dedup.lshCandidatesLocal(prof, k = 32, bands = 4)
-        Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
-      },
-      Some(s"""WITH $shinglesSql,
-              hashed AS (
-                SELECT id, sh, sh % 2147483647 AS h1,
-                       ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
-                        + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
-                FROM shash),
-              mh AS (
-                SELECT id, CAST(i AS INT) AS i,
-                       min((h1 + i * h2) % 2147483647) AS mh
-                FROM hashed CROSS JOIN generate_series(0, 31) g(i)
-                GROUP BY id, CAST(i AS INT)),
-              banded AS (
-                SELECT id, CAST(i // 8 AS INT) AS band,
-                       md5(string_agg(CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR),
-                           '_' ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR))) AS bucket
-                FROM mh GROUP BY id, band),
-              cands AS (
-                SELECT DISTINCT a.id AS id_a, b.id AS id_b
-                FROM banded a JOIN banded b
-                  ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-              arrs AS (SELECT id, list(DISTINCT sh) AS arr,
-                              count(DISTINCT sh) AS sz
-                       FROM hashed GROUP BY id)
-              SELECT c.id_a, c.id_b,
-                     CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
-                       / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) AS jaccard
-              FROM cands c
-              JOIN arrs a ON a.id = c.id_a
-              JOIN arrs b ON b.id = c.id_b
-              WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
-                      / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.7e0""")),
+      (s, d) => minhashPairs(s, d),
+      Some(s"""WITH $minhashVerifiedCte
+              SELECT id_a, id_b, jaccard FROM verified""")),
 
     // Tier 3 — SimHash(60-bit) signatures + 15-bit-band candidates with
     // hamming ≤ 3 verification, fully mirrored in SQL.

@@ -26,6 +26,47 @@ object QSimilarity extends Registry {
                          FROM generate_series(1, 64) g(i)) AS n2
          FROM embeddings e)"""
 
+  /** IVF cell-restricted top-k per probe (vec_id < 5): coarse centroids =
+    * vec_id % 50 = 0, max-dot assignment with deterministic tie-break,
+    * probes search ONLY their own cell. Shared by `sim_ivf_topk` and the
+    * `sim_ivf_recall` evaluation harness so the measured recall is the
+    * recall of the exact operator that serves queries.
+    */
+  private def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assign = {
+      val scored = e.crossJoin(broadcast(cents))
+        .withColumn("dot",
+          Embeddings.dotDecimal(col("embedding"), col("cvec")))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("dot").desc, col("cid").asc)
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+    }
+    val withN2 = assign.withColumn("n2",
+      Embeddings.norm2Decimal(col("embedding")))
+    val queries = withN2.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("embedding").as("qvec"), col("n2").as("qn2"))
+    val cands = withN2
+      .select(col("vec_id").as("vid"), col("cell"),
+        col("embedding").as("vvec"), col("n2").as("vn2"))
+    val scored = queries.join(cands,
+        Seq("cell")).filter(col("qid") =!= col("vid"))
+      .withColumn("cosine", Embeddings.cosine(
+        Embeddings.dotDecimal(col("qvec"), col("vvec")),
+        col("qn2"), col("vn2")))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid").as("neighbor"), col("cosine"))
+  }
+
   def qs: Seq[Q] = Seq(
 
     // Brute-force top-k cosine (the exact baseline): queries vec_id < 5,
@@ -62,39 +103,7 @@ object QSimilarity extends Registry {
     // (vec_id < 5) probe ONLY their own cell — the inverted-file layout
     // that partition-prunes at cluster scale.
     Q("sim_ivf_topk",
-      (s, d) => {
-        val e = Tables.embeddings(s, d)
-        val cents = e.filter(col("vec_id") % 50 === 0)
-          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-        val assign = {
-          val scored = e.crossJoin(broadcast(cents))
-            .withColumn("dot",
-              Embeddings.dotDecimal(col("embedding"), col("cvec")))
-          val w = Window.partitionBy(col("vec_id"))
-            .orderBy(col("dot").desc, col("cid").asc)
-          scored.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1)
-            .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
-        }
-        val withN2 = assign.withColumn("n2",
-          Embeddings.norm2Decimal(col("embedding")))
-        val queries = withN2.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("cell"),
-            col("embedding").as("qvec"), col("n2").as("qn2"))
-        val cands = withN2
-          .select(col("vec_id").as("vid"), col("cell"),
-            col("embedding").as("vvec"), col("n2").as("vn2"))
-        val scored = queries.join(cands,
-            Seq("cell")).filter(col("qid") =!= col("vid"))
-          .withColumn("cosine", Embeddings.cosine(
-            Embeddings.dotDecimal(col("qvec"), col("vvec")),
-            col("qn2"), col("vn2")))
-        val w2 = Window.partitionBy(col("qid"))
-          .orderBy(col("cosine").desc, col("vid").asc)
-        scored.withColumn("rank", row_number().over(w2))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank"), col("vid").as("neighbor"), col("cosine"))
-      },
+      (s, d) => ivfTopK(s, d, k = 5),
       Some(s"""WITH cents AS (
                 SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 50 = 0),
               adot AS (
@@ -291,6 +300,91 @@ object QSimilarity extends Registry {
             s1 AS (${scoreSql("c1")}),
             a1 AS (${argminSql("s1")})
             SELECT vec_id, cell FROM a1"""
-      })
+      }),
+
+    // ANN evaluation harness — recall@5 of the IVF tier against the
+    // exact brute-force ground truth, per probe. The number every ANN
+    // deployment watches: how much answer quality the cell restriction
+    // trades for its partition-pruned scan. Both sides use the SAME
+    // deterministic tie-break (cosine DESC, neighbor ASC), so the top-5
+    // SETS — and hence recall — are exactly reproducible in DuckDB. At
+    // 100 TB this runs exactly as written over a SAMPLED probe set: the
+    // ground-truth pass is one linear broadcast-probe scan per sample,
+    // the IVF side is the production operator unchanged.
+    Q("sim_ivf_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val vecs = e.select(col("vec_id").as("vid"), col("embedding").as("vvec"),
+          Embeddings.norm2Decimal(col("embedding")).as("vn2"))
+        val queries = e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            Embeddings.norm2Decimal(col("embedding")).as("qn2"))
+        val truth = Embeddings.topK(vecs, queries, k = 5)
+          .select(col("qid"), col("neighbor"))
+        val approx = ivfTopK(s, d, k = 5).select(col("qid"), col("neighbor"))
+        val hits = approx.join(truth, Seq("qid", "neighbor"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        queries.select(col("qid"))
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .withColumn("recall", col("n_hits").cast("double") / lit(5.0d))
+      },
+      Some(s"""WITH $normsSql,
+              bfscored AS (
+                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+                       CAST(${dotSql("q", "v")} AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+                FROM embeddings q
+                JOIN embeddings v ON q.vec_id <> v.vec_id
+                JOIN norms nq ON nq.vec_id = q.vec_id
+                JOIN norms nv ON nv.vec_id = v.vec_id
+                WHERE q.vec_id < 5),
+              bf AS (
+                SELECT qid, neighbor FROM (
+                  SELECT qid, neighbor,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, neighbor) AS rank
+                  FROM bfscored) x WHERE rank <= 5),
+              cents AS (
+                SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 50 = 0),
+              adot AS (
+                SELECT e.vec_id, c.cid,
+                       (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                                   * CAST(floor(c.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+                        FROM generate_series(1, 64) g(i)) AS dot
+                FROM embeddings e CROSS JOIN cents c),
+              assign AS (
+                SELECT vec_id, cid AS cell FROM (
+                  SELECT vec_id, cid,
+                         row_number() OVER (PARTITION BY vec_id
+                           ORDER BY dot DESC, cid) AS rn
+                  FROM adot) x WHERE rn = 1),
+              iscored AS (
+                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+                       CAST(${dotSql("q", "v")} AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+                FROM embeddings q
+                JOIN assign aq ON aq.vec_id = q.vec_id
+                JOIN assign av ON av.cell = aq.cell
+                JOIN embeddings v ON v.vec_id = av.vec_id AND v.vec_id <> q.vec_id
+                JOIN norms nq ON nq.vec_id = q.vec_id
+                JOIN norms nv ON nv.vec_id = v.vec_id
+                WHERE q.vec_id < 5),
+              ivf AS (
+                SELECT qid, neighbor FROM (
+                  SELECT qid, neighbor,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, neighbor) AS rank
+                  FROM iscored) y WHERE rank <= 5),
+              hits AS (
+                SELECT i.qid, count(*) AS n_hits
+                FROM ivf i JOIN bf b ON b.qid = i.qid AND b.neighbor = i.neighbor
+                GROUP BY i.qid)
+              SELECT q.vec_id AS qid,
+                     CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                     CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+              FROM embeddings q
+              LEFT JOIN hits h ON h.qid = q.vec_id
+              WHERE q.vec_id < 5"""))
   )
 }

@@ -487,6 +487,50 @@ object QText extends Registry {
                      md5(regexp_replace(regexp_replace(raw,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
-              FROM raw"""))
+              FROM raw""")),
+
+    // Source-level duplication profile + blocklist — the domain-level
+    // screen web-crawl curation runs BEFORE per-document filtering (the
+    // RefinedWeb/FineWeb pattern: a template-heavy domain whose pages
+    // near-duplicate each other gets dropped wholesale, not page by
+    // page). "Near-duplicate" is the MinHash+LSH tier's verified pairs
+    // ([[QDedup.minhashPairs]], memo-shared with `dd_minhash_lsh`, so
+    // the two screens can never disagree); a source is blocked when
+    // ≥ 16% of its documents sit in a verified pair. Scale shape: the
+    // near-dup id set is a fraction of the corpus, the per-source agg is
+    // a low-cardinality hash-agg with map-side combine, and the block
+    // decision is integer cross-multiplication (no float thresholds).
+    Q("tx_source_blocklist",
+      (s, d) => {
+        val pairs = QDedup.minhashPairs(s, d)
+        val nd = pairs.select(col("id_a").as("doc_id"))
+          .unionByName(pairs.select(col("id_b").as("doc_id")))
+          .distinct()
+          .withColumn("is_nd", lit(1L))
+        Tables.documents(s, d).select(col("doc_id"), col("source"))
+          .join(nd, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(coalesce(col("is_nd"), lit(0L))).as("n_neardup"))
+          .withColumn("nd_share",
+            col("n_neardup").cast("double") / col("n_docs").cast("double"))
+          .withColumn("blocked",
+            col("n_neardup") * 100 >= col("n_docs") * 16)
+      },
+      Some(s"""WITH ${QDedup.minhashVerifiedCte},
+              nd AS (SELECT DISTINCT id FROM (
+                       SELECT id_a AS id FROM verified
+                       UNION ALL
+                       SELECT id_b AS id FROM verified) u)
+              SELECT d.source,
+                     count(*) AS n_docs,
+                     CAST(sum(CASE WHEN nd.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+                     CAST(sum(CASE WHEN nd.id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS nd_share,
+                     CAST(sum(CASE WHEN nd.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 100
+                       >= count(*) * 16 AS blocked
+              FROM documents d
+              LEFT JOIN nd ON nd.id = d.doc_id
+              GROUP BY d.source"""))
   )
 }
