@@ -311,6 +311,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Source-level duplication profile + block decision — the
+    * domain-level screen web-crawl curation runs BEFORE per-document
+    * filtering (a template-heavy source whose pages near-duplicate each
+    * other is dropped wholesale). `pairs` is any verified near-dup pair
+    * set over `idCol` (id_a, id_b); a source is blocked when at least
+    * `blockPct`% of its documents appear in a pair. Integer
+    * cross-multiplication keeps the decision float-free. Scale shape:
+    * the near-dup id set is a fraction of the corpus; the per-source
+    * aggregation is a low-cardinality hash-agg with map-side combine.
+    */
+  def sourceBlocklist(docs: DataFrame, pairs: DataFrame,
+      idCol: String, sourceCol: String, blockPct: Int): DataFrame = {
+    require(blockPct >= 0 && blockPct <= 100,
+      s"blockPct must be a percentage, got $blockPct")
+    val nd = pairs.select(col("id_a").as(idCol))
+      .unionByName(pairs.select(col("id_b").as(idCol)))
+      .distinct()
+      .withColumn("is_nd", lit(1L))
+    docs.select(col(idCol), col(sourceCol))
+      .join(nd, Seq(idCol), "left")
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_nd"), lit(0L))).as("n_neardup"))
+      .withColumn("nd_share",
+        col("n_neardup").cast("double") / col("n_docs").cast("double"))
+      .withColumn("blocked",
+        col("n_neardup") * 100 >= col("n_docs") * blockPct)
+  }
+
   /** LSH-index ADMISSION of one batch against a static corpus index:
     * reject on exact-fingerprint membership, then on any band-bucket
     * collision that verifies at `threshold` Jaccard; everything else is

@@ -489,34 +489,16 @@ object QText extends Registry {
                        '555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
               FROM raw""")),
 
-    // Source-level duplication profile + blocklist — the domain-level
-    // screen web-crawl curation runs BEFORE per-document filtering (the
-    // RefinedWeb/FineWeb pattern: a template-heavy domain whose pages
-    // near-duplicate each other gets dropped wholesale, not page by
-    // page). "Near-duplicate" is the MinHash+LSH tier's verified pairs
-    // ([[QDedup.minhashPairs]], memo-shared with `dd_minhash_lsh`, so
-    // the two screens can never disagree); a source is blocked when
-    // ≥ 16% of its documents sit in a verified pair. Scale shape: the
-    // near-dup id set is a fraction of the corpus, the per-source agg is
-    // a low-cardinality hash-agg with map-side combine, and the block
-    // decision is integer cross-multiplication (no float thresholds).
+    // Source-level duplication profile + blocklist (the RefinedWeb/
+    // FineWeb domain-screen pattern — see Dedup.sourceBlocklist for the
+    // operator and its scale shape). "Near-duplicate" is the MinHash+LSH
+    // tier's verified pairs ([[QDedup.minhashPairs]], memo-shared with
+    // `dd_minhash_lsh`, so the two screens can never disagree); blocked
+    // when ≥ 16% of a source's documents sit in a verified pair.
     Q("tx_source_blocklist",
-      (s, d) => {
-        val pairs = QDedup.minhashPairs(s, d)
-        val nd = pairs.select(col("id_a").as("doc_id"))
-          .unionByName(pairs.select(col("id_b").as("doc_id")))
-          .distinct()
-          .withColumn("is_nd", lit(1L))
-        Tables.documents(s, d).select(col("doc_id"), col("source"))
-          .join(nd, Seq("doc_id"), "left")
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(coalesce(col("is_nd"), lit(0L))).as("n_neardup"))
-          .withColumn("nd_share",
-            col("n_neardup").cast("double") / col("n_docs").cast("double"))
-          .withColumn("blocked",
-            col("n_neardup") * 100 >= col("n_docs") * 16)
-      },
+      (s, d) => graft.llmdata.Dedup.sourceBlocklist(
+        Tables.documents(s, d), QDedup.minhashPairs(s, d),
+        idCol = "doc_id", sourceCol = "source", blockPct = 16),
       Some(s"""WITH ${QDedup.minhashVerifiedCte},
               nd AS (SELECT DISTINCT id FROM (
                        SELECT id_a AS id FROM verified

@@ -146,4 +146,29 @@ class LlmDataSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "und")
   }
+
+  test("sourceBlocklist blocks a template-heavy source, keeps clean ones") {
+    import spark.implicits._
+    // templ: 3 of 4 docs sit in near-dup pairs (75% ≥ 16% → blocked);
+    // clean: 1 of 4 (25% ≥ 16% → blocked at 16 but NOT at 30 — the
+    // threshold is a real parameter); empty pair membership → kept
+    val docs = Seq(
+      (1L, "templ"), (2L, "templ"), (3L, "templ"), (4L, "templ"),
+      (5L, "clean"), (6L, "clean"), (7L, "clean"), (8L, "clean"),
+      (9L, "quiet"), (10L, "quiet")).toDF("doc_id", "source")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 1L)).toDF("id_a", "id_b")
+    def run(pct: Int) = Dedup.sourceBlocklist(docs, pairs,
+        "doc_id", "source", blockPct = pct)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    val at16 = run(16)
+    assert(at16("templ") == ((4L, 3L, true)))
+    assert(at16("clean") == ((4L, 1L, true)))   // 25% ≥ 16%
+    assert(at16("quiet") == ((2L, 0L, false)))
+    val at30 = run(30)
+    assert(!at30("clean")._3 && at30("templ")._3)
+    // a doc on BOTH sides of pairs counts once (distinct membership)
+    val shares = run(16)
+    assert(shares.values.forall { case (n, nd, _) => nd <= n })
+  }
 }
