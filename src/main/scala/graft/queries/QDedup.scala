@@ -88,13 +88,7 @@ object QDedup extends Registry {
   private[queries] def minhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s, s"dd_minhash_pairs:$d") {
-      val prof = graft.Caches.registerTransient(
-        Dedup.docProfilesLocal(Tables.documents(s, d), "doc_id", "text",
-            n = 5, k = 32)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val cands = Dedup.lshCandidatesLocal(prof, k = 32, bands = 4)
-      Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
-        .transform(graft.Caches.barrier(_))
+      minhashPairsDag(s, d).transform(graft.Caches.barrier(_))
     }
 
   /** Oracle for LSH-indexed incremental admission — shared verbatim with
@@ -180,10 +174,26 @@ object QDedup extends Registry {
   private def simhashPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s, s"dd_simhash_pairs:$d") {
-      Dedup.simhashPairs(
-        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-        maxDist = 3).transform(graft.Caches.barrier(_))
+      simhashPairsDag(s, d).transform(graft.Caches.barrier(_))
     }
+
+  /** Raw (unmemoized, un-checkpointed) pair DAGs — plan evidence only:
+    * the memoized production paths scan checkpoint blocks, which would
+    * hide the upstream exchanges [[graft.Plans]] exists to pin.
+    */
+  private[graft] def minhashPairsDag(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val prof = graft.Caches.registerTransient(
+      Dedup.docProfilesLocal(Tables.documents(s, d), "doc_id", "text",
+          n = 5, k = 32)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    Dedup.jaccardOnProfiles(prof,
+      Dedup.lshCandidatesLocal(prof, k = 32, bands = 4), threshold = 0.7)
+  }
+  private[graft] def simhashPairsDag(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Dedup.simhashPairs(
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text"), maxDist = 3)
 
   def qs: Seq[Q] = Seq(
 
