@@ -26,35 +26,91 @@ object QSimilarity extends Registry {
                          FROM generate_series(1, 64) g(i)) AS n2
          FROM embeddings e)"""
 
+  /** IVF index CTEs (cents → adot → assign): coarse centroids, every
+    * vector's max-dot cell with deterministic tie-break. Shared by the
+    * sim_ivf_* oracles so they all mirror the one index construction.
+    */
+  private val ivfIndexSql =
+    s"""cents AS (
+         SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 50 = 0),
+       adot AS (
+         SELECT e.vec_id, c.cid,
+                (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                            * CAST(floor(c.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+                 FROM generate_series(1, 64) g(i)) AS dot
+         FROM embeddings e CROSS JOIN cents c),
+       assign AS (
+         SELECT vec_id, cid AS cell FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dot DESC, cid) AS rn
+           FROM adot) x WHERE rn = 1)"""
+
+  /** probe-side CTE chain at a given `nprobe` (prefixed so two widths
+    * coexist in one oracle): each query (vec_id < 5) searches its
+    * `nprobe` best cells; `<pfx>ranked` carries (qid, rank, neighbor,
+    * cosine), `<pfx>top` the rank ≤ 5 set.
+    */
+  private def ivfProbeSql(pfx: String, nprobe: Int) =
+    s"""${pfx}cells AS (
+         SELECT vec_id, cid AS cell FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dot DESC, cid) AS rn
+           FROM adot WHERE vec_id < 5) qc WHERE rn <= $nprobe),
+       ${pfx}scored AS (
+         SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+                CAST(${dotSql("q", "v")} AS DOUBLE)
+                  / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+         FROM embeddings q
+         JOIN ${pfx}cells qc ON qc.vec_id = q.vec_id
+         JOIN assign av ON av.cell = qc.cell
+         JOIN embeddings v ON v.vec_id = av.vec_id AND v.vec_id <> q.vec_id
+         JOIN norms nq ON nq.vec_id = q.vec_id
+         JOIN norms nv ON nv.vec_id = v.vec_id),
+       ${pfx}ranked AS (
+         SELECT qid, neighbor, cosine,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY cosine DESC, neighbor) AS rank
+         FROM ${pfx}scored),
+       ${pfx}top AS (
+         SELECT qid, neighbor FROM ${pfx}ranked WHERE rank <= 5)"""
+
   /** IVF cell-restricted top-k per probe (vec_id < 5): coarse centroids =
-    * vec_id % 50 = 0, max-dot assignment with deterministic tie-break,
-    * probes search ONLY their own cell. Shared by `sim_ivf_topk` and the
-    * `sim_ivf_recall` evaluation harness so the measured recall is the
-    * recall of the exact operator that serves queries.
+    * vec_id % 50 = 0, max-dot assignment with deterministic tie-break.
+    * Every vector lives in exactly ONE cell; a query searches its
+    * `nprobe` best cells (by centroid dot, same tie-break) — nprobe = 1
+    * is the classic single-cell probe, nprobe > 1 is multi-probe IVF,
+    * trading a linear factor of scan for recall (the knob
+    * `sim_ivf_recall` measures). Candidates stay duplicate-free by
+    * construction (one cell per vector). Shared by `sim_ivf_topk`,
+    * `sim_ivf_multiprobe` and the recall harness so the measured recall
+    * is the recall of the exact operator that serves queries.
     */
   private def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
-      k: Int): org.apache.spark.sql.DataFrame = {
+      k: Int, nprobe: Int = 1): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val assign = {
-      val scored = e.crossJoin(broadcast(cents))
+    def bestCells(src: org.apache.spark.sql.DataFrame, n: Int) = {
+      val scored = src.crossJoin(broadcast(cents))
         .withColumn("dot",
           Embeddings.dotDecimal(col("embedding"), col("cvec")))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("dot").desc, col("cid").asc)
       scored.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .filter(col("rn") <= n)
         .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
     }
-    val withN2 = assign.withColumn("n2",
-      Embeddings.norm2Decimal(col("embedding")))
-    val queries = withN2.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("qid"), col("cell"),
-        col("embedding").as("qvec"), col("n2").as("qn2"))
-    val cands = withN2
+    val assign = bestCells(e, 1)
+    val cands = assign
       .select(col("vec_id").as("vid"), col("cell"),
-        col("embedding").as("vvec"), col("n2").as("vn2"))
+        col("embedding").as("vvec"),
+        Embeddings.norm2Decimal(col("embedding")).as("vn2"))
+    val queries = bestCells(e.filter(col("vec_id") < 5), nprobe)
+      .select(col("vec_id").as("qid"), col("cell"),
+        col("embedding").as("qvec"),
+        Embeddings.norm2Decimal(col("embedding")).as("qn2"))
     val scored = queries.join(cands,
         Seq("cell")).filter(col("qid") =!= col("vid"))
       .withColumn("cosine", Embeddings.cosine(
@@ -104,38 +160,18 @@ object QSimilarity extends Registry {
     // that partition-prunes at cluster scale.
     Q("sim_ivf_topk",
       (s, d) => ivfTopK(s, d, k = 5),
-      Some(s"""WITH cents AS (
-                SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 50 = 0),
-              adot AS (
-                SELECT e.vec_id, c.cid,
-                       (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
-                                   * CAST(floor(c.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
-                        FROM generate_series(1, 64) g(i)) AS dot
-                FROM embeddings e CROSS JOIN cents c),
-              assign AS (
-                SELECT vec_id, cid AS cell FROM (
-                  SELECT vec_id, cid,
-                         row_number() OVER (PARTITION BY vec_id
-                           ORDER BY dot DESC, cid) AS rn
-                  FROM adot) x WHERE rn = 1),
-              $normsSql,
-              scored AS (
-                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
-                       CAST(${dotSql("q", "v")} AS DOUBLE)
-                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
-                FROM embeddings q
-                JOIN assign aq ON aq.vec_id = q.vec_id
-                JOIN assign av ON av.cell = aq.cell
-                JOIN embeddings v ON v.vec_id = av.vec_id AND v.vec_id <> q.vec_id
-                JOIN norms nq ON nq.vec_id = q.vec_id
-                JOIN norms nv ON nv.vec_id = v.vec_id
-                WHERE q.vec_id < 5),
-              ranked AS (
-                SELECT qid, neighbor, cosine,
-                       row_number() OVER (PARTITION BY qid
-                         ORDER BY cosine DESC, neighbor) AS rank
-                FROM scored)
-              SELECT qid, rank, neighbor, cosine FROM ranked WHERE rank <= 5""")),
+      Some(s"""WITH $ivfIndexSql, $normsSql, ${ivfProbeSql("q", 1)}
+              SELECT qid, rank, neighbor, cosine FROM qranked WHERE rank <= 5""")),
+
+    // Multi-probe IVF — the recall knob `sim_ivf_recall` measures: a
+    // query searches its nprobe = 3 best cells instead of 1, trading a
+    // ~3× bounded candidate scan for the recall the single-cell probe
+    // leaves behind. Same index, same verify math; at cluster scale the
+    // probed cells are partition-pruned reads just like nprobe = 1.
+    Q("sim_ivf_multiprobe",
+      (s, d) => ivfTopK(s, d, k = 5, nprobe = 3),
+      Some(s"""WITH $ivfIndexSql, $normsSql, ${ivfProbeSql("q", 3)}
+              SELECT qid, rank, neighbor, cosine FROM qranked WHERE rank <= 5""")),
 
     // Embedding-cosine near-duplicate pairs (tier 4 of the dedup ladder):
     // all pairs with cosine ≥ 0.22 among vec_id < 200 (bounded pair space;
@@ -303,14 +339,16 @@ object QSimilarity extends Registry {
       }),
 
     // ANN evaluation harness — recall@5 of the IVF tier against the
-    // exact brute-force ground truth, per probe. The number every ANN
-    // deployment watches: how much answer quality the cell restriction
-    // trades for its partition-pruned scan. Both sides use the SAME
-    // deterministic tie-break (cosine DESC, neighbor ASC), so the top-5
-    // SETS — and hence recall — are exactly reproducible in DuckDB. At
-    // 100 TB this runs exactly as written over a SAMPLED probe set: the
-    // ground-truth pass is one linear broadcast-probe scan per sample,
-    // the IVF side is the production operator unchanged.
+    // exact brute-force ground truth, per probe, at BOTH probe widths
+    // (nprobe = 1 and 3). The number every ANN deployment watches: how
+    // much answer quality the cell restriction trades for its
+    // partition-pruned scan, and how much multi-probe buys back. All
+    // sides use the SAME deterministic tie-break (cosine DESC, neighbor
+    // ASC), so the top-5 SETS — and hence recall — are exactly
+    // reproducible in DuckDB. At 100 TB this runs exactly as written
+    // over a SAMPLED probe set: the ground-truth pass is one linear
+    // broadcast-probe scan per sample, the IVF side is the production
+    // operator unchanged.
     Q("sim_ivf_recall",
       (s, d) => {
         val e = Tables.embeddings(s, d)
@@ -321,15 +359,20 @@ object QSimilarity extends Registry {
             Embeddings.norm2Decimal(col("embedding")).as("qn2"))
         val truth = Embeddings.topK(vecs, queries, k = 5)
           .select(col("qid"), col("neighbor"))
-        val approx = ivfTopK(s, d, k = 5).select(col("qid"), col("neighbor"))
-        val hits = approx.join(truth, Seq("qid", "neighbor"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        def hitsAt(nprobe: Int, as: String) =
+          ivfTopK(s, d, k = 5, nprobe).select(col("qid"), col("neighbor"))
+            .join(truth, Seq("qid", "neighbor"), "left_semi")
+            .groupBy(col("qid")).agg(count(lit(1)).as(as))
         queries.select(col("qid"))
-          .join(hits, Seq("qid"), "left")
-          .select(col("qid"), coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+          .join(hitsAt(1, "n_hits"), Seq("qid"), "left")
+          .join(hitsAt(3, "n_hits_p3"), Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            coalesce(col("n_hits_p3"), lit(0L)).as("n_hits_p3"))
           .withColumn("recall", col("n_hits").cast("double") / lit(5.0d))
+          .withColumn("recall_p3", col("n_hits_p3").cast("double") / lit(5.0d))
       },
-      Some(s"""WITH $normsSql,
+      Some(s"""WITH $normsSql, $ivfIndexSql,
               bfscored AS (
                 SELECT q.vec_id AS qid, v.vec_id AS neighbor,
                        CAST(${dotSql("q", "v")} AS DOUBLE)
@@ -345,46 +388,24 @@ object QSimilarity extends Registry {
                          row_number() OVER (PARTITION BY qid
                            ORDER BY cosine DESC, neighbor) AS rank
                   FROM bfscored) x WHERE rank <= 5),
-              cents AS (
-                SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id % 50 = 0),
-              adot AS (
-                SELECT e.vec_id, c.cid,
-                       (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
-                                   * CAST(floor(c.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
-                        FROM generate_series(1, 64) g(i)) AS dot
-                FROM embeddings e CROSS JOIN cents c),
-              assign AS (
-                SELECT vec_id, cid AS cell FROM (
-                  SELECT vec_id, cid,
-                         row_number() OVER (PARTITION BY vec_id
-                           ORDER BY dot DESC, cid) AS rn
-                  FROM adot) x WHERE rn = 1),
-              iscored AS (
-                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
-                       CAST(${dotSql("q", "v")} AS DOUBLE)
-                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
-                FROM embeddings q
-                JOIN assign aq ON aq.vec_id = q.vec_id
-                JOIN assign av ON av.cell = aq.cell
-                JOIN embeddings v ON v.vec_id = av.vec_id AND v.vec_id <> q.vec_id
-                JOIN norms nq ON nq.vec_id = q.vec_id
-                JOIN norms nv ON nv.vec_id = v.vec_id
-                WHERE q.vec_id < 5),
-              ivf AS (
-                SELECT qid, neighbor FROM (
-                  SELECT qid, neighbor,
-                         row_number() OVER (PARTITION BY qid
-                           ORDER BY cosine DESC, neighbor) AS rank
-                  FROM iscored) y WHERE rank <= 5),
-              hits AS (
+              ${ivfProbeSql("p1", 1)},
+              ${ivfProbeSql("p3", 3)},
+              h1 AS (
                 SELECT i.qid, count(*) AS n_hits
-                FROM ivf i JOIN bf b ON b.qid = i.qid AND b.neighbor = i.neighbor
+                FROM p1top i JOIN bf b ON b.qid = i.qid AND b.neighbor = i.neighbor
+                GROUP BY i.qid),
+              h3 AS (
+                SELECT i.qid, count(*) AS n_hits
+                FROM p3top i JOIN bf b ON b.qid = i.qid AND b.neighbor = i.neighbor
                 GROUP BY i.qid)
               SELECT q.vec_id AS qid,
-                     CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
-                     CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5 AS recall
+                     CAST(coalesce(h1.n_hits, 0) AS BIGINT) AS n_hits,
+                     CAST(coalesce(h3.n_hits, 0) AS BIGINT) AS n_hits_p3,
+                     CAST(coalesce(h1.n_hits, 0) AS DOUBLE) / 5 AS recall,
+                     CAST(coalesce(h3.n_hits, 0) AS DOUBLE) / 5 AS recall_p3
               FROM embeddings q
-              LEFT JOIN hits h ON h.qid = q.vec_id
+              LEFT JOIN h1 ON h1.qid = q.vec_id
+              LEFT JOIN h3 ON h3.qid = q.vec_id
               WHERE q.vec_id < 5"""))
   )
 }
