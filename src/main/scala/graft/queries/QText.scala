@@ -452,6 +452,49 @@ object QText extends Registry {
                      row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS pos
               FROM h""")),
 
+    // Training-shard SINK round-trip — the step after tx_shard_shuffle's
+    // assignment: actually WRITE the shards (parquet partitioned by
+    // shard, repartition-on-the-partition-column first — the S11
+    // no-small-files pattern: one file per shard, not 32 fragments per
+    // shard), re-read them from disk, and emit a per-shard manifest
+    // (doc count, char sum, position-ordered content checksum) FROM THE
+    // RE-READ FILES. The DuckDB oracle derives the same manifest from
+    // the source table directly, so a green row proves the artifact on
+    // disk is complete and lossless — the loader-facing deliverable,
+    // not just the plan that produced it. At scale: one shuffle to
+    // co-locate shards, shard count scales with corpus (16 here).
+    Q("tx_shard_sink",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("hh"), col("doc_id"))
+        val assigned = Tables.documents(s, d)
+          .select(col("doc_id"), col("text"), col("n_chars"),
+            TextOps.hash60(col("doc_id").cast("string")).as("hh"))
+          .withColumn("shard", col("hh") % 16)
+          .withColumn("pos", row_number().over(w).cast("long"))
+        val dir = graft.Scratch.dirFor("tx_shard_sink", d)
+        assigned.repartition(col("shard"))
+          .write.mode("overwrite").partitionBy("shard")
+          .option("compression", "snappy").parquet(s"$dir/shards")
+        s.read.parquet(s"$dir/shards")
+          .groupBy(col("shard").cast("long").as("shard"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            expr("""md5(array_join(
+                      transform(array_sort(collect_list(struct(pos, md5(text)))),
+                                x -> x.col2), '_'))""").as("content_fp"))
+      },
+      Some("""WITH h AS (SELECT doc_id, text, n_chars,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hh
+                   FROM documents),
+              a AS (SELECT text, n_chars, hh % 16 AS shard,
+                      row_number() OVER (PARTITION BY hh % 16 ORDER BY hh, doc_id) AS pos
+                    FROM h)
+              SELECT shard, count(*) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                     md5(string_agg(md5(text), '_' ORDER BY pos)) AS content_fp
+              FROM a GROUP BY shard""")),
+
     // PII redaction — the scrub pass every corpus runs before training.
     // The synthetic texts carry no contact strings, so the query FIRST
     // derives a contaminated variant (email + phone appended from
