@@ -338,6 +338,61 @@ object QSimilarity extends Registry {
             SELECT vec_id, cell FROM a1"""
       }),
 
+    // Clustering evaluation harness — per-cell label PURITY of the IVF
+    // index against the table's ground-truth `label` column: for every
+    // cell, the majority label's share of the cell (tie-break: higher
+    // count, then lower label). The standard external clustering metric;
+    // with the recall harness it completes the evaluation story — recall
+    // measures the SEARCH quality of the index, purity its SEMANTIC
+    // quality. One hash-agg over the assignment — scales like any
+    // low-cardinality groupBy.
+    Q("sim_cell_purity",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val scored = e.crossJoin(broadcast(cents))
+          .withColumn("dot",
+            Embeddings.dotDecimal(col("embedding"), col("cvec")))
+        val w = Window.partitionBy(col("vec_id"))
+          .orderBy(col("dot").desc, col("cid").asc)
+        val assign = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("cid").as("cell"),
+            col("label").cast("long").as("label"))
+        val byLabel = assign.groupBy(col("cell"), col("label"))
+          .agg(count(lit(1)).as("n"))
+        val wTop = Window.partitionBy(col("cell"))
+          .orderBy(col("n").desc, col("label").asc)
+        val top = byLabel.withColumn("rnk", row_number().over(wTop))
+          .filter(col("rnk") === 1)
+          .select(col("cell"), col("label").as("top_label"), col("n").as("n_top"))
+        val sizes = assign.groupBy(col("cell"))
+          .agg(count(lit(1)).as("n_vecs"))
+        sizes.join(top, Seq("cell"))
+          .withColumn("purity",
+            col("n_top").cast("double") / col("n_vecs").cast("double"))
+          .select(col("cell"), col("n_vecs"), col("top_label"),
+            col("n_top"), col("purity"))
+      },
+      Some(s"""WITH $ivfIndexSql,
+              lab AS (
+                SELECT a.cell, CAST(e.label AS BIGINT) AS label
+                FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id),
+              byl AS (
+                SELECT cell, label, count(*) AS n
+                FROM lab GROUP BY cell, label),
+              top AS (
+                SELECT cell, label AS top_label, n AS n_top FROM (
+                  SELECT cell, label, n,
+                         row_number() OVER (PARTITION BY cell
+                           ORDER BY n DESC, label) AS rnk
+                  FROM byl) x WHERE rnk = 1),
+              sz AS (SELECT cell, count(*) AS n_vecs FROM lab GROUP BY cell)
+              SELECT sz.cell, sz.n_vecs, top.top_label, top.n_top,
+                     CAST(top.n_top AS DOUBLE) / CAST(sz.n_vecs AS DOUBLE) AS purity
+              FROM sz JOIN top ON top.cell = sz.cell""")),
+
     // ANN evaluation harness — recall@5 of the IVF tier against the
     // exact brute-force ground truth, per probe, at BOTH probe widths
     // (nprobe = 1 and 3). The number every ANN deployment watches: how
