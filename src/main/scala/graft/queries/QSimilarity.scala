@@ -90,6 +90,24 @@ object QSimilarity extends Registry {
   private def ivfTopK(s: org.apache.spark.sql.SparkSession, d: String,
       k: Int, nprobe: Int = 1): org.apache.spark.sql.DataFrame = {
     val e = Tables.embeddings(s, d)
+    val scored = ivfScored(e, nprobe)
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("vid").asc)
+    scored.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("vid").as("neighbor"), col("cosine"))
+  }
+
+  /** (qid, vid, cosine, qrn) — every query-vs-candidate cosine within
+    * the query's `nprobe` best cells, with the probed cell's rank
+    * (`qrn`) RETAINED: filtering `qrn <= m` for m ≤ nprobe yields
+    * exactly the narrower probe's candidate set, so one index build and
+    * one scoring pass serve every width (the recall harness derives
+    * nprobe = 1 and 3 from a single nprobe = 3 frame instead of
+    * building the index twice).
+    */
+  private def ivfScored(e: org.apache.spark.sql.DataFrame,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
     val cents = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
     def bestCells(src: org.apache.spark.sql.DataFrame, n: Int) = {
@@ -100,27 +118,22 @@ object QSimilarity extends Registry {
         .orderBy(col("dot").desc, col("cid").asc)
       scored.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= n)
-        .select(col("vec_id"), col("cid").as("cell"), col("embedding"))
+        .select(col("vec_id"), col("rn"), col("cid").as("cell"),
+          col("embedding"))
     }
-    val assign = bestCells(e, 1)
-    val cands = assign
+    val cands = bestCells(e, 1)
       .select(col("vec_id").as("vid"), col("cell"),
         col("embedding").as("vvec"),
         Embeddings.norm2Decimal(col("embedding")).as("vn2"))
     val queries = bestCells(e.filter(col("vec_id") < 5), nprobe)
-      .select(col("vec_id").as("qid"), col("cell"),
+      .select(col("vec_id").as("qid"), col("rn").as("qrn"), col("cell"),
         col("embedding").as("qvec"),
         Embeddings.norm2Decimal(col("embedding")).as("qn2"))
-    val scored = queries.join(cands,
-        Seq("cell")).filter(col("qid") =!= col("vid"))
+    queries.join(cands, Seq("cell")).filter(col("qid") =!= col("vid"))
       .withColumn("cosine", Embeddings.cosine(
         Embeddings.dotDecimal(col("qvec"), col("vvec")),
         col("qn2"), col("vn2")))
-    val w2 = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("vid").asc)
-    scored.withColumn("rank", row_number().over(w2))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("vid").as("neighbor"), col("cosine"))
+      .select(col("qid"), col("vid"), col("cosine"), col("qrn"))
   }
 
   def qs: Seq[Q] = Seq(
@@ -414,10 +427,23 @@ object QSimilarity extends Registry {
             Embeddings.norm2Decimal(col("embedding")).as("qn2"))
         val truth = Embeddings.topK(vecs, queries, k = 5)
           .select(col("qid"), col("neighbor"))
-        def hitsAt(nprobe: Int, as: String) =
-          ivfTopK(s, d, k = 5, nprobe).select(col("qid"), col("neighbor"))
+        // ONE index build + scoring pass at the widest probe (persisted
+        // — Spark has no plan-subtree CSE, so both width branches would
+        // otherwise re-walk the assignment); each width's top-5 re-ranks
+        // its own qrn-filtered candidate subset
+        val scoredAll = graft.Caches.registerTransient(
+          ivfScored(e, nprobe = 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        def hitsAt(nprobe: Int, as: String) = {
+          val w = Window.partitionBy(col("qid"))
+            .orderBy(col("cosine").desc, col("vid").asc)
+          scoredAll.filter(col("qrn") <= nprobe)
+            .withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select(col("qid"), col("vid").as("neighbor"))
             .join(truth, Seq("qid", "neighbor"), "left_semi")
             .groupBy(col("qid")).agg(count(lit(1)).as(as))
+        }
         queries.select(col("qid"))
           .join(hitsAt(1, "n_hits"), Seq("qid"), "left")
           .join(hitsAt(3, "n_hits_p3"), Seq("qid"), "left")
