@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{BandBuckets, DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60}
+import graft.expressions.{BandBuckets, DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60, TokenGramPos60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -89,6 +89,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => TokenGramHash60(children.head,
         intLit("tokengramhash60", "n")(children(1)),
         boolLit("tokengramhash60", "useXx")(children(2)))),
+    (new FunctionIdentifier("tokengrampos60"),
+      new ExpressionInfo(classOf[TokenGramPos60].getName, "tokengrampos60"),
+      children => TokenGramPos60(children.head,
+        intLit("tokengrampos60", "n")(children(1)),
+        boolLit("tokengrampos60", "useXx")(children(2)))),
     (new FunctionIdentifier("quant6arr"),
       new ExpressionInfo(classOf[Quant6Array].getName, "quant6arr"),
       children => Quant6Array(children.head)),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for document corpora at training-data scale.
   *
-  * Four tiers, cheapest-first (the standard 100 TB dedup ladder):
+  * Five tiers, cheapest-first (the standard 100 TB dedup ladder):
   *  1. exact      — md5 fingerprint groupBy (one shuffle of (hash, id))
   *  2. MinHash+LSH — shingle → k minhashes → banded bucket join; only
   *     bucket-colliding pairs are verified with exact Jaccard. Candidate
@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *     O(n²) pair space.
   *  3. SimHash    — 64-bit signature, hamming-ball lookup via band keys
   *  4. embedding cosine — see [[Embeddings]]
+  *  5. window substring — sub-document duplicated-span detection
+  *     ([[duplicateWindowSpans]]): the tier that catches boilerplate
+  *     shared by otherwise-unique documents
   *
   * All hashes are md5-derived ([[TextOps.hash60]]) so every stage is
   * engine-portable and DuckDB-oracle-checkable — no engine-private murmur
@@ -310,6 +313,52 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Maximal duplicated token-window spans — window-granular exact
+    * substring dedup, the distributed approximation of suffix-array
+    * substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better"; no reference analogue — training-
+    * data extension). Doc-level tiers miss the classic web-corpus
+    * failure mode: mostly-unique pages sharing a boilerplate paragraph.
+    *
+    * Every stride-1 window of `w` tokens is hashed IN-ROW by the native
+    * [[graft.expressions.TokenGramPos60]] (positions retained, no token
+    * array, no per-window string); a window whose hash occurs >= 2 times
+    * anywhere in the corpus (other documents or a repeat in its own) is
+    * duplicated; runs of consecutive duplicated starts collapse to
+    * maximal spans via gaps-and-islands. Output: (id, span_start,
+    * span_tokens, n_windows), span_start 1-based in tokens.
+    *
+    * Scale shape: the window relation is ~1 row per token — linear, like
+    * the shingle tiers. Two window-relation shuffles (hash-agg the
+    * occurrence counts with map-side combine; semi-join the duplicated
+    * hash set back) and ONE doc-keyed exchange: the islands window
+    * partitions by id, and the span groupBy's (id, grp) clustering is
+    * satisfied by the id partitioning, so no fourth exchange. Honors
+    * [[TextOps.hashProfile]] (md5 default = DuckDB-oracle-portable,
+    * xxhash64 at cluster scale).
+    */
+  def duplicateWindowSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val useXx = TextOps.hashProfile(docs.sparkSession) == "xxhash64"
+    val wins = docs.select(col(idCol).as("id"),
+        posexplode(call_function("tokengrampos60",
+          TextOps.normalized(col(textCol)), lit(w), lit(useXx))))
+      .select(col("id"), (col("pos") + 1).as("start"), col("col").as("fp"))
+    val dupFps = wins.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("fp"))
+    val dup = wins.join(dupFps, Seq("fp"), "left_semi")
+    val rn = row_number().over(Window.partitionBy(col("id")).orderBy(col("start")))
+    dup.withColumn("grp", col("start") - rn)
+      .groupBy(col("id"), col("grp"))
+      .agg(min(col("start")).as("span_start"),
+        (max(col("start")) - min(col("start")) + w).as("span_tokens"),
+        count(lit(1)).as("n_windows"))
+      .select(col("id"), col("span_start"), col("span_tokens"),
+        col("n_windows"))
+  }
 
   /** Source-level duplication profile + block decision — the
     * domain-level screen web-crawl curation runs BEFORE per-document

@@ -392,6 +392,34 @@ object QDedup extends Registry {
               JOIN arrs a ON a.id = p.id_a
               JOIN arrs b ON b.id = p.id_b
               WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
-                      / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.25e0"""))
+                      / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.25e0""")),
+
+    // Tier 5 — window-level exact SUBSTRING dedup (Lee et al. 2022, the
+    // suffix-array method's distributed window approximation): maximal
+    // spans of consecutive 8-token windows whose hash occurs >= 2 times
+    // in the corpus. Catches shared boilerplate inside otherwise-unique
+    // documents, which every doc-level tier above misses. The oracle
+    // re-derives the positional window hashes (the same md5-prefix60 of
+    // the joined window text) and the same gaps-and-islands collapse.
+    Q("dd_substring_windows",
+      (s, d) => Dedup.duplicateWindowSpans(
+          Tables.documents(s, d), "doc_id", "text", w = 8)
+        .withColumnRenamed("id", "doc_id"),
+      Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+              toks AS (SELECT id, string_split(t, ' ') AS arr FROM norm),
+              wins AS (SELECT id, CAST(i AS INT) AS start,
+                         ${h60("array_to_string(arr[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS fp
+                       FROM toks,
+                         unnest(generate_series(1, len(arr) - 7)) g(i)
+                       WHERE len(arr) >= 8),
+              dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+              ds AS (SELECT w.id, w.start FROM wins w JOIN dup USING (fp)),
+              isl AS (SELECT id, start,
+                        start - row_number() OVER (PARTITION BY id ORDER BY start) AS grp
+                      FROM ds)
+              SELECT id AS doc_id, min(start) AS span_start,
+                     max(start) - min(start) + 8 AS span_tokens,
+                     count(*) AS n_windows
+              FROM isl GROUP BY id, grp"""))
   )
 }

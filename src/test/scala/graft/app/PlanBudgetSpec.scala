@@ -123,4 +123,13 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 1 && c.broadcasts == 0,
       s"j21_bucketed_join shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
   }
+
+  test("substring-window dedup: window hashing is in-row; 3 exchanges total") {
+    // the window relation shuffles twice (occurrence hash-agg with
+    // map-side combine, duplicated-hash semi-join) and the islands
+    // window pays ONE doc-keyed exchange — the span groupBy's (id, grp)
+    // clustering is satisfied by the id partitioning, so no fourth
+    val c = Plans.planCounts(q("dd_substring_windows"))
+    assert(c.shuffles <= 3, s"dd_substring_windows shuffles: ${c.shuffles}")
+  }
 }
