@@ -206,6 +206,11 @@ object Dedup {
     spark.conf.get("spark.graft.lsh.maxBucket", "8").toInt
   def rhpMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
     spark.conf.get("spark.graft.rhp.maxBucket", "256").toInt
+  // SemDeDup cells run ~50 members by construction (1-in-50 seed
+  // centroids), measured max 59 at sf0.01 — 512 clears every oracle
+  // geometry while still catching a degenerate mega-cell
+  def semMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.semdedup.maxBucket", "512").toInt
 
   /** Candidate pairs from band keys (id, band, bucket) with the
     * occupancy cap applied:

@@ -115,4 +115,65 @@ object Embeddings {
       .select(col("q.qid").as("qid"), col("rank"),
         col("v.vid").as("neighbor"), col("cosine"))
   }
+
+  /** IVF coarse assignment: every vector's max-dot cell among the given
+    * centroids (deterministic tie-break on lower cell id) → (vec_id,
+    * cell). Centroids broadcast; one linear scoring pass. The shared
+    * index construction behind the `sim_ivf_*` family, cell purity, and
+    * [[semanticDedup]].
+    */
+  def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("dot", dotDecimal(col("embedding"), col("cvec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic near-duplicate
+    * PRUNING DECISIONS via cluster-restricted pairwise cosine. Cells
+    * bound the pair space — the corpus never goes all-pairs; within a
+    * cell a vector is pruned when it matches a LOWER-id member at
+    * cosine ≥ tau (one representative per ε-ball survives, min-id
+    * convention like the exact-dedup tier). Output: (vec_id, cell, kept
+    * 1/0) — the full decision table, so the survivor set AND the prune
+    * rate per cell are both one filter away.
+    *
+    * Scale shape: assignment is a broadcast-centroid linear pass; the
+    * within-cell pair generation reuses [[Dedup.bandedPairs]] with the
+    * cell as a single band, so a degenerate mega-cell star-pairs around
+    * its min-id member instead of going quadratic
+    * ([[Dedup.semMaxBucket]]); verification touches only candidate
+    * pairs with exact int64 micro-unit cosine.
+    */
+  def semanticDedup(e: DataFrame, cents: DataFrame, tau: Double): DataFrame = {
+    // the assignment feeds FOUR consumers (bucket stats, both pair
+    // sides, the decision join); Spark has no plan-subtree CSE, so
+    // without the persist each one re-runs the broadcast-score window
+    val assign = graft.Caches.registerTransient(
+      ivfAssign(e, cents)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cands = Dedup.bandedPairs(
+      assign.select(col("vec_id").as("id"), lit(0).as("band"),
+        col("cell").as("bucket")),
+      Dedup.semMaxBucket(e.sparkSession))
+    val sides = e.select(col("vec_id"), col("embedding"),
+      norm2Decimal(col("embedding")).as("n2"))
+    val verified = cands
+      .join(sides.select(col("vec_id").as("id_a"), col("embedding").as("va"),
+        col("n2").as("n2a")), Seq("id_a"))
+      .join(sides.select(col("vec_id").as("id_b"), col("embedding").as("vb"),
+        col("n2").as("n2b")), Seq("id_b"))
+      .withColumn("cosine",
+        cosine(dotDecimal(col("va"), col("vb")), col("n2a"), col("n2b")))
+      .filter(col("cosine") >= tau)
+    val removed = verified.select(col("id_b").as("vec_id")).distinct()
+    assign.join(removed.withColumn("hit", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("hit").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
 }

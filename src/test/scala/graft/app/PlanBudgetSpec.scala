@@ -124,6 +124,18 @@ class PlanBudgetSpec extends SparkSpec {
       s"j21_bucketed_join shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
   }
 
+  test("semantic dedup: broadcast centroids; only cell-bounded relations shuffle") {
+    // the persisted assignment window (1) + capped within-cell pair
+    // machinery (stats agg, self-join sides, distinct) + verify joins +
+    // removed distinct + decision join — all over (id, cell)/pair
+    // relations, never an embeddings-wide exchange beyond the first
+    // assignment (without the operator's persist the plan re-walks the
+    // assignment per consumer: 14 exchanges)
+    val c = Plans.planCounts(q("dd_semantic"))
+    assert(c.shuffles <= 9 && c.broadcasts >= 1,
+      s"dd_semantic shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
   test("substring-window dedup: window hashing is in-row; 3 exchanges total") {
     // the window relation shuffles twice (occurrence hash-agg with
     // map-side combine, duplicated-hash semi-join) and the islands
