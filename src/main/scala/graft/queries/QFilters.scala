@@ -427,6 +427,24 @@ object QFilters extends Registry {
                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               FROM orders
               WHERE strftime(o_orderdate, '%Y-%m') BETWEEN '1995-01' AND '1995-12'
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // S12 — gzipped-JSONL corpus round trip (the de-facto LLM training-
+    // data interchange format; training-data extension, no reference
+    // analogue): documents written as gzip JSONL shards by the Spark
+    // sink, read back through sources.Jsonl with an EXPLICIT schema (no
+    // inference scan) and corrupt-line quarantine. The oracle is the
+    // parquet table itself — the round trip must be lossless, JSON
+    // escaping and all.
+    Q("s12_jsonl_scan",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s12_jsonl", d)}/documents_jsonl"
+        val docs = Tables.documents(s, d)
+        docs.write.mode("overwrite").option("compression", "gzip").json(dir)
+        graft.sources.Jsonl.readClean(s, dir, docs.schema)
+          .select(col("doc_id"), col("text"), col("lang"),
+            col("source"), col("n_chars"))
+      },
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
   )
 }

@@ -129,4 +129,30 @@ class SourcesSpec extends SparkSpec {
       ("2020-01-02", 0.01, 0.04),  // oneyr forward-filled
       ("2020-01-03", 0.02, 0.04))) // twoyr forward-filled
   }
+
+  test("jsonl: torn lines quarantined in _corrupt_record, healthy rows parse") {
+    import org.apache.spark.sql.types._
+    val p = tmp("graft_test_docs.jsonl")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      ("""{"doc_id": 1, "text": "hello \"quoted\" world", "lang": "en"}""" + "\n" +
+        """{"doc_id": 2, "text": "tr""" + "\n" + // torn mid-record
+        """{"doc_id": 3, "text": "multi\nline body", "lang": "de"}""" + "\n")
+        .getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val all = Jsonl.read(spark, s"file://$p", schema)
+    // the audit projection must reference >= 1 data column: Spark
+    // disallows querying ONLY the corrupt column off a raw JSON scan
+    val corrupt = all.filter(col(Jsonl.CorruptCol).isNotNull)
+      .select(col("doc_id"), col(Jsonl.CorruptCol))
+      .collect().map(_.getString(1))
+    assert(corrupt.toSeq == Seq("""{"doc_id": 2, "text": "tr"""),
+      s"expected the torn line quarantined, got ${corrupt.toSeq}")
+    val clean = Jsonl.readClean(spark, s"file://$p", schema)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(clean.toSet == Set(
+      (1L, "hello \"quoted\" world", "en"),
+      (3L, "multi\nline body", "de")))
+  }
 }
