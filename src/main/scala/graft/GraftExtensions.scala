@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{BandBuckets, DotLongs, DotQuant6, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60, TokenGramPos60}
+import graft.expressions.{BandBuckets, DotLongs, DotQuant6, Log2Milli, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60, TokenGramPos60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -113,6 +113,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleXx60].getName, "shinglexx60"),
       children => ShingleXx60(children.head,
         intLit("shinglexx60", "n")(children(1)))),
+    (new FunctionIdentifier("log2milli"),
+      new ExpressionInfo(classOf[Log2Milli].getName, "log2milli"),
+      children => Log2Milli(children.head)),
     (new FunctionIdentifier("minhashk"),
       new ExpressionInfo(classOf[MinHashK].getName, "minhashk"),
       children => MinHashK(children.head,

@@ -155,6 +155,102 @@ object QText extends Registry {
                      CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS rep_ratio
               FROM cnt GROUP BY doc_id""")),
 
+    // Corpus-trained trigram LM perplexity (the CCNet-style quality
+    // signal): train add-one-smoothed trigram counts on a deterministic
+    // 80% split (doc_id % 5 <> 0), score EVERY document's negative
+    // log-likelihood in bits-per-trigram. All hot-path relations are
+    // int64 gram hashes off the native positional scan
+    // (tokengrampos60 — element i of the 3-gram array aligns with
+    // element i of the 2-gram array, so trigram+context pair up with one
+    // zip, no token arrays shuffle); the log itself is the integer
+    // milli-bit log2 (graft.expressions.Log2Milli), so per-doc
+    // likelihood sums are exact BIGINTs — order-independent and
+    // engine-portable where floating ln sums are neither. Scale shape:
+    // two count aggs over the train grams + one re-join of the scoring
+    // grams — linear, ~4 shuffles, no driver state; the count tables
+    // shuffle-join (they are corpus-vocabulary-sized, not broadcast).
+    Q("tx_lm_perplexity",
+      (s, d) => {
+        val useXx = TextOps.hashProfile(s) == "xxhash64"
+        val docs = Tables.documents(s, d)
+        val norm = TextOps.normalized(col("text"))
+        val pairs = graft.Caches.registerTransient(docs
+          .select(col("doc_id"),
+            call_function("tokengrampos60", norm, lit(3), lit(useXx)).as("tri"),
+            call_function("tokengrampos60", norm, lit(2), lit(useXx)).as("big"))
+          .select(col("doc_id"),
+            explode(zip_with(col("tri"),
+              slice(col("big"), lit(1), size(col("tri"))),
+              (t, b) => struct(t.as("gh3"), b.as("gh2")))).as("p"))
+          .select(col("doc_id"), col("p.gh3").as("gh3"), col("p.gh2").as("gh2"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val train = pairs.filter(col("doc_id") % 5 =!= 0)
+        val c3 = train.groupBy(col("gh3")).agg(count(lit(1)).as("c3"))
+        val c2 = train.groupBy(col("gh2")).agg(count(lit(1)).as("c2"))
+        val vocab = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(explode(call_function("tokengrampos60", norm, lit(1),
+            lit(useXx))).as("g1"))
+          .agg(countDistinct(col("g1")).as("vocab"))
+        val scored = pairs
+          .join(c3, Seq("gh3"), "left")
+          .join(c2, Seq("gh2"), "left")
+          .crossJoin(broadcast(vocab))
+          .select(col("doc_id"),
+            (call_function("log2milli",
+              coalesce(col("c2"), lit(0L)) + col("vocab")) -
+              call_function("log2milli",
+                coalesce(col("c3"), lit(0L)) + lit(1L))).as("nll"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_trigrams"), sum(col("nll")).as("nll_milli"))
+        docs.select(col("doc_id"))
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+            coalesce(col("nll_milli"), lit(0L)).as("nll_milli"),
+            when(col("n_trigrams") > 0,
+              col("nll_milli").cast("double") /
+                (col("n_trigrams") * 1000L).cast("double"))
+              .as("bits_per_trigram"))
+      },
+      Some {
+        val l2m = (x: String) =>
+          s"""(1000 * (length(bin($x)) - 1)
+               + ((($x * 1024) >> (length(bin($x)) - 1)) - 1024) * 1000 // 1024)"""
+        val h60 = QDedup.h60
+        s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            pairs AS (
+              SELECT doc_id,
+                ${h60("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS gh3,
+                ${h60("array_to_string(list_slice(toks, i, i + 1), ' ')")} AS gh2
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+                    FROM tok WHERE len(toks) >= 3)),
+            c3 AS (SELECT gh3, count(*) AS c3 FROM pairs
+                   WHERE doc_id % 5 <> 0 GROUP BY 1),
+            c2 AS (SELECT gh2, count(*) AS c2 FROM pairs
+                   WHERE doc_id % 5 <> 0 GROUP BY 1),
+            v AS (SELECT count(DISTINCT ${h60("t1")}) AS vocab
+                  FROM (SELECT unnest(toks) AS t1 FROM tok
+                        WHERE doc_id % 5 <> 0)),
+            scored AS (
+              SELECT p.doc_id, count(*) AS n_trigrams,
+                     sum(${l2m("(coalesce(c2.c2, 0) + v.vocab)")}
+                       - ${l2m("(coalesce(c3.c3, 0) + 1)")}) AS nll_milli
+              FROM pairs p
+              LEFT JOIN c3 USING (gh3)
+              LEFT JOIN c2 USING (gh2)
+              CROSS JOIN v
+              GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(s.n_trigrams, 0) AS n_trigrams,
+                   CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli,
+                   CASE WHEN s.n_trigrams > 0
+                        THEN CAST(s.nll_milli AS DOUBLE)
+                             / CAST(s.n_trigrams * 1000 AS DOUBLE)
+                   END AS bits_per_trigram
+            FROM documents d LEFT JOIN scored s USING (doc_id)"""
+      }),
+
     // Training-mix construction: deterministic stratified hash-sampling.
     // Each language gets a retention quota (the "data mixing" step that
     // turns a raw corpus into a training distribution); a document is kept
