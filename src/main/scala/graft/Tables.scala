@@ -15,18 +15,32 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read nanos as long and rebuild a (micro-truncated) timestamp — the
-    // same truncation DuckDB applies, so oracle comparisons line up.
+    // events.parquet has shipped with two physical encodings of `ts` across
+    // driver generations; nanosAsLong lets the nanos generation load at all.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events")
-      // `div` = exact integer division. `/` would go through double and
-      // int64 nanos (~1.7e18) exceed 2^53, rounding by up to ~128 ns —
-      // enough to flip a microsecond boundary vs DuckDB's exact truncation.
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** Normalize `ts` across the encodings the driver has generated:
+    *  - TIMESTAMP(NANOS): Spark's reader rejects it natively; with
+    *    nanosAsLong it surfaces as BIGINT nanos — rebuild micros with
+    *    exact integer division (`div`, not `/`: int64 nanos ~1.7e18 exceed
+    *    2^53, and a double round-trip can flip a microsecond boundary vs
+    *    DuckDB's exact truncation).
+    *  - TIMESTAMP(MICROS) unadjusted: surfaces as TIMESTAMP_NTZ — cast to
+    *    the session-zone timestamp (session TZ is pinned to UTC everywhere,
+    *    so the cast preserves the exact micros) so every downstream window
+    *    function and oracle comparison sees one type regardless of encoding.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

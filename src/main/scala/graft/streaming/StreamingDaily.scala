@@ -30,10 +30,10 @@ object StreamingDaily {
     // the file stream source monitors a DIRECTORY; when pointed at a
     // single parquet file, stage it via symlink (shared, collision-free
     // staging in [[StreamStaging]])
-    spark.readStream
-      .schema(schema)
-      .parquet(StreamStaging.dirFor(path))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.Tables.normalizeEventsTs(
+      spark.readStream
+        .schema(schema)
+        .parquet(StreamStaging.dirFor(path)))
   }
 
   /** watermarked 1-day tumbling-window daily panel per user. */
