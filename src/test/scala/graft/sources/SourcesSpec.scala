@@ -154,5 +154,13 @@ class SourcesSpec extends SparkSpec {
     assert(clean.toSet == Set(
       (1L, "hello \"quoted\" world", "en"),
       (3L, "multi\nline body", "de")))
+    // count() prunes every data column — the raw json datasource then
+    // dies with QUERY_ONLY_CORRUPT_RECORD_COLUMN (only the corrupt
+    // column remains referenced); the text+from_json formulation must
+    // keep plain counts working (the s12 bench path does exactly this)
+    assert(Jsonl.readClean(spark, s"file://$p", schema).count() == 2L)
+    // corrupt-only audits are equally legal here
+    assert(Jsonl.read(spark, s"file://$p", schema)
+      .filter(col(Jsonl.CorruptCol).isNotNull).count() == 1L)
   }
 }
