@@ -319,6 +319,47 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Bloom-filter bitmap over a gram-hash relation (column `gh`), as a
+    * (word, bits) relation: `mBits` filter bits packed 64 per word, two
+    * set positions per gram (the raw 60-bit hash and the [[h2Sql]]-style
+    * affine mix, both mod mBits — engine-portable, overflow-safe). The
+    * bitmap is ≤ mBits/64 rows REGARDLESS of gram cardinality — the
+    * broadcastable stand-in for an eval gram set too big to broadcast
+    * raw (holdout decontamination at corpus scale).
+    */
+  def bloomBitmap(grams: DataFrame, mBits: Long): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    grams
+      .select(explode(array(bloomPos1(mBits), bloomPos2(mBits))).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  private def bloomPos1(mBits: Long): Column = pmod(col("gh"), lit(mBits))
+  private def bloomPos2(mBits: Long): Column = pmod(expr(
+    """((40503 * (gh div 1073741824)) % 2147483647 * 1073741824 % 2147483647
+       + 40503 * (gh % 1073741824) + 12345) % 2147483647"""), lit(mBits))
+
+  /** Probe a gram relation (…, gh) against a [[bloomBitmap]]: rows whose
+    * BOTH bit positions are set survive (possible members — the Bloom
+    * guarantee is no false NEGATIVES; false positives are the caller's
+    * exact tier to remove). The bitmap is broadcast and both probes are
+    * map-side — zero exchanges added to the gram relation.
+    */
+  def bloomProbe(grams: DataFrame, bloom: DataFrame, mBits: Long): DataFrame =
+    grams
+      .withColumn("p1", bloomPos1(mBits)).withColumn("p2", bloomPos2(mBits))
+      .join(broadcast(bloom.select(col("word").as("w1"), col("bits").as("b1"))),
+        expr("p1 div 64") === col("w1"))
+      .filter(expr(
+        "(b1 & shiftleft(cast(1 as bigint), cast(p1 % 64 as int))) != 0"))
+      .join(broadcast(bloom.select(col("word").as("w2"), col("bits").as("b2"))),
+        expr("p2 div 64") === col("w2"))
+      .filter(expr(
+        "(b2 & shiftleft(cast(1 as bigint), cast(p2 % 64 as int))) != 0"))
+      .select(grams.columns.map(col): _*)
+
   /** Maximal duplicated token-window spans — window-granular exact
     * substring dedup, the distributed approximation of suffix-array
     * substring dedup (Lee et al. 2022, "Deduplicating Training Data

@@ -360,6 +360,73 @@ object QDedup extends Registry {
               WHERE d.doc_id % 11 <> 0
                 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""")),
 
+    // Bloom-prefiltered decontamination — same contract and same oracle
+    // as dd_decontaminate (a Bloom filter has NO false negatives, and
+    // its false positives are removed by the exact tier, so the result
+    // set is identical BY CONSTRUCTION; the driver row pins that claim).
+    // What changes is the scale shape: dd_decontaminate broadcasts the
+    // raw eval gram set, which stops working when the eval suite is
+    // itself corpus-sized (holdout decontamination, 1e9+ grams). Here
+    // the broadcast is a FIXED-size Bloom bitmap — 2^20 bits as ≤16k
+    // (word, bits) rows regardless of eval cardinality — built with one
+    // tiny aggregation; corpus grams probe it map-side (two broadcast
+    // joins + bit tests), and only the surviving sliver reaches the
+    // exact semi-join, which therefore runs as an ordinary shuffle join
+    // with NO broadcast of eval grams anywhere. Two int64 hash
+    // positions per gram (the raw 60-bit hash and the same split-
+    // multiply affine mix the MinHash family uses) keep every operation
+    // engine-portable and overflow-safe.
+    Q("dd_decontaminate_bloom",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grams = graft.Caches.registerTransient(
+          TextOps.gramHashes(docs, "doc_id", "text", 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val evalGrams = grams.filter(col("id") % 11 === 0)
+          .select(col("gh")).distinct()
+        val corpusGrams = grams.filter(col("id") % 11 =!= 0)
+        // fixed 2^20-bit filter, two positions per gram (see
+        // Dedup.bloomBitmap/bloomProbe)
+        val mBits = 1048576L
+        val bloom = Dedup.bloomBitmap(evalGrams, mBits)
+        val probed = Dedup.bloomProbe(
+          corpusGrams.select(col("id"), col("gh")), bloom, mBits)
+        // exact tier over the Bloom survivors only — plain shuffle semi
+        // join, deliberately NOT broadcast (the whole point: eval grams
+        // never need to fit in a broadcast again)
+        val contaminated = probed
+          .join(evalGrams, Seq("gh"), "left_semi")
+          .select(col("id").as("doc_id")).distinct()
+        val counts = corpusGrams.groupBy(col("id").as("doc_id"))
+          .agg(count(lit(1)).as("n_grams"))
+        docs.filter(col("doc_id") % 11 =!= 0)
+          .join(contaminated, Seq("doc_id"), "left_anti")
+          .join(counts, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"))
+      },
+      // the oracle is EXACT decontamination — equality with it is the
+      // no-false-negatives claim of the Bloom tier
+      Some(s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+              tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+              gpos AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+                       FROM tok WHERE len(toks) >= 8),
+              g AS (SELECT DISTINCT doc_id,
+                      ${h60("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS gh
+                    FROM gpos),
+              ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 11 = 0),
+              corpus AS (SELECT * FROM g WHERE doc_id % 11 <> 0),
+              contaminated AS (
+                SELECT DISTINCT c.doc_id FROM corpus c JOIN ev USING (gh)),
+              counts AS (SELECT doc_id, count(*) AS n_grams
+                         FROM corpus GROUP BY 1)
+              SELECT d.doc_id, coalesce(c.n_grams, 0) AS n_grams
+              FROM documents d
+              LEFT JOIN counts c ON c.doc_id = d.doc_id
+              WHERE d.doc_id % 11 <> 0
+                AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""")),
+
     // Tier 4 — exact n-gram Jaccard on the full pair space of a bounded
     // subset (the brute-force baseline the LSH tiers approximate).
     Q("dd_ngram_jaccard",

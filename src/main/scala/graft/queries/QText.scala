@@ -15,6 +15,15 @@ object QText extends Registry {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
   private val toksSql = s"string_split($normSql, ' ')"
 
+  /** DuckDB restatement of [[graft.expressions.Log2Milli]] (integer
+    * milli-bit log2): `bin(x)` length gives the exponent, a shifted
+    * mantissa gives the linear interpolation — pure BIGINT ops, so sums
+    * of it are exact and order-independent (see the Log2Milli scaladoc).
+    */
+  private[queries] val l2mSql: String => String = (x: String) =>
+    s"""(1000 * (length(bin($x)) - 1)
+         + ((($x * 1024) >> (length(bin($x)) - 1)) - 1024) * 1000 // 1024)"""
+
   /** per-language stopword hit columns (`c_<lang>`) for a SELECT list */
   private val langHitsSql: String = TextOps.stopwords.map { case (lang, ws) =>
     val arr = ws.map(w => s"'$w'").mkString("[", ",", "]")
@@ -213,9 +222,7 @@ object QText extends Registry {
               .as("bits_per_trigram"))
       },
       Some {
-        val l2m = (x: String) =>
-          s"""(1000 * (length(bin($x)) - 1)
-               + ((($x * 1024) >> (length(bin($x)) - 1)) - 1024) * 1000 // 1024)"""
+        val l2m = l2mSql
         val h60 = QDedup.h60
         s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
             pairs AS (
@@ -652,6 +659,170 @@ object QText extends Registry {
                        >= count(*) * 16 AS blocked
               FROM documents d
               LEFT JOIN nd ON nd.id = d.doc_id
-              GROUP BY d.source"""))
+              GROUP BY d.source""")),
+
+    // Lexical BM25 top-k retrieval (Robertson-Spärck Jones weighting;
+    // training-data extension — the retrieval step of targeted corpus
+    // selection / eval-set mining). k1=1.2 and b=0.75 are carried as
+    // exact rationals and the whole score is integer milli-units: idf
+    // comes from the integer log2milli, the per-term score is one
+    // integer division of cross-multiplied BIGINTs, so per-doc sums are
+    // exact and order-independent — hash-comparable against the oracle
+    // where a floating BM25 never is. Scale shape: tokens are filtered
+    // to the (broadcast) query-term set BEFORE any shuffle, so the tf
+    // aggregation moves query-hit rows only — corpus scans stay linear
+    // and the top-k is a per-query window over the scored slice.
+    Q("tx_bm25_topk",
+      (s, d) => {
+        val queries = s.createDataFrame(Seq(
+          (1L, "spark window join"),
+          (2L, "hash table scan"),
+          (3L, "stream batch customer"))).toDF("query_id", "qtext")
+        val qterms = queries.select(col("query_id"),
+          explode(split(col("qtext"), " ")).as("tok"))
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"),
+            size(TextOps.tokens(col("text"))).cast("long").as("dl"),
+            explode(TextOps.tokens(col("text"))).as("tok"))
+        // per-(doc, term) tf over query terms only — dl rides along so
+        // no second join against a doc-length relation is needed.
+        // Persisted: both the df aggregation and the scoring join
+        // consume it, and without the persist the whole corpus-scan +
+        // broadcast-filter + tf-shuffle pipeline runs twice
+        val th = graft.Caches.registerTransient(toks
+          .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
+          .groupBy(col("doc_id"), col("tok"))
+          .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val dfreq = th.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val stats = Tables.documents(s, d)
+          .select(size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+          .select(col("n_docs"),
+            expr("(1000 * tot_len) div n_docs").as("avgdl_milli"))
+        val scored = th
+          .join(broadcast(dfreq), Seq("tok"))
+          .join(broadcast(qterms), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          // idf = log2((N + 1) / (df + 0.5)) = log2(2N+2) - log2(2df+1)
+          .withColumn("idf_milli",
+            call_function("log2milli", lit(2L) * col("n_docs") + lit(2L)) -
+              call_function("log2milli", lit(2L) * col("df") + lit(1L)))
+          // idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with
+          // k1=6/5, b=3/4, cross-multiplied by 10*avgdl_milli
+          .withColumn("score_term", expr(
+            """(idf_milli * tf * 22 * avgdl_milli)
+               div (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"""))
+          .groupBy(col("query_id"), col("doc_id"))
+          .agg(sum(col("score_term")).as("score_milli"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_milli").desc, col("doc_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("score_milli"))
+      },
+      Some {
+        val l2m = l2mSql
+        s"""WITH q(query_id, qtext) AS (VALUES
+                (CAST(1 AS BIGINT), 'spark window join'),
+                (CAST(2 AS BIGINT), 'hash table scan'),
+                (CAST(3 AS BIGINT), 'stream batch customer')),
+            qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS tok
+                   FROM q),
+            toks AS (SELECT doc_id, len($toksSql) AS dl,
+                       unnest($toksSql) AS tok FROM documents),
+            th AS (SELECT doc_id, tok, max(dl) AS dl, count(*) AS tf
+                   FROM toks
+                   WHERE tok IN (SELECT DISTINCT tok FROM qt)
+                   GROUP BY 1, 2),
+            dfreq AS (SELECT tok, count(*) AS df FROM th GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs,
+                     (1000 * sum(len($toksSql))) // count(*) AS avgdl_milli
+                   FROM documents),
+            scored AS (
+              SELECT qt.query_id, th.doc_id,
+                CAST(sum(
+                  ((${l2m("(2 * st.n_docs + 2)")} - ${l2m("(2 * dfreq.df + 1)")})
+                    * th.tf * 22 * st.avgdl_milli)
+                  // (10 * th.tf * st.avgdl_milli + 3 * st.avgdl_milli
+                      + 9000 * th.dl)) AS BIGINT) AS score_milli
+              FROM th
+              JOIN dfreq USING (tok)
+              JOIN qt USING (tok)
+              CROSS JOIN st
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT query_id, doc_id, score_milli,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_milli DESC, doc_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, rank, doc_id, score_milli
+            FROM ranked WHERE rank <= 10"""
+      }),
+
+    // Model-based quality filtering with a hashed linear classifier —
+    // the fastText-style structure (bag of hashed uni+bigrams → linear
+    // score → keep/drop threshold) used by DCLM/FineWeb-Edu-type
+    // curation. Real trained weights are an artifact this container
+    // can't ship, so the weight table is a deterministic affine mix of
+    // the feature bucket — the Spark-side structure (hashing trick,
+    // 16k-bucket table, per-doc accumulate, thresholded keep) is the
+    // real thing and the whole score is int64-exact for the oracle.
+    // Scale shape: signature of the classifier is ZERO exchanges — both
+    // n-gram families hash in-row (native tokengramhash60 for bigrams),
+    // the accumulate is a per-row fold, the keep decision a codegen'd
+    // comparison. A 100 TB corpus scores in one scan with no shuffle at
+    // all; swapping real weights in = replacing the affine mix with a
+    // 16k-entry broadcast array lookup, same plan shape.
+    Q("tx_quality_classifier",
+      (s, d) => {
+        val useXx = TextOps.hashProfile(s) == "xxhash64"
+        val norm = TextOps.normalized(col("text"))
+        val toks = TextOps.tokens(col("text"))
+        // hashing-trick weight: bucket = h % 16384, then a fixed affine
+        // mix onto [-1000, 1000] milli-units (the deterministic
+        // stand-in for a trained weight vector)
+        def w(h: org.apache.spark.sql.Column) =
+          (pmod(h, lit(16384L)) * 40503L + 12345L) % 2001L - 1000L
+        val uniScore = aggregate(
+          transform(toks, t => w(TextOps.profileHash60(s)(t))),
+          lit(0L), (acc, x) => acc + x)
+        // tokengramPOS60, not tokengramhash60: the classifier scores
+        // every bigram OCCURRENCE (bag-of-ngrams semantics), while the
+        // dedup-oriented hash expression emits the distinct gram set
+        val biScore = aggregate(
+          transform(call_function("tokengrampos60", norm, lit(2), lit(useXx)),
+            g => w(g)),
+          lit(0L), (acc, x) => acc + x)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
+          (uniScore + biScore).as("score_milli"),
+          ((uniScore + biScore) >= 0L).as("keep"))
+      },
+      Some {
+        val h60 = QDedup.h60
+        val wSql = (h: String) => s"(($h % 16384) * 40503 + 12345) % 2001 - 1000"
+        s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            uni AS (SELECT doc_id, len(toks) AS n_tokens,
+                      CAST(list_sum(list_transform(toks,
+                        t -> ${wSql(h60("t"))})) AS BIGINT) AS s_uni
+                    FROM tok),
+            bi AS (SELECT doc_id,
+                     CAST(sum(${wSql(h60("array_to_string(list_slice(toks, i, i + 1), ' ')"))})
+                       AS BIGINT) AS s_bi
+                   FROM (SELECT doc_id, toks,
+                           unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+                         FROM tok WHERE len(toks) >= 2)
+                   GROUP BY 1)
+            SELECT u.doc_id, u.n_tokens,
+                   CAST(greatest(u.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+                   u.s_uni + coalesce(b.s_bi, 0) AS score_milli,
+                   u.s_uni + coalesce(b.s_bi, 0) >= 0 AS keep
+            FROM uni u LEFT JOIN bi b USING (doc_id)"""
+      })
   )
 }

@@ -144,4 +144,35 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("dd_substring_windows"))
     assert(c.shuffles <= 3, s"dd_substring_windows shuffles: ${c.shuffles}")
   }
+
+  test("quality classifier scores in-row — zero exchanges") {
+    // the fastText-style hashed uni+bigram score is a per-row fold over
+    // native hash arrays; the keep decision is a codegen'd comparison —
+    // a 100 TB corpus scores in one scan with no shuffle at all
+    val c = Plans.planCounts(q("tx_quality_classifier"))
+    assert(c.shuffles == 0 && c.broadcasts == 0,
+      s"tx_quality_classifier shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
+  test("BM25: query terms broadcast before any shuffle; tf agg moves hits only") {
+    // the token relation is semi-joined against the broadcast term set
+    // BEFORE the tf aggregation, so only query-hit rows ever shuffle.
+    // 6 exchanges, every one over the query-hit slice or a scalar: the
+    // tf agg, the df agg over it, the corpus-stats global agg (partial +
+    // final), the per-(query, doc) score agg, and the top-k window —
+    // the corpus-sized token relation itself never shuffles
+    val c = Plans.planCounts(q("tx_bm25_topk"))
+    assert(c.broadcasts >= 3, s"tx_bm25_topk broadcasts: ${c.broadcasts}")
+    assert(c.shuffles <= 6, s"tx_bm25_topk shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("bloom decontamination: fixed-size bitmap broadcast; eval grams never broadcast") {
+    // two broadcast probes of the ≤16k-row bitmap; the exact tier over
+    // the Bloom survivors is a plain shuffle semi-join (the point: the
+    // eval gram set no longer needs to fit in a broadcast)
+    val c = Plans.planCounts(q("dd_decontaminate_bloom"))
+    assert(c.broadcasts >= 2, s"dd_decontaminate_bloom broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
 }
