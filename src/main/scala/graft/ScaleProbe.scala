@@ -141,8 +141,9 @@ object ScaleProbe {
       }.reduce(_.unionByName(_))
         .write.mode("overwrite").parquet(s"$work/$name.parquet")
     }
-    // events: ts stays a nanos LONG exactly as the source stores it, so
-    // graft.Tables' events normalization applies unchanged to the copy
+    // events: ts is copied exactly as the source stores it (nanos LONG
+    // or micros TIMESTAMP_NTZ depending on driver generation) — the
+    // type-adaptive graft.Tables.normalizeEventsTs applies to the copy
     replicate("events", Seq("user_id", "event_id"))
     replicate("documents", Seq("doc_id"),
       (df, k) => df.withColumn("text",

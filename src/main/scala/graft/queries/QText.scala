@@ -661,6 +661,119 @@ object QText extends Registry {
               LEFT JOIN nd ON nd.id = d.doc_id
               GROUP BY d.source""")),
 
+    // Gopher repetition-rule battery (Rae et al. 2021, Table A1): top
+    // n-gram occurrence fraction for n=2..4 and duplicate n-gram
+    // fraction for n=5 and 10, each with the paper's threshold flag,
+    // plus the conjunctive keep decision. (The line/paragraph duplicate
+    // rules need newline structure the synthetic corpus doesn't have —
+    // same rule shape over a different split, documented non-parity.)
+    // The synthetic corpus is too uniform to trip any rule on its own
+    // (every threshold sat at 0 hits at sf0.01 — a vacuous gate), so,
+    // like tx_redact_pii manufactures its PII, each doc gets an
+    // in-query repetition injection at a doc_id-graded intensity
+    // (0–100% of its own length as a repeated token) — the rules then
+    // genuinely partition the corpus and every flag fires on some docs
+    // and not others. All signals are in-row: positional gram hashes
+    // (tokengrampos60), distinct counts via array_distinct, and the
+    // top-gram count as a max-run-length fold over the SORTED hash
+    // array — O(L log L) per document, ZERO exchanges, no per-gram
+    // relation ever materializes. Flags are integer
+    // cross-multiplications (top*100 > total*20), so the whole row is
+    // exact.
+    Q("tx_gopher_rules",
+      (s, d) => {
+        val useXx = TextOps.hashProfile(s) == "xxhash64"
+        // graded repetition injection: 0/25/50/75/100% of the doc's own
+        // token count as a trailing run of one repeated token
+        val nt = size(TextOps.tokens(col("text")))
+        val k = ((col("doc_id") % 5).cast("int") * (nt / 4).cast("int"))
+        val raw = concat(col("text"),
+          call_function("repeat", lit(" spam"), k))
+        val norm = TextOps.normalized(raw)
+        def arr(n: Int) =
+          call_function("tokengrampos60", norm, lit(n), lit(useXx))
+        def total(n: Int) = size(arr(n)).cast("long")
+        def dist(n: Int) = size(array_distinct(arr(n))).cast("long")
+        // max run length over the sorted hashes == occurrences of the
+        // most frequent gram (hashes are 60-bit, sentinel can't collide)
+        def topCnt(n: Int) = aggregate(
+          sort_array(arr(n)),
+          struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"),
+            lit(0L).as("best")),
+          (st, x) => {
+            val run = when(x === st.getField("prev"),
+              st.getField("run") + 1L).otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(st.getField("best"), run).as("best"))
+          },
+          st => st.getField("best"))
+        val t2 = total(2); val t3 = total(3); val t4 = total(4)
+        val p2 = topCnt(2); val p3 = topCnt(3); val p4 = topCnt(4)
+        val t5 = total(5); val d5 = dist(5)
+        val t10 = total(10); val d10 = dist(10)
+        val fTop2 = p2 * 100L > t2 * 20L
+        val fTop3 = p3 * 100L > t3 * 18L
+        val fTop4 = p4 * 100L > t4 * 16L
+        val fDup5 = (t5 - d5) * 100L > t5 * 15L
+        val fDup10 = (t10 - d10) * 100L > t10 * 10L
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          t2.as("t2"), p2.as("top2"), t3.as("t3"), p3.as("top3"),
+          t4.as("t4"), p4.as("top4"), t5.as("t5"), d5.as("d5"),
+          t10.as("t10"), d10.as("d10"),
+          fTop2.as("f_top2"), fTop3.as("f_top3"), fTop4.as("f_top4"),
+          fDup5.as("f_dup5"), fDup10.as("f_dup10"),
+          (!fTop2 && !fTop3 && !fTop4 && !fDup5 && !fDup10).as("keep"))
+      },
+      Some {
+        val h60 = QDedup.h60
+        def gramCte(n: Int) =
+          s"""g$n AS (SELECT doc_id,
+                ${h60(s"array_to_string(list_slice(toks, i, i + ${n - 1}), ' ')")} AS gh
+              FROM (SELECT doc_id, toks,
+                      unnest(generate_series(1, greatest(len(toks) - ${n - 1}, 0))) AS i
+                    FROM tok WHERE len(toks) >= $n))"""
+        def statsCte(n: Int) =
+          s"""s$n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total$n,
+                count(*) AS dist$n, max(c) AS top$n
+              FROM (SELECT doc_id, gh, count(*) AS c FROM g$n GROUP BY 1, 2)
+              GROUP BY 1)"""
+        val ns = Seq(2, 3, 4, 5, 10)
+        s"""WITH raw AS (SELECT doc_id,
+                text || repeat(' spam',
+                  CAST((doc_id % 5) * (len($toksSql) // 4) AS INT)) AS rw
+              FROM documents),
+            tok AS (SELECT doc_id,
+                string_split(trim(regexp_replace(lower(rw), '\\s+', ' ', 'g')), ' ') AS toks
+              FROM raw),
+            ${ns.map(gramCte).mkString(",\n            ")},
+            ${ns.map(statsCte).mkString(",\n            ")}
+            SELECT d.doc_id,
+                   coalesce(s2.total2, 0) AS t2, coalesce(s2.top2, 0) AS top2,
+                   coalesce(s3.total3, 0) AS t3, coalesce(s3.top3, 0) AS top3,
+                   coalesce(s4.total4, 0) AS t4, coalesce(s4.top4, 0) AS top4,
+                   coalesce(s5.total5, 0) AS t5, coalesce(s5.dist5, 0) AS d5,
+                   coalesce(s10.total10, 0) AS t10, coalesce(s10.dist10, 0) AS d10,
+                   coalesce(s2.top2, 0) * 100 > coalesce(s2.total2, 0) * 20 AS f_top2,
+                   coalesce(s3.top3, 0) * 100 > coalesce(s3.total3, 0) * 18 AS f_top3,
+                   coalesce(s4.top4, 0) * 100 > coalesce(s4.total4, 0) * 16 AS f_top4,
+                   (coalesce(s5.total5, 0) - coalesce(s5.dist5, 0)) * 100
+                     > coalesce(s5.total5, 0) * 15 AS f_dup5,
+                   (coalesce(s10.total10, 0) - coalesce(s10.dist10, 0)) * 100
+                     > coalesce(s10.total10, 0) * 10 AS f_dup10,
+                   NOT (coalesce(s2.top2, 0) * 100 > coalesce(s2.total2, 0) * 20
+                     OR coalesce(s3.top3, 0) * 100 > coalesce(s3.total3, 0) * 18
+                     OR coalesce(s4.top4, 0) * 100 > coalesce(s4.total4, 0) * 16
+                     OR (coalesce(s5.total5, 0) - coalesce(s5.dist5, 0)) * 100
+                          > coalesce(s5.total5, 0) * 15
+                     OR (coalesce(s10.total10, 0) - coalesce(s10.dist10, 0)) * 100
+                          > coalesce(s10.total10, 0) * 10) AS keep
+            FROM documents d
+            LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+            LEFT JOIN s4 USING (doc_id) LEFT JOIN s5 USING (doc_id)
+            LEFT JOIN s10 USING (doc_id)"""
+      }),
+
     // Lexical BM25 top-k retrieval (Robertson-Spärck Jones weighting;
     // training-data extension — the retrieval step of targeted corpus
     // selection / eval-set mining). k1=1.2 and b=0.75 are carried as

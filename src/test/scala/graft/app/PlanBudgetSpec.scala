@@ -154,6 +154,12 @@ class PlanBudgetSpec extends SparkSpec {
       s"tx_quality_classifier shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
   }
 
+  test("Gopher rule battery is a single in-row projection — zero exchanges") {
+    val c = Plans.planCounts(q("tx_gopher_rules"))
+    assert(c.shuffles == 0 && c.broadcasts == 0,
+      s"tx_gopher_rules shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
   test("BM25: query terms broadcast before any shuffle; tf agg moves hits only") {
     // the token relation is semi-joined against the broadcast term set
     // BEFORE the tf aggregation, so only query-hit rows ever shuffle.
