@@ -178,85 +178,56 @@ object QText extends Registry {
     // two count aggs over the train grams + one re-join of the scoring
     // grams — linear, ~4 shuffles, no driver state; the count tables
     // shuffle-join (they are corpus-vocabulary-sized, not broadcast).
-    Q("tx_lm_perplexity",
+    Q("tx_lm_perplexity", lmScored, Some(lmScoredSql)),
+
+    // CCNet head/middle/tail bucketing (Wenzek et al. 2020): rank the
+    // whole corpus by trigram-LM bits-per-trigram and cut it into
+    // perplexity TERCILES — the corpus-relative pruning step CCNet runs
+    // after the perplexity score itself (keep head+middle, drop tail, or
+    // weight by bucket). The global rank is the scale-critical part: a
+    // bare `row_number() OVER (ORDER BY ...)` moves the entire corpus to
+    // ONE partition, so the rank comes from the two-phase distributed
+    // prefix sum ([[graft.operators.PrefixSum]], the a9 machinery) —
+    // range-partition by score, rank locally, offset by the tiny
+    // per-partition totals. Tercile edges are integer
+    // cross-multiplications off the rank and the grand count (no
+    // percentile function, no second pass). Docs the LM cannot score
+    // (n_trigrams = 0) sort behind every scored doc via an explicit
+    // is-null key — engine-portable where NULL-ordering defaults differ.
+    Q("tx_ccnet_buckets",
       (s, d) => {
-        val useXx = TextOps.hashProfile(s) == "xxhash64"
-        val docs = Tables.documents(s, d)
-        val norm = TextOps.normalized(col("text"))
-        val pairs = graft.Caches.registerTransient(docs
-          .select(col("doc_id"),
-            call_function("tokengrampos60", norm, lit(3), lit(useXx)).as("tri"),
-            call_function("tokengrampos60", norm, lit(2), lit(useXx)).as("big"))
-          .select(col("doc_id"),
-            explode(zip_with(col("tri"),
-              slice(col("big"), lit(1), size(col("tri"))),
-              (t, b) => struct(t.as("gh3"), b.as("gh2")))).as("p"))
-          .select(col("doc_id"), col("p.gh3").as("gh3"), col("p.gh2").as("gh2"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val train = pairs.filter(col("doc_id") % 5 =!= 0)
-        val c3 = train.groupBy(col("gh3")).agg(count(lit(1)).as("c3"))
-        val c2 = train.groupBy(col("gh2")).agg(count(lit(1)).as("c2"))
-        val vocab = docs.filter(col("doc_id") % 5 =!= 0)
-          .select(explode(call_function("tokengrampos60", norm, lit(1),
-            lit(useXx))).as("g1"))
-          .agg(countDistinct(col("g1")).as("vocab"))
-        val scored = pairs
-          .join(c3, Seq("gh3"), "left")
-          .join(c2, Seq("gh2"), "left")
-          .crossJoin(broadcast(vocab))
-          .select(col("doc_id"),
-            (call_function("log2milli",
-              coalesce(col("c2"), lit(0L)) + col("vocab")) -
-              call_function("log2milli",
-                coalesce(col("c3"), lit(0L)) + lit(1L))).as("nll"))
-          .groupBy(col("doc_id"))
-          .agg(count(lit(1)).as("n_trigrams"), sum(col("nll")).as("nll_milli"))
-        docs.select(col("doc_id"))
-          .join(scored, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
-            coalesce(col("nll_milli"), lit(0L)).as("nll_milli"),
-            when(col("n_trigrams") > 0,
-              col("nll_milli").cast("double") /
-                (col("n_trigrams") * 1000L).cast("double"))
-              .as("bits_per_trigram"))
+        val scored = lmScored(s, d)
+          .withColumn("unscored",
+            when(col("n_trigrams") === 0L, 1L).otherwise(0L))
+        val ranked = graft.operators.PrefixSum.withRunningSumAndRank(
+          scored,
+          order = Seq(col("unscored").asc, col("bits_per_trigram").asc,
+            col("doc_id").asc),
+          valueCol = lit(1L),
+          outCol = "__cum", rankCol = "rank",
+          numPartitions = 8, persistInput = true,
+          grandTotals = Some(("__tot", "n_docs")))
+        ranked.select(
+          col("doc_id"), col("n_trigrams"), col("nll_milli"),
+          col("bits_per_trigram"), col("rank"), col("n_docs"),
+          when((col("rank") - 1L) * 3L < col("n_docs"), "head")
+            .when((col("rank") - 1L) * 3L < col("n_docs") * 2L, "middle")
+            .otherwise("tail").as("bucket"))
       },
-      Some {
-        val l2m = l2mSql
-        val h60 = QDedup.h60
-        s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-            pairs AS (
-              SELECT doc_id,
-                ${h60("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS gh3,
-                ${h60("array_to_string(list_slice(toks, i, i + 1), ' ')")} AS gh2
-              FROM (SELECT doc_id, toks,
-                      unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
-                    FROM tok WHERE len(toks) >= 3)),
-            c3 AS (SELECT gh3, count(*) AS c3 FROM pairs
-                   WHERE doc_id % 5 <> 0 GROUP BY 1),
-            c2 AS (SELECT gh2, count(*) AS c2 FROM pairs
-                   WHERE doc_id % 5 <> 0 GROUP BY 1),
-            v AS (SELECT count(DISTINCT ${h60("t1")}) AS vocab
-                  FROM (SELECT unnest(toks) AS t1 FROM tok
-                        WHERE doc_id % 5 <> 0)),
-            scored AS (
-              SELECT p.doc_id, count(*) AS n_trigrams,
-                     sum(${l2m("(coalesce(c2.c2, 0) + v.vocab)")}
-                       - ${l2m("(coalesce(c3.c3, 0) + 1)")}) AS nll_milli
-              FROM pairs p
-              LEFT JOIN c3 USING (gh3)
-              LEFT JOIN c2 USING (gh2)
-              CROSS JOIN v
-              GROUP BY 1)
-            SELECT d.doc_id,
-                   coalesce(s.n_trigrams, 0) AS n_trigrams,
-                   CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli,
-                   CASE WHEN s.n_trigrams > 0
-                        THEN CAST(s.nll_milli AS DOUBLE)
-                             / CAST(s.n_trigrams * 1000 AS DOUBLE)
-                   END AS bits_per_trigram
-            FROM documents d LEFT JOIN scored s USING (doc_id)"""
-      }),
+      Some(s"""WITH $lmScoredCtes,
+            perdoc AS ($lmScoredSelect),
+            ranked AS (
+              SELECT *, row_number() OVER (ORDER BY
+                       CASE WHEN n_trigrams = 0 THEN 1 ELSE 0 END ASC,
+                       bits_per_trigram ASC, doc_id ASC) AS rank,
+                     count(*) OVER () AS n_docs
+              FROM perdoc)
+            SELECT doc_id, n_trigrams, nll_milli, bits_per_trigram, rank,
+                   n_docs,
+                   CASE WHEN (rank - 1) * 3 < n_docs THEN 'head'
+                        WHEN (rank - 1) * 3 < n_docs * 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM ranked""")),
 
     // Training-mix construction: deterministic stratified hash-sampling.
     // Each language gets a retention quota (the "data mixing" step that
@@ -938,4 +909,98 @@ object QText extends Registry {
             FROM uni u LEFT JOIN bi b USING (doc_id)"""
       })
   )
+
+  /** Corpus-trained trigram-LM scorer — the shared core of
+    * `tx_lm_perplexity` (which returns it as-is) and `tx_ccnet_buckets`
+    * (which ranks and buckets it). See the tx_lm_perplexity comment for
+    * the int64/log2milli design rationale.
+    */
+  private def lmScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val useXx = TextOps.hashProfile(s) == "xxhash64"
+    val docs = Tables.documents(s, d)
+    val norm = TextOps.normalized(col("text"))
+    val pairs = graft.Caches.registerTransient(docs
+      .select(col("doc_id"),
+        call_function("tokengrampos60", norm, lit(3), lit(useXx)).as("tri"),
+        call_function("tokengrampos60", norm, lit(2), lit(useXx)).as("big"))
+      .select(col("doc_id"),
+        explode(zip_with(col("tri"),
+          slice(col("big"), lit(1), size(col("tri"))),
+          (t, b) => struct(t.as("gh3"), b.as("gh2")))).as("p"))
+      .select(col("doc_id"), col("p.gh3").as("gh3"), col("p.gh2").as("gh2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val train = pairs.filter(col("doc_id") % 5 =!= 0)
+    val c3 = train.groupBy(col("gh3")).agg(count(lit(1)).as("c3"))
+    val c2 = train.groupBy(col("gh2")).agg(count(lit(1)).as("c2"))
+    val vocab = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(explode(call_function("tokengrampos60", norm, lit(1),
+        lit(useXx))).as("g1"))
+      .agg(countDistinct(col("g1")).as("vocab"))
+    val scored = pairs
+      .join(c3, Seq("gh3"), "left")
+      .join(c2, Seq("gh2"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        (call_function("log2milli",
+          coalesce(col("c2"), lit(0L)) + col("vocab")) -
+          call_function("log2milli",
+            coalesce(col("c3"), lit(0L)) + lit(1L))).as("nll"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("nll")).as("nll_milli"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("nll_milli"), lit(0L)).as("nll_milli"),
+        when(col("n_trigrams") > 0,
+          col("nll_milli").cast("double") /
+            (col("n_trigrams") * 1000L).cast("double"))
+          .as("bits_per_trigram"))
+  }
+
+  /** DuckDB CTE chain of the trigram-LM scorer (shared by the
+    * tx_lm_perplexity oracle and, with a ranking wrapper, the
+    * tx_ccnet_buckets oracle).
+    */
+  private val lmScoredCtes: String = {
+    val l2m = l2mSql
+    val h60 = QDedup.h60
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        pairs AS (
+          SELECT doc_id,
+            ${h60("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS gh3,
+            ${h60("array_to_string(list_slice(toks, i, i + 1), ' ')")} AS gh2
+          FROM (SELECT doc_id, toks,
+                  unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i
+                FROM tok WHERE len(toks) >= 3)),
+        c3 AS (SELECT gh3, count(*) AS c3 FROM pairs
+               WHERE doc_id % 5 <> 0 GROUP BY 1),
+        c2 AS (SELECT gh2, count(*) AS c2 FROM pairs
+               WHERE doc_id % 5 <> 0 GROUP BY 1),
+        v AS (SELECT count(DISTINCT ${h60("t1")}) AS vocab
+              FROM (SELECT unnest(toks) AS t1 FROM tok
+                    WHERE doc_id % 5 <> 0)),
+        scored AS (
+          SELECT p.doc_id, count(*) AS n_trigrams,
+                 sum(${l2m("(coalesce(c2.c2, 0) + v.vocab)")}
+                   - ${l2m("(coalesce(c3.c3, 0) + 1)")}) AS nll_milli
+          FROM pairs p
+          LEFT JOIN c3 USING (gh3)
+          LEFT JOIN c2 USING (gh2)
+          CROSS JOIN v
+          GROUP BY 1)"""
+  }
+
+  private val lmScoredSelect: String =
+    """SELECT d.doc_id,
+              coalesce(s.n_trigrams, 0) AS n_trigrams,
+              CAST(coalesce(s.nll_milli, 0) AS BIGINT) AS nll_milli,
+              CASE WHEN s.n_trigrams > 0
+                   THEN CAST(s.nll_milli AS DOUBLE)
+                        / CAST(s.n_trigrams * 1000 AS DOUBLE)
+              END AS bits_per_trigram
+       FROM documents d LEFT JOIN scored s USING (doc_id)"""
+
+  private val lmScoredSql: String = s"WITH $lmScoredCtes\n            $lmScoredSelect"
 }
