@@ -31,13 +31,15 @@ object QDedup extends Registry {
     * unlike the earlier fixed `1..5000` cap that would silently drop
     * shingles of a >5004-char document.
     */
-  private val shinglesSql =
-    s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+  private def shinglesSqlOver(src: String) =
+    s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM $src),
        spos AS (SELECT id, t,
                   unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
                 FROM norm),
        shash AS (
          SELECT DISTINCT id, ${shingleHashSql("t", "i")} AS sh FROM spos)"""
+
+  private val shinglesSql = shinglesSqlOver("documents")
 
   /** MinHash(k=32) + LSH(4×8) candidates verified with exact shingle-hash
     * Jaccard ≥ 0.7, as a `verified(id_a, id_b, jaccard)` CTE chain —
@@ -45,8 +47,8 @@ object QDedup extends Registry {
     * (per-source duplication profiling), so the blocklist's notion of
     * "near-duplicate" can never drift from the dedup tier's.
     */
-  private[queries] val minhashVerifiedCte: String =
-    s"""$shinglesSql,
+  private[queries] def minhashVerifiedCteOver(src: String): String =
+    s"""${shinglesSqlOver(src)},
        hashed AS (
          SELECT id, sh, sh % 2147483647 AS h1,
                 ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824 % 2147483647
@@ -78,6 +80,9 @@ object QDedup extends Registry {
          JOIN arrs b ON b.id = c.id_b
          WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
                  / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS DOUBLE) >= 0.7e0)"""
+
+  private[queries] val minhashVerifiedCte: String =
+    minhashVerifiedCteOver("documents")
 
   /** Verified MinHash+LSH near-dup pairs, memoized per (session, sfDir) —
     * same build-once pattern as [[simhashPairs]]: TWO consumers
@@ -359,6 +364,72 @@ object QDedup extends Registry {
               LEFT JOIN counts c ON c.doc_id = d.doc_id
               WHERE d.doc_id % 11 <> 0
                 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""")),
+
+    // LSH-tier RECALL evaluation on a sampled probe universe — the
+    // dedup-ladder analogue of sim_ivf_recall. The probe universe is
+    // the bounded doc_id < 150 subset plus one synthetic TWIN per doc
+    // (the doc's text with a doc_id-graded 15/30/45/60% tail of
+    // deterministic md5-hex filler — twin similarity lands at
+    // j ≈ 1/(1+p) ≈ 0.87/0.77/0.69/0.63, straddling the 0.7 verify
+    // threshold). Both the LSH tier (the SAME docProfilesLocal →
+    // lshCandidatesLocal → jaccardOnProfiles construction as
+    // dd_minhash_lsh, k=32/bands=4/0.7) and the brute-force all-pairs
+    // truth run over this universe; every truth pair is labeled with
+    // whether the tier found it. Banding theory says recall rises with
+    // similarity (P = 1-(1-j^8)^4: ~0.4 at j=0.77, ~0.8 at j=0.87,
+    // 1.0 at j=1), so the probe EXPECTS misses near the threshold —
+    // the found flag genuinely discriminates, unlike the raw corpus
+    // whose near-dups are all j ≈ 0.96+ and found at 100%. Sampled
+    // bounded universes are exactly how tier recall is monitored at
+    // 100 TB (the full truth is quadratic by definition).
+    Q("dd_lsh_recall",
+      (s, d) => {
+        val base = Tables.documents(s, d).filter(col("doc_id") < 150)
+          .select(col("doc_id"), col("text"))
+        val twins = base.select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" "),
+            call_function("repeat", md5(col("text")),
+              expr("cast(((doc_id % 4 + 1) * 15 * length(text)) div 3200 as int)")))
+            .as("text"))
+        val universe = base.unionByName(twins)
+        val prof = graft.Caches.registerTransient(
+          Dedup.docProfilesLocal(universe, "doc_id", "text", n = 5, k = 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val ids = prof.select(col("id").as("id_a"))
+          .crossJoin(prof.select(col("id").as("id_b")))
+          .filter(col("id_a") < col("id_b"))
+        val truth = Dedup.jaccardOnProfiles(prof, ids, threshold = 0.7)
+        val lsh = Dedup.jaccardOnProfiles(prof,
+            Dedup.lshCandidatesLocal(prof, k = 32, bands = 4), threshold = 0.7)
+          .select(col("id_a"), col("id_b"), lit(true).as("fnd"))
+        truth.join(lsh, Seq("id_a", "id_b"), "left")
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            coalesce(col("fnd"), lit(false)).as("found"))
+      },
+      Some(s"""WITH universe AS (
+                SELECT doc_id, text FROM documents WHERE doc_id < 150
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id,
+                       text || ' ' || repeat(md5(text),
+                         CAST(((doc_id % 4 + 1) * 15 * length(text)) // 3200
+                           AS INT)) AS text
+                FROM documents WHERE doc_id < 150),
+              ${minhashVerifiedCteOver("universe")},
+              truth AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                         / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr))
+                             AS DOUBLE) AS jaccard
+                FROM arrs a JOIN arrs b ON a.id < b.id
+                WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                        / CAST(a.sz + b.sz - len(list_intersect(a.arr, b.arr))
+                            AS DOUBLE) >= 0.7e0)
+              SELECT t.id_a, t.id_b, t.jaccard,
+                     v.id_a IS NOT NULL AS found
+              FROM truth t
+              LEFT JOIN verified v
+                ON v.id_a = t.id_a AND v.id_b = t.id_b""")),
 
     // Bloom-prefiltered decontamination — same contract and same oracle
     // as dd_decontaminate (a Bloom filter has NO false negatives, and
