@@ -543,21 +543,92 @@ object QDedup extends Registry {
       (s, d) => Dedup.duplicateWindowSpans(
           Tables.documents(s, d), "doc_id", "text", w = 8)
         .withColumnRenamed("id", "doc_id"),
-      Some(s"""WITH norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
-              toks AS (SELECT id, string_split(t, ' ') AS arr FROM norm),
-              wins AS (SELECT id, CAST(i AS INT) AS start,
-                         ${h60("array_to_string(arr[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS fp
-                       FROM toks,
-                         unnest(generate_series(1, len(arr) - 7)) g(i)
-                       WHERE len(arr) >= 8),
-              dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
-              ds AS (SELECT w.id, w.start FROM wins w JOIN dup USING (fp)),
-              isl AS (SELECT id, start,
-                        start - row_number() OVER (PARTITION BY id ORDER BY start) AS grp
-                      FROM ds)
-              SELECT id AS doc_id, min(start) AS span_start,
-                     max(start) - min(start) + 8 AS span_tokens,
-                     count(*) AS n_windows
-              FROM isl GROUP BY id, grp"""))
+      Some(s"""WITH $substringSpanCtes
+              SELECT id AS doc_id, span_start, span_tokens, n_windows
+              FROM spanrows""")),
+
+    // Substring-span REMOVAL — the cut step that completes the Lee et
+    // al. substring-dedup story (dd_substring_windows finds the
+    // duplicated spans; this emits each document with those token
+    // ranges excised). Spans are maximal and non-overlapping by
+    // construction, so the per-doc removal set is the flattened union
+    // of their position ranges; the cut itself is a per-row indexed
+    // filter over the token array (no per-token relation, no extra
+    // shuffle beyond the span detection's own three) and the cleaned
+    // text is re-fingerprinted so CONTENT, not just counts, is
+    // hash-gated. Docs with no duplicated spans pass through unchanged.
+    Q("dd_substring_removed",
+      (s, d) => {
+        val spans = Dedup.duplicateWindowSpans(
+            Tables.documents(s, d), "doc_id", "text", w = 8)
+          .groupBy(col("id"))
+          .agg(
+            flatten(collect_list(sequence(col("span_start"),
+              col("span_start") + col("span_tokens") - 1))).as("covered"),
+            count(lit(1)).as("n_spans"),
+            sum(col("span_tokens")).as("tokens_removed"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+          .join(spans, col("doc_id") === col("id"), "left")
+          .withColumn("clean_toks",
+            when(col("covered").isNull, col("toks"))
+              .otherwise(filter(col("toks"),
+                (t, i) => !array_contains(col("covered"),
+                  (i + 1).cast("long")))))
+          .select(col("doc_id"),
+            coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+            coalesce(col("tokens_removed"), lit(0L)).as("tokens_removed"),
+            size(col("clean_toks")).cast("long").as("n_tokens_clean"),
+            md5(array_join(col("clean_toks"), " ")).as("clean_fp"))
+      },
+      Some(s"""WITH $substringSpanCtes,
+              sp AS (SELECT id,
+                       flatten(list(generate_series(span_start,
+                         span_start + span_tokens - 1))) AS covered,
+                       count(*) AS n_spans,
+                       CAST(sum(span_tokens) AS BIGINT) AS tokens_removed
+                     FROM spanrows GROUP BY id),
+              cleaned AS (
+                SELECT t.id,
+                       CASE WHEN sp.covered IS NULL THEN t.arr
+                            ELSE list_filter(t.arr,
+                              (x, i) -> NOT list_contains(sp.covered,
+                                CAST(i AS BIGINT)))
+                       END AS clean_toks,
+                       coalesce(sp.n_spans, 0) AS n_spans,
+                       coalesce(sp.tokens_removed, 0) AS tokens_removed
+                FROM toks t LEFT JOIN sp USING (id))
+              SELECT id AS doc_id, n_spans, tokens_removed,
+                     len(clean_toks) AS n_tokens_clean,
+                     -- coalesce: DuckDB's array_to_string([]) is NULL
+                     -- where Spark's array_join([]) is '' (a fully
+                     -- excised doc must fingerprint as md5(''))
+                     md5(coalesce(array_to_string(clean_toks, ' '), ''))
+                       AS clean_fp
+              FROM cleaned"""))
   )
+
+  /** Shared CTE chain of the window-level substring-dedup oracle: ends
+    * at `spanrows(id, span_start, span_tokens, n_windows, grp)` — the
+    * maximal duplicated spans — with `toks(id, arr)` also in scope for
+    * consumers that reconstruct text.
+    */
+  private val substringSpanCtes: String =
+    s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM documents),
+       toks AS (SELECT id, string_split(t, ' ') AS arr FROM norm),
+       wins AS (SELECT id, CAST(i AS INT) AS start,
+                  ${h60("array_to_string(arr[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS fp
+                FROM toks,
+                  unnest(generate_series(1, len(arr) - 7)) g(i)
+                WHERE len(arr) >= 8),
+       dup AS (SELECT fp FROM wins GROUP BY fp HAVING count(*) >= 2),
+       ds AS (SELECT w.id, w.start FROM wins w JOIN dup USING (fp)),
+       isl AS (SELECT id, start,
+                 start - row_number() OVER (PARTITION BY id ORDER BY start) AS grp
+               FROM ds),
+       spanrows AS (
+         SELECT id, min(start) AS span_start,
+                max(start) - min(start) + 8 AS span_tokens,
+                count(*) AS n_windows
+         FROM isl GROUP BY id, grp)"""
 }
