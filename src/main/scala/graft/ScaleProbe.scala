@@ -33,7 +33,9 @@ object ScaleProbe {
   private val Probes = Seq(
     "tp_full_panel", "tp_stage1_panel", "tp_clean_chain", "a1_daily_panel",
     "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_decontaminate",
-    "tx_corpus_build", "tx_shard_shuffle", "sim_rhp_neardup")
+    "dd_decontaminate_bloom", "tx_corpus_build", "tx_shard_shuffle",
+    "sim_rhp_neardup", "tx_bm25_topk", "tx_quality_classifier",
+    "tx_gopher_rules", "tx_ccnet_buckets")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
