@@ -229,6 +229,33 @@ object QStreaming extends Registry {
               org.apache.spark.sql.types.LongType))))
           .parquet(outDir)
       },
-      Some(QDedup.incrementalAdmitOracle))
+      Some(QDedup.incrementalAdmitOracle)),
+
+    // Streaming CURATION filter — the stateless end of the streaming
+    // surface: every arriving document is scored by the SAME hashed
+    // linear classifier expression as the batch tx_quality_classifier
+    // (shared Column builder, so batch and stream cannot disagree) and
+    // only keep-decision survivors are emitted. No watermark and no
+    // state store: a pure per-row projection+filter runs in append mode
+    // with zero streaming state at ANY rate — the shape of an ingest-
+    // time quality gate in front of the corpus sink. AvailableNow over
+    // the staged corpus makes the emitted set equal the batch filter,
+    // which is exactly what the oracle replays.
+    Q("stream_quality_filter",
+      (s, d) => {
+        val name = s"graft_stream_qf_${runSeq.incrementAndGet()}"
+        val score = QText.classifierScoreCol(s)
+        val q = StreamingDedup.parquetStream(s, s"$d/documents.parquet")
+          .select(col("doc_id"), score.as("score_milli"))
+          .filter(col("score_milli") >= 0L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some(s"""WITH ${QText.classifierCtes}
+              SELECT u.doc_id, u.s_uni + coalesce(b.s_bi, 0) AS score_milli
+              FROM uni u LEFT JOIN bi b USING (doc_id)
+              WHERE u.s_uni + coalesce(b.s_bi, 0) >= 0"""))
   )
 }

@@ -862,53 +862,70 @@ object QText extends Registry {
     // 16k-entry broadcast array lookup, same plan shape.
     Q("tx_quality_classifier",
       (s, d) => {
-        val useXx = TextOps.hashProfile(s) == "xxhash64"
-        val norm = TextOps.normalized(col("text"))
+        val score = classifierScoreCol(s)
         val toks = TextOps.tokens(col("text"))
-        // hashing-trick weight: bucket = h % 16384, then a fixed affine
-        // mix onto [-1000, 1000] milli-units (the deterministic
-        // stand-in for a trained weight vector)
-        def w(h: org.apache.spark.sql.Column) =
-          (pmod(h, lit(16384L)) * 40503L + 12345L) % 2001L - 1000L
-        val uniScore = aggregate(
-          transform(toks, t => w(TextOps.profileHash60(s)(t))),
-          lit(0L), (acc, x) => acc + x)
-        // tokengramPOS60, not tokengramhash60: the classifier scores
-        // every bigram OCCURRENCE (bag-of-ngrams semantics), while the
-        // dedup-oriented hash expression emits the distinct gram set
-        val biScore = aggregate(
-          transform(call_function("tokengrampos60", norm, lit(2), lit(useXx)),
-            g => w(g)),
-          lit(0L), (acc, x) => acc + x)
         Tables.documents(s, d).select(
           col("doc_id"),
           size(toks).cast("long").as("n_tokens"),
           greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
-          (uniScore + biScore).as("score_milli"),
-          ((uniScore + biScore) >= 0L).as("keep"))
+          score.as("score_milli"),
+          (score >= 0L).as("keep"))
       },
-      Some {
-        val h60 = QDedup.h60
-        val wSql = (h: String) => s"(($h % 16384) * 40503 + 12345) % 2001 - 1000"
-        s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
-            uni AS (SELECT doc_id, len(toks) AS n_tokens,
-                      CAST(list_sum(list_transform(toks,
-                        t -> ${wSql(h60("t"))})) AS BIGINT) AS s_uni
-                    FROM tok),
-            bi AS (SELECT doc_id,
-                     CAST(sum(${wSql(h60("array_to_string(list_slice(toks, i, i + 1), ' ')"))})
-                       AS BIGINT) AS s_bi
-                   FROM (SELECT doc_id, toks,
-                           unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
-                         FROM tok WHERE len(toks) >= 2)
-                   GROUP BY 1)
+      Some(s"""WITH $classifierCtes
             SELECT u.doc_id, u.n_tokens,
                    CAST(greatest(u.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
                    u.s_uni + coalesce(b.s_bi, 0) AS score_milli,
                    u.s_uni + coalesce(b.s_bi, 0) >= 0 AS keep
-            FROM uni u LEFT JOIN bi b USING (doc_id)"""
-      })
+            FROM uni u LEFT JOIN bi b USING (doc_id)"""))
   )
+
+  /** The hashed uni+bigram linear score of `tx_quality_classifier`
+    * (per-row, zero exchanges), as a Column over any frame with a
+    * `text` column — shared with the streaming curation path
+    * (`stream_quality_filter`), so batch and stream can never disagree
+    * on what "quality" means. Bucket = h % 16384 with a fixed affine
+    * mix onto [-1000, 1000] milli-units (the deterministic stand-in
+    * for a trained weight vector). Uses tokengramPOS60, not
+    * tokengramhash60: the classifier scores every bigram OCCURRENCE
+    * (bag-of-ngrams semantics), not the distinct gram set.
+    */
+  private[queries] def classifierScoreCol(
+      s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.Column = {
+    val useXx = TextOps.hashProfile(s) == "xxhash64"
+    val norm = TextOps.normalized(col("text"))
+    val toks = TextOps.tokens(col("text"))
+    def w(h: org.apache.spark.sql.Column) =
+      (pmod(h, lit(16384L)) * 40503L + 12345L) % 2001L - 1000L
+    val uniScore = aggregate(
+      transform(toks, t => w(TextOps.profileHash60(s)(t))),
+      lit(0L), (acc, x) => acc + x)
+    val biScore = aggregate(
+      transform(call_function("tokengrampos60", norm, lit(2), lit(useXx)),
+        g => w(g)),
+      lit(0L), (acc, x) => acc + x)
+    uniScore + biScore
+  }
+
+  /** DuckDB CTE chain of the classifier score: `uni(doc_id, n_tokens,
+    * s_uni)` + `bi(doc_id, s_bi)` — shared by the batch and streaming
+    * oracles.
+    */
+  private[queries] val classifierCtes: String = {
+    val h60 = QDedup.h60
+    val wSql = (h: String) => s"(($h % 16384) * 40503 + 12345) % 2001 - 1000"
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+        uni AS (SELECT doc_id, len(toks) AS n_tokens,
+                  CAST(list_sum(list_transform(toks,
+                    t -> ${wSql(h60("t"))})) AS BIGINT) AS s_uni
+                FROM tok),
+        bi AS (SELECT doc_id,
+                 CAST(sum(${wSql(h60("array_to_string(list_slice(toks, i, i + 1), ' ')"))})
+                   AS BIGINT) AS s_bi
+               FROM (SELECT doc_id, toks,
+                       unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+                     FROM tok WHERE len(toks) >= 2)
+               GROUP BY 1)"""
+  }
 
   /** Corpus-trained trigram-LM scorer — the shared core of
     * `tx_lm_perplexity` (which returns it as-is) and `tx_ccnet_buckets`
