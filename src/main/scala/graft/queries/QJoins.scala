@@ -440,6 +440,9 @@ object QJoins extends Registry {
           .agg((Tables.dsum(col("o_totalprice")) / count(lit(1))).as("rate"))
         val spine = Tables.lineitem(s, d)
           .select(col("l_shipdate").as("dt")).distinct()
+        // global window over the DISTINCT DATE spine — bounded by the
+        // calendar (one row per day), not by fact volume; the fact table
+        // itself only ever meets the ffilled curve via broadcast below
         val w = org.apache.spark.sql.expressions.Window.orderBy(col("dt"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
         val filled = spine.join(curve, Seq("dt"), "left")

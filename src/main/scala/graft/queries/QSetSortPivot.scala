@@ -85,6 +85,8 @@ object QSetSortPivot extends Registry {
         val byType = Tables.part(s, d)
           .groupBy(col("p_type"))
           .agg(sum(col("p_retailprice").cast("decimal(18,2)")).as("tot"))
+        // global window over the AGGREGATED type dimension (150 rows at
+        // any fact scale) — never the fact table itself
         val win = Window.orderBy(col("tot").desc, col("p_type").asc)
         val flagged = byType
           .withColumn("rk", row_number().over(win))

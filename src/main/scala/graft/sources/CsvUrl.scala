@@ -51,6 +51,10 @@ object CsvUrl {
         col(sid).cast("double").as(out))
     }
     val merged = frames.reduce((a, b) => a.join(b, Seq("dt"), "outer"))
+    // global window is safe here by construction: the frame is one row
+    // per CALENDAR DATE of a rate series (thousands of rows at most,
+    // bounded by time itself, not by data volume) — never use this
+    // shape on a fact table (see operators.PrefixSum)
     val w = Window.orderBy(col("dt"))
       .rowsBetween(Window.unboundedPreceding, 0)
     series.foldLeft(merged) { case (d, (_, out, _)) =>
