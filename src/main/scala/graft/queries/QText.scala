@@ -569,6 +569,59 @@ object QText extends Registry {
                      md5(string_agg(md5(text), '_' ORDER BY pos)) AS content_fp
               FROM a GROUP BY shard""")),
 
+    // Inverted-index build + sink round trip — the serving-side
+    // complement of tx_bm25_topk (batch scoring scans the corpus;
+    // SERVING needs the term-keyed posting layout). Posting lists are
+    // SEGMENTED (64 postings per segment, ordered by doc_id) — the
+    // standard cap that keeps a stop-word's corpus-sized posting list
+    // from becoming one giant row/task at 100 TB; segment size is small
+    // here so the segmentation genuinely exercises at sf0.01 (common
+    // vocab terms span 7+ segments). The index is written
+    // range-partitioned by (term, seg) — the lexicographic layout a
+    // term lookup prunes to one file range — then re-read, and the
+    // oracle gates a per-(term, seg) manifest: df, summed tf, and an
+    // order-pinned md5 over the rendered postings, so CONTENT and
+    // ORDER of every segment survive the round trip, not just counts.
+    Q("tx_inverted_index",
+      (s, d) => {
+        val tf = Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("term")).orderBy(col("doc_id"))
+        val postings = tf
+          .withColumn("seg", expr("(row_number() over " +
+            "(partition by term order by doc_id) - 1) div 64"))
+          .groupBy(col("term"), col("seg"))
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+            .as("plist"))
+        val dir = graft.Scratch.dirFor("tx_inverted_index", d)
+        postings.repartitionByRange(col("term"), col("seg"))
+          .sortWithinPartitions(col("term"), col("seg"))
+          .write.mode("overwrite").parquet(s"$dir/index")
+        s.read.parquet(s"$dir/index")
+          .select(col("term"), col("seg"),
+            size(col("plist")).cast("long").as("df_seg"),
+            expr("aggregate(plist, cast(0 as bigint), (acc, p) -> acc + p.tf)")
+              .as("tf_sum"),
+            expr("""md5(array_join(transform(plist,
+                      p -> concat(cast(p.doc_id as string), ':',
+                                  cast(p.tf as string))), ' '))""").as("fp"))
+      },
+      Some(s"""WITH tf AS (
+                SELECT t AS term, doc_id, count(*) AS tf
+                FROM (SELECT doc_id, unnest($toksSql) AS t FROM documents) u
+                GROUP BY 1, 2),
+              seg AS (SELECT term, doc_id, tf,
+                        (row_number() OVER (PARTITION BY term
+                           ORDER BY doc_id) - 1) // 64 AS seg
+                      FROM tf)
+              SELECT term, seg, count(*) AS df_seg,
+                     CAST(sum(tf) AS BIGINT) AS tf_sum,
+                     md5(string_agg(CAST(doc_id AS VARCHAR) || ':'
+                       || CAST(tf AS VARCHAR), ' ' ORDER BY doc_id)) AS fp
+              FROM seg GROUP BY 1, 2""")),
+
     // PII redaction — the scrub pass every corpus runs before training.
     // The synthetic texts carry no contact strings, so the query FIRST
     // derives a contaminated variant (email + phone appended from
