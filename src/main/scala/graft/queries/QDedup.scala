@@ -365,6 +365,43 @@ object QDedup extends Registry {
               WHERE d.doc_id % 11 <> 0
                 AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)""")),
 
+    // Decontamination AUDIT view — the report that accompanies the
+    // filter in practice: for every contaminated corpus document, WHICH
+    // eval documents share grams with it and how many (severity-ranked).
+    // A compliance/debug query, not a throughput path: when a benchmark
+    // leaks into a corpus you need the offending (corpus, eval) links,
+    // not just the drop list. Scale shape: the gram join is restricted
+    // to the contaminated sliver (eval grams broadcast exactly as in
+    // dd_decontaminate), and per-pair counting is a hash-agg with
+    // map-side combine over only the colliding gram rows.
+    Q("dd_decontaminate_audit",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val grams = graft.Caches.registerTransient(
+          TextOps.gramHashes(docs, "doc_id", "text", 8)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val evalGrams = grams.filter(col("id") % 11 === 0)
+          .select(col("id").as("eval_id"), col("gh"))
+        val corpusGrams = grams.filter(col("id") % 11 =!= 0)
+        corpusGrams
+          .join(broadcast(evalGrams), Seq("gh"))
+          .groupBy(col("id").as("doc_id"), col("eval_id"))
+          .agg(count(lit(1)).as("n_shared_grams"))
+      },
+      Some(s"""WITH norm AS (SELECT doc_id, $normSql AS t FROM documents),
+              tok AS (SELECT doc_id, string_split(t, ' ') AS toks FROM norm),
+              gpos AS (SELECT doc_id, toks,
+                         unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS i
+                       FROM tok WHERE len(toks) >= 8),
+              g AS (SELECT DISTINCT doc_id,
+                      ${h60("array_to_string(list_slice(toks, i, i + 7), ' ')")} AS gh
+                    FROM gpos),
+              ev AS (SELECT doc_id AS eval_id, gh FROM g WHERE doc_id % 11 = 0),
+              corpus AS (SELECT * FROM g WHERE doc_id % 11 <> 0)
+              SELECT c.doc_id, ev.eval_id, count(*) AS n_shared_grams
+              FROM corpus c JOIN ev USING (gh)
+              GROUP BY 1, 2""")),
+
     // LSH-tier RECALL evaluation on a sampled probe universe — the
     // dedup-ladder analogue of sim_ivf_recall. The probe universe is
     // the bounded doc_id < 150 subset plus one synthetic TWIN per doc
