@@ -80,6 +80,40 @@ object QMultimodal extends Registry {
               )
               SELECT doc_id, CAST(i AS INT) AS frame_idx,
                      md5(substr(h, CAST(i*128+1 AS INT), 32)) AS frame_md5
-              FROM e"""))
+              FROM e""")),
+
+    // Exact PAYLOAD dedup — the dedup ladder's tier 1 applied to the
+    // multimodal column: byte-identical payloads (re-hosted images,
+    // mirrored files) collapse to one keeper per md5 regardless of any
+    // text-side metadata. Hashes the RAW bytes (no normalization — a
+    // one-bit difference is a different asset), one (hash → count,
+    // min-keeper) shuffle of fixed-width rows; the payload itself never
+    // leaves the scan. Every raw text is byte-unique at sf0.01, so —
+    // like tx_redact_pii manufactures its PII — one doc in five carries
+    // one of 16 shared "stock asset" payloads instead of its own bytes,
+    // giving the dedup genuine multi-copy groups to collapse.
+    Q("mm_payload_dedup",
+      (s, d) => {
+        val payload = when(col("doc_id") % 5 === 0,
+            concat(lit("stockimage"), (col("doc_id") % 16).cast("string")))
+          .otherwise(col("text")).cast("binary")
+        Tables.documents(s, d)
+          .select(col("doc_id"), md5(payload).as("pfp"),
+            length(payload).cast("long").as("n_bytes"))
+          .groupBy(col("pfp"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("doc_id")).as("keeper"),
+            max(col("n_bytes")).as("n_bytes"))
+      },
+      Some("""WITH p AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 5 = 0
+                            THEN 'stockimage' || CAST(doc_id % 16 AS VARCHAR)
+                            ELSE text END AS payload
+                FROM documents)
+              SELECT md5(payload) AS pfp, count(*) AS n_copies,
+                     min(doc_id) AS keeper,
+                     CAST(max(octet_length(encode(payload))) AS BIGINT) AS n_bytes
+              FROM p GROUP BY 1"""))
   )
 }
