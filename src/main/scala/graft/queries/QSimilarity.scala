@@ -523,5 +523,78 @@ object QSimilarity extends Registry {
               SELECT s.vec_id, s.cell,
                      CASE WHEN r.vec_id IS NULL THEN 1 ELSE 0 END AS kept
               FROM assign s LEFT JOIN removed r USING (vec_id)"""))
+  ,
+
+    // Product-quantization ENCODE (Jégou et al., "Product Quantization
+    // for Nearest Neighbor Search") — the compression half of the
+    // IVF-PQ layout that serves ANN at 100 TB: the 64-dim vector splits
+    // into 4×16-dim subspaces, each assigned to its nearest sub-
+    // codeword by exact int64 micro-unit L2 (same deterministic 1-in-50
+    // seed codebooks and the same native dotl argmin as the k-means
+    // tier), so every vector compresses to a 4-code tuple. One pass:
+    // the subspaces EXPLODE per row (4 rows/vec), codewords broadcast
+    // per subspace tag, map-side-combined min-struct argmin, then a
+    // pivot back to one (vec_id, c0..c3) row — the corpus never
+    // shuffles more than its 4-slice relation, and at scale the codes
+    // table IS the index payload (4 bytes/vec instead of 256).
+    Q("sim_pq_encode",
+      (s, d) => {
+        val vecs = graft.Caches.registerTransient(
+          Tables.embeddings(s, d)
+            .select(col("vec_id"),
+              Embeddings.quantArray(col("embedding")).as("xq"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val subs = vecs.select(col("vec_id"), posexplode(
+            array((0 until 4).map(m => slice(col("xq"), m * 16 + 1, 16)): _*))
+          .as(Seq("m", "xs")))
+        val cents = subs.filter(col("vec_id") % 50 === 0)
+          .select(col("m"), col("vec_id").as("cell"), col("xs").as("cs"))
+        val scored = subs.join(broadcast(cents), Seq("m"))
+          .withColumn("score",
+            call_function("dotl", col("cs"), col("cs")) -
+              lit(2L) * call_function("dotl", col("xs"), col("cs")))
+        val best = scored.groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("score"), col("cell"))).as("b"))
+          .select(col("vec_id"), col("m"), col("b.cell").as("code"))
+        best.groupBy(col("vec_id")).agg(
+          max(when(col("m") === 0, col("code"))).as("c0"),
+          max(when(col("m") === 1, col("code"))).as("c1"),
+          max(when(col("m") === 2, col("code"))).as("c2"),
+          max(when(col("m") === 3, col("code"))).as("c3"))
+      },
+      Some {
+        val subSelects = (0 until 4).map(m =>
+          s"""SELECT vec_id, $m AS m,
+                list_slice(xq, ${m * 16 + 1}, ${(m + 1) * 16}) AS xs FROM q""")
+          .mkString("\n                UNION ALL ")
+        s"""WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS xq
+              FROM embeddings),
+            subs AS (
+                $subSelects),
+            cents AS (SELECT m, vec_id AS cell, xs AS cs FROM subs
+                      WHERE vec_id % 50 = 0),
+            scored AS (
+              SELECT v.vec_id, v.m, c.cell,
+                (SELECT sum(c.cs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+                 FROM generate_series(1, 16) g(i))
+                - 2 * (SELECT sum(v.xs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+                       FROM generate_series(1, 16) g(i)) AS score
+              FROM subs v JOIN cents c USING (m)),
+            best AS (
+              SELECT vec_id, m, cell FROM (
+                SELECT vec_id, m, cell,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY score, cell) AS rn
+                FROM scored) r WHERE rn = 1)
+            SELECT vec_id,
+                   max(CASE WHEN m = 0 THEN cell END) AS c0,
+                   max(CASE WHEN m = 1 THEN cell END) AS c1,
+                   max(CASE WHEN m = 2 THEN cell END) AS c2,
+                   max(CASE WHEN m = 3 THEN cell END) AS c3
+            FROM best GROUP BY vec_id"""
+      })
   )
 }
