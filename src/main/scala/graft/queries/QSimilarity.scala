@@ -539,62 +539,139 @@ object QSimilarity extends Registry {
     // table IS the index payload (4 bytes/vec instead of 256).
     Q("sim_pq_encode",
       (s, d) => {
-        val vecs = graft.Caches.registerTransient(
-          Tables.embeddings(s, d)
-            .select(col("vec_id"),
-              Embeddings.quantArray(col("embedding")).as("xq"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val subs = vecs.select(col("vec_id"), posexplode(
-            array((0 until 4).map(m => slice(col("xq"), m * 16 + 1, 16)): _*))
-          .as(Seq("m", "xs")))
-        val cents = subs.filter(col("vec_id") % 50 === 0)
-          .select(col("m"), col("vec_id").as("cell"), col("xs").as("cs"))
-        val scored = subs.join(broadcast(cents), Seq("m"))
-          .withColumn("score",
-            call_function("dotl", col("cs"), col("cs")) -
-              lit(2L) * call_function("dotl", col("xs"), col("cs")))
-        val best = scored.groupBy(col("vec_id"), col("m"))
-          .agg(min(struct(col("score"), col("cell"))).as("b"))
-          .select(col("vec_id"), col("m"), col("b.cell").as("code"))
+        val subs = pqSubspaces(s, d)
+        val best = pqAssign(subs)
         best.groupBy(col("vec_id")).agg(
           max(when(col("m") === 0, col("code"))).as("c0"),
           max(when(col("m") === 1, col("code"))).as("c1"),
           max(when(col("m") === 2, col("code"))).as("c2"),
           max(when(col("m") === 3, col("code"))).as("c3"))
       },
-      Some {
-        val subSelects = (0 until 4).map(m =>
-          s"""SELECT vec_id, $m AS m,
-                list_slice(xq, ${m * 16 + 1}, ${(m + 1) * 16}) AS xs FROM q""")
-          .mkString("\n                UNION ALL ")
-        s"""WITH q AS (
-              SELECT vec_id,
-                     list_transform(embedding,
-                       x -> CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS xq
-              FROM embeddings),
-            subs AS (
-                $subSelects),
-            cents AS (SELECT m, vec_id AS cell, xs AS cs FROM subs
-                      WHERE vec_id % 50 = 0),
-            scored AS (
-              SELECT v.vec_id, v.m, c.cell,
-                (SELECT sum(c.cs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
-                 FROM generate_series(1, 16) g(i))
-                - 2 * (SELECT sum(v.xs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
-                       FROM generate_series(1, 16) g(i)) AS score
-              FROM subs v JOIN cents c USING (m)),
-            best AS (
-              SELECT vec_id, m, cell FROM (
-                SELECT vec_id, m, cell,
-                       row_number() OVER (PARTITION BY vec_id, m
-                                          ORDER BY score, cell) AS rn
-                FROM scored) r WHERE rn = 1)
+      Some(s"""WITH $pqCteSql
             SELECT vec_id,
                    max(CASE WHEN m = 0 THEN cell END) AS c0,
                    max(CASE WHEN m = 1 THEN cell END) AS c1,
                    max(CASE WHEN m = 2 THEN cell END) AS c2,
                    max(CASE WHEN m = 3 THEN cell END) AS c3
-            FROM best GROUP BY vec_id"""
-      })
+            FROM best GROUP BY vec_id""")),
+
+    // PQ ADC search — the lookup half of IVF-PQ (asymmetric distance
+    // computation): each query keeps its EXACT subvectors and
+    // precomputes a distance TABLE to every sub-codeword (4×10 rows per
+    // query — constant, broadcastable at any corpus size); every
+    // encoded vector is then scored by FOUR table lookups summed, never
+    // a full dot product against raw vectors. This is why PQ serves at
+    // 100 TB: the scan touches only the 4-code tuples, the distance
+    // math is per-query-constant, and the exact vectors are needed for
+    // queries alone. Same int64 micro-units end-to-end; per-subspace
+    // partial = ‖c‖² − 2·qs·cs (the query's own norm is rank-constant).
+    // Top-5 per query, tie-broken on neighbor id.
+    Q("sim_pq_adc_topk",
+      (s, d) => {
+        val subs = graft.Caches.registerTransient(pqSubspaces(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val codes = pqAssign(subs)
+        val dtable = subs.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("m"), col("xs").as("qs"))
+          .join(broadcast(pqCentroids(subs)), Seq("m"))
+          .select(col("qid"), col("m"), col("cell").as("code"),
+            (call_function("dotl", col("cs"), col("cs")) -
+              lit(2L) * call_function("dotl", col("qs"), col("cs")))
+              .as("pdist"))
+        val scored = codes.join(broadcast(dtable), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("pdist")).as("adc_score"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid"))
+          .orderBy(col("adc_score").asc, col("vec_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+            col("adc_score"))
+      },
+      Some(s"""WITH $pqCteSql,
+            dtable AS (
+              SELECT v.vec_id AS qid, v.m, c.cell AS code,
+                (SELECT sum(c.cs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+                 FROM generate_series(1, 16) g(i))
+                - 2 * (SELECT sum(v.xs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+                       FROM generate_series(1, 16) g(i)) AS pdist
+              FROM subs v JOIN cents c USING (m)
+              WHERE v.vec_id < 5),
+            codes AS (SELECT vec_id, m, cell AS code FROM best),
+            adc AS (
+              SELECT d.qid, k.vec_id,
+                     CAST(sum(d.pdist) AS BIGINT) AS adc_score
+              FROM codes k JOIN dtable d USING (m, code)
+              WHERE k.vec_id <> d.qid
+              GROUP BY 1, 2),
+            ranked AS (
+              SELECT qid, vec_id, adc_score,
+                     row_number() OVER (PARTITION BY qid
+                       ORDER BY adc_score ASC, vec_id ASC) AS rank
+              FROM adc)
+            SELECT qid, rank, vec_id AS neighbor, adc_score
+            FROM ranked WHERE rank <= 5"""))
   )
+
+  /** Quantized 4×16-dim subspace relation (vec_id, m, xs) — the shared
+    * head of the PQ family (`sim_pq_encode`, `sim_pq_adc_topk`).
+    */
+  private def pqSubspaces(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), Embeddings.quantArray(col("embedding")).as("xq"))
+      .select(col("vec_id"), posexplode(
+          array((0 until 4).map(m => slice(col("xq"), m * 16 + 1, 16)): _*))
+        .as(Seq("m", "xs")))
+
+  /** Deterministic sub-codebooks: the 1-in-50 seed vectors' subvectors. */
+  private def pqCentroids(
+      subs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    subs.filter(col("vec_id") % 50 === 0)
+      .select(col("m"), col("vec_id").as("cell"), col("xs").as("cs"))
+
+  /** Nearest sub-codeword per (vector, subspace): (vec_id, m, code). */
+  private def pqAssign(
+      subs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    subs.join(broadcast(pqCentroids(subs)), Seq("m"))
+      .withColumn("score",
+        call_function("dotl", col("cs"), col("cs")) -
+          lit(2L) * call_function("dotl", col("xs"), col("cs")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("cell"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cell").as("code"))
+
+  /** DuckDB CTE chain of the PQ family: quantize → subspace split →
+    * seed codebooks → per-subspace nearest-codeword (`best`).
+    */
+  private val pqCteSql: String = {
+    val subSelects = (0 until 4).map(m =>
+      s"""SELECT vec_id, $m AS m,
+            list_slice(xq, ${m * 16 + 1}, ${(m + 1) * 16}) AS xs FROM q""")
+      .mkString("\n                UNION ALL ")
+    s"""q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(x * 1e6 + 0.5e0) AS BIGINT)) AS xq
+          FROM embeddings),
+        subs AS (
+            $subSelects),
+        cents AS (SELECT m, vec_id AS cell, xs AS cs FROM subs
+                  WHERE vec_id % 50 = 0),
+        scored AS (
+          SELECT v.vec_id, v.m, c.cell,
+            (SELECT sum(c.cs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+             FROM generate_series(1, 16) g(i))
+            - 2 * (SELECT sum(v.xs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+                   FROM generate_series(1, 16) g(i)) AS score
+          FROM subs v JOIN cents c USING (m)),
+        best AS (
+          SELECT vec_id, m, cell FROM (
+            SELECT vec_id, m, cell,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY score, cell) AS rn
+            FROM scored) r WHERE rn = 1)"""
+  }
 }
