@@ -567,53 +567,131 @@ object QSimilarity extends Registry {
     // partial = ‖c‖² − 2·qs·cs (the query's own norm is rank-constant).
     // Top-5 per query, tie-broken on neighbor id.
     Q("sim_pq_adc_topk",
-      (s, d) => {
-        val subs = graft.Caches.registerTransient(pqSubspaces(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val codes = pqAssign(subs)
-        val dtable = subs.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("qid"), col("m"), col("xs").as("qs"))
-          .join(broadcast(pqCentroids(subs)), Seq("m"))
-          .select(col("qid"), col("m"), col("cell").as("code"),
-            (call_function("dotl", col("cs"), col("cs")) -
-              lit(2L) * call_function("dotl", col("qs"), col("cs")))
-              .as("pdist"))
-        val scored = codes.join(broadcast(dtable), Seq("m", "code"))
-          .filter(col("vec_id") =!= col("qid"))
-          .groupBy(col("qid"), col("vec_id"))
-          .agg(sum(col("pdist")).as("adc_score"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("qid"))
-          .orderBy(col("adc_score").asc, col("vec_id").asc)
-        scored.withColumn("rank", row_number().over(w))
-          .filter(col("rank") <= 5)
-          .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
-            col("adc_score"))
-      },
-      Some(s"""WITH $pqCteSql,
-            dtable AS (
-              SELECT v.vec_id AS qid, v.m, c.cell AS code,
-                (SELECT sum(c.cs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
-                 FROM generate_series(1, 16) g(i))
-                - 2 * (SELECT sum(v.xs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
-                       FROM generate_series(1, 16) g(i)) AS pdist
-              FROM subs v JOIN cents c USING (m)
-              WHERE v.vec_id < 5),
-            codes AS (SELECT vec_id, m, cell AS code FROM best),
-            adc AS (
-              SELECT d.qid, k.vec_id,
-                     CAST(sum(d.pdist) AS BIGINT) AS adc_score
-              FROM codes k JOIN dtable d USING (m, code)
-              WHERE k.vec_id <> d.qid
-              GROUP BY 1, 2),
-            ranked AS (
-              SELECT qid, vec_id, adc_score,
-                     row_number() OVER (PARTITION BY qid
-                       ORDER BY adc_score ASC, vec_id ASC) AS rank
-              FROM adc)
+      (s, d) => pqAdcRanked(s, d)
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+          col("adc_score")),
+      Some(s"""WITH $pqCteSql, $pqAdcCteSql
             SELECT qid, rank, vec_id AS neighbor, adc_score
-            FROM ranked WHERE rank <= 5"""))
+            FROM pqranked WHERE rank <= 5""")),
+
+    // PQ recall evaluation — the accuracy ledger of the 64:4
+    // compression, mirroring sim_ivf_recall's shape: exact int64 L2
+    // top-5 (over the same quantized vectors, so metric and data agree)
+    // is the ground truth; the ADC top-5's hit count per query is the
+    // recall. Run next to the encoder wherever PQ is deployed — the
+    // compression ratio is meaningless without its recall cost on the
+    // same corpus.
+    Q("sim_pq_recall",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            Embeddings.quantArray(col("embedding")).as("xq"))
+        val truth = {
+          val q = vecs.filter(col("vec_id") < 5)
+            .select(col("vec_id").as("qid"), col("xq").as("qx"))
+          val scored = q.crossJoin(vecs)
+            .filter(col("vec_id") =!= col("qid"))
+            .withColumn("score",
+              call_function("dotl", col("xq"), col("xq")) -
+                lit(2L) * call_function("dotl", col("qx"), col("xq")))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("qid"))
+            .orderBy(col("score").asc, col("vec_id").asc)
+          scored.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= 5)
+            .select(col("qid"), col("vec_id").as("neighbor"))
+        }
+        val hits = pqAdcRanked(s, d).filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("neighbor"))
+          .join(truth, Seq("qid", "neighbor"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        truth.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0d))
+              .as("recall"))
+      },
+      Some(s"""WITH $pqCteSql, $pqAdcCteSql,
+            exact AS (
+              SELECT qid, vec_id AS neighbor FROM (
+                SELECT q.vec_id AS qid, v.vec_id,
+                       (SELECT sum(v.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
+                        FROM generate_series(1, 64) g(i))
+                       - 2 * (SELECT sum(q.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
+                              FROM generate_series(1, 64) g(i)) AS score,
+                       row_number() OVER (PARTITION BY q.vec_id
+                         ORDER BY (SELECT sum(v.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
+                                   FROM generate_series(1, 64) g(i))
+                                  - 2 * (SELECT sum(q.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
+                                         FROM generate_series(1, 64) g(i)) ASC,
+                                  v.vec_id ASC) AS rank
+                FROM q
+                JOIN q v ON v.vec_id <> q.vec_id
+                WHERE q.vec_id < 5) r WHERE rank <= 5),
+            hits AS (
+              SELECT p.qid, count(*) AS n_hits
+              FROM (SELECT qid, vec_id FROM pqranked WHERE rank <= 5) p
+              JOIN exact e ON e.qid = p.qid AND e.neighbor = p.vec_id
+              GROUP BY 1)
+            SELECT e.qid,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5e0 AS recall
+            FROM (SELECT DISTINCT qid FROM exact) e
+            LEFT JOIN hits h USING (qid)"""))
   )
+
+  /** ADC-ranked neighbors (qid, rank, vec_id, adc_score) for the
+    * vec_id < 5 query set — shared by `sim_pq_adc_topk` and
+    * `sim_pq_recall`.
+    */
+  private def pqAdcRanked(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val subs = graft.Caches.registerTransient(pqSubspaces(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = pqAssign(subs)
+    val dtable = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("m"), col("xs").as("qs"))
+      .join(broadcast(pqCentroids(subs)), Seq("m"))
+      .select(col("qid"), col("m"), col("cell").as("code"),
+        (call_function("dotl", col("cs"), col("cs")) -
+          lit(2L) * call_function("dotl", col("qs"), col("cs")))
+          .as("pdist"))
+    val scored = codes.join(broadcast(dtable), Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdist")).as("adc_score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("adc_score").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+  }
+
+  /** DuckDB CTE suffix of the ADC search (expects [[pqCteSql]] in
+    * scope): per-query distance tables → summed lookups → `pqranked`.
+    */
+  private val pqAdcCteSql: String =
+    """dtable AS (
+         SELECT v.vec_id AS qid, v.m, c.cell AS code,
+           (SELECT sum(c.cs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+            FROM generate_series(1, 16) g(i))
+           - 2 * (SELECT sum(v.xs[CAST(i AS INT)] * c.cs[CAST(i AS INT)])
+                  FROM generate_series(1, 16) g(i)) AS pdist
+         FROM subs v JOIN cents c USING (m)
+         WHERE v.vec_id < 5),
+       pqcodes AS (SELECT vec_id, m, cell AS code FROM best),
+       pqadc AS (
+         SELECT d.qid, k.vec_id,
+                CAST(sum(d.pdist) AS BIGINT) AS adc_score
+         FROM pqcodes k JOIN dtable d USING (m, code)
+         WHERE k.vec_id <> d.qid
+         GROUP BY 1, 2),
+       pqranked AS (
+         SELECT qid, vec_id, adc_score,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY adc_score ASC, vec_id ASC) AS rank
+         FROM pqadc)"""
 
   /** Quantized 4×16-dim subspace relation (vec_id, m, xs) — the shared
     * head of the PQ family (`sim_pq_encode`, `sim_pq_adc_topk`).
