@@ -423,12 +423,21 @@ object QDedup extends Registry {
       (s, d) => {
         val base = Tables.documents(s, d).filter(col("doc_id") < 150)
           .select(col("doc_id"), col("text"))
+        // filler = k DISTINCT md5 blocks (md5(text||1), md5(text||2), …):
+        // a repeat() of ONE md5 would be 32-char-periodic and contribute
+        // a constant ~32 distinct shingles at every grade — the distinct
+        // blocks make the injected shingle mass actually proportional to
+        // the 15/30/45/60% grade, which is what spreads twin similarity
+        // across the threshold
+        val kInj = expr(
+          "cast(((doc_id % 4 + 1) * 15 * length(text)) div 3200 as int)")
         val twins = base.select(
           (col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" "),
-            call_function("repeat", md5(col("text")),
-              expr("cast(((doc_id % 4 + 1) * 15 * length(text)) div 3200 as int)")))
-            .as("text"))
+            when(kInj >= 1, array_join(transform(
+                sequence(lit(1), kInj),
+                i => md5(concat(col("text"), i.cast("string")))), ""))
+              .otherwise(lit(""))).as("text"))
         val universe = base.unionByName(twins)
         val prof = graft.Caches.registerTransient(
           Dedup.docProfilesLocal(universe, "doc_id", "text", n = 5, k = 32)
@@ -448,9 +457,13 @@ object QDedup extends Registry {
                 SELECT doc_id, text FROM documents WHERE doc_id < 150
                 UNION ALL
                 SELECT doc_id + 100000 AS doc_id,
-                       text || ' ' || repeat(md5(text),
-                         CAST(((doc_id % 4 + 1) * 15 * length(text)) // 3200
-                           AS INT)) AS text
+                       text || ' ' ||
+                       CASE WHEN ((doc_id % 4 + 1) * 15 * length(text)) // 3200 >= 1
+                            THEN array_to_string(list_transform(
+                                   generate_series(1,
+                                     CAST(((doc_id % 4 + 1) * 15 * length(text)) // 3200 AS INT)),
+                                   i -> md5(text || CAST(i AS VARCHAR))), '')
+                            ELSE '' END AS text
                 FROM documents WHERE doc_id < 150),
               ${minhashVerifiedCteOver("universe")},
               truth AS (
@@ -587,9 +600,12 @@ object QDedup extends Registry {
     // Substring-span REMOVAL — the cut step that completes the Lee et
     // al. substring-dedup story (dd_substring_windows finds the
     // duplicated spans; this emits each document with those token
-    // ranges excised). Spans are maximal and non-overlapping by
-    // construction, so the per-doc removal set is the flattened union
-    // of their position ranges; the cut itself is a per-row indexed
+    // ranges excised). Spans are maximal runs of duplicated window
+    // STARTS, but each extends w−1 tokens past its last start, so two
+    // spans whose start gap is 2..w−1 OVERLAP in token coverage —
+    // tokens_removed is therefore the DISTINCT size of the flattened
+    // position union, never the sum of span lengths (which would
+    // overcount the overlap). The cut itself is a per-row indexed
     // filter over the token array (no per-token relation, no extra
     // shuffle beyond the span detection's own three) and the cleaned
     // text is re-fingerprinted so CONTENT, not just counts, is
@@ -600,10 +616,10 @@ object QDedup extends Registry {
             Tables.documents(s, d), "doc_id", "text", w = 8)
           .groupBy(col("id"))
           .agg(
-            flatten(collect_list(sequence(col("span_start"),
-              col("span_start") + col("span_tokens") - 1))).as("covered"),
-            count(lit(1)).as("n_spans"),
-            sum(col("span_tokens")).as("tokens_removed"))
+            array_distinct(flatten(collect_list(sequence(col("span_start"),
+              col("span_start") + col("span_tokens") - 1)))).as("covered"),
+            count(lit(1)).as("n_spans"))
+          .withColumn("tokens_removed", size(col("covered")).cast("long"))
         Tables.documents(s, d)
           .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
           .join(spans, col("doc_id") === col("id"), "left")
@@ -620,10 +636,12 @@ object QDedup extends Registry {
       },
       Some(s"""WITH $substringSpanCtes,
               sp AS (SELECT id,
-                       flatten(list(generate_series(span_start,
-                         span_start + span_tokens - 1))) AS covered,
+                       list_distinct(flatten(list(generate_series(span_start,
+                         span_start + span_tokens - 1)))) AS covered,
                        count(*) AS n_spans,
-                       CAST(sum(span_tokens) AS BIGINT) AS tokens_removed
+                       CAST(len(list_distinct(flatten(list(generate_series(
+                         span_start, span_start + span_tokens - 1)))))
+                         AS BIGINT) AS tokens_removed
                      FROM spanrows GROUP BY id),
               cleaned AS (
                 SELECT t.id,

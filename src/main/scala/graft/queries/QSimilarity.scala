@@ -539,7 +539,11 @@ object QSimilarity extends Registry {
     // table IS the index payload (4 bytes/vec instead of 256).
     Q("sim_pq_encode",
       (s, d) => {
-        val subs = pqSubspaces(s, d)
+        // persisted: pqAssign consumes subs twice (centroid derivation
+        // + the probe side of the join) — unpersisted, the embeddings
+        // scan and quantization would run twice
+        val subs = graft.Caches.registerTransient(pqSubspaces(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val best = pqAssign(subs)
         best.groupBy(col("vec_id")).agg(
           max(when(col("m") === 0, col("code"))).as("c0"),

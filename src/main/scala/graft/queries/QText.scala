@@ -590,8 +590,8 @@ object QText extends Registry {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("term")).orderBy(col("doc_id"))
         val postings = tf
-          .withColumn("seg", expr("(row_number() over " +
-            "(partition by term order by doc_id) - 1) div 64"))
+          .withColumn("seg",
+            ((row_number().over(w) - 1) / 64).cast("int"))
           .groupBy(col("term"), col("seg"))
           .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
             .as("plist"))
@@ -686,11 +686,18 @@ object QText extends Registry {
               GROUP BY d.source""")),
 
     // Gopher repetition-rule battery (Rae et al. 2021, Table A1): top
-    // n-gram occurrence fraction for n=2..4 and duplicate n-gram
-    // fraction for n=5 and 10, each with the paper's threshold flag,
-    // plus the conjunctive keep decision. (The line/paragraph duplicate
-    // rules need newline structure the synthetic corpus doesn't have —
-    // same rule shape over a different split, documented non-parity.)
+    // n-gram fraction for n=2..4 and duplicate n-gram fraction for
+    // n=5 and 10, each with the paper's threshold, plus the conjunctive
+    // keep decision. TWO documented deviations from the paper: (1) the
+    // line/paragraph duplicate rules need newline structure the
+    // synthetic corpus doesn't have — same rule shape over a different
+    // split; (2) fractions here weight gram OCCURRENCES where the paper
+    // weights the CHARACTERS contained in those grams — the occurrence
+    // variant keeps every ratio a pure integer cross-multiplication
+    // (char-weighting would need per-gram byte lengths), at the cost
+    // that documents whose repeated grams are unusually long/short
+    // tokens can land on the other side of a threshold than the
+    // paper's weighting would put them.
     // The synthetic corpus is too uniform to trip any rule on its own
     // (every threshold sat at 0 hits at sf0.01 — a vacuous gate), so,
     // like tx_redact_pii manufactures its PII, each doc gets an

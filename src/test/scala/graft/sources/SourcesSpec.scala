@@ -163,4 +163,28 @@ class SourcesSpec extends SparkSpec {
     assert(Jsonl.read(spark, s"file://$p", schema)
       .filter(col(Jsonl.CorruptCol).isNotNull).count() == 1L)
   }
+
+  test("jsonl: a literal 'null' line is quarantined, not a phantom all-null row") {
+    import org.apache.spark.sql.types._
+    // buggy serializers emit bare `null` lines (valid JSON, no object);
+    // from_json must route them to the corrupt column like the raw json
+    // datasource did — NOT null-expand them into healthy all-null docs.
+    // Pinned empirically: Spark's JacksonParser treats a root-level JSON
+    // null as a malformed record (this is version-sensitive behavior,
+    // hence the regression test).
+    val p = tmp("graft_test_nullline.jsonl")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      ("""{"doc_id": 1, "text": "ok"}""" + "\nnull\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val clean = Jsonl.readClean(spark, s"file://$p", schema)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(clean.toSeq == Seq((1L, "ok")),
+      s"null line leaked into clean rows: ${clean.toSeq}")
+    val corrupt = Jsonl.read(spark, s"file://$p", schema)
+      .filter(col(Jsonl.CorruptCol).isNotNull)
+      .select(col(Jsonl.CorruptCol)).collect().map(_.getString(0))
+    assert(corrupt.toSeq == Seq("null"),
+      s"expected the null line quarantined, got ${corrupt.toSeq}")
+  }
 }
