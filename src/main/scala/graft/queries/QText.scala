@@ -40,7 +40,9 @@ object QText extends Registry {
     }
   }
 
-  def qs: Seq[Q] = Seq(
+  def qs: Seq[Q] = qsA ++ qsB
+
+  private def qsA: Seq[Q] = Seq(
 
     // Quality scoring: lengths, token stats, stopword/punct/upper ratios.
     Q("tx_quality",
@@ -300,54 +302,117 @@ object QText extends Registry {
     // CC) and the oracle replays the WHOLE chain, recursive-CTE
     // reachability included — one hash gate over the final corpus.
     Q("tx_corpus_build",
+      (s, d) => corpusStages(s, d)("mixed")
+        .select(col("doc_id"), col("lang"), col("n_tokens")),
+      Some(s"""WITH RECURSIVE $corpusBuildCtes
+            SELECT doc_id, lang, n_tokens FROM mixed""")),
+
+    // Curation FUNNEL report — the attrition ledger every corpus build
+    // publishes next to its output: one row per stage of the
+    // tx_corpus_build chain (raw corpus → length screen → exact-dup
+    // keepers → near-dup canonical → decontaminated → quota-mixed) with
+    // surviving doc and token counts. Built from the SAME shared stage
+    // frames as the chain itself (and the same oracle CTE chain), so
+    // the report can never disagree with the build. Scale shape: six
+    // count aggregates over frames the chain materializes anyway.
+    Q("tx_curation_funnel",
       (s, d) => {
-        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-        val toks = TextOps.tokens(col("text"))
-        val corpus = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0)
-        val scored = corpus.select(col("doc_id"), col("lang"), col("text"),
-          size(toks).cast("long").as("n_tokens"),
-          TextOps.fingerprint(col("text")).as("fp"))
-        val passed = scored.filter(col("n_tokens").between(15, 2000))
-        val keepers = passed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-        val surv = graft.Caches.registerTransient(
-          passed.join(keepers, Seq("fp", "doc_id"), "left_semi")
-            .persist(MEMORY_AND_DISK))
-        // near-dup canonicalization (minhash tier) among the survivors
-        val prof = graft.Caches.registerTransient(
-          graft.llmdata.Dedup.docProfilesLocal(surv, "doc_id", "text", n = 5, k = 32)
-            .persist(MEMORY_AND_DISK))
-        val pairs = graft.llmdata.Dedup.jaccardOnProfiles(prof,
-            graft.llmdata.Dedup.lshCandidatesLocal(prof, k = 32, bands = 4),
-            threshold = 0.7)
-          .select(col("id_a"), col("id_b"))
-        val clusters = graft.llmdata.Dedup.canonicalClusters(pairs)
-        val canon = surv.join(
-          clusters.filter(col("id") =!= col("canonical"))
-            .select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
-        // decontaminate vs the eval split (external — never curated)
-        val evalGrams = TextOps.gramHashes(
-            Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
-            "doc_id", "text", 8)
-          .select(col("gh")).distinct()
-        val contaminated = TextOps.gramHashes(canon, "doc_id", "text", 8)
-          .join(broadcast(evalGrams), Seq("gh"), "left_semi")
-          .select(col("id").as("doc_id")).distinct()
-        val clean = canon.join(contaminated, Seq("doc_id"), "left_anti")
-        // per-language training-mix quota
-        val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
-        val quota = when(col("lang") === "en", 50)
-          .when(col("lang") === "de", 30)
-          .when(col("lang") === "fr", 20)
-          .when(col("lang") === "es", 10)
-          .otherwise(5)
-        clean.filter(bucket < quota)
-          .select(col("doc_id"), col("lang"), col("n_tokens"))
+        val stages = corpusStages(s, d)
+        Seq("corpus", "length_pass", "exact_keeper",
+            "neardup_canonical", "decontaminated", "mixed")
+          .zipWithIndex.map { case (name, i) =>
+            stages(name).agg(
+              count(lit(1)).as("n_docs"),
+              coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+              .select(lit(i + 1).as("stage_no"), lit(name).as("stage"),
+                col("n_docs"), col("n_tokens"))
+          }.reduce(_.unionByName(_))
       },
       Some {
+        def cnt(no: Int, name: String, rel: String) =
+          s"""SELECT $no AS stage_no, '$name' AS stage,
+                count(*) AS n_docs,
+                CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS n_tokens
+              FROM $rel"""
+        s"""WITH RECURSIVE $corpusBuildCtes
+            ${cnt(1, "corpus", "scored")}
+            UNION ALL ${cnt(2, "length_pass", "passed")}
+            UNION ALL ${cnt(3, "exact_keeper", "surv")}
+            UNION ALL ${cnt(4, "neardup_canonical", "canon")}
+            UNION ALL ${cnt(5, "decontaminated", "clean")}
+            UNION ALL ${cnt(6, "mixed", "mixed")}"""
+      })
+  )
+
+  /** The curation-build chain as named stage frames (each with
+    * doc_id, lang, n_tokens): raw `corpus` → `length_pass` →
+    * `exact_keeper` → `neardup_canonical` → `decontaminated` →
+    * quota-`mixed` — shared by `tx_corpus_build` (returns `mixed`) and
+    * `tx_curation_funnel` (counts every stage), so the report can
+    * never disagree with the build.
+    */
+  private def corpusStages(s: org.apache.spark.sql.SparkSession,
+      d: String): Map[String, org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = TextOps.tokens(col("text"))
+    val corpus = Tables.documents(s, d).filter(col("doc_id") % 11 =!= 0)
+    val scored = corpus.select(col("doc_id"), col("lang"), col("text"),
+      size(toks).cast("long").as("n_tokens"),
+      TextOps.fingerprint(col("text")).as("fp"))
+    val passed = scored.filter(col("n_tokens").between(15, 2000))
+    val keepers = passed.groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+    val surv = graft.Caches.registerTransient(
+      passed.join(keepers, Seq("fp", "doc_id"), "left_semi")
+        .persist(MEMORY_AND_DISK))
+    // near-dup canonicalization (minhash tier) among the survivors
+    val prof = graft.Caches.registerTransient(
+      graft.llmdata.Dedup.docProfilesLocal(surv, "doc_id", "text", n = 5, k = 32)
+        .persist(MEMORY_AND_DISK))
+    val pairs = graft.llmdata.Dedup.jaccardOnProfiles(prof,
+        graft.llmdata.Dedup.lshCandidatesLocal(prof, k = 32, bands = 4),
+        threshold = 0.7)
+      .select(col("id_a"), col("id_b"))
+    val clusters = graft.llmdata.Dedup.canonicalClusters(pairs)
+    val canon = graft.Caches.registerTransient(surv.join(
+        clusters.filter(col("id") =!= col("canonical"))
+          .select(col("id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      .persist(MEMORY_AND_DISK))
+    // decontaminate vs the eval split (external — never curated)
+    val evalGrams = TextOps.gramHashes(
+        Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
+        "doc_id", "text", 8)
+      .select(col("gh")).distinct()
+    val contaminated = TextOps.gramHashes(canon, "doc_id", "text", 8)
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .select(col("id").as("doc_id")).distinct()
+    val clean = graft.Caches.registerTransient(
+      canon.join(contaminated, Seq("doc_id"), "left_anti")
+        .persist(MEMORY_AND_DISK))
+    // per-language training-mix quota
+    val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
+    val quota = when(col("lang") === "en", 50)
+      .when(col("lang") === "de", 30)
+      .when(col("lang") === "fr", 20)
+      .when(col("lang") === "es", 10)
+      .otherwise(5)
+    Map(
+      "corpus" -> scored,
+      "length_pass" -> passed,
+      "exact_keeper" -> surv,
+      "neardup_canonical" -> canon,
+      "decontaminated" -> clean,
+      "mixed" -> clean.filter(bucket < quota))
+  }
+
+  /** DuckDB CTE chain of the curation build (filter → exact dedup →
+    * LSH canonicalization via recursive-CTE CC → decontamination →
+    * quota mix), ending at `mixed` — shared by the `tx_corpus_build`
+    * and `tx_curation_funnel` oracles. Callers prefix `WITH RECURSIVE`.
+    */
+  private val corpusBuildCtes: String = {
         val h60 = QDedup.h60
-        s"""WITH RECURSIVE
-            corpus AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
+        s"""corpus AS (SELECT * FROM documents WHERE doc_id % 11 <> 0),
             scored AS (SELECT doc_id, lang, text,
                          CAST(len($toksSql) AS BIGINT) AS n_tokens,
                          md5($normSql) AS fp
@@ -418,12 +483,15 @@ object QText extends Registry {
                    FROM cpos),
             contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (gh)),
             clean AS (SELECT * FROM canon WHERE doc_id NOT IN
-                        (SELECT doc_id FROM contaminated))
-            SELECT doc_id, lang, n_tokens FROM clean
-            WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 <
-                  CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
-                            WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 5 END"""
-      }),
+                        (SELECT doc_id FROM contaminated)),
+            mixed AS (
+              SELECT * FROM clean
+              WHERE ${h60("CAST(doc_id AS VARCHAR)")} % 100 <
+                    CASE lang WHEN 'en' THEN 50 WHEN 'de' THEN 30
+                              WHEN 'fr' THEN 20 WHEN 'es' THEN 10 ELSE 5 END)"""
+  }
+
+  private def qsB: Seq[Q] = Seq(
 
     // Per-document top terms by raw counts: rank tokens by (tf desc,
     // df asc, token asc) — the tf-idf salience ordering WITHOUT the
