@@ -364,31 +364,39 @@ object QText extends Registry {
     val surv = graft.Caches.registerTransient(
       passed.join(keepers, Seq("fp", "doc_id"), "left_semi")
         .persist(MEMORY_AND_DISK))
-    // near-dup canonicalization (minhash tier) among the survivors
-    val prof = graft.Caches.registerTransient(
-      graft.llmdata.Dedup.docProfilesLocal(surv, "doc_id", "text", n = 5, k = 32)
-        .persist(MEMORY_AND_DISK))
-    val pairs = graft.llmdata.Dedup.jaccardOnProfiles(prof,
-        graft.llmdata.Dedup.lshCandidatesLocal(prof, k = 32, bands = 4),
-        threshold = 0.7)
-      .select(col("id_a"), col("id_b"))
-    val clusters = graft.llmdata.Dedup.canonicalClusters(pairs)
-    val canon = graft.Caches.registerTransient(surv.join(
-        clusters.filter(col("id") =!= col("canonical"))
-          .select(col("id").as("doc_id")),
-        Seq("doc_id"), "left_anti")
-      .persist(MEMORY_AND_DISK))
+    // near-dup canonicalization (minhash tier) among the survivors.
+    // The canon and clean tails are MEMOIZED per (session, sfDir) —
+    // the minhashPairs pattern: tx_corpus_build and tx_curation_funnel
+    // both walk this chain, and the CC iteration is the expensive part,
+    // so the second consumer reads a checkpoint barrier instead of
+    // re-canonicalizing the graph
+    val canon = graft.Caches.memo(s, s"corpus_canon:$d") {
+      val prof = graft.Caches.registerTransient(
+        graft.llmdata.Dedup.docProfilesLocal(surv, "doc_id", "text", n = 5, k = 32)
+          .persist(MEMORY_AND_DISK))
+      val pairs = graft.llmdata.Dedup.jaccardOnProfiles(prof,
+          graft.llmdata.Dedup.lshCandidatesLocal(prof, k = 32, bands = 4),
+          threshold = 0.7)
+        .select(col("id_a"), col("id_b"))
+      val clusters = graft.llmdata.Dedup.canonicalClusters(pairs)
+      surv.join(
+          clusters.filter(col("id") =!= col("canonical"))
+            .select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .transform(graft.Caches.barrier(_))
+    }
     // decontaminate vs the eval split (external — never curated)
-    val evalGrams = TextOps.gramHashes(
-        Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
-        "doc_id", "text", 8)
-      .select(col("gh")).distinct()
-    val contaminated = TextOps.gramHashes(canon, "doc_id", "text", 8)
-      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
-      .select(col("id").as("doc_id")).distinct()
-    val clean = graft.Caches.registerTransient(
+    val clean = graft.Caches.memo(s, s"corpus_clean:$d") {
+      val evalGrams = TextOps.gramHashes(
+          Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
+          "doc_id", "text", 8)
+        .select(col("gh")).distinct()
+      val contaminated = TextOps.gramHashes(canon, "doc_id", "text", 8)
+        .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+        .select(col("id").as("doc_id")).distinct()
       canon.join(contaminated, Seq("doc_id"), "left_anti")
-        .persist(MEMORY_AND_DISK))
+        .transform(graft.Caches.barrier(_))
+    }
     // per-language training-mix quota
     val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
     val quota = when(col("lang") === "en", 50)
