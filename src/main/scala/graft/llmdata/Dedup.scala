@@ -329,6 +329,13 @@ object Dedup {
     */
   def bloomBitmap(grams: DataFrame, mBits: Long): DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, s"mBits must be a positive multiple of 64, got $mBits")
+    // [[bloomPos2]]'s affine mix reduces mod 2^31-1 before the final pmod,
+    // so the SECOND probe position only spans [0, 2^31). Correctness is
+    // unaffected at any size (bitmap and probe share the function), but a
+    // filter wider than 2^31 bits (256 MiB — far past broadcast range anyway)
+    // would leave hash-2 addressing only a prefix, silently degrading FPR:
+    // refuse rather than degrade.
+    require(mBits <= (1L << 31), s"mBits must be <= 2^31 (hash-2 span), got $mBits")
     grams
       .select(explode(array(bloomPos1(mBits), bloomPos2(mBits))).as("pos"))
       .select(expr("pos div 64").as("word"),

@@ -42,7 +42,11 @@ object Jsonl {
   def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
     val full = schema.add(CorruptCol, StringType)
     spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
+      // \S (any non-whitespace char) rather than trim(): trim strips only
+      // ASCII spaces, so a tabs-only line would slip past a length check,
+      // parse to a NULL struct, and surface as a phantom all-null "healthy"
+      // row — the same failure mode the bare-"null" test pins, via whitespace
+      .filter(col("value").rlike("\\S"))
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> CorruptCol)).as("j"))

@@ -187,4 +187,24 @@ class SourcesSpec extends SparkSpec {
     assert(corrupt.toSeq == Seq("null"),
       s"expected the null line quarantined, got ${corrupt.toSeq}")
   }
+
+  test("jsonl: whitespace-only lines (tabs included) are skipped, not phantom rows") {
+    import org.apache.spark.sql.types._
+    // the blank-line skip must be whitespace-aware: a tabs-only line
+    // passes an ascii-space trim(), parses to a NULL struct, and would
+    // surface as an all-null "healthy" row — same failure mode as the
+    // bare-`null` line, reached via whitespace
+    val p = tmp("graft_test_wsline.jsonl")
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      ("""{"doc_id": 1, "text": "ok"}""" + "\n\t\t\n   \n\t \r\n" +
+        """{"doc_id": 2, "text": "ok2"}""" + "\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val clean = Jsonl.readClean(spark, s"file://$p", schema)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(clean.toSeq == Seq((1L, "ok"), (2L, "ok2")),
+      s"whitespace line leaked into clean rows: ${clean.toSeq}")
+    assert(Jsonl.read(spark, s"file://$p", schema).count() == 2L,
+      "whitespace-only lines must be skipped before parsing, not quarantined")
+  }
 }
