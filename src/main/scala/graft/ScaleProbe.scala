@@ -81,11 +81,26 @@ object ScaleProbe {
     timeAll(); Caches.clearAll() // discard the JIT/codegen-cold pass
     System.gc(); Thread.sleep(2000)
     val timed = timeAll()
-    // parse-free line protocol on stdout; Spark logs go to stderr
-    println("PROBE " + Probes.map { n =>
-      val (secs, rows) = timed(n)
+    def fmt(m: Seq[(String, (Double, Long))]): String = m.map { case (n, (secs, rows)) =>
       s"$n=${"%.3f".formatLocal(java.util.Locale.ROOT, secs)}:$rows"
-    }.mkString(","))
+    }.mkString(",")
+    // parse-free line protocol on stdout; Spark logs go to stderr
+    println("PROBE " + fmt(Probes.map(n => n -> timed(n))))
+    // per-stage breakdown of the tx_corpus_build chain: materialize each
+    // stage frame IN BUILD ORDER on fresh memos, so stage i's count pays
+    // only its own incremental work (predecessors sit behind their
+    // persist/checkpoint barriers) — this is the attribution for the
+    // chain's aggregate slope: which stage is superlinear, and is its
+    // growth work-volume (candidate pairs) or plan degradation
+    Caches.clearAll(); System.gc(); Thread.sleep(1000)
+    val stages = graft.queries.QText.corpusStages(spark, dir)
+    val stageTimes = graft.queries.QText.corpusStageOrder
+        .filter(stages.contains).map { n =>
+      val t0 = System.nanoTime()
+      val rows = stages(n).count()
+      n -> (((System.nanoTime() - t0) / 1e9, rows))
+    }
+    println("STAGES " + fmt(stageTimes))
     Caches.clearAll()
     spark.stop()
   }

@@ -294,10 +294,11 @@ object QText extends Registry {
               FROM c""")),
 
     // The END-TO-END corpus build — the LLM-data counterpart of
-    // tp_full_panel: quality gates → exact-dedup keepers → MinHash+LSH
-    // near-dup clustering with canonical keepers → benchmark
-    // decontamination vs the held-out eval split → per-language
-    // training-mix sampling. Every stage is the library's production
+    // tp_full_panel: quality gates → exact-dedup keepers → substring
+    // span removal (duplicated 8-token windows excised, Lee et al. 2022
+    // order) → MinHash+LSH near-dup clustering with canonical keepers →
+    // benchmark decontamination vs the held-out eval split →
+    // per-language training-mix sampling. Every stage is the library's production
     // operator (shuffle-free profiles, broadcast eval grams, distributed
     // CC) and the oracle replays the WHOLE chain, recursive-CTE
     // reachability included — one hash gate over the final corpus.
@@ -310,7 +311,8 @@ object QText extends Registry {
     // Curation FUNNEL report — the attrition ledger every corpus build
     // publishes next to its output: one row per stage of the
     // tx_corpus_build chain (raw corpus → length screen → exact-dup
-    // keepers → near-dup canonical → decontaminated → quota-mixed) with
+    // keepers → substring-clean → near-dup canonical → decontaminated →
+    // quota-mixed) with
     // surviving doc and token counts. Built from the SAME shared stage
     // frames as the chain itself (and the same oracle CTE chain), so
     // the report can never disagree with the build. Scale shape: six
@@ -318,8 +320,9 @@ object QText extends Registry {
     Q("tx_curation_funnel",
       (s, d) => {
         val stages = corpusStages(s, d)
-        Seq("corpus", "length_pass", "exact_keeper",
-            "neardup_canonical", "decontaminated", "mixed")
+        // with the substring stage disabled (dev-only A/B flag) its row
+        // simply disappears; the shipped oracle covers the default chain
+        corpusStageOrder.filter(stages.contains)
           .zipWithIndex.map { case (name, i) =>
             stages(name).agg(
               count(lit(1)).as("n_docs"),
@@ -338,11 +341,20 @@ object QText extends Registry {
             ${cnt(1, "corpus", "scored")}
             UNION ALL ${cnt(2, "length_pass", "passed")}
             UNION ALL ${cnt(3, "exact_keeper", "surv")}
-            UNION ALL ${cnt(4, "neardup_canonical", "canon")}
-            UNION ALL ${cnt(5, "decontaminated", "clean")}
-            UNION ALL ${cnt(6, "mixed", "mixed")}"""
+            UNION ALL ${cnt(4, "substring_clean", "subc")}
+            UNION ALL ${cnt(5, "neardup_canonical", "canon")}
+            UNION ALL ${cnt(6, "decontaminated", "clean")}
+            UNION ALL ${cnt(7, "mixed", "mixed")}"""
       })
   )
+
+  /** Canonical materialization order of [[corpusStages]] — shared with
+    * the funnel query and the ScaleProbe per-stage breakdown so both walk
+    * the chain in build order.
+    */
+  private[graft] val corpusStageOrder: Seq[String] =
+    Seq("corpus", "length_pass", "exact_keeper", "substring_clean",
+      "neardup_canonical", "decontaminated", "mixed")
 
   /** The curation-build chain as named stage frames (each with
     * doc_id, lang, n_tokens): raw `corpus` → `length_pass` →
@@ -351,7 +363,7 @@ object QText extends Registry {
     * `tx_curation_funnel` (counts every stage), so the report can
     * never disagree with the build.
     */
-  private def corpusStages(s: org.apache.spark.sql.SparkSession,
+  private[graft] def corpusStages(s: org.apache.spark.sql.SparkSession,
       d: String): Map[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val toks = TextOps.tokens(col("text"))
@@ -364,29 +376,63 @@ object QText extends Registry {
     val surv = graft.Caches.registerTransient(
       passed.join(keepers, Seq("fp", "doc_id"), "left_semi")
         .persist(MEMORY_AND_DISK))
+    // window-level SUBSTRING dedup between the exact tier and the LSH
+    // tier (the Lee et al. 2022 production recipe order): maximal runs
+    // of 8-token windows duplicated >= 2x across the SURVIVING corpus
+    // are excised from each document, the text is rebuilt from the kept
+    // tokens (normalized token stream — idempotent under the downstream
+    // re-normalization) and n_tokens recomputed, so the near-dup /
+    // decontamination tiers and the funnel all see the post-cut corpus.
+    // Doc COUNT is unchanged (the stage attrits tokens, not docs) —
+    // the funnel row makes that visible. Dev-only A/B flag
+    // `spark.graft.corpus.substring=false` skips the stage (the shipped
+    // oracle covers the default-ON chain).
+    val substrOn = s.conf.get("spark.graft.corpus.substring", "true").toBoolean
+    val subClean = if (!substrOn) surv
+      else graft.Caches.memo(s, s"corpus_substr:$d") {
+        val covered = graft.llmdata.Dedup.duplicateWindowSpans(
+            surv, "doc_id", "text", w = 8)
+          .groupBy(col("id"))
+          .agg(array_distinct(flatten(collect_list(sequence(col("span_start"),
+            col("span_start") + col("span_tokens") - 1)))).as("covered"))
+        surv
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokens(col("text")).as("toks"))
+          .join(covered, col("doc_id") === col("id"), "left")
+          .withColumn("clean_toks",
+            when(col("covered").isNull, col("toks"))
+              .otherwise(filter(col("toks"),
+                (_, i) => !array_contains(col("covered"),
+                  (i + 1).cast("long")))))
+          .select(col("doc_id"), col("lang"),
+            array_join(col("clean_toks"), " ").as("text"),
+            size(col("clean_toks")).cast("long").as("n_tokens"))
+          .transform(graft.Caches.barrier(_))
+      }
     // near-dup canonicalization (minhash tier) among the survivors.
     // The canon and clean tails are MEMOIZED per (session, sfDir) —
     // the minhashPairs pattern: tx_corpus_build and tx_curation_funnel
     // both walk this chain, and the CC iteration is the expensive part,
     // so the second consumer reads a checkpoint barrier instead of
-    // re-canonicalizing the graph
-    val canon = graft.Caches.memo(s, s"corpus_canon:$d") {
+    // re-canonicalizing the graph. Memo keys carry the substring flag so
+    // an in-session flag flip can never serve a stale tail.
+    val canon = graft.Caches.memo(s, s"corpus_canon:$d:$substrOn") {
       val prof = graft.Caches.registerTransient(
-        graft.llmdata.Dedup.docProfilesLocal(surv, "doc_id", "text", n = 5, k = 32)
+        graft.llmdata.Dedup.docProfilesLocal(subClean, "doc_id", "text", n = 5, k = 32)
           .persist(MEMORY_AND_DISK))
       val pairs = graft.llmdata.Dedup.jaccardOnProfiles(prof,
           graft.llmdata.Dedup.lshCandidatesLocal(prof, k = 32, bands = 4),
           threshold = 0.7)
         .select(col("id_a"), col("id_b"))
       val clusters = graft.llmdata.Dedup.canonicalClusters(pairs)
-      surv.join(
+      subClean.join(
           clusters.filter(col("id") =!= col("canonical"))
             .select(col("id").as("doc_id")),
           Seq("doc_id"), "left_anti")
         .transform(graft.Caches.barrier(_))
     }
     // decontaminate vs the eval split (external — never curated)
-    val clean = graft.Caches.memo(s, s"corpus_clean:$d") {
+    val clean = graft.Caches.memo(s, s"corpus_clean:$d:$substrOn") {
       val evalGrams = TextOps.gramHashes(
           Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
           "doc_id", "text", 8)
@@ -404,13 +450,14 @@ object QText extends Registry {
       .when(col("lang") === "fr", 20)
       .when(col("lang") === "es", 10)
       .otherwise(5)
-    Map(
+    val base = Map(
       "corpus" -> scored,
       "length_pass" -> passed,
       "exact_keeper" -> surv,
       "neardup_canonical" -> canon,
       "decontaminated" -> clean,
       "mixed" -> clean.filter(bucket < quota))
+    if (substrOn) base + ("substring_clean" -> subClean) else base
   }
 
   /** DuckDB CTE chain of the curation build (filter → exact dedup →
@@ -429,7 +476,35 @@ object QText extends Registry {
             keep0 AS (SELECT fp, min(doc_id) AS doc_id FROM passed GROUP BY fp),
             surv AS (SELECT p.* FROM passed p
                      JOIN keep0 k ON k.fp = p.fp AND k.doc_id = p.doc_id),
-            snorm AS (SELECT doc_id AS id, $normSql AS t FROM surv),
+            ssn AS (SELECT doc_id AS id, lang, $normSql AS t FROM surv),
+            stk AS (SELECT id, lang, string_split(t, ' ') AS arr FROM ssn),
+            swin AS (SELECT id, CAST(i AS INT) AS start,
+                       ${h60("array_to_string(arr[CAST(i AS INT):CAST(i + 7 AS INT)], ' ')")} AS fp
+                     FROM stk, unnest(generate_series(1, len(arr) - 7)) g(i)
+                     WHERE len(arr) >= 8),
+            sdup AS (SELECT fp FROM swin GROUP BY fp HAVING count(*) >= 2),
+            sds AS (SELECT w.id, w.start FROM swin w JOIN sdup USING (fp)),
+            sisl AS (SELECT id, start,
+                       start - row_number() OVER (PARTITION BY id ORDER BY start) AS grp
+                     FROM sds),
+            sspan AS (SELECT id, min(start) AS span_start,
+                        max(start) - min(start) + 8 AS span_tokens
+                      FROM sisl GROUP BY id, grp),
+            scov AS (SELECT id, list_distinct(flatten(list(generate_series(span_start,
+                       span_start + span_tokens - 1)))) AS covered
+                     FROM sspan GROUP BY id),
+            subc AS (SELECT t.id AS doc_id, t.lang,
+                       coalesce(array_to_string(
+                         CASE WHEN c.covered IS NULL THEN t.arr
+                              ELSE list_filter(t.arr, (x, i) ->
+                                NOT list_contains(c.covered, CAST(i AS BIGINT))) END,
+                         ' '), '') AS text,
+                       CAST(len(CASE WHEN c.covered IS NULL THEN t.arr
+                              ELSE list_filter(t.arr, (x, i) ->
+                                NOT list_contains(c.covered, CAST(i AS BIGINT))) END)
+                         AS BIGINT) AS n_tokens
+                     FROM stk t LEFT JOIN scov c ON c.id = t.id),
+            snorm AS (SELECT doc_id AS id, $normSql AS t FROM subc),
             spos AS (SELECT id, t,
                        unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i
                      FROM snorm),
@@ -472,7 +547,7 @@ object QText extends Registry {
               UNION
               SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
             clus AS (SELECT id, min(lbl) AS canonical FROM walk GROUP BY id),
-            canon AS (SELECT * FROM surv WHERE doc_id NOT IN
+            canon AS (SELECT * FROM subc WHERE doc_id NOT IN
                         (SELECT id FROM clus WHERE id <> canonical)),
             evtok AS (SELECT doc_id, $toksSql AS toks FROM documents
                       WHERE doc_id % 11 = 0),
@@ -1012,8 +1087,69 @@ object QText extends Registry {
                    CAST(greatest(u.n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
                    u.s_uni + coalesce(b.s_bi, 0) AS score_milli,
                    u.s_uni + coalesce(b.s_bi, 0) >= 0 AS keep
-            FROM uni u LEFT JOIN bi b USING (doc_id)"""))
+            FROM uni u LEFT JOIN bi b USING (doc_id)""")),
+
+    // TRAINED-WEIGHT path of the classifier: the same hashed uni+bigram
+    // structure scoring against an EXPLICIT 16384-entry weight vector
+    // (element_at lookup into a plan-literal array — the exact
+    // integration seam a real fastText export drops into; weights here
+    // are a deterministic LCG fill, since no trained artifact ships in
+    // this container, but the LOOKUP plan is the real thing and
+    // `ClassifierWeightsSpec` pins it to the same zero-exchange shape
+    // as the affine-mix path). A user with trained weights swaps
+    // `demoWeights` for their exported vector and changes nothing else.
+    Q("tx_quality_classifier_weights",
+      (s, d) => {
+        val score = classifierScoreWeighted(s, demoWeights)
+        val toks = TextOps.tokens(col("text"))
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          score.as("score_milli"),
+          (score >= 0L).as("keep"))
+      },
+      Some {
+        val wSql = (h: String) => s"(($h % 16384) * 48271 + 7919) % 2001 - 1000"
+        s"""WITH ${classifierCtesWith(wSql)}
+            SELECT u.doc_id, u.n_tokens,
+                   u.s_uni + coalesce(b.s_bi, 0) AS score_milli,
+                   u.s_uni + coalesce(b.s_bi, 0) >= 0 AS keep
+            FROM uni u LEFT JOIN bi b USING (doc_id)"""
+      })
   )
+
+  /** Deterministic 16384-entry stand-in weight vector for the
+    * trained-weight classifier path: weights[b] = (b·48271 + 7919) mod
+    * 2001 − 1000 milli-units — a DIFFERENT generator than the affine-mix
+    * path, so a green oracle row proves the lookup is actually read.
+    */
+  private[queries] val demoWeights: Array[Long] =
+    Array.tabulate(16384)(b => ((b.toLong * 48271L + 7919L) % 2001L) - 1000L)
+
+  /** [[classifierScoreCol]] with the affine mix replaced by an
+    * element_at lookup into an explicit weight vector (embedded in the
+    * plan as a literal — the single-broadcast-free analogue of a
+    * broadcast variable at 16k×8B). Same zero-exchange per-row fold.
+    */
+  private[queries] def classifierScoreWeighted(
+      s: org.apache.spark.sql.SparkSession,
+      weights: Array[Long]): org.apache.spark.sql.Column = {
+    require(weights.length == 16384, s"expected 16384 weights, got ${weights.length}")
+    val useXx = TextOps.hashProfile(s) == "xxhash64"
+    val norm = TextOps.normalized(col("text"))
+    val toks = TextOps.tokens(col("text"))
+    val wArr = typedLit(weights)
+    def w(h: org.apache.spark.sql.Column) =
+      element_at(wArr, (pmod(h, lit(16384L)) + 1L).cast("int"))
+    val uniScore = aggregate(
+      transform(toks, t => w(TextOps.profileHash60(s)(t))),
+      lit(0L), (acc, x) => acc + x)
+    val biScore = aggregate(
+      transform(call_function("tokengrampos60", norm, lit(2), lit(useXx)),
+        g => w(g)),
+      lit(0L), (acc, x) => acc + x)
+    uniScore + biScore
+  }
 
   /** The hashed uni+bigram linear score of `tx_quality_classifier`
     * (per-row, zero exchanges), as a Column over any frame with a
@@ -1046,9 +1182,14 @@ object QText extends Registry {
     * s_uni)` + `bi(doc_id, s_bi)` — shared by the batch and streaming
     * oracles.
     */
-  private[queries] val classifierCtes: String = {
+  private[queries] val classifierCtes: String =
+    classifierCtesWith(h => s"(($h % 16384) * 40503 + 12345) % 2001 - 1000")
+
+  /** [[classifierCtes]] with a caller-supplied bucket→weight SQL formula
+    * (the oracle-side analogue of swapping the weight vector).
+    */
+  private[queries] def classifierCtesWith(wSql: String => String): String = {
     val h60 = QDedup.h60
-    val wSql = (h: String) => s"(($h % 16384) * 40503 + 12345) % 2001 - 1000"
     s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
         uni AS (SELECT doc_id, len(toks) AS n_tokens,
                   CAST(list_sum(list_transform(toks,
