@@ -80,6 +80,221 @@ object Multimodal {
       .toDF()
   }
 
+  // ---- REAL codecs (JDK-only) behind the same mapPartitions seam ----
+  //
+  // The stub paths above prove the payload plumbing; these two decode
+  // actual container formats — binary PPM (P6) images and RIFF/WAVE PCM
+  // audio — byte-for-byte, inside the same partition-local iterator a
+  // JNI/FFI codec would use. Payloads are synthesized deterministically
+  // (no media files ship in this container), but the DECODERS are real
+  // parsers: the PPM path must skip comment lines to find its pixels,
+  // the WAV path must walk the chunk list past unknown chunks to find
+  // `data`, so a fixed-offset slice cannot pass the oracle.
+
+  /** Deterministic binary-PPM (P6) payload for a doc id: real container
+    * bytes — magic, whitespace-separated header (with a `#` comment line
+    * on every third doc, so decoding requires real header parsing),
+    * maxval 255, packed RGB samples. Pixel byte i of doc d is
+    * (d·31 + i·7) mod 256 — closed-form, so the oracle can re-derive
+    * every byte without materializing blobs.
+    */
+  def ppmPayload(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 5).toInt
+    val h = 3 + (docId % 4).toInt
+    val header = new StringBuilder("P6\n")
+    if (docId % 3 == 0) header.append(s"# synthetic c$docId\n")
+    header.append(s"$w $h\n255\n")
+    val hb = header.toString.getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      px(i) = ((docId * 31 + i.toLong * 7) % 256).toByte
+      i += 1
+    }
+    hb ++ px
+  }
+
+  final case class PpmDecoded(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      n_pixels: Long,
+      mean_r: Long,
+      mean_g: Long,
+      mean_b: Long)
+
+  /** Parse one P6 PPM byte array: magic check, whitespace/comment-aware
+    * header scan, per-channel integer pixel means. Throws on malformed
+    * input — corrupt routing belongs to the caller's quarantine tier,
+    * not silent nulls.
+    */
+  private[llmdata] def ppmParse(id: Long, b: Array[Byte]): PpmDecoded = {
+    require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 PPM")
+    var pos = 2
+    def nextInt(): Int = {
+      var scanning = true
+      while (scanning) {
+        while (pos < b.length && (b(pos) == ' ' || b(pos) == '\n'
+            || b(pos) == '\r' || b(pos) == '\t')) pos += 1
+        if (pos < b.length && b(pos) == '#')
+          while (pos < b.length && b(pos) != '\n') pos += 1
+        else scanning = false
+      }
+      require(pos < b.length && b(pos) >= '0' && b(pos) <= '9',
+        s"doc $id: malformed PPM header at byte $pos")
+      var v = 0
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val maxv = nextInt()
+    require(maxv == 255, s"doc $id: unsupported maxval $maxv")
+    pos += 1 // exactly one whitespace byte separates maxval from raster
+    val n = w * h
+    require(b.length >= pos + 3 * n, s"doc $id: truncated raster")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var k = 0
+    while (k < n) {
+      sr += b(pos + 3 * k) & 0xFF
+      sg += b(pos + 3 * k + 1) & 0xFF
+      sb += b(pos + 3 * k + 2) & 0xFF
+      k += 1
+    }
+    PpmDecoded(id, w, h, n, sr / n, sg / n, sb / n)
+  }
+
+  /** Decode a binary column of P6 PPM payloads — partition-local, the
+    * payload never shuffles.
+    */
+  def decodePpm(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b => ppmParse(b.doc_id, b.payload)))
+      .toDF()
+  }
+
+  /** Deterministic RIFF/WAVE payload for a doc id: real chunked
+    * container — RIFF header, `fmt ` chunk (PCM, mono, 16-bit, 8 kHz),
+    * an unknown `LIST` chunk on every third doc (decoders must WALK the
+    * chunk list, not slice fixed offsets), then `data` with little-endian
+    * int16 samples. Sample k of doc d is ((d·131 + k·17) mod 65536) −
+    * 32768 — closed-form for the oracle.
+    */
+  def wavPayload(docId: Long): Array[Byte] = {
+    val nSamples = 16 + (docId % 17).toInt
+    val sampleRate = 8000
+    val dataLen = nSamples * 2
+    val junk = if (docId % 3 == 0) s"INFOc$docId".getBytes("US-ASCII") else Array.empty[Byte]
+    val junkChunk =
+      if (junk.isEmpty) Array.empty[Byte]
+      else "LIST".getBytes("US-ASCII") ++ le32(junk.length) ++ junk ++
+        (if (junk.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate * 2) ++
+      le16(2) ++ le16(16)
+    val data = new Array[Byte](dataLen)
+    var k = 0
+    while (k < nSamples) {
+      val v = (((docId * 131 + k.toLong * 17) % 65536) - 32768).toInt
+      data(2 * k) = (v & 0xFF).toByte
+      data(2 * k + 1) = ((v >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(dataLen) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junkChunk ++ dataChunk
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def rdLe16(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8)
+  private def rdLe32(b: Array[Byte], p: Int): Int =
+    (b(p) & 0xFF) | ((b(p + 1) & 0xFF) << 8) |
+      ((b(p + 2) & 0xFF) << 16) | ((b(p + 3) & 0xFF) << 24)
+
+  final case class WavDecoded(
+      doc_id: Long,
+      sample_rate: Int,
+      n_samples: Long,
+      mean_offset: Long, // integer mean of (sample + 32768) — stays >= 0
+      peak_abs: Long)    // max |sample|
+
+  /** Parse one RIFF/WAVE byte array: chunk-list walk (skipping unknown
+    * chunks with odd-size padding), PCM16 mono verification, integer
+    * sample stats. mean is over the +32768-offset samples so both
+    * engines' integer division agrees without negative-rounding traps.
+    */
+  private[llmdata] def wavParse(id: Long, b: Array[Byte]): WavDecoded = {
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF"
+        && new String(b, 8, 4, "US-ASCII") == "WAVE", s"doc $id: not RIFF/WAVE")
+    var pos = 12
+    var sampleRate = -1
+    var samples: Array[Byte] = null
+    var dataLen = 0
+    while (pos + 8 <= b.length) {
+      val cid = new String(b, pos, 4, "US-ASCII")
+      val sz = rdLe32(b, pos + 4)
+      val body = pos + 8
+      cid match {
+        case "fmt " =>
+          require(rdLe16(b, body) == 1, s"doc $id: not PCM")
+          require(rdLe16(b, body + 2) == 1, s"doc $id: not mono")
+          sampleRate = rdLe32(b, body + 4)
+          require(rdLe16(b, body + 14) == 16, s"doc $id: not 16-bit")
+        case "data" =>
+          require(body + sz <= b.length, s"doc $id: truncated data chunk")
+          dataLen = sz
+          samples = java.util.Arrays.copyOfRange(b, body, body + sz)
+        case _ => () // unknown chunk — skip
+      }
+      pos = body + sz + (sz % 2) // chunks are word-aligned
+    }
+    require(sampleRate > 0 && samples != null, s"doc $id: missing fmt/data")
+    val n = dataLen / 2
+    var sum = 0L; var peak = 0L
+    var k = 0
+    while (k < n) {
+      val v = (rdLe16(samples, 2 * k) << 16) >> 16 // sign-extend int16
+      sum += v + 32768L
+      val a = math.abs(v.toLong)
+      if (a > peak) peak = a
+      k += 1
+    }
+    WavDecoded(id, sampleRate, n, if (n == 0) 0L else sum / n, peak)
+  }
+
+  /** Decode a binary column of RIFF/WAVE payloads — partition-local. */
+  def decodeWav(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b => wavParse(b.doc_id, b.payload)))
+      .toDF()
+  }
+
+  /** Synthesize a (doc_id, payload) frame of real container bytes via a
+    * partition-local generator — the ingest seam for payloads born
+    * outside the row (object-store fetch, sidecar file), kept in
+    * mapPartitions so the bytes never exist driver-side.
+    */
+  def synthesizePayloads(ids: DataFrame, idCol: String,
+      gen: Long => Array[Byte]): Dataset[Blob] = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long").as("id")).as[Long]
+      .mapPartitions(_.map(id => Blob(id, gen(id))))
+  }
+
   /** frame sampling over an opaque "video" payload: one row per sampled
     * frame offset (every strideBytes), fingerprinted — explode + project,
     * partition-local. The fingerprint is md5 over the frame's UPPERCASE

@@ -114,6 +114,57 @@ object QMultimodal extends Registry {
               SELECT md5(payload) AS pfp, count(*) AS n_copies,
                      min(doc_id) AS keeper,
                      CAST(max(octet_length(encode(payload))) AS BIGINT) AS n_bytes
-              FROM p GROUP BY 1"""))
+              FROM p GROUP BY 1""")),
+
+    // REAL image codec behind the seam: binary-PPM (P6) payloads are
+    // synthesized per doc (real container bytes — every third doc gets a
+    // `#` comment line, so a fixed-offset slice can't pass) and decoded
+    // by an actual header-parsing JDK-only decoder in mapPartitions:
+    // width/height from the whitespace-scanned header, per-channel
+    // integer pixel means from the packed RGB raster. Pixel bytes are
+    // closed-form in (doc_id, i), so the oracle re-derives every raster
+    // byte and must agree on the decoded features exactly. Payload bytes
+    // never shuffle — synthesis and decode share one partition-local pass.
+    Q("mm_ppm_decode",
+      (s, d) => Multimodal.decodePpm(
+        Multimodal.synthesizePayloads(
+          Tables.documents(s, d), "doc_id", Multimodal.ppmPayload).toDF(),
+        "doc_id", "payload"),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+                           3 + doc_id % 4 AS h
+                         FROM documents),
+                e AS (SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i
+                      FROM d),
+                v AS (SELECT doc_id, w, h, i,
+                        (doc_id * 31 + i * 7) % 256 AS bv
+                      FROM e)
+              SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+                     CAST(w * h AS BIGINT) AS n_pixels,
+                     CAST(sum(CASE WHEN i % 3 = 0 THEN bv ELSE 0 END) // (w * h) AS BIGINT) AS mean_r,
+                     CAST(sum(CASE WHEN i % 3 = 1 THEN bv ELSE 0 END) // (w * h) AS BIGINT) AS mean_g,
+                     CAST(sum(CASE WHEN i % 3 = 2 THEN bv ELSE 0 END) // (w * h) AS BIGINT) AS mean_b
+              FROM v GROUP BY doc_id, w, h""")),
+
+    // REAL audio codec behind the seam: RIFF/WAVE PCM16 payloads (every
+    // third doc carries an unknown LIST chunk, so the decoder must WALK
+    // the chunk list — fmt parse, word-aligned skip, data extract) with
+    // closed-form little-endian samples. Decoded stats are integer-exact:
+    // mean over +32768-offset samples (keeps both engines' integer
+    // division on non-negative ground) and peak |sample|.
+    Q("mm_wav_decode",
+      (s, d) => Multimodal.decodeWav(
+        Multimodal.synthesizePayloads(
+          Tables.documents(s, d), "doc_id", Multimodal.wavPayload).toDF(),
+        "doc_id", "payload"),
+      Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+                e AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d),
+                v AS (SELECT doc_id, n,
+                        (doc_id * 131 + k * 17) % 65536 - 32768 AS s
+                      FROM e)
+              SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+                     CAST(n AS BIGINT) AS n_samples,
+                     CAST(sum(s + 32768) // n AS BIGINT) AS mean_offset,
+                     CAST(max(abs(s)) AS BIGINT) AS peak_abs
+              FROM v GROUP BY doc_id, n"""))
   )
 }
