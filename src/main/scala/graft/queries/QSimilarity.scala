@@ -588,24 +588,7 @@ object QSimilarity extends Registry {
     // same corpus.
     Q("sim_pq_recall",
       (s, d) => {
-        val vecs = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            Embeddings.quantArray(col("embedding")).as("xq"))
-        val truth = {
-          val q = vecs.filter(col("vec_id") < 5)
-            .select(col("vec_id").as("qid"), col("xq").as("qx"))
-          val scored = q.crossJoin(vecs)
-            .filter(col("vec_id") =!= col("qid"))
-            .withColumn("score",
-              call_function("dotl", col("xq"), col("xq")) -
-                lit(2L) * call_function("dotl", col("qx"), col("xq")))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("qid"))
-            .orderBy(col("score").asc, col("vec_id").asc)
-          scored.withColumn("rank", row_number().over(w))
-            .filter(col("rank") <= 5)
-            .select(col("qid"), col("vec_id").as("neighbor"))
-        }
+        val truth = pqExactTruth(s, d)
         val hits = pqAdcRanked(s, d).filter(col("rank") <= 5)
           .select(col("qid"), col("vec_id").as("neighbor"))
           .join(truth, Seq("qid", "neighbor"), "left_semi")
@@ -617,23 +600,7 @@ object QSimilarity extends Registry {
             (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0d))
               .as("recall"))
       },
-      Some(s"""WITH $pqCteSql, $pqAdcCteSql,
-            exact AS (
-              SELECT qid, vec_id AS neighbor FROM (
-                SELECT q.vec_id AS qid, v.vec_id,
-                       (SELECT sum(v.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
-                        FROM generate_series(1, 64) g(i))
-                       - 2 * (SELECT sum(q.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
-                              FROM generate_series(1, 64) g(i)) AS score,
-                       row_number() OVER (PARTITION BY q.vec_id
-                         ORDER BY (SELECT sum(v.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
-                                   FROM generate_series(1, 64) g(i))
-                                  - 2 * (SELECT sum(q.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
-                                         FROM generate_series(1, 64) g(i)) ASC,
-                                  v.vec_id ASC) AS rank
-                FROM q
-                JOIN q v ON v.vec_id <> q.vec_id
-                WHERE q.vec_id < 5) r WHERE rank <= 5),
+      Some(s"""WITH $pqCteSql, $pqAdcCteSql, $pqExactSql,
             hits AS (
               SELECT p.qid, count(*) AS n_hits
               FROM (SELECT qid, vec_id FROM pqranked WHERE rank <= 5) p
@@ -643,8 +610,197 @@ object QSimilarity extends Registry {
                    coalesce(h.n_hits, 0) AS n_hits,
                    CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5e0 AS recall
             FROM (SELECT DISTINCT qid FROM exact) e
+            LEFT JOIN hits h USING (qid)""")),
+
+    // IVF-PQ composition — the actual 100 TB ANN serving layout the two
+    // halves promise: coarse IVF cells bound the candidate set (nprobe=3
+    // best cells per query), PQ ADC table lookups score the candidates.
+    // Every per-query structure (centroids, probe cells, distance
+    // tables) is broadcast; only the cell-bounded candidate codes flow
+    // through a shuffle. Top-5 per query, ADC-score ascending,
+    // tie-broken on neighbor id.
+    Q("sim_ivfpq_topk",
+      (s, d) => ivfpqRanked(s, d)
+        .filter(col("rank") <= 5)
+        .select(col("qid"), col("rank"), col("vec_id").as("neighbor"),
+          col("adc_score")),
+      Some(s"""WITH $pqCteSql, $pqAdcCteSql, $ivfpqCteSql
+            SELECT qid, rank, vec_id AS neighbor, adc_score
+            FROM ipqranked WHERE rank <= 5""")),
+
+    // IVF-PQ recall vs exact int64 L2 truth over the same quantized
+    // vectors — prices BOTH approximations at once (cell restriction ×
+    // code compression), next to sim_ivf_recall (cells only) and
+    // sim_pq_recall (codes only), so the compound accuracy cost of the
+    // serving layout is measured, not inferred.
+    Q("sim_ivfpq_recall",
+      (s, d) => {
+        val truth = pqExactTruth(s, d)
+        val hits = ivfpqRanked(s, d).filter(col("rank") <= 5)
+          .select(col("qid"), col("vec_id").as("neighbor"))
+          .join(truth, Seq("qid", "neighbor"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        truth.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(5.0d))
+              .as("recall"))
+      },
+      Some(s"""WITH $pqCteSql, $pqAdcCteSql, $ivfpqCteSql, $pqExactSql,
+            hits AS (
+              SELECT p.qid, count(*) AS n_hits
+              FROM (SELECT qid, vec_id FROM ipqranked WHERE rank <= 5) p
+              JOIN exact e ON e.qid = p.qid AND e.neighbor = p.vec_id
+              GROUP BY 1)
+            SELECT e.qid,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5e0 AS recall
+            FROM (SELECT DISTINCT qid FROM exact) e
             LEFT JOIN hits h USING (qid)"""))
   )
+
+  /** Exact top-5 ground truth (qid, neighbor) by int64 L2 over the SAME
+    * quantized vectors the PQ family encodes — shared by `sim_pq_recall`
+    * and `sim_ivfpq_recall` so both harnesses grade against one truth.
+    */
+  private def pqExactTruth(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        Embeddings.quantArray(col("embedding")).as("xq"))
+    val q = vecs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("xq").as("qx"))
+    val scored = q.crossJoin(vecs)
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("score",
+        call_function("dotl", col("xq"), col("xq")) -
+          lit(2L) * call_function("dotl", col("qx"), col("xq")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("score").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+  }
+
+  /** DuckDB `exact` CTE matching [[pqExactTruth]] (expects [[pqCteSql]]
+    * in scope for `q`).
+    */
+  private val pqExactSql: String =
+    """exact AS (
+         SELECT qid, vec_id AS neighbor FROM (
+           SELECT q.vec_id AS qid, v.vec_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY (SELECT sum(v.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
+                              FROM generate_series(1, 64) g(i))
+                             - 2 * (SELECT sum(q.xq[CAST(i AS INT)] * v.xq[CAST(i AS INT)])
+                                    FROM generate_series(1, 64) g(i)) ASC,
+                             v.vec_id ASC) AS rank
+           FROM q
+           JOIN q v ON v.vec_id <> q.vec_id
+           WHERE q.vec_id < 5) r WHERE rank <= 5)"""
+
+  /** (vec_id, rn, cell) — each source vector's best-`n` coarse IVF
+    * cells (dot-ranked against the broadcast 1-in-50 centroids, same
+    * tie-break as [[ivfScored]]) WITHOUT the scoring tail — the
+    * assignment half shared by the IVF-PQ composition.
+    */
+  private def ivfCells(e: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val cents = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = src.crossJoin(broadcast(cents))
+      .withColumn("dot", Embeddings.dotDecimal(col("embedding"), col("cvec")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dot").desc, col("cid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= n)
+      .select(col("vec_id"), col("rn"), col("cid").as("cell"))
+  }
+
+  /** IVF-PQ-ranked neighbors (qid, rank, vec_id, adc_score): the
+    * composed 100 TB ANN serving layout — coarse IVF cells bound the
+    * candidate set (each query probes its `nprobe` best cells), then
+    * candidates are scored by PQ ADC table lookups, never a raw-vector
+    * dot product. Joins: centroids/distance-tables/probe-cells are all
+    * broadcast (per-query-constant size at ANY corpus scale); the only
+    * shuffles are the per-vector window for coarse assignment and the
+    * (qid, vec_id) score aggregation over the cell-bounded candidate
+    * codes. Encodes RAW vectors, not per-cell residuals — the
+    * IVFFlat-style simplification of Jegou et al. 2011's residual
+    * encoding, chosen so the codes are cell-independent and one
+    * codebook serves every cell; `sim_ivfpq_recall` prices the
+    * accuracy cost honestly.
+    */
+  private def ivfpqRanked(s: org.apache.spark.sql.SparkSession, d: String,
+      nprobe: Int = 3): org.apache.spark.sql.DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val subs = graft.Caches.registerTransient(pqSubspaces(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val codes = pqAssign(subs)
+    val dtable = subs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("m"), col("xs").as("qs"))
+      .join(broadcast(pqCentroids(subs)), Seq("m"))
+      .select(col("qid"), col("m"), col("cell").as("code"),
+        (call_function("dotl", col("cs"), col("cs")) -
+          lit(2L) * call_function("dotl", col("qs"), col("cs")))
+          .as("pdist"))
+    val cells = ivfCells(e, e, 1).select(col("vec_id"), col("cell"))
+    val qcells = ivfCells(e, e.filter(col("vec_id") < 5), nprobe)
+      .select(col("vec_id").as("qid"), col("cell"))
+    val cand = cells.join(broadcast(qcells), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+    val scored = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dtable), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pdist")).as("adc_score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_score").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+  }
+
+  /** DuckDB CTE suffix of the IVF-PQ composition (expects [[pqCteSql]]
+    * + [[pqAdcCteSql]] in scope; coarse CTEs are `i`-prefixed to avoid
+    * colliding with the PQ chain's `cents`): coarse assignment → probe
+    * cells → cell-bounded candidates → ADC lookups → `ipqranked`.
+    */
+  private val ivfpqCteSql: String =
+    s"""icents AS (SELECT vec_id AS cid, embedding FROM embeddings
+                   WHERE vec_id % 50 = 0),
+       iadot AS (
+         SELECT e.vec_id, c.cid,
+                (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                            * CAST(floor(c.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+                 FROM generate_series(1, 64) g(i)) AS dot
+         FROM embeddings e CROSS JOIN icents c),
+       iassign AS (
+         SELECT vec_id, cid AS cell FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dot DESC, cid) AS rn
+           FROM iadot) x WHERE rn = 1),
+       pcells AS (
+         SELECT vec_id AS qid, cid AS cell FROM (
+           SELECT vec_id, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                    ORDER BY dot DESC, cid) AS rn
+           FROM iadot WHERE vec_id < 5) x WHERE rn <= 3),
+       cand AS (
+         SELECT p.qid, a.vec_id FROM pcells p
+         JOIN iassign a ON a.cell = p.cell
+         WHERE a.vec_id <> p.qid),
+       ipqadc AS (
+         SELECT c.qid, c.vec_id, CAST(sum(d.pdist) AS BIGINT) AS adc_score
+         FROM cand c
+         JOIN pqcodes k ON k.vec_id = c.vec_id
+         JOIN dtable d ON d.qid = c.qid AND d.m = k.m AND d.code = k.code
+         GROUP BY 1, 2),
+       ipqranked AS (
+         SELECT qid, vec_id, adc_score,
+                row_number() OVER (PARTITION BY qid
+                  ORDER BY adc_score ASC, vec_id ASC) AS rank
+         FROM ipqadc)"""
 
   /** ADC-ranked neighbors (qid, rank, vec_id, adc_score) for the
     * vec_id < 5 query set — shared by `sim_pq_adc_topk` and
