@@ -93,19 +93,29 @@ object ScaleProbe {
     // chain's aggregate slope: which stage is superlinear, and is its
     // growth work-volume (candidate pairs) or plan degradation
     Caches.clearAll(); System.gc(); Thread.sleep(1000)
+    graft.queries.QText.stageBuildSecs.clear()
     val stages = graft.queries.QText.corpusStages(spark, dir)
+    // a stage's cost = its EAGER build inside the corpusStages call (the
+    // memoized barrier stages materialize there — stageBuildSecs records
+    // it) + its count (where the LAZY stages pay; ~checkpoint read for
+    // the barrier stages). Counts run in build order so each lazy stage
+    // pays only its own increment over persisted predecessors.
     val stageTimes = graft.queries.QText.corpusStageOrder
         .filter(stages.contains).map { n =>
       val t0 = System.nanoTime()
       val rows = stages(n).count()
-      n -> (((System.nanoTime() - t0) / 1e9, rows))
+      val secs = (System.nanoTime() - t0) / 1e9 +
+        graft.queries.QText.stageBuildSecs.getOrElse(n, 0.0)
+      n -> ((secs, rows))
     }
     println("STAGES " + fmt(stageTimes))
     Caches.clearAll()
     spark.stop()
   }
 
-  private def runChild(dir: String): Map[String, (Double, Long)] = {
+  /** (query timings, corpus-stage timings) from one child pass. */
+  private def runChild(dir: String)
+      : (Map[String, (Double, Long)], Seq[(String, (Double, Long))]) = {
     import scala.jdk.CollectionConverters._
     val javaBin = s"${System.getProperty("java.home")}/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory
@@ -120,13 +130,15 @@ object ScaleProbe {
       .start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     require(p.waitFor() == 0, s"probe child for $dir failed")
-    val line = out.linesIterator.find(_.startsWith("PROBE "))
-      .getOrElse(sys.error(s"no PROBE line from child for $dir:\n$out"))
-    line.stripPrefix("PROBE ").split(",").map { kv =>
-      val Array(k, v) = kv.split("=")
-      val Array(secs, rows) = v.split(":")
-      k -> ((secs.toDouble, rows.toLong))
-    }.toMap
+    def parse(prefix: String): Seq[(String, (Double, Long))] =
+      out.linesIterator.find(_.startsWith(prefix))
+        .getOrElse(sys.error(s"no $prefix line from child for $dir:\n$out"))
+        .stripPrefix(prefix).split(",").toSeq.map { kv =>
+          val Array(k, v) = kv.split("=")
+          val Array(secs, rows) = v.split(":")
+          k -> ((secs.toDouble, rows.toLong))
+        }
+    (parse("PROBE ").toMap, parse("STAGES "))
   }
 
   // ---- parent: replicate, then one child JVM per pass ----------------
@@ -186,8 +198,15 @@ object ScaleProbe {
           s"$k returned different row counts across reps: $r vs ${b(k)._2}")
         k -> ((math.min(s, b(k)._1), r))
       }
-    val base = minOf(runChild(src), runChild(src))
-    val scaled = minOf(runChild(work), runChild(work))
+    val (base1, bStage1) = runChild(src)
+    val (base2, bStage2) = runChild(src)
+    val (scaled1, sStage1) = runChild(work)
+    val (scaled2, sStage2) = runChild(work)
+    val base = minOf(base1, base2)
+    val scaled = minOf(scaled1, scaled2)
+    val stageOrder = bStage1.map(_._1)
+    val baseStages = minOf(bStage1.toMap, bStage2.toMap)
+    val scaledStages = minOf(sStage1.toMap, sStage2.toMap)
 
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = Probes.map { n =>
@@ -200,8 +219,17 @@ object ScaleProbe {
         f3(ss / math.max(bs, 1e-9))},"rowsX1":$br,"rowsX$copies":$sr,"rowsSlope":${
         f3(sr.toDouble / math.max(br.toDouble, 1.0))}}"""
     }.mkString("{", ",", "}")
+    // per-stage attribution of the corpus build chain: which stage owns
+    // the aggregate slope, with rows so answer-growth is separable from
+    // operator degradation
+    val st = stageOrder.map { n =>
+      val (bs, br) = baseStages(n)
+      val (ss, sr) = scaledStages(n)
+      s""""$n":{"x1":${f3(bs)},"x$copies":${f3(ss)},"slope":${
+        f3(ss / math.max(bs, 1e-9))},"rowsX1":$br,"rowsX$copies":$sr}"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"copies":$copies,"src":"$src","queries":$qs}"""
+      s"""{"copies":$copies,"src":"$src","queries":$qs,"corpus_stages":$st}"""
     println(json)
     try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))

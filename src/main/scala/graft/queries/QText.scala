@@ -363,6 +363,22 @@ object QText extends Registry {
     * `tx_curation_funnel` (counts every stage), so the report can
     * never disagree with the build.
     */
+  /** Wall-clock of the EAGER stage builds (the memoized barrier stages
+    * materialize inside the [[corpusStages]] call itself, so a caller
+    * timing stage counts from outside sees only checkpoint reads) —
+    * overwritten per build, ~0 on memo hits. Read by ScaleProbe's
+    * per-stage attribution.
+    */
+  private[graft] val stageBuildSecs =
+    scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+  private def timedStage[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    stageBuildSecs(name) = (System.nanoTime() - t0) / 1e9
+    r
+  }
+
   private[graft] def corpusStages(s: org.apache.spark.sql.SparkSession,
       d: String): Map[String, org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -389,7 +405,7 @@ object QText extends Registry {
     // oracle covers the default-ON chain).
     val substrOn = s.conf.get("spark.graft.corpus.substring", "true").toBoolean
     val subClean = if (!substrOn) surv
-      else graft.Caches.memo(s, s"corpus_substr:$d") {
+      else timedStage("substring_clean") { graft.Caches.memo(s, s"corpus_substr:$d") {
         val covered = graft.llmdata.Dedup.duplicateWindowSpans(
             surv, "doc_id", "text", w = 8)
           .groupBy(col("id"))
@@ -408,7 +424,7 @@ object QText extends Registry {
             array_join(col("clean_toks"), " ").as("text"),
             size(col("clean_toks")).cast("long").as("n_tokens"))
           .transform(graft.Caches.barrier(_))
-      }
+      } }
     // near-dup canonicalization (minhash tier) among the survivors.
     // The canon and clean tails are MEMOIZED per (session, sfDir) —
     // the minhashPairs pattern: tx_corpus_build and tx_curation_funnel
@@ -416,7 +432,7 @@ object QText extends Registry {
     // so the second consumer reads a checkpoint barrier instead of
     // re-canonicalizing the graph. Memo keys carry the substring flag so
     // an in-session flag flip can never serve a stale tail.
-    val canon = graft.Caches.memo(s, s"corpus_canon:$d:$substrOn") {
+    val canon = timedStage("neardup_canonical") { graft.Caches.memo(s, s"corpus_canon:$d:$substrOn") {
       val prof = graft.Caches.registerTransient(
         graft.llmdata.Dedup.docProfilesLocal(subClean, "doc_id", "text", n = 5, k = 32)
           .persist(MEMORY_AND_DISK))
@@ -430,9 +446,9 @@ object QText extends Registry {
             .select(col("id").as("doc_id")),
           Seq("doc_id"), "left_anti")
         .transform(graft.Caches.barrier(_))
-    }
+    } }
     // decontaminate vs the eval split (external — never curated)
-    val clean = graft.Caches.memo(s, s"corpus_clean:$d:$substrOn") {
+    val clean = timedStage("decontaminated") { graft.Caches.memo(s, s"corpus_clean:$d:$substrOn") {
       val evalGrams = TextOps.gramHashes(
           Tables.documents(s, d).filter(col("doc_id") % 11 === 0),
           "doc_id", "text", 8)
@@ -442,7 +458,7 @@ object QText extends Registry {
         .select(col("id").as("doc_id")).distinct()
       canon.join(contaminated, Seq("doc_id"), "left_anti")
         .transform(graft.Caches.barrier(_))
-    }
+    } }
     // per-language training-mix quota
     val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
     val quota = when(col("lang") === "en", 50)
