@@ -273,6 +273,100 @@ object QDedup extends Registry {
                 SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst)
               SELECT id, min(lbl) AS canonical FROM walk GROUP BY id""")),
 
+    // Duplicate-MASS ledger — the histogram every dedup run publishes
+    // next to its keeper set: how many clusters of each size, and how
+    // many documents they hold (singletons = docs in no near-dup pair,
+    // reported as the size-1 bucket so the rows sum to the corpus).
+    // The judge of a dedup config is this distribution, not the pair
+    // count: a corpus whose mass sits in a few giant clusters needs a
+    // different cap/threshold than one of scattered twins. Scale shape:
+    // two low-cardinality hash-aggs over the cluster map + one anti-join
+    // for the singleton count.
+    Q("dd_cluster_sizes",
+      (s, d) => {
+        val pairs = simhashPairs(s, d).select(col("id_a"), col("id_b"))
+        val clusters = Dedup.canonicalClusters(pairs)
+        val sizes = clusters.groupBy(col("canonical"))
+          .agg(count(lit(1)).as("cluster_size"))
+        val multi = sizes.groupBy(col("cluster_size"))
+          .agg(count(lit(1)).as("n_clusters"),
+            (count(lit(1)) * first(col("cluster_size"))).as("n_docs"))
+        val singles = Tables.documents(s, d).select(col("doc_id"))
+          .join(clusters.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)).as("n"))
+          .select(lit(1L).as("cluster_size"), col("n").as("n_clusters"),
+            col("n").as("n_docs"))
+        multi.unionByName(singles)
+      },
+      Some(s"""WITH RECURSIVE $simhashCte,
+              vp AS (SELECT id_a, id_b FROM pairs
+                     WHERE bit_count(xor(sh_a, sh_b)) <= 3),
+              edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+                        UNION ALL SELECT id_b, id_a FROM vp),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              walk(id, lbl) AS (
+                SELECT id, id FROM nodes
+                UNION
+                SELECT e.src, w.lbl FROM edges e JOIN walk w ON w.id = e.dst),
+              clus AS (SELECT id, min(lbl) AS canonical FROM walk GROUP BY id),
+              szs AS (SELECT canonical, count(*) AS cluster_size
+                      FROM clus GROUP BY 1)
+              SELECT cluster_size, count(*) AS n_clusters,
+                     count(*) * cluster_size AS n_docs
+              FROM szs GROUP BY 1
+              UNION ALL
+              SELECT 1 AS cluster_size, count(*), count(*)
+              FROM documents WHERE doc_id NOT IN (SELECT id FROM clus)""")),
+
+    // MinHash estimator CALIBRATION — per LSH candidate pair, the
+    // signature-agreement estimate (matching components / 32) next to
+    // the exact shingle Jaccard, both in integer milli-units. This is
+    // the measurement behind choosing k: the estimator's error
+    // distribution on the corpus's own candidate set tells you whether
+    // 32 components suffice BEFORE trusting banding theory at 100 TB.
+    // Scale shape: the same candidate join as the dedup tier plus one
+    // per-pair in-row zip — no new shuffle family.
+    Q("dd_minhash_estimator",
+      (s, d) => {
+        val prof = graft.Caches.registerTransient(
+          Dedup.docProfilesLocal(Tables.documents(s, d), "doc_id", "text",
+            n = 5, k = 32)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        Dedup.lshCandidatesLocal(prof, k = 32, bands = 4)
+          .join(prof.select(col("id").as("id_a"), col("arr").as("arr_a"),
+            col("sz").as("sz_a"), col("mh").as("mh_a")), Seq("id_a"))
+          .join(prof.select(col("id").as("id_b"), col("arr").as("arr_b"),
+            col("sz").as("sz_b"), col("mh").as("mh_b")), Seq("id_b"))
+          .withColumn("n_match", aggregate(
+            zip_with(col("mh_a"), col("mh_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("inter",
+            size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+          .select(col("id_a"), col("id_b"), col("n_match"),
+            expr("n_match * 1000 div 32").as("est_milli"),
+            expr("inter * 1000 div (sz_a + sz_b - inter)").as("true_milli"))
+      },
+      Some(s"""WITH $minhashVerifiedCte,
+              est AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(count(*) FILTER (WHERE a.mh = b.mh) AS BIGINT) AS n_match
+                FROM cands c
+                JOIN mh a ON a.id = c.id_a
+                JOIN mh b ON b.id = c.id_b AND b.i = a.i
+                GROUP BY 1, 2),
+              ex AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(len(list_intersect(a.arr, b.arr)) AS BIGINT) AS inter,
+                       a.sz + b.sz - len(list_intersect(a.arr, b.arr)) AS uni
+                FROM cands c
+                JOIN arrs a ON a.id = c.id_a
+                JOIN arrs b ON b.id = c.id_b)
+              SELECT e.id_a, e.id_b, est.n_match,
+                     CAST(est.n_match * 1000 // 32 AS BIGINT) AS est_milli,
+                     CAST(e.inter * 1000 // e.uni AS BIGINT) AS true_milli
+              FROM est JOIN ex e USING (id_a, id_b)""")),
+
     // Incremental dedup ADMISSION — the shape a production pipeline
     // actually runs daily: a new crawl batch (doc_id % 7 == 0) is
     // admitted against the EXISTING corpus, rejecting exact duplicates

@@ -256,6 +256,32 @@ object QStreaming extends Registry {
       Some(s"""WITH ${QText.classifierCtes}
               SELECT u.doc_id, u.s_uni + coalesce(b.s_bi, 0) AS score_milli
               FROM uni u LEFT JOIN bi b USING (doc_id)
-              WHERE u.s_uni + coalesce(b.s_bi, 0) >= 0"""))
+              WHERE u.s_uni + coalesce(b.s_bi, 0) >= 0""")),
+
+    // The TRAINED-WEIGHT ingest gate: same stateless append stream as
+    // stream_quality_filter but scoring through the explicit 16k weight
+    // vector (`classifierScoreWeighted` — the element_at lookup a real
+    // fastText export drops into). Batch and stream share the exact
+    // score Column in BOTH weight modes, so swapping weights can never
+    // make the ingest gate and the batch curator disagree.
+    Q("stream_quality_filter_weights",
+      (s, d) => {
+        val name = s"graft_stream_qfw_${runSeq.incrementAndGet()}"
+        val score = QText.classifierScoreWeighted(s, QText.demoWeights)
+        val q = StreamingDedup.parquetStream(s, s"$d/documents.parquet")
+          .select(col("doc_id"), score.as("score_milli"))
+          .filter(col("score_milli") >= 0L)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+      },
+      Some {
+        val wSql = (h: String) => s"(($h % 16384) * 48271 + 7919) % 2001 - 1000"
+        s"""WITH ${QText.classifierCtesWith(wSql)}
+            SELECT u.doc_id, u.s_uni + coalesce(b.s_bi, 0) AS score_milli
+            FROM uni u LEFT JOIN bi b USING (doc_id)
+            WHERE u.s_uni + coalesce(b.s_bi, 0) >= 0"""
+      })
   )
 }
