@@ -26,6 +26,7 @@ object SparkEntry {
     QStage1,
     QBond,
     QDedup,
+    QSketch,
     QSimilarity,
     QText,
     QMultimodal,
