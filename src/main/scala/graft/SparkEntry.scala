@@ -25,6 +25,7 @@ object SparkEntry {
     QTracePipeline,
     QStage1,
     QBond,
+    QBpe,
     QDedup,
     QSketch,
     QSimilarity,
