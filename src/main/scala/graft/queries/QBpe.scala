@@ -122,6 +122,36 @@ object QBpe extends Registry {
     // the "vocab file" next to the merge table, and a stronger gate
     // than the merges alone (a wrong greedy application changes symbol
     // counts even when the chosen merges happen to agree).
+    // ENCODE the corpus with the trained vocabulary — the apply half of
+    // the tokenizer: every document's words join the final word→symbols
+    // table (BPE application per word is deterministic given the merge
+    // list, so training's final symbol table IS the encoder — a
+    // broadcast dictionary at any corpus scale), yielding per-doc BPE
+    // token counts next to whitespace word counts. The compression
+    // ratio n_bpe_tokens/n_words is the statistic a tokenizer ships.
+    Q("tx_bpe_encode",
+      (s, d) => {
+        val perWord = bpeArtifacts(s, d)._2
+          .groupBy(col("word")).agg(count(lit(1)).as("n_syms"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+          .join(broadcast(perWord), Seq("word"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("n_syms")).as("n_bpe_tokens"))
+      },
+      Some(s"""WITH ${bpeRoundCtes(Rounds)},
+            perword AS (SELECT word, CAST(count(*) AS BIGINT) AS n_syms
+                        FROM sym$Rounds GROUP BY 1),
+            occ AS (SELECT doc_id, unnest(string_split(
+                      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+                      AS word
+                    FROM documents)
+            SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                   CAST(sum(p.n_syms) AS BIGINT) AS n_bpe_tokens
+            FROM occ o JOIN perword p USING (word)
+            GROUP BY 1""")),
+
     Q("tx_bpe_vocab",
       (s, d) => bpeArtifacts(s, d)._2
         .groupBy(col("s"))
