@@ -21,6 +21,50 @@ object QSketch extends Registry {
   private val toksSql = s"string_split($normSql, ' ')"
   private val h60 = QDedup.h60
 
+  /** HLL register table (register, max_rho) over any frame with a
+    * `text` column — factored so the mergeability property (max per
+    * register distributes over any corpus split) is testable against
+    * the exact construction the query ships (`SketchSpec`).
+    */
+  private[queries] def hllRegisters(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .distinct()
+      .select(TextOps.hash60(col("tok")).as("h"))
+      .select(pmod(col("h"), lit(256L)).as("register"),
+        expr("h div 256").as("w"))
+      .withColumn("rho",
+        when(col("w") === 0L, lit(53L))
+          .otherwise(lit(53L) - length(conv(col("w"), 10, 2))))
+      .groupBy(col("register"))
+      .agg(max(col("rho")).as("max_rho"))
+
+  /** CMS counter table (rw, col, counter) over any frame with a `text`
+    * column — factored for the linearity property (counters add over
+    * any corpus split, `SketchSpec`).
+    */
+  private[queries] def cmsCounters(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .withColumn("hp", pmod(TextOps.hash60(col("tok")), lit(2147483647L)))
+    val expanded = CmsRows.indices.map(i =>
+      tf.select(lit(i).as("rw"), cmsCol(i).as("col"), col("cnt")))
+      .reduce(_.unionByName(_))
+    expanded.groupBy(col("rw"), col("col"))
+      .agg(sum(col("cnt")).as("counter"))
+  }
+
+  private[queries] val CmsRows = Seq((40503L, 12345L), (48271L, 7919L),
+    (69621L, 31337L), (16807L, 97531L))
+
+  private[queries] def cmsCol(i: Int): org.apache.spark.sql.Column = {
+    val (a, b) = CmsRows(i)
+    pmod(pmod(col("hp") * a + b, lit(2147483647L)), lit(1024L))
+  }
+
   def qs: Seq[Q] = Seq(
 
     // HyperLogLog register table over the corpus VOCABULARY (distinct
@@ -33,19 +77,7 @@ object QSketch extends Registry {
     // (register) after an in-row hash — the token strings never shuffle
     // beyond the distinct.
     Q("sk_hll_registers",
-      (s, d) => {
-        Tables.documents(s, d)
-          .select(explode(TextOps.tokens(col("text"))).as("tok"))
-          .distinct()
-          .select(TextOps.hash60(col("tok")).as("h"))
-          .select(pmod(col("h"), lit(256L)).as("register"),
-            expr("h div 256").as("w"))
-          .withColumn("rho",
-            when(col("w") === 0L, lit(53L))
-              .otherwise(lit(53L) - length(conv(col("w"), 10, 2))))
-          .groupBy(col("register"))
-          .agg(max(col("rho")).as("max_rho"))
-      },
+      (s, d) => hllRegisters(Tables.documents(s, d)),
       Some(s"""WITH tok AS (
                 SELECT DISTINCT unnest($toksSql) AS tok FROM documents),
               hashed AS (SELECT ${h60("tok")} AS h FROM tok),
@@ -131,21 +163,11 @@ object QSketch extends Registry {
             .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
             .withColumn("hp", pmod(TextOps.hash60(col("tok")), lit(2147483647L)))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val rowsAB = Seq((40503L, 12345L), (48271L, 7919L),
-          (69621L, 31337L), (16807L, 97531L))
-        def colOf(i: Int) = {
-          val (a, b) = rowsAB(i)
-          pmod(pmod(col("hp") * a + b, lit(2147483647L)), lit(1024L))
-        }
-        val expanded = rowsAB.indices.map(i =>
-          tf.select(lit(i).as("rw"), colOf(i).as("col"), col("cnt")))
-          .reduce(_.unionByName(_))
-        val counters = expanded.groupBy(col("rw"), col("col"))
-          .agg(sum(col("cnt")).as("counter"))
+        val counters = cmsCounters(Tables.documents(s, d))
         val top = tf.orderBy(col("cnt").desc, col("tok").asc).limit(20)
-        val probes = rowsAB.indices.map(i =>
+        val probes = CmsRows.indices.map(i =>
           top.select(col("tok"), col("cnt"), lit(i).as("rw"),
-            colOf(i).as("col")))
+            cmsCol(i).as("col")))
           .reduce(_.unionByName(_))
         probes.join(broadcast(counters), Seq("rw", "col"))
           .groupBy(col("tok"))
