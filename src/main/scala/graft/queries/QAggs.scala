@@ -346,6 +346,58 @@ object QAggs extends Registry {
       (s, d) => Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F")
         .select(col("o_custkey")).distinct(),
-      Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'"""))
+      Some("""SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""")),
+
+    // A15 (ext.) — GLOBAL exact quantiles without the single-partition
+    // sort cliff. [[graft.operators.Quantiles]] covers per-GROUP rank
+    // quantiles (the window shuffles on the group key); the global case
+    // (`descriptive P1..P99 of the whole panel`, stage1/helper_functions
+    // .py:3664-3751 run over the full frame) has no group key to shuffle
+    // on, and `Window.orderBy` without partitions drags every row to one
+    // task. Here the global rank comes from the two-phase PrefixSum
+    // (range-partition → local rank → driver prefix over #partitions
+    // rows), then each target rank is picked by a broadcast theta-join
+    // against a 5-row quantile table. Ranks are integer-exact:
+    // ceil(q·n) = (q_num·n + q_den − 1) div q_den — no double rounding
+    // to disagree across engines. Scale: one range shuffle + local sort,
+    // identical shape at any row count; ties on price are harmless (any
+    // tie order puts the same VALUE at a given rank).
+    Q("a15_exact_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, d)
+          .select(col("l_extendedprice").as("v"),
+            col("l_orderkey"), col("l_linenumber"))
+        val ranked = graft.operators.PrefixSum.withRunningSumAndRank(
+          li,
+          order = Seq(col("v").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          valueCol = lit(0L),
+          outCol = "cum0", rankCol = "rk",
+          persistInput = false,
+          grandTotals = Some(("z0", "n_rows")))
+        val qDf = Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+          ("p90", 9L, 10L), ("p99", 99L, 100L))
+          .toDF("q_label", "q_num", "q_den")
+        val target = expr("(q_num * n_rows + q_den - 1) div q_den")
+        ranked.join(broadcast(qDf), col("rk") === target)
+          .select(col("q_label"), target.as("target_rank"),
+            col("v").as("value"))
+      },
+      Some("""WITH ranked AS (
+                SELECT l_extendedprice AS v,
+                       row_number() OVER (ORDER BY l_extendedprice,
+                                          l_orderkey, l_linenumber) AS rk,
+                       count(*) OVER () AS n_rows
+                FROM lineitem),
+              qs AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2),
+                       ('p75', 3, 4), ('p90', 9, 10), ('p99', 99, 100))
+                       q(q_label, q_num, q_den))
+              SELECT q_label,
+                     CAST((q_num * n_rows + q_den - 1) // q_den AS BIGINT)
+                       AS target_rank,
+                     v AS value
+              FROM ranked JOIN qs
+                ON rk = (q_num * n_rows + q_den - 1) // q_den"""))
   )
 }

@@ -176,18 +176,153 @@ object QSketch extends Registry {
           .select(col("tok"), col("true_cnt"), col("est_cnt"),
             (col("est_cnt") - col("true_cnt")).as("overcount"))
       },
+      sketchHeavyHittersOracle),
+
+    // Grouped HLL: one 256-register sketch PER SOURCE, estimate next to
+    // exact truth per source. This is the shape a 100 TB corpus census
+    // actually runs — "distinct vocabulary per source/domain/shard" —
+    // and the register table is partial-aggregable on BOTH keys (max per
+    // (source, register) distributes over any corpus split), so the
+    // map-side combine ships at most |sources|·256 rows per task no
+    // matter the input size. The exact truth column is the
+    // distinct-counting pass the sketch replaces at scale; at oracle
+    // scale it rides along to grade the estimate.
+    Q("sk_hll_grouped",
+      (s, d) => {
+        val toks = graft.Caches.registerTransient(
+          Tables.documents(s, d)
+            .select(col("source"),
+              explode(TextOps.tokens(col("text"))).as("tok"))
+            .distinct()
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val regs = toks
+          .select(col("source"), TextOps.hash60(col("tok")).as("h"))
+          .select(col("source"), pmod(col("h"), lit(256L)).as("register"),
+            expr("h div 256").as("w"))
+          .withColumn("rho",
+            when(col("w") === 0L, lit(53L))
+              .otherwise(lit(53L) - length(conv(col("w"), 10, 2))))
+          .groupBy(col("source"), col("register"))
+          .agg(max(col("rho")).as("max_rho"))
+        val est = regs.groupBy(col("source")).agg(
+          count(lit(1)).as("m_hit"),
+          sum(expr("shiftleft(cast(1 as bigint), cast(53 - max_rho as int))"))
+            .as("s_hit"))
+          .select(col("source"), col("m_hit"),
+            (col("s_hit") + (lit(256L) - col("m_hit")) * lit(9007199254740992L))
+              .as("s_sum"))
+        val truth = toks.groupBy(col("source"))
+          .agg(count(lit(1)).as("true_distinct"))
+        est.join(truth, Seq("source"))
+          .select(col("source"), col("m_hit"), col("s_sum"),
+            col("true_distinct"),
+            (lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0)
+              * lit(9007199254740992.0) / col("s_sum").cast("double"))
+              .as("est_distinct"))
+      },
+      Some(s"""WITH tok AS (
+                SELECT DISTINCT source, unnest($toksSql) AS tok
+                FROM documents),
+              reg AS (SELECT source, ${h60("tok")} % 256 AS register,
+                             ${h60("tok")} // 256 AS w
+                      FROM tok),
+              regs AS (SELECT source, register,
+                         max(CASE WHEN w = 0 THEN 53
+                                  ELSE 53 - length(bin(w)) END) AS max_rho
+                       FROM reg GROUP BY 1, 2),
+              agg AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS m_hit,
+                       CAST(sum(CAST(1 AS BIGINT) << CAST(53 - max_rho AS INT))
+                         + (256 - count(*)) * 9007199254740992 AS BIGINT)
+                         AS s_sum
+                FROM regs GROUP BY 1),
+              truth AS (SELECT source, CAST(count(*) AS BIGINT)
+                          AS true_distinct
+                        FROM tok GROUP BY 1)
+              SELECT a.source, a.m_hit, a.s_sum, t.true_distinct,
+                     0.7213e0 / (1e0 + 1.079e0 / 256e0) * 65536e0
+                       * 9007199254740992e0
+                       / CAST(a.s_sum AS DOUBLE) AS est_distinct
+              FROM agg a JOIN truth t USING (source)""")),
+
+    // CMS join-size estimation (the AMS/Count-Min inner-product bound,
+    // Cormode & Muthukrishnan 2005 §4.2): before a planner picks
+    // broadcast vs shuffle vs skew-salting for a token-level join, it
+    // wants |A ⋈ B| WITHOUT running the join. Est_rw = Σ_col
+    // cmsA[rw,c]·cmsB[rw,c] never underestimates (every true pair lands
+    // in some shared cell; collisions only add), and min over the 4 rows
+    // is the estimator. Ships all 4 per-row estimates next to the exact
+    // join size — the collision inflation at 1024 columns is measured,
+    // not hidden. Scale: the two counter tables are ≤4×1024 rows each
+    // regardless of corpus size (broadcast-joined here), and each is one
+    // hash-agg over its half's token frequencies — the token STRINGS
+    // never cross the network.
+    Q("sk_cms_joinsize",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val aHalf = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val bHalf = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        def tf(df: org.apache.spark.sql.DataFrame) = df
+          .select(explode(TextOps.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        val exact = tf(aHalf).select(col("tok"), col("cnt").as("cnt_a"))
+          .join(tf(bHalf).select(col("tok"), col("cnt").as("cnt_b")),
+            Seq("tok"))
+          .agg(sum(col("cnt_a") * col("cnt_b")).as("true_size"))
+        val cb = cmsCounters(bHalf)
+          .withColumnRenamed("counter", "counter_b")
+        cmsCounters(aHalf)
+          .join(broadcast(cb), Seq("rw", "col"))
+          .groupBy(col("rw"))
+          .agg(sum(col("counter") * col("counter_b")).as("est_size"))
+          .join(broadcast(exact))
+          .select(col("rw"), col("est_size"), col("true_size"),
+            (col("est_size") - col("true_size")).as("overcount"))
+      },
       Some {
-        val rowsAB = Seq((40503L, 12345L), (48271L, 7919L),
-          (69621L, 31337L), (16807L, 97531L))
-        def colOf(i: Int) = {
-          val (a, b) = rowsAB(i)
-          s"(($a * hp + $b) % 2147483647) % 1024"
-        }
-        val expand = rowsAB.indices.map(i =>
-          s"SELECT $i AS rw, ${colOf(i)} AS col, cnt FROM tf")
+        def half(tag: String, pred: String) =
+          s"""occ_$tag AS (SELECT unnest($toksSql) AS tok
+                           FROM documents WHERE $pred),
+              tf_$tag AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                            ${h60("tok")} % 2147483647 AS hp
+                          FROM occ_$tag GROUP BY 1),
+              expanded_$tag AS (
+                ${CmsRows.indices.map(i =>
+                  s"SELECT $i AS rw, ${cmsColSql(i)} AS col, cnt FROM tf_$tag")
+                  .mkString("\n                UNION ALL ")}),
+              counters_$tag AS (
+                SELECT rw, col, CAST(sum(cnt) AS BIGINT) AS counter
+                FROM expanded_$tag GROUP BY 1, 2)"""
+        s"""WITH ${half("a", "doc_id % 2 = 0")},
+            ${half("b", "doc_id % 2 = 1")},
+            exact AS (
+              SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT) AS true_size
+              FROM tf_a a JOIN tf_b b USING (tok)),
+            est AS (
+              SELECT a.rw, CAST(sum(a.counter * b.counter) AS BIGINT)
+                       AS est_size
+              FROM counters_a a JOIN counters_b b USING (rw, col)
+              GROUP BY 1)
+            SELECT rw, est_size, true_size, est_size - true_size AS overcount
+            FROM est CROSS JOIN exact"""
+      })
+  )
+
+  /** DuckDB column formula for CMS row i over an `hp` column — shared by
+    * the heavy-hitter and join-size oracles so the hash family cannot
+    * drift between them.
+    */
+  private def cmsColSql(i: Int): String = {
+    val (a, b) = CmsRows(i)
+    s"(($a * hp + $b) % 2147483647) % 1024"
+  }
+
+  private def sketchHeavyHittersOracle: Option[String] = Some {
+        val expand = CmsRows.indices.map(i =>
+          s"SELECT $i AS rw, ${cmsColSql(i)} AS col, cnt FROM tf")
           .mkString("\n                UNION ALL ")
-        val probe = rowsAB.indices.map(i =>
-          s"SELECT tok, cnt, $i AS rw, ${colOf(i)} AS col FROM top")
+        val probe = CmsRows.indices.map(i =>
+          s"SELECT tok, cnt, $i AS rw, ${cmsColSql(i)} AS col FROM top")
           .mkString("\n                UNION ALL ")
         s"""WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
             tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
@@ -205,6 +340,5 @@ object QSketch extends Registry {
                    min(c.counter) - max(p.cnt) AS overcount
             FROM probes p JOIN counters c USING (rw, col)
             GROUP BY 1"""
-      })
-  )
+  }
 }

@@ -45,4 +45,24 @@ class PrefixSumSpec extends SparkSpec {
     val expTot = df.agg(sum(col("v")).cast("double")).head.getDouble(0)
     assert(out.head.getDouble(0) == expTot && out.head.getLong(1) == 200L)
   }
+
+  test("a15 global quantiles match a driver-side sort, no 1-partition exchange") {
+    graft.GraftExtensions.ensure(spark)
+    val sf = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("a15_exact_quantiles")(spark, sf)
+    // the whole point of the PrefixSum formulation: the physical plan must
+    // not funnel the fact table through Exchange SinglePartition
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"global quantiles must not single-partition the input:\n$plan")
+    val got = q.collect()
+      .map(r => r.getAs[String]("q_label") -> r.getAs[Double]("value")).toMap
+    val vals = graft.Tables.lineitem(spark, sf)
+      .select(col("l_extendedprice")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length.toLong
+    def pick(num: Long, den: Long) = vals(((num * n + den - 1) / den - 1).toInt)
+    assert(got("p25") == pick(1, 4) && got("p50") == pick(1, 2) &&
+      got("p75") == pick(3, 4) && got("p90") == pick(9, 10) &&
+      got("p99") == pick(99, 100))
+  }
 }

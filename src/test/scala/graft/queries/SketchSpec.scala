@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{SparkSpec, Tables}
+import graft.{SparkEntry, SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 
 /** The properties that make the sketches SKETCHES: HLL registers merge
@@ -35,5 +35,33 @@ class SketchSpec extends SparkSpec {
     assert(whole.exceptAll(merged).count() == 0 &&
       merged.exceptAll(whole).count() == 0,
       "split-merge counter table must equal the whole-corpus table")
+  }
+
+  test("CMS inner product never underestimates the true join size") {
+    // The sk_cms_joinsize estimator's one-sided guarantee: every row's
+    // Σ_col cmsA·cmsB ≥ Σ_tok tfA·tfB, because each true (tok, tok)
+    // pair contributes its full product to the shared cell and
+    // collisions only ADD nonnegative mass.
+    val rows = SparkEntry.queries("sk_cms_joinsize")(spark, sf).collect()
+    assert(rows.length == 4, "one estimate per CMS row-hash")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"row ${r.getAs[Long]("rw")} underestimated the join size")
+    }
+  }
+
+  test("grouped HLL estimate is within the m=256 error envelope per source") {
+    // 1/sqrt(256) ≈ 6.5% standard error; allow 4 sigma plus the known
+    // small-range bias regime (most registers empty at sf0.001 — the
+    // raw estimator overshoots low cardinalities, so grade loosely here
+    // and exactly via the oracle gate at sf0.01).
+    val rows = SparkEntry.queries("sk_hll_grouped")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getAs[Double]("est_distinct")
+      val truth = r.getAs[Long]("true_distinct").toDouble
+      assert(est > 0 && est < truth * 3 + 300,
+        s"source ${r.getAs[String]("source")}: est $est vs true $truth")
+    }
   }
 }
