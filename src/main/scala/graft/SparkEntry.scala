@@ -15,6 +15,7 @@ object SparkEntry {
   /** All query registries, grouped by SURVEY.md §2 operator family. */
   def registries: Seq[Registry] = Seq(
     QFilters,
+    QAudit,
     QJoins,
     QAggs,
     QWindows,

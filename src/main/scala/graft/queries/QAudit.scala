@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality expectations suite (SURVEY §2.12 audit family, extended
+  * in the Deequ/Great-Expectations direction the reference approximates
+  * with its hand-rolled report tables — `stage1/helper_functions.py`'s
+  * data-quality LaTeX blocks reduce to exactly these metrics: null
+  * shares, key uniqueness, domain membership, bound violations).
+  *
+  * One row per constraint: (tbl, constraint, metric, threshold, passed).
+  * Scale shape: every per-table metric family is ONE aggregate pass over
+  * that table (FILTER-conditional counts — no per-constraint scans); the
+  * two referential-integrity checks are each one join-agg whose build
+  * side is the dimension. Metrics are count ratios, so the doubles are
+  * single exact-int divisions — bit-stable across engines.
+  */
+object QAudit extends Registry {
+
+  /** (tbl, constraint, metric) → constraint row with pass verdict. */
+  private def row(tbl: String, name: String, metric: Column,
+      threshold: Double): Column =
+    struct(lit(tbl).as("tbl"), lit(name).as("check_name"),
+      metric.cast("double").as("metric"),
+      lit(threshold).as("threshold"),
+      (metric.cast("double") >= lit(threshold)).cast("int").as("passed"))
+
+  private def expectations(s: SparkSession, d: String): DataFrame = {
+    val orders = Tables.orders(s, d)
+    val lineitem = Tables.lineitem(s, d)
+    val customer = Tables.customer(s, d)
+
+    // one aggregate pass over orders: completeness, uniqueness, domain
+    val ordersPass = orders.agg(
+      count(lit(1)).as("n"),
+      count(col("o_custkey")).as("n_custkey"),
+      countDistinct(col("o_orderkey")).as("n_key"),
+      count(when(col("o_orderstatus").isin("F", "O", "P"), 1)).as("n_dom3"),
+      count(when(col("o_orderstatus").isin("F", "O"), 1)).as("n_dom2"))
+      .select(explode(array(
+        row("orders", "completeness(o_custkey)",
+          col("n_custkey") / col("n"), 1.0),
+        row("orders", "uniqueness(o_orderkey)",
+          col("n_key") / col("n"), 1.0),
+        row("orders", "domain(o_orderstatus in F,O,P)",
+          col("n_dom3") / col("n"), 1.0),
+        // deliberately tighter domain so the suite demonstrably FAILS a
+        // constraint on healthy data ('P' rows exist) — a report where
+        // every verdict is 1 can't prove the verdict logic runs
+        row("orders", "domain(o_orderstatus in F,O)",
+          col("n_dom2") / col("n"), 1.0))).as("c"))
+
+    // one pass over lineitem: bounds + size
+    val liPass = lineitem.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_discount").between(0.0, 0.1), 1)).as("n_disc"),
+      count(when(col("l_quantity") > 0, 1)).as("n_qty"))
+      .select(explode(array(
+        row("lineitem", "bounds(l_discount in [0,0.1])",
+          col("n_disc") / col("n"), 1.0),
+        row("lineitem", "positive(l_quantity)",
+          col("n_qty") / col("n"), 1.0),
+        row("lineitem", "size(count >= 1)",
+          (col("n") >= 1).cast("int"), 1.0))).as("c"))
+
+    // referential integrity: share of orders whose customer exists —
+    // LEFT join against the (smaller) dimension, counted in one agg
+    val ri = orders.join(
+        customer.select(col("c_custkey")).distinct(),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg((count(col("c_custkey")) / count(lit(1))).as("m"))
+      .select(explode(array(
+        row("orders", "ref_integrity(o_custkey -> customer)",
+          col("m"), 1.0))).as("c"))
+
+    ordersPass.unionByName(liPass).unionByName(ri).select(col("c.*"))
+  }
+
+  def qs: Seq[Q] = Seq(
+    Q("audit_expectations",
+      (s, d) => expectations(s, d),
+      Some("""WITH o AS (
+                SELECT count(*) AS n,
+                       count(o_custkey) AS n_custkey,
+                       count(DISTINCT o_orderkey) AS n_key,
+                       count(*) FILTER (WHERE o_orderstatus IN ('F','O','P'))
+                         AS n_dom3,
+                       count(*) FILTER (WHERE o_orderstatus IN ('F','O'))
+                         AS n_dom2
+                FROM orders),
+              l AS (
+                SELECT count(*) AS n,
+                       count(*) FILTER (WHERE l_discount BETWEEN 0.0 AND 0.1)
+                         AS n_disc,
+                       count(*) FILTER (WHERE l_quantity > 0) AS n_qty
+                FROM lineitem),
+              ri AS (
+                SELECT CAST(count(c.c_custkey) AS DOUBLE) / count(*) AS m
+                FROM orders o2
+                LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                  ON o2.o_custkey = c.c_custkey),
+              rows_all AS (
+                SELECT 'orders' AS tbl, 'completeness(o_custkey)' AS check_name,
+                       CAST(n_custkey AS DOUBLE) / n AS metric FROM o
+                UNION ALL
+                SELECT 'orders', 'uniqueness(o_orderkey)',
+                       CAST(n_key AS DOUBLE) / n FROM o
+                UNION ALL
+                SELECT 'orders', 'domain(o_orderstatus in F,O,P)',
+                       CAST(n_dom3 AS DOUBLE) / n FROM o
+                UNION ALL
+                SELECT 'orders', 'domain(o_orderstatus in F,O)',
+                       CAST(n_dom2 AS DOUBLE) / n FROM o
+                UNION ALL
+                SELECT 'lineitem', 'bounds(l_discount in [0,0.1])',
+                       CAST(n_disc AS DOUBLE) / n FROM l
+                UNION ALL
+                SELECT 'lineitem', 'positive(l_quantity)',
+                       CAST(n_qty AS DOUBLE) / n FROM l
+                UNION ALL
+                SELECT 'lineitem', 'size(count >= 1)',
+                       CAST(CASE WHEN n >= 1 THEN 1 ELSE 0 END AS DOUBLE) FROM l
+                UNION ALL
+                SELECT 'orders', 'ref_integrity(o_custkey -> customer)',
+                       m FROM ri)
+              SELECT tbl, check_name, metric,
+                     CAST(1.0 AS DOUBLE) AS threshold,
+                     CAST(CASE WHEN metric >= 1.0 THEN 1 ELSE 0 END AS INT)
+                       AS passed
+              FROM rows_all"""))
+  )
+}

@@ -436,6 +436,84 @@ object QFilters extends Registry {
     // inference scan) and corrupt-line quarantine. The oracle is the
     // parquet table itself — the round trip must be lossless, JSON
     // escaping and all.
+    // S13 — ORC sink + scan round trip (ext.): the second columnar
+    // format a mixed lake serves. Same discipline as S4: write through
+    // the Spark ORC sink, re-read, and the re-read frame must still
+    // match the parquet-derived oracle; the re-read filter reaches the
+    // ORC reader as PushedFilters (ORC predicate pushdown is stripe-
+    // level min/max skipping — the same file-skipping story as parquet
+    // row groups at 100 TB).
+    Q("s13_orc_roundtrip",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s13_orc", d)
+        Tables.lineitem(s, d).write.mode("overwrite")
+          .option("compression", "zlib").orc(s"$dir/lineitem_orc")
+        s.read.orc(s"$dir/lineitem_orc")
+          .filter(col("l_returnflag") === "A" && col("l_quantity") >= 30)
+          .groupBy(col("l_linestatus"))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""SELECT l_linestatus, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price
+              FROM lineitem
+              WHERE l_returnflag = 'A' AND l_quantity >= 30
+              GROUP BY 1""")),
+
+    // S14 — snapshot diff (ext.): the CDC primitive an incremental
+    // 100 TB corpus refresh runs before re-processing — classify every
+    // doc_id across two corpus versions as added / removed / changed /
+    // unchanged by content hash and ledger the counts per source. v2 is
+    // derived deterministically from v1 (drops, in-place edits, brand-new
+    // ids) so the oracle rebuilds both sides exactly. Scale shape: one
+    // full-outer sort-merge join on the id — content never compared
+    // beyond the md5 computed in-row on each side; the ledger is a
+    // low-cardinality hash-agg.
+    Q("s14_snapshot_diff",
+      (s, d) => {
+        val v1 = Tables.documents(s, d)
+        val v2 = v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+          .withColumn("text",
+            when(pmod(col("doc_id"), lit(11)) === 0, upper(col("text")))
+              .otherwise(col("text")))
+          .unionByName(
+            v1.filter(pmod(col("doc_id"), lit(13)) === 0)
+              .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
+          col("source").as("src1"))
+        val b = v2.select(col("doc_id"), md5(col("text")).as("h2"),
+          col("source").as("src2"))
+        a.join(b, Seq("doc_id"), "full_outer")
+          .select(coalesce(col("src1"), col("src2")).as("source"),
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") === col("h2"), "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy(col("source"), col("status"))
+          .agg(count(lit(1)).as("n_docs"))
+      },
+      Some("""WITH v2 AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 11 = 0 THEN upper(text)
+                            ELSE text END AS text,
+                       source
+                FROM documents WHERE doc_id % 7 <> 0
+                UNION ALL
+                SELECT doc_id + 10000000, text, source
+                FROM documents WHERE doc_id % 13 = 0),
+              a AS (SELECT doc_id, md5(text) AS h1, source AS src1
+                    FROM documents),
+              b AS (SELECT doc_id, md5(text) AS h2, source AS src2 FROM v2)
+              SELECT coalesce(src1, src2) AS source,
+                     CASE WHEN h1 IS NULL THEN 'added'
+                          WHEN h2 IS NULL THEN 'removed'
+                          WHEN h1 = h2 THEN 'unchanged'
+                          ELSE 'changed' END AS status,
+                     count(*) AS n_docs
+              FROM a FULL OUTER JOIN b USING (doc_id)
+              GROUP BY 1, 2""")),
+
     Q("s12_jsonl_scan",
       (s, d) => {
         val dir = s"${graft.Scratch.dirFor("s12_jsonl", d)}/documents_jsonl"
