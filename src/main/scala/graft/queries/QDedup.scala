@@ -318,6 +318,64 @@ object QDedup extends Registry {
               SELECT 1 AS cluster_size, count(*), count(*)
               FROM documents WHERE doc_id NOT IN (SELECT id FROM clus)""")),
 
+    // PageRank centrality over the near-dup graph (ext.) — the iterative
+    // graph computation BEYOND connected components: within a duplicate
+    // cluster, the highest-PageRank member is the "most representative"
+    // copy (the one most other copies resemble), a better canonical pick
+    // than min-id when copies differ in quality. Fixed 3 power
+    // iterations in INTEGER milli-units (r0 = 1000; r' = 150 + 850·Σ
+    // r(u) div deg(u) div 1000 — truncating division both engines share)
+    // so the oracle replays every round exactly. Scale shape: per
+    // iteration one join of the edge list against the rank frame and one
+    // (dst) hash-agg — the textbook distributed PageRank step; edges and
+    // degrees are built once and persisted. Every node in the pair graph
+    // has deg ≥ 1 and receives ≥ 1 message (undirected edges), so no
+    // dangling-mass term is needed.
+    Q("dd_pagerank",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val pairs = minhashPairs(s, d).select(col("id_a"), col("id_b"))
+        val edges = graft.Caches.registerTransient(
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+            .unionByName(
+              pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+            .persist(MEMORY_AND_DISK))
+        val degs = graft.Caches.registerTransient(
+          edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .persist(MEMORY_AND_DISK))
+        var r = degs.select(col("src").as("id"), lit(1000L).as("pr"))
+        for (_ <- 1 to 3) {
+          val msg = edges
+            .join(degs, Seq("src"))
+            .join(r, col("src") === col("id"))
+            .select(col("dst"), expr("pr div deg").as("m"))
+          r = msg.groupBy(col("dst")).agg(sum(col("m")).as("msum"))
+            .select(col("dst").as("id"),
+              (lit(150L) + expr("(850 * msum) div 1000")).as("pr"))
+        }
+        degs.select(col("src").as("id"), col("deg")).join(r, Seq("id"))
+      },
+      Some {
+        val rounds = (1 to 3).map { k =>
+          s"""r$k AS (
+               SELECT e.dst AS id,
+                      150 + (850 * sum(r.pr // dg.deg)) // 1000 AS pr
+               FROM edges e
+               JOIN degs dg ON dg.src = e.src
+               JOIN r${k - 1} r ON r.id = e.src
+               GROUP BY 1)"""
+        }.mkString(",\n              ")
+        s"""WITH $minhashVerifiedCte,
+              edges AS (SELECT id_a AS src, id_b AS dst FROM verified
+                        UNION ALL SELECT id_b, id_a FROM verified),
+              degs AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+                       FROM edges GROUP BY 1),
+              r0 AS (SELECT src AS id, CAST(1000 AS BIGINT) AS pr FROM degs),
+              $rounds
+              SELECT d.src AS id, d.deg, r3.pr
+              FROM degs d JOIN r3 ON r3.id = d.src"""
+      }),
+
     // MinHash estimator CALIBRATION — per LSH candidate pair, the
     // signature-agreement estimate (matching components / 32) next to
     // the exact shingle Jaccard, both in integer milli-units. This is

@@ -514,6 +514,43 @@ object QFilters extends Registry {
               FROM a FULL OUTER JOIN b USING (doc_id)
               GROUP BY 1, 2""")),
 
+    // S15 — Z-order clustered layout (ext.): lineitem rewritten
+    // range-partitioned + sorted on the Morton interleave of
+    // (l_partkey, l_suppkey), then probed with a box predicate on BOTH
+    // dimensions. The RESULT is layout-invariant (that is the oracle);
+    // the LAYOUT is the point — matching rows concentrate into a few
+    // files whose footer min/max covers the box, so a min/max-pruning
+    // reader skips the rest, where a linear (single-key-sorted) layout
+    // scatters second-dimension matches across every file
+    // (`ZOrderSpec` measures files-touched under both layouts). At
+    // 100 TB this is the difference between a scan and a seek.
+    Q("s15_zorder_layout",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s15_zorder", d)
+        val z = graft.operators.ZOrder.zValue(
+          Seq(col("l_partkey"), col("l_suppkey")))
+        Tables.lineitem(s, d).withColumn("zval", z)
+          .repartitionByRange(16, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .drop("zval")
+          .write.mode("overwrite").parquet(s"$dir/lineitem_z")
+        s.read.parquet(s"$dir/lineitem_z")
+          .filter(col("l_partkey").between(50, 150) &&
+            col("l_suppkey").between(5, 15))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_suppkey")).as("max_supp"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     min(l_partkey) AS min_part,
+                     max(l_suppkey) AS max_supp
+              FROM lineitem
+              WHERE l_partkey BETWEEN 50 AND 150
+                AND l_suppkey BETWEEN 5 AND 15""")),
+
     Q("s12_jsonl_scan",
       (s, d) => {
         val dir = s"${graft.Scratch.dirFor("s12_jsonl", d)}/documents_jsonl"

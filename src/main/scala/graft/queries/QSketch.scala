@@ -317,6 +317,24 @@ object QSketch extends Registry {
     s"(($a * hp + $b) % 2147483647) % 1024"
   }
 
+  /** The full-corpus CMS counter table as standalone oracle SQL — shared
+    * with [[QStreaming]]'s incremental census, whose micro-batch merge
+    * must land on exactly this table (counter linearity).
+    */
+  private[queries] def cmsCountersOracle: String = {
+    val expand = CmsRows.indices.map(i =>
+      s"SELECT $i AS rw, ${cmsColSql(i)} AS col, cnt FROM tf")
+      .mkString("\n                UNION ALL ")
+    s"""WITH occ AS (SELECT unnest($toksSql) AS tok FROM documents),
+        tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                 ${h60("tok")} % 2147483647 AS hp
+               FROM occ GROUP BY 1),
+        expanded AS (
+            $expand)
+        SELECT rw, col, CAST(sum(cnt) AS BIGINT) AS counter
+        FROM expanded GROUP BY 1, 2"""
+  }
+
   private def sketchHeavyHittersOracle: Option[String] = Some {
         val expand = CmsRows.indices.map(i =>
           s"SELECT $i AS rw, ${cmsColSql(i)} AS col, cnt FROM tf")

@@ -282,6 +282,42 @@ object QStreaming extends Registry {
             SELECT u.doc_id, u.s_uni + coalesce(b.s_bi, 0) AS score_milli
             FROM uni u LEFT JOIN bi b USING (doc_id)
             WHERE u.s_uni + coalesce(b.s_bi, 0) >= 0"""
-      })
+      }),
+
+    // Incremental sketch census (ext.) — the streaming face of the CMS
+    // linearity property `SketchSpec` pins: each micro-batch computes
+    // its OWN 4×1024 counter table inside foreachBatch (zero streaming
+    // state — the sketch IS the state, externalized), the per-batch
+    // tables append to a directory, and the read-back sums them per
+    // (rw, col). Counter addition distributes over ANY batch split, so
+    // the merged table equals the whole-corpus batch table exactly —
+    // which is the oracle. This is how a 100 TB ingest keeps a live
+    // frequency census: per-batch sketches of bounded size (≤4096 rows
+    // each) merged by association, never a re-scan of history.
+    Q("stream_sketch_census",
+      (s, d) => {
+        val outDir = graft.Scratch.dirFor("stream_census", d) + "/counters"
+        graft.Scratch.clear(outDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir))
+        val q = StreamingDedup.parquetStream(s, s"$d/documents.parquet")
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            QSketch.cmsCounters(batch)
+              .write.mode("append").parquet(outDir)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import org.apache.spark.sql.types._
+        s.read.schema(StructType(Seq(
+            StructField("rw", IntegerType),
+            StructField("col", LongType),
+            StructField("counter", LongType))))
+          .parquet(outDir)
+          .groupBy(col("rw"), col("col"))
+          .agg(sum(col("counter")).as("counter"))
+      },
+      Some(QSketch.cmsCountersOracle))
   )
 }

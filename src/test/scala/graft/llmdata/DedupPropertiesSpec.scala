@@ -105,4 +105,25 @@ class DedupPropertiesSpec extends SparkSpec {
       assert(got == unionFind(edges), s"edges $edges")
     }
   }
+
+  test("dd_pagerank equals a driver-side replay of the integer iteration") {
+    graft.GraftExtensions.ensure(spark)
+    val sf = "/root/testdata/sf0.001"
+    val got = graft.SparkEntry.queries("dd_pagerank")(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("deg"),
+        r.getAs[Long]("pr"))).toMap
+    assert(got.nonEmpty, "the near-dup graph has nodes at sf0.001")
+    val pairs = graft.queries.QDedup.minhashPairsDag(spark, sf)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var pr = adj.keys.map(_ -> 1000L).toMap
+    for (_ <- 1 to 3)
+      pr = adj.keys.map { v =>
+        val in = adj(v).map(u => pr(u) / adj(u).size).sum
+        v -> (150L + (850L * in) / 1000L)
+      }.toMap
+    assert(got == adj.keys.map(v => v -> (adj(v).size.toLong, pr(v))).toMap)
+  }
 }

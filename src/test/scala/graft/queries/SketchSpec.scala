@@ -50,6 +50,38 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("incremental micro-batch CMS census equals the whole-corpus table") {
+    // the streaming query's exact contract, exercised with a FORCED
+    // multi-batch split (one file per trigger over a 3-file copy of the
+    // corpus) — the single-file driver path can collapse to one batch,
+    // which would make the merge trivially correct
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = graft.Scratch.dirFor("census_spec", sf)
+    graft.Scratch.clear(s"$dir/in"); graft.Scratch.clear(s"$dir/out")
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$dir/out"))
+    docs.repartition(3).write.mode("overwrite").parquet(s"$dir/in")
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        QSketch.cmsCounters(batch)
+          .write.mode("append").parquet(s"$dir/out")
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val nBatchFiles = spark.read.parquet(s"$dir/out")
+      .select(input_file_name()).distinct().count()
+    val merged = spark.read.parquet(s"$dir/out")
+      .groupBy(col("rw"), col("col")).agg(sum(col("counter")).as("counter"))
+    val whole = QSketch.cmsCounters(docs)
+    assert(nBatchFiles >= 3, s"expected >=3 micro-batch outputs, got $nBatchFiles")
+    assert(whole.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(whole).count() == 0,
+      "micro-batch-merged census must equal the batch counter table")
+  }
+
   test("grouped HLL estimate is within the m=256 error envelope per source") {
     // 1/sqrt(256) ≈ 6.5% standard error; allow 4 sigma plus the known
     // small-range bias regime (most registers empty at sf0.001 — the
