@@ -551,6 +551,49 @@ object QFilters extends Registry {
               WHERE l_partkey BETWEEN 50 AND 150
                 AND l_suppkey BETWEEN 5 AND 15""")),
 
+    // S16 — SCD2 incremental merge (ext.): the validity-interval upsert
+    // an incremental warehouse refresh runs where the reference's S10
+    // sink just overwrites latest rows. Base history is built from
+    // pre-1997 orders, then the 1997+ batch is MERGED — untouched
+    // customers pass through with NO window, touched customers replay
+    // their stored change points plus the new events (prefix-stable run
+    // collapse makes this exactly equal to a full rebuild, which is
+    // what the oracle computes — the merge path must land on the
+    // rebuild's answer bit for bit). See operators/Scd2.scala for the
+    // scale shape.
+    Q("s16_scd2_merge",
+      (s, d) => {
+        val ev = Tables.orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("vf"),
+          col("o_orderkey").as("tb"))
+        val base = graft.operators.Scd2.build(
+          ev.filter(col("vf") < "1997-01-01"),
+          "custkey", "status", "vf", "tb")
+        graft.operators.Scd2.merge(base,
+            ev.filter(col("vf") >= "1997-01-01"),
+            "custkey", "status", "vf", "tb")
+          .select(col("custkey"), col("status"), col("valid_from"),
+            col("valid_to"), col("is_current"))
+      },
+      Some("""WITH ev AS (
+                SELECT o_custkey AS custkey, o_orderstatus AS status,
+                       o_orderdate AS vf, o_orderkey AS tb,
+                       lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders),
+              ch AS (SELECT custkey, status, vf, tb FROM ev
+                     WHERE prev IS NULL OR status <> prev),
+              iv AS (SELECT custkey, status, vf AS valid_from,
+                            lead(vf) OVER (PARTITION BY custkey
+                              ORDER BY vf, tb) AS valid_to
+                     FROM ch)
+              SELECT custkey, status, valid_from, valid_to,
+                     CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                       AS is_current
+              FROM iv""")),
+
     Q("s12_jsonl_scan",
       (s, d) => {
         val dir = s"${graft.Scratch.dirFor("s12_jsonl", d)}/documents_jsonl"

@@ -396,7 +396,51 @@ object QWindows extends Registry {
                 FROM tr GROUP BY id, dt)
               SELECT id, dt, prc_ew, prc_vw, prc_first, prc_last,
                      ${QWindows.w13FlagSql} AS flag_intraday
-              FROM panel"""))
+              FROM panel""")),
+
+    // W17 (ext.) — ordered-subsequence funnel over the events stream
+    // (the CEP-flavored cousin of J7's sequence match): how many users
+    // reach view → click → purchase IN ORDER, any gaps allowed. ONE
+    // groupBy(user) pass: events fold to a per-user code string in
+    // (ts, event_id) order inside the row (sort_array over a collected
+    // struct — no window, no second shuffle), and subsequence reach is
+    // a wildcard regex on that string, identical text in both engines.
+    // Scale note: per-user event counts are bounded (sessions, not the
+    // fact table) — the collect_list is the per-key payload a
+    // sessionizer holds anyway; the output is one row.
+    Q("w17_event_funnel",
+      (s, d) => {
+        val code = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p").otherwise("x")
+        Tables.events(s, d)
+          .select(col("user_id"), struct(col("ts"), col("event_id"),
+            code.as("code")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(concat_ws("",
+            expr("transform(sort_array(collect_list(e)), s -> s.code)"))
+            .as("seq"))
+          .agg(count(lit(1)).as("n_users"),
+            count(when(col("seq").rlike("v"), 1)).as("n_view"),
+            count(when(col("seq").rlike("v.*c"), 1)).as("n_view_click"),
+            count(when(col("seq").rlike("v.*c.*p"), 1)).as("n_full_funnel"))
+      },
+      Some("""WITH seqs AS (
+                SELECT user_id,
+                       string_agg(CASE event_type WHEN 'view' THEN 'v'
+                                    WHEN 'click' THEN 'c'
+                                    WHEN 'purchase' THEN 'p'
+                                    ELSE 'x' END, ''
+                                  ORDER BY ts, event_id) AS seq
+                FROM events GROUP BY 1)
+              SELECT count(*) AS n_users,
+                     count(*) FILTER (WHERE regexp_matches(seq, 'v'))
+                       AS n_view,
+                     count(*) FILTER (WHERE regexp_matches(seq, 'v.*c'))
+                       AS n_view_click,
+                     count(*) FILTER (WHERE regexp_matches(seq, 'v.*c.*p'))
+                       AS n_full_funnel
+              FROM seqs"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
