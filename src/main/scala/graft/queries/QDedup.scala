@@ -31,7 +31,7 @@ object QDedup extends Registry {
     * unlike the earlier fixed `1..5000` cap that would silently drop
     * shingles of a >5004-char document.
     */
-  private def shinglesSqlOver(src: String) =
+  private[queries] def shinglesSqlOver(src: String) =
     s"""norm AS (SELECT doc_id AS id, $normSql AS t FROM $src),
        spos AS (SELECT id, t,
                   unnest(generate_series(1, greatest(length(t) - 4, 1))) AS i

@@ -473,13 +473,7 @@ object QFilters extends Registry {
     Q("s14_snapshot_diff",
       (s, d) => {
         val v1 = Tables.documents(s, d)
-        val v2 = v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
-          .withColumn("text",
-            when(pmod(col("doc_id"), lit(11)) === 0, upper(col("text")))
-              .otherwise(col("text")))
-          .unionByName(
-            v1.filter(pmod(col("doc_id"), lit(13)) === 0)
-              .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+        val v2 = QFilters.snapshotV2(v1)
         val a = v1.select(col("doc_id"), md5(col("text")).as("h1"),
           col("source").as("src1"))
         val b = v2.select(col("doc_id"), md5(col("text")).as("h2"),
@@ -493,15 +487,7 @@ object QFilters extends Registry {
           .groupBy(col("source"), col("status"))
           .agg(count(lit(1)).as("n_docs"))
       },
-      Some("""WITH v2 AS (
-                SELECT doc_id,
-                       CASE WHEN doc_id % 11 = 0 THEN upper(text)
-                            ELSE text END AS text,
-                       source
-                FROM documents WHERE doc_id % 7 <> 0
-                UNION ALL
-                SELECT doc_id + 10000000, text, source
-                FROM documents WHERE doc_id % 13 = 0),
+      Some(s"""WITH ${QFilters.snapshotV2Sql},
               a AS (SELECT doc_id, md5(text) AS h1, source AS src1
                     FROM documents),
               b AS (SELECT doc_id, md5(text) AS h2, source AS src2 FROM v2)
@@ -605,4 +591,32 @@ object QFilters extends Registry {
       },
       Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
   )
+
+  /** Deterministic "next corpus snapshot" derived from v1 — shared by
+    * `s14_snapshot_diff` and [[QText]]'s incremental-curation chain so
+    * the two can never disagree about what changed: %7 ids dropped,
+    * %11 ids edited in place (upper-cased), %13 ids cloned under brand-
+    * new ids.
+    */
+  private[queries] def snapshotV2(
+      v1: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v1.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(11)) === 0, upper(col("text")))
+          .otherwise(col("text")))
+      .unionByName(
+        v1.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .withColumn("doc_id", col("doc_id") + lit(10000000L)))
+
+  /** The same construction as a DuckDB CTE (`v2(doc_id, text, source)`). */
+  private[queries] val snapshotV2Sql: String =
+    """v2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN upper(text)
+                    ELSE text END AS text,
+               source
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 10000000, text, source
+        FROM documents WHERE doc_id % 13 = 0)"""
 }

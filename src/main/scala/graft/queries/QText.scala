@@ -1131,6 +1131,132 @@ object QText extends Registry {
                    u.s_uni + coalesce(b.s_bi, 0) AS score_milli,
                    u.s_uni + coalesce(b.s_bi, 0) >= 0 AS keep
             FROM uni u LEFT JOIN bi b USING (doc_id)"""
+      }),
+
+    // Incremental curation (ext.) — the composition an OPERATING corpus
+    // pipeline actually runs on refresh day: the v2 snapshot's diff
+    // (shared construction with s14_snapshot_diff — QFilters.snapshotV2)
+    // selects ONLY added/changed docs, which then face the quality gate
+    // (same classifier expression as tx_quality_classifier), exact-dup
+    // rejection against the retained (unchanged) corpus, and LSH
+    // near-dup admission against that corpus's capped probe index —
+    // never re-processing the unchanged bulk. Emits the full decision
+    // table (doc_id, decision), precedence quality > exact > neardup.
+    // Scale shape: everything downstream of the diff is sized by the
+    // DELTA (at 100 TB the refresh touches the changed sliver only);
+    // the corpus side contributes one fingerprint set + one capped band
+    // index, both reusable across refreshes.
+    Q("tx_incremental_curation",
+      (s, d) => {
+        import graft.llmdata.Dedup
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val v1 = Tables.documents(s, d)
+        val j = QFilters.snapshotV2(v1)
+          .select(col("doc_id"), col("text"))
+          .join(v1.select(col("doc_id"), md5(col("text")).as("h1")),
+            Seq("doc_id"), "left")
+        val delta = j.filter(col("h1").isNull || col("h1") =!= md5(col("text")))
+          .select(col("doc_id"), col("text"))
+        val corpus = j.filter(col("h1") === md5(col("text")))
+          .select(col("doc_id"), col("text"))
+        val scored = graft.Caches.registerTransient(
+          delta.withColumn("ok_q", classifierScoreCol(s) >= 0L)
+            .persist(MEMORY_AND_DISK))
+        val pass = scored.filter(col("ok_q")).select(col("doc_id"), col("text"))
+        val fp = TextOps.profileFingerprint(s)(col("text"))
+        val exactRej = pass.select(col("doc_id"), fp.as("fp"))
+          .join(corpus.select(fp.as("fp")).distinct(), Seq("fp"), "left_semi")
+          .select(col("doc_id"))
+        val prof = graft.Caches.registerTransient(
+          Dedup.docProfilesLocal(corpus.unionByName(pass), "doc_id", "text",
+              n = 5, k = 32)
+            .persist(MEMORY_AND_DISK))
+        val keys = Dedup.bandKeys(prof, k = 32, bands = 4)
+        val passIds = pass.select(col("doc_id").as("id"))
+        val cands = keys.join(passIds, Seq("id"), "left_semi").as("b")
+          .join(Dedup.capProbeKeys(
+              keys.join(passIds, Seq("id"), "left_anti"),
+              Dedup.lshMaxBucket(s)).as("c"),
+            col("b.band") === col("c.band") &&
+              col("b.bucket") === col("c.bucket"))
+          .select(col("b.id").as("id_a"), col("c.id").as("id_b"))
+          .distinct()
+        val ndRej = Dedup.jaccardOnProfiles(prof, cands, threshold = 0.7)
+          .select(col("id_a").as("doc_id")).distinct()
+        scored
+          .join(exactRej.withColumn("__ex", lit(1)), Seq("doc_id"), "left")
+          .join(ndRej.withColumn("__nd", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(!col("ok_q"), "rejected_quality")
+              .when(col("__ex") === 1, "rejected_exact")
+              .when(col("__nd") === 1, "rejected_neardup")
+              .otherwise("admitted").as("decision"))
+      },
+      Some {
+        val wSql = (h: String) => s"(($h % 16384) * 40503 + 12345) % 2001 - 1000"
+        s"""WITH ${QFilters.snapshotV2Sql},
+            vh AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+            dj AS (SELECT v2.doc_id, v2.text, vh.h1
+                   FROM v2 LEFT JOIN vh USING (doc_id)),
+            delta AS (SELECT doc_id, text FROM dj
+                      WHERE h1 IS NULL OR h1 <> md5(text)),
+            corpus AS (SELECT doc_id, text FROM dj WHERE h1 = md5(text)),
+            ${classifierCtesWith(wSql, "delta")},
+            scoredq AS (
+              SELECT u.doc_id,
+                     u.s_uni + coalesce(b.s_bi, 0) >= 0 AS ok_q
+              FROM uni u LEFT JOIN bi b USING (doc_id)),
+            passq AS (SELECT d2.doc_id, d2.text
+                      FROM delta d2 JOIN scoredq sq USING (doc_id)
+                      WHERE sq.ok_q),
+            cfp AS (SELECT DISTINCT md5($normSql) AS fp FROM corpus),
+            exrej AS (SELECT doc_id FROM passq
+                      WHERE md5($normSql) IN (SELECT fp FROM cfp)),
+            aug AS (SELECT doc_id, text FROM corpus
+                    UNION ALL SELECT doc_id, text FROM passq),
+            ${QDedup.shinglesSqlOver("aug")},
+            hashed AS (
+              SELECT id, sh, sh % 2147483647 AS h1,
+                     ((40503 * (sh // 1073741824)) % 2147483647 * 1073741824
+                        % 2147483647
+                      + 40503 * (sh % 1073741824) + 12345) % 2147483647 AS h2
+              FROM shash),
+            mh AS (
+              SELECT id, CAST(i AS INT) AS i,
+                     min((h1 + i * h2) % 2147483647) AS mh
+              FROM hashed CROSS JOIN generate_series(0, 31) g(i)
+              GROUP BY id, CAST(i AS INT)),
+            banded AS (
+              SELECT id, CAST(i // 8 AS INT) AS band,
+                     md5(string_agg(
+                       CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR), '_'
+                       ORDER BY CAST(i AS VARCHAR) || ':' || CAST(mh AS VARCHAR)))
+                       AS bucket
+              FROM mh GROUP BY id, band),
+            cand AS (SELECT DISTINCT b.id AS id_a, c.id AS id_b
+                     FROM banded b JOIN banded c
+                       ON b.band = c.band AND b.bucket = c.bucket
+                     WHERE b.id IN (SELECT doc_id FROM passq)
+                       AND c.id NOT IN (SELECT doc_id FROM passq)),
+            arrs AS (SELECT id, list(DISTINCT sh) AS arr,
+                            count(DISTINCT sh) AS sz
+                     FROM hashed GROUP BY id),
+            ndrej AS (SELECT DISTINCT cand.id_a AS doc_id
+                      FROM cand
+                      JOIN arrs a ON a.id = cand.id_a
+                      JOIN arrs b ON b.id = cand.id_b
+                      WHERE CAST(len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                              / CAST(a.sz + b.sz
+                                - len(list_intersect(a.arr, b.arr)) AS DOUBLE)
+                            >= 0.7e0)
+            SELECT sq.doc_id,
+                   CASE WHEN NOT sq.ok_q THEN 'rejected_quality'
+                        WHEN sq.doc_id IN (SELECT doc_id FROM exrej)
+                          THEN 'rejected_exact'
+                        WHEN sq.doc_id IN (SELECT doc_id FROM ndrej)
+                          THEN 'rejected_neardup'
+                        ELSE 'admitted' END AS decision
+            FROM scoredq sq"""
       })
   )
 
@@ -1204,9 +1330,10 @@ object QText extends Registry {
   /** [[classifierCtes]] with a caller-supplied bucket→weight SQL formula
     * (the oracle-side analogue of swapping the weight vector).
     */
-  private[queries] def classifierCtesWith(wSql: String => String): String = {
+  private[queries] def classifierCtesWith(wSql: String => String,
+      src: String = "documents"): String = {
     val h60 = QDedup.h60
-    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+    s"""tok AS (SELECT doc_id, $toksSql AS toks FROM $src),
         uni AS (SELECT doc_id, len(toks) AS n_tokens,
                   CAST(list_sum(list_transform(toks,
                     t -> ${wSql(h60("t"))})) AS BIGINT) AS s_uni
