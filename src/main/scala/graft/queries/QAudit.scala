@@ -130,5 +130,42 @@ object QAudit extends Registry {
                      CAST(CASE WHEN metric >= 1.0 THEN 1 ELSE 0 END AS INT)
                        AS passed
               FROM rows_all"""))
+    ,
+
+    // Column profiling: a 20-bucket equi-width histogram of
+    // o_totalprice — the distribution fingerprint a data catalog keeps
+    // per column (and the drift detector's input). TWO passes by
+    // necessity (bucket edges need global min/max), the second a single
+    // hash-agg on the bucket index; the 1-row stats frame rides along
+    // as a broadcast. Bucket arithmetic is shared-text IEEE on both
+    // engines; the top edge is clamped so max lands in the last bucket.
+    Q("audit_histogram",
+      (s, d) => {
+        val stats = Tables.orders(s, d)
+          .agg(min(col("o_totalprice")).as("mn"),
+            max(col("o_totalprice")).as("mx"))
+        Tables.orders(s, d).join(broadcast(stats))
+          .select(least(floor((col("o_totalprice") - col("mn"))
+              * 20.0 / (col("mx") - col("mn"))), lit(19.0))
+            .cast("long").as("bucket"), col("mn"), col("mx"))
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).as("n_rows"),
+            (min(col("mn")) + col("bucket") * (min(col("mx")) - min(col("mn")))
+              / 20.0).as("lo"),
+            (min(col("mn")) + (col("bucket") + 1) * (min(col("mx"))
+              - min(col("mn"))) / 20.0).as("hi"))
+          .select(col("bucket"), col("lo"), col("hi"), col("n_rows"))
+      },
+      Some("""WITH st AS (SELECT min(o_totalprice) AS mn,
+                                 max(o_totalprice) AS mx FROM orders),
+              b AS (SELECT CAST(least(floor((o_totalprice - mn) * 20.0
+                             / (mx - mn)), 19.0) AS BIGINT) AS bucket,
+                           mn, mx
+                    FROM orders CROSS JOIN st)
+              SELECT bucket,
+                     min(mn) + bucket * (min(mx) - min(mn)) / 20.0 AS lo,
+                     min(mn) + (bucket + 1) * (min(mx) - min(mn)) / 20.0 AS hi,
+                     count(*) AS n_rows
+              FROM b GROUP BY 1"""))
   )
 }

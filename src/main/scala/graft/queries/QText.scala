@@ -1133,6 +1133,57 @@ object QText extends Registry {
             FROM uni u LEFT JOIN bi b USING (doc_id)"""
       }),
 
+    // Mixture-reweighting plan (ext.) — the sampling plan a
+    // multi-source training mix is built from (Pile/DoReMi-style):
+    // given integer target weights per source, find the LARGEST corpus
+    // size achievable by subsampling only (no source may be asked for
+    // more tokens than it has: C* = min_i over sources of
+    // tokens_i·S div w_i), then each source's planned token count and
+    // acceptance ratio in exact integer milli-units. ONE token-count
+    // agg over the corpus; the per-source plan math runs on a
+    // |sources|-row frame against broadcast grand totals. Weights here
+    // derive deterministically from the source name (first-char code)
+    // so both engines build the identical target vector; swapping in a
+    // real config table changes one 20-row input.
+    Q("tx_mix_reweight",
+      (s, d) => {
+        import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val perSrc = graft.Caches.registerTransient(
+          Tables.documents(s, d)
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_docs"),
+              sum(size(TextOps.tokens(col("text"))).cast("long"))
+                .as("n_tokens"))
+            .withColumn("w",
+              ascii(substring(col("source"), 1, 1)).cast("long"))
+            .persist(MEMORY_AND_DISK))
+        val sw = perSrc.agg(sum(col("w")).as("sw"))
+        val withSw = perSrc.crossJoin(broadcast(sw))
+        val cstar = withSw
+          .agg(min(expr("(n_tokens * sw) div w")).as("cstar"))
+        withSw.crossJoin(broadcast(cstar))
+          .select(col("source"), col("n_docs"), col("n_tokens"),
+            col("w").as("target_w"),
+            expr("(cstar * w) div sw").as("planned_tokens"),
+            expr("(((cstar * w) div sw) * 1000) div n_tokens")
+              .as("accept_milli"))
+      },
+      Some(s"""WITH per AS (
+                SELECT source, count(*) AS n_docs,
+                       CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+                FROM documents GROUP BY 1),
+              pw AS (SELECT source, n_docs, n_tokens,
+                       CAST(ascii(substr(source, 1, 1)) AS BIGINT) AS w
+                     FROM per),
+              sw AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM pw),
+              cs AS (SELECT min((n_tokens * sw) // w) AS cstar
+                     FROM pw CROSS JOIN sw)
+              SELECT source, n_docs, n_tokens, w AS target_w,
+                     (cstar * w) // sw AS planned_tokens,
+                     (((cstar * w) // sw) * 1000) // n_tokens
+                       AS accept_milli
+              FROM pw CROSS JOIN sw CROSS JOIN cs""")),
+
     // Incremental curation (ext.) — the composition an OPERATING corpus
     // pipeline actually runs on refresh day: the v2 snapshot's diff
     // (shared construction with s14_snapshot_diff — QFilters.snapshotV2)

@@ -35,6 +35,28 @@ class AuditSourcesSpec extends SparkSpec {
       s"re-read ORC scan must carry pushed filters:\n$plan")
   }
 
+  test("mix-reweight plan is feasible and maximal") {
+    val rows = q("tx_mix_reweight").collect()
+    assert(rows.nonEmpty)
+    // feasible: no source asked for more tokens than it has
+    rows.foreach { r =>
+      assert(r.getAs[Long]("planned_tokens") <= r.getAs[Long]("n_tokens"),
+        s"${r.getAs[String]("source")} oversubscribed")
+      assert(r.getAs[Long]("accept_milli") <= 1000L)
+    }
+    // maximal: the binding source is (near-)fully used — its acceptance
+    // ratio can only fall short of 1000 by integer-division slack
+    assert(rows.map(_.getAs[Long]("accept_milli")).max >= 999L,
+      "some source must bind the plan")
+  }
+
+  test("histogram buckets partition the rows exactly") {
+    val rows = q("audit_histogram").collect()
+    val total = graft.Tables.orders(spark, sf).count()
+    assert(rows.map(_.getAs[Long]("n_rows")).sum == total)
+    rows.foreach(r => assert(r.getAs[Double]("lo") < r.getAs[Double]("hi")))
+  }
+
   test("snapshot diff ledger reconciles with the v2 construction") {
     val byStatus = q("s14_snapshot_diff").collect()
       .groupBy(_.getAs[String]("status"))
