@@ -35,7 +35,12 @@ object ScaleProbe {
     "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_decontaminate",
     "dd_decontaminate_bloom", "tx_corpus_build", "tx_shard_shuffle",
     "sim_rhp_neardup", "tx_bm25_topk", "tx_quality_classifier",
-    "tx_gopher_rules", "tx_ccnet_buckets")
+    "tx_gopher_rules", "tx_ccnet_buckets",
+    // round 7: the delta-sized refresh chain, the window-bypassing SCD2
+    // merge, iterative PageRank, the PrefixSum global quantiles, and the
+    // one-pass funnel
+    "tx_incremental_curation", "s16_scd2_merge", "dd_pagerank",
+    "a15_exact_quantiles", "w17_event_funnel")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
