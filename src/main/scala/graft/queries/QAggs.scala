@@ -398,6 +398,26 @@ object QAggs extends Registry {
                        AS target_rank,
                      v AS value
               FROM ranked JOIN qs
-                ON rk = (q_num * n_rows + q_den - 1) // q_den"""))
+                ON rk = (q_num * n_rows + q_den - 1) // q_den""")),
+
+    // A16 (ext.) — ROLLUP aggregation: the (flag, status) / (flag) /
+    // grand-total report in ONE pass. Spark plans grouping sets as a
+    // single Expand + hash-agg — no per-level re-scan; NULL is the
+    // subtotal marker and gid disambiguates a real NULL group from a
+    // rolled-up one (none here, but the column is the contract).
+    Q("a16_rollup",
+      (s, d) => Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"),
+          (grouping(col("l_returnflag")) * 2
+            + grouping(col("l_linestatus"))).cast("int").as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     CAST(GROUPING(l_returnflag) * 2
+                       + GROUPING(l_linestatus) AS INT) AS gid
+              FROM lineitem
+              GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
   )
 }

@@ -166,6 +166,65 @@ object QAudit extends Registry {
                      min(mn) + bucket * (min(mx) - min(mn)) / 20.0 AS lo,
                      min(mn) + (bucket + 1) * (min(mx) - min(mn)) / 20.0 AS hi,
                      count(*) AS n_rows
-              FROM b GROUP BY 1"""))
+              FROM b GROUP BY 1""")),
+
+    // Distribution-drift detector: the population-stability-index the
+    // monitoring layer runs when a new ingest window lands — has
+    // o_totalprice's distribution moved between the pre-1996 and 1996+
+    // periods? Shared bucket edges from the GLOBAL min/max, Laplace
+    // +1 smoothing so empty buckets stay defined, and the log-ratio in
+    // integer milli-bits via the native Log2Milli expression (the same
+    // integer log the LM-perplexity stack uses), so every PSI term is
+    // an exact BIGINT both engines reproduce. Two FILTER counts per
+    // bucket in ONE aggregation pass; the stats frame broadcasts.
+    // psi_term > 0 ⟺ the bucket's share moved; Σ terms (in
+    // milli·milli-bits) is the headline PSI.
+    Q("audit_drift_psi",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+        val stats = orders.agg(min(col("o_totalprice")).as("mn"),
+          max(col("o_totalprice")).as("mx"))
+        val isA = col("o_orderdate") < "1996-01-01"
+        val bucketed = graft.Caches.registerTransient(
+          orders.join(broadcast(stats))
+            .select(least(floor((col("o_totalprice") - col("mn"))
+                * 10.0 / (col("mx") - col("mn"))), lit(9.0))
+              .cast("long").as("bucket"), isA.as("in_a"))
+            .groupBy(col("bucket"))
+            .agg((count(when(col("in_a"), 1)) + 1L).as("c_a"),
+              (count(when(!col("in_a"), 1)) + 1L).as("c_b"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val tots = bucketed.agg(sum(col("c_a")).as("tot_a"),
+          sum(col("c_b")).as("tot_b"))
+        bucketed.join(broadcast(tots))
+          .select(col("bucket"), (col("c_a") - 1L).as("n_a"),
+            (col("c_b") - 1L).as("n_b"),
+            ((expr("(c_a * 1000) div tot_a") - expr("(c_b * 1000) div tot_b"))
+              * (call_function("log2milli", col("c_a") * col("tot_b")) -
+                 call_function("log2milli", col("c_b") * col("tot_a"))))
+              .as("psi_term"))
+      },
+      Some {
+        val l2m = QText.l2mSql
+        s"""WITH st AS (SELECT min(o_totalprice) AS mn,
+                               max(o_totalprice) AS mx FROM orders),
+            b AS (SELECT CAST(least(floor((o_totalprice - mn) * 10.0
+                           / (mx - mn)), 9.0) AS BIGINT) AS bucket,
+                         o_orderdate < TIMESTAMP '1996-01-01' AS in_a
+                  FROM orders CROSS JOIN st),
+            cnt AS (SELECT bucket,
+                           CAST(count(*) FILTER (WHERE in_a) + 1 AS BIGINT)
+                             AS c_a,
+                           CAST(count(*) FILTER (WHERE NOT in_a) + 1 AS BIGINT)
+                             AS c_b
+                    FROM b GROUP BY 1),
+            t AS (SELECT CAST(sum(c_a) AS BIGINT) AS tot_a,
+                         CAST(sum(c_b) AS BIGINT) AS tot_b FROM cnt)
+            SELECT bucket, c_a - 1 AS n_a, c_b - 1 AS n_b,
+                   ((c_a * 1000) // tot_a - (c_b * 1000) // tot_b)
+                     * (${l2m("(c_a * tot_b)")} - ${l2m("(c_b * tot_a)")})
+                     AS psi_term
+            FROM cnt CROSS JOIN t"""
+      })
   )
 }

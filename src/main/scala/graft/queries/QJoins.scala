@@ -496,6 +496,58 @@ object QJoins extends Registry {
       Some("""SELECT c_mktsegment, count(*) AS n_orders,
                      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
               FROM orders JOIN customer ON o_custkey = c_custkey
-              GROUP BY c_mktsegment"""))
+              GROUP BY c_mktsegment""")),
+
+    // J22 (ext.) — point-in-time join against the SCD2 history s16
+    // builds: "what was this customer's status 30 days before each
+    // order?" Each probe lands in AT MOST one validity interval
+    // (intervals partition time from the first event), so this is the
+    // temporal lookup a bi-temporal warehouse serves constantly. Scale
+    // shape: equi-join on the entity key carries the work, the interval
+    // containment is a cheap residual predicate — no range explosion,
+    // no broadcast of the (dimension-sized) history needed beyond what
+    // AQE picks. Probes before a customer's first interval keep the
+    // LEFT row with a NULL status (the honest answer).
+    Q("j22_pit_join",
+      (s, d) => {
+        val ev = Tables.orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("vf"),
+          col("o_orderkey").as("tb"))
+        val hist = graft.operators.Scd2.build(ev, "custkey", "status",
+          "vf", "tb")
+        val probes = Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          (col("o_orderdate") - expr("INTERVAL 30 DAY")).as("asof"))
+        probes.join(hist,
+            probes("o_custkey") === hist("custkey") &&
+              col("valid_from") <= col("asof") &&
+              (col("valid_to").isNull || col("valid_to") > col("asof")),
+            "left")
+          .select(col("o_orderkey"), col("o_custkey"), col("asof"),
+            col("status").as("status_asof"))
+      },
+      Some("""WITH ev AS (
+                SELECT o_custkey AS custkey, o_orderstatus AS status,
+                       o_orderdate AS vf, o_orderkey AS tb,
+                       lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders),
+              ch AS (SELECT custkey, status, vf, tb FROM ev
+                     WHERE prev IS NULL OR status <> prev),
+              iv AS (SELECT custkey, status, vf AS valid_from,
+                            lead(vf) OVER (PARTITION BY custkey
+                              ORDER BY vf, tb) AS valid_to
+                     FROM ch),
+              probes AS (SELECT o_orderkey, o_custkey,
+                                o_orderdate - INTERVAL 30 DAY AS asof
+                         FROM orders)
+              SELECT p.o_orderkey, p.o_custkey, p.asof,
+                     i.status AS status_asof
+              FROM probes p LEFT JOIN iv i
+                ON p.o_custkey = i.custkey
+                AND i.valid_from <= p.asof
+                AND (i.valid_to IS NULL OR i.valid_to > p.asof)"""))
   )
 }

@@ -57,6 +57,23 @@ class AuditSourcesSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("lo") < r.getAs[Double]("hi")))
   }
 
+  test("point-in-time join matches at most one interval per probe") {
+    // result cardinality == probe cardinality proves the SCD2 intervals
+    // partition time: no probe is duplicated (overlap) or dropped (gap)
+    val n = q("j22_pit_join").count()
+    assert(n == graft.Tables.orders(spark, sf).count())
+  }
+
+  test("rollup emits exactly the three grouping levels") {
+    val rows = q("a16_rollup").collect()
+    val byGid = rows.groupBy(_.getAs[Int]("gid")).view.mapValues(_.length)
+    assert(byGid.keySet == Set(0, 1, 3), s"levels: ${byGid.toMap}")
+    assert(byGid(3) == 1, "one grand-total row")
+    val grand = rows.find(_.getAs[Int]("gid") == 3).get.getAs[Long]("n_rows")
+    assert(grand == rows.filter(_.getAs[Int]("gid") == 0)
+      .map(_.getAs[Long]("n_rows")).sum)
+  }
+
   test("snapshot diff ledger reconciles with the v2 construction") {
     val byStatus = q("s14_snapshot_diff").collect()
       .groupBy(_.getAs[String]("status"))
