@@ -345,7 +345,43 @@ object QText extends Registry {
             UNION ALL ${cnt(5, "neardup_canonical", "canon")}
             UNION ALL ${cnt(6, "decontaminated", "clean")}
             UNION ALL ${cnt(7, "mixed", "mixed")}"""
-      })
+      }),
+
+    // Dataset card (ext.) — the per-language datasheet published NEXT TO
+    // the built corpus (the "composition" table of a Datasheets-for-
+    // Datasets card): doc/token counts, token share in exact integer
+    // milli-units, mean/min/max doc length. Rides the SAME memoized
+    // `mixed` frame as tx_corpus_build/tx_curation_funnel — the card
+    // can never describe a different corpus than the one shipped. ONE
+    // hash-agg over the final corpus + a broadcast grand total; no
+    // windows, no per-language sorts.
+    Q("tx_dataset_card",
+      (s, d) => {
+        val per = corpusStages(s, d)("mixed")
+          .groupBy(col("lang")).agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            min(col("n_tokens")).as("min_tokens"),
+            max(col("n_tokens")).as("max_tokens"))
+        val tot = per.agg(sum(col("n_tokens")).as("tot"))
+        per.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            expr("(n_tokens * 1000) div tot").as("share_milli"),
+            expr("n_tokens div n_docs").as("mean_tokens"),
+            col("min_tokens"), col("max_tokens"))
+      },
+      Some(s"""WITH RECURSIVE $corpusBuildCtes,
+            per AS (SELECT lang, count(*) AS n_docs,
+                           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                           min(n_tokens) AS min_tokens,
+                           max(n_tokens) AS max_tokens
+                    FROM mixed GROUP BY 1),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM per)
+            SELECT lang, n_docs, n_tokens,
+                   (n_tokens * 1000) // tot AS share_milli,
+                   n_tokens // n_docs AS mean_tokens,
+                   min_tokens, max_tokens
+            FROM per CROSS JOIN t"""))
   )
 
   /** Canonical materialization order of [[corpusStages]] — shared with
