@@ -589,8 +589,113 @@ object QFilters extends Registry {
           .select(col("doc_id"), col("text"), col("lang"),
             col("source"), col("n_chars"))
       },
-      Some("SELECT doc_id, text, lang, source, n_chars FROM documents"))
+      Some("SELECT doc_id, text, lang, source, n_chars FROM documents")),
+
+    // S17 — compaction planner (ext.): the OPTIMIZE/rewrite-small-files
+    // planning pass a 100 TB table needs after every streaming ingest
+    // window. The file manifest is derived relationally (one file per
+    // (table_partition = l_returnflag, file_id = l_suppkey), size = rows
+    // × 100 bytes — deterministic, so the oracle rebuilds it); the plan
+    // packs files into target-size bins by START OFFSET in the
+    // concatenated per-partition byte stream (bin = prefix_bytes div
+    // target) — the same sorted-greedy coalesce Spark's own scan packing
+    // uses (maxPartitionBytes). Scale shape: the manifest is METADATA
+    // (files, not rows) — one hash-agg builds it, one per-partition
+    // window plans it; per-table-partition file counts are bounded in
+    // any sane layout (and a pathological 10M-file partition would swap
+    // the window for the two-phase PrefixSum). Executing the plan is
+    // then one `repartition(bin)` write driven by this table.
+    Q("s17_compaction_plan",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("part")).orderBy(col("file_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("part"),
+            col("l_suppkey").as("file_id"))
+          .agg((count(lit(1)) * lit(100L)).as("size_bytes"))
+          .withColumn("cum", sum(col("size_bytes")).over(w))
+          .withColumn("bin",
+            expr("(cum - size_bytes) div 131072"))
+          .groupBy(col("part"), col("bin"))
+          .agg(count(lit(1)).as("n_files"),
+            sum(col("size_bytes")).as("total_bytes"),
+            min(col("file_id")).as("first_file"),
+            max(col("file_id")).as("last_file"))
+      },
+      Some("""WITH manifest AS (
+                SELECT l_returnflag AS part, l_suppkey AS file_id,
+                       count(*) * 100 AS size_bytes
+                FROM lineitem GROUP BY 1, 2),
+              offs AS (
+                SELECT part, file_id, size_bytes,
+                       sum(size_bytes) OVER (PARTITION BY part
+                         ORDER BY file_id ROWS UNBOUNDED PRECEDING)
+                         AS cum
+                FROM manifest)
+              SELECT part, (cum - size_bytes) // 131072 AS bin,
+                     count(*) AS n_files, sum(size_bytes) AS total_bytes,
+                     min(file_id) AS first_file, max(file_id) AS last_file
+              FROM offs GROUP BY 1, 2""")),
+
+    // S18 — zone-map file skipping (ext.): the Iceberg/Delta data-
+    // skipping pattern made explicit — a per-FILE min/max stats manifest
+    // consulted BEFORE the scan, so a selective range predicate opens
+    // only the files whose zone overlaps it. The table is written
+    // range-clustered on the key (16 files), the manifest is built once
+    // (here by a stats pass; in production it comes free from parquet
+    // footers / the table format's metadata layer), and the probe reads
+    // ONLY surviving files — `ZoneMapSpec` asserts the survivor set is a
+    // strict subset. The collect() is the file LIST (metadata-scale,
+    // like every table format's planning step), never data. The RESULT
+    // is layout-invariant, which is what the oracle checks.
+    Q("s18_zonemap_prune",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s18_zonemap", d)
+        Tables.lineitem(s, d)
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+          .write.mode("overwrite").parquet(s"$dir/lineitem_zm")
+        val survivors = zoneMapSurvivors(s, s"$dir/lineitem_zm",
+          lo = 1000L, hi = 3000L)
+        s.read.parquet(survivors: _*)
+          .filter(col("l_orderkey").between(1000L, 3000L))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     min(l_orderkey) AS min_key,
+                     max(l_orderkey) AS max_key
+              FROM lineitem
+              WHERE l_orderkey BETWEEN 1000 AND 3000
+              GROUP BY 1"""))
   )
+
+  /** Zone-map planning step shared by `s18_zonemap_prune` and
+    * `ZoneMapSpec`: build the per-file (min,max) manifest for
+    * `l_orderkey` and return the paths whose zone overlaps [lo, hi].
+    * The manifest aggregation is one pass grouped on
+    * `input_file_name()`; only the file LIST reaches the driver.
+    */
+  private[queries] def zoneMapSurvivors(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      lo: Long, hi: Long): Seq[String] = {
+    val manifest = s.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
+    val files = manifest
+      .filter(col("mx") >= lo && col("mn") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    // A predicate missing every zone still needs a readable (empty)
+    // frame — fall back to the full path so the scan yields 0 rows
+    // rather than an analysis error on an empty source list.
+    if (files.nonEmpty) files else Seq(path)
+  }
 
   /** Deterministic "next corpus snapshot" derived from v1 — shared by
     * `s14_snapshot_diff` and [[QText]]'s incremental-curation chain so

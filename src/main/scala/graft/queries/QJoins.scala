@@ -548,6 +548,72 @@ object QJoins extends Registry {
               FROM probes p LEFT JOIN iv i
                 ON p.o_custkey = i.custkey
                 AND i.valid_from <= p.asof
-                AND (i.valid_to IS NULL OR i.valid_to > p.asof)"""))
+                AND (i.valid_to IS NULL OR i.valid_to > p.asof)""")),
+
+    j23
   )
+
+  /** J23 (ext.) — KEYLESS interval-overlap join via a time-grid: both
+    * interval sets explode to the 30-day grid cells they cover, the
+    * join is a plain shuffle equi-join on the cell, and each
+    * overlapping pair is emitted EXACTLY ONCE by keeping only the cell
+    * containing the overlap's start (`greatest(s1,s2) div 30` — that
+    * cell is covered by BOTH sequences whenever the pair overlaps, so
+    * no post-join DISTINCT shuffle is needed). This is the shape a
+    * large×large interval join takes at 100 TB, where J17's
+    * broadcast-ranges trick no longer fits: cost is pairs-per-cell,
+    * not |L|×|R|, and the fan-out is bounded by interval length ÷ cell
+    * width (≤ 2 cells for these ≤ 30-day intervals). The `merge` hint
+    * pins the sort-merge path — the oracle is the plain theta join.
+    */
+  private def j23: Q =
+    Q("j23_interval_grid_join",
+      (s, d) => {
+        val cellDays = 30
+        // 28 quarterly 20-day "maintenance windows" over 1995–2001;
+        // all interval arithmetic is in INTEGER day indices from
+        // 1995-01-01 (engine-safe — no month stepping, no TZ).
+        val win = s.range(0, 28).select(
+            col("id").as("win_id"),
+            (col("id") * 90 + 9).cast("int").as("wsd"))
+          .withColumn("wed", col("wsd") + 20)
+          .withColumn("cell",
+            explode(expr(s"sequence(wsd div $cellDays, wed div $cellDays)")))
+        // delivery interval: [shipdate, shipdate + quantity days]
+        val li = Tables.lineitem(s, d).select(
+            col("l_quantity"), to_date(col("l_shipdate")).as("ship_d"))
+          .withColumn("sd", datediff(col("ship_d"), lit("1995-01-01")))
+          .withColumn("ed", col("sd") + col("l_quantity").cast("int"))
+          .withColumn("cell",
+            explode(expr(s"sequence(sd div $cellDays, ed div $cellDays)")))
+        li.hint("merge").join(win,
+            li("cell") === win("cell") &&
+              col("sd") <= col("wed") && col("ed") >= col("wsd") &&
+              li("cell") === expr(s"greatest(sd, wsd) div $cellDays"))
+          .groupBy(col("win_id"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).as("sum_qty"),
+            min(col("ship_d")).as("first_ship"),
+            max(expr("date_add(ship_d, CAST(l_quantity AS INT))"))
+              .as("last_end"))
+      },
+      Some("""WITH win AS (
+                SELECT i AS win_id,
+                       CAST(i * 90 + 9 AS INTEGER) AS wsd,
+                       CAST(i * 90 + 29 AS INTEGER) AS wed
+                FROM range(0, 28) t(i)),
+              li AS (
+                SELECT l_quantity,
+                       CAST(l_shipdate AS DATE) AS ship_d,
+                       datediff('day', DATE '1995-01-01',
+                                CAST(l_shipdate AS DATE)) AS sd
+                FROM lineitem)
+              SELECT win_id, count(*) AS n_items,
+                     sum(l_quantity) AS sum_qty,
+                     min(ship_d) AS first_ship,
+                     max(ship_d + CAST(l_quantity AS INTEGER)) AS last_end
+              FROM li JOIN win
+                ON sd <= wed
+                AND sd + CAST(l_quantity AS INTEGER) >= wsd
+              GROUP BY 1"""))
 }

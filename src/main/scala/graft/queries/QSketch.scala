@@ -305,6 +305,94 @@ object QSketch extends Registry {
               GROUP BY 1)
             SELECT rw, est_size, true_size, est_size - true_size AS overcount
             FROM est CROSS JOIN exact"""
+      }),
+
+    // Log-bucket quantile sketch (DDSketch-flavored): the mergeable
+    // quantile structure a 100 TB pipeline keeps where an exact
+    // quantile needs a global sort/rank. State = (bucket, count) with
+    // bucket = log2milli(value) div 125 — integer milli-bit log2, so
+    // the bucket RELATIVE-error contract (value known to within one
+    // 0.125-bit band, ≈ 9%) is engine-exact and the table merges by
+    // counter ADDITION (map-side combine IS the merge; same linearity
+    // as the CMS census). The probe walks the ≤ a-few-hundred-row
+    // cumulative table — metadata-scale, whatever the input size — and
+    // every estimate ships NEXT TO the exact rank value (a15's
+    // PrefixSum machinery), with the error measured in milli-bits:
+    // err_mb ∈ [0, 125) by construction (`SketchSpec`).
+    Q("sk_qsketch_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val cents = Tables.orders(s, d).select(
+          col("o_orderkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("c"))
+        val sketch = cents
+          .select(expr("log2milli(c) div 125").as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        // cumulative walk over the TINY bucket table (sketch-, not
+        // data-sized — a SinglePartition window here is the point)
+        val wc = org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tot = sketch.agg(sum(col("cnt")).as("n_rows"))
+        val qDf = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+          .toDF("q_label", "q_num", "q_den")
+        val target = expr("(q_num * n_rows + q_den - 1) div q_den")
+        val probe = sketch.withColumn("cum", sum(col("cnt")).over(wc))
+          .crossJoin(broadcast(tot)).crossJoin(broadcast(qDf))
+          .filter(col("cum") >= target && col("cum") - col("cnt") < target)
+          .select(col("q_label"), target.as("target_rank"), col("bucket"),
+            (col("bucket") * 125).as("lo_mb"),
+            (col("bucket") * 125 + 125).as("hi_mb"))
+        val ranked = graft.operators.PrefixSum.withRunningSumAndRank(
+          cents,
+          order = Seq(col("c").asc, col("o_orderkey").asc),
+          valueCol = lit(0L),
+          outCol = "cum0", rankCol = "rk",
+          persistInput = false,
+          grandTotals = Some(("z0", "n_rows")))
+        val exact = ranked.join(broadcast(qDf), col("rk") === target)
+          .select(col("q_label"), col("c").as("exact_cents"))
+        probe.join(exact, Seq("q_label"))
+          .withColumn("exact_mb", call_function("log2milli", col("exact_cents")))
+          .withColumn("err_mb", col("exact_mb") - col("lo_mb"))
+      },
+      Some {
+        val l2m = QText.l2mSql
+        s"""WITH cents AS (
+              SELECT o_orderkey,
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS c
+              FROM orders),
+            sk AS (
+              SELECT ${l2m("c")} // 125 AS bucket,
+                     CAST(count(*) AS BIGINT) AS cnt
+              FROM cents GROUP BY 1),
+            cum AS (
+              SELECT bucket, cnt,
+                     sum(cnt) OVER (ORDER BY bucket
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM sk),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM sk),
+            qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                     ('p99', 99, 100)) q(q_label, q_num, q_den)),
+            probe AS (
+              SELECT q_label,
+                     CAST((q_num * n_rows + q_den - 1) // q_den AS BIGINT)
+                       AS target_rank,
+                     bucket, bucket * 125 AS lo_mb,
+                     bucket * 125 + 125 AS hi_mb
+              FROM cum CROSS JOIN tot CROSS JOIN qs
+              WHERE cum >= (q_num * n_rows + q_den - 1) // q_den
+                AND cum - cnt < (q_num * n_rows + q_den - 1) // q_den),
+            ranked AS (
+              SELECT c, row_number() OVER (ORDER BY c, o_orderkey) AS rk
+              FROM cents)
+            SELECT p.q_label, p.target_rank, p.bucket, p.lo_mb, p.hi_mb,
+                   r.c AS exact_cents,
+                   ${l2m("r.c")} AS exact_mb,
+                   ${l2m("r.c")} - p.lo_mb AS err_mb
+            FROM probe p JOIN ranked r ON r.rk = p.target_rank"""
       })
   )
 

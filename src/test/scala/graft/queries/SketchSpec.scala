@@ -96,4 +96,49 @@ class SketchSpec extends SparkSpec {
         s"source ${r.getAs[String]("source")}: est $est vs true $truth")
     }
   }
+
+  test("quantile-sketch buckets merge by addition across any split") {
+    graft.GraftExtensions.ensure(spark)
+    val cents = Tables.orders(spark, sf).select(
+      (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").as("c"),
+      col("o_orderkey"))
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(expr("log2milli(c) div 125").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val whole = sketch(cents)
+    val merged = sketch(cents.filter(col("o_orderkey") % 2 === 0))
+      .unionByName(sketch(cents.filter(col("o_orderkey") % 2 === 1)))
+      .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt"))
+    assert(whole.exceptAll(merged).isEmpty && merged.exceptAll(whole).isEmpty)
+  }
+
+  test("quantile-sketch error is within one bucket band in milli-bits") {
+    val rows = SparkEntry.queries("sk_qsketch_quantiles")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val err = r.getAs[Long]("err_mb")
+      assert(err >= 0 && err < 125,
+        s"${r.getAs[String]("q_label")}: err_mb $err outside [0,125)")
+    }
+  }
+
+  test("interval grid join emits each overlapping pair exactly once") {
+    // the grid+first-cell construction must equal the plain theta join
+    // pairwise — not just after aggregation (the oracle's view)
+    val grid = SparkEntry.queries("j23_interval_grid_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cents = Tables.lineitem(spark, sf).select(
+        col("l_quantity"), to_date(col("l_shipdate")).as("ship_d"))
+      .withColumn("sd", datediff(col("ship_d"), lit("1995-01-01")))
+      .withColumn("ed", col("sd") + col("l_quantity").cast("int"))
+    val win = spark.range(0, 28).select(
+        col("id").as("win_id"), (col("id") * 90 + 9).cast("int").as("wsd"))
+      .withColumn("wed", col("wsd") + 20)
+    val theta = cents.crossJoin(win)
+      .filter(col("sd") <= col("wed") && col("ed") >= col("wsd"))
+      .groupBy(col("win_id")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(grid == theta, "grid pair counts diverge from the theta join")
+  }
 }
