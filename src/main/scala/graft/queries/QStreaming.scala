@@ -318,6 +318,88 @@ object QStreaming extends Registry {
           .groupBy(col("rw"), col("col"))
           .agg(sum(col("counter")).as("counter"))
       },
-      Some(QSketch.cmsCountersOracle))
+      Some(QSketch.cmsCountersOracle)),
+
+    // Streaming CDC → SCD2 apply: the order change-log arrives as THREE
+    // chronological micro-batches (one file per trigger, mtime-ordered)
+    // and each batch is MERGED into the persisted validity history via
+    // `operators.Scd2.merge` in foreachBatch — the streaming face of the
+    // s16 incremental upsert, with state ping-ponged between two parquet
+    // dirs (write-then-swap; never overwrite the dir being read). The
+    // final history must equal the batch FULL REBUILD over all orders —
+    // that is the oracle — because merge is prefix-stable (`Scd2Spec`);
+    // chunking by disjoint date ranges guarantees each batch holds only
+    // events later than everything already applied, which is merge's
+    // contract. Scale shape: per micro-batch work is sized by the CHANGE
+    // BATCH (untouched keys anti-join through), exactly like the batch
+    // path; at cluster scale the ping-pong dirs become table versions
+    // (the MERGE INTO pattern of a lakehouse table format).
+    Q("stream_scd2_apply",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_scd2", d)
+        val src = s"$root/changes"
+        graft.Scratch.clear(src)
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+        val ev = graft.Tables.orders(s, d).select(
+          col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"),
+          col("o_orderdate").as("vf"),
+          col("o_orderkey").as("tb"))
+        val cuts = Seq(
+          ("1990-01-01", "1997-01-01"),
+          ("1997-01-01", "1999-01-01"),
+          ("1999-01-01", "2999-01-01"))
+        cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+          val tmp = s"$root/tmp_$i"
+          ev.filter(col("vf") >= lo && col("vf") < hi)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(src, s"chunk_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          // strictly increasing mtimes pin the file-source batch order
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val schema = s.read.parquet(src).schema
+        val stateA = s"$root/stateA"
+        val stateB = s"$root/stateB"
+        @volatile var cur: Option[String] = None
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val merged = cur match {
+              case None => graft.operators.Scd2.build(
+                batch, "custkey", "status", "vf", "tb")
+              case Some(dir) => graft.operators.Scd2.merge(
+                s.read.parquet(dir), batch, "custkey", "status", "vf", "tb")
+            }
+            val next = if (cur.contains(stateA)) stateB else stateA
+            merged.write.mode("overwrite").parquet(next)
+            cur = Some(next)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(cur.get).select(col("custkey"), col("status"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+      },
+      Some("""WITH ev AS (
+                SELECT o_custkey AS custkey, o_orderstatus AS status,
+                       o_orderdate AS vf, o_orderkey AS tb,
+                       lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS prev
+                FROM orders),
+              ch AS (SELECT custkey, status, vf, tb FROM ev
+                     WHERE prev IS NULL OR status <> prev),
+              iv AS (SELECT custkey, status, vf AS valid_from,
+                            lead(vf) OVER (PARTITION BY custkey
+                              ORDER BY vf, tb) AS valid_to
+                     FROM ch)
+              SELECT custkey, status, valid_from, valid_to,
+                     CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
+                       AS is_current
+              FROM iv"""))
   )
 }

@@ -441,6 +441,66 @@ object QWindows extends Registry {
                      count(*) FILTER (WHERE regexp_matches(seq, 'v.*c.*p'))
                        AS n_full_funnel
               FROM seqs"""))
+  ,
+
+    // W18 (ext.) — rolling OLS slope ("trailing beta"): the regression
+    // coefficient of price-cents on the day index over the trailing 10
+    // rows per supplier — the rolling-estimate shape every factor
+    // pipeline computes (the reference does its regressions in pandas
+    // post-export; here it is ONE window pass). All five sufficient
+    // statistics (n, Σx, Σy, Σxy, Σx²) are INTEGER window sums over the
+    // same (supplier, order) frame — one shuffle, one sort, five
+    // codegen'd running sums — and the slope ships in exact milli-units
+    // via truncating integer division (both engines share it), so the
+    // hash compare is bit-exact with no IEEE accumulation-order risk.
+    // Windows shorter than 2 distinct x values yield NULL (den = 0).
+    Q("w18_rolling_beta",
+      (s, d) => {
+        val win = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("ship_d"), col("l_orderkey"), col("l_linenumber"))
+          .rowsBetween(-9, 0)
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            to_date(col("l_shipdate")).as("ship_d"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").as("y"))
+          .withColumn("x",
+            datediff(col("ship_d"), lit("1995-01-01")).cast("bigint"))
+          .withColumn("n", count(lit(1)).over(win))
+          .withColumn("sx", sum(col("x")).over(win))
+          .withColumn("sy", sum(col("y")).over(win))
+          .withColumn("sxy", sum(col("x") * col("y")).over(win))
+          .withColumn("sxx", sum(col("x") * col("x")).over(win))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            when(col("den") =!= 0L,
+              expr("((n * sxy - sx * sy) * 1000) div den"))
+              .as("slope_milli"))
+      },
+      Some("""WITH base AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       CAST(l_shipdate AS DATE) AS ship_d,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS y,
+                       CAST(datediff('day', DATE '1995-01-01',
+                         CAST(l_shipdate AS DATE)) AS BIGINT) AS x
+                FROM lineitem),
+              stats AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       count(*) OVER w AS n,
+                       sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                       sum(x * y) OVER w AS sxy,
+                       sum(x * x) OVER w AS sxx
+                FROM base
+                WINDOW w AS (PARTITION BY l_suppkey
+                             ORDER BY ship_d, l_orderkey, l_linenumber
+                             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     CASE WHEN n * sxx - sx * sx <> 0
+                          THEN ((n * sxy - sx * sy) * 1000)
+                               // (n * sxx - sx * sx)
+                          END AS slope_milli
+              FROM stats"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
