@@ -1344,6 +1344,120 @@ object QText extends Registry {
                           THEN 'rejected_neardup'
                         ELSE 'admitted' END AS decision
             FROM scoredq sq"""
+      }),
+
+    // RAG passage retrieval — the chunk-then-retrieve composition a
+    // retrieval-augmented pipeline serves: the corpus is split into the
+    // SAME 128-token / stride-96 passages as tx_chunk_windows, each
+    // passage is BM25-scored (identical integer milli-unit formula and
+    // k1/b rationals as tx_bm25_topk — the idf/avgdl statistics are
+    // passage-level) against the query set, and the top-3 passages per
+    // query ship with their (doc, chunk) address. Scale shape inherits
+    // both parents': chunk fan-out happens inside the scan partition
+    // (no shuffle), passage tokens are filtered against the broadcast
+    // query-term set BEFORE the tf aggregation — so the whole retrieval
+    // moves query-hit passage rows only, and the top-k is a per-query
+    // window over the scored slice.
+    Q("tx_rag_retrieve",
+      (s, d) => {
+        val queries = s.createDataFrame(Seq(
+          (1L, "spark window join"),
+          (2L, "hash table scan"),
+          (3L, "stream batch customer"))).toDF("query_id", "qtext")
+        val qterms = queries.select(col("query_id"),
+          explode(split(col("qtext"), " ")).as("tok"))
+        val chunks = Tables.documents(s, d)
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+          .select(col("doc_id"), col("t"),
+            explode(sequence(lit(0), size(col("t")) - 1, lit(96)))
+              .as("start"))
+          .select(col("doc_id"),
+            expr("cast(start div 96 as bigint)").as("chunk_id"),
+            slice(col("t"), col("start") + 1, lit(128)).as("ct"))
+        val toks = chunks.select(col("doc_id"), col("chunk_id"),
+          size(col("ct")).cast("long").as("dl"),
+          explode(col("ct")).as("tok"))
+        val th = graft.Caches.registerTransient(toks
+          .join(broadcast(qterms.select(col("tok")).distinct()), Seq("tok"))
+          .groupBy(col("doc_id"), col("chunk_id"), col("tok"))
+          .agg(max(col("dl")).as("dl"), count(lit(1)).as("tf"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val dfreq = th.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        val stats = chunks
+          .select(size(col("ct")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_len"))
+          .select(col("n_docs"),
+            expr("(1000 * tot_len) div n_docs").as("avgdl_milli"))
+        val scored = th
+          .join(broadcast(dfreq), Seq("tok"))
+          .join(broadcast(qterms), Seq("tok"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf_milli",
+            call_function("log2milli", lit(2L) * col("n_docs") + lit(2L)) -
+              call_function("log2milli", lit(2L) * col("df") + lit(1L)))
+          .withColumn("score_term", expr(
+            """(idf_milli * tf * 22 * avgdl_milli)
+               div (10 * tf * avgdl_milli + 3 * avgdl_milli + 9000 * dl)"""))
+          .groupBy(col("query_id"), col("doc_id"), col("chunk_id"))
+          .agg(sum(col("score_term")).as("score_milli"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col("score_milli").desc, col("doc_id").asc,
+            col("chunk_id").asc)
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select(col("query_id"), col("rank"), col("doc_id"),
+            col("chunk_id"), col("score_milli"))
+      },
+      Some {
+        val l2m = l2mSql
+        s"""WITH q(query_id, qtext) AS (VALUES
+                (CAST(1 AS BIGINT), 'spark window join'),
+                (CAST(2 AS BIGINT), 'hash table scan'),
+                (CAST(3 AS BIGINT), 'stream batch customer')),
+            qt AS (SELECT query_id, unnest(string_split(qtext, ' ')) AS tok
+                   FROM q),
+            t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+            ch AS (SELECT doc_id,
+                     unnest(generate_series(0, len(toks) - 1, 96)) AS start,
+                     toks
+                   FROM t),
+            chunks AS (SELECT doc_id, start // 96 AS chunk_id,
+                         list_slice(toks, start + 1, start + 128) AS ct
+                       FROM ch),
+            toks2 AS (SELECT doc_id, chunk_id,
+                        CAST(len(ct) AS BIGINT) AS dl, unnest(ct) AS tok
+                      FROM chunks),
+            th AS (SELECT doc_id, chunk_id, tok, max(dl) AS dl,
+                     count(*) AS tf
+                   FROM toks2
+                   WHERE tok IN (SELECT DISTINCT tok FROM qt)
+                   GROUP BY 1, 2, 3),
+            dfreq AS (SELECT tok, count(*) AS df FROM th GROUP BY 1),
+            st AS (SELECT count(*) AS n_docs,
+                     (1000 * sum(CAST(len(ct) AS BIGINT))) // count(*)
+                       AS avgdl_milli
+                   FROM chunks),
+            scored AS (
+              SELECT qt.query_id, th.doc_id, th.chunk_id,
+                CAST(sum(
+                  ((${l2m("(2 * st.n_docs + 2)")} - ${l2m("(2 * dfreq.df + 1)")})
+                    * th.tf * 22 * st.avgdl_milli)
+                  // (10 * th.tf * st.avgdl_milli + 3 * st.avgdl_milli
+                      + 9000 * th.dl)) AS BIGINT) AS score_milli
+              FROM th
+              JOIN dfreq USING (tok)
+              JOIN qt USING (tok)
+              CROSS JOIN st
+              GROUP BY 1, 2, 3),
+            ranked AS (
+              SELECT query_id, doc_id, chunk_id, score_milli,
+                     row_number() OVER (PARTITION BY query_id
+                       ORDER BY score_milli DESC, doc_id ASC, chunk_id ASC)
+                       AS rank
+              FROM scored)
+            SELECT query_id, rank, doc_id, chunk_id, score_milli
+            FROM ranked WHERE rank <= 3"""
       })
   )
 
