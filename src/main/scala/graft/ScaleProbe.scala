@@ -40,7 +40,11 @@ object ScaleProbe {
     // merge, iterative PageRank, the PrefixSum global quantiles, and the
     // one-pass funnel
     "tx_incremental_curation", "s16_scd2_merge", "dd_pagerank",
-    "a15_exact_quantiles", "w17_event_funnel")
+    "a15_exact_quantiles", "w17_event_funnel",
+    // round 7b: the keyless grid interval join, the shared-frame rolling
+    // OLS, passage-level retrieval, and the mergeable quantile sketch
+    "j23_interval_grid_join", "w18_rolling_beta", "tx_rag_retrieve",
+    "sk_qsketch_quantiles")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

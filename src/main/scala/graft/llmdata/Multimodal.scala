@@ -128,7 +128,11 @@ object Multimodal {
     * input — corrupt routing belongs to the caller's quarantine tier,
     * not silent nulls.
     */
-  private[llmdata] def ppmParse(id: Long, b: Array[Byte]): PpmDecoded = {
+  /** Header scan shared by decode and resize: magic check, whitespace/
+    * comment-aware ints, returns (width, height, raster offset) with the
+    * raster length validated.
+    */
+  private def ppmHeader(id: Long, b: Array[Byte]): (Int, Int, Int) = {
     require(b.length >= 2 && b(0) == 'P' && b(1) == '6', s"doc $id: not a P6 PPM")
     var pos = 2
     def nextInt(): Int = {
@@ -151,8 +155,13 @@ object Multimodal {
     val w = nextInt(); val h = nextInt(); val maxv = nextInt()
     require(maxv == 255, s"doc $id: unsupported maxval $maxv")
     pos += 1 // exactly one whitespace byte separates maxval from raster
+    require(b.length >= pos + 3 * w * h, s"doc $id: truncated raster")
+    (w, h, pos)
+  }
+
+  private[llmdata] def ppmParse(id: Long, b: Array[Byte]): PpmDecoded = {
+    val (w, h, pos) = ppmHeader(id, b)
     val n = w * h
-    require(b.length >= pos + 3 * n, s"doc $id: truncated raster")
     var sr = 0L; var sg = 0L; var sb = 0L
     var k = 0
     while (k < n) {
@@ -162,6 +171,41 @@ object Multimodal {
       k += 1
     }
     PpmDecoded(id, w, h, n, sr / n, sg / n, sb / n)
+  }
+
+  final case class PpmResized(
+      doc_id: Long,
+      out_w: Int,
+      out_h: Int,
+      n_pixels: Long,
+      mean_r: Long,
+      mean_g: Long,
+      mean_b: Long)
+
+  /** Nearest-neighbor 2× downsample fused with the decode — the
+    * feature-extraction resize step of an image-curation pipeline, kept
+    * partition-local like every payload op. Output pixel (x, y) samples
+    * source pixel (2x, 2y); odd dimensions round UP ((w+1)/2) so edge
+    * pixels survive.
+    */
+  private[llmdata] def ppmResize(id: Long, b: Array[Byte]): PpmResized = {
+    val (w, h, pos) = ppmHeader(id, b)
+    val rw = (w + 1) / 2; val rh = (h + 1) / 2
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < rh) {
+      var x = 0
+      while (x < rw) {
+        val k = (2 * y) * w + (2 * x)
+        sr += b(pos + 3 * k) & 0xFF
+        sg += b(pos + 3 * k + 1) & 0xFF
+        sb += b(pos + 3 * k + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val n = rw.toLong * rh
+    PpmResized(id, rw, rh, n, sr / n, sg / n, sb / n)
   }
 
   /** Decode a binary column of P6 PPM payloads — partition-local, the
@@ -174,6 +218,20 @@ object Multimodal {
         col(binCol).cast("binary").as("payload"))
       .as[Blob]
       .mapPartitions(_.map(b => ppmParse(b.doc_id, b.payload)))
+      .toDF()
+  }
+
+  /** Decode + nearest-neighbor 2× downsample in ONE partition-local
+    * pass — the payload never shuffles, and no intermediate full-size
+    * raster is materialized as a row.
+    */
+  def resizePpm(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b => ppmResize(b.doc_id, b.payload)))
       .toDF()
   }
 

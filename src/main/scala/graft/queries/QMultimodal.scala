@@ -165,6 +165,43 @@ object QMultimodal extends Registry {
                      CAST(n AS BIGINT) AS n_samples,
                      CAST(sum(s + 32768) // n AS BIGINT) AS mean_offset,
                      CAST(max(abs(s)) AS BIGINT) AS peak_abs
-              FROM v GROUP BY doc_id, n"""))
+              FROM v GROUP BY doc_id, n""")),
+
+    // Decode + resize FUSED in one partition-local pass: nearest-
+    // neighbor 2× downsample (output (x,y) samples source (2x,2y); odd
+    // dims round up) with per-channel means over the RESIZED raster.
+    // The oracle re-derives exactly the sampled bytes from the closed
+    // form — an off-by-one in the stride/edge handling cannot hash-pass.
+    Q("mm_ppm_resize",
+      (s, d) => Multimodal.resizePpm(
+        Multimodal.synthesizePayloads(
+          Tables.documents(s, d), "doc_id", Multimodal.ppmPayload).toDF(),
+        "doc_id", "payload"),
+      Some("""WITH d AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+                           3 + doc_id % 4 AS h
+                         FROM documents),
+                r AS (SELECT doc_id, w, h, (w + 1) // 2 AS rw,
+                             (h + 1) // 2 AS rh
+                      FROM d),
+                e AS (SELECT doc_id, w, rw, rh,
+                        unnest(range(0, rw * rh * 3)) AS j
+                      FROM r),
+                v AS (SELECT doc_id, rw, rh,
+                        (doc_id * 31
+                          + (3 * ((2 * ((j // 3) // rw)) * w
+                                  + 2 * ((j // 3) % rw)) + j % 3) * 7)
+                          % 256 AS bv,
+                        j % 3 AS c
+                      FROM e)
+              SELECT doc_id, CAST(rw AS INT) AS out_w,
+                     CAST(rh AS INT) AS out_h,
+                     CAST(rw * rh AS BIGINT) AS n_pixels,
+                     CAST(sum(CASE WHEN c = 0 THEN bv ELSE 0 END)
+                       // (rw * rh) AS BIGINT) AS mean_r,
+                     CAST(sum(CASE WHEN c = 1 THEN bv ELSE 0 END)
+                       // (rw * rh) AS BIGINT) AS mean_g,
+                     CAST(sum(CASE WHEN c = 2 THEN bv ELSE 0 END)
+                       // (rw * rh) AS BIGINT) AS mean_b
+              FROM v GROUP BY doc_id, rw, rh"""))
   )
 }

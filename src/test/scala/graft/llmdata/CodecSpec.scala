@@ -27,6 +27,20 @@ class CodecSpec extends AnyFunSuite {
     assert((d.mean_r, d.mean_g, d.mean_b) == ((20L, 30L, 40L)))
   }
 
+  test("ppm: resize samples exactly the even-coordinate pixels") {
+    // 3x3 image with pixel k carrying value (k, k+100, k+200 mod 256):
+    // NN 2x downsample keeps (0,0),(2,0),(0,2),(2,2) → k ∈ {0,2,6,8}
+    val px = (0 until 9).flatMap(k =>
+      Seq(k.toByte, (k + 100).toByte, ((k + 200) % 256).toByte)).toArray
+    val bytes = "P6\n3 3\n255\n".getBytes("US-ASCII") ++ px
+    val r = Multimodal.ppmResize(5L, bytes)
+    assert(r.out_w == 2 && r.out_h == 2 && r.n_pixels == 4)
+    val kept = Seq(0, 2, 6, 8)
+    assert(r.mean_r == kept.map(_.toLong).sum / 4)
+    assert(r.mean_g == kept.map(k => (k + 100).toLong).sum / 4)
+    assert(r.mean_b == kept.map(k => (k + 200).toLong % 256).sum / 4)
+  }
+
   test("ppm: rejects wrong magic and truncated raster") {
     intercept[IllegalArgumentException] {
       Multimodal.ppmParse(1L, "P5\n2 1\n255\nxx".getBytes("US-ASCII"))
