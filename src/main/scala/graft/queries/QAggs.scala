@@ -400,6 +400,58 @@ object QAggs extends Registry {
               FROM ranked JOIN qs
                 ON rk = (q_num * n_rows + q_den - 1) // q_den""")),
 
+    // A17 (ext.) — exact per-GROUP quantiles: the grouped complement of
+    // a15 (whose PrefixSum machinery exists to avoid a single-partition
+    // global sort). Within a group no such problem exists — the
+    // in-group row_number IS the distributed per-group sort, groups
+    // scale out across reducers, and one window pass serves every
+    // quantile via the broadcast (q × group) probe. Values in exact
+    // cents; ties take the lowest (value, orderkey, linenumber) — any
+    // tie order puts the same VALUE at a given rank.
+    Q("a17_grouped_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val g = Seq(col("l_returnflag"), col("l_linestatus"))
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"), col("l_linestatus"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        val wOrd = org.apache.spark.sql.expressions.Window
+          .partitionBy(g: _*)
+          .orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(g: _*)
+        val qDf = Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L))
+          .toDF("q_label", "q_num", "q_den")
+        val target = expr("(q_num * n + q_den - 1) div q_den")
+        base.withColumn("rk", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .crossJoin(broadcast(qDf))
+          .filter(col("rk") === target)
+          .select(col("l_returnflag"), col("l_linestatus"), col("q_label"),
+            target.as("target_rank"), col("v").as("value_cents"))
+      },
+      Some("""WITH base AS (
+                SELECT l_returnflag, l_linestatus,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY l_returnflag,
+                           l_linestatus
+                         ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * 100 AS BIGINT), l_orderkey, l_linenumber) AS rk,
+                       count(*) OVER (PARTITION BY l_returnflag,
+                         l_linestatus) AS n
+                FROM lineitem),
+              qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                       ('p99', 99, 100)) q(q_label, q_num, q_den))
+              SELECT l_returnflag, l_linestatus, q_label,
+                     CAST((q_num * n + q_den - 1) // q_den AS BIGINT)
+                       AS target_rank,
+                     v AS value_cents
+              FROM base JOIN qs
+                ON rk = (q_num * n + q_den - 1) // q_den""")),
+
     // A16 (ext.) — ROLLUP aggregation: the (flag, status) / (flag) /
     // grand-total report in ONE pass. Spark plans grouping sets as a
     // single Expand + hash-agg — no per-level re-scan; NULL is the

@@ -77,6 +77,25 @@ object QSetSortPivot extends Registry {
               SELECT l_suppkey, rk, l_orderkey, l_extendedprice
               FROM r WHERE rk <= 3""")),
 
+    // O5 (ext.) — GLOBAL top-k without a global sort: orderBy+limit
+    // compiles to TakeOrderedAndProject — per-partition bounded heaps
+    // merged at the driver, O(n) scan instead of a full Exchange
+    // rangepartitioning + sort. `TopKPlanSpec` pins the physical
+    // operator so a regression to the global-sort plan cannot land
+    // silently. (Ties break on the full key so the row SET is
+    // deterministic, not just the values.)
+    Q("o5_global_topk",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+        .limit(20),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice, l_suppkey
+              FROM lineitem
+              ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+              LIMIT 20""")),
+
     // O4 — top-5 categories by total + "Other" bucket
     // (stage1/helper_functions.py:5149-5491): exact decimal totals rank
     // the categories; everything else folds into 'Other'.
