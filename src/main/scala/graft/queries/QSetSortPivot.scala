@@ -96,6 +96,45 @@ object QSetSortPivot extends Registry {
               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
               LIMIT 20""")),
 
+    // O6 (ext.) — top-k per group as a typed AGGREGATOR (bounded-heap
+    // buffer, see operators.TopKAgg): unlike o3's window formulation
+    // (which sorts every row of a group), the aggregation buffer keeps
+    // k-bounded state and MERGES — partial aggregation combines
+    // map-side, so the shuffle carries ≤ k rows per (task, group)
+    // whatever the group's size. Same answer as the window form by
+    // construction (strict total order); the oracle is o3's SQL over
+    // exact cents, and `TopKPlanSpec` pins both the ObjectHashAggregate
+    // physical operator and the window-equality.
+    Q("o6_topk_aggregate",
+      (s, d) => {
+        val topk = udaf(new graft.operators.TopKByValue(3),
+          org.apache.spark.sql.Encoders.product[graft.operators.TopKIn])
+        Tables.lineitem(s, d)
+          .select(col("l_suppkey"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").as("v"),
+            col("l_orderkey"), col("l_linenumber"))
+          .groupBy(col("l_suppkey"))
+          .agg(topk(col("v"), col("l_orderkey"),
+            col("l_linenumber").cast("int")).as("tk"))
+          .select(col("l_suppkey"), posexplode(col("tk.items")))
+          .select(col("l_suppkey"), (col("pos") + 1).as("rk"),
+            col("col.ok").as("l_orderkey"),
+            col("col.v").as("price_cents"))
+      },
+      Some("""WITH r AS (
+                SELECT l_suppkey, l_orderkey,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS v,
+                       row_number() OVER (PARTITION BY l_suppkey
+                         ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                             * 100 AS BIGINT) DESC,
+                           l_orderkey, l_linenumber) AS rk
+                FROM lineitem)
+              SELECT l_suppkey, CAST(rk AS INT) AS rk, l_orderkey,
+                     v AS price_cents
+              FROM r WHERE rk <= 3""")),
+
     // O4 — top-5 categories by total + "Other" bucket
     // (stage1/helper_functions.py:5149-5491): exact decimal totals rank
     // the categories; everything else folds into 'Other'.
