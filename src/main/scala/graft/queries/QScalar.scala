@@ -234,6 +234,52 @@ object QScalar extends Registry {
                           WHEN trc_st_raw IN ('H','N') THEN 'C'
                           WHEN trc_st_raw IN ('I','O') THEN 'W'
                           ELSE trc_st_raw END AS trc_st
-              FROM base"""))
+              FROM base""")),
+
+    // X6 (ext.) — the SQL FRONT DOOR: the same engine driven through
+    // `spark.sql` over registered temp views, with a library-native
+    // function (`log2milli`, registered by GraftExtensions) called BY
+    // NAME inside the SQL text — proving a user who writes SQL (not
+    // DataFrames) gets the full surface: views, joins, aggregation,
+    // window ranking and the custom Catalyst expressions, in one
+    // statement planned by the same Catalyst pipeline as everything
+    // else. (Every other query here is DataFrame-API; this row pins the
+    // second entry point.)
+    Q("x6_sql_surface",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        Tables.orders(s, d).createOrReplaceTempView("orders_v")
+        Tables.customer(s, d).createOrReplaceTempView("customer_v")
+        s.sql("""
+          WITH per_cust AS (
+            SELECT o_custkey, count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                     AS BIGINT) AS cents
+            FROM orders_v GROUP BY o_custkey),
+          ranked AS (
+            SELECT c.c_mktsegment, p.o_custkey, p.n_orders, p.cents,
+                   row_number() OVER (PARTITION BY c.c_mktsegment
+                     ORDER BY p.cents DESC, p.o_custkey) AS rk
+            FROM per_cust p JOIN customer_v c ON p.o_custkey = c.c_custkey)
+          SELECT c_mktsegment, rk, o_custkey, n_orders, cents,
+                 log2milli(cents) AS cents_log2milli
+          FROM ranked WHERE rk <= 5""")
+      },
+      Some {
+        val l2m = graft.queries.QText.l2mSql
+        s"""WITH per_cust AS (
+              SELECT o_custkey, count(*) AS n_orders,
+                     CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                       AS BIGINT) AS cents
+              FROM orders GROUP BY o_custkey),
+            ranked AS (
+              SELECT c.c_mktsegment, p.o_custkey, p.n_orders, p.cents,
+                     row_number() OVER (PARTITION BY c.c_mktsegment
+                       ORDER BY p.cents DESC, p.o_custkey) AS rk
+              FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey)
+            SELECT c_mktsegment, rk, o_custkey, n_orders, cents,
+                   ${l2m("cents")} AS cents_log2milli
+            FROM ranked WHERE rk <= 5"""
+      })
   )
 }
