@@ -187,8 +187,24 @@ object ScaleProbe {
       (df, k) => df.withColumn("text",
         concat(col("text"), lit(s" probecopy$k"))))
     replicate("embeddings", Seq("vec_id"))
-    for (t <- Seq("region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem")) {
+    // fact tables replicate too (key-offset, same per-entity density) —
+    // a symlinked lineitem/orders would leave the fact-side probes
+    // (a15/s16/j23/w18/sk_qsketch) measuring CONSTANT input at x5,
+    // reporting noise as a slope. Offsetting the entity keys
+    // (supplier / customer) scales the group count the way production
+    // growth does; the probed fact queries join no dimension tables,
+    // so the unscaled dims stay consistent.
+    // clear symlinks a pre-fix scratch dir may hold for these two —
+    // overwriting THROUGH a symlink would race deletion semantics with
+    // the (read-only) source dir
+    for (t <- Seq("orders", "lineitem")) {
+      val p = java.nio.file.Paths.get(s"$work/$t.parquet")
+      if (java.nio.file.Files.isSymbolicLink(p))
+        java.nio.file.Files.delete(p)
+    }
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_suppkey"))
+    for (t <- Seq("region", "nation", "customer", "supplier", "part")) {
       val link = java.nio.file.Paths.get(s"$work/$t.parquet")
       if (!java.nio.file.Files.exists(link))
         java.nio.file.Files.createSymbolicLink(link,

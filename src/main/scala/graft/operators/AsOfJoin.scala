@@ -162,4 +162,36 @@ object AsOfJoin {
         case (r, p) => r.payload.map(c => col(s"$p.$c").as(c))
       }: _*)
   }
+
+  /** [[backward]] with pandas merge_asof's `tolerance`: a match older
+    * than `toleranceMicros` (left timestamp − matched right timestamp,
+    * exact microseconds) is DISCARDED — the payload comes back null, as
+    * if no event had ever been seen. Implemented by riding the matched
+    * right timestamp inside the payload struct (one extra struct field,
+    * same single shuffle+sort as [[backward]]) and null-gating each
+    * payload column behind the staleness predicate afterwards — a
+    * codegen'd per-row comparison, no extra exchange. Both `leftOn` and
+    * `rightOn` must be timestamps.
+    */
+  def backwardTolerance(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      payload: Seq[String],
+      toleranceMicros: Long,
+      rightTieBreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    require(toleranceMicros >= 0, "tolerance must be non-negative")
+    val mt = "__asof_match_ts"
+    val r2 = right.withColumn(mt, col(rightOn))
+    val joined = backward(left, r2, by, leftOn, rightOn, payload :+ mt,
+      rightTieBreak, strict)
+    val fresh = col(mt).isNotNull &&
+      (unix_micros(col(leftOn)) - unix_micros(col(mt))) <= toleranceMicros
+    payload.foldLeft(joined) { (df, p) =>
+      df.withColumn(p, when(fresh, col(p)))
+    }.drop(mt)
+  }
 }

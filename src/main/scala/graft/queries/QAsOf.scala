@@ -82,6 +82,36 @@ object QAsOf extends Registry {
               SELECT e.event_id AS ord, e.user_id AS id,
                      CAST(re.rating AS DOUBLE) AS rating
               FROM events e ASOF LEFT JOIN re
-                ON e.user_id = re.id AND e.ts > re.r_ts"""))
+                ON e.user_id = re.id AND e.ts > re.r_ts""")),
+
+    // J24 — backward as-of with TOLERANCE (merge_asof's tolerance=
+    // Timedelta): a rating older than 2 days at match time is discarded
+    // (null), as if never seen — the staleness bound every market-data
+    // enrichment carries. Same single shuffle+sort as j11; the gate is
+    // one codegen'd microsecond comparison on the matched timestamp
+    // riding in the payload struct (AsOfJoin.backwardTolerance).
+    Q("j24_asof_tolerance",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id").as("ord"), col("user_id").as("id"),
+            col("ts"))
+        AsOfJoin.backwardTolerance(
+            left,
+            ratingEvents(s, d),
+            by = Seq("id"),
+            leftOn = "ts", rightOn = "r_ts",
+            payload = Seq("rating"),
+            toleranceMicros = 172800000000L, // 2 days
+            rightTieBreak = Seq("r_ord"))
+          .select(col("ord"), col("id"),
+            col("rating").cast("double").as("rating"))
+      },
+      Some(s"""WITH re AS ($ratingSql)
+              SELECT e.event_id AS ord, e.user_id AS id,
+                     CASE WHEN epoch_us(e.ts) - epoch_us(re.r_ts)
+                            <= 172800000000
+                          THEN CAST(re.rating AS DOUBLE) END AS rating
+              FROM events e ASOF LEFT JOIN re
+                ON e.user_id = re.id AND e.ts >= re.r_ts"""))
   )
 }

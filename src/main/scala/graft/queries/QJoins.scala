@@ -550,7 +550,41 @@ object QJoins extends Registry {
                 AND i.valid_from <= p.asof
                 AND (i.valid_to IS NULL OR i.valid_to > p.asof)""")),
 
-    j23
+    j23,
+
+    // J25 (ext.) — multi-hop STAR join (the TPC-H Q5 shape): fact ⋈
+    // supplier ⋈ nation ⋈ region with a region filter, revenue per
+    // nation. The scale story is dimension-side broadcast all the way
+    // up the snowflake: region/nation/supplier chain-reduce to ONE
+    // small broadcast relation, the fact table never shuffles for the
+    // joins — only the final per-nation aggregate exchanges (group
+    // cardinality rows). Catalyst's join reorder + size estimation
+    // pick this automatically; the per-dim predicate (r_name) prunes
+    // BEFORE the fact join touches anything.
+    Q("j25_star_multihop",
+      (s, d) => {
+        val dims = Tables.supplier(s, d)
+          .join(Tables.nation(s, d),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(Tables.region(s, d).filter(col("r_name") < "C"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey"), col("n_name"))
+        Tables.lineitem(s, d)
+          .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_items"),
+            Tables.dsum4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("revenue"))
+      },
+      Some("""SELECT n_name, count(*) AS n_items,
+                     CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name < 'C'
+              GROUP BY 1"""))
   )
 
   /** J23 (ext.) — KEYLESS interval-overlap join via a time-grid: both

@@ -58,4 +58,37 @@ class AsOfJoinPropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("tolerance gate nulls exactly the matches older than the bound") {
+    import spark.implicits._
+    for (round <- 0 until 3) {
+      val lefts = samples(rowGen, 80).distinct
+      val rights = samples(rowGen, 60).map { case (k, t, v) => (k, t, v + round) }
+        .distinct
+      val tol = 5L // micros, on the timestamp_micros(t) axis
+      val l = lefts.toDF("k", "lt0", "lv")
+        .withColumn("lt", timestamp_micros(col("lt0")))
+      val r = rights.toDF("k", "rt0", "rv")
+        .withColumn("rt", timestamp_micros(col("rt0")))
+      val got = AsOfJoin.backwardTolerance(l, r, by = Seq("k"),
+          leftOn = "lt", rightOn = "rt", payload = Seq("rv"),
+          toleranceMicros = tol, rightTieBreak = Seq("rv"))
+        .select(col("k"), col("lt0"), col("lv"), col("rv"))
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          if (x.isNullAt(3)) None else Some(x.getLong(3))))
+        .toSet
+      // reference: the backward pick, then the staleness gate on ITS
+      // timestamp — a stale match must NOT fall through to an older
+      // (even staler) event
+      val want = lefts.map { case (k, lt, lv) =>
+        val matches = rights.filter { case (rk, rt, _) => rk == k && rt <= lt }
+        val pick = matches.sortBy(x => (x._2, x._3)).lastOption
+          .filter { case (_, rt, _) => lt - rt <= tol }.map(_._3)
+        (k, lt, lv, pick)
+      }.toSet
+      assert(got == want,
+        s"round=$round diff: ${got.diff(want)} vs ${want.diff(got)}")
+    }
+  }
 }
