@@ -639,16 +639,16 @@ object QFilters extends Registry {
               FROM offs GROUP BY 1, 2""")),
 
     // S18 — zone-map file skipping (ext.): the Iceberg/Delta data-
-    // skipping pattern made explicit — a per-FILE min/max stats manifest
+    // skipping pattern made explicit — per-FILE min/max statistics
     // consulted BEFORE the scan, so a selective range predicate opens
     // only the files whose zone overlaps it. The table is written
-    // range-clustered on the key (16 files), the manifest is built once
-    // (here by a stats pass; in production it comes free from parquet
-    // footers / the table format's metadata layer), and the probe reads
-    // ONLY surviving files — `ZoneMapSpec` asserts the survivor set is a
-    // strict subset. The collect() is the file LIST (metadata-scale,
-    // like every table format's planning step), never data. The RESULT
-    // is layout-invariant, which is what the oracle checks.
+    // range-clustered on the key (16 files); the stats come from the
+    // REAL parquet footers (row-group statistics — a pure metadata
+    // read, no data pages touched), and the probe reads ONLY surviving
+    // files — `ZoneMapSpec` asserts the survivor set is a strict
+    // subset. Only the file LIST is driver-side (metadata-scale, like
+    // every table format's planning step). The RESULT is
+    // layout-invariant, which is what the oracle checks.
     Q("s18_zonemap_prune",
       (s, d) => {
         val dir = graft.Scratch.dirFor("s18_zonemap", d)
@@ -677,24 +677,47 @@ object QFilters extends Registry {
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
-    * `ZoneMapSpec`: build the per-file (min,max) manifest for
-    * `l_orderkey` and return the paths whose zone overlaps [lo, hi].
-    * The manifest aggregation is one pass grouped on
-    * `input_file_name()`; only the file LIST reaches the driver.
+    * `ZoneMapSpec`: consult the REAL parquet FOOTER statistics (row-group
+    * min/max for `keyCol`, an INT64 column) of every file under `path`
+    * and return only the paths whose zone overlaps [lo, hi] — a pure
+    * METADATA read (footers, never data pages), exactly what a table
+    * format's planner does from its manifest. A file with missing or
+    * unusable stats is conservatively KEPT (skipping may only ever be an
+    * optimization, never a correctness bet).
     */
   private[queries] def zoneMapSurvivors(
       s: org.apache.spark.sql.SparkSession, path: String,
-      lo: Long, hi: Long): Seq[String] = {
-    val manifest = s.read.parquet(path)
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col("l_orderkey")).as("mn"), max(col("l_orderkey")).as("mx"))
-    val files = manifest
-      .filter(col("mx") >= lo && col("mn") <= hi)
-      .select(col("file")).collect().map(_.getString(0)).toSeq
+      lo: Long, hi: Long, keyCol: String = "l_orderkey"): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val files = fs.listStatus(root)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val survivors = files.filter { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(f, conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.exists { block =>
+          block.getColumns.asScala
+            .find(_.getPath.toDotString == keyCol)
+            .map(_.getStatistics) match {
+            case Some(st) if st != null && st.hasNonNullValue =>
+              (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  mx >= lo && mn <= hi
+                case _ => true // non-INT64 stats: keep conservatively
+              }
+            case _ => true // stats absent: keep conservatively
+          }
+        }
+      } finally reader.close()
+    }.map(_.getPath.toString).toSeq
     // A predicate missing every zone still needs a readable (empty)
     // frame — fall back to the full path so the scan yields 0 rows
     // rather than an analysis error on an empty source list.
-    if (files.nonEmpty) files else Seq(path)
+    if (survivors.nonEmpty) survivors else Seq(path)
   }
 
   /** Deterministic "next corpus snapshot" derived from v1 — shared by
