@@ -673,6 +673,28 @@ object QFilters extends Registry {
                      max(l_orderkey) AS max_key
               FROM lineitem
               WHERE l_orderkey BETWEEN 1000 AND 3000
+              GROUP BY 1""")),
+
+    // S19 — DataSource V2 connector (ext.): `format("graft-synth")` is
+    // a REAL DSv2 TableProvider (`sources.SynthTrades`) with partition
+    // planning (8 input partitions generate their row-range slice on
+    // executors — nothing driver-materialized) and column pruning
+    // (`SupportsPushDownRequiredColumns` — this projection's pruned
+    // schema reaches the reader, `Dsv2Spec` pins it). The closed-form
+    // rows let DuckDB's range() reproduce every value, so the connector
+    // is hash-gated like any table.
+    Q("s19_dsv2_synth",
+      (s, d) => s.read.format("graft-synth")
+        .option("rows", 100000L).option("partitions", 8)
+        .load()
+        .groupBy(col("entity_id"))
+        .agg(count(lit(1)).as("n_trades"),
+          sum(col("price_cents")).as("sum_cents"),
+          sum(col("qty")).as("sum_qty")),
+      Some("""SELECT i % 97 AS entity_id, count(*) AS n_trades,
+                     sum(10000 + (i * 31) % 5000) AS sum_cents,
+                     sum(1 + i % 50) AS sum_qty
+              FROM range(0, 100000) t(i)
               GROUP BY 1"""))
   )
 

@@ -500,7 +500,78 @@ object QWindows extends Registry {
                           THEN ((n * sxy - sx * sy) * 1000)
                                // (n * sxx - sx * sx)
                           END AS slope_milli
-              FROM stats"""))
+              FROM stats""")),
+
+    // W19 (ext.) — MATCH_RECOGNIZE-style pattern extraction: not just
+    // "did the funnel complete" (w17) but WHICH events completed it —
+    // per user, the FIRST view, the first click AFTER that view, the
+    // first purchase AFTER that click, with event ids and the exact
+    // microsecond span. One groupBy pass builds the time-ordered code
+    // string + parallel id/timestamp arrays in-row; the pattern walk is
+    // three codegen'd instr() probes with positional indexing back into
+    // the arrays — no window, no self-join, no second shuffle. The CEP
+    // shape (SQL MATCH_RECOGNIZE / Flink CEP) on engine-native
+    // primitives; per-user payload is session-scale.
+    Q("w19_match_recognize",
+      (s, d) => {
+        val code = when(col("event_type") === "view", "v")
+          .when(col("event_type") === "click", "c")
+          .when(col("event_type") === "purchase", "p").otherwise("x")
+        Tables.events(s, d)
+          .select(col("user_id"), struct(col("ts"), col("event_id"),
+            code.as("code")).as("e"))
+          .groupBy(col("user_id"))
+          .agg(sort_array(collect_list(col("e"))).as("arr"))
+          .select(col("user_id"),
+            concat_ws("", expr("transform(arr, s -> s.code)")).as("seq"),
+            expr("transform(arr, s -> s.event_id)").as("ids"),
+            expr("transform(arr, s -> unix_micros(s.ts))").as("tss"))
+          .withColumn("iv", expr("instr(seq, 'v')"))
+          .withColumn("rc",
+            expr("CASE WHEN iv > 0 THEN instr(substring(seq, iv + 1), 'c') ELSE 0 END"))
+          .withColumn("ic", expr("CASE WHEN rc > 0 THEN iv + rc END"))
+          .withColumn("rp",
+            expr("CASE WHEN ic IS NOT NULL THEN instr(substring(seq, ic + 1), 'p') ELSE 0 END"))
+          .withColumn("ip", expr("CASE WHEN rp > 0 THEN ic + rp END"))
+          .filter(col("ip").isNotNull)
+          .select(col("user_id"),
+            expr("element_at(ids, iv)").as("view_event"),
+            expr("element_at(ids, ic)").as("click_event"),
+            expr("element_at(ids, ip)").as("purchase_event"),
+            (expr("element_at(tss, ip)") - expr("element_at(tss, iv)"))
+              .as("span_micros"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id, ts, event_id,
+                       CASE event_type WHEN 'view' THEN 'v'
+                         WHEN 'click' THEN 'c'
+                         WHEN 'purchase' THEN 'p' ELSE 'x' END AS code
+                FROM events),
+              g AS (SELECT user_id,
+                      string_agg(code, '' ORDER BY ts, event_id) AS seq,
+                      list(event_id ORDER BY ts, event_id) AS ids,
+                      list(epoch_us(CAST(ts AS TIMESTAMP))
+                           ORDER BY ts, event_id) AS tss
+                    FROM e GROUP BY 1),
+              m1 AS (SELECT *, strpos(seq, 'v') AS iv FROM g),
+              m2 AS (SELECT *,
+                       CASE WHEN iv > 0
+                              AND strpos(substr(seq, iv + 1), 'c') > 0
+                            THEN iv + strpos(substr(seq, iv + 1), 'c')
+                            END AS ic
+                     FROM m1),
+              m3 AS (SELECT *,
+                       CASE WHEN ic IS NOT NULL
+                              AND strpos(substr(seq, ic + 1), 'p') > 0
+                            THEN ic + strpos(substr(seq, ic + 1), 'p')
+                            END AS ip
+                     FROM m2)
+              SELECT user_id,
+                     ids[iv] AS view_event,
+                     ids[ic] AS click_event,
+                     ids[ip] AS purchase_event,
+                     tss[ip] - tss[iv] AS span_micros
+              FROM m3 WHERE ip IS NOT NULL"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
