@@ -695,7 +695,30 @@ object QFilters extends Registry {
                      sum(10000 + (i * 31) % 5000) AS sum_cents,
                      sum(1 + i % 50) AS sum_qty
               FROM range(0, 100000) t(i)
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // S20 — DSv2 WRITE path (ext.): the documents ids stream through
+    // the `graft-checksum` sink (`sources.ChecksumSink` — per-task
+    // (rows, sum, xor) folds, driver-side two-phase commit, atomic
+    // manifest publish), then the published manifest is read back and
+    // hash-gated against SQL computing the same order-invariant
+    // aggregates — a SINK with an oracle. `Dsv2SinkSpec` pins the
+    // transactional property (a failing write never clobbers the
+    // previous manifest).
+    Q("s20_dsv2_sink",
+      (s, d) => {
+        val manifest = s"${graft.Scratch.dirFor("s20_sink", d)}/manifest.json"
+        Tables.documents(s, d).select(col("doc_id"))
+          .write.format("graft-checksum")
+          .option("path", manifest).mode("append").save()
+        s.read.schema("n_rows LONG, sum_id LONG, xor_id LONG")
+          .json(manifest)
+          .select(col("n_rows"), col("sum_id"), col("xor_id"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(doc_id) AS BIGINT) AS sum_id,
+                     bit_xor(doc_id) AS xor_id
+              FROM documents"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and

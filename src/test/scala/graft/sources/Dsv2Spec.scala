@@ -38,4 +38,31 @@ class Dsv2Spec extends SparkSpec {
     assert(scans == Seq(Seq("price_cents")),
       s"pruned read schema expected, got $scans")
   }
+
+  test("checksum sink commits order-invariant folds; failures never publish") {
+    import spark.implicits._
+    val dir = graft.Scratch.dirFor("dsv2_sink_spec", "x")
+    val manifest = s"$dir/manifest.json"
+    def readManifest(): (Long, Long, Long) = {
+      val r = spark.read.schema("n_rows LONG, sum_id LONG, xor_id LONG")
+        .json(manifest).head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    val ids = (1L to 1000L)
+    ids.toDF("id").repartition(7)
+      .write.format("graft-checksum").option("path", manifest)
+      .mode("append").save()
+    val good = readManifest()
+    assert(good == ((1000L, ids.sum, ids.foldLeft(0L)(_ ^ _))))
+    // a write that fails mid-task must leave the manifest untouched
+    val boom = udf((x: Long) =>
+      if (x == 500L) throw new RuntimeException("boom") else x)
+    intercept[Exception] {
+      ids.toDF("id").repartition(7)
+        .select(boom(col("id")).as("id"))
+        .write.format("graft-checksum").option("path", manifest)
+        .mode("append").save()
+    }
+    assert(readManifest() == good, "failed write clobbered the manifest")
+  }
 }
