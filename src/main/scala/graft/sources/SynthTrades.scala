@@ -4,7 +4,8 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
@@ -64,25 +65,59 @@ private class SynthTable extends Table with SupportsRead {
 }
 
 private class SynthScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SynthTrades.schema
+  private var lo = 0L          // inclusive trade_id lower bound
+  private var hi = rows        // exclusive trade_id upper bound
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the pruned projection; an empty one (count(*)) is legal
     required = requiredSchema
-  override def build(): Scan = new SynthScan(rows, partitions, required)
+  /** `trade_id` range predicates narrow the GENERATED range — the
+    * connector-side analogue of partition pruning: rows outside the
+    * bounds are never produced, not produced-then-filtered. Everything
+    * else is left for Spark to evaluate (returned as residual).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    def num(v: Any): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue)
+      case _ => None
+    }
+    val (accepted, residual) = filters.partition {
+      case EqualTo("trade_id", v) if num(v).isDefined =>
+        val x = num(v).get; lo = math.max(lo, x); hi = math.min(hi, x + 1); true
+      case GreaterThan("trade_id", v) if num(v).isDefined =>
+        lo = math.max(lo, num(v).get + 1); true
+      case GreaterThanOrEqual("trade_id", v) if num(v).isDefined =>
+        lo = math.max(lo, num(v).get); true
+      case LessThan("trade_id", v) if num(v).isDefined =>
+        hi = math.min(hi, num(v).get); true
+      case LessThanOrEqual("trade_id", v) if num(v).isDefined =>
+        hi = math.min(hi, num(v).get + 1); true
+      case _ => false
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan =
+    new SynthScan(lo, math.max(lo, hi), partitions, required)
 }
 
 private case class SynthRange(start: Long, end: Long) extends InputPartition
 
-private class SynthScan(rows: Long, partitions: Int, required: StructType)
-    extends Scan with Batch {
+private[sources] class SynthScan(val lo: Long, val hi: Long,
+    partitions: Int, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
+    val span = hi - lo
+    if (span <= 0) return Array(SynthRange(0, 0))
     val n = math.max(1, partitions)
-    val step = math.max(1L, (rows + n - 1) / n)
-    (0L until rows by step)
-      .map(s => SynthRange(s, math.min(rows, s + step)): InputPartition)
+    val step = math.max(1L, (span + n - 1) / n)
+    (lo until hi by step)
+      .map(s => SynthRange(s, math.min(hi, s + step)): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

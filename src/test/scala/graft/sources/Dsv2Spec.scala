@@ -39,6 +39,21 @@ class Dsv2Spec extends SparkSpec {
       s"pruned read schema expected, got $scans")
   }
 
+  test("trade_id range predicates push into the generator") {
+    val df = synth(100000L, 8).filter(col("trade_id") >= 500L &&
+      col("trade_id") < 600L)
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.asInstanceOf[SynthScan]
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.lo == 500L && scans.head.hi == 600L,
+      s"bounds not pushed: [${scans.head.lo}, ${scans.head.hi})")
+    assert(df.count() == 100L)
+    // contradiction collapses to the empty range, not an error
+    assert(synth(1000L, 4).filter(col("trade_id") === 5L &&
+      col("trade_id") === 7L).count() == 0L)
+  }
+
   test("checksum sink commits order-invariant folds; failures never publish") {
     import spark.implicits._
     val dir = graft.Scratch.dirFor("dsv2_sink_spec", "x")
