@@ -400,6 +400,43 @@ object QStreaming extends Registry {
               SELECT custkey, status, valid_from, valid_to,
                      CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END
                        AS is_current
-              FROM iv"""))
+              FROM iv""")),
+
+    // Streaming DSv2: the custom connector's MICRO-BATCH face
+    // (`sources.SynthMicroBatchStream` — row-position offsets,
+    // admission control capping each trigger at batchRows, AvailableNow
+    // drains the range in ordered batches). foreachBatch appends each
+    // batch; the union must equal the batch read of the same range —
+    // exactly-once across offsets, which is what the closed-form
+    // oracle checks. batchRows=5000 over 20000 rows forces 4+ real
+    // micro-batches (multi-batch delivery pinned in `Dsv2Spec`).
+    Q("stream_dsv2_source",
+      (s, d) => {
+        val outDir = graft.Scratch.dirFor("stream_dsv2", d) + "/rows"
+        graft.Scratch.clear(outDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir))
+        val q = s.readStream.format("graft-synth")
+          .option("rows", 20000L).option("partitions", 4)
+          .option("batchRows", 5000L)
+          .load()
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(outDir)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(outDir)
+          .groupBy(col("entity_id"))
+          .agg(count(lit(1)).as("n_trades"),
+            sum(col("price_cents")).as("sum_cents"),
+            sum(col("qty")).as("sum_qty"))
+      },
+      Some("""SELECT i % 97 AS entity_id, count(*) AS n_trades,
+                     sum(10000 + (i * 31) % 5000) AS sum_cents,
+                     sum(1 + i % 50) AS sum_qty
+              FROM range(0, 20000) t(i)
+              GROUP BY 1"""))
   )
 }

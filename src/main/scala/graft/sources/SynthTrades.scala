@@ -57,14 +57,17 @@ private class SynthTable extends Table with SupportsRead {
   override def name(): String = "graft_synth_trades"
   override def schema(): StructType = SynthTrades.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SynthScanBuilder(
       options.getLong("rows", 10000L),
-      options.getInt("partitions", 8))
+      options.getInt("partitions", 8),
+      options.getLong("batchRows", 5000L))
 }
 
-private class SynthScanBuilder(rows: Long, partitions: Int)
+private class SynthScanBuilder(rows: Long, partitions: Int,
+    batchRows: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = SynthTrades.schema
@@ -102,15 +105,20 @@ private class SynthScanBuilder(rows: Long, partitions: Int)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new SynthScan(lo, math.max(lo, hi), partitions, required)
+    new SynthScan(lo, math.max(lo, hi), partitions, batchRows, required)
 }
 
 private case class SynthRange(start: Long, end: Long) extends InputPartition
 
 private[sources] class SynthScan(val lo: Long, val hi: Long,
-    partitions: Int, required: StructType) extends Scan with Batch {
+    partitions: Int, batchRows: Long, required: StructType)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, partitions, batchRows,
+      required.fieldNames)
   override def planInputPartitions(): Array[InputPartition] = {
     val span = hi - lo
     if (span <= 0) return Array(SynthRange(0, 0))
@@ -137,4 +145,61 @@ private class SynthReaderFactory(fields: Array[String])
       override def close(): Unit = ()
     }
   }
+}
+
+/** Offset = next unread trade_id (row position in [lo, hi)). */
+private[sources] case class SynthOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** The STREAMING face of the same generator: `readStream.format(
+  * "graft-synth")` delivers the row range as micro-batches of
+  * `batchRows` (admission control — latestOffset advances at most one
+  * batch per trigger; `Trigger.AvailableNow` therefore replays the
+  * whole range in ceil(span/batchRows) ordered batches and stops).
+  * Offsets are plain row positions, so restart-from-checkpoint resumes
+  * mid-range exactly; the union of all batches is provably the batch
+  * read (`Dsv2Spec`).
+  */
+private[sources] class SynthMicroBatchStream(lo: Long, hi: Long,
+    partitions: Int, batchRows: Long, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset = SynthOffset(lo)
+  override def deserializeOffset(json: String): Offset =
+    SynthOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.max(1L, batchRows))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val pos = start.asInstanceOf[SynthOffset].pos
+    val step = limit match {
+      case m: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        m.maxRows()
+      case _ => math.max(1L, batchRows)
+    }
+    SynthOffset(math.min(hi, pos + math.max(1L, step)))
+  }
+  override def reportLatestOffset(): Offset = SynthOffset(hi)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    val e = end.asInstanceOf[SynthOffset].pos
+    if (e <= s) return Array.empty
+    val n = math.max(1, partitions)
+    val step = math.max(1L, (e - s + n - 1) / n)
+    (s until e by step)
+      .map(x => SynthRange(x, math.min(e, x + step)): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(fields)
+  override def commit(end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
 }

@@ -54,6 +54,26 @@ class Dsv2Spec extends SparkSpec {
       col("trade_id") === 7L).count() == 0L)
   }
 
+  test("micro-batch stream drains the range in batchRows-sized batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batches = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 1000L).option("partitions", 3)
+      .option("batchRows", 300L)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches.add(b.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val sizes = batches.asScala.toSeq
+    assert(sizes.sum == 1000L, s"lost/duplicated rows: $sizes")
+    assert(sizes.count(_ > 0) >= 4, s"expected >=4 real micro-batches: $sizes")
+    assert(sizes.forall(_ <= 300L), s"admission limit violated: $sizes")
+  }
+
   test("checksum sink commits order-invariant folds; failures never publish") {
     import spark.implicits._
     val dir = graft.Scratch.dirFor("dsv2_sink_spec", "x")
