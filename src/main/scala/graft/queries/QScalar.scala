@@ -280,6 +280,55 @@ object QScalar extends Registry {
             SELECT c_mktsegment, rk, o_custkey, n_orders, cents,
                    ${l2m("cents")} AS cents_log2milli
             FROM ranked WHERE rk <= 5"""
-      })
+      }),
+
+    // X7 (ext.) — RECURSIVE CTE (Spark 4's WITH RECURSIVE): iterative
+    // traversal inside ONE SQL statement, the query-language surface
+    // the engine's relational loops (CC, BPE rounds, PageRank) hand-
+    // roll when recursion depth is data-dependent. Here the
+    // world→region→nation→supplier hierarchy is walked from the root,
+    // accumulating depth and the materialized path — the org-chart /
+    // BOM-explosion shape. Each iteration is one join against the
+    // (small) edge relation; depth bounds the loop. The same statement
+    // text runs in DuckDB (both engines speak the standard syntax).
+    Q("x7_recursive_cte",
+      (s, d) => {
+        Tables.region(s, d).createOrReplaceTempView("region_v")
+        Tables.nation(s, d).createOrReplaceTempView("nation_v")
+        Tables.supplier(s, d).createOrReplaceTempView("supplier_v")
+        s.sql("""
+          WITH RECURSIVE edges AS (
+            SELECT 'world' AS parent, r_name AS child FROM region_v
+            UNION ALL
+            SELECT r.r_name, n.n_name
+            FROM nation_v n JOIN region_v r ON n.n_regionkey = r.r_regionkey
+            UNION ALL
+            SELECT n.n_name, concat('S', CAST(s_suppkey AS STRING))
+            FROM supplier_v s JOIN nation_v n
+              ON s.s_nationkey = n.n_nationkey),
+          walk(node, depth, path) AS (
+            SELECT 'world', 0, 'world'
+            UNION ALL
+            SELECT e.child, w.depth + 1, concat(w.path, '/', e.child)
+            FROM walk w JOIN edges e ON e.parent = w.node
+            WHERE w.depth < 3)
+          SELECT node, depth, path FROM walk""")
+      },
+      Some("""WITH RECURSIVE edges AS (
+                SELECT 'world' AS parent, r_name AS child FROM region
+                UNION ALL
+                SELECT r.r_name, n.n_name
+                FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+                UNION ALL
+                SELECT n.n_name, concat('S', CAST(s_suppkey AS VARCHAR))
+                FROM supplier s JOIN nation n
+                  ON s.s_nationkey = n.n_nationkey),
+              walk(node, depth, path) AS (
+                SELECT 'world', 0, 'world'
+                UNION ALL
+                SELECT e.child, w.depth + 1, concat(w.path, '/', e.child)
+                FROM walk w JOIN edges e ON e.parent = w.node
+                WHERE w.depth < 3)
+              SELECT node, depth, path FROM walk"""))
   )
 }
