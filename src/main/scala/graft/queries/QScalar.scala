@@ -329,6 +329,35 @@ object QScalar extends Registry {
                 SELECT e.child, w.depth + 1, concat(w.path, '/', e.child)
                 FROM walk w JOIN edges e ON e.parent = w.node
                 WHERE w.depth < 3)
-              SELECT node, depth, path FROM walk"""))
+              SELECT node, depth, path FROM walk""")),
+
+    // X8 (ext.) — the VARIANT type (Spark 4's binary semi-structured
+    // encoding): JSON ingested ONCE via parse_json into variant, then
+    // typed path extraction with variant_get — the shredded-JSON path
+    // that replaces per-access string re-parsing (get_json_object
+    // re-tokenizes the text on every call; variant decodes a binary
+    // tree). The JSON itself is derived in-query from events columns,
+    // so the oracle reproduces the extracted values from the base
+    // table and any extraction bug (type coercion, path miss)
+    // hash-fails.
+    Q("x8_variant",
+      (s, d) => Tables.events(s, d)
+        .select(to_json(struct(col("event_type"), col("value"),
+          col("user_id"))).as("js"))
+        .select(parse_json(col("js")).as("v"))
+        .select(
+          expr("variant_get(v, '$.event_type', 'string')").as("event_type"),
+          expr("variant_get(v, '$.value', 'double')").as("val"),
+          expr("variant_get(v, '$.user_id', 'long')").as("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          Tables.dsum(col("val")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users")),
+      Some("""SELECT event_type, count(*) AS n_events,
+                     CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_value,
+                     count(DISTINCT user_id) AS n_users
+              FROM events
+              GROUP BY 1"""))
   )
 }

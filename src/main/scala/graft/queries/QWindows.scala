@@ -572,6 +572,42 @@ object QWindows extends Registry {
                      ids[ip] AS purchase_event,
                      tss[ip] - tss[iv] AS span_micros
               FROM m3 WHERE ip IS NOT NULL"""))
+  ,
+
+    // W20 (ext.) — BATCH gap-sessionization via the built-in
+    // session_window aggregation (the engine-native operator behind
+    // streaming session windows, here on a batch frame): one groupBy
+    // (user, session_window(ts, 1h)) pass — merge-able partial session
+    // state, no window function, no gaps-and-islands SQL. The oracle IS
+    // the gaps-and-islands formulation (same 3600s gap as
+    // stream_sessionize), so the two independent constructions of
+    // "session" must agree row for row; unlike the streaming path there
+    // is no tail-emission caveat — batch emits every session.
+    Q("w20_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "1 hour").as("sw"))
+        .agg(count(lit(1)).cast("int").as("n_events"),
+          max(col("ts")).as("session_end"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("session_end"), col("n_events")),
+      Some("""WITH e AS (
+                SELECT user_id, ts,
+                       epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+                FROM events),
+              g AS (SELECT user_id, ts, tms,
+                      CASE WHEN lag(tms) OVER w IS NULL
+                             OR tms - lag(tms) OVER w > 3600000
+                           THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+              si AS (SELECT user_id, ts, tms,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM g)
+              SELECT user_id, min(ts) AS session_start,
+                     max(ts) AS session_end,
+                     CAST(count(*) AS INT) AS n_events
+              FROM si GROUP BY user_id, sid"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
