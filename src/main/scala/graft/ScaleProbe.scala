@@ -44,7 +44,10 @@ object ScaleProbe {
     // round 7b: the keyless grid interval join, the shared-frame rolling
     // OLS, passage-level retrieval, and the mergeable quantile sketch
     "j23_interval_grid_join", "w18_rolling_beta", "tx_rag_retrieve",
-    "sk_qsketch_quantiles")
+    "sk_qsketch_quantiles",
+    // round 7c: pattern extraction + built-in session windows (events
+    // 5×) and the bounded-buffer top-k aggregator (lineitem 5×)
+    "w19_match_recognize", "w20_session_window", "o6_topk_aggregate")
 
   private def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
