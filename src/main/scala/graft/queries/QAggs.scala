@@ -452,6 +452,77 @@ object QAggs extends Registry {
               FROM base JOIN qs
                 ON rk = (q_num * n + q_den - 1) // q_den""")),
 
+    // A19 (ext.) — LINEAR-INTERPOLATED quantiles (numpy/pandas type 7,
+    // the reference's `.quantile()`/describe default — a15/a17 are
+    // rank-pick): h = (n−1)q lands between ranks, and the value is
+    // v_lo + (v_hi − v_lo)·frac. Everything stays in exact integers:
+    // h in HUNDREDTHS (h100 = (n−1)·k for q = k/100), frac = h100 mod
+    // 100, and the interpolated value in milli-cents =
+    // v_lo·1000 + (v_hi − v_lo)·frac·10 — no IEEE division anywhere,
+    // so the hash compare is bit-exact. Ranks come from the same
+    // two-phase PrefixSum as a15 (no single-partition window); the two
+    // neighbor lookups are broadcast joins against the 5-row quantile
+    // frame.
+    Q("a19_interp_quantiles",
+      (s, d) => {
+        import s.implicits._
+        val cents = Tables.lineitem(s, d).select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        val ranked = graft.operators.PrefixSum.withRunningSumAndRank(
+          cents,
+          order = Seq(col("v").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc),
+          valueCol = lit(0L),
+          outCol = "cum0", rankCol = "rk",
+          persistInput = false,
+          grandTotals = Some(("z0", "n_rows")))
+        val rankedP = graft.Caches.registerTransient(
+          ranked.select(col("v"), col("rk"), col("n_rows"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val qDf = Seq(("p25", 25L), ("p50", 50L), ("p75", 75L),
+          ("p90", 90L), ("p99", 99L)).toDF("q_label", "k")
+        val h100 = expr("(n_rows - 1) * k")
+        val loRank = expr("((n_rows - 1) * k) div 100 + 1")
+        val lo = rankedP.crossJoin(broadcast(qDf))
+          .filter(col("rk") === loRank)
+          .select(col("q_label"), col("k"), col("n_rows"),
+            h100.as("h100"), col("v").as("v_lo"))
+        val hi = rankedP.crossJoin(broadcast(qDf))
+          .filter(col("rk") ===
+            expr("least(((n_rows - 1) * k) div 100 + 2, n_rows)"))
+          .select(col("q_label"), col("v").as("v_hi"))
+        lo.join(broadcast(hi), Seq("q_label"))
+          .select(col("q_label"), col("v_lo"), col("v_hi"),
+            (col("v_lo") * 1000 +
+              (col("v_hi") - col("v_lo")) * (col("h100") % 100) * 10)
+              .as("interp_milli"))
+      },
+      Some("""WITH ranked AS (
+                SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS v,
+                       row_number() OVER (ORDER BY
+                         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                           AS BIGINT), l_orderkey, l_linenumber) AS rk,
+                       count(*) OVER () AS n_rows
+                FROM lineitem),
+              qs AS (SELECT * FROM (VALUES ('p25', 25), ('p50', 50),
+                       ('p75', 75), ('p90', 90), ('p99', 99))
+                       q(q_label, k)),
+              lo AS (SELECT q_label, k, n_rows,
+                            (n_rows - 1) * k AS h100, v AS v_lo
+                     FROM ranked JOIN qs
+                       ON rk = ((n_rows - 1) * k) // 100 + 1),
+              hi AS (SELECT q_label, v AS v_hi
+                     FROM ranked JOIN qs
+                       ON rk = least(((n_rows - 1) * k) // 100 + 2,
+                                     n_rows))
+              SELECT q_label, v_lo, v_hi,
+                     v_lo * 1000 + (v_hi - v_lo) * (h100 % 100) * 10
+                       AS interp_milli
+              FROM lo JOIN hi USING (q_label)""")),
+
     // A16 (ext.) — ROLLUP aggregation: the (flag, status) / (flag) /
     // grand-total report in ONE pass. Spark plans grouping sets as a
     // single Expand + hash-agg — no per-level re-scan; NULL is the
