@@ -438,5 +438,58 @@ object QStreaming extends Registry {
                      sum(1 + i % 50) AS sum_qty
               FROM range(0, 20000) t(i)
               GROUP BY 1"""))
+  ,
+
+    // STREAMING session_window — the built-in session operator in
+    // append mode (the third independent construction of "session"
+    // next to the flatMapGroupsWithState machine of stream_sessionize
+    // and the batch session_window of w20): watermark-closed sessions
+    // emit, open tails stay in state. Same single-file AvailableNow
+    // assumption as stream_sessionize; same STRICT tail rule (a
+    // session closes only when the final watermark passes end + gap,
+    // i.e. end_ms + gap < max ts), which the oracle mirrors. All three
+    // constructions must agree on every closed session.
+    Q("stream_session_window",
+      (s, d) => {
+        val name = s"graft_stream_sw_${runSeq.incrementAndGet()}"
+        val ev = StreamingDaily.eventsStream(s, s"$d/events.parquet")
+          .select(col("user_id"), col("ts"))
+          .withWatermark("ts", "0 seconds")
+        StreamConf.withStatePartitions(s) {
+          val q = ev.groupBy(col("user_id"),
+              session_window(col("ts"), "1 hour").as("sw"))
+            .agg(count(lit(1)).cast("int").as("n_events"),
+              max(col("ts")).as("session_end"))
+            .select(col("user_id"), col("sw.start").as("session_start"),
+              col("session_end"), col("n_events"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.table(name)
+      },
+      Some("""WITH e AS (
+                SELECT user_id, ts,
+                       epoch_ms(CAST(ts AS TIMESTAMP)) AS tms
+                FROM events),
+              g AS (SELECT user_id, ts, tms,
+                      CASE WHEN lag(tms) OVER w IS NULL
+                             OR tms - lag(tms) OVER w > 3600000
+                           THEN 1 ELSE 0 END AS brk
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms)),
+              si AS (SELECT user_id, ts, tms,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                     FROM g),
+              sess AS (SELECT user_id,
+                         min(ts) AS session_start,
+                         max(ts) AS session_end,
+                         max(tms) AS end_ms,
+                         CAST(count(*) AS INT) AS n_events
+                       FROM si GROUP BY user_id, sid),
+              mx AS (SELECT max(tms) AS mx FROM e)
+              SELECT user_id, session_start, session_end, n_events
+              FROM sess, mx
+              WHERE end_ms + 3600000 < mx"""))
   )
 }
