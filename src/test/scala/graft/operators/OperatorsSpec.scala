@@ -115,6 +115,43 @@ class OperatorsSpec extends SparkSpec {
     assert(agree >= 2 && agree <= 20, s"agreement $agree out of plausible band")
   }
 
+  test("AQE's skew-join rewrite fires on a skewed sort-merge join") {
+    // SCALING.md's claim "AQE's skew-join splits oversized partitions"
+    // as a regression test: a hot key 100× its siblings, broadcast
+    // disabled, thresholds lowered so local data sizes qualify — the
+    // adaptive plan must mark the join skew=true (partition split).
+    import spark.implicits._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = (1 to 120000).map(i =>
+          (if (i % 100 == 0) i.toLong % 37 else 7L, i.toLong))
+        .toDF("k", "row")
+      val right = (0L to 40L).map(i => (i, s"payload_$i")).toDF("k", "p")
+      val joined = left.join(right, Seq("k"))
+      // execute THIS plan instance (count() would build a separate
+      // QueryExecution and leave this one un-finalized)
+      assert(joined.collect().length > 0)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-join marker in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("SaltedJoin equals the plain join under heavy key skew") {
     import spark.implicits._
     // 90% of left rows share one hot key
