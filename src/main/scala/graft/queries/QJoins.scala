@@ -552,6 +552,95 @@ object QJoins extends Registry {
 
     j23,
 
+    // J26 (ext.) — FUZZY entity-resolution join: q-gram blocking →
+    // edit-distance verify → best-match — the name-matching pipeline
+    // behind every issuer/customer linkage the reference's J15 linker
+    // sidesteps with exact substring keys. Entities get diverse
+    // synthetic names (md5-derived, so both engines rebuild them);
+    // the dirty side carries one of three 1-edit corruptions, plus a
+    // 3-edit decoy every 7th entity that MUST come back unmatched
+    // (blocking finds it, verify rejects it — the two-stage contract).
+    // Scale shape: candidates are pairs sharing a 4-gram (linear +
+    // collisions, the same banding idea as MinHash but for edit
+    // distance); levenshtein runs on candidates only, never |L|×|R|;
+    // best-match is a per-dirty-row window over the verified slice.
+    Q("j26_fuzzy_er_join",
+      (s, d) => {
+        val clean = Tables.supplier(s, d).select(col("s_suppkey"),
+          concat(lit("Corp-"),
+            substring(md5(col("s_suppkey").cast("string")), 1, 8))
+            .as("ename"))
+        val dirty = clean.select(
+          (col("s_suppkey") + 10000L).as("d_id"),
+          col("s_suppkey").as("true_id"),
+          when(col("s_suppkey") % 7 === 0,
+            concat(lit("ZZZ"), col("ename")))
+            .when(col("s_suppkey") % 3 === 0,
+              expr("replace(ename, '-', ' ')"))
+            .when(col("s_suppkey") % 3 === 1,
+              expr("substring(ename, 1, length(ename) - 1)"))
+            .otherwise(concat(col("ename"), lit("x"))).as("dname"))
+        def grams(df: org.apache.spark.sql.DataFrame, c: String) = df
+          .withColumn("gram", explode(expr(
+            s"transform(sequence(1, length($c) - 3), i -> substring($c, i, 4))")))
+        val cand = grams(dirty, "dname")
+          .join(grams(clean, "ename"), Seq("gram"))
+          .select(col("d_id"), col("true_id"), col("dname"),
+            col("s_suppkey"), col("ename"))
+          .distinct()
+        val verified = cand
+          .withColumn("dist", levenshtein(col("dname"), col("ename")))
+          .filter(col("dist") <= 2)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d_id"))
+          .orderBy(col("dist"), col("s_suppkey"))
+        val best = verified.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("d_id"), col("s_suppkey").as("matched_id"),
+            col("dist"))
+        dirty.join(best, Seq("d_id"), "left")
+          .select(col("d_id"), col("matched_id"), col("dist"),
+            when(col("matched_id") === col("true_id"), 1).otherwise(0)
+              .as("is_correct"))
+      },
+      Some("""WITH clean AS (
+                SELECT s_suppkey,
+                       'Corp-' || substr(md5(CAST(s_suppkey AS VARCHAR)),
+                                         1, 8) AS ename
+                FROM supplier),
+              dirty AS (
+                SELECT s_suppkey + 10000 AS d_id, s_suppkey AS true_id,
+                       CASE WHEN s_suppkey % 7 = 0 THEN 'ZZZ' || ename
+                            WHEN s_suppkey % 3 = 0
+                              THEN replace(ename, '-', ' ')
+                            WHEN s_suppkey % 3 = 1
+                              THEN substr(ename, 1, length(ename) - 1)
+                            ELSE ename || 'x' END AS dname
+                FROM clean),
+              dg AS (SELECT d_id, true_id, dname,
+                       substr(dname, CAST(i AS INT), 4) AS gram
+                     FROM dirty,
+                       unnest(generate_series(1, length(dname) - 3)) t(i)),
+              cg AS (SELECT s_suppkey, ename,
+                       substr(ename, CAST(i AS INT), 4) AS gram
+                     FROM clean,
+                       unnest(generate_series(1, length(ename) - 3)) t(i)),
+              cand AS (SELECT DISTINCT d_id, true_id, dname, s_suppkey,
+                                       ename
+                       FROM dg JOIN cg USING (gram)),
+              ver AS (SELECT *, levenshtein(dname, ename) AS dist
+                      FROM cand
+                      WHERE levenshtein(dname, ename) <= 2),
+              best AS (SELECT d_id, s_suppkey AS matched_id, dist,
+                         row_number() OVER (PARTITION BY d_id
+                           ORDER BY dist, s_suppkey) AS rn
+                       FROM ver)
+              SELECT d.d_id, b.matched_id, b.dist,
+                     CASE WHEN b.matched_id = d.true_id THEN 1 ELSE 0 END
+                       AS is_correct
+              FROM dirty d LEFT JOIN best b
+                ON b.d_id = d.d_id AND b.rn = 1""")),
+
     // J25 (ext.) — multi-hop STAR join (the TPC-H Q5 shape): fact ⋈
     // supplier ⋈ nation ⋈ region with a region filter, revenue per
     // nation. The scale story is dimension-side broadcast all the way
