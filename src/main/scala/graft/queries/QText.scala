@@ -260,6 +260,37 @@ object QText extends Registry {
                                        WHEN 'fr' THEN 20 WHEN 'es' THEN 10
                                        ELSE 5 END""")),
 
+    // Train/val/test split — the deterministic 80/10/10 holdout every
+    // training pipeline cuts before anything else: the split is a pure
+    // function of the doc id's hash (reproducible across runs, refreshes
+    // and engines — no sampling state, no shuffle for the decision), and
+    // the ledger reports per-(source, split) docs + tokens so the cut's
+    // balance is auditable. Eval-set decontamination (dd_decontaminate)
+    // exists precisely to protect the val/test side this split defines.
+    Q("tx_train_val_test",
+      (s, d) => {
+        val bucket = TextOps.hash60(col("doc_id").cast("string")) % 100
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            size(TextOps.tokens(col("text"))).cast("long").as("n_toks"),
+            when(bucket < 80, "train").when(bucket < 90, "val")
+              .otherwise("test").as("split"))
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"))
+      },
+      Some(s"""SELECT source,
+                     CASE WHEN bucket < 80 THEN 'train'
+                          WHEN bucket < 90 THEN 'val'
+                          ELSE 'test' END AS split,
+                     count(*) AS n_docs,
+                     CAST(sum(len($toksSql)) AS BIGINT) AS n_tokens
+              FROM (
+                SELECT doc_id, source, text,
+                       CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 100 AS bucket
+                FROM documents) b
+              GROUP BY 1, 2""")),
+
     // Sequence packing: assign documents to fixed token-budget packs
     // (2048 tokens) in deterministic doc_id order within each language —
     // the pretraining batch-construction step. pack_id = which budget
