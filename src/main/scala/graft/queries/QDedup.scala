@@ -372,7 +372,7 @@ object QDedup extends Registry {
                        FROM edges GROUP BY 1),
               r0 AS (SELECT src AS id, CAST(1000 AS BIGINT) AS pr FROM degs),
               $rounds
-              SELECT d.src AS id, d.deg, r3.pr
+              SELECT d.src AS id, d.deg, CAST(r3.pr AS BIGINT) AS pr
               FROM degs d JOIN r3 ON r3.id = d.src"""
       }),
 

@@ -633,8 +633,9 @@ object QFilters extends Registry {
                          ORDER BY file_id ROWS UNBOUNDED PRECEDING)
                          AS cum
                 FROM manifest)
-              SELECT part, (cum - size_bytes) // 131072 AS bin,
-                     count(*) AS n_files, sum(size_bytes) AS total_bytes,
+              SELECT part, CAST((cum - size_bytes) // 131072 AS BIGINT) AS bin,
+                     count(*) AS n_files,
+                     CAST(sum(size_bytes) AS BIGINT) AS total_bytes,
                      min(file_id) AS first_file, max(file_id) AS last_file
               FROM offs GROUP BY 1, 2""")),
 
@@ -692,8 +693,8 @@ object QFilters extends Registry {
           sum(col("price_cents")).as("sum_cents"),
           sum(col("qty")).as("sum_qty")),
       Some("""SELECT i % 97 AS entity_id, count(*) AS n_trades,
-                     sum(10000 + (i * 31) % 5000) AS sum_cents,
-                     sum(1 + i % 50) AS sum_qty
+                     CAST(sum(10000 + (i * 31) % 5000) AS BIGINT) AS sum_cents,
+                     CAST(sum(1 + i % 50) AS BIGINT) AS sum_qty
               FROM range(0, 100000) t(i)
               GROUP BY 1""")),
 

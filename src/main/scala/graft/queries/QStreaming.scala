@@ -287,8 +287,10 @@ object QStreaming extends Registry {
     // Incremental sketch census (ext.) — the streaming face of the CMS
     // linearity property `SketchSpec` pins: each micro-batch computes
     // its OWN 4×1024 counter table inside foreachBatch (zero streaming
-    // state — the sketch IS the state, externalized), the per-batch
-    // tables append to a directory, and the read-back sums them per
+    // state — the sketch IS the state, externalized), each batch's
+    // table lands in a batchId-derived subdir with overwrite (replays
+    // rewrite, never double-count — foreachBatch is at-least-once),
+    // and the read-back sums them per
     // (rw, col). Counter addition distributes over ANY batch split, so
     // the merged table equals the whole-corpus batch table exactly —
     // which is the oracle. This is how a 100 TB ingest keeps a live
@@ -302,10 +304,11 @@ object QStreaming extends Registry {
           java.nio.file.Paths.get(outDir))
         val q = StreamingDedup.parquetStream(s, s"$d/documents.parquet")
           .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            QSketch.cmsCounters(batch)
-              .write.mode("append").parquet(outDir)
-            ()
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              QSketch.cmsCounters(batch)
+                .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              ()
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -405,11 +408,15 @@ object QStreaming extends Registry {
     // Streaming DSv2: the custom connector's MICRO-BATCH face
     // (`sources.SynthMicroBatchStream` — row-position offsets,
     // admission control capping each trigger at batchRows, AvailableNow
-    // drains the range in ordered batches). foreachBatch appends each
-    // batch; the union must equal the batch read of the same range —
-    // exactly-once across offsets, which is what the closed-form
-    // oracle checks. batchRows=5000 over 20000 rows forces 4+ real
-    // micro-batches (multi-batch delivery pinned in `Dsv2Spec`).
+    // drains the range in ordered batches). foreachBatch is an
+    // AT-LEAST-ONCE contract, so each batch lands in its OWN
+    // batchId-derived subdir with mode=overwrite — a replayed
+    // micro-batch rewrites the same subdir instead of double-appending,
+    // making the sink idempotent (exactly-once OUTPUT from
+    // at-least-once delivery; `Dsv2Spec` replays a batch to pin it).
+    // The union must equal the batch read of the same range, which is
+    // what the closed-form oracle checks. batchRows=5000 over 20000
+    // rows forces 4+ real micro-batches.
     Q("stream_dsv2_source",
       (s, d) => {
         val outDir = graft.Scratch.dirFor("stream_dsv2", d) + "/rows"
@@ -421,9 +428,11 @@ object QStreaming extends Registry {
           .option("batchRows", 5000L)
           .load()
           .writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(outDir)
-            ()
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              batch.write.mode("overwrite")
+                .parquet(s"$outDir/batch=$batchId")
+              ()
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
@@ -434,8 +443,9 @@ object QStreaming extends Registry {
             sum(col("qty")).as("sum_qty"))
       },
       Some("""SELECT i % 97 AS entity_id, count(*) AS n_trades,
-                     sum(10000 + (i * 31) % 5000) AS sum_cents,
-                     sum(1 + i % 50) AS sum_qty
+                     CAST(sum(10000 + (i * 31) % 5000) AS BIGINT)
+                       AS sum_cents,
+                     CAST(sum(1 + i % 50) AS BIGINT) AS sum_qty
               FROM range(0, 20000) t(i)
               GROUP BY 1"""))
   ,

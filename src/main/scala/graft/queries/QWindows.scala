@@ -496,10 +496,10 @@ object QWindows extends Registry {
                              ORDER BY ship_d, l_orderkey, l_linenumber
                              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
               SELECT l_suppkey, l_orderkey, l_linenumber,
-                     CASE WHEN n * sxx - sx * sx <> 0
+                     CAST(CASE WHEN n * sxx - sx * sx <> 0
                           THEN ((n * sxy - sx * sy) * 1000)
                                // (n * sxx - sx * sx)
-                          END AS slope_milli
+                          END AS BIGINT) AS slope_milli
               FROM stats""")),
 
     // W19 (ext.) — MATCH_RECOGNIZE-style pattern extraction: not just
