@@ -3,19 +3,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      // UTC everywhere: normalizeEventsTs's TIMESTAMP_NTZ→timestamp cast is
-      // session-zone-sensitive; an unpinned bench on a non-UTC host would
-      // time a DIFFERENT events workload than the one Verify checks
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local()
     // optional dedup hash profile (md5 default): lets the cluster-scale
     // xxhash64 family be benched — results are NOT oracle-comparable
     sys.env.get("SPARK_GRAFT_HASH_PROFILE")
@@ -29,6 +18,7 @@ object Bench {
     // its time-to-failure AND listed in "failed" so a regression can't hide
     // behind a plausible-looking number
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val memoWarm = scala.collection.mutable.ListBuffer.empty[String]
     // per-query MIN over reps (default 2): one rep conflates steady-state
     // throughput with one-time codegen/plan-compile cost and is hostage to
     // machine contention spikes (both prior driver runs were inflated
@@ -50,12 +40,18 @@ object Bench {
     while (rep < maxReps &&
         (rep == 0 || (System.nanoTime() - benchT0) / 1e9 < budgetSec)) {
       val r = queries.map { case (name, fn) =>
+        Caches.resetMemoHit()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             if (!failed.contains(name)) failed += name
             System.err.println(s"BENCH FAIL $name: ${e.getClass.getName}: ${e.getMessage}")
         }
+        // memo-luck attribution: a query that found a shared memo already
+        // warm did NOT pay that memo's build cost — its per-query number
+        // measures cache luck, not its plan. Flagged in "memo_warm" so a
+        // 0.07s dd_minhash_lsh can't be mistaken for a plan win.
+        if (Caches.memoHitSeen && !memoWarm.contains(name)) memoWarm += name
         Caches.clearTransient()
         name -> (System.nanoTime() - t0) / 1e9
       }
@@ -94,12 +90,14 @@ object Bench {
       val recheckT0 = System.nanoTime()
       outliers.foreach { case (name, t) =>
         if ((System.nanoTime() - recheckT0) / 1e9 < recheckSec) {
+          Caches.resetMemoHit()
           val t0 = System.nanoTime()
           try {
             queries(name)(spark, sfDir).count()
             val t2 = (System.nanoTime() - t0) / 1e9
             results = results.updated(name, math.min(t, t2))
             rechecked += name
+            if (Caches.memoHitSeen && !memoWarm.contains(name)) memoWarm += name
           } catch { case _: Throwable => () } // keep the passing reps' number
           Caches.clearTransient()
         }
@@ -115,8 +113,9 @@ object Bench {
     val fl = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val rc = rechecked.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val mw = memoWarm.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"rechecked":$rc,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"rechecked":$rc,"memo_warm":$mw,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     println(json)
     // stdout gets tail-truncated by harnesses; the file copy is canonical
     try java.nio.file.Files.write(

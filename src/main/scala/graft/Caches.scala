@@ -76,6 +76,16 @@ object Caches {
     transientFrames += df; df
   }
 
+  // Bench attribution: whether any shared memo was found ALREADY WARM
+  // since the last reset. A benched query that rides a memo built by an
+  // alphabetically-earlier query measures cache luck, not its plan —
+  // Bench resets this before each query and flags the hits in its JSON.
+  private var memoHitSinceReset = false
+
+  def resetMemoHit(): Unit = synchronized { memoHitSinceReset = false }
+
+  def memoHitSeen: Boolean = synchronized { memoHitSinceReset }
+
   /** Build-once memo of a persisted frame shared across queries within one
     * session.
     */
@@ -86,6 +96,7 @@ object Caches {
       sharedFrames.put(session, nm)
       nm
     }
+    if (m.contains(key)) memoHitSinceReset = true
     m.getOrElseUpdate(key, build)
   }
 

@@ -12,14 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object OccProbe {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(defaultCpus = 32)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (d <- args) {
       val prof = graft.llmdata.Dedup.docProfilesLocal(

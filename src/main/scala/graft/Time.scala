@@ -10,16 +10,8 @@ object Time {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val names = args.drop(1)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.session.timeZone", "UTC") // match Verify's events-ts semantics
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local(defaultCpus = 32, logLevel = "ERROR")
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     names.foreach { n =>
       (1 to reps).foreach { r =>
