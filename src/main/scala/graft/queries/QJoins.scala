@@ -560,10 +560,16 @@ object QJoins extends Registry {
     // the dirty side carries one of three 1-edit corruptions, plus a
     // 3-edit decoy every 7th entity that MUST come back unmatched
     // (blocking finds it, verify rejects it — the two-stage contract).
-    // Scale shape: candidates are pairs sharing a 4-gram (linear +
-    // collisions, the same banding idea as MinHash but for edit
-    // distance); levenshtein runs on candidates only, never |L|×|R|;
-    // best-match is a per-dirty-row window over the verified slice.
+    // Scale shape: candidates are pairs sharing a NON-STOP 4-gram —
+    // grams whose clean-side occupancy exceeds the cap ("Corp" here,
+    // which every name shares and which would alone make blocking the
+    // |L|×|R| cross product) are excluded from blocking on both sides
+    // via `operators.ErBlocking` (broadcast stop list, pre-shuffle
+    // anti-join; `ErBlockingSpec` proves linearity on a skewed-name
+    // fixture). The cap is query semantics: the oracle restates the
+    // stop list, so the capped formulation stays hash-gated.
+    // levenshtein runs on candidates only; best-match is a
+    // per-dirty-row window over the verified slice.
     Q("j26_fuzzy_er_join",
       (s, d) => {
         val clean = Tables.supplier(s, d).select(col("s_suppkey"),
@@ -580,11 +586,12 @@ object QJoins extends Registry {
             .when(col("s_suppkey") % 3 === 1,
               expr("substring(ename, 1, length(ename) - 1)"))
             .otherwise(concat(col("ename"), lit("x"))).as("dname"))
-        def grams(df: org.apache.spark.sql.DataFrame, c: String) = df
-          .withColumn("gram", explode(expr(
-            s"transform(sequence(1, length($c) - 3), i -> substring($c, i, 4))")))
-        val cand = grams(dirty, "dname")
-          .join(grams(clean, "ename"), Seq("gram"))
+        import graft.operators.ErBlocking
+        val maxGram = s.conf.get("spark.graft.er.maxGramBucket",
+          ErBlocking.DefaultMaxGramBucket.toString).toInt
+        val cand = ErBlocking.candidates(
+            ErBlocking.grams(dirty, "dname"),
+            ErBlocking.grams(clean, "ename"), maxGram)
           .select(col("d_id"), col("true_id"), col("dname"),
             col("s_suppkey"), col("ename"))
           .distinct()
@@ -625,9 +632,12 @@ object QJoins extends Registry {
                        substr(ename, CAST(i AS INT), 4) AS gram
                      FROM clean,
                        unnest(generate_series(1, length(ename) - 3)) t(i)),
+              stopg AS (SELECT gram FROM cg
+                        GROUP BY gram HAVING count(*) > 32),
               cand AS (SELECT DISTINCT d_id, true_id, dname, s_suppkey,
                                        ename
-                       FROM dg JOIN cg USING (gram)),
+                       FROM dg JOIN cg USING (gram)
+                       WHERE gram NOT IN (SELECT gram FROM stopg)),
               ver AS (SELECT *, levenshtein(dname, ename) AS dist
                       FROM cand
                       WHERE levenshtein(dname, ename) <= 2),
