@@ -513,8 +513,19 @@ object QFilters extends Registry {
     Q("s15_zorder_layout",
       (s, d) => {
         val dir = graft.Scratch.dirFor("s15_zorder", d)
-        val z = graft.operators.ZOrder.zValue(
-          Seq(col("l_partkey"), col("l_suppkey")))
+        // stats pass first (one 4-value agg — metadata-cheap next to the
+        // rewrite): raw keys exceed the 16-bit budget past small scale
+        // factors, so each dim is range-bucketed onto [0, 2^16) before
+        // interleaving — zValue refuses out-of-range input at runtime
+        val b = Tables.lineitem(s, d)
+          .agg(min(col("l_partkey")), max(col("l_partkey")),
+            min(col("l_suppkey")), max(col("l_suppkey")))
+          .collect().head
+        val z = graft.operators.ZOrder.zValue(Seq(
+          graft.operators.ZOrder.bucketed("l_partkey",
+            b.getLong(0), b.getLong(1)),
+          graft.operators.ZOrder.bucketed("l_suppkey",
+            b.getLong(2), b.getLong(3))))
         Tables.lineitem(s, d).withColumn("zval", z)
           .repartitionByRange(16, col("zval"))
           .sortWithinPartitions(col("zval"))

@@ -4,7 +4,7 @@ import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -49,7 +49,13 @@ private class ChecksumTable(schema0: StructType)
     val path = info.options.get("path")
     require(path != null && path.nonEmpty,
       "graft-checksum: 'path' option is required")
-    new WriteBuilder {
+    // advertising TRUNCATE requires the builder to IMPLEMENT
+    // SupportsTruncate — without it df.write.mode("overwrite") fails at
+    // analysis despite the capability. For this stateless sink truncate
+    // is a no-op: the manifest is atomically replaced at commit either
+    // way, so overwrite == append.
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
       override def build(): Write = new Write {
         override def toBatch: BatchWrite = new ChecksumBatchWrite(path)
       }

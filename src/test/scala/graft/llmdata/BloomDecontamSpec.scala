@@ -33,6 +33,18 @@ class BloomDecontamSpec extends SparkSpec {
     }
   }
 
+  test("bitmaps past the hash-2 span are refused, not silently degraded") {
+    // bloomPos2's affine mix reduces mod 2^31-1, so a filter wider than
+    // 2^31 bits would leave the second probe addressing only a prefix —
+    // an FPR degradation no caller would see. The constructor refuses.
+    val g = randGrams(4, 7L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bloomBitmap(g, (1L << 31) + 64L)
+    }
+    assert(e.getMessage.contains("2^31"))
+    Dedup.bloomBitmap(g, 1L << 31).count() // the boundary itself is legal
+  }
+
   test("tiny bitmap forces false positives; exact tier prunes them all") {
     import spark.implicits._
     val eval = randGrams(1500, seed = 11).cache()

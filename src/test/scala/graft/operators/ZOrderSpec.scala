@@ -27,6 +27,43 @@ class ZOrderSpec extends SparkSpec {
       morton(3, 5), morton(65535, 65535)))
   }
 
+  test("out-of-budget dims are refused at runtime, not silently truncated") {
+    import spark.implicits._
+    // 2^16 exceeds the default 16-bit budget: truncation would alias it
+    // onto z(0,0) and silently collapse clustering — must raise instead
+    val e = intercept[Exception] {
+      Seq((65536L, 1L)).toDF("x", "y")
+        .select(ZOrder.zValue(Seq(col("x"), col("y"))).as("z"))
+        .collect()
+    }
+    assert(e.getMessage.contains("bucket/normalize") ||
+      Option(e.getCause).exists(_.getMessage.contains("bucket/normalize")))
+    val neg = intercept[Exception] {
+      Seq((-1L, 1L)).toDF("x", "y")
+        .select(ZOrder.zValue(Seq(col("x"), col("y"))).as("z"))
+        .collect()
+    }
+    assert(neg.getMessage.contains("zValue") ||
+      Option(neg.getCause).exists(_.getMessage.contains("zValue")))
+  }
+
+  test("bucketed maps [lo,hi] order-preservingly onto the bit budget") {
+    import spark.implicits._
+    val got = Seq(0L, 1L, 499999L, 999999L).toDF("k")
+      .select(ZOrder.bucketed("k", 0L, 999999L).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.head == 0L && got.last == 65535L,
+      s"domain endpoints must hit bucket endpoints: $got")
+    assert(got == got.sorted, s"bucketing must preserve order: $got")
+    assert(got.forall(b => b >= 0 && b < 65536))
+    // bucketed output always satisfies zValue's range guard
+    Seq((123456789L, 42L)).toDF("x", "y")
+      .select(ZOrder.zValue(Seq(
+        ZOrder.bucketed("x", 0L, 200000000L),
+        ZOrder.bucketed("y", 0L, 99L))).as("z"))
+      .collect()
+  }
+
   test("box predicate touches fewer files under z-order than linear sort") {
     val sf = "/root/testdata/sf0.01"
     val li = Tables.lineitem(spark, sf)

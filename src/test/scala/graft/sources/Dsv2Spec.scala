@@ -99,5 +99,34 @@ class Dsv2Spec extends SparkSpec {
         .mode("append").save()
     }
     assert(readManifest() == good, "failed write clobbered the manifest")
+    // overwrite mode must work: the advertised TRUNCATE capability is
+    // backed by SupportsTruncate (no-op for this stateless sink — the
+    // manifest is atomically replaced at commit either way)
+    ids.take(10).toDF("id")
+      .write.format("graft-checksum").option("path", manifest)
+      .mode("overwrite").save()
+    assert(readManifest() ==
+      ((10L, (1L to 10L).sum, (1L to 10L).foldLeft(0L)(_ ^ _))))
+  }
+
+  test("replayed foreachBatch micro-batch is idempotent under per-batchId overwrite") {
+    import spark.implicits._
+    // foreachBatch is at-least-once: the sink contract used by
+    // stream_dsv2_source / stream_sketch_census routes each batch to a
+    // batchId-derived subdir with overwrite, so a replay rewrites
+    // instead of double-appending — exactly-once OUTPUT from
+    // at-least-once delivery
+    val dir = graft.Scratch.dirFor("replay_spec", "x") + "/rows"
+    graft.Scratch.clear(dir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    def writeBatch(batch: org.apache.spark.sql.DataFrame, batchId: Long): Unit =
+      batch.write.mode("overwrite").parquet(s"$dir/batch=$batchId")
+    val b0 = (1L to 100L).toDF("v")
+    writeBatch(b0, 0L)
+    writeBatch((101L to 150L).toDF("v"), 1L)
+    writeBatch(b0, 0L) // the replay
+    val rows = spark.read.parquet(dir)
+    assert(rows.count() == 150L, "replayed batch double-counted")
+    assert(rows.agg(sum(col("v"))).head.getLong(0) == (1L to 150L).sum)
   }
 }
