@@ -730,7 +730,58 @@ object QFilters extends Registry {
       Some("""SELECT count(*) AS n_rows,
                      CAST(sum(doc_id) AS BIGINT) AS sum_id,
                      bit_xor(doc_id) AS xor_id
-              FROM documents"""))
+              FROM documents""")),
+
+    // S21 — the LAYOUT COMPOSITION (round-8 stretch): s15's z-order
+    // write + s18's real-footer zone maps, consulted on BOTH clustered
+    // dimensions at once. The write clusters lineitem on the Morton
+    // interleave of domain-bucketed (l_partkey, l_suppkey); the planner
+    // then reads ONLY footer statistics and keeps the files whose
+    // row-group ranges overlap the box on EVERY dimension (conjunctive
+    // pruning — what Delta/Iceberg data skipping does off the manifest).
+    // This is where z-order pays: under a linear layout the second
+    // dimension's min/max spans the whole domain in every file, so
+    // zone maps prune nothing on it — `ZOrderSpec` measures the
+    // footer-surviving file count under both layouts and pins
+    // z-order strictly ahead. The RESULT is layout-invariant (the
+    // oracle); the survivor measurement is the spec's job.
+    Q("s21_zorder_zonemap",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s21_layout", d)
+        val b = Tables.lineitem(s, d)
+          .agg(min(col("l_partkey")), max(col("l_partkey")),
+            min(col("l_suppkey")), max(col("l_suppkey")))
+          .collect().head
+        val z = graft.operators.ZOrder.zValue(Seq(
+          graft.operators.ZOrder.bucketed("l_partkey",
+            b.getLong(0), b.getLong(1)),
+          graft.operators.ZOrder.bucketed("l_suppkey",
+            b.getLong(2), b.getLong(3))))
+        Tables.lineitem(s, d).withColumn("zval", z)
+          .repartitionByRange(16, col("zval"))
+          .sortWithinPartitions(col("zval"))
+          .drop("zval")
+          .write.mode("overwrite").parquet(s"$dir/lineitem_zz")
+        val survivors = zoneMapSurvivorsBox(s, s"$dir/lineitem_zz",
+          Seq(("l_partkey", 50L, 150L), ("l_suppkey", 5L, 15L)))
+        s.read.parquet(survivors: _*)
+          .filter(col("l_partkey").between(50L, 150L) &&
+            col("l_suppkey").between(5L, 15L))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_suppkey")).as("max_supp"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     min(l_partkey) AS min_part,
+                     max(l_suppkey) AS max_supp
+              FROM lineitem
+              WHERE l_partkey BETWEEN 50 AND 150
+                AND l_suppkey BETWEEN 5 AND 15
+              GROUP BY 1"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
@@ -744,7 +795,19 @@ object QFilters extends Registry {
     */
   private[queries] def zoneMapSurvivors(
       s: org.apache.spark.sql.SparkSession, path: String,
-      lo: Long, hi: Long, keyCol: String = "l_orderkey"): Seq[String] = {
+      lo: Long, hi: Long, keyCol: String = "l_orderkey"): Seq[String] =
+    zoneMapSurvivorsBox(s, path, Seq((keyCol, lo, hi)))
+
+  /** Multi-column generalization (the s21 composition): a file survives a
+    * BOX predicate iff some row group's footer stats overlap the range on
+    * EVERY constrained column — a row group that misses any one range can
+    * hold no matching row (conjunctive semantics, same as every table
+    * format's planner). Unusable stats on a column count as overlap
+    * (conservative keep).
+    */
+  private[graft] def zoneMapSurvivorsBox(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      boxes: Seq[(String, Long, Long)]): Seq[String] = {
     val conf = s.sparkContext.hadoopConfiguration
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(conf)
@@ -757,16 +820,18 @@ object QFilters extends Registry {
       try {
         import scala.jdk.CollectionConverters._
         reader.getFooter.getBlocks.asScala.exists { block =>
-          block.getColumns.asScala
-            .find(_.getPath.toDotString == keyCol)
-            .map(_.getStatistics) match {
-            case Some(st) if st != null && st.hasNonNullValue =>
-              (st.genericGetMin, st.genericGetMax) match {
-                case (mn: java.lang.Long, mx: java.lang.Long) =>
-                  mx >= lo && mn <= hi
-                case _ => true // non-INT64 stats: keep conservatively
-              }
-            case _ => true // stats absent: keep conservatively
+          boxes.forall { case (keyCol, lo, hi) =>
+            block.getColumns.asScala
+              .find(_.getPath.toDotString == keyCol)
+              .map(_.getStatistics) match {
+              case Some(st) if st != null && st.hasNonNullValue =>
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    mx >= lo && mn <= hi
+                  case _ => true // non-INT64 stats: keep conservatively
+                }
+              case _ => true // stats absent: keep conservatively
+            }
           }
         }
       } finally reader.close()

@@ -390,6 +390,77 @@ object QTracePipeline extends Registry {
                          WHERE ford.id = c.id AND ford.ord = c.ord))
               ${panelSql("kept")}""")),
 
+    // FLAG-PRESERVING error_checks replay (stage0/create_daily_enhanced_
+    // trace.py:2402-2780): the reference's inspection reports re-run the
+    // whole filter chain with flags KEPT instead of rows dropped, so an
+    // analyst can pull the per-flag row sets behind any ledger line. One
+    // row per cleaned trade with every flag as a 0/1 column, in pipeline
+    // order: F4/F5 screens (price band 5–300, qty ≤ 90 — evaluated on
+    // the CORRECTED price, since W7 exists precisely so shifted prices
+    // aren't wrongly screened), the W7 dec_shift flag, the W8 bounce
+    // flag, the W9 initial-error flag. `ErrorReplaySpec` reconciles the
+    // cascade counts derivable from this row set against
+    // `AuditedFilter.ledger` on the same frame — flags and drops must
+    // tell the same story. Scale shape: the screen flags are
+    // zero-exchange codegen folds over the already-id-partitioned
+    // corrected frame; the shift/bounce flags reuse the memoized chain;
+    // the joins are co-partitioned on (id, ord).
+    Q("tp_error_replay",
+      (s, d) => {
+        val shifts = DecimalShift.withSuggestions(
+            cleaned(s, d), "id", "dt", "ord", "price")
+          .select(col("id"), col("ord"), col("dec_shift_flag"))
+        val corr = corrected(s, d)
+        val bounce = BounceBack.flags(corr, "id", "ord", "price")
+          .filter(col("filtered_error") === 1)
+          .select(col("id"), col("ord"), lit(1).as("bflag"))
+        val win = Window.partitionBy(col("id")).orderBy(col("ord"))
+        val wAll = Window.partitionBy(col("id"))
+        corr
+          .withColumn("price_flag",
+            when(col("price") < 5 || col("price") > 300, 1).otherwise(0))
+          .withColumn("qty_flag",
+            when(col("qty") > 90, 1).otherwise(0))
+          .withColumn("rn", row_number().over(win))
+          .withColumn("jump",
+            abs(col("price") - lag(col("price"), 1).over(win))
+              .cast("double") > 50 && col("rn") <= 3)
+          .withColumn("fj", min(when(col("jump"), col("rn"))).over(wAll))
+          .withColumn("initial_error_flag",
+            when(col("rn") < coalesce(col("fj"), lit(0)), 1).otherwise(0))
+          .join(shifts, Seq("id", "ord"))
+          .join(bounce, Seq("id", "ord"), "left")
+          .select(col("id"), col("ord"), col("price_flag"), col("qty_flag"),
+            col("dec_shift_flag"),
+            coalesce(col("bflag"), lit(0)).as("bounce_flag"),
+            col("initial_error_flag"))
+      },
+      Some(s"""WITH RECURSIVE $cleanSql, $shiftSql, $correctedSql, $bounceSql,
+              ford AS (SELECT f.id, bg.ords[f.idx + 1] AS ord
+                       FROM bflags f JOIN bg USING (id)),
+              ie AS (SELECT id, ord, rn,
+                       min(CASE WHEN adiff > 50 AND rn <= 3 THEN rn END)
+                         OVER (PARTITION BY id) AS fj
+                     FROM (SELECT id, ord,
+                             row_number() OVER (PARTITION BY id ORDER BY ord) AS rn,
+                             CAST(abs(price - lag(price, 1)
+                               OVER (PARTITION BY id ORDER BY ord)) AS DOUBLE) AS adiff
+                           FROM ctr) a)
+              SELECT c.id, c.ord,
+                     CASE WHEN c.price < 5 OR c.price > 300 THEN 1 ELSE 0 END
+                       AS price_flag,
+                     CASE WHEN c.qty > 90 THEN 1 ELSE 0 END AS qty_flag,
+                     dsx.dec_shift_flag,
+                     CASE WHEN ford.ord IS NOT NULL THEN 1 ELSE 0 END
+                       AS bounce_flag,
+                     CASE WHEN ie.rn < coalesce(ie.fj, 0) THEN 1 ELSE 0 END
+                       AS initial_error_flag
+              FROM ctr c
+              JOIN (SELECT id, ord, dec_shift_flag FROM ds) dsx
+                ON dsx.id = c.id AND dsx.ord = c.ord
+              LEFT JOIN ford ON ford.id = c.id AND ford.ord = c.ord
+              JOIN ie ON ie.id = c.id AND ie.ord = c.ord""")),
+
     // The regime-split dispatch (stage0/create_daily_enhanced_trace.py:
     // 1519-1569): each chunk is split at the 2012-02-06 regime boundary
     // (synthetic stand-in: 2024-01-16) and DIFFERENT cleaning chains run on

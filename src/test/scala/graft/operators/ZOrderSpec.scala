@@ -93,4 +93,46 @@ class ZOrderSpec extends SparkSpec {
     assert(zFiles < linFiles,
       s"z-order ($zFiles files) must beat the linear layout ($linFiles)")
   }
+
+  test("footer zone maps on BOTH dims prune more under z-order than linear") {
+    // the s21 composition measured where it counts: the PLANNER's view.
+    // Survivors come from real parquet footer stats consulted on both
+    // box dimensions conjunctively — under a linear (l_orderkey) layout
+    // every file's (l_partkey, l_suppkey) ranges span the whole domain,
+    // so zone maps keep ~everything; under z-order each file covers a
+    // small box of the key plane and most footers rule themselves out.
+    val sf = "/root/testdata/sf0.01"
+    val li = Tables.lineitem(spark, sf)
+    val dir = graft.Scratch.dirFor("zorder_zm_spec", sf)
+    val b = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).collect().head
+    val z = ZOrder.zValue(Seq(
+      ZOrder.bucketed("l_partkey", b.getLong(0), b.getLong(1)),
+      ZOrder.bucketed("l_suppkey", b.getLong(2), b.getLong(3))))
+    li.withColumn("zv", z).repartitionByRange(16, col("zv"))
+      .sortWithinPartitions(col("zv")).drop("zv")
+      .write.mode("overwrite").parquet(s"$dir/zz")
+    li.repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/lin")
+
+    val box = Seq(("l_partkey", 50L, 150L), ("l_suppkey", 5L, 15L))
+    val zSurv = graft.queries.QFilters
+      .zoneMapSurvivorsBox(spark, s"$dir/zz", box).size
+    val linSurv = graft.queries.QFilters
+      .zoneMapSurvivorsBox(spark, s"$dir/lin", box).size
+    assert(zSurv > 0)
+    assert(zSurv < linSurv,
+      s"z-order survivors ($zSurv) must beat linear ($linSurv)")
+    assert(zSurv < 16, s"z-order must skip some of the 16 files ($zSurv)")
+    // correctness of pruning: the survivor scan returns exactly the
+    // full-scan box answer
+    val boxPred = col("l_partkey").between(50L, 150L) &&
+      col("l_suppkey").between(5L, 15L)
+    val full = spark.read.parquet(s"$dir/zz").filter(boxPred).count()
+    val pruned = spark.read.parquet(graft.queries.QFilters
+        .zoneMapSurvivorsBox(spark, s"$dir/zz", box): _*)
+      .filter(boxPred).count()
+    assert(pruned == full, s"pruning changed the answer: $pruned vs $full")
+  }
 }
