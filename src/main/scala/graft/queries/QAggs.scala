@@ -541,6 +541,26 @@ object QAggs extends Registry {
                      CAST(GROUPING(l_returnflag) * 2
                        + GROUPING(l_linestatus) AS INT) AS gid
               FROM lineitem
-              GROUP BY ROLLUP (l_returnflag, l_linestatus)"""))
+              GROUP BY ROLLUP (l_returnflag, l_linestatus)""")),
+
+    // A18 (ext.) — CUBE aggregation: all four grouping sets of
+    // (returnflag, linestatus) in one Expand + hash-agg pass (rollup's
+    // hierarchical subset was a16; the cube adds the column-marginal
+    // sets a report matrix needs). gid = grouping bitmask, the contract
+    // that separates a rolled-up NULL from a data NULL.
+    Q("a18_cube",
+      (s, d) => Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          Tables.dsum(col("l_extendedprice")).as("sum_price"),
+          (grouping(col("l_returnflag")) * 2
+            + grouping(col("l_linestatus"))).cast("int").as("gid")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     CAST(GROUPING(l_returnflag) * 2
+                       + GROUPING(l_linestatus) AS INT) AS gid
+              FROM lineitem
+              GROUP BY CUBE (l_returnflag, l_linestatus)"""))
   )
 }

@@ -781,7 +781,70 @@ object QFilters extends Registry {
               FROM lineitem
               WHERE l_partkey BETWEEN 50 AND 150
                 AND l_suppkey BETWEEN 5 AND 15
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // S22 — compaction EXECUTION (ext.): s17 plans the bins; this runs
+    // the rewrite. Every row is tagged with its file's bin (the same
+    // manifest + prefix-offset binning as s17), then the table is
+    // rewritten `repartition(part, bin).partitionBy(part, bin)` — all
+    // rows of one bin hash to one task, so each bin directory gets
+    // exactly ONE output file (no small files left; `CompactionSpec`
+    // counts them). The read-back manifest per (part, bin) — rows,
+    // source files merged, cent-exact volume — is the hash gate; it
+    // must reconcile with the plan the oracle rebuilds relationally.
+    // Scale shape: one metadata-sized manifest join onto the fact rows
+    // (broadcast — the manifest is files, not rows) + one shuffle
+    // sized by the rewrite itself, which IS the job.
+    Q("s22_compaction_exec",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s22_compact", d)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("part")).orderBy(col("file_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val manifest = Tables.lineitem(s, d)
+          .groupBy(col("l_returnflag").as("part"),
+            col("l_suppkey").as("file_id"))
+          .agg((count(lit(1)) * lit(100L)).as("size_bytes"))
+          .withColumn("cum", sum(col("size_bytes")).over(w))
+          .withColumn("bin", expr("(cum - size_bytes) div 131072"))
+          .select(col("part"), col("file_id"), col("bin"))
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag").as("part"),
+            col("l_suppkey").as("file_id"),
+            col("l_orderkey"), col("l_extendedprice"))
+          .join(broadcast(manifest), Seq("part", "file_id"))
+          .repartition(col("part"), col("bin"))
+          .write.mode("overwrite").partitionBy("part", "bin")
+          .parquet(s"$dir/compacted")
+        s.read.parquet(s"$dir/compacted")
+          .groupBy(col("part"), col("bin").cast("long").as("bin"))
+          .agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("file_id")).as("n_source_files"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""WITH manifest AS (
+                SELECT l_returnflag AS part, l_suppkey AS file_id,
+                       count(*) * 100 AS size_bytes
+                FROM lineitem GROUP BY 1, 2),
+              offs AS (
+                SELECT part, file_id, size_bytes,
+                       sum(size_bytes) OVER (PARTITION BY part
+                         ORDER BY file_id ROWS UNBOUNDED PRECEDING)
+                         AS cum
+                FROM manifest),
+              binned AS (
+                SELECT part, file_id,
+                       CAST((cum - size_bytes) // 131072 AS BIGINT) AS bin
+                FROM offs)
+              SELECT b.part, b.bin, count(*) AS n_rows,
+                     count(DISTINCT l.l_suppkey) AS n_source_files,
+                     CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price
+              FROM lineitem l
+              JOIN binned b ON b.part = l.l_returnflag
+                AND b.file_id = l.l_suppkey
+              GROUP BY 1, 2"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and

@@ -683,7 +683,84 @@ object QJoins extends Registry {
               JOIN nation ON s_nationkey = n_nationkey
               JOIN region ON n_regionkey = r_regionkey
               WHERE r_name < 'C'
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // G1 (ext.) — per-node TRIANGLE counting over the part
+    // co-occurrence graph (parts sharing an order — the market-basket
+    // graph), with the degree-ordered orientation that makes
+    // distributed triangle enumeration tractable (Schank's compact-
+    // forward / the Suri–Vassilvitskii MapReduce scheme): every edge
+    // points from its lower-(degree, id) endpoint, so wedge fan-out is
+    // bounded by ORIENTED out-degree (≤ O(√m) for any graph) instead
+    // of raw degree — a hub node's quadratic wedge set never
+    // materializes. Wedges (s→t1, s→t2) close iff the oriented edge
+    // (t1→t2) exists; each triangle is found exactly once. The edge
+    // build itself is an order-key self-join with fan-out bounded by
+    // basket size. The orientation is pure relational algebra (degree
+    // agg + two joins), so DuckDB replays it verbatim — the per-node
+    // triangle counts hash-gate the whole construction.
+    Q("g1_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val deg = e.select(col("u").as("id"))
+          .unionByName(e.select(col("v").as("id")))
+          .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+        val lower = col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v"))
+        val oriented = graft.Caches.registerTransient(e
+          .join(deg.select(col("id").as("u"), col("dg").as("du")), Seq("u"))
+          .join(deg.select(col("id").as("v"), col("dg").as("dv")), Seq("v"))
+          .select(when(lower, col("u")).otherwise(col("v")).as("s"),
+            when(lower, col("v")).otherwise(col("u")).as("t"),
+            when(lower, col("dv")).otherwise(col("du")).as("dt"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val wedgeOrder = col("e1.dt") < col("e2.dt") ||
+          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
+        val tri = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.s") === col("e2.s") && wedgeOrder)
+          .join(oriented.as("e3"),
+            col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
+          .select(col("e1.s").as("a"), col("e1.t").as("b"),
+            col("e2.t").as("c"))
+        tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+          .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                            l_partkey AS pk FROM lineitem),
+              e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                    FROM li a JOIN li b
+                      ON a.ok = b.ok AND a.pk < b.pk),
+              deg AS (SELECT id, count(*) AS dg FROM (
+                        SELECT u AS id FROM e
+                        UNION ALL SELECT v FROM e) x GROUP BY 1),
+              o AS (SELECT
+                      CASE WHEN du.dg < dv.dg
+                             OR (du.dg = dv.dg AND e.u < e.v)
+                           THEN e.u ELSE e.v END AS s,
+                      CASE WHEN du.dg < dv.dg
+                             OR (du.dg = dv.dg AND e.u < e.v)
+                           THEN e.v ELSE e.u END AS t,
+                      CASE WHEN du.dg < dv.dg
+                             OR (du.dg = dv.dg AND e.u < e.v)
+                           THEN dv.dg ELSE du.dg END AS dt
+                    FROM e
+                    JOIN deg du ON du.id = e.u
+                    JOIN deg dv ON dv.id = e.v),
+              tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+                      FROM o e1
+                      JOIN o e2 ON e1.s = e2.s
+                        AND (e1.dt < e2.dt
+                             OR (e1.dt = e2.dt AND e1.t < e2.t))
+                      JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
+              pn AS (SELECT unnest([a, b, c]) AS id FROM tri)
+              SELECT id, count(*) AS n_triangles
+              FROM pn GROUP BY 1"""))
   )
 
   /** J23 (ext.) — KEYLESS interval-overlap join via a time-grid: both

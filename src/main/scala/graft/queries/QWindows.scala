@@ -607,7 +607,86 @@ object QWindows extends Registry {
               SELECT user_id, min(ts) AS session_start,
                      max(ts) AS session_end,
                      CAST(count(*) AS INT) AS n_events
-              FROM si GROUP BY user_id, sid"""))
+              FROM si GROUP BY user_id, sid""")),
+
+    // W21 (ext.) — cumulative DISTINCT count: running number of unique
+    // customers ever seen, by order date (the "cumulative users" curve
+    // every growth dashboard draws). COUNT(DISTINCT) isn't a window
+    // function in either engine, so both use the same two-step
+    // construction: first-appearance flag per customer (row_number = 1),
+    // daily rollup, then a running sum over dates. The running sum runs
+    // through `operators.PrefixSum` — date cardinality is bounded
+    // (~2.4k rows here) but the operator costs nothing extra and never
+    // single-partitions, so the same query text survives a per-minute
+    // or per-key grain where the windowed relation DOES scale.
+    Q("w21_cume_distinct",
+      (s, d) => {
+        val first = Tables.orders(s, d)
+          .select(col("o_custkey"),
+            col("o_orderdate").cast("date").as("dt"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("dt"), col("o_orderkey"))))
+        val daily = first.groupBy(col("dt"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L))
+              .as("new_customers"))
+        graft.operators.PrefixSum.withRunningSumAndRank(
+            daily, Seq(col("dt")), col("new_customers"),
+            "cum_customers", "__rk", persistInput = false)
+          .select(col("dt"), col("n_orders"), col("new_customers"),
+            col("cum_customers"))
+      },
+      Some("""WITH f AS (
+                SELECT o_custkey, CAST(o_orderdate AS DATE) AS dt,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+                         AS rn
+                FROM orders),
+              daily AS (
+                SELECT dt, count(*) AS n_orders,
+                       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS new_customers
+                FROM f GROUP BY 1)
+              SELECT dt, n_orders, new_customers,
+                     CAST(sum(new_customers) OVER (ORDER BY dt
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_customers
+              FROM daily""")),
+
+    // W22 (ext.) — RANGE-framed rolling window: per-supplier trailing
+    // 30-day dollar volume at every shipment. The frame is a VALUE range
+    // (all peers within 29 days), not a row count — the semantics w18's
+    // ROWS frame can't express when a supplier ships several lines the
+    // same day or skips days. Integer day ordinal + cent-exact BIGINT
+    // volumes keep both engines bit-identical; one (supplier) shuffle,
+    // one sort, zero joins.
+    Q("w22_range_window",
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          datediff(col("l_shipdate").cast("date"), lit("1995-01-01"))
+            .cast("long").as("ship_day"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        base.withColumn("dvol30_cents",
+          sum(col("cents")).over(
+            Window.partitionBy(col("l_suppkey")).orderBy(col("ship_day"))
+              .rangeBetween(-29, 0)))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                     CAST(datediff('day', DATE '1995-01-01',
+                       CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_day,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents,
+                     CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * 100 AS BIGINT)) OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY CAST(datediff('day', DATE '1995-01-01',
+                         CAST(l_shipdate AS DATE)) AS BIGINT)
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS dvol30_cents
+              FROM lineitem"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
