@@ -121,6 +121,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       children => MinHashK(children.head,
         intLit("minhashk", "k")(children(1)))))
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     builders.foreach(ext.injectFunction)
+    // domain optimizer rules (each carries its own enable conf)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+  }
 }
