@@ -76,6 +76,58 @@ object AsOfJoin {
       .select((leftCols.map(col) ++ payload.map(p => col(s"$pay.$p").as(p))): _*)
   }
 
+  /** Forward as-of join (`pd.merge_asof(direction="forward")`): each left
+    * row picks the EARLIEST right event at-or-after (`strict`: strictly
+    * after) its `leftOn`. Same single shuffle+sort of |L|+|R| rows as
+    * [[backward]], with the fill flipped to
+    * `first(payload, ignoreNulls).over(currentRow..unboundedFollowing)`.
+    * Among right events with equal `rightOn`, the row that sorts FIRST
+    * by `rightTieBreak` wins (the nearest-following-event convention).
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      payload: Seq[String],
+      rightTieBreak: Seq[String] = Nil,
+      strict: Boolean = false): DataFrame = {
+    val t = "__asof_t"
+    val side = "__asof_side"
+    val pay = "__asof_payload"
+    val leftCols = left.columns.toSeq
+
+    // inclusive: left rows sort BEFORE right rows at the same timestamp
+    // (the equal-t event is inside the forward window); strict flips it.
+    val (rightSide, leftSide) = if (strict) (0, 1) else (1, 0)
+
+    val l = left
+      .withColumn(t, col(leftOn))
+      .withColumn(side, lit(leftSide))
+      .withColumn(pay, lit(null).cast(structType(right, payload)))
+    val r = right
+      .select((by.map(col) ++ Seq(col(rightOn).as(t))
+        ++ rightTieBreak.map(col)
+        :+ struct(payload.map(col): _*).as(pay)): _*)
+      .withColumn(side, lit(rightSide))
+    val rAligned = leftCols.foldLeft(r) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = l.select((leftCols.map(col) ++ Seq(col(t), col(side), col(pay))
+        ++ rightTieBreak.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+      .unionByName(rAligned.select((leftCols.map(col) ++ Seq(col(t), col(side), col(pay))
+        ++ rightTieBreak.map(col)): _*))
+
+    val ord: Seq[Column] = col(t).asc +: col(side).asc +: rightTieBreak.map(col(_).asc_nulls_last)
+    val w = Window.partitionBy(by.map(col): _*).orderBy(ord: _*)
+      .rowsBetween(0, Window.unboundedFollowing)
+    val filled = unioned.withColumn(pay, first(col(pay), ignoreNulls = true).over(w))
+    filled
+      .filter(col(side) === leftSide)
+      .select((leftCols.map(col) ++ payload.map(p => col(s"$pay.$p").as(p))): _*)
+  }
+
   private def structType(df: DataFrame, cols: Seq[String]) = {
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
   }

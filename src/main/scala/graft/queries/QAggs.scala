@@ -561,6 +561,32 @@ object QAggs extends Registry {
                      CAST(GROUPING(l_returnflag) * 2
                        + GROUPING(l_linestatus) AS INT) AS gid
               FROM lineitem
-              GROUP BY CUBE (l_returnflag, l_linestatus)"""))
+              GROUP BY CUBE (l_returnflag, l_linestatus)""")),
+
+    // A21 (ext.) — deterministic per-group MODE: the most frequent
+    // quantity per return flag, ties broken by the smaller value.
+    // Neither engine's built-in mode() pins tie order, so both sides
+    // run the same count + rank construction — two hash-aggs and a
+    // group-cardinality window, no raw-row sort.
+    Q("a21_group_mode",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("l_returnflag"))
+            .orderBy(col("freq").desc, col("l_quantity"))))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"),
+          col("l_quantity").as("mode_qty"), col("freq")),
+      Some("""WITH c AS (SELECT l_returnflag, l_quantity,
+                           count(*) AS freq
+                         FROM lineitem GROUP BY 1, 2),
+              r AS (SELECT *, row_number() OVER (
+                      PARTITION BY l_returnflag
+                      ORDER BY freq DESC, l_quantity) AS rn
+                    FROM c)
+              SELECT l_returnflag, l_quantity AS mode_qty, freq
+              FROM r WHERE rn = 1"""))
   )
 }

@@ -84,6 +84,32 @@ object QAsOf extends Registry {
               FROM events e ASOF LEFT JOIN re
                 ON e.user_id = re.id AND e.ts > re.r_ts""")),
 
+    // J27 (ext.) — FORWARD as-of join (merge_asof direction="forward"):
+    // each event picks the EARLIEST rating at-or-after its timestamp —
+    // the "next scheduled fixing/settlement" lookup backward can't
+    // express. Same single shuffle+sort plan, fill flipped to
+    // first-following (AsOfJoin.forward); DuckDB's native ASOF with the
+    // inequality reversed is the oracle.
+    Q("j27_asof_forward",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id").as("ord"), col("user_id").as("id"), col("ts"))
+        AsOfJoin.forward(
+            left,
+            ratingEvents(s, d),
+            by = Seq("id"),
+            leftOn = "ts", rightOn = "r_ts",
+            payload = Seq("rating"),
+            rightTieBreak = Seq("r_ord"))
+          .select(col("ord"), col("id"),
+            col("rating").cast("double").as("next_rating"))
+      },
+      Some(s"""WITH re AS ($ratingSql)
+              SELECT e.event_id AS ord, e.user_id AS id,
+                     CAST(re.rating AS DOUBLE) AS next_rating
+              FROM events e ASOF LEFT JOIN re
+                ON e.user_id = re.id AND e.ts <= re.r_ts""")),
+
     // J24 — backward as-of with TOLERANCE (merge_asof's tolerance=
     // Timedelta): a rating older than 2 days at match time is discarded
     // (null), as if never seen — the staleness bound every market-data

@@ -358,6 +358,34 @@ object QScalar extends Registry {
                        AS sum_value,
                      count(DISTINCT user_id) AS n_users
               FROM events
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // X9 (ext.) — LATERAL correlated subquery: per-customer top-2
+    // orders via a correlated ordered-LIMIT subquery — the SQL surface
+    // for "for each row, run this parameterized query". Catalyst plans
+    // the decorrelation into the same window-rank shape o3 writes by
+    // hand; DuckDB runs the identical statement text natively.
+    Q("x9_lateral",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer_v9")
+        Tables.orders(s, d).createOrReplaceTempView("orders_v9")
+        s.sql("""
+          SELECT c.c_custkey, c.c_mktsegment,
+                 t.o_orderkey, t.o_totalprice
+          FROM customer_v9 c,
+          LATERAL (SELECT o_orderkey, o_totalprice
+                   FROM orders_v9 o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+                   LIMIT 2) t""")
+      },
+      Some("""SELECT c.c_custkey, c.c_mktsegment,
+                     t.o_orderkey, t.o_totalprice
+              FROM customer c,
+              LATERAL (SELECT o_orderkey, o_totalprice
+                       FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                       LIMIT 2) t"""))
   )
 }

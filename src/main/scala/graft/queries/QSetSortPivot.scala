@@ -199,6 +199,88 @@ object QSetSortPivot extends Registry {
               UNION ALL
               SELECT l_orderkey, l_linenumber, 'discounted' AS kind,
                      round(l_extendedprice * (1.0 - l_discount), 4) AS amount
-              FROM lineitem"""))
+              FROM lineitem""")),
+
+    // U4 (ext.) — true INTERSECT / EXCEPT set operators (u3 covered the
+    // semi/anti-join membership shapes; these are the bag-to-set
+    // operators themselves, planned by Spark as hash left-semi/anti
+    // over distinct inputs). Customers appearing in BOTH halves of the
+    // date range vs ONLY the early half, as one tagged relation.
+    Q("u4_intersect_except",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val early = o.filter(col("o_orderdate") < "1997-01-01")
+          .select(col("o_custkey"))
+        val late = o.filter(col("o_orderdate") >= "1997-01-01")
+          .select(col("o_custkey"))
+        early.intersect(late).withColumn("tag", lit("both"))
+          .unionByName(early.except(late).withColumn("tag", lit("early_only")))
+      },
+      Some("""SELECT o_custkey, 'both' AS tag FROM (
+                SELECT o_custkey FROM orders WHERE o_orderdate < '1997-01-01'
+                INTERSECT
+                SELECT o_custkey FROM orders WHERE o_orderdate >= '1997-01-01') a
+              UNION ALL
+              SELECT o_custkey, 'early_only' AS tag FROM (
+                SELECT o_custkey FROM orders WHERE o_orderdate < '1997-01-01'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderdate >= '1997-01-01') b""")),
+
+    // P4 (ext.) — UNPIVOT via the first-class Dataset.unpivot API (the
+    // melt operator P3 hand-rolled with stack()): wide per-order money
+    // columns to (order, metric, value) long form. unpivot KEEPS
+    // NULL-valued cells (pandas-melt semantics) — the oracle's union
+    // form emits the same null rows.
+    Q("p4_unpivot",
+      (s, d) => Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").as("total"),
+          when(col("o_orderstatus") === "F",
+            col("o_totalprice").cast("decimal(18,2)")).as("finalized"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("total"), col("finalized")),
+          "metric", "amount"),
+      Some("""SELECT o_orderkey, 'total' AS metric,
+                     CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, 'finalized',
+                     CASE WHEN o_orderstatus = 'F'
+                          THEN CAST(o_totalprice AS DECIMAL(18,2)) END
+              FROM orders""")),
+
+    // O7 (ext.) — DIVERSIFIED top-k: the global top-20 orders by value
+    // subject to a per-customer cap of 2 — search-result diversification
+    // as pure relational algebra. The per-customer rank caps each key's
+    // contribution FIRST (one keyed shuffle); the global top-20 over the
+    // capped slice is orderBy().limit(), which Spark plans as
+    // TakeOrderedAndProject (per-partition heaps, k rows to the driver —
+    // never a full sort); only the final 20-row rank runs in a trivially
+    // bounded window.
+    Q("o7_diversified_topk",
+      (s, d) => {
+        val perCust = Tables.orders(s, d)
+          .withColumn("ck_rank", row_number().over(
+            Window.partitionBy(col("o_custkey"))
+              .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .filter(col("ck_rank") <= 2)
+        perCust
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .limit(20)
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+          .select(col("rk"), col("o_orderkey"), col("o_custkey"),
+            col("o_totalprice"), col("ck_rank"))
+      },
+      Some("""WITH capped AS (
+                SELECT o_orderkey, o_custkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey) AS ck_rank
+                FROM orders),
+              g AS (SELECT *, row_number() OVER (
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                    FROM capped WHERE ck_rank <= 2)
+              SELECT rk, o_orderkey, o_custkey, o_totalprice, ck_rank
+              FROM g WHERE rk <= 20"""))
   )
 }

@@ -686,7 +686,33 @@ object QWindows extends Registry {
                          CAST(l_shipdate AS DATE)) AS BIGINT)
                        RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
                        AS BIGINT) AS dvol30_cents
-              FROM lineitem"""))
+              FROM lineitem""")),
+
+    // W23 (ext.) — the normalized-rank family: percent_rank, cume_dist,
+    // ntile(4) per supplier over a TOTAL order (ties broken by key, so
+    // ntile's row-order-dependent bucketing is deterministic). The
+    // ranks are exact rationals ((r-1)/(n-1), cr/n) that both engines
+    // compute identically in double; one keyed shuffle + sort serves
+    // all three functions.
+    Q("w23_rank_family",
+      (s, d) => {
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"),
+            col("l_linenumber"))
+        Tables.lineitem(s, d).select(
+          col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          ntile(4).over(w).as("quartile"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+                     percent_rank() OVER w AS pct_rank,
+                     cume_dist() OVER w AS cume,
+                     ntile(4) OVER w AS quartile
+              FROM lineitem
+              WINDOW w AS (PARTITION BY l_suppkey
+                           ORDER BY l_extendedprice, l_orderkey,
+                                    l_linenumber)"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
