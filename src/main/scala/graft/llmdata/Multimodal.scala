@@ -329,6 +329,76 @@ object Multimodal {
     WavDecoded(id, sampleRate, n, if (n == 0) 0L else sum / n, peak)
   }
 
+  final case class WavFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      n_in_frame: Int,
+      energy: Long,   // Σ s² over the frame (≤ 32768²·frameLen — fits long)
+      peak_abs: Long)
+
+  /** Decode + FRAME-FEATURE extraction fused in one partition-local
+    * pass: the per-frame short-time energy / peak profile every audio
+    * quality filter consumes (silence trimming, clipping detection),
+    * computed straight off the chunk-walked PCM16 samples without the
+    * sample array ever shuffling. One row per `frameLen`-sample frame;
+    * the trailing partial frame is emitted with its true `n_in_frame`.
+    */
+  def decodeWavFrames(docs: DataFrame, idCol: String, binCol: String,
+      frameLen: Int = 8): DataFrame = {
+    require(frameLen > 0, s"frameLen must be positive, got $frameLen")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.flatMap { b =>
+        val (_, samples) = wavSamples(b.doc_id, b.payload)
+        samples.grouped(frameLen).zipWithIndex.map { case (fr, i) =>
+          var e = 0L; var peak = 0L
+          var k = 0
+          while (k < fr.length) {
+            val v = fr(k).toLong
+            e += v * v
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            k += 1
+          }
+          WavFrame(b.doc_id, i, fr.length, e, peak)
+        }
+      })
+      .toDF()
+  }
+
+  /** chunk-walk a RIFF/WAVE payload to (sampleRate, int16 samples) —
+    * shared by [[wavParse]] and [[decodeWavFrames]]. */
+  private def wavSamples(id: Long, b: Array[Byte]): (Int, Array[Int]) = {
+    require(b.length >= 12 && new String(b, 0, 4, "US-ASCII") == "RIFF"
+        && new String(b, 8, 4, "US-ASCII") == "WAVE", s"doc $id: not RIFF/WAVE")
+    var pos = 12
+    var sampleRate = -1
+    var samples: Array[Int] = null
+    while (pos + 8 <= b.length) {
+      val cid = new String(b, pos, 4, "US-ASCII")
+      val sz = rdLe32(b, pos + 4)
+      val body = pos + 8
+      cid match {
+        case "fmt " =>
+          require(rdLe16(b, body) == 1, s"doc $id: not PCM")
+          require(rdLe16(b, body + 2) == 1, s"doc $id: not mono")
+          sampleRate = rdLe32(b, body + 4)
+          require(rdLe16(b, body + 14) == 16, s"doc $id: not 16-bit")
+        case "data" =>
+          require(body + sz <= b.length, s"doc $id: truncated data chunk")
+          val n = sz / 2
+          samples = Array.tabulate(n)(k => (rdLe16(b, body + 2 * k) << 16) >> 16)
+        case _ => ()
+      }
+      pos = body + sz + (sz % 2)
+    }
+    require(sampleRate > 0 && samples != null, s"doc $id: missing fmt/data")
+    (sampleRate, samples)
+  }
+
   /** Decode a binary column of RIFF/WAVE payloads — partition-local. */
   def decodeWav(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
     val spark = docs.sparkSession

@@ -167,6 +167,29 @@ object QMultimodal extends Registry {
                      CAST(max(abs(s)) AS BIGINT) AS peak_abs
               FROM v GROUP BY doc_id, n""")),
 
+    // Decode + FRAME-FEATURE extraction fused (the audio analogue of the
+    // ppm resize fusion): per-8-sample short-time energy (Σs²) and peak —
+    // the profile silence-trimming / clipping filters consume — computed
+    // in the same partition-local pass that chunk-walks the RIFF
+    // container. Sample arrays never shuffle; one row per frame,
+    // trailing partial frame kept with its true length. Integer-exact,
+    // so the closed-form oracle re-derives every frame.
+    Q("mm_wav_energy",
+      (s, d) => Multimodal.decodeWavFrames(
+        Multimodal.synthesizePayloads(
+          Tables.documents(s, d), "doc_id", Multimodal.wavPayload).toDF(),
+        "doc_id", "payload", frameLen = 8),
+      Some("""WITH d AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+                e AS (SELECT doc_id, n, unnest(range(0, n)) AS k FROM d),
+                v AS (SELECT doc_id, CAST(k // 8 AS INT) AS frame_idx,
+                        (doc_id * 131 + k * 17) % 65536 - 32768 AS s
+                      FROM e)
+              SELECT doc_id, frame_idx,
+                     CAST(count(*) AS INT) AS n_in_frame,
+                     CAST(sum(s * s) AS BIGINT) AS energy,
+                     CAST(max(abs(s)) AS BIGINT) AS peak_abs
+              FROM v GROUP BY doc_id, frame_idx""")),
+
     // Decode + resize FUSED in one partition-local pass: nearest-
     // neighbor 2× downsample (output (x,y) samples source (2x,2y); odd
     // dims round up) with per-channel means over the RESIZED raster.

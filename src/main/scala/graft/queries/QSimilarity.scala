@@ -167,6 +167,79 @@ object QSimilarity extends Registry {
                 FROM scored)
               SELECT qid, rank, neighbor, cosine FROM ranked WHERE rank <= 10""")),
 
+    // MATRYOSHKA truncation recall (ext.) — MRL-style embeddings are
+    // trained so a PREFIX of the vector is itself a usable embedding;
+    // serving then scores candidates on the first m dims (4× less
+    // memory bandwidth and ADC work at m=16/64) and pays a measured
+    // recall cost. This rig is that measurement: top-10 by 16-dim
+    // prefix cosine vs the full 64-dim truth, recall@10 per query in
+    // exact integer milli (n_hits × 100). Same quantized-dot machinery
+    // as the rest of the ANN ladder — the truncation is a zero-copy
+    // `slice()` on the stored vector, no re-embedding pass.
+    Q("sim_matryoshka_recall",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+        def sides(dims: Option[Int]) = {
+          val v = dims.map(m => slice(col("embedding"), 1, m))
+            .getOrElse(col("embedding"))
+          (e.select(col("vec_id").as("vid"), v.as("vvec"),
+              Embeddings.norm2Decimal(v).as("vn2")),
+            e.filter(col("vec_id") < 5)
+              .select(col("vec_id").as("qid"), v.as("qvec"),
+                Embeddings.norm2Decimal(v).as("qn2")))
+        }
+        val (v64, q64) = sides(None)
+        val (v16, q16) = sides(Some(16))
+        val truth = Embeddings.topK(v64, q64, k = 10)
+          .select(col("qid"), col("neighbor"))
+        val approx = Embeddings.topK(v16, q16, k = 10)
+          .select(col("qid"), col("neighbor"))
+        val hits = truth.join(approx, Seq("qid", "neighbor"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_hits"))
+        truth.select(col("qid")).distinct()
+          .join(hits, Seq("qid"), "left")
+          .select(col("qid"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) * 100).as("recall_milli"))
+      },
+      Some {
+        def dotm(a: String, b: String, m: Int) =
+          s"""(SELECT sum(CAST(floor($a.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                          * CAST(floor($b.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+               FROM generate_series(1, $m) g(i))"""
+        def ranked(m: Int, name: String) =
+          s"""n$m AS (
+                SELECT vec_id, (SELECT sum(CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT)
+                                           * CAST(floor(e.embedding[CAST(i AS INT)] * 1e6 + 0.5e0) AS BIGINT))
+                                FROM generate_series(1, $m) g(i)) AS n2
+                FROM embeddings e),
+              s$m AS (
+                SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+                       CAST(${dotm("q", "v", m)} AS DOUBLE)
+                         / (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nv.n2 AS DOUBLE))) AS cosine
+                FROM embeddings q
+                JOIN embeddings v ON q.vec_id <> v.vec_id
+                JOIN n$m nq ON nq.vec_id = q.vec_id
+                JOIN n$m nv ON nv.vec_id = v.vec_id
+                WHERE q.vec_id < 5),
+              $name AS (
+                SELECT qid, neighbor FROM (
+                  SELECT qid, neighbor,
+                         row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, neighbor) AS rank
+                  FROM s$m) x WHERE rank <= 10)"""
+        s"""WITH ${ranked(64, "r64")},
+              ${ranked(16, "r16")},
+              hits AS (SELECT t.qid, count(*) AS n_hits
+                       FROM r64 t JOIN r16 c
+                         ON c.qid = t.qid AND c.neighbor = t.neighbor
+                       GROUP BY 1)
+              SELECT q.qid, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                     CAST(coalesce(h.n_hits, 0) * 100 AS BIGINT) AS recall_milli
+              FROM (SELECT DISTINCT qid FROM r64) q
+              LEFT JOIN hits h ON h.qid = q.qid"""
+      }),
+
     // IVF-style ANN: coarse centroids = vec_id % 50 = 0; every vector is
     // assigned to its max-dot centroid (deterministic tie-break); queries
     // (vec_id < 5) probe ONLY their own cell — the inverted-file layout
