@@ -47,7 +47,12 @@ object ScaleProbe {
     "sk_qsketch_quantiles",
     // round 7c: pattern extraction + built-in session windows (events
     // 5×) and the bounded-buffer top-k aggregator (lineitem 5×)
-    "w19_match_recognize", "w20_session_window", "o6_topk_aggregate")
+    "w19_match_recognize", "w20_session_window", "o6_topk_aggregate",
+    // round 8: the flag-preserving replay chain, capped fuzzy ER
+    // blocking, degree-oriented triangle counting, the compaction
+    // rewrite, the RANGE-frame rolling volume, and the forward as-of
+    "tp_error_replay", "j26_fuzzy_er_join", "g1_triangles",
+    "s22_compaction_exec", "w22_range_window", "j27_asof_forward")
 
   private def session(): SparkSession = {
     val spark = Sessions.local(defaultCpus = 32)
