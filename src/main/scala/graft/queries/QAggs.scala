@@ -587,6 +587,60 @@ object QAggs extends Registry {
                       ORDER BY freq DESC, l_quantity) AS rn
                     FROM c)
               SELECT l_returnflag, l_quantity AS mode_qty, freq
-              FROM r WHERE rn = 1"""))
+              FROM r WHERE rn = 1""")),
+
+    // A22 (ext.) — WEIGHTED median: the volume-weighted median price
+    // per return flag (the "half the volume traded at or below" level —
+    // the robust VWAP companion a6's unweighted median can't express).
+    // Lower weighted median in exact integers: running quantity along
+    // the price order (one keyed shuffle+sort), first row where
+    // 2·cum ≥ total. Quantities ride as integer hundredths and prices
+    // as cents, so the crossing comparison is bit-identical in both
+    // engines.
+    Q("a22_weighted_median",
+      (s, d) => {
+        val base = Tables.lineitem(s, d).select(
+          col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("price_cents"),
+          (col("l_quantity").cast("decimal(18,2)") * 100)
+            .cast("long").as("qty_h"),
+          col("l_orderkey"), col("l_linenumber"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+          .orderBy(col("price_cents"), col("l_orderkey"),
+            col("l_linenumber"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tot = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+        base
+          .withColumn("cum", sum(col("qty_h")).over(w))
+          .withColumn("total", sum(col("qty_h")).over(tot))
+          .filter(col("cum") * 2 >= col("total"))
+          .groupBy(col("l_returnflag"))
+          .agg(min(col("price_cents")).as("wmedian_cents"),
+            max(col("total")).as("total_qty_h"))
+      },
+      Some("""WITH b AS (
+                SELECT l_returnflag,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS price_cents,
+                       CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS qty_h,
+                       l_orderkey, l_linenumber
+                FROM lineitem),
+              c AS (SELECT l_returnflag, price_cents,
+                      CAST(sum(qty_h) OVER (PARTITION BY l_returnflag
+                        ORDER BY price_cents, l_orderkey, l_linenumber
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+                      CAST(sum(qty_h) OVER (PARTITION BY l_returnflag)
+                        AS BIGINT) AS total
+                    FROM b)
+              SELECT l_returnflag,
+                     min(price_cents) AS wmedian_cents,
+                     max(total) AS total_qty_h
+              FROM c WHERE cum * 2 >= total
+              GROUP BY 1"""))
   )
 }

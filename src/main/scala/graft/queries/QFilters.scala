@@ -844,7 +844,90 @@ object QFilters extends Registry {
               FROM lineitem l
               JOIN binned b ON b.part = l.l_returnflag
                 AND b.file_id = l.l_suppkey
-              GROUP BY 1, 2"""))
+              GROUP BY 1, 2""")),
+
+    // S23 — SCHEMA EVOLUTION read (ext.): a table written over time by
+    // two producer versions — v1 rows lack the later-added discount
+    // column — read back as ONE relation with `mergeSchema` (the
+    // footer-union schema merge every lake format performs from its
+    // manifest; absent columns surface as NULL, never as a failure).
+    // The write is deterministic (orderkey parity), so the oracle
+    // rebuilds both slices relationally. Scale shape: schema merge is
+    // a FOOTER operation (one per file, metadata-sized); the data
+    // pages of v1 files are never rewritten — exactly how a 100 TB
+    // table absorbs a column addition with zero backfill.
+    Q("s23_schema_evolution",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s23_evolve", d)
+        val li = Tables.lineitem(s, d)
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))
+          .write.mode("overwrite").parquet(s"$dir/t/v=1")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"))
+          .write.mode("overwrite").parquet(s"$dir/t/v=2")
+        s.read.option("mergeSchema", "true").parquet(s"$dir/t")
+          .groupBy(col("v").cast("int").as("producer_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            count(col("l_discount")).as("n_with_discount"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END
+                       AS producer_version,
+                     count(*) AS n_rows,
+                     count(CASE WHEN l_orderkey % 2 = 1
+                                THEN l_discount END) AS n_with_discount,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price
+              FROM lineitem GROUP BY 1""")),
+
+    // S24 — DYNAMIC partition pruning (ext.): the fact table is
+    // partitioned on the join key; the dim side's selective filter is
+    // only known at RUN time, so Catalyst plans a `dynamicpruning`
+    // subquery that executes the dim first and feeds the surviving
+    // keys into the fact scan's partition filter — s11's static
+    // pruning, driven by a JOIN instead of a literal. `DppSpec` pins
+    // the plan (dynamicpruning expression present; only matching
+    // partitions read). At 100 TB this is the difference between
+    // scanning 3 of 90 date partitions and scanning the table.
+    Q("s24_dpp_join",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s24_dpp", d)
+        Tables.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"), col("l_returnflag"))
+          .write.mode("overwrite").partitionBy("l_returnflag")
+          .parquet(s"$dir/fact")
+        // dim written to disk too (a LocalRelation dim would constant-
+        // fold), carrying a DERIVED attribute the fact lacks — a filter
+        // on the join key itself would be statically inferable onto the
+        // fact; the tier filter is only resolvable by EXECUTING the dim,
+        // which is exactly what DPP does
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag")).distinct()
+          .withColumn("tier",
+            when(col("l_returnflag") === "R", "junk").otherwise("gold"))
+          .write.mode("overwrite").parquet(s"$dir/dim")
+        val fact = s.read.parquet(s"$dir/fact")
+        val dim = s.read.parquet(s"$dir/dim")
+          .filter(col("tier") === "gold")
+          .select(col("l_returnflag"))
+        fact.join(dim, Seq("l_returnflag"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"))
+      },
+      Some("""WITH dim AS (SELECT l_returnflag FROM (
+                             SELECT DISTINCT l_returnflag FROM lineitem) x
+                           WHERE CASE WHEN l_returnflag = 'R' THEN 'junk'
+                                      ELSE 'gold' END = 'gold')
+              SELECT l.l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price
+              FROM lineitem l JOIN dim USING (l_returnflag)
+              GROUP BY 1"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
