@@ -225,6 +225,33 @@ object QAudit extends Registry {
                      * (${l2m("(c_a * tot_b)")} - ${l2m("(c_b * tot_a)")})
                      AS psi_term
             FROM cnt CROSS JOIN t"""
-      })
+      }),
+
+    // K-ANONYMITY audit (ext.) — the privacy-governance counterpart of
+    // the PII redaction pass: every quasi-identifier combination
+    // (segment × nation here) whose occupancy is below k = 5 is a
+    // re-identification risk; a release gate needs the at-risk combos
+    // AND the headline share of rows they cover. One hash-agg over the
+    // QI tuple + one tiny rollup — group-cardinality work at any scale.
+    Q("audit_k_anonymity",
+      (s, d) => {
+        val occ = Tables.customer(s, d)
+          .withColumn("balance_band",
+            floor(col("c_acctbal").cast("decimal(18,2)") / 2000)
+              .cast("long"))
+          .groupBy(col("c_mktsegment"), col("c_nationkey"),
+            col("balance_band"))
+          .agg(count(lit(1)).as("occupancy"))
+        occ.filter(col("occupancy") < 5)
+          .select(col("c_mktsegment"), col("c_nationkey"),
+            col("balance_band"), col("occupancy"),
+            lit("at_risk").as("verdict"))
+      },
+      Some("""SELECT c_mktsegment, c_nationkey,
+                     CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 2000)
+                       AS BIGINT) AS balance_band,
+                     count(*) AS occupancy, 'at_risk' AS verdict
+              FROM customer
+              GROUP BY 1, 2, 3 HAVING count(*) < 5"""))
   )
 }

@@ -712,7 +712,40 @@ object QWindows extends Registry {
               FROM lineitem
               WINDOW w AS (PARTITION BY l_suppkey
                            ORDER BY l_extendedprice, l_orderkey,
-                                    l_linenumber)"""))
+                                    l_linenumber)""")),
+
+    // W24 (ext.) — running peak & DRAWDOWN: per supplier along the
+    // line order, the running maximum price and the distance under
+    // it — the max-drawdown primitive of every risk report. Running max
+    // is an ordinary cumulative frame (one keyed shuffle+sort); cents
+    // keep it integer-exact.
+    Q("w24_drawdown",
+      (s, d) => {
+        Tables.lineitem(s, d).select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          .withColumn("peak_cents",
+            max(col("cents")).over(
+              Window.partitionBy(col("l_suppkey"))
+                .orderBy(col("l_orderkey"), col("l_linenumber"))
+                .rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("drawdown_cents", col("peak_cents") - col("cents"))
+      },
+      Some("""WITH b AS (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS cents
+                FROM lineitem)
+              SELECT l_suppkey, l_orderkey, l_linenumber, cents,
+                     CAST(max(cents) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents,
+                     CAST(max(cents) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_orderkey, l_linenumber
+                       ROWS UNBOUNDED PRECEDING) - cents AS BIGINT)
+                       AS drawdown_cents
+              FROM b"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
