@@ -405,6 +405,93 @@ object QStreaming extends Registry {
                        AS is_current
               FROM iv""")),
 
+    // LATE-DATA accounting (ext.): the watermark actually DROPPING
+    // stragglers, pinned end-to-end against an arithmetic oracle.
+    // Three mtime-ordered arrival files: early on-time rows (< Jan 20),
+    // the second wave (Jan 20–25), then the STRAGGLERS — every fifth
+    // event with its ORIGINAL old timestamp (plus the post-Jan-25
+    // tail). Spark's watermark lags one batch for late-event admission
+    // (filter wm in batch N = data through batch N−2; eviction wm =
+    // data through batch N−1, plus a final flushing batch whose
+    // eviction wm sees everything — observed on 4.1 and mirrored
+    // exactly): stragglers are admitted only into windows with end >
+    // max(wave-1 ts) − 1h (days ≥ 19 here), everything older is
+    // DISCARDED, and the final panel covers windows with end ≤
+    // max(all ts) − 1h (days ≤ 29). The result shows all three
+    // regimes at once: days 1–18 on-time-only (drops visible), days
+    // 19–29 complete (admission visible), day 30 absent (state still
+    // open). A drift in either semantic edge hash-fails.
+    Q("stream_late_data",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_late", d)
+        val src = s"$root/arrivals"
+        graft.Scratch.clear(src)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(src))
+        val ev = graft.Tables.events(s, d).select(
+          col("ts"), col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val onTime = col("event_id") % 5 =!= 0
+        val batches = Seq(
+          ev.filter(onTime && col("ts") < "2024-01-20"),
+          ev.filter(onTime && col("ts") >= "2024-01-20" &&
+            col("ts") < "2024-01-25"),
+          ev.filter(!onTime || col("ts") >= "2024-01-25"))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tmp = s"$root/tmp_$i"
+          b.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val schema = s.read.parquet(src).schema
+        val name = s"graft_stream_late_${runSeq.incrementAndGet()}"
+        StreamConf.withStatePartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 day").as("w"))
+            .agg(count(lit(1)).as("n_events"),
+              sum(col("cents")).as("sum_cents"))
+            .select(col("w.start").as("day_start"),
+              col("n_events"), col("sum_cents"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.table(name)
+      },
+      Some("""WITH e AS (
+                SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+                       event_id,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS cents,
+                       (event_id % 5 <> 0) AS ontime
+                FROM events),
+              cut AS (SELECT epoch_us(TIMESTAMP '2024-01-20') AS c20,
+                             epoch_us(TIMESTAMP '2024-01-25') AS c25),
+              wm AS (SELECT
+                       max(tus) FILTER (WHERE ontime AND tus < c20)
+                         - 3600000000 AS wm_admit,
+                       max(tus) - 3600000000 AS wm_emit
+                     FROM e, cut),
+              adm AS (SELECT tus, cents,
+                        (tus // 86400000000) * 86400000000 AS ws
+                      FROM e, cut, wm
+                      WHERE (ontime AND tus < c25)
+                         OR (tus // 86400000000) * 86400000000
+                              + 86400000000 > wm_admit)
+              SELECT make_timestamp(ws) AS day_start,
+                     count(*) AS n_events,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM adm, wm
+              WHERE ws + 86400000000 <= wm_emit
+              GROUP BY 1""")),
+
     // Streaming DSv2: the custom connector's MICRO-BATCH face
     // (`sources.SynthMicroBatchStream` — row-position offsets,
     // admission control capping each trigger at batchRows, AvailableNow
