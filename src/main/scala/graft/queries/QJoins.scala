@@ -722,9 +722,17 @@ object QJoins extends Registry {
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         val wedgeOrder = col("e1.dt") < col("e2.dt") ||
           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
+        // the wedge stream is the BIG side (Σ C(outdeg,2) rows — ~20× the
+        // edge count here); closing it against a SHUFFLED copy of the
+        // edges would move every wedge. The edge list itself is the small
+        // side (|E| pairs of longs), so broadcast it and close wedges
+        // map-side — zero exchange on the wedge stream. At a scale where
+        // E outgrows broadcast, drop the hint and this reverts to the
+        // Suri–Vassilvitskii shuffle-close; the wedge bound from the
+        // orientation is what keeps EITHER variant linear-ish.
         val tri = oriented.as("e1").join(oriented.as("e2"),
             col("e1.s") === col("e2.s") && wedgeOrder)
-          .join(oriented.as("e3"),
+          .join(broadcast(oriented.select(col("s"), col("t")).as("e3")),
             col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
           .select(col("e1.s").as("a"), col("e1.t").as("b"),
             col("e2.t").as("c"))
