@@ -927,7 +927,60 @@ object QFilters extends Registry {
                      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
                        AS DOUBLE) AS sum_price
               FROM lineitem l JOIN dim USING (l_returnflag)
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // S25 — incremental VIEW MAINTENANCE (ext.): the materialized
+    // per-source aggregate is brought to the v2 snapshot by applying
+    // the CDC DELTA (s14's diff, as signed rows: removed → −1/−chars,
+    // added → +1/+chars, changed → both) to the stored v1 aggregate —
+    // count/sum are ABELIAN-GROUP aggregates, so maintenance is one
+    // delta-sized union+agg, never a corpus rescan (min/max are not;
+    // an IVM layer recomputes those or keeps heaps). The oracle is the
+    // FULL RECOMPUTE over v2 — maintained must land on it bit for bit,
+    // which is the whole IVM contract. Scale shape: the diff join is
+    // the CDC cost a lakehouse already pays; the maintenance itself
+    // touches base-aggregate rows (group cardinality) + delta rows.
+    Q("s25_ivm_aggregate",
+      (s, d) => {
+        val v1 = Tables.documents(s, d)
+        val v2 = QFilters.snapshotV2(v1)
+        val base = v1.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_chars"))
+        val j = v1.select(col("doc_id"), col("text").as("t1"),
+            col("source").as("src1"))
+          .join(v2.select(col("doc_id"), col("text").as("t2"),
+            col("source").as("src2")), Seq("doc_id"), "full_outer")
+        // signed delta rows: array of (source, dn, dchars) structs,
+        // exploded — a changed doc contributes both its retraction and
+        // its insertion
+        val delta = j
+          .filter(!(col("t1") <=> col("t2")))
+          .select(explode(array(
+            struct(col("src1").as("source"), lit(-1L).as("dn"),
+              (-length(col("t1"))).cast("long").as("dchars")),
+            struct(col("src2").as("source"), lit(1L).as("dn"),
+              length(col("t2")).cast("long").as("dchars"))))
+            .as("x"))
+          .select(col("x.*"))
+          // null-side structs (a removed doc's "insertion", an added
+          // doc's "retraction") drop here; unchanged docs were filtered
+          // above — the surviving delta is change-sized
+          .filter(col("source").isNotNull && col("dchars").isNotNull)
+        val maintained = base.select(col("source"),
+            col("n_docs").cast("long").as("dn"),
+            col("sum_chars").cast("long").as("dchars"))
+          .unionByName(delta)
+          .groupBy(col("source"))
+          .agg(sum(col("dn")).as("n_docs"),
+            sum(col("dchars")).as("sum_chars"))
+          .filter(col("n_docs") > 0)
+        maintained
+      },
+      Some(s"""WITH ${QFilters.snapshotV2Sql}
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS sum_chars
+              FROM v2 GROUP BY 1"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
