@@ -34,6 +34,12 @@ object GraftExtensions {
         if (!reg.functionExists(ident))
           reg.registerFunction(ident, info, builder)
       }
+      // strategies for sessions built without spark.sql.extensions: the
+      // experimental hook is the supported post-hoc registration point
+      val exp = spark.experimental
+      if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        exp.extraStrategies =
+          exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
     }
 }
 
@@ -125,5 +131,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     builders.foreach(ext.injectFunction)
     // domain optimizer rules (each carries its own enable conf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+    // whole-operator extension: the native as-of join's planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -132,6 +132,38 @@ object AsOfJoin {
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
   }
 
+  /** The NATIVE backward as-of join: plans [[graft.plans.AsOfJoinNode]],
+    * which [[graft.plans.AsOfJoinStrategy]] (registered via
+    * `GraftExtensions`) maps to the single-pass sorted-merge operator
+    * [[graft.plans.AsOfMergeJoinExec]]. Same cost model as [[backward]]
+    * (one shuffle+sort per side on the `by` keys) but each side keeps
+    * its OWN width through the sort — no union, no null-widened right
+    * rows, no running payload struct. Right side should be unique per
+    * (by, rightOn) for a deterministic winner (like [[backward]] with
+    * its tie-break).
+    */
+  def backwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      payload: Seq[String],
+      strict: Boolean = false): DataFrame = {
+    graft.GraftExtensions.ensure(left.sparkSession)
+    val la = left.queryExecution.analyzed
+    val ra = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"as-of: column $n not in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinNode(la, ra,
+      by.map(attr(la, _)), by.map(attr(ra, _)),
+      attr(la, leftOn), attr(ra, rightOn),
+      payload.map(attr(ra, _)), strict)
+    org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession, node)
+  }
+
   /** One right-hand source of [[backwardMulti]]. */
   case class Right(
       right: DataFrame,

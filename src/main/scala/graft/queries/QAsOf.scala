@@ -84,6 +84,35 @@ object QAsOf extends Registry {
               FROM events e ASOF LEFT JOIN re
                 ON e.user_id = re.id AND e.ts > re.r_ts""")),
 
+    // J28 (ext.) — the NATIVE as-of join: a custom Catalyst logical
+    // node + planner strategy + physical sorted-merge operator
+    // (plans.AsOfJoinNode/AsOfJoinStrategy/AsOfMergeJoinExec, injected
+    // via SparkSessionExtensions — the whole-operator extension tier).
+    // Same single-shuffle-per-side cost as j11's composed form, but
+    // each side keeps its own width through the sort: no union, no
+    // null-widened right rows, no running payload struct — the merge
+    // streams both sorted sides once per partition with O(1) state.
+    // Hash-gated against the SAME oracle as j11, so the two
+    // formulations can never drift apart.
+    Q("j28_asof_native",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id").as("ord"), col("user_id").as("id"), col("ts"))
+        AsOfJoin.backwardNative(
+            left,
+            ratingEvents(s, d).select(col("id"), col("r_ts"), col("rating")),
+            by = Seq("id"),
+            leftOn = "ts", rightOn = "r_ts",
+            payload = Seq("rating"))
+          .select(col("ord"), col("id"),
+            coalesce(col("rating").cast("double"), lit(0.0)).as("rating_filled"))
+      },
+      Some(s"""WITH re AS ($ratingSql)
+              SELECT e.event_id AS ord, e.user_id AS id,
+                     coalesce(CAST(re.rating AS DOUBLE), 0.0) AS rating_filled
+              FROM events e ASOF LEFT JOIN re
+                ON e.user_id = re.id AND e.ts >= re.r_ts""")),
+
     // J27 (ext.) — FORWARD as-of join (merge_asof direction="forward"):
     // each event picks the EARLIEST rating at-or-after its timestamp —
     // the "next scheduled fixing/settlement" lookup backward can't
