@@ -23,6 +23,13 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * sorted streams per partition in one pass with O(1) state (the last
   * matching right payload). Same single-shuffle-each-side cost model,
   * strictly less data through the sort, no null-widened rows at all.
+  *
+  * Measured (sf0.1 events, 100k×6k, 12 extra left columns CONSUMED by
+  * the downstream aggregate — the realistic wide-panel enrichment):
+  * native 0.39 s vs composed 0.68 s steady-state. When Catalyst can
+  * prune the left payload to nothing (a bare count), the codegen'd
+  * window's constants win instead (0.25 vs 0.45 s) — the operator
+  * earns its keep exactly when the enriched panel is actually wide.
   */
 case class AsOfJoinNode(
     left: LogicalPlan,

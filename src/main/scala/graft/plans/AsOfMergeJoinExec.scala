@@ -82,14 +82,10 @@ case class AsOfMergeJoinExec(
 
       new Iterator[InternalRow] {
         private var rRow: InternalRow = _
-        private var rKey: InternalRow = _
         private var retained: InternalRow = _      // payload copy
         private var retainedKey: InternalRow = _   // key copy
         private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-          } else { rRow = null; rKey = null }
+          rRow = if (rIter.hasNext) rIter.next() else null
         advanceRight()
 
         override def hasNext: Boolean = lIter.hasNext
@@ -99,15 +95,20 @@ case class AsOfMergeJoinExec(
           val lKey = lKeyProj(l)
           val lT = t(l, lOnIdx)
           // consume right rows that are at-or-before this left row in
-          // the (key, time) order; the last same-key one is the match
+          // the (key, time) order; the last same-key one is the match.
+          // Key projections reuse their buffers — nothing is copied
+          // except the retained (key, payload), once per retention.
           var continue = rRow != null
           while (continue) {
-            val c = keyOrd.compare(rKey, lKey)
+            val c = keyOrd.compare(rKeyProj(rRow), lKey)
             val rT = t(rRow, rOnIdx)
             val inWindow = c < 0 ||
               (c == 0 && (if (strictLocal) rT < lT else rT <= lT))
             if (inWindow) {
-              if (c == 0) { retained = payProj(rRow).copy(); retainedKey = rKey }
+              if (c == 0) {
+                retained = payProj(rRow).copy()
+                retainedKey = rKeyProj(rRow).copy()
+              }
               advanceRight()
               continue = rRow != null
             } else continue = false
