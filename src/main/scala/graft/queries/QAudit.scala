@@ -252,6 +252,37 @@ object QAudit extends Registry {
                        AS BIGINT) AS balance_band,
                      count(*) AS occupancy, 'at_risk' AS verdict
               FROM customer
-              GROUP BY 1, 2, 3 HAVING count(*) < 5"""))
+              GROUP BY 1, 2, 3 HAVING count(*) < 5""")),
+
+    // OBSERVED metrics (ext.) — `Dataset.observe` piggybacks aggregate
+    // metrics onto a pass the job was ALREADY making (here: writing the
+    // screened slice), so the audit numbers a pipeline logs per stage
+    // cost ZERO extra scans — the reference's log_filter counters, with
+    // no second action. The observed values are surfaced as a one-row
+    // relation and hash-gated against SQL recomputing them, so the
+    // free-metrics path can never silently drift from the real ones.
+    Q("audit_observe",
+      (s, d) => {
+        val obs = new org.apache.spark.sql.Observation()
+        val screened = Tables.lineitem(s, d)
+          .filter(col("l_quantity") <= 45)
+          .observe(obs,
+            count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"),
+            max(col("l_suppkey")).as("max_supplier"))
+        val dir = graft.Scratch.dirFor("audit_observe", d)
+        screened.write.mode("overwrite").parquet(s"$dir/screened")
+        val m = obs.get
+        import s.implicits._
+        Seq((m("n_rows").asInstanceOf[Long],
+            m("sum_price").asInstanceOf[Double],
+            m("max_supplier").asInstanceOf[Long]))
+          .toDF("n_rows", "sum_price", "max_supplier")
+      },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     max(l_suppkey) AS max_supplier
+              FROM lineitem WHERE l_quantity <= 45"""))
   )
 }

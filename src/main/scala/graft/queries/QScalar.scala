@@ -386,6 +386,37 @@ object QScalar extends Registry {
                        FROM orders o
                        WHERE o.o_custkey = c.c_custkey
                        ORDER BY o_totalprice DESC, o_orderkey
-                       LIMIT 2) t"""))
+                       LIMIT 2) t""")),
+
+    // X11 (ext.) — JOIN-STRATEGY HINTS: the same equi-join planned
+    // three ways (BROADCAST / MERGE / SHUFFLE_HASH) — the lever a
+    // 100 TB job pulls when Catalyst's size estimates are wrong (a dim
+    // that looks big but is small post-filter, or the reverse). The
+    // result is strategy-invariant (that is the oracle: each leg must
+    // produce the identical aggregate); `JoinHintSpec` pins that each
+    // hint actually selects its physical operator. The three legs are
+    // unioned with a tag so one hash gate covers all of them.
+    Q("x11_join_hints",
+      (s, d) => {
+        val orders = Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"))
+        val cust = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        def leg(tag: String, hint: String) = orders
+          .join(cust.hint(hint), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"))
+          .withColumn("strategy", lit(tag))
+        leg("broadcast", "broadcast")
+          .unionByName(leg("merge", "merge"))
+          .unionByName(leg("shuffle_hash", "shuffle_hash"))
+      },
+      Some("""WITH j AS (SELECT c.c_mktsegment, count(*) AS n_orders
+                         FROM orders o
+                         JOIN customer c ON o.o_custkey = c.c_custkey
+                         GROUP BY 1)
+              SELECT c_mktsegment, n_orders, s.strategy
+              FROM j CROSS JOIN (VALUES ('broadcast'), ('merge'),
+                                        ('shuffle_hash')) s(strategy)"""))
   )
 }
