@@ -239,14 +239,21 @@ object QSetSortPivot extends Registry {
             col("o_totalprice").cast("decimal(18,2)")).as("finalized"))
         .unpivot(Array(col("o_orderkey")),
           Array(col("total"), col("finalized")),
-          "metric", "amount"),
+          "metric", "amount")
+        // DOUBLE on the wire: a DECIMAL output column would be the only
+        // one in the whole surface, and decimal trailing-zero rendering
+        // varies across driver-side conversion paths (the HUGEINT
+        // lesson). 2dp values are exact in double.
+        .withColumn("amount", col("amount").cast("double")),
       Some("""SELECT o_orderkey, 'total' AS metric,
-                     CAST(o_totalprice AS DECIMAL(18,2)) AS amount
+                     CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+                       AS amount
               FROM orders
               UNION ALL
               SELECT o_orderkey, 'finalized',
-                     CASE WHEN o_orderstatus = 'F'
+                     CAST(CASE WHEN o_orderstatus = 'F'
                           THEN CAST(o_totalprice AS DECIMAL(18,2)) END
+                       AS DOUBLE)
               FROM orders""")),
 
     // O7 (ext.) — DIVERSIFIED top-k: the global top-20 orders by value
