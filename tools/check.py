@@ -63,10 +63,13 @@ def main():
             # must CAST integer sums to BIGINT (round-8 root cause of the
             # 4 hash-red rows in CORRECTNESS_r07).
             huge = [c for c, t in zip(oracle_df.columns, oracle_df.types)
-                    if "HUGEINT" in str(t)]
+                    if "HUGEINT" in str(t) or "DECIMAL" in str(t)]
             if huge:
-                print(f"FAIL {name}: oracle emits HUGEINT column(s) {huge} "
-                      "— CAST(... AS BIGINT) in the oracle SQL")
+                print(f"FAIL {name}: oracle emits HUGEINT/DECIMAL "
+                      f"column(s) {huge} — neither type has a driver-side "
+                      "rendering precedent (HUGEINT->float, DECIMAL "
+                      "trailing zeros); CAST to BIGINT/DOUBLE in BOTH "
+                      "engines")
                 n_fail += 1
                 continue
             o_cols = sorted(oracle_df.columns)
