@@ -405,6 +405,85 @@ object QStreaming extends Registry {
                        AS is_current
               FROM iv""")),
 
+    // STREAMING MATERIALIZED VIEW with retractions (ext.) — the s25
+    // IVM operator driven by a change STREAM: batch 0 delivers the v1
+    // corpus as inserts, batch 1 the v1→v2 CDC delta as signed
+    // retraction/insert rows, and foreachBatch folds each batch's
+    // (source, ±1, ±chars) contributions into the persisted aggregate
+    // (ping-pong state dirs, same as stream_scd2_apply). Because
+    // count/sum are abelian, the maintained view after the delta batch
+    // must equal the FULL RECOMPUTE over v2 — the oracle — while the
+    // per-batch work is delta-sized. This is the
+    // Materialize/DLT-style continuously-maintained aggregate, built
+    // from the engine's own parts and hash-gated.
+    Q("stream_ivm_aggregate",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_ivm", d)
+        val src = s"$root/changes"
+        graft.Scratch.clear(src)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(src))
+        val v1 = graft.Tables.documents(s, d)
+        val v2 = QFilters.snapshotV2(v1)
+        val inserts = v1.select(col("source"), lit(1L).as("dn"),
+          length(col("text")).cast("long").as("dchars"))
+        val j = v1.select(col("doc_id"), col("text").as("t1"),
+            col("source").as("src1"))
+          .join(v2.select(col("doc_id"), col("text").as("t2"),
+            col("source").as("src2")), Seq("doc_id"), "full_outer")
+          .filter(!(col("t1") <=> col("t2")))
+        val delta = j.select(explode(array(
+            struct(col("src1").as("source"), lit(-1L).as("dn"),
+              (-length(col("t1"))).cast("long").as("dchars")),
+            struct(col("src2").as("source"), lit(1L).as("dn"),
+              length(col("t2")).cast("long").as("dchars")))).as("x"))
+          .select(col("x.*"))
+          .filter(col("source").isNotNull && col("dchars").isNotNull)
+        Seq(inserts, delta).zipWithIndex.foreach { case (b, i) =>
+          val tmp = s"$root/tmp_$i"
+          b.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(src, s"chunk_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val schema = s.read.parquet(src).schema
+        val stateA = s"$root/stateA"
+        val stateB = s"$root/stateB"
+        @volatile var cur: Option[String] = None
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+            val contrib = batch.groupBy(col("source"))
+              .agg(sum(col("dn")).as("dn"),
+                sum(col("dchars")).as("dchars"))
+            val merged = cur match {
+              case None => contrib
+              case Some(dir) => s.read.parquet(dir)
+                .unionByName(contrib)
+                .groupBy(col("source"))
+                .agg(sum(col("dn")).as("dn"),
+                  sum(col("dchars")).as("dchars"))
+            }
+            val next = if (cur.contains(stateA)) stateB else stateA
+            merged.filter(col("dn") > 0)
+              .write.mode("overwrite").parquet(next)
+            cur = Some(next)
+            ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.parquet(cur.get).select(col("source"),
+          col("dn").as("n_docs"), col("dchars").as("sum_chars"))
+      },
+      Some(s"""WITH ${QFilters.snapshotV2Sql}
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(length(text)) AS BIGINT) AS sum_chars
+              FROM v2 GROUP BY 1""")),
+
     // LATE-DATA accounting (ext.): the watermark actually DROPPING
     // stragglers, pinned end-to-end against an arithmetic oracle.
     // Three mtime-ordered arrival files: early on-time rows (< Jan 20),

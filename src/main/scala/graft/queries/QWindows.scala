@@ -728,7 +728,11 @@ object QWindows extends Registry {
           .withColumn("peak_cents",
             max(col("cents")).over(
               Window.partitionBy(col("l_suppkey"))
-                .orderBy(col("l_orderkey"), col("l_linenumber"))
+                // cents tiebreak: (orderkey, linenumber) is not unique
+                // within a supplier; ties must be value-identical in
+                // every used column for cross-engine determinism
+                .orderBy(col("l_orderkey"), col("l_linenumber"),
+                  col("cents"))
                 .rowsBetween(Window.unboundedPreceding, 0)))
           .withColumn("drawdown_cents", col("peak_cents") - col("cents"))
       },
@@ -739,13 +743,69 @@ object QWindows extends Registry {
                 FROM lineitem)
               SELECT l_suppkey, l_orderkey, l_linenumber, cents,
                      CAST(max(cents) OVER (PARTITION BY l_suppkey
-                       ORDER BY l_orderkey, l_linenumber
+                       ORDER BY l_orderkey, l_linenumber, cents
                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS peak_cents,
                      CAST(max(cents) OVER (PARTITION BY l_suppkey
-                       ORDER BY l_orderkey, l_linenumber
+                       ORDER BY l_orderkey, l_linenumber, cents
                        ROWS UNBOUNDED PRECEDING) - cents AS BIGINT)
                        AS drawdown_cents
-              FROM b"""))
+              FROM b""")),
+
+    // W25 (ext.) — EWMA as an EXACT trailing window: the pandas `ewm`
+    // smoother, truncated to the last 8 observations with geometric
+    // weights 2^7..2^0 (newest heaviest — within 0.4% of the infinite
+    // α=1/2 EWMA) so the whole thing is INTEGER arithmetic: numerator =
+    // Σ lag_j·2^(7−j), denominator = Σ of the weights actually present
+    // (partial heads divide by their own mass, pandas' adjust=True).
+    // Eight lag() terms over ONE shared frame — codegen'd, one keyed
+    // shuffle, and bit-identical cross-engine where a recursive float
+    // EWMA never could be.
+    Q("w25_ewma_window",
+      (s, d) => {
+        // (l_orderkey, l_linenumber) is NOT unique within a supplier in
+        // the synthetic lineitem (165 collisions at sf0.01) — cents as
+        // the final tiebreak makes tied rows identical in every USED
+        // column, so the lag chains are deterministic cross-engine
+        val part =
+          "PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, cents"
+        val num = (0 to 7).map(j =>
+          s"coalesce(lag(cents, $j) OVER ($part) * ${1L << (7 - j)}, 0)")
+          .mkString(" + ")
+        val den = (0 to 7).map(j =>
+          s"(CASE WHEN lag(cents, $j) OVER ($part) IS NOT NULL " +
+            s"THEN ${1L << (7 - j)} ELSE 0 END)").mkString(" + ")
+        Tables.lineitem(s, d).select(
+            col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          // identical expression TEXT to the oracle (Spark's `div` ==
+          // DuckDB's `//` on BIGINT) — the weighted-lag formulation is
+          // shared, not restated
+          .withColumn("ewma_milli",
+            expr(s"($num) * 1000 div ($den)"))
+      },
+      Some {
+        // (l_orderkey, l_linenumber) is NOT unique within a supplier in
+        // the synthetic lineitem (165 collisions at sf0.01) — cents as
+        // the final tiebreak makes tied rows identical in every USED
+        // column, so the lag chains are deterministic cross-engine
+        val part =
+          "PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, cents"
+        val num = (0 to 7).map(j =>
+          s"coalesce(lag(cents, $j) OVER ($part) * ${1L << (7 - j)}, 0)")
+          .mkString(" + ")
+        val den = (0 to 7).map(j =>
+          s"(CASE WHEN lag(cents, $j) OVER ($part) IS NOT NULL " +
+            s"THEN ${1L << (7 - j)} ELSE 0 END)").mkString(" + ")
+        s"""WITH b AS (
+              SELECT l_suppkey, l_orderkey, l_linenumber,
+                     CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                       AS BIGINT) AS cents
+              FROM lineitem)
+            SELECT l_suppkey, l_orderkey, l_linenumber, cents,
+                   CAST(($num) * 1000 // ($den) AS BIGINT) AS ewma_milli
+            FROM b"""
+      })
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
