@@ -40,11 +40,19 @@ object ErBlocking {
   val DefaultMaxGramBucket = 32
 
   /** explode `nameCol` into its positional q-grams (one row per gram
-    * occurrence position, deduped per row by the later distinct). */
+    * occurrence position, deduped per row by the later distinct).
+    *
+    * Rows shorter than q emit NO grams — pinned by pre-filter, because
+    * Spark's `sequence(1, n)` with n < 1 flips to a DESCENDING default
+    * step and would emit bogus position-0/negative grams, while the
+    * DuckDB oracle's `generate_series(1, n)` is simply empty there. The
+    * filter is exactly the oracle's empty-series semantics (a non-outer
+    * explode of an empty array drops the row anyway). */
   def grams(df: DataFrame, nameCol: String, q: Int = 4): DataFrame =
-    df.withColumn("gram", explode(expr(
-      s"transform(sequence(1, length($nameCol) - ${q - 1}), " +
-        s"i -> substring($nameCol, i, $q))")))
+    df.filter(length(col(nameCol)) >= q)
+      .withColumn("gram", explode(expr(
+        s"transform(sequence(1, length($nameCol) - ${q - 1}), " +
+          s"i -> substring($nameCol, i, $q))")))
 
   /** the stop-gram list: grams whose CLEAN-side occupancy exceeds the
     * cap. Tiny by construction (≤ total-grams/cap entries) — broadcast

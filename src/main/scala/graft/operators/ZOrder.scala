@@ -60,13 +60,30 @@ object ZOrder {
     */
   def bucketed(dimName: String, lo: Long, hi: Long, bits: Int = 16): Column = {
     require(hi >= lo, s"bucketed: empty domain [$lo, $hi]")
-    val span = hi - lo + 1
+    // hi - lo + 1 overflows Long once the domain spans more than half
+    // the Long range (lo near MinValue, hi > 0): the wrap would slip
+    // past the require and alias buckets. Fail fast via exact math.
+    val width =
+      try Math.subtractExact(hi, lo)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(
+          s"bucketed: domain [$lo, $hi] wider than Long.MaxValue — " +
+            "pre-scale the dim (e.g. div) before bucketing") }
+    require(width < Long.MaxValue,
+      s"bucketed: domain [$lo, $hi] spans 2^63 values — " +
+        "pre-scale the dim before bucketing")
+    val span = width + 1
     // (dim - lo) * 2^bits stays inside a long for spans up to 2^(62-bits)
     // — divide first past that (sub-bucket precision is moot once buckets
     // are already wider than 2^bits values)
     if (span <= (1L << (62 - bits)))
       expr(s"(($dimName - $lo) * ${1L << bits}) div $span")
-    else
-      expr(s"($dimName - $lo) div ${(span + (1L << bits) - 1) / (1L << bits)}")
+    else {
+      // overflow-safe ceil(span / 2^bits): span + 2^bits - 1 would wrap
+      // for spans near Long.MaxValue
+      val b = 1L << bits
+      val ceilDiv = span / b + (if (span % b != 0) 1L else 0L)
+      expr(s"($dimName - $lo) div $ceilDiv")
+    }
   }
 }

@@ -71,8 +71,13 @@ case class AsOfMergeJoinExec(
       val lKeyProj = UnsafeProjection.create(leftByLocal, leftOutput)
       val rKeyProj = UnsafeProjection.create(rightByLocal, rightOutput)
       val payProj = UnsafeProjection.create(payloadLocal, rightOutput)
+      // Bind against the NULLABLE view of the payload: unmatched left
+      // rows are joined to an all-null row, and a projection bound to a
+      // non-nullable payload attribute (lit()/agg-derived) would emit a
+      // null-check-free BoundReference — numerics silently read 0,
+      // strings NPE — instead of the NULL `output` promises.
       val resultProj = UnsafeProjection.create(
-        outputLocal, leftOutput ++ payloadLocal)
+        outputLocal, leftOutput ++ payloadLocal.map(_.withNullability(true)))
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
       val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
       val nullPay = new GenericInternalRow(payloadLocal.length)

@@ -587,8 +587,12 @@ object QJoins extends Registry {
               expr("substring(ename, 1, length(ename) - 1)"))
             .otherwise(concat(col("ename"), lit("x"))).as("dname"))
         import graft.operators.ErBlocking
-        val maxGram = s.conf.get("spark.graft.er.maxGramBucket",
-          ErBlocking.DefaultMaxGramBucket.toString).toInt
+        // Cap PINNED to the library constant, not a session conf: the
+        // oracle below interpolates the same constant, so a conf
+        // override can never silently diverge the query from its own
+        // hash gate. Callers wanting a different cap pass it to
+        // ErBlocking.candidates directly (and own their oracle).
+        val maxGram = ErBlocking.DefaultMaxGramBucket
         val cand = ErBlocking.candidates(
             ErBlocking.grams(dirty, "dname"),
             ErBlocking.grams(clean, "ename"), maxGram)
@@ -610,7 +614,7 @@ object QJoins extends Registry {
             when(col("matched_id") === col("true_id"), 1).otherwise(0)
               .as("is_correct"))
       },
-      Some("""WITH clean AS (
+      Some(s"""WITH clean AS (
                 SELECT s_suppkey,
                        'Corp-' || substr(md5(CAST(s_suppkey AS VARCHAR)),
                                          1, 8) AS ename
@@ -633,7 +637,8 @@ object QJoins extends Registry {
                      FROM clean,
                        unnest(generate_series(1, length(ename) - 3)) t(i)),
               stopg AS (SELECT gram FROM cg
-                        GROUP BY gram HAVING count(*) > 32),
+                        GROUP BY gram HAVING count(*) >
+                          ${graft.operators.ErBlocking.DefaultMaxGramBucket}),
               cand AS (SELECT DISTINCT d_id, true_id, dname, s_suppkey,
                                        ename
                        FROM dg JOIN cg USING (gram)

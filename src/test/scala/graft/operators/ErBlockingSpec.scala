@@ -48,6 +48,17 @@ class ErBlockingSpec extends SparkSpec {
     assert(hits == n.toLong, s"lost true pairs: $hits of $n")
   }
 
+  test("names shorter than q emit no grams (oracle empty-series parity)") {
+    // Spark's sequence(1, n) flips to a DESCENDING default step for
+    // n < 1 — unclamped, a 2-char name would emit bogus position-0
+    // grams while the DuckDB oracle's generate_series(1, n) is empty.
+    val short = Seq((1L, "ab"), (2L, "abc"), (3L, ""), (4L, "abcd"))
+      .toDF("id", "ename")
+    val g = ErBlocking.grams(short, "ename").select($"id", $"gram").collect()
+    assert(g.toSet == Set(org.apache.spark.sql.Row(4L, "abcd")),
+      s"short names must emit no grams: ${g.mkString(",")}")
+  }
+
   test("stop list fires exactly on the hot grams, never the informative ones") {
     val stops = ErBlocking.stopGrams(
         ErBlocking.grams(clean, "ename"), ErBlocking.DefaultMaxGramBucket)

@@ -64,6 +64,25 @@ class ZOrderSpec extends SparkSpec {
       .collect()
   }
 
+  test("bucketed refuses domains whose span overflows Long") {
+    // hi - lo + 1 wraps for domains wider than half the Long range; the
+    // wrap used to slip past the emptiness require and alias buckets.
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.bucketed("k", Long.MinValue, 1L)
+    }
+    assert(e.getMessage.contains("pre-scale"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      ZOrder.bucketed("k", Long.MinValue, Long.MaxValue)
+    }
+    assert(e2.getMessage.contains("pre-scale"), e2.getMessage)
+    // the widest LEGAL domain still buckets: endpoints map to 0 / 65535
+    import spark.implicits._
+    val wide = Seq(-1L, Long.MaxValue - 2).toDF("k")
+      .select(ZOrder.bucketed("k", -1L, Long.MaxValue - 2).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(wide == Seq(0L, 65535L), s"widest legal domain: $wide")
+  }
+
   test("box predicate touches fewer files under z-order than linear sort") {
     val sf = "/root/testdata/sf0.01"
     val li = Tables.lineitem(spark, sf)

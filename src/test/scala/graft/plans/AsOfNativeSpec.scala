@@ -54,6 +54,28 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("non-nullable payloads surface NULL (not 0 / NPE) on unmatched rows") {
+    // lit()-derived columns are NON-nullable in the analyzed schema; the
+    // merge joins unmatched left rows to an all-null row, so the result
+    // projection must bind against the nullable payload view — a
+    // null-check-free BoundReference would silently read 0L for the
+    // long and NPE for the string.
+    import spark.implicits._
+    val l = Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("id", "ts")
+    val r = Seq((1L, 15L)).toDF("id", "r_ts")
+      .withColumn("pay_l", lit(7L))
+      .withColumn("pay_s", lit("seven"))
+    val out = AsOfJoin.backwardNative(
+        l, r, Seq("id"), "ts", "r_ts", Seq("pay_l", "pay_s"))
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        Option(x.get(2)), Option(x.get(3)))).toSet
+    assert(out == Set(
+      (1L, 10L, None, None),               // before the only right row
+      (1L, 20L, Some(7L), Some("seven")),  // matched
+      (2L, 5L, None, None)),               // key never on the right
+      s"non-nullable payload mis-bound: $out")
+  }
+
   test("native keeps the composed form's exchange budget") {
     // 3 = left keyed shuffle + right keyed shuffle + the right-side
     // dedup's (id, r_ts) window shuffle. The composed form counts 2
