@@ -383,11 +383,16 @@ object Dedup {
     * span_tokens, n_windows), span_start 1-based in tokens.
     *
     * Scale shape: the window relation is ~1 row per token — linear, like
-    * the shingle tiers. Two window-relation shuffles (hash-agg the
-    * occurrence counts with map-side combine; semi-join the duplicated
-    * hash set back) and ONE doc-keyed exchange: the islands window
-    * partitions by id, and the span groupBy's (id, grp) clustering is
-    * satisfied by the id partitioning, so no fourth exchange. Honors
+    * the shingle tiers. TWO exchanges total, in EVERY size regime: the
+    * occurrence count is `count(*) OVER (PARTITION BY fp)` — the per-
+    * token relation shuffles ONCE on the hash and each occurrence reads
+    * its global multiplicity in place, replacing the old agg + semi-join
+    * shape that shuffled the full relation twice (or, when the
+    * duplicated-hash set fit a broadcast, rebuilt+rebroadcast it) — plus
+    * ONE doc-keyed exchange: the islands window partitions by id, and
+    * the span groupBy's (id, grp) clustering is satisfied by the id
+    * partitioning. A hot boilerplate hash lands in one task either way;
+    * the window's per-group count is a single streaming pass. Honors
     * [[TextOps.hashProfile]] (md5 default = DuckDB-oracle-portable,
     * xxhash64 at cluster scale).
     */
@@ -398,11 +403,10 @@ object Dedup {
         posexplode(call_function("tokengrampos60",
           TextOps.normalized(col(textCol)), lit(w), lit(useXx))))
       .select(col("id"), (col("pos") + 1).as("start"), col("col").as("fp"))
-    val dupFps = wins.groupBy(col("fp"))
-      .agg(count(lit(1)).as("n_occ"))
+    val dup = wins
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("n_occ") >= 2)
-      .select(col("fp"))
-    val dup = wins.join(dupFps, Seq("fp"), "left_semi")
+      .drop("n_occ")
     val rn = row_number().over(Window.partitionBy(col("id")).orderBy(col("start")))
     dup.withColumn("grp", col("start") - rn)
       .groupBy(col("id"), col("grp"))

@@ -136,13 +136,17 @@ class PlanBudgetSpec extends SparkSpec {
       s"dd_semantic shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
   }
 
-  test("substring-window dedup: window hashing is in-row; 3 exchanges total") {
-    // the window relation shuffles twice (occurrence hash-agg with
-    // map-side combine, duplicated-hash semi-join) and the islands
-    // window pays ONE doc-keyed exchange — the span groupBy's (id, grp)
-    // clustering is satisfied by the id partitioning, so no fourth
-    val c = Plans.planCounts(q("dd_substring_windows"))
-    assert(c.shuffles <= 3, s"dd_substring_windows shuffles: ${c.shuffles}")
+  test("substring-window dedup: window hashing is in-row; 2 exchanges, no join") {
+    // the per-token window relation shuffles ONCE — the occurrence
+    // multiplicity is count(*) OVER (PARTITION BY fp), so every
+    // occurrence reads its global count in place (the old agg +
+    // semi-join shape shuffled the full relation twice) — and the
+    // islands window pays ONE doc-keyed exchange; the span groupBy's
+    // (id, grp) clustering is satisfied by the id partitioning
+    val df = q("dd_substring_windows")
+    val c = Plans.planCounts(df)
+    assert(c.shuffles <= 2 && c.broadcasts == 0,
+      s"dd_substring_windows shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
   }
 
   test("quality classifier scores in-row — zero exchanges") {
