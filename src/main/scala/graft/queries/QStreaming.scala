@@ -616,6 +616,43 @@ object QStreaming extends Registry {
               GROUP BY 1"""))
   ,
 
+    // STREAMING WRITE face of the graft-checksum DSv2 sink: the synth
+    // range flows through writeStream.format("graft-checksum") — a
+    // sink-side two-phase commit PER EPOCH (task folds -> driver folds
+    // the epoch delta into the running manifest, atomic temp+move, a
+    // replayed epoch is a no-op on the manifest's own high-water mark).
+    // This is the exactly-once ingest path a 100 TB stream wants: no
+    // foreachBatch user code, idempotence lives in the sink commit.
+    // The oracle is the BATCH manifest semantics over the same rows —
+    // count/sum/xor are order- and epoch-partition-invariant, so any
+    // micro-batch slicing must land on the same closed form
+    // (`ChecksumStreamSpec` additionally replays an epoch and proves
+    // the manifest byte-identical).
+    Q("stream_dsv2_sink",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("stream_cksink", d)
+        graft.Scratch.clear(dir) // fresh manifest + checkpoint per run
+        val manifest = s"$dir/manifest.json"
+        val q = s.readStream.format("graft-synth")
+          .option("rows", 20000L).option("partitions", 4)
+          .option("batchRows", 5000L)
+          .load()
+          .select(col("trade_id"))
+          .writeStream.format("graft-checksum")
+          .option("path", manifest)
+          .option("checkpointLocation", s"$dir/ckpt")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.read.schema("n_rows LONG, sum_id LONG, xor_id LONG")
+          .json(manifest)
+          .select(col("n_rows"), col("sum_id"), col("xor_id"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+                     CAST(sum(i) AS BIGINT) AS sum_id,
+                     bit_xor(i) AS xor_id
+              FROM range(0, 20000) t(i)"""))
+  ,
+
     // STREAMING session_window — the built-in session operator in
     // append mode (the third independent construction of "session"
     // next to the flatMapGroupsWithState machine of stream_sessionize
