@@ -730,14 +730,28 @@ object QJoins extends Registry {
         // the wedge stream is the BIG side (Σ C(outdeg,2) rows — ~20× the
         // edge count here); closing it against a SHUFFLED copy of the
         // edges would move every wedge. The edge list itself is the small
-        // side (|E| pairs of longs), so broadcast it and close wedges
-        // map-side — zero exchange on the wedge stream. At a scale where
-        // E outgrows broadcast, drop the hint and this reverts to the
-        // Suri–Vassilvitskii shuffle-close; the wedge bound from the
-        // orientation is what keeps EITHER variant linear-ish.
+        // side (|E| pairs of longs), so the DEFAULT broadcasts it and
+        // closes wedges map-side — zero exchange on the wedge stream. At
+        // a scale where E outgrows a broadcast (the 100 TB regime),
+        // `spark.graft.triangles.close=shuffle` switches to the
+        // Suri–Vassilvitskii shuffle-close: the wedge stream equi-joins
+        // the edge relation on (t1, t2) under a shuffle_hash hint (the
+        // hint also keeps AQE from re-broadcasting, so the scale path is
+        // genuinely exercisable at test size — `TriangleCloseSpec` runs
+        // both variants and pins both physical shapes). The wedge bound
+        // from the degree orientation is what keeps EITHER variant
+        // linear-ish.
+        val e3 = oriented.select(col("s"), col("t")).as("e3")
+        val close = s.conf.get("spark.graft.triangles.close",
+            "broadcast") match {
+          case "broadcast" => broadcast(e3)
+          case "shuffle" => e3.hint("shuffle_hash")
+          case other => throw new IllegalArgumentException(
+            s"spark.graft.triangles.close must be broadcast|shuffle, got $other")
+        }
         val tri = oriented.as("e1").join(oriented.as("e2"),
             col("e1.s") === col("e2.s") && wedgeOrder)
-          .join(broadcast(oriented.select(col("s"), col("t")).as("e3")),
+          .join(close,
             col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
           .select(col("e1.s").as("a"), col("e1.t").as("b"),
             col("e2.t").as("c"))
