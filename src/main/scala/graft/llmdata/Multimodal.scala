@@ -423,6 +423,129 @@ object Multimodal {
       .mapPartitions(_.map(id => Blob(id, gen(id))))
   }
 
+  /** Deterministic TWIN-FAMILY P6 payload: docs `4k..4k+3` form a family
+    * sharing one 8×8 grayscale base pattern (quadratic closed form —
+    * pairwise-decorrelated across families), with per-member
+    * perturbations that leave the image perceptually near-identical but
+    * byte-distinct: a uniform brightness shift of `3·member` (flips NO
+    * adjacent-pixel comparison — base values cap at 179+9, so no 8-bit
+    * wrap) and one `+60` bumped pixel whose POSITION depends on the
+    * member, which flips only the few dHash bits whose grid cells sample
+    * it. Families are near in Hamming space, strangers far — the planted
+    * fixture for perceptual near-dup detection. Same honest container
+    * rules as [[ppmPayload]] (comment line every third doc).
+    */
+  def ppmTwinPayload(docId: Long): Array[Byte] = {
+    val fam = docId / 4
+    val mem = (docId % 4).toInt
+    val w = 8; val h = 8
+    val header = new StringBuilder("P6\n")
+    if (docId % 3 == 0) header.append(s"# twin c$docId\n")
+    header.append(s"$w $h\n255\n")
+    val hb = header.toString.getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    val bump = ((fam + mem * 17) % 64).toInt
+    var i = 0
+    while (i < w * h) {
+      val v = ((fam * fam * 13 + i.toLong * i * 7 + fam * i * 31) % 180 +
+        mem * 3 + (if (i == bump) 60 else 0)).toInt
+      px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte
+      px(3 * i + 2) = v.toByte
+      i += 1
+    }
+    hb ++ px
+  }
+
+  final case class PpmHash(doc_id: Long, dhash: Long)
+
+  /** 56-bit dHash over a decoded P6 raster: grayscale sampled on a 9×7
+    * nearest-neighbor grid (source pixel `(x·w/9, y·h/7)` — the fixed-
+    * grid resize every perceptual-hash implementation performs, so the
+    * hash is resolution-invariant), bit `y·8+x` set when the right
+    * neighbor is brighter than the left. 56 bits keeps the value
+    * positive in a signed 64-bit lane on BOTH engines (the [[
+    * graft.llmdata.TextOps]] hash60 rule). A uniform brightness change
+    * flips nothing; small localized edits flip only the bits whose grid
+    * cells sample them — which is exactly what makes Hamming distance a
+    * perceptual metric.
+    */
+  private[llmdata] def ppmDHash(id: Long, b: Array[Byte]): Long = {
+    val (w, h, pos) = ppmHeader(id, b)
+    def gray(sx: Int, sy: Int): Int = {
+      val k = sy * w + sx
+      ((b(pos + 3 * k) & 0xFF) + (b(pos + 3 * k + 1) & 0xFF) +
+        (b(pos + 3 * k + 2) & 0xFF)) / 3
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < 7) {
+      val sy = gy * h / 7
+      var gx = 0
+      while (gx < 8) {
+        val l = gray(gx * w / 9, sy)
+        val r = gray((gx + 1) * w / 9, sy)
+        if (r > l) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** dHash a binary column of P6 payloads — decode and hash fused in one
+    * partition-local pass; only (doc_id, 8-byte hash) ever shuffles.
+    */
+  def dhashPpm(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b => PpmHash(b.doc_id, ppmDHash(b.doc_id, b.payload))))
+      .toDF()
+  }
+
+  /** Banded Hamming near-dup grouping over any ≤63-bit signature column
+    * — the image analogue of [[Dedup.simhashPairs]], generalized: split
+    * `bits` into `bands` equal slices; distance ≤ `bands−1` guarantees
+    * at least one identical band (pigeonhole), so with `maxDist <
+    * bands` the candidate tier has NO false negatives and the exact
+    * `bit_count(xor)` verification kills the false positives — the pair
+    * set equals brute force by construction (the spec cross-checks).
+    * Band width trades recall for bucket entropy: 7×8-bit bands
+    * guarantee distance ≤ 6 but give only 256 bucket values per band
+    * (fine at fixture scale); at corpus scale run 4×14-bit bands with
+    * maxDist 3 — same guarantee structure as the simhash tier, 16k-value
+    * buckets. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String, hashCol: String,
+      bits: Int, bands: Int, maxDist: Int): DataFrame = {
+    require(bands > 0 && bits % bands == 0,
+      s"bands must divide bits: $bits/$bands")
+    require(maxDist < bands,
+      s"pigeonhole guarantee needs maxDist < bands, got $maxDist/$bands")
+    val bw = bits / bands
+    val mask = (1L << bw) - 1
+    val bk = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(array((0 until bands).map(bb =>
+          struct(lit(bb).as("band"),
+            shiftright(col("sig"), bb * bw).bitwiseAND(mask).as("key"))): _*))
+          .as("bk"))
+      .select(col("id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** frame sampling over an opaque "video" payload: one row per sampled
     * frame offset (every strideBytes), fingerprinted — explode + project,
     * partition-local. The fingerprint is md5 over the frame's UPPERCASE

@@ -225,6 +225,53 @@ object QMultimodal extends Registry {
                        // (rw * rh) AS BIGINT) AS mean_g,
                      CAST(sum(CASE WHEN c = 2 THEN bv ELSE 0 END)
                        // (rw * rh) AS BIGINT) AS mean_b
-              FROM v GROUP BY doc_id, rw, rh"""))
+              FROM v GROUP BY doc_id, rw, rh""")),
+
+    // PERCEPTUAL near-dup tier over the decoded raster — the image
+    // analogue of dd_simhash, and the member of the dedup family that
+    // catches re-encoded / brightness-shifted / lightly-edited copies a
+    // byte-exact fingerprint (mm_payload_dedup) can never see. Docs
+    // 4k..4k+3 are planted twin families (shared base pattern, uniform
+    // brightness shift + one member-positioned bumped pixel); the 56-bit
+    // dHash is computed in the same partition-local pass that decodes
+    // the container, then 7×8-bit Hamming bands produce candidates with
+    // guaranteed recall at distance ≤ 6 and bit_count(xor) verifies —
+    // so the pair table equals brute force by construction, which is
+    // exactly what the oracle computes (all-pairs over the closed-form
+    // hashes). Payload bytes never shuffle; only (id, 8-byte hash) does.
+    Q("mm_phash_neardup",
+      (s, d) => Multimodal.hammingNearDups(
+        Multimodal.dhashPpm(
+          Multimodal.synthesizePayloads(
+            Tables.documents(s, d), "doc_id",
+            Multimodal.ppmTwinPayload).toDF(),
+          "doc_id", "payload"),
+        "doc_id", "dhash", bits = 56, bands = 7, maxDist = 6),
+      Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS fam,
+                                doc_id % 4 AS mem
+                         FROM documents),
+                cell AS (SELECT doc_id, fam, mem, gy, c,
+                                ((gy * 8) // 7) * 8 + ((c * 8) // 9) AS i
+                         FROM d, generate_series(0, 6) g1(gy),
+                              generate_series(0, 8) g2(c)),
+                val AS (SELECT doc_id, gy, c,
+                               (fam*fam*13 + i*i*7 + fam*i*31) % 180
+                                 + mem*3
+                                 + CASE WHEN i = (fam + mem*17) % 64
+                                        THEN 60 ELSE 0 END AS v
+                        FROM cell),
+                sig AS (SELECT l.doc_id,
+                               CAST(sum(CASE WHEN r.v > l.v
+                                 THEN (CAST(1 AS BIGINT)
+                                       << CAST(l.gy*8 + l.c AS INT))
+                                 ELSE 0 END) AS BIGINT) AS dh
+                        FROM val l JOIN val r
+                          ON r.doc_id = l.doc_id AND r.gy = l.gy
+                             AND r.c = l.c + 1
+                        GROUP BY l.doc_id)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.dh, b.dh)) <= 6"""))
   )
 }
