@@ -34,6 +34,12 @@ object Bench {
     // inflated 2-8x) one rep's honest numbers beat risking a harness
     // timeout for a min-of-2
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "150").toDouble
+    // SPARK_GRAFT_BENCH_COLD=1: clear ALL memoized chains between queries,
+    // so every row pays its full build cost — no memo_warm rows at all.
+    // Default off (the warm numbers are the production shape: consumers
+    // DO share the chain); the automatic cold re-time pass below gives
+    // the memo-warm rows their true cold numbers either way.
+    val coldMode = sys.env.get("SPARK_GRAFT_BENCH_COLD").contains("1")
     val benchT0 = System.nanoTime()
     val perRep = scala.collection.mutable.ListBuffer.empty[Map[String, Double]]
     var rep = 0
@@ -52,7 +58,7 @@ object Bench {
         // measures cache luck, not its plan. Flagged in "memo_warm" so a
         // 0.07s dd_minhash_lsh can't be mistaken for a plan win.
         if (Caches.memoHitSeen && !memoWarm.contains(name)) memoWarm += name
-        Caches.clearTransient()
+        if (coldMode) Caches.clearAll() else Caches.clearTransient()
         name -> (System.nanoTime() - t0) / 1e9
       }
       Caches.clearAll()
@@ -104,6 +110,29 @@ object Bench {
       }
       Caches.clearAll()
     }
+    // COLD re-time of the memo-warm rows: a row that found a shared memo
+    // already warm reported cache luck, not its own build cost — the last
+    // cold measurement of e.g. the flagship Stage-0 chain would otherwise
+    // be whatever round last reordered the query list. Each memo-warm row
+    // re-runs after a full Caches.clearAll(), inside its own grace window
+    // (beyond the main budget, like the recheck), and lands in
+    // "queries_cold" NEXT TO its warm number — both columns per row.
+    val coldSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_COLD_SEC", "90").toDouble
+    var coldResults = Map.empty[String, Double]
+    if (memoWarm.nonEmpty && coldSec > 0 && !coldMode) {
+      val coldT0 = System.nanoTime()
+      memoWarm.sorted.foreach { name =>
+        if ((System.nanoTime() - coldT0) / 1e9 < coldSec) {
+          Caches.clearAll()
+          val t0 = System.nanoTime()
+          try {
+            queries(name)(spark, sfDir).count()
+            coldResults += name -> (System.nanoTime() - t0) / 1e9
+          } catch { case _: Throwable => () } // warm row already reported
+        }
+      }
+      Caches.clearAll()
+    }
     // 3-decimal (ms) precision: full-precision doubles made the stdout line
     // ~5KB and the driver's tail window truncated it mid-object both prior
     // rounds ("parsed": null) — compact so the WHOLE line fits in the tail
@@ -114,8 +143,11 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val rc = rechecked.map("\"" + _ + "\"").mkString("[", ",", "]")
     val mw = memoWarm.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val cq = coldResults.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"rechecked":$rc,"memo_warm":$mw,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"rechecked":$rc,"memo_warm":$mw,"queries_cold":$cq,"queries":$qs,"failed":$fl,"sf":"$sfDir"}"""
     println(json)
     // stdout gets tail-truncated by harnesses; the file copy is canonical
     try java.nio.file.Files.write(
