@@ -177,6 +177,69 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearTransient()
   }
 
+  // ---- top-10 bench queries (round-9 ask): budgets for the most
+  // expensive rows, so a plan regression fails the build, not the bench.
+  // Counts mirror PLANS.md (same 4-partition pre-execution explain);
+  // stream_scd2_apply is excluded like every stream_* row — a streaming
+  // plan only exists per micro-batch. The s15/s21/s22 rows return a
+  // READ-BACK frame (the layout write executes inside the query fn), so
+  // their budget pins the post-layout scan shape — the write dag's own
+  // budget lives in ZOrderSpec/CompactionSpec.
+
+  test("triangles: close join broadcasts; wedge dag inside its exchange budget") {
+    // the pre-execution dag shows `oriented` un-persisted THREE times
+    // (the runtime plan scans the transient persist once) — 22 is that
+    // expansion's total, pinned so a fourth walk or a lost broadcast
+    // fails here
+    val c = Plans.planCounts(q("g1_triangles"))
+    assert(c.shuffles <= 22 && c.broadcasts >= 1,
+      s"g1_triangles shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  test("compaction execution: one manifest agg + the single rewrite shuffle") {
+    val c = Plans.planCounts(q("s22_compaction_exec"))
+    assert(c.shuffles <= 2, s"s22_compaction_exec shuffles: ${c.shuffles}")
+  }
+
+  test("corpus build: production path reads the checkpoint barrier, zero exchanges") {
+    val c = Plans.planCounts(q("tx_corpus_build"))
+    assert(c.shuffles == 0, s"tx_corpus_build shuffles: ${c.shuffles}")
+    graft.Caches.clearAll()
+  }
+
+  test("error replay rides the memoized chain: flag columns add no exchange") {
+    val c = Plans.planCounts(q("tp_error_replay"))
+    assert(c.shuffles <= 7, s"tp_error_replay shuffles: ${c.shuffles}")
+    graft.Caches.clearAll()
+  }
+
+  test("LSH recall: truth baseline bounded, probe tiers broadcast-heavy") {
+    val c = Plans.planCounts(q("dd_lsh_recall"))
+    assert(c.shuffles <= 5 && c.broadcasts >= 2,
+      s"dd_lsh_recall shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  test("interpolated quantiles: rank machinery stays within 3 exchanges") {
+    val c = Plans.planCounts(q("a19_interp_quantiles"))
+    assert(c.shuffles <= 3, s"a19_interp_quantiles shuffles: ${c.shuffles}")
+  }
+
+  test("z-order family read-backs scan pruned: one exchange each") {
+    for (n <- Seq("s15_zorder_layout", "s21_zorder_zonemap")) {
+      val c = Plans.planCounts(q(n))
+      assert(c.shuffles <= 1, s"$n shuffles: ${c.shuffles}")
+    }
+  }
+
+  test("BPE train: merge rounds stay on the vocab relation — 10-exchange budget") {
+    val c = Plans.planCounts(q("tx_bpe_train"))
+    assert(c.shuffles <= 10 && c.broadcasts >= 1,
+      s"tx_bpe_train shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
   test("bloom decontamination: fixed-size bitmap broadcast; eval grams never broadcast") {
     // two broadcast probes of the ≤16k-row bitmap; the exact tier over
     // the Bloom survivors is a plain shuffle semi-join (the point: the
