@@ -980,7 +980,61 @@ object QFilters extends Registry {
       Some(s"""WITH ${QFilters.snapshotV2Sql}
               SELECT source, count(*) AS n_docs,
                      CAST(sum(length(text)) AS BIGINT) AS sum_chars
-              FROM v2 GROUP BY 1"""))
+              FROM v2 GROUP BY 1""")),
+
+    // S26 — schema-evolution WRITE path (ext.): the other half of s23.
+    // v1 files are written under the OLD schema (column `qty`, INT) and
+    // are never rewritten; the table evolves (rename qty→quantity,
+    // widen INT→BIGINT) and v2 producers write the canonical shape.
+    // Readers lift v1 files through the evolution mapping (a pure
+    // projection — SchemaEvolution.upgradeReader), and readers still
+    // PINNED to v1 get the downgrade view back (inverse rename +
+    // guarded narrowing cast: overflow raises, never wraps). The query
+    // aggregates THROUGH the v1-typed view — old consumers must
+    // reconcile exactly against the relational oracle, which is the
+    // round-trip contract. Scale shape: both mappings are codegen'd
+    // projections over the scan; a 100 TB table absorbs rename+widen
+    // with zero data rewrite and zero backfill.
+    Q("s26_schema_evolution_write",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s26_evolve_w", d)
+        val li = Tables.lineitem(s, d)
+        // v1 producer: old name, narrow type
+        li.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("int").as("qty"))
+          .write.mode("overwrite").parquet(s"$dir/t/v=1")
+        // evolution applied; v2 producer writes canonical
+        val renames = Map("qty" -> "quantity")
+        val widen = Map("quantity" -> "bigint")
+        li.filter(col("l_orderkey") % 2 === 1)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("quantity"))
+          .write.mode("overwrite").parquet(s"$dir/t/v=2")
+        // canonical relation: v1 lifted through the mapping, v2 as-is —
+        // per-version resolution, the projection a format's name
+        // mapping performs; no file rewritten
+        val canonical = graft.operators.SchemaEvolution.upgradeReader(
+            s.read.parquet(s"$dir/t/v=1"), renames, widen)
+          .withColumn("producer_version", lit(1))
+          .unionByName(s.read.parquet(s"$dir/t/v=2")
+            .withColumn("producer_version", lit(2)))
+        // a v1-pinned reader consumes the downgrade view and must see
+        // the whole evolved table under its own schema
+        val v1view = graft.operators.SchemaEvolution.downgradeReader(
+          canonical, renames,
+          Map("quantity" -> (("int", Int.MinValue.toLong, Int.MaxValue.toLong))))
+        v1view.groupBy(col("producer_version"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            max(col("qty")).cast("long").as("max_qty"))
+      },
+      Some("""SELECT CASE WHEN l_orderkey % 2 = 0 THEN 1 ELSE 2 END
+                       AS producer_version,
+                     count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
+                     CAST(max(CAST(l_quantity AS INT)) AS BIGINT) AS max_qty
+              FROM lineitem GROUP BY 1"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
