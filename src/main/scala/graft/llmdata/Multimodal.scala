@@ -244,8 +244,17 @@ object Multimodal {
     */
   def wavPayload(docId: Long): Array[Byte] = {
     val nSamples = 16 + (docId % 17).toInt
+    val samples = Array.tabulate(nSamples)(k =>
+      (((docId * 131 + k.toLong * 17) % 65536) - 32768).toInt)
+    buildWavContainer(docId, samples)
+  }
+
+  /** shared RIFF/WAVE container assembly (PCM mono 16-bit 8 kHz; LIST
+    * chunk every third doc) — used by both synthetic payload families.
+    */
+  private def buildWavContainer(docId: Long, samples: Array[Int]): Array[Byte] = {
     val sampleRate = 8000
-    val dataLen = nSamples * 2
+    val dataLen = samples.length * 2
     val junk = if (docId % 3 == 0) s"INFOc$docId".getBytes("US-ASCII") else Array.empty[Byte]
     val junkChunk =
       if (junk.isEmpty) Array.empty[Byte]
@@ -256,8 +265,8 @@ object Multimodal {
       le16(2) ++ le16(16)
     val data = new Array[Byte](dataLen)
     var k = 0
-    while (k < nSamples) {
-      val v = (((docId * 131 + k.toLong * 17) % 65536) - 32768).toInt
+    while (k < samples.length) {
+      val v = samples(k)
       data(2 * k) = (v & 0xFF).toByte
       data(2 * k + 1) = ((v >> 8) & 0xFF).toByte
       k += 1
@@ -265,6 +274,74 @@ object Multimodal {
     val dataChunk = "data".getBytes("US-ASCII") ++ le32(dataLen) ++ data
     val body = "WAVE".getBytes("US-ASCII") ++ fmt ++ junkChunk ++ dataChunk
     "RIFF".getBytes("US-ASCII") ++ le32(body.length) ++ body
+  }
+
+  /** Deterministic TWIN-FAMILY WAV payload — the audio analogue of
+    * [[ppmTwinPayload]]: docs `4k..4k+3` share one 228-sample base
+    * waveform (quadratic closed form, decorrelated across families);
+    * member `m` plays it at amplitude `m+1` (a pure gain change — frame
+    * energies scale by `(m+1)²`, flipping NO envelope comparison) and
+    * adds `+500` to the samples of ONE member-positioned 4-sample frame,
+    * which flips only the envelope-hash bits adjacent to that frame.
+    * Amplitudes stay inside int16 (|base| ≤ 1000, +500, ×4 ⇒ ≤ 6000).
+    */
+  def wavTwinPayload(docId: Long): Array[Byte] = {
+    val fam = docId / 4
+    val mem = (docId % 4).toInt
+    val bumpFrame = ((fam + mem * 29) % 57).toInt
+    val samples = Array.tabulate(228) { k =>
+      val base = ((fam * fam * 31 + k.toLong * k * 13 + fam * k * 7) % 2000
+        - 1000).toInt
+      (base + (if (k / 4 == bumpFrame) 500 else 0)) * (mem + 1)
+    }
+    buildWavContainer(docId, samples)
+  }
+
+  /** 56-bit dHash over the short-time ENERGY ENVELOPE of a WAV payload:
+    * 57 frames of `frameLen` samples, bit `f` set when frame `f+1` holds
+    * more energy than frame `f`. Gain-invariant (a volume change scales
+    * every energy by the same factor — no comparison flips), which is
+    * the property that makes it a perceptual metric for audio; computed
+    * in the same partition-local pass that chunk-walks the container.
+    * Truncates to the first 228·`frameLen`/4… — callers supply payloads
+    * with ≥ 58·frameLen samples; fewer frames simply leave high bits 0.
+    */
+  private[llmdata] def wavEnvelopeDHash(id: Long, b: Array[Byte],
+      frameLen: Int): Long = {
+    val (_, s) = wavSamples(id, b)
+    val nFrames = math.min(57, s.length / frameLen)
+    val e = new Array[Long](math.max(nFrames, 0))
+    var f = 0
+    while (f < nFrames) {
+      var acc = 0L
+      var k = f * frameLen
+      val end = k + frameLen
+      while (k < end) { acc += s(k).toLong * s(k); k += 1 }
+      e(f) = acc
+      f += 1
+    }
+    var hash = 0L
+    var i = 0
+    while (i < nFrames - 1) {
+      if (e(i + 1) > e(i)) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** envelope-dHash a binary column of WAV payloads — decode and hash
+    * fused partition-locally; only (doc_id, 8-byte hash) shuffles.
+    */
+  def dhashWav(docs: DataFrame, idCol: String, binCol: String,
+      frameLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b =>
+        PpmHash(b.doc_id, wavEnvelopeDHash(b.doc_id, b.payload, frameLen))))
+      .toDF()
   }
 
   private def le16(v: Int): Array[Byte] =

@@ -272,6 +272,50 @@ object QMultimodal extends Registry {
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
               FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.dh, b.dh)) <= 6""")),
+
+    // PERCEPTUAL near-dup for AUDIO — the same banded-Hamming operator,
+    // fed by a 56-bit dHash over the short-time ENERGY ENVELOPE (bit f:
+    // frame f+1 louder than frame f), computed in the partition-local
+    // chunk-walk. Gain-invariant by construction: a volume change
+    // scales every frame energy identically, so re-levelled copies hash
+    // identically — the audio failure mode byte-exact dedup misses.
+    // Twin families: one base waveform per 4 docs, member-scaled
+    // amplitude (invisible to the hash) + one member-positioned bumped
+    // frame (flips only adjacent envelope bits). The oracle re-derives
+    // every sample, energy, hash bit and brute-forces all pairs.
+    Q("mm_audio_neardup",
+      (s, d) => Multimodal.hammingNearDups(
+        Multimodal.dhashWav(
+          Multimodal.synthesizePayloads(
+            Tables.documents(s, d), "doc_id",
+            Multimodal.wavTwinPayload).toDF(),
+          "doc_id", "payload", frameLen = 4),
+        "doc_id", "dhash", bits = 56, bands = 7, maxDist = 6),
+      Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS fam,
+                                doc_id % 4 AS mem
+                         FROM documents),
+                sm AS (SELECT doc_id, k,
+                              ((fam*fam*31 + k*k*13 + fam*k*7) % 2000
+                                - 1000
+                                + CASE WHEN k // 4 = (fam + mem*29) % 57
+                                       THEN 500 ELSE 0 END)
+                              * (mem + 1) AS s
+                       FROM d, generate_series(0, 227) g(k)),
+                en AS (SELECT doc_id, CAST(k // 4 AS INT) AS f,
+                              CAST(sum(s*s) AS BIGINT) AS e
+                       FROM sm GROUP BY doc_id, k // 4),
+                sig AS (SELECT l.doc_id,
+                               CAST(sum(CASE WHEN r.e > l.e
+                                 THEN (CAST(1 AS BIGINT)
+                                       << CAST(l.f AS INT))
+                                 ELSE 0 END) AS BIGINT) AS dh
+                        FROM en l JOIN en r
+                          ON r.doc_id = l.doc_id AND r.f = l.f + 1
+                        GROUP BY l.doc_id)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
               WHERE bit_count(xor(a.dh, b.dh)) <= 6"""))
   )
 }

@@ -74,6 +74,68 @@ class PhashSpec extends SparkSpec {
     assert(banded(4, 3) == brute(3), "4x14 banding lost or invented pairs")
   }
 
+  test("audio envelope hash is gain-invariant; wav twins near, strangers far") {
+    // members of a family differ by amplitude scaling (invisible to the
+    // envelope hash) + one bumped frame (a few adjacent bits)
+    val na = 200L
+    val h = Multimodal.dhashWav(
+        Multimodal.synthesizePayloads(
+          spark.range(na).toDF("doc_id"), "doc_id",
+          Multimodal.wavTwinPayload).toDF(),
+        "doc_id", "payload", frameLen = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def dist(a: Long, b: Long) = java.lang.Long.bitCount(h(a) ^ h(b))
+    // pure-gain pairs: members 0 vs 1 share the bump POSITION only when
+    // (fam + 0*29) % 57 == (fam + 29) % 57 — never; so test gain
+    // invariance directly on hand-built payloads instead
+    val famD = for {
+      f <- 0L until na / 4; a <- 0 to 2; b <- (a + 1) to 3
+    } yield dist(f * 4 + a, f * 4 + b)
+    assert(famD.max <= 10, s"wav family pair exceeded bound: ${famD.max}")
+    val strangeD = (0L until na - 4).map(a => dist(a, a + 4))
+    assert(strangeD.min > 10, s"wav stranger pair too close: ${strangeD.min}")
+    assert(famD.count(_ <= 6) * 10 >= famD.size * 6,
+      s"wav twin recall too low: ${famD.count(_ <= 6)} of ${famD.size}")
+  }
+
+  test("volume change alone leaves the envelope hash unchanged") {
+    // same waveform at gain 1 and gain 3: every frame energy scales by
+    // 9 — no envelope comparison flips
+    def wavAt(gain: Int): Array[Byte] = {
+      // the twin generator with mem-scaling isolated: member 0 vs a
+      // hand-scaled copy of the same member-0 waveform
+      val base = Multimodal.wavTwinPayload(0L) // fam 0, mem 0, gain 1
+      if (gain == 1) base
+      else {
+        // rescale the data chunk samples in place (container layout is
+        // produced by the same builder, so offsets are identical)
+        val b = base.clone()
+        val dataIdx = {
+          var p = 12
+          var at = -1
+          while (at < 0 && p + 8 <= b.length) {
+            val cid = new String(b, p, 4, "US-ASCII")
+            val sz = (b(p + 4) & 0xFF) | ((b(p + 5) & 0xFF) << 8) |
+              ((b(p + 6) & 0xFF) << 16) | ((b(p + 7) & 0xFF) << 24)
+            if (cid == "data") at = p + 8
+            else p = p + 8 + sz + (sz % 2)
+          }
+          at
+        }
+        var k = dataIdx
+        while (k + 1 < b.length) {
+          val v = (((b(k) & 0xFF) | ((b(k + 1) & 0xFF) << 8)) << 16) >> 16
+          val s = v * gain
+          b(k) = (s & 0xFF).toByte; b(k + 1) = ((s >> 8) & 0xFF).toByte
+          k += 2
+        }
+        b
+      }
+    }
+    assert(Multimodal.wavEnvelopeDHash(0, wavAt(1), 4) ==
+      Multimodal.wavEnvelopeDHash(0, wavAt(3), 4))
+  }
+
   test("guarantee precondition is enforced") {
     intercept[IllegalArgumentException] {
       Multimodal.hammingNearDups(sigs, "doc_id", "dhash",
