@@ -52,7 +52,26 @@ object ScaleProbe {
     // blocking, degree-oriented triangle counting, the compaction
     // rewrite, the RANGE-frame rolling volume, and the forward as-of
     "tp_error_replay", "j26_fuzzy_er_join", "g1_triangles",
-    "s22_compaction_exec", "w22_range_window", "j27_asof_forward")
+    "s22_compaction_exec", "w22_range_window", "j27_asof_forward",
+    // round 9: the rebuilt single-shuffle substring tier, both
+    // perceptual near-dup modalities, the native as-of operator, and
+    // the schema-evolution round trip
+    "dd_substring_windows", "mm_phash_neardup", "mm_audio_neardup",
+    "j28_asof_native", "s26_schema_evolution_write")
+
+  /** comma-separated subset for targeted runs (e.g. an x100 headline
+    * pass where the answer-bound dedup tiers would be quadratic in the
+    * copy count) — unset runs the full list.
+    */
+  private def activeProbes: Seq[String] =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY") match {
+      case Some(s) if s.trim.nonEmpty =>
+        val want = s.split(",").map(_.trim).filter(_.nonEmpty)
+        val unknown = want.filterNot(Probes.contains)
+        require(unknown.isEmpty, s"unknown probes: ${unknown.mkString(",")}")
+        want.toSeq
+      case _ => Probes
+    }
 
   private def session(): SparkSession = {
     val spark = Sessions.local(defaultCpus = 32)
@@ -74,7 +93,8 @@ object ScaleProbe {
     // much faster than the input (every entity gains K-1 near-dup
     // siblings), so a wall-time slope above K/copies is expected
     // whenever the rows slope is too
-    def timeAll(): Map[String, (Double, Long)] = Probes.map { name =>
+    val probes = activeProbes
+    def timeAll(): Map[String, (Double, Long)] = probes.map { name =>
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(name)(spark, dir).count()
       val secs = (System.nanoTime() - t0) / 1e9
@@ -94,7 +114,10 @@ object ScaleProbe {
       s"$n=${"%.3f".formatLocal(java.util.Locale.ROOT, secs)}:$rows"
     }.mkString(",")
     // parse-free line protocol on stdout; Spark logs go to stderr
-    println("PROBE " + fmt(Probes.map(n => n -> timed(n))))
+    println("PROBE " + fmt(probes.map(n => n -> timed(n))))
+    if (!probes.contains("tx_corpus_build")) {
+      Caches.clearAll(); spark.stop(); return
+    }
     // per-stage breakdown of the tx_corpus_build chain: materialize each
     // stage frame IN BUILD ORDER on fresh memos, so stage i's count pays
     // only its own incremental work (predecessors sit behind their
@@ -139,15 +162,18 @@ object ScaleProbe {
       .start()
     val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
     require(p.waitFor() == 0, s"probe child for $dir failed")
-    def parse(prefix: String): Seq[(String, (Double, Long))] =
-      out.linesIterator.find(_.startsWith(prefix))
-        .getOrElse(sys.error(s"no $prefix line from child for $dir:\n$out"))
-        .stripPrefix(prefix).split(",").toSeq.map { kv =>
+    def parse(prefix: String, required: Boolean): Seq[(String, (Double, Long))] =
+      out.linesIterator.find(_.startsWith(prefix)) match {
+        case None if !required => Seq.empty // subset run without the chain
+        case None => sys.error(s"no $prefix line from child for $dir:\n$out")
+        case Some(line) => line.stripPrefix(prefix).split(",").toSeq.map { kv =>
           val Array(k, v) = kv.split("=")
           val Array(secs, rows) = v.split(":")
           k -> ((secs.toDouble, rows.toLong))
         }
-    (parse("PROBE ").toMap, parse("STAGES "))
+      }
+    (parse("PROBE ", required = true).toMap,
+      parse("STAGES ", required = false))
   }
 
   // ---- parent: replicate, then one child JVM per pass ----------------
@@ -234,7 +260,7 @@ object ScaleProbe {
     val scaledStages = minOf(sStage1.toMap, sStage2.toMap)
 
     def f3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = Probes.map { n =>
+    val qs = activeProbes.map { n =>
       val (bs, br) = base(n)
       val (ss, sr) = scaled(n)
       // rowsSlope > copies marks an answer-bound query: the probe's
@@ -256,7 +282,8 @@ object ScaleProbe {
     val json =
       s"""{"copies":$copies,"src":"$src","queries":$qs,"corpus_stages":$st}"""
     println(json)
-    try java.nio.file.Files.write(java.nio.file.Paths.get("SCALE_PROBE.json"),
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_PROBE_OUT", "SCALE_PROBE.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable => System.err.println(s"probe write failed: $e") }
   }
