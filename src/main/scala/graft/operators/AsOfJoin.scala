@@ -149,7 +149,37 @@ object AsOfJoin {
       leftOn: String,
       rightOn: String,
       payload: Seq[String],
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false): DataFrame =
+    native(left, right, by, leftOn, rightOn, payload, strict,
+      fwd = false)
+
+  /** The NATIVE forward as-of join — same operator, direction flipped:
+    * the merge cursor skips right rows before the window and the row it
+    * rests on matches WITHOUT being consumed, so the earliest
+    * at-or-after (strictly-after for `strict`) event wins, first-in-
+    * sort-order on ties — exactly [[forward]]'s convention
+    * (`AsOfNativeSpec` pins native == composed on both directions).
+    */
+  def forwardNative(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      payload: Seq[String],
+      strict: Boolean = false): DataFrame =
+    native(left, right, by, leftOn, rightOn, payload, strict,
+      fwd = true)
+
+  private def native(
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftOn: String,
+      rightOn: String,
+      payload: Seq[String],
+      strict: Boolean,
+      fwd: Boolean): DataFrame = {
     graft.GraftExtensions.ensure(left.sparkSession)
     val la = left.queryExecution.analyzed
     val ra = right.queryExecution.analyzed
@@ -160,7 +190,7 @@ object AsOfJoin {
     val node = graft.plans.AsOfJoinNode(la, ra,
       by.map(attr(la, _)), by.map(attr(ra, _)),
       attr(la, leftOn), attr(ra, rightOn),
-      payload.map(attr(ra, _)), strict)
+      payload.map(attr(ra, _)), strict, fwd)
     org.apache.spark.sql.GraftSqlBridge.ofRows(left.sparkSession, node)
   }
 

@@ -39,7 +39,8 @@ case class AsOfJoinNode(
     leftOn: Attribute,
     rightOn: Attribute,
     payload: Seq[Attribute],
-    strict: Boolean) extends BinaryNode {
+    strict: Boolean,
+    forward: Boolean = false) extends BinaryNode {
 
   require(leftBy.nonEmpty && leftBy.length == rightBy.length,
     "as-of join needs matching non-empty by-key lists")
@@ -64,8 +65,8 @@ case class AsOfJoinNode(
   * physical merge. Injected by `GraftExtensions`. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, pay, strict) =>
-      AsOfMergeJoinExec(lBy, rBy, lOn, rOn, pay, strict,
+    case AsOfJoinNode(l, r, lBy, rBy, lOn, rOn, pay, strict, fwd) =>
+      AsOfMergeJoinExec(lBy, rBy, lOn, rOn, pay, strict, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }

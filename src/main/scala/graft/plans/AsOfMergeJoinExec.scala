@@ -7,21 +7,30 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 
-/** Single-pass sorted-merge as-of join (backward direction).
+/** Single-pass sorted-merge as-of join (backward AND forward).
   *
   * Contract (enforced by Catalyst through the requirements below, never
   * assumed): both children arrive co-partitioned on the `by` keys and
   * sorted by (by, on) within each partition. The merge then streams the
-  * two iterators once per partition with O(1) state — the last right
-  * row whose key equals the current left key and whose time is ≤ (or <
-  * for `strict`) the left time — exactly `pd.merge_asof`'s backward
-  * semantics. Among right rows with equal (by, on) the LAST in sort
-  * order wins; callers wanting a specific winner dedup the right side
-  * first (the library's rating feed already is unique per (id, ts)).
+  * two iterators once per partition with O(1) state. Backward
+  * (`forward=false`): the match is the last right row whose key equals
+  * the current left key and whose time is ≤ (or < for `strict`) the
+  * left time — `pd.merge_asof`'s backward semantics; among right rows
+  * with equal (by, on) the LAST in sort order wins. Forward
+  * (`forward=true`): the match is the FIRST right row at-or-after
+  * (strictly after for `strict`) the left time — the right cursor skips
+  * rows before the window and the row it rests on matches WITHOUT being
+  * consumed (later left rows may share it); among equal (by, on) rights
+  * the FIRST in sort order wins, mirroring [[
+  * graft.operators.AsOfJoin.forward]]'s tie rule. Callers wanting a
+  * specific winner dedup the right side first (the library's rating
+  * feed already is unique per (id, ts)).
   *
   * Null ordering times sort first (Spark's ascending default) and are
-  * treated as −∞: a null-time right row is matchable by everything in
-  * its key group, a null-time left row matches only such rows.
+  * treated as −∞: backward, a null-time right row is matchable by
+  * everything in its key group and a null-time left row matches only
+  * such rows; forward, a null-time left row matches its key group's
+  * first right row (inclusive) or first non-null-time right (strict).
   *
   * No codegen: the operator is a cold-path merge whose per-row work is
   * two comparisons and a projection; the children's scans/exchanges
@@ -34,6 +43,7 @@ case class AsOfMergeJoinExec(
     rightOn: Attribute,
     payload: Seq[Attribute],
     strict: Boolean,
+    forward: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -60,6 +70,7 @@ case class AsOfMergeJoinExec(
     require(lOnIdx >= 0 && rOnIdx >= 0, "ordering columns not in child output")
     val keyTypes = leftBy.map(_.dataType)
     val strictLocal = strict
+    val forwardLocal = forward
     val leftByLocal = leftBy
     val rightByLocal = rightBy
     val payloadLocal = payload
@@ -95,7 +106,10 @@ case class AsOfMergeJoinExec(
 
         override def hasNext: Boolean = lIter.hasNext
 
-        override def next(): InternalRow = {
+        override def next(): InternalRow =
+          if (forwardLocal) nextForward() else nextBackward()
+
+        private def nextBackward(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lT = t(l, lOnIdx)
@@ -121,6 +135,33 @@ case class AsOfMergeJoinExec(
           val pay =
             if (retained != null && keyOrd.compare(retainedKey, lKey) == 0)
               retained
+            else nullPay
+          resultProj(joined(l, pay))
+        }
+
+        private def nextForward(): InternalRow = {
+          val l = lIter.next()
+          val lKey = lKeyProj(l)
+          val lT = t(l, lOnIdx)
+          // skip right rows BEFORE this left row's window start; the
+          // row the cursor rests on is the match if it shares the key —
+          // and is NOT consumed, because the next (later-or-equal) left
+          // row may match it too. The skip predicate is monotone in the
+          // left's (key, time) order, so the cursor never moves back.
+          var continue = rRow != null
+          while (continue) {
+            val c = keyOrd.compare(rKeyProj(rRow), lKey)
+            val rT = t(rRow, rOnIdx)
+            val before = c < 0 ||
+              (c == 0 && (if (strictLocal) rT <= lT else rT < lT))
+            if (before) {
+              advanceRight()
+              continue = rRow != null
+            } else continue = false
+          }
+          val pay =
+            if (rRow != null && keyOrd.compare(rKeyProj(rRow), lKey) == 0)
+              payProj(rRow)
             else nullPay
           resultProj(joined(l, pay))
         }

@@ -139,6 +139,31 @@ object QAsOf extends Registry {
               FROM events e ASOF LEFT JOIN re
                 ON e.user_id = re.id AND e.ts <= re.r_ts""")),
 
+    // J29 (ext.) — the NATIVE as-of join, FORWARD direction: j28's
+    // operator with the merge cursor flipped (skip rights before the
+    // window; the row the cursor rests on matches without being
+    // consumed, so later left rows can share it). Completes the native
+    // tier's direction coverage; hash-gated against the SAME oracle as
+    // j27, so native and composed forward can never drift.
+    Q("j29_asof_forward_native",
+      (s, d) => {
+        val left = Tables.events(s, d)
+          .select(col("event_id").as("ord"), col("user_id").as("id"), col("ts"))
+        AsOfJoin.forwardNative(
+            left,
+            ratingEvents(s, d).select(col("id"), col("r_ts"), col("rating")),
+            by = Seq("id"),
+            leftOn = "ts", rightOn = "r_ts",
+            payload = Seq("rating"))
+          .select(col("ord"), col("id"),
+            col("rating").cast("double").as("next_rating"))
+      },
+      Some(s"""WITH re AS ($ratingSql)
+              SELECT e.event_id AS ord, e.user_id AS id,
+                     CAST(re.rating AS DOUBLE) AS next_rating
+              FROM events e ASOF LEFT JOIN re
+                ON e.user_id = re.id AND e.ts <= re.r_ts""")),
+
     // J24 — backward as-of with TOLERANCE (merge_asof's tolerance=
     // Timedelta): a rating older than 2 days at match time is discarded
     // (null), as if never seen — the staleness bound every market-data

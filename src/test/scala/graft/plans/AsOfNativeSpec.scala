@@ -54,6 +54,43 @@ class AsOfNativeSpec extends SparkSpec {
     }
   }
 
+  test("FORWARD native == composed forward, inclusive and strict") {
+    for (strict <- Seq(false, true)) {
+      val n = AsOfJoin.forwardNative(
+          left, right, Seq("id"), "ts", "r_ts", Seq("rating"), strict)
+        .select(col("ord"), col("rating").cast("double"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      val c = AsOfJoin.forward(
+          left, right, Seq("id"), "ts", "r_ts", Seq("rating"), Nil, strict)
+        .select(col("ord"), col("rating").cast("double"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(n.size == c.size && n == c,
+        s"strict=$strict: forward native diverges from composed " +
+          s"(first diffs: ${(n.toSet diff c.toSet).take(3)})")
+      // rows after the last event must surface a NULL payload
+      assert(n.values.exists(_.isEmpty), "no null-payload rows — fixture weak")
+      assert(n.values.exists(_.nonEmpty))
+    }
+  }
+
+  test("forward: the resting right row is shared by later equal-window lefts") {
+    // two left rows at the same time and one after the match — the
+    // cursor must not consume the matched right row
+    import spark.implicits._
+    val lf = Seq((10L, 10L), (11L, 10L), (12L, 12L), (13L, 99L))
+      .toDF("ord", "ts").withColumn("id", lit(1L))
+    val r = Seq((1L, 15L, 7L)).toDF("id", "r_ts", "pay")
+    val out = AsOfJoin.forwardNative(
+        lf.select(col("ord"), col("id"), col("ts")), r,
+        Seq("id"), "ts", "r_ts", Seq("pay"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(out == Map(
+      10L -> Some(7L), 11L -> Some(7L), // both pre-window lefts match it
+      12L -> Some(7L),                  // still before 15
+      13L -> None),                     // past the last event
+      s"forward sharing broken: $out")
+  }
+
   test("non-nullable payloads surface NULL (not 0 / NPE) on unmatched rows") {
     // lit()-derived columns are NON-nullable in the analyzed schema; the
     // merge joins unmatched left rows to an all-null row, so the result
