@@ -591,6 +591,17 @@ object Multimodal {
       .toDF()
   }
 
+  /** per-band bucket occupancy cap for the perceptual tiers —
+    * dHash bands are LOW-ENTROPY by nature (8-bit bands take only 256
+    * values, and alternating-brightness patterns like 0x55/0xAA are
+    * genuinely common), so unlike the minhash tiers the hazard here is
+    * structural, not just adversarial. 256 clears every oracle
+    * geometry (measured max occupancy 194 image / 135 audio at sf0.1)
+    * while bounding a corpus-scale bucket to star pairs.
+    */
+  def phashMaxBucket(spark: org.apache.spark.sql.SparkSession): Int =
+    spark.conf.get("spark.graft.phash.maxBucket", "256").toInt
+
   /** Banded Hamming near-dup grouping over any ≤63-bit signature column
     * — the image analogue of [[Dedup.simhashPairs]], generalized: split
     * `bits` into `bands` equal slices; distance ≤ `bands−1` guarantees
@@ -599,10 +610,17 @@ object Multimodal {
     * `bit_count(xor)` verification kills the false positives — the pair
     * set equals brute force by construction (the spec cross-checks).
     * Band width trades recall for bucket entropy: 7×8-bit bands
-    * guarantee distance ≤ 6 but give only 256 bucket values per band
-    * (fine at fixture scale); at corpus scale run 4×14-bit bands with
-    * maxDist 3 — same guarantee structure as the simhash tier, 16k-value
-    * buckets. Output: (id_a, id_b, hamming), id_a < id_b.
+    * guarantee distance ≤ 6 but give only 256 bucket values per band;
+    * at corpus scale run 4×14-bit bands with maxDist 3 — same guarantee
+    * structure as the simhash tier, 16k-value buckets. Either way the
+    * bucket self-join goes through [[Dedup.bandedPairs]] with the
+    * [[phashMaxBucket]] occupancy cap: a bucket over the cap star-pairs
+    * around its min-id member instead of emitting the clique, so ONE
+    * hot band value (0x55-style alternating patterns) can never go
+    * quadratic — the exact design the minhash/RHP/SemDeDup tiers
+    * carry, and the cap never fires at oracle geometry (`PhashSpec`
+    * pins both the parity and the degenerate path). Output:
+    * (id_a, id_b, hamming), id_a < id_b.
     */
   def hammingNearDups(sigs: DataFrame, idCol: String, hashCol: String,
       bits: Int, bands: Int, maxDist: Int): DataFrame = {
@@ -612,20 +630,21 @@ object Multimodal {
       s"pigeonhole guarantee needs maxDist < bands, got $maxDist/$bands")
     val bw = bits / bands
     val mask = (1L << bw) - 1
-    val bk = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
-      .select(col("id"), col("sig"),
+    val base = sigs.select(col(idCol).as("id"), col(hashCol).as("sig"))
+    val keys = base
+      .select(col("id"),
         explode(array((0 until bands).map(bb =>
           struct(lit(bb).as("band"),
-            shiftright(col("sig"), bb * bw).bitwiseAND(mask).as("key"))): _*))
+            shiftright(col("sig"), bb * bw).bitwiseAND(mask)
+              .as("bucket"))): _*))
           .as("bk"))
-      .select(col("id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    bk.as("a").join(bk.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    Dedup.bandedPairs(keys, phashMaxBucket(sigs.sparkSession))
+      .join(base.select(col("id").as("id_a"), col("sig").as("sig_a")),
+        Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("id_b"))
       .withColumn("hamming",
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxDist)

@@ -136,6 +136,29 @@ class PhashSpec extends SparkSpec {
       Multimodal.wavEnvelopeDHash(0, wavAt(3), 4))
   }
 
+  test("oversized band bucket star-pairs instead of going quadratic") {
+    // force the cap down so the fixture's hottest buckets trip it: the
+    // pair table must stay bounded (≤ clique size) while every twin
+    // family remains REACHABLE through its bucket representative —
+    // the same contract the minhash tiers carry
+    val conf = "spark.graft.phash.maxBucket"
+    spark.conf.set(conf, "3")
+    try {
+      val capped = Multimodal.hammingNearDups(sigs, "doc_id", "dhash",
+          bits = 56, bands = 7, maxDist = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.unset(conf)
+      val full = Multimodal.hammingNearDups(sigs, "doc_id", "dhash",
+          bits = 56, bands = 7, maxDist = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(capped.size <= full.size, "cap inflated the pair table")
+      assert(capped.nonEmpty, "cap killed the candidate tier entirely")
+      // the cap may only drop pairs, never invent them
+      assert(capped.subsetOf(full),
+        s"capped pairs not a subset: ${capped.diff(full).take(3)}")
+    } finally spark.conf.unset(conf)
+  }
+
   test("guarantee precondition is enforced") {
     intercept[IllegalArgumentException] {
       Multimodal.hammingNearDups(sigs, "doc_id", "dhash",
