@@ -60,6 +60,45 @@ object QSketch extends Registry {
   private[queries] val CmsRows = Seq((40503L, 12345L), (48271L, 7919L),
     (69621L, 31337L), (16807L, 97531L))
 
+  /** KMV (bottom-k) sketch rows (side, rk, h) over the distinct token
+    * 3-gram hashes of each corpus half — factored so `KmvSpec` can pin
+    * the two properties that make it a sketch: completeness below theta
+    * (every distinct hash < the side's k-th smallest IS in the sketch)
+    * and bottom-k mergeability (bottom-k of bottom-k unions == bottom-k
+    * of the union). State per side is k longs carried by the same
+    * k-bounded typed Aggregator as o6 (v = -h makes its value-DESC
+    * order mean h-ASC), so partial aggregation ships ≤ k rows per task
+    * whatever the corpus size — the tree-mergeable shape a
+    * 1000-executor census needs.
+    */
+  private[queries] val KmvK = 256
+
+  private[queries] def kmvSketch(
+      docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame =
+    kmvSketchFrom(kmvHashes(docs), k)
+
+  private[queries] def kmvSketchFrom(
+      hv: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val bk = udaf(new graft.operators.TopKByValue(k),
+      org.apache.spark.sql.Encoders.product[graft.operators.TopKIn])
+    hv.groupBy(col("side"))
+      .agg(bk(-col("h"), col("h"), lit(0).cast("int")).as("tk"))
+      .select(col("side"), posexplode(col("tk.items")))
+      .select(col("side"), (col("pos") + 1).as("rk"), col("col.ok").as("h"))
+  }
+
+  /** Distinct (side, token-3-gram hash) universe the KMV sketch samples —
+    * one in-row native gram hash + one hash-agg; gram STRINGS never
+    * shuffle.
+    */
+  private[queries] def kmvHashes(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    graft.llmdata.TextOps.gramHashes(docs, "doc_id", "text", 3)
+      .select(pmod(col("id"), lit(2L)).as("side"), col("gh").as("h"))
+      .distinct()
+
   private[queries] def cmsCol(i: Int): org.apache.spark.sql.Column = {
     val (a, b) = CmsRows(i)
     pmod(pmod(col("hp") * a + b, lit(2147483647L)), lit(1024L))
@@ -393,7 +432,109 @@ object QSketch extends Registry {
                    ${l2m("r.c")} AS exact_mb,
                    ${l2m("r.c")} - p.lo_mb AS err_mb
             FROM probe p JOIN ranked r ON r.rk = p.target_rank"""
-      })
+      }),
+
+    // KMV / theta-sketch corpus OVERLAP: "how much of corpus B is
+    // already in corpus A?" asked sketch-side, the question a 100 TB
+    // ingest answers BEFORE paying for an exact anti-join (new-crawl vs
+    // holdings, source-vs-source redundancy pricing). Universe = distinct
+    // token 3-grams per half (doc_id parity); each side keeps its k=256
+    // smallest 60-bit hashes (the same k-bounded mergeable Aggregator as
+    // o6 — sketch state is 256 longs, map-side combinable on any tree).
+    // theta_s = the side's k-th smallest; below theta_min BOTH sketches
+    // are EXACT p-samples of their universes (p = theta_min/2^60), so
+    // |union∩[0,theta_min)| / p and |both∩[0,theta_min)| / p estimate
+    // union and intersection distinct counts — one double formula over
+    // integer state, identical text both engines. Exact truth rides
+    // along: the estimate is graded, never trusted. Scale shape: one
+    // in-row gram hash + one (side, h) hash-agg + the k-bounded agg;
+    // everything downstream is 2k rows = metadata.
+    Q("sk_kmv_overlap",
+      (s, d) => {
+        val k = KmvK
+        val hv = graft.Caches.registerTransient(
+          kmvHashes(Tables.documents(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sk = graft.Caches.registerTransient(
+          kmvSketchFrom(hv, k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val thetas = sk.agg(
+          max(when(col("side") === 0 && col("rk") === k, col("h")))
+            .as("theta_a"),
+          max(when(col("side") === 1 && col("rk") === k, col("h")))
+            .as("theta_b"))
+          .withColumn("theta_min", least(col("theta_a"), col("theta_b")))
+        val below = sk.crossJoin(broadcast(thetas))
+          .filter(col("h") < col("theta_min"))
+        val u = below.agg(countDistinct(col("h")).as("n_union_sample"))
+        val i = below.groupBy(col("h"))
+          .agg(countDistinct(col("side")).as("ns"))
+          .filter(col("ns") === 2)
+          .agg(count(lit(1)).as("n_inter_sample"))
+        val tu = hv.agg(countDistinct(col("h")).as("true_union"))
+        val ti = hv.groupBy(col("h"))
+          .agg(countDistinct(col("side")).as("ns"))
+          .filter(col("ns") === 2)
+          .agg(count(lit(1)).as("true_inter"))
+        thetas.crossJoin(broadcast(u)).crossJoin(broadcast(i))
+          .crossJoin(broadcast(tu)).crossJoin(broadcast(ti))
+          .select(lit(k).as("k"), col("theta_a"), col("theta_b"),
+            col("n_union_sample"), col("n_inter_sample"),
+            col("true_union"), col("true_inter"),
+            (col("n_union_sample").cast("double")
+              * lit(1.152921504606846976e18)
+              / col("theta_min").cast("double")).as("est_union"),
+            (col("n_inter_sample").cast("double")
+              * lit(1.152921504606846976e18)
+              / col("theta_min").cast("double")).as("est_inter"))
+      },
+      Some(s"""WITH norm AS (
+                SELECT doc_id % 2 AS side, string_split($normSql, ' ') AS toks
+                FROM documents),
+              npos AS (
+                SELECT side, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM norm WHERE len(toks) >= 3),
+              hv AS (
+                SELECT DISTINCT side,
+                       ${h60("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS h
+                FROM npos),
+              rk AS (
+                SELECT side, h,
+                       row_number() OVER (PARTITION BY side ORDER BY h) AS rk
+                FROM hv),
+              sk AS (SELECT side, h, rk FROM rk WHERE rk <= $KmvK),
+              thetas AS (
+                SELECT max(CASE WHEN side = 0 AND rk = $KmvK THEN h END)
+                         AS theta_a,
+                       max(CASE WHEN side = 1 AND rk = $KmvK THEN h END)
+                         AS theta_b
+                FROM sk),
+              tmin AS (SELECT theta_a, theta_b,
+                              least(theta_a, theta_b) AS theta_min
+                       FROM thetas),
+              usample AS (
+                SELECT CAST(count(DISTINCT s.h) AS BIGINT) AS n_union_sample
+                FROM sk s, tmin t WHERE s.h < t.theta_min),
+              isample AS (
+                SELECT CAST(count(*) AS BIGINT) AS n_inter_sample
+                FROM (SELECT s.h FROM sk s, tmin t
+                      WHERE s.h < t.theta_min
+                      GROUP BY s.h HAVING count(DISTINCT s.side) = 2)),
+              truth_u AS (
+                SELECT CAST(count(DISTINCT h) AS BIGINT) AS true_union
+                FROM hv),
+              truth_i AS (
+                SELECT CAST(count(*) AS BIGINT) AS true_inter
+                FROM (SELECT h FROM hv
+                      GROUP BY h HAVING count(DISTINCT side) = 2))
+              SELECT CAST($KmvK AS INT) AS k, theta_a, theta_b,
+                     n_union_sample, n_inter_sample, true_union, true_inter,
+                     CAST(n_union_sample AS DOUBLE) * 1152921504606846976e0
+                       / CAST(theta_min AS DOUBLE) AS est_union,
+                     CAST(n_inter_sample AS DOUBLE) * 1152921504606846976e0
+                       / CAST(theta_min AS DOUBLE) AS est_inter
+              FROM tmin, usample, isample, truth_u, truth_i"""))
   )
 
   /** DuckDB column formula for CMS row i over an `hp` column — shared by

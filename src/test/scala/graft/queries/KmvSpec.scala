@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** The two properties that make the KMV sketch a SKETCH, plus the
+  * measured accuracy the query ships:
+  *
+  *  1. Exactness below theta — below the side's k-th smallest hash the
+  *     sketch IS the universe (no sampling error inside the retained
+  *     range), which is exactly why `sk_kmv_overlap`'s union/intersection
+  *     counts below theta_min are p-samples and not heuristics.
+  *  2. Bottom-k mergeability — bottom-k of unioned partial bottom-k's
+  *     equals bottom-k of the whole relation, the algebra that lets the
+  *     k-bounded Aggregator partial-aggregate on any executor tree.
+  */
+class KmvSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def docs = {
+    graft.GraftExtensions.ensure(spark)
+    Tables.documents(spark, sf)
+  }
+
+  test("below theta the sketch is exactly the universe (p-sample claim)") {
+    val k = QSketch.KmvK
+    val hv = QSketch.kmvHashes(docs).persist()
+    val sk = QSketch.kmvSketch(docs, k).persist()
+    val thetas = sk.filter(col("rk") === k)
+      .select(col("side"), col("h").as("theta"))
+    // every (side, h) in the FULL distinct universe with h < theta must
+    // appear in the sketch — and the sketch holds nothing above theta
+    val missing = hv.join(thetas, Seq("side"))
+      .filter(col("h") < col("theta"))
+      .join(sk.select(col("side"), col("h")), Seq("side", "h"), "left_anti")
+    assert(missing.count() == 0,
+      "a universe hash below theta is missing from the sketch")
+    val above = sk.join(thetas, Seq("side")).filter(col("h") > col("theta"))
+    assert(above.count() == 0, "sketch retained a hash above theta")
+    hv.unpersist(); sk.unpersist()
+  }
+
+  test("bottom-k merges: bottom-k of partial bottom-k's == bottom-k of whole") {
+    val k = 64
+    val hv = QSketch.kmvHashes(docs).persist()
+    val whole = QSketch.kmvSketchFrom(hv, k)
+      .select(col("side"), col("rk"), col("h"))
+    // split the universe by hash parity (disjoint), sketch each split,
+    // then sketch the UNION OF SKETCHES — the tree-merge a cluster does
+    val partials = QSketch.kmvSketchFrom(hv.filter(col("h") % 2 === 0), k)
+      .unionByName(QSketch.kmvSketchFrom(hv.filter(col("h") % 2 === 1), k))
+      .select(col("side"), col("h"))
+    val merged = QSketch.kmvSketchFrom(partials, k)
+      .select(col("side"), col("rk"), col("h"))
+    assert(whole.exceptAll(merged).count() == 0 &&
+      merged.exceptAll(whole).count() == 0,
+      "merged partial sketches must equal the whole-relation sketch")
+    hv.unpersist()
+  }
+
+  test("sk_kmv_overlap estimates land within the 1/sqrt(k) band and are graded") {
+    val row = SparkEntry.queries("sk_kmv_overlap")(spark, sf).collect().head
+    val estU = row.getAs[Double]("est_union")
+    val trueU = row.getAs[Long]("true_union").toDouble
+    val estI = row.getAs[Double]("est_inter")
+    val trueI = row.getAs[Long]("true_inter").toDouble
+    // deterministic data + deterministic hashes => these are fixed
+    // measurements; 0.15 is ~2.4 standard errors at k=256
+    assert(math.abs(estU - trueU) / trueU < 0.15,
+      s"union estimate off by ${math.abs(estU - trueU) / trueU}")
+    assert(math.abs(estI - trueI) / trueI < 0.15,
+      s"intersection estimate off by ${math.abs(estI - trueI) / trueI}")
+    assert(row.getAs[Long]("n_inter_sample") <=
+      row.getAs[Long]("n_union_sample"))
+    assert(row.getAs[Long]("theta_a") > 0 && row.getAs[Long]("theta_b") > 0)
+  }
+}
