@@ -99,6 +99,34 @@ object QSketch extends Registry {
       .select(pmod(col("id"), lit(2L)).as("side"), col("gh").as("h"))
       .distinct()
 
+  private[queries] val PriK = 128
+
+  /** Weighted documents ranked by deterministic priority (Duffield–
+    * Lund–Thorup 2007): w = token count, u = (h+1)/2^60 from the shared
+    * 60-bit hash of the doc_id, priority q = w/u — computed as ONE
+    * double formula over integers so both engines land on the same IEEE
+    * values. Factored for `PrioritySampleSpec` (inclusion theorem +
+    * estimator grading). The top-(k+1) is `orderBy.limit` —
+    * TakeOrderedAndProject, a k-bounded state per partition merged on
+    * the driver, never a global sort.
+    */
+  private[queries] def priorityRanked(
+      docs: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("w"))
+      .withColumn("h", TextOps.hash60(col("doc_id").cast("string")))
+      .withColumn("q",
+        col("w").cast("double") * lit(1.152921504606846976e18)
+          / (col("h").cast("double") + lit(1.0)))
+    val top = base.orderBy(col("q").desc, col("doc_id").asc).limit(k + 1)
+    // rank WITHIN the k+1-row result — sketch-sized, the global window
+    // never sees the data relation
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id").asc)
+    top.withColumn("rk", row_number().over(win))
+  }
+
   private[queries] def cmsCol(i: Int): org.apache.spark.sql.Column = {
     val (a, b) = CmsRows(i)
     pmod(pmod(col("hp") * a + b, lit(2147483647L)), lit(1024L))
@@ -534,7 +562,75 @@ object QSketch extends Registry {
                        / CAST(theta_min AS DOUBLE) AS est_union,
                      CAST(n_inter_sample AS DOUBLE) * 1152921504606846976e0
                        / CAST(theta_min AS DOUBLE) AS est_inter
-              FROM tmin, usample, isample, truth_u, truth_i"""))
+              FROM tmin, usample, isample, truth_u, truth_i""")),
+
+    // Priority sampling (Duffield–Lund–Thorup 2007): the ONE weighted
+    // sample of k documents that answers ANY later subset-sum question
+    // ("how many tokens does source X contribute?") with a known-good
+    // estimator — the summary a 100 TB pipeline keeps when it cannot
+    // know the queries in advance. Deterministic: u_i = (h_i+1)/2^60
+    // from the shared 60-bit doc_id hash, priority q_i = w_i/u_i, keep
+    // the k largest priorities, tau = the (k+1)-th; each kept item
+    // estimates its weight as max(w_i, tau) (w_i > tau guarantees
+    // inclusion — the spec pins the theorem). Estimates are quantized
+    // to integer micro-tokens BEFORE the per-source sum so the output
+    // is order-free integer arithmetic, and every source ships its
+    // exact token total next to the estimate. Scale shape: one in-row
+    // hash+formula, one TakeOrderedAndProject (k+1-bounded state per
+    // partition, merged once), one hash-agg for truth.
+    Q("sk_priority_sample",
+      (s, d) => {
+        val k = PriK
+        val docs = Tables.documents(s, d)
+        val ranked = priorityRanked(docs, k)
+        val tau = ranked.filter(col("rk") === k + 1)
+          .select(col("q").as("tau"))
+        val est = ranked.filter(col("rk") <= k)
+          .crossJoin(broadcast(tau))
+          .withColumn("w_hat_micro",
+            floor(greatest(col("w").cast("double"), col("tau"))
+              * lit(1000000.0)).cast("bigint"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_sampled"),
+            sum(col("w_hat_micro")).as("est_tokens_micro"))
+        val truth = docs.select(col("source"),
+            size(TextOps.tokens(col("text"))).cast("bigint").as("w"))
+          .groupBy(col("source")).agg(sum(col("w")).as("true_tokens"))
+        truth.join(est, Seq("source"), "left")
+          .select(col("source"),
+            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+            coalesce(col("est_tokens_micro"), lit(0L)).as("est_tokens_micro"),
+            col("true_tokens"))
+      },
+      Some(s"""WITH w AS (
+                SELECT doc_id, source,
+                       CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w,
+                       ${h60("CAST(doc_id AS VARCHAR)")} AS h
+                FROM documents),
+              pq AS (
+                SELECT doc_id, source, w,
+                       CAST(w AS DOUBLE) * 1152921504606846976e0
+                         / (CAST(h AS DOUBLE) + 1e0) AS q
+                FROM w),
+              ranked AS (
+                SELECT doc_id, source, w, q,
+                       row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+                FROM pq),
+              tau AS (SELECT q AS tau FROM ranked WHERE rk = ${PriK + 1}),
+              est AS (
+                SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+                       CAST(sum(CAST(floor(greatest(CAST(w AS DOUBLE), tau)
+                           * 1000000e0) AS BIGINT)) AS BIGINT)
+                         AS est_tokens_micro
+                FROM ranked, tau WHERE rk <= $PriK GROUP BY 1),
+              truth AS (
+                SELECT source, CAST(sum(w) AS BIGINT) AS true_tokens
+                FROM w GROUP BY 1)
+              SELECT t.source,
+                     coalesce(e.n_sampled, 0) AS n_sampled,
+                     coalesce(e.est_tokens_micro, 0) AS est_tokens_micro,
+                     t.true_tokens
+              FROM truth t LEFT JOIN est e USING (source)"""))
   )
 
   /** DuckDB column formula for CMS row i over an `hp` column — shared by
