@@ -812,8 +812,125 @@ object QDedup extends Registry {
                      -- excised doc must fingerprint as md5(''))
                      md5(coalesce(array_to_string(clean_toks, ' '), ''))
                        AS clean_fp
-              FROM cleaned"""))
+              FROM cleaned""")),
+
+    // Tier 6 — ASYMMETRIC containment: C(A,B) = |grams(A) ∩ grams(B)|
+    // / |grams(smaller)|. Jaccard-threshold tiers structurally MISS
+    // subset pairs (a 15-token quote inside a 60-token doc has
+    // J ≈ 0.2 but containment ≈ 0.92) — this is the tier that catches
+    // quote/boilerplate inclusion, the dedup failure mode Broder's
+    // resemblance/containment split names. Fixture: every 7th doc gets
+    // a planted quote child (first 15 tokens + a unique tail token,
+    // doc_id + 100000) built IN-QUERY, graded by the `planted` flag;
+    // jaccard ships next to containment so the asymmetry is visible in
+    // the result. Scale shape: inverted-index self-join on gram hash
+    // with a df-occupancy cap (64) — the universal-gram quadratic term
+    // is structurally excluded (ContainmentSpec pins n² → 0 on a
+    // boilerplate-gram fixture); intersections count only capped grams
+    // (a LOWER bound ⇒ under-flag, never false-positive), while
+    // denominators stay full-set. On this fixture no gram hits the cap,
+    // so detection is exact (spec-pinned).
+    Q("dd_containment",
+      (s, d) => containmentPairs(
+          containmentCorpus(Tables.documents(s, d)), cap = 64)
+        .filter(col("containment") >= 0.8),
+      Some(s"""WITH norm AS (
+                SELECT doc_id, string_split($normSql, ' ') AS toks
+                FROM documents),
+              quotes AS (
+                SELECT doc_id + 100000 AS doc_id,
+                       string_split(
+                         array_to_string(list_slice(toks, 1, 15), ' ')
+                           || ' qtail' || CAST(doc_id AS VARCHAR), ' ')
+                         AS toks
+                FROM norm WHERE doc_id % 7 = 0),
+              corpus AS (
+                SELECT doc_id, toks FROM norm
+                UNION ALL SELECT doc_id, toks FROM quotes),
+              npos AS (
+                SELECT doc_id, toks,
+                       unnest(generate_series(1, len(toks) - 4)) AS i
+                FROM corpus WHERE len(toks) >= 5),
+              hv AS (
+                SELECT DISTINCT doc_id AS id,
+                       ${h60("array_to_string(list_slice(toks, i, i + 4), ' ')")} AS gh
+                FROM npos),
+              df AS (SELECT gh, count(*) AS df FROM hv GROUP BY 1),
+              capped AS (SELECT h.id, h.gh FROM hv h JOIN df USING (gh)
+                         WHERE df.df <= 64),
+              sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS sz
+                        FROM hv GROUP BY 1),
+              pairs AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_shared
+                FROM capped a JOIN capped b
+                  ON a.gh = b.gh AND a.id < b.id
+                GROUP BY 1, 2)
+              SELECT p.id_a, p.id_b, p.n_shared,
+                     sa.sz AS size_a, sb.sz AS size_b,
+                     CAST(p.n_shared AS DOUBLE)
+                       / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment,
+                     CAST(p.n_shared AS DOUBLE)
+                       / CAST(sa.sz + sb.sz - p.n_shared AS DOUBLE) AS jaccard,
+                     p.id_b = p.id_a + 100000 AS planted
+              FROM pairs p
+              JOIN sizes sa ON sa.id = p.id_a
+              JOIN sizes sb ON sb.id = p.id_b
+              WHERE CAST(p.n_shared AS DOUBLE)
+                      / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8e0"""))
   )
+
+  /** The containment fixture: the corpus plus a planted quote child for
+    * every 7th doc — first 15 normalized tokens + a unique tail token,
+    * id-shifted by 100000 so grading is a pure id predicate.
+    */
+  private[queries] def containmentCorpus(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val quotes = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"),
+        concat(
+          array_join(slice(TextOps.tokens(col("text")), 1, 15), " "),
+          lit(" qtail"), col("doc_id").cast("string")).as("text"))
+    docs.select(col("doc_id"), col("text")).unionByName(quotes)
+  }
+
+  /** Containment pair table (pre-threshold) over any (doc_id, text)
+    * corpus: distinct token-5-gram hashes per doc (one in-row native
+    * pass), df-capped inverted-index self-join, full-set denominators.
+    * Factored so `ContainmentSpec` can drive both the cap's quadratic
+    * suppression and the exactness claim.
+    */
+  private[queries] def containmentPairs(
+      corpus: org.apache.spark.sql.DataFrame, cap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val hv = graft.Caches.registerTransient(
+      TextOps.gramHashes(corpus, "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dfreq = hv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val capped = hv.join(dfreq.filter(col("df") <= cap), Seq("gh"))
+      .select(col("id"), col("gh"))
+    val sizes = hv.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.gh") === col("b.gh") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("size_a")),
+        Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("size_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        col("size_a"), col("size_b"),
+        (col("n_shared").cast("double")
+          / least(col("size_a"), col("size_b")).cast("double"))
+          .as("containment"),
+        (col("n_shared").cast("double")
+          / (col("size_a") + col("size_b") - col("n_shared")).cast("double"))
+          .as("jaccard"),
+        (col("id_b") === col("id_a") + 100000L).as("planted"))
+  }
 
   /** Shared CTE chain of the window-level substring-dedup oracle: ends
     * at `spanrows(id, span_start, span_tokens, n_windows, grp)` — the
