@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.expressions.{BandBuckets, DotLongs, DotQuant6, Log2Milli, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60, TokenGramPos60}
+import graft.expressions.{BandBuckets, DotLongs, DotQuant6, HilbertIndex, Log2Milli, Md5Prefix60, MinHashK, NormalizeWs, Quant6Array, RhpBandKeys, ShingleHash60, ShingleXx60, Simhash60, TokenGramHash60, TokenGramPos60}
 
 /** SparkSessionExtensions hook registering the library's native
   * expressions as SQL functions. Activate with
@@ -111,6 +111,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier("rhpbands"),
       new ExpressionInfo(classOf[RhpBandKeys].getName, "rhpbands"),
       children => RhpBandKeys(children.head)),
+    (new FunctionIdentifier("hilbertindex"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbertindex"),
+      children => HilbertIndex(children.head, children(1),
+        intLit("hilbertindex", "bits")(children(2)))),
     (new FunctionIdentifier("shinglehash60"),
       new ExpressionInfo(classOf[ShingleHash60].getName, "shinglehash60"),
       children => ShingleHash60(children.head,

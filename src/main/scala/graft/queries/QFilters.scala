@@ -783,6 +783,59 @@ object QFilters extends Registry {
                 AND l_suppkey BETWEEN 5 AND 15
               GROUP BY 1""")),
 
+    // S28 — HILBERT-curve layout (ext.): the same two-dim clustered
+    // write as s21 behind the same stats pass and ZOrder.bucketed
+    // normalization, but ordered by the Hilbert index (native codegen
+    // expression, expressions.HilbertIndex) instead of the Morton
+    // interleave. Consecutive Hilbert positions are always adjacent
+    // cells (HilbertSpec pins the bijection + adjacency), so sorted
+    // files cover seam-free boxes and conjunctive footer pruning
+    // skips at least as well as z-order — HilbertLayoutSpec measures
+    // both layouts on an identical box panel and pins Hilbert ≤
+    // Morton files-touched. Result aggregates THROUGH the relaid
+    // table, so correctness is layout-invariant (the oracle never
+    // sees the curve) while the spec owns the skipping claim. Scale
+    // shape: identical to s21 — stats pass (metadata), one
+    // range-shuffle sized by the rewrite, footer-only planning reads.
+    Q("s28_hilbert_layout",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s28_layout", d)
+        val b = Tables.lineitem(s, d)
+          .agg(min(col("l_partkey")), max(col("l_partkey")),
+            min(col("l_suppkey")), max(col("l_suppkey")))
+          .collect().head
+        val h = call_function("hilbertindex",
+          graft.operators.ZOrder.bucketed("l_partkey",
+            b.getLong(0), b.getLong(1)),
+          graft.operators.ZOrder.bucketed("l_suppkey",
+            b.getLong(2), b.getLong(3)),
+          lit(16))
+        Tables.lineitem(s, d).withColumn("hval", h)
+          .repartitionByRange(16, col("hval"))
+          .sortWithinPartitions(col("hval"))
+          .drop("hval")
+          .write.mode("overwrite").parquet(s"$dir/lineitem_hh")
+        val survivors = zoneMapSurvivorsBox(s, s"$dir/lineitem_hh",
+          Seq(("l_partkey", 50L, 150L), ("l_suppkey", 5L, 15L)))
+        s.read.parquet(survivors: _*)
+          .filter(col("l_partkey").between(50L, 150L) &&
+            col("l_suppkey").between(5L, 15L))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"),
+            min(col("l_partkey")).as("min_part"),
+            max(col("l_suppkey")).as("max_supp"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     min(l_partkey) AS min_part,
+                     max(l_suppkey) AS max_supp
+              FROM lineitem
+              WHERE l_partkey BETWEEN 50 AND 150
+                AND l_suppkey BETWEEN 5 AND 15
+              GROUP BY 1""")),
+
     // S22 — compaction EXECUTION (ext.): s17 plans the bins; this runs
     // the rewrite. Every row is tagged with its file's bin (the same
     // manifest + prefix-offset binning as s17), then the table is
