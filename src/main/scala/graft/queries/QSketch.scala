@@ -516,22 +516,7 @@ object QSketch extends Registry {
               * lit(1.152921504606846976e18)
               / col("theta_min").cast("double")).as("est_inter"))
       },
-      Some(s"""WITH norm AS (
-                SELECT doc_id % 2 AS side, string_split($normSql, ' ') AS toks
-                FROM documents),
-              npos AS (
-                SELECT side, toks,
-                       unnest(generate_series(1, len(toks) - 2)) AS i
-                FROM norm WHERE len(toks) >= 3),
-              hv AS (
-                SELECT DISTINCT side,
-                       ${h60("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS h
-                FROM npos),
-              rk AS (
-                SELECT side, h,
-                       row_number() OVER (PARTITION BY side ORDER BY h) AS rk
-                FROM hv),
-              sk AS (SELECT side, h, rk FROM rk WHERE rk <= $KmvK),
+      Some(s"""WITH $kmvSketchCtes,
               thetas AS (
                 SELECT max(CASE WHEN side = 0 AND rk = $KmvK THEN h END)
                          AS theta_a,
@@ -632,6 +617,30 @@ object QSketch extends Registry {
                      t.true_tokens
               FROM truth t LEFT JOIN est e USING (source)"""))
   )
+
+  /** Shared CTE chain of the KMV oracle — ends at `sk(side, h, rk)`,
+    * the per-side bottom-k sketch over the distinct token-3-gram hash
+    * universe (`hv` also in scope). Shared by `sk_kmv_overlap` and the
+    * streaming census so the sketch construction cannot drift between
+    * the batch and streaming faces.
+    */
+  private[queries] def kmvSketchCtes: String =
+    s"""norm AS (
+                SELECT doc_id % 2 AS side, string_split($normSql, ' ') AS toks
+                FROM documents),
+              npos AS (
+                SELECT side, toks,
+                       unnest(generate_series(1, len(toks) - 2)) AS i
+                FROM norm WHERE len(toks) >= 3),
+              hv AS (
+                SELECT DISTINCT side,
+                       ${h60("array_to_string(list_slice(toks, i, i + 2), ' ')")} AS h
+                FROM npos),
+              rkc AS (
+                SELECT side, h,
+                       row_number() OVER (PARTITION BY side ORDER BY h) AS rk
+                FROM hv),
+              sk AS (SELECT side, h, rk FROM rkc WHERE rk <= $KmvK)"""
 
   /** DuckDB column formula for CMS row i over an `hp` column — shared by
     * the heavy-hitter and join-size oracles so the hash family cannot

@@ -323,6 +323,46 @@ object QStreaming extends Registry {
       },
       Some(QSketch.cmsCountersOracle)),
 
+    // Incremental KMV census (ext.) — the streaming face of the KMV
+    // mergeability `KmvSpec` pins: each micro-batch externalizes its
+    // OWN bottom-k sketch (≤ 2·k rows, zero streaming state) into a
+    // batchId-derived overwrite dir, and the merged census is the
+    // bottom-k of the unioned per-batch sketches — equal to the
+    // whole-corpus batch sketch EXACTLY, because a batch's discarded
+    // hashes are all above its own theta and therefore above the
+    // union's. A 100 TB ingest keeps its distinct-overlap monitor this
+    // way: per-batch sketch cost is bounded by k whatever the batch
+    // size, merge cost by batches·k, and history is never re-scanned.
+    // The oracle is the BATCH construction (shared CTE chain with
+    // sk_kmv_overlap — the two faces cannot drift).
+    Q("stream_kmv_census",
+      (s, d) => {
+        val outDir = graft.Scratch.dirFor("stream_kmv", d) + "/sketches"
+        graft.Scratch.clear(outDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir))
+        val q = StreamingDedup.parquetStream(s, s"$d/documents.parquet")
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              QSketch.kmvSketchFrom(QSketch.kmvHashes(batch), QSketch.KmvK)
+                .select(col("side"), col("h"))
+                .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import org.apache.spark.sql.types._
+        val partials = s.read.schema(StructType(Seq(
+            StructField("side", LongType),
+            StructField("h", LongType))))
+          .parquet(outDir)
+          .distinct() // the same gram may survive in several batches
+        QSketch.kmvSketchFrom(partials, QSketch.KmvK)
+      },
+      Some(s"""WITH ${QSketch.kmvSketchCtes}
+              SELECT side, CAST(rk AS INT) AS rk, h FROM sk""")),
+
     // Streaming CDC → SCD2 apply: the order change-log arrives as THREE
     // chronological micro-batches (one file per trigger, mtime-ordered)
     // and each batch is MERGED into the persisted validity history via
