@@ -673,4 +673,100 @@ object Multimodal {
           i => md5(hex(col("payload").substr(
             i * strideBytes + 1, lit(frameBytes)))))))
       .withColumnsRenamed(Map("pos" -> "frame_idx", "col" -> "frame_md5"))
+
+  // ---- video (clip) modality: GVID container + temporal dHash ----
+
+  /** Deterministic TWIN-FAMILY video clip: a length-validated GVID
+    * container (magic + LE16 frame-count/width/height + 57 gray 9×7
+    * frames) whose pixels come from the same product-form closed form
+    * as [[ppmTwinPayload]] with the FRAME index mixed in. Family
+    * members (docs 4k..4k+3) share the base clip; each member adds a
+    * uniform +3·member brightness offset (invisible to the TEMPORAL
+    * hash — every frame sum shifts by the same constant) and one
+    * member-positioned BUMPED frame (+50/pixel), which flips only the
+    * ≤2 envelope comparisons adjacent to it — the re-encoded /
+    * re-graded clip near-dup byte-exact dedup misses. Max pixel value
+    * 180+9+50 = 239: byte-safe, no 8-bit wrap.
+    */
+  def clipPayload(docId: Long): Array[Byte] = {
+    val fam = docId / 4
+    val mem = (docId % 4).toInt
+    val nF = 57; val w = 9; val h = 7
+    val bump = ((fam + mem * 29) % 57).toInt
+    val out = new Array[Byte](10 + nF * w * h)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    le16(nF).copyToArray(out, 4)
+    le16(w).copyToArray(out, 6)
+    le16(h).copyToArray(out, 8)
+    var p = 10
+    var f = 0
+    while (f < nF) {
+      var i = 0
+      while (i < w * h) {
+        val a = (fam * 7919 + f * 613 + i + 1) % 65536
+        val b = (fam * 104729 + f * 31 + i.toLong * 7919 + 12345) % 65536
+        val v = ((a * b) % 181 + mem * 3 +
+          (if (f == bump) 50 else 0)).toInt
+        out(p) = v.toByte
+        p += 1
+        i += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** 56-bit TEMPORAL dHash of a GVID clip, fused into the container
+    * walk: one pass accumulates each frame's luminance SUM (integer —
+    * no mean, no rounding), bit f set when frame f+1 is brighter than
+    * frame f. Invariant under any uniform per-pixel brightness offset
+    * or positive rescale (all frame sums move monotonically together);
+    * a single edited/bumped frame flips only its two adjacent
+    * comparisons — Hamming distance is a temporal-perceptual metric,
+    * the video analogue of the audio energy envelope. Malformed
+    * containers (bad magic, truncated frames, frame count off the
+    * 56-bit budget) REJECT with the doc id, same contract as the
+    * PPM/WAV codecs.
+    */
+  private[llmdata] def clipTemporalDHash(id: Long, b: Array[Byte]): Long = {
+    if (b.length < 10 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' ||
+        b(3) != 'D')
+      throw new IllegalArgumentException(
+        s"doc $id: not a GVID clip container")
+    val nF = rdLe16(b, 4); val w = rdLe16(b, 6); val h = rdLe16(b, 8)
+    if (nF < 2 || nF > 57 || w <= 0 || h <= 0)
+      throw new IllegalArgumentException(
+        s"doc $id: GVID geometry out of range ($nF frames, ${w}x$h)")
+    if (b.length != 10 + nF * w * h)
+      throw new IllegalArgumentException(
+        s"doc $id: GVID truncated (${b.length} bytes for $nF ${w}x$h frames)")
+    val sums = new Array[Long](nF)
+    var p = 10
+    var f = 0
+    while (f < nF) {
+      var s = 0L
+      var i = 0
+      while (i < w * h) { s += (b(p) & 0xFF); p += 1; i += 1 }
+      sums(f) = s
+      f += 1
+    }
+    var d = 0L
+    f = 0
+    while (f < nF - 1) {
+      if (sums(f + 1) > sums(f)) d |= 1L << f
+      f += 1
+    }
+    d
+  }
+
+  def dhashClip(docs: DataFrame, idCol: String, binCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"),
+        col(binCol).cast("binary").as("payload"))
+      .as[Blob]
+      .mapPartitions(_.map(b =>
+        PpmHash(b.doc_id, clipTemporalDHash(b.doc_id, b.payload))))
+      .toDF()
+  }
 }

@@ -319,6 +319,56 @@ object QMultimodal extends Registry {
               SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                      CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
               FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.dh, b.dh)) <= 6""")),
+
+    // PERCEPTUAL near-dup for VIDEO — the third modality through the
+    // SAME banded-Hamming operator, completing the image/audio/video
+    // triple. Payload is a length-validated GVID container (57 gray
+    // 9×7 frames); the partition-local walk fuses decode and feature
+    // extraction into one pass over the bytes, accumulating each
+    // frame's integer luminance sum, and the signature is the 56-bit
+    // TEMPORAL dHash (bit f: frame f+1 brighter than frame f) — the
+    // video analogue of the audio energy envelope, invariant under
+    // re-grading (uniform brightness/contrast shifts move every frame
+    // sum together) while a single edited frame flips only its two
+    // adjacent comparisons. Twin families: shared base clip per 4
+    // docs, member-uniform brightness offset (invisible) + one
+    // member-positioned bumped frame (≤2 bits). The oracle re-derives
+    // every pixel, frame sum and hash bit, then brute-forces all
+    // pairs — equal to the banded tier by pigeonhole (`ClipSpec`).
+    Q("mm_clip_neardup",
+      (s, d) => Multimodal.hammingNearDups(
+        Multimodal.dhashClip(
+          Multimodal.synthesizePayloads(
+            Tables.documents(s, d), "doc_id",
+            Multimodal.clipPayload).toDF(),
+          "doc_id", "payload"),
+        "doc_id", "dhash", bits = 56, bands = 7, maxDist = 6),
+      Some("""WITH d AS (SELECT doc_id, doc_id // 4 AS fam,
+                                doc_id % 4 AS mem
+                         FROM documents),
+                px AS (SELECT doc_id, f, i,
+                              (((fam*7919 + f*613 + i + 1) % 65536)
+                                * ((fam*104729 + f*31 + i*7919 + 12345)
+                                   % 65536)) % 181
+                                + mem*3
+                                + CASE WHEN f = (fam + mem*29) % 57
+                                       THEN 50 ELSE 0 END AS v
+                       FROM d, generate_series(0, 56) gf(f),
+                            generate_series(0, 62) gi(i)),
+                fs AS (SELECT doc_id, f, CAST(sum(v) AS BIGINT) AS s
+                       FROM px GROUP BY 1, 2),
+                sig AS (SELECT l.doc_id,
+                               CAST(sum(CASE WHEN r.s > l.s
+                                 THEN (CAST(1 AS BIGINT)
+                                       << CAST(l.f AS INT))
+                                 ELSE 0 END) AS BIGINT) AS dh
+                        FROM fs l JOIN fs r
+                          ON r.doc_id = l.doc_id AND r.f = l.f + 1
+                        GROUP BY l.doc_id)
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(bit_count(xor(a.dh, b.dh)) AS INT) AS hamming
+              FROM sig a JOIN sig b ON a.doc_id < b.doc_id
               WHERE bit_count(xor(a.dh, b.dh)) <= 6"""))
   )
 }

@@ -74,4 +74,22 @@ class KmvSpec extends SparkSpec {
       row.getAs[Long]("n_union_sample"))
     assert(row.getAs[Long]("theta_a") > 0 && row.getAs[Long]("theta_b") > 0)
   }
+
+  test("sk_kmv_matrix covers all pairs and grades in aggregate") {
+    val rows = SparkEntry.queries("sk_kmv_matrix")(spark, sf).collect()
+    val nSources = docs.select(col("source")).distinct().count()
+    assert(rows.length == nSources * (nSources - 1) / 2,
+      "one row per unordered source pair")
+    // per-pair samples are small (k=128 over ~1200-gram universes) so
+    // individual pairs are noisy BY DESIGN; the matrix's contract is
+    // aggregate accuracy — ~8% measured on this corpus, band 3x
+    val estSum = rows.map(_.getAs[Double]("est_inter")).sum
+    val trueSum = rows.map(_.getAs[Long]("true_inter")).sum.toDouble
+    assert(math.abs(estSum - trueSum) / trueSum < 0.25,
+      s"aggregate overlap estimate off by ${math.abs(estSum - trueSum) / trueSum}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_inter_sample") <= r.getAs[Long]("true_inter"),
+        "a p-sample can never exceed the exact intersection")
+    }
+  }
 }
