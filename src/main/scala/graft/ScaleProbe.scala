@@ -57,7 +57,15 @@ object ScaleProbe {
     // perceptual near-dup modalities, the native as-of operator, and
     // the schema-evolution round trip
     "dd_substring_windows", "mm_phash_neardup", "mm_audio_neardup",
-    "j28_asof_native", "s26_schema_evolution_write")
+    "j28_asof_native", "s26_schema_evolution_write",
+    // round 9b: the sketch layer (KMV overlap + matrix, priority
+    // sample), the third perceptual modality, and the Hilbert rewrite.
+    // dd_containment is deliberately NOT probed: on the probe's
+    // replicated geometry every copy pair is a true containment pair,
+    // so the ANSWER is quadratic in copies (same reason the answer-
+    // bound dedup tiers sit outside the x100 subset).
+    "sk_kmv_overlap", "sk_priority_sample", "sk_kmv_matrix",
+    "mm_clip_neardup", "s28_hilbert_layout")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -128,6 +128,73 @@ object QSketch extends Registry {
     top.withColumn("rk", row_number().over(win))
   }
 
+  /** Per-source subset-sum estimate + exact-truth ride-along from a
+    * ranked top-(k+1) priority frame (doc_id, source, w, q, rk) —
+    * shared by `sk_priority_sample` and its streaming face
+    * `stream_priority_sample`, so the two assemblies cannot drift.
+    * tau = the (k+1)-th priority; each kept item estimates its weight
+    * as max(w, tau), quantized to integer micro-tokens BEFORE the sum
+    * so the output is order-free integer arithmetic.
+    */
+  private[queries] def prioritySampleResult(
+      docs: org.apache.spark.sql.DataFrame,
+      ranked: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val tau = ranked.filter(col("rk") === k + 1)
+      .select(col("q").as("tau"))
+    val est = ranked.filter(col("rk") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("w_hat_micro",
+        floor(greatest(col("w").cast("double"), col("tau"))
+          * lit(1000000.0)).cast("bigint"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("w_hat_micro")).as("est_tokens_micro"))
+    val truth = docs.select(col("source"),
+        size(TextOps.tokens(col("text"))).cast("bigint").as("w"))
+      .groupBy(col("source")).agg(sum(col("w")).as("true_tokens"))
+    truth.join(est, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("est_tokens_micro"), lit(0L)).as("est_tokens_micro"),
+        col("true_tokens"))
+  }
+
+  /** The batch construction in DuckDB — also the oracle of the
+    * streaming face (the merged per-batch sample equals the batch
+    * sample EXACTLY; see `stream_priority_sample`).
+    */
+  private[queries] def prioritySampleOracle: String =
+    s"""WITH w AS (
+          SELECT doc_id, source,
+                 CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w,
+                 ${h60("CAST(doc_id AS VARCHAR)")} AS h
+          FROM documents),
+        pq AS (
+          SELECT doc_id, source, w,
+                 CAST(w AS DOUBLE) * 1152921504606846976e0
+                   / (CAST(h AS DOUBLE) + 1e0) AS q
+          FROM w),
+        ranked AS (
+          SELECT doc_id, source, w, q,
+                 row_number() OVER (ORDER BY q DESC, doc_id) AS rk
+          FROM pq),
+        tau AS (SELECT q AS tau FROM ranked WHERE rk = ${PriK + 1}),
+        est AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
+                 CAST(sum(CAST(floor(greatest(CAST(w AS DOUBLE), tau)
+                     * 1000000e0) AS BIGINT)) AS BIGINT)
+                   AS est_tokens_micro
+          FROM ranked, tau WHERE rk <= $PriK GROUP BY 1),
+        truth AS (
+          SELECT source, CAST(sum(w) AS BIGINT) AS true_tokens
+          FROM w GROUP BY 1)
+        SELECT t.source,
+               coalesce(e.n_sampled, 0) AS n_sampled,
+               coalesce(e.est_tokens_micro, 0) AS est_tokens_micro,
+               t.true_tokens
+        FROM truth t LEFT JOIN est e USING (source)"""
+
   private[queries] def cmsCol(i: Int): org.apache.spark.sql.Column = {
     val (a, b) = CmsRows(i)
     pmod(pmod(col("hp") * a + b, lit(2147483647L)), lit(1024L))
@@ -565,58 +632,9 @@ object QSketch extends Registry {
     // hash+formula, one TakeOrderedAndProject (k+1-bounded state per
     // partition, merged once), one hash-agg for truth.
     Q("sk_priority_sample",
-      (s, d) => {
-        val k = PriK
-        val docs = Tables.documents(s, d)
-        val ranked = priorityRanked(docs, k)
-        val tau = ranked.filter(col("rk") === k + 1)
-          .select(col("q").as("tau"))
-        val est = ranked.filter(col("rk") <= k)
-          .crossJoin(broadcast(tau))
-          .withColumn("w_hat_micro",
-            floor(greatest(col("w").cast("double"), col("tau"))
-              * lit(1000000.0)).cast("bigint"))
-          .groupBy(col("source"))
-          .agg(count(lit(1)).as("n_sampled"),
-            sum(col("w_hat_micro")).as("est_tokens_micro"))
-        val truth = docs.select(col("source"),
-            size(TextOps.tokens(col("text"))).cast("bigint").as("w"))
-          .groupBy(col("source")).agg(sum(col("w")).as("true_tokens"))
-        truth.join(est, Seq("source"), "left")
-          .select(col("source"),
-            coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
-            coalesce(col("est_tokens_micro"), lit(0L)).as("est_tokens_micro"),
-            col("true_tokens"))
-      },
-      Some(s"""WITH w AS (
-                SELECT doc_id, source,
-                       CAST(len(string_split($normSql, ' ')) AS BIGINT) AS w,
-                       ${h60("CAST(doc_id AS VARCHAR)")} AS h
-                FROM documents),
-              pq AS (
-                SELECT doc_id, source, w,
-                       CAST(w AS DOUBLE) * 1152921504606846976e0
-                         / (CAST(h AS DOUBLE) + 1e0) AS q
-                FROM w),
-              ranked AS (
-                SELECT doc_id, source, w, q,
-                       row_number() OVER (ORDER BY q DESC, doc_id) AS rk
-                FROM pq),
-              tau AS (SELECT q AS tau FROM ranked WHERE rk = ${PriK + 1}),
-              est AS (
-                SELECT source, CAST(count(*) AS BIGINT) AS n_sampled,
-                       CAST(sum(CAST(floor(greatest(CAST(w AS DOUBLE), tau)
-                           * 1000000e0) AS BIGINT)) AS BIGINT)
-                         AS est_tokens_micro
-                FROM ranked, tau WHERE rk <= $PriK GROUP BY 1),
-              truth AS (
-                SELECT source, CAST(sum(w) AS BIGINT) AS true_tokens
-                FROM w GROUP BY 1)
-              SELECT t.source,
-                     coalesce(e.n_sampled, 0) AS n_sampled,
-                     coalesce(e.est_tokens_micro, 0) AS est_tokens_micro,
-                     t.true_tokens
-              FROM truth t LEFT JOIN est e USING (source)""")),
+      (s, d) => prioritySampleResult(Tables.documents(s, d),
+        priorityRanked(Tables.documents(s, d), PriK), PriK),
+      Some(prioritySampleOracle)),
 
     // The KMV OVERLAP MATRIX: sketch each source ONCE (bottom-k=128
     // over its distinct token-3-gram hashes), then answer ALL

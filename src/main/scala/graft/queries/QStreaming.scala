@@ -363,6 +363,61 @@ object QStreaming extends Registry {
       Some(s"""WITH ${QSketch.kmvSketchCtes}
               SELECT side, CAST(rk AS INT) AS rk, h FROM sk""")),
 
+    // Incremental priority sample (ext.) — the streaming face of the
+    // Duffield–Lund–Thorup sample: each micro-batch externalizes its
+    // OWN top-(k+1) priority frame (≤ k+1 rows, zero streaming state)
+    // into a batchId-derived overwrite dir, and the merged sample is
+    // the top-(k+1) of the unioned per-batch tops — equal to the
+    // whole-corpus batch sample EXACTLY: a doc outside its batch's
+    // top-(k+1) is preceded by k+1 same-batch docs in the
+    // (q desc, doc_id) total order, all of which survive into the
+    // union, so it cannot enter the global top-(k+1) either (the same
+    // discard-safety argument as KMV's theta bound, for ranks instead
+    // of thresholds). Priorities are deterministic (hash-derived u_i),
+    // so the merged frame is bit-identical to the batch construction
+    // and the per-source subset-sum assembly + oracle are SHARED with
+    // `sk_priority_sample` — the two faces cannot drift. A 100 TB
+    // ingest keeps its weighted sample this way: per-batch cost is one
+    // TakeOrderedAndProject bounded by k+1, merge cost batches·(k+1)
+    // rows, history never re-scanned.
+    Q("stream_priority_sample",
+      (s, d) => {
+        val outDir = graft.Scratch.dirFor("stream_prisample", d) + "/tops"
+        graft.Scratch.clear(outDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir))
+        val k = QSketch.PriK
+        val q = StreamingDedup.parquetStream(s, s"$d/documents.parquet")
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              QSketch.priorityRanked(batch, k)
+                .select(col("doc_id"), col("source"), col("w"), col("q"))
+                .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import org.apache.spark.sql.types._
+        val partials = s.read.schema(StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("source", StringType),
+            StructField("w", LongType),
+            StructField("q", DoubleType))))
+          .parquet(outDir)
+        // global top-(k+1) over ≤ batches·(k+1) surviving rows — the
+        // same k+1-bounded TakeOrderedAndProject + sketch-sized window
+        // as the batch construction
+        val win = org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("doc_id").asc)
+        val merged = partials
+          .orderBy(col("q").desc, col("doc_id").asc).limit(k + 1)
+          .withColumn("rk", row_number().over(win))
+        QSketch.prioritySampleResult(
+          graft.Tables.documents(s, d), merged, k)
+      },
+      Some(QSketch.prioritySampleOracle)),
+
     // Streaming CDC → SCD2 apply: the order change-log arrives as THREE
     // chronological micro-batches (one file per trigger, mtime-ordered)
     // and each batch is MERGED into the persisted validity history via

@@ -226,8 +226,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 3, s"a19_interp_quantiles shuffles: ${c.shuffles}")
   }
 
-  test("z-order family read-backs scan pruned: one exchange each") {
-    for (n <- Seq("s15_zorder_layout", "s21_zorder_zonemap")) {
+  test("layout family read-backs scan pruned: one exchange each") {
+    // s28's Hilbert read-back must match the Morton rows' shape — the
+    // curve choice changes file clustering, never the query plan
+    for (n <- Seq("s15_zorder_layout", "s21_zorder_zonemap",
+        "s28_hilbert_layout")) {
       val c = Plans.planCounts(q(n))
       assert(c.shuffles <= 1, s"$n shuffles: ${c.shuffles}")
     }
@@ -237,6 +240,54 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("tx_bpe_train"))
     assert(c.shuffles <= 10 && c.broadcasts >= 1,
       s"tx_bpe_train shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  // ---- round-9b additions: the sketch layer, the third perceptual
+  // modality, and the containment tier. Counts mirror the regenerated
+  // PLANS.md rows (pre-execution explain re-expands the transiently
+  // persisted frames; the runtime plan scans each persist once).
+
+  test("KMV overlap: gram/sketch frames expand pre-persist; estimates stay metadata") {
+    // the 2k-row sketch relation broadcasts into every estimate leg;
+    // 15 is the un-persisted expansion of hv (4 walks) + sk (3 walks)
+    // in the pre-execution dag — a lost broadcast or an extra frame
+    // walk fails here
+    val c = Plans.planCounts(q("sk_kmv_overlap"))
+    assert(c.shuffles <= 15 && c.broadcasts >= 4,
+      s"sk_kmv_overlap shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  test("KMV matrix: pairwise stage runs on the sketch table, truth on one gram join") {
+    // thetas cross-join + shared-hash self-join are |sources|·k-row
+    // relations; only the graded truth column touches the gram frame
+    val c = Plans.planCounts(q("sk_kmv_matrix"))
+    assert(c.shuffles <= 5 && c.broadcasts >= 2,
+      s"sk_kmv_matrix shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  test("priority sample: one truth aggregate; selection is k-bounded, tau broadcasts") {
+    val c = Plans.planCounts(q("sk_priority_sample"))
+    assert(c.shuffles <= 1 && c.broadcasts >= 1,
+      s"sk_priority_sample shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
+  test("clip near-dup: signatures in the partition-local walk; banded join shuffles") {
+    // same operator as phash/audio: the payload bytes never shuffle —
+    // exchanges are the banded candidate join + distinct + occupancy
+    // stats, all over the (doc_id, band-key) signature relation
+    val c = Plans.planCounts(q("mm_clip_neardup"))
+    assert(c.shuffles <= 4,
+      s"mm_clip_neardup shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("containment: df-capped gram index; full-set denominators ride broadcasts") {
+    val c = Plans.planCounts(q("dd_containment"))
+    assert(c.shuffles <= 5 && c.broadcasts >= 2,
+      s"dd_containment shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
     graft.Caches.clearTransient()
   }
 

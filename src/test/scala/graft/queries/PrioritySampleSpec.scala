@@ -37,6 +37,27 @@ class PrioritySampleSpec extends SparkSpec {
     ranked.unpersist()
   }
 
+  test("top-(k+1) merges: top-(k+1) of partial top-(k+1)'s == top-(k+1) of whole") {
+    // the discard-safety theorem stream_priority_sample relies on: a
+    // doc outside its part's top-(k+1) is preceded by k+1 same-part
+    // docs in the (q desc, doc_id) total order, all surviving into the
+    // union — so per-part tops lose nothing the global top needs
+    val k = QSketch.PriK
+    val parts = (0 until 3).map(i =>
+      QSketch.priorityRanked(docs.filter(col("doc_id") % 3 === i), k)
+        .select(col("doc_id"), col("source"), col("w"), col("q")))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val merged = parts.reduce(_.unionByName(_))
+      .orderBy(col("q").desc, col("doc_id").asc).limit(k + 1)
+      .withColumn("rk", row_number().over(win))
+    val whole = QSketch.priorityRanked(docs, k)
+      .select(col("doc_id"), col("source"), col("w"), col("q"), col("rk"))
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0,
+      "merged partial tops must equal the whole-relation top-(k+1)")
+  }
+
   test("per-item estimates floor at the item's own weight and grade within the band") {
     val k = QSketch.PriK
     val rows = SparkEntry.queries("sk_priority_sample")(spark, sf).collect()
