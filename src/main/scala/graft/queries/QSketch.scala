@@ -101,6 +101,7 @@ object QSketch extends Registry {
 
   private[queries] val PriK = 128
   private[queries] val MatrixK = 128
+  private[queries] val MgK = 64
 
   /** Weighted documents ranked by deterministic priority (Duffield–
     * Lund–Thorup 2007): w = token count, u = (h+1)/2^60 from the shared
@@ -745,7 +746,66 @@ object QSketch extends Registry {
               LEFT JOIN ninter n
                 ON n.src_a = p.src_a AND n.src_b = p.src_b
               LEFT JOIN truth t
-                ON t.src_a = p.src_a AND t.src_b = p.src_b"""))
+                ON t.src_a = p.src_a AND t.src_b = p.src_b""")),
+
+    // Misra–Gries EXACT heavy hitters in two passes (ext.) — the
+    // frequency question the CMS can't answer: CMS needs the heavy keys
+    // NAMED to probe them, MG DISCOVERS them. The stream is j20's hot
+    // shape over a HUGE key domain: half the rows concentrate on 8 hot
+    // keys, the other half are once-seen long-tail keys (~n/2 distinct
+    // — the regime where groupBy(key) shuffles a key domain as big as
+    // the data). Pass 1: one ≤k-entry MG summary PER PARTITION (the
+    // superset-of-heavy guarantee: any key with count > n/(k+1)
+    // survives every partition sketch AND the mergeable-summaries
+    // fold, `MisraGriesSpec`), driver-merged at ≤ partitions·k entries
+    // — metadata, the PrefixSum collect class. Pass 2: exact recount of
+    // the ≤k candidates behind an isin pushdown, thresholded at
+    // cnt·(k+1) > n. The OUTPUT is the exact heavy set — deterministic
+    // regardless of partitioning/order, which is what the oracle
+    // (plain GROUP BY + HAVING) certifies. At 100 TB: the full key
+    // domain never shuffles — each task ships k counters, the recount
+    // shuffles 8 keys.
+    Q("sk_mg_heavyhitters",
+      (s, d) => {
+        val k = MgK
+        val stream = graft.Caches.registerTransient(
+          Tables.lineitem(s, d).select(
+            when((col("l_orderkey") + col("l_linenumber")) % 2 === 0,
+              concat(lit("hot-"), (col("l_orderkey") % 8).cast("string")))
+              .otherwise(concat(lit("u-"),
+                col("l_orderkey").cast("string"), lit("-"),
+                col("l_linenumber").cast("string"))).as("k"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // pass 1: per-partition sketch + row count in the SAME pass;
+        // ≤ partitions·(k+1) driver-side entries — metadata-scale
+        val partials = stream
+          .as(org.apache.spark.sql.Encoders.STRING)
+          .mapPartitions(it => Iterator.single(
+            graft.operators.MisraGries.sketch(it, k) match {
+              case (n, m) => (n, m.toSeq)
+            }))(org.apache.spark.sql.Encoders.product[(Long, Seq[(String, Long)])])
+          .collect()
+        val n = partials.map(_._1).sum
+        val merged = partials.map(_._2.toMap)
+          .foldLeft(Map.empty[String, Long])(
+            graft.operators.MisraGries.merge(_, _, k))
+        val candidates = merged.keys.toSeq
+        // pass 2: exact recount of the ≤k survivors only
+        stream.filter(col("k").isin(candidates: _*))
+          .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * (k + 1) > lit(n))
+          .select(col("k"), col("cnt"))
+      },
+      Some(s"""WITH st AS (
+                SELECT CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+                            THEN 'hot-' || CAST(l_orderkey % 8 AS VARCHAR)
+                            ELSE 'u-' || CAST(l_orderkey AS VARCHAR) || '-'
+                                 || CAST(l_linenumber AS VARCHAR) END AS k
+                FROM lineitem),
+              tf AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt
+                     FROM st GROUP BY k),
+              n AS (SELECT count(*) AS n FROM st)
+              SELECT k, cnt FROM tf, n WHERE cnt * ${MgK + 1} > n"""))
   )
 
   /** Shared CTE chain of the KMV oracle — ends at `sk(side, h, rk)`,
