@@ -1087,7 +1087,59 @@ object QFilters extends Registry {
                      count(*) AS n_rows,
                      CAST(sum(CAST(l_quantity AS INT)) AS BIGINT) AS sum_qty,
                      CAST(max(CAST(l_quantity AS INT)) AS BIGINT) AS max_qty
-              FROM lineitem GROUP BY 1"""))
+              FROM lineitem GROUP BY 1""")),
+
+    // S29 — per-file BLOOM index (ext.): the skipping story zone maps
+    // CANNOT tell. The table is written hash-clustered on l_suppkey, so
+    // every file's l_orderkey zone spans the whole domain and the
+    // zone-map planner keeps ALL files for any point lookup
+    // (`BloomIndexSpec` proves exactly that on this layout). A per-file
+    // Bloom index (2^17 bits, 4 hashes — built in one distributed pass,
+    // files·2048 words of metadata) skips every file whose bits rule
+    // the probe keys out; false negatives are impossible by
+    // construction, so the RESULT is layout- and index-invariant, which
+    // is what the oracle certifies. The probe keys are derived, not
+    // hard-coded: the 5 smallest orderkeys ≡ 0 (mod 997) — present at
+    // every SF, and few enough that a point lookup SHOULD touch few
+    // files. At 100 TB this is the planner shape for needle queries on
+    // unclustered high-cardinality keys: metadata join → survivor
+    // list → scan of the surviving files only.
+    Q("s29_bloom_index",
+      (s, d) => {
+        val dir = graft.Scratch.dirFor("s29_bloom", d)
+        Tables.lineitem(s, d)
+          .repartition(16, col("l_suppkey"))
+          .write.mode("overwrite").parquet(s"$dir/lineitem_hashed")
+        val probeKeys = Tables.lineitem(s, d)
+          .filter(col("l_orderkey") % 997 === 0)
+          .select(col("l_orderkey")).distinct()
+          .orderBy(col("l_orderkey")).limit(5)
+          .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
+        val m = 1L << 17
+        val index = graft.operators.BloomIndex.build(
+          s, s"$dir/lineitem_hashed", "l_orderkey", m)
+        val files = graft.operators.BloomIndex.survivors(
+          s, index, probeKeys, m)
+        s.read.parquet(files: _*)
+          .filter(col("l_orderkey").isin(probeKeys: _*))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_rows"),
+            Tables.dsum(col("l_extendedprice")).as("sum_price"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+      },
+      Some("""WITH probes AS (
+                SELECT DISTINCT l_orderkey AS k FROM lineitem
+                WHERE l_orderkey % 997 = 0
+                ORDER BY k LIMIT 5)
+              SELECT l_returnflag, count(*) AS n_rows,
+                     CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS sum_price,
+                     min(l_orderkey) AS min_key,
+                     max(l_orderkey) AS max_key
+              FROM lineitem
+              WHERE l_orderkey IN (SELECT k FROM probes)
+              GROUP BY 1"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
