@@ -641,6 +641,73 @@ object QAggs extends Registry {
                      min(price_cents) AS wmedian_cents,
                      max(total) AS total_qty_h
               FROM c WHERE cum * 2 >= total
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // A23 (ext.) — Fama–MacBeth two-stage panel regression, the
+    // canonical cross-sectional estimator of the reference's domain
+    // (the reference exports its panel and runs per-date regressions in
+    // pandas; here BOTH stages are hash aggregates). Stage 1: for every
+    // ship date, the cross-sectional OLS slope of price-cents on
+    // quantity from integer sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    // — ONE groupBy(date), no window, no per-date loop; the slope ships
+    // in exact cents-per-unit via the truncating integer division both
+    // engines share (the w18 contract). Stage 2: the time-series
+    // moments of the per-date slopes per YEAR — mean (truncating div)
+    // and the exact variance numerator T·Σs² − (Σs)², all BIGINT, so
+    // the dispersion that prices the estimator's standard error is
+    // hash-exact. Scale shape: two exchanges, each carrying group-
+    // cardinality rows (dates, then years); a 100 TB panel's stage 1
+    // partial-aggregates map-side to |dates| rows per task.
+    Q("a23_fama_macbeth",
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .select(to_date(col("l_shipdate")).as("ship_d"),
+            col("l_quantity").cast("decimal(18,2)").cast("bigint").as("x"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").as("y"))
+          .groupBy(col("ship_d"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .filter(col("den") =!= 0L)
+          .select(col("ship_d"),
+            expr("(n * sxy - sx * sy) div den").as("slope_cent"))
+        daily
+          .groupBy(year(col("ship_d")).as("yr"))
+          .agg(count(lit(1)).as("n_dates"),
+            sum(col("slope_cent")).as("ss"),
+            sum(col("slope_cent") * col("slope_cent")).as("ss2"))
+          .select(col("yr"), col("n_dates"),
+            expr("ss div n_dates").as("fm_mean_cent"),
+            (col("n_dates") * col("ss2") - col("ss") * col("ss"))
+              .as("fm_var_num"))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_shipdate AS DATE) AS ship_d,
+                       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT)
+                         AS x,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS y
+                FROM lineitem),
+              daily AS (
+                SELECT ship_d, count(*) AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x * y) AS sxy, sum(x * x) AS sxx
+                FROM base GROUP BY 1),
+              slopes AS (
+                SELECT ship_d,
+                       CAST((n * sxy - sx * sy)
+                         // (n * sxx - sx * sx) AS BIGINT) AS slope_cent
+                FROM daily WHERE n * sxx - sx * sx <> 0)
+              SELECT CAST(year(ship_d) AS INT) AS yr,
+                     CAST(count(*) AS BIGINT) AS n_dates,
+                     CAST(sum(slope_cent) // count(*) AS BIGINT)
+                       AS fm_mean_cent,
+                     CAST(count(*) * sum(slope_cent * slope_cent)
+                       - sum(slope_cent) * sum(slope_cent) AS BIGINT)
+                       AS fm_var_num
+              FROM slopes GROUP BY 1"""))
   )
 }
