@@ -656,6 +656,147 @@ object QJoins extends Registry {
               FROM dirty d LEFT JOIN best b
                 ON b.d_id = d.d_id AND b.rn = 1""")),
 
+    // J30 (ext.) — Fellegi–Sunter PROBABILISTIC record linkage: j26
+    // picks the closest candidate by edit distance; this is the model a
+    // linkage pipeline actually ships (Splink/fastLink): per-field
+    // evidence weights (agree / partial / disagree on name, phone,
+    // nation — integer milli-log2 constants from
+    // `operators.FellegiSunter`) summed into a match score, thresholded
+    // into match / possible / nonmatch. TWO blocking passes feed it —
+    // the classic multi-pass design: the capped q-gram index catches
+    // name-preserving corruptions, an exact phone-suffix block catches
+    // the alien-name class (c%5==3) gram blocking can NEVER see. Union
+    // of two linear candidate sets, scoring a pure codegen projection,
+    // best-per-record one bounded window — no all-pairs anywhere. The
+    // planted corruption classes land in different decision bands
+    // (exact copies and name-typos 'match'; phone-digit and alien-name
+    // classes 'possible' — the clerical-review queue), which the oracle
+    // pins exactly.
+    Q("j30_er_fs_score",
+      (s, d) => {
+        import graft.operators.{ErBlocking, FellegiSunter => FS}
+        val clean = Tables.customer(s, d).select(
+          col("c_custkey").as("c_id"),
+          concat(lit("Corp-"),
+            substring(md5(col("c_custkey").cast("string")), 1, 8))
+            .as("ename"),
+          lpad(((col("c_custkey") * 7919 + 13) % 10000000).cast("string"),
+            7, "0").as("ephone"),
+          col("c_nationkey").as("enation"))
+        val dirty = clean.select(
+          (col("c_id") + 100000L).as("d_id"), col("c_id").as("true_id"),
+          when(col("c_id") % 5 === 0,
+            expr("substring(ename, 1, length(ename) - 1)"))
+            .when(col("c_id") % 5 === 2, expr("replace(ename, '-', ' ')"))
+            .when(col("c_id") % 5 === 3,
+              concat(lit("X"), substring(
+                md5((col("c_id") + 999).cast("string")), 1, 8)))
+            .otherwise(col("ename")).as("dname"),
+          when(col("c_id") % 5 === 1,
+            concat(substring(col("ephone"), 1, 6),
+              ((substring(col("ephone"), 7, 1).cast("int") + 1) % 10)
+                .cast("string")))
+            .when(col("c_id") % 5 === 2,
+              concat(lit("9"), substring(col("ephone"), 2, 6)))
+            .otherwise(col("ephone")).as("dphone"),
+          when(col("c_id") % 5 === 2, (col("enation") + 1) % 25)
+            .otherwise(col("enation")).as("dnation"))
+        val candA = ErBlocking.candidates(
+            ErBlocking.grams(dirty.select(col("d_id"), col("dname")), "dname"),
+            ErBlocking.grams(clean.select(col("c_id"), col("ename")), "ename"))
+          .select(col("d_id"), col("c_id"))
+        val candB = dirty.select(col("d_id"),
+            substring(col("dphone"), 2, 6).as("blk"))
+          .join(clean.select(col("c_id"),
+            substring(col("ephone"), 2, 6).as("blk")), Seq("blk"))
+          .select(col("d_id"), col("c_id"))
+        val cand = candA.unionByName(candB).distinct()
+        val scored = cand
+          .join(dirty, Seq("d_id")).join(clean, Seq("c_id"))
+          .withColumn("score_milli", FS.score(
+            col("dname"), col("ename"), col("dphone"), col("ephone"),
+            col("dnation"), col("enation")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("d_id"))
+          .orderBy(col("score_milli").desc, col("c_id"))
+        val best = scored.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("d_id"), col("c_id").as("matched_id"),
+            col("score_milli"))
+        dirty.join(best, Seq("d_id"), "left")
+          .select(col("d_id"), col("matched_id"), col("score_milli"),
+            when(col("score_milli").isNull, lit("no_candidate"))
+              .when(col("score_milli") >= FS.MatchThresh, lit("match"))
+              .when(col("score_milli") >= 0, lit("possible"))
+              .otherwise(lit("nonmatch")).as("decision"),
+            when(col("matched_id") === col("true_id"), 1).otherwise(0)
+              .as("is_correct"))
+      },
+      Some(s"""WITH clean AS (
+                SELECT c_custkey AS c_id,
+                       'Corp-' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                         1, 8) AS ename,
+                       lpad(CAST((c_custkey * 7919 + 13) % 10000000
+                         AS VARCHAR), 7, '0') AS ephone,
+                       c_nationkey AS enation
+                FROM customer),
+              dirty AS (
+                SELECT c_id + 100000 AS d_id, c_id AS true_id,
+                       CASE WHEN c_id % 5 = 0
+                              THEN substr(ename, 1, length(ename) - 1)
+                            WHEN c_id % 5 = 2 THEN replace(ename, '-', ' ')
+                            WHEN c_id % 5 = 3
+                              THEN 'X' || substr(md5(CAST(c_id + 999
+                                AS VARCHAR)), 1, 8)
+                            ELSE ename END AS dname,
+                       CASE WHEN c_id % 5 = 1
+                              THEN substr(ephone, 1, 6) ||
+                                CAST((CAST(substr(ephone, 7, 1) AS INT) + 1)
+                                  % 10 AS VARCHAR)
+                            WHEN c_id % 5 = 2
+                              THEN '9' || substr(ephone, 2, 6)
+                            ELSE ephone END AS dphone,
+                       CASE WHEN c_id % 5 = 2 THEN (enation + 1) % 25
+                            ELSE enation END AS dnation
+                FROM clean),
+              dg AS (SELECT d_id, substr(dname, CAST(i AS INT), 4) AS gram
+                     FROM dirty,
+                       unnest(generate_series(1, length(dname) - 3)) t(i)),
+              cg AS (SELECT c_id, substr(ename, CAST(i AS INT), 4) AS gram
+                     FROM clean,
+                       unnest(generate_series(1, length(ename) - 3)) t(i)),
+              stopg AS (SELECT gram FROM cg
+                        GROUP BY gram HAVING count(*) >
+                          ${graft.operators.ErBlocking.DefaultMaxGramBucket}),
+              canda AS (SELECT DISTINCT d_id, c_id
+                        FROM dg JOIN cg USING (gram)
+                        WHERE gram NOT IN (SELECT gram FROM stopg)),
+              candb AS (SELECT DISTINCT d.d_id, c.c_id
+                        FROM dirty d JOIN clean c
+                          ON substr(d.dphone, 2, 6) = substr(c.ephone, 2, 6)),
+              cand AS (SELECT * FROM canda UNION SELECT * FROM candb),
+              scored AS (
+                SELECT cand.d_id, cand.c_id,
+                       ${graft.operators.FellegiSunter.scoreSql}
+                         AS score_milli
+                FROM cand
+                JOIN dirty d USING (d_id) JOIN clean c USING (c_id)),
+              best AS (SELECT d_id, c_id AS matched_id, score_milli,
+                         row_number() OVER (PARTITION BY d_id
+                           ORDER BY score_milli DESC, c_id) AS rn
+                       FROM scored)
+              SELECT d.d_id, b.matched_id, b.score_milli,
+                     CASE WHEN b.score_milli IS NULL THEN 'no_candidate'
+                          WHEN b.score_milli >=
+                            ${graft.operators.FellegiSunter.MatchThresh}
+                            THEN 'match'
+                          WHEN b.score_milli >= 0 THEN 'possible'
+                          ELSE 'nonmatch' END AS decision,
+                     CASE WHEN b.matched_id = d.true_id THEN 1 ELSE 0 END
+                       AS is_correct
+              FROM dirty d LEFT JOIN best b
+                ON b.d_id = d.d_id AND b.rn = 1""")),
+
     // J25 (ext.) — multi-hop STAR join (the TPC-H Q5 shape): fact ⋈
     // supplier ⋈ nation ⋈ region with a region filter, revenue per
     // nation. The scale story is dimension-side broadcast all the way
