@@ -418,6 +418,97 @@ object QStreaming extends Registry {
       },
       Some(QSketch.prioritySampleOracle)),
 
+    // Watermark-BOUNDED streaming dedup (ext.): stream_dedup_exact
+    // keeps one state row per key FOREVER — fine for a backfill, fatal
+    // for a perpetual ingest. dropDuplicatesWithinWatermark bounds
+    // state to the dedup horizon, and this query pins its THREE
+    // semantic edges end-to-end against an arithmetic oracle, the
+    // stream_late_data method: (1) a duplicate arriving while its key
+    // is in state is DROPPED; (2) a duplicate of an EVICTED key is
+    // RE-EMITTED (the windowed-dedup contract — the price of bounded
+    // state); (3) a duplicate arriving with an event time below the
+    // late-row filter is DISCARDED before the state lookup. Three
+    // mtime-ordered arrival files: the originals (< Jan 10), the second
+    // wave (Jan 10–20) plus next-day echoes of every 7th original, then
+    // the tail (≥ Jan 20) plus 18-day-later echoes (every 5th) and
+    // original-timestamp echoes (every 9th, not 5th). Spark 4.1's
+    // observed semantics (fitted to the emission set exactly, the
+    // stream_late_data method): BOTH the late filter and eviction in
+    // batch N use wm = max(ts through batch N−2) − horizon, and a state
+    // entry expires when first_ts + horizon < wm — i.e. a key is
+    // evicted once first_ts < max_through_{N−2} − 2·horizon. Hence the
+    // next-day echoes in batch 2 are ALL duplicates (wm still −inf,
+    // nothing evicted), the original-timestamp echoes in batch 3 are
+    // ALL discarded (evicted ⊂ late for an unchanged timestamp), and
+    // exactly the 18-day echoes of keys older than max_b1 − 2·horizon
+    // re-emit. A drift in any edge hash-fails.
+    Q("stream_dedup_watermark",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_dedup_wm", d)
+        val src = s"$root/arrivals"
+        graft.Scratch.clear(src)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(src))
+        val ev = graft.Tables.events(s, d).select(
+          col("event_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val b1 = ev.filter(col("ts") < "2024-01-10")
+        val echoNext = b1.filter(col("event_id") % 7 === 0)
+          .select(col("event_id"),
+            expr("ts + INTERVAL 1 DAY").as("ts"), col("cents"))
+        val echoFar = b1.filter(col("event_id") % 5 === 0)
+          .select(col("event_id"),
+            expr("ts + INTERVAL 18 DAY").as("ts"), col("cents"))
+        val echoStale = b1.filter(col("event_id") % 9 === 0 &&
+          col("event_id") % 5 =!= 0)
+        val batches = Seq(
+          b1,
+          ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20")
+            .unionByName(echoNext),
+          ev.filter(col("ts") >= "2024-01-20")
+            .unionByName(echoFar).unionByName(echoStale))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tmp = s"$root/tmp_$i"
+          b.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val schema = s.read.parquet(src).schema
+        val name = s"graft_stream_ddwm_${runSeq.incrementAndGet()}"
+        StreamConf.withStatePartitions(s) {
+          val q = s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(src)
+            .withWatermark("ts", "3 days")
+            .dropDuplicatesWithinWatermark("event_id")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(Trigger.AvailableNow()).start()
+          q.awaitTermination()
+        }
+        s.table(name).select(col("event_id"), col("ts"), col("cents"))
+      },
+      // every original is a first occurrence (emitted); the only echoes
+      // that survive are the +18d copies of keys already evicted when
+      // batch 3 runs: first_ts < max_b1 − 2·horizon (see the semantics
+      // note above — 6 days = 2 × the 3-day horizon)
+      Some("""WITH e AS (
+                SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS cents
+                FROM events),
+              m AS (SELECT max(ts) AS max_b1 FROM e
+                    WHERE ts < TIMESTAMP '2024-01-10')
+              SELECT event_id, ts, cents FROM e
+              UNION ALL
+              SELECT event_id, ts + INTERVAL 18 DAY AS ts, cents
+              FROM e, m
+              WHERE ts < TIMESTAMP '2024-01-10' AND event_id % 5 = 0
+                AND ts < max_b1 - INTERVAL 6 DAY""")),
+
     // Streaming CDC → SCD2 apply: the order change-log arrives as THREE
     // chronological micro-batches (one file per trigger, mtime-ordered)
     // and each batch is MERGED into the persisted validity history via
