@@ -1139,7 +1139,76 @@ object QFilters extends Registry {
                      max(l_orderkey) AS max_key
               FROM lineitem
               WHERE l_orderkey IN (SELECT k FROM probes)
-              GROUP BY 1"""))
+              GROUP BY 1""")),
+
+    // S30 — partition-pruned MERGE INTO (ext.): the lake upsert. A CDC
+    // batch (deletes %19, updates %13 → qty+5, inserts %17 under new
+    // keys) confined to months 2–3 is MERGED into a month-partitioned
+    // table by `operators.MergeInto`: touched-partition list collected
+    // from the batch (the planner step), pruned read, three-way apply
+    // (anti-join / left-join+coalesce / union), dynamic-partition-
+    // overwrite commit. The ten untouched months are never read and
+    // never written — `MergeIntoSpec` pins their files byte-identical —
+    // which is what makes MERGE affordable at 100 TB where a day's CDC
+    // touches a handful of date partitions. The oracle recomputes the
+    // merged table relationally; the full-table readback must
+    // reconcile, proving the pruned rewrite equals the logical MERGE.
+    Q("s30_merge_upsert",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s30_merge", d)}/t"
+        Tables.lineitem(s, d).select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          .write.partitionBy("m").mode("overwrite").parquet(dir)
+        val touchedSrc = s.read.parquet(dir)
+          .filter(col("m").isin(2, 3))
+        val deletes = touchedSrc.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        // new value is KEY-deterministic (not row-derived): the base
+        // holds duplicate (l_orderkey, l_linenumber) pairs, and MERGE
+        // demands one source row per target key — duplicates collapse
+        // under MergeInto's distinct only if their values agree
+        val updates = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        graft.operators.MergeInto(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        s.read.parquet(dir)
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            sum(col("l_orderkey") * 7 + col("l_linenumber"))
+              .cast("long").as("sum_key"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN m IN (2, 3) AND ok % 19 <> 0
+                                 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base
+                WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE m IN (2, 3) AND ok % 19 <> 0 AND ok % 13 <> 0
+                  AND ok % 17 = 0),
+              merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(sum(ok * 7 + ln) AS BIGINT) AS sum_key
+              FROM merged GROUP BY 1"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
