@@ -291,6 +291,36 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearTransient()
   }
 
+  // ---- round-9c additions: MG recount, bloom survivor scan, pruned
+  // merge readback, FS linkage, Fama-MacBeth
+
+  test("MG heavy hitters: recount is the only exchange (sketch pass never shuffles)") {
+    val c = Plans.planCounts(q("sk_mg_heavyhitters"))
+    assert(c.shuffles <= 1, s"sk_mg_heavyhitters shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("bloom index point lookup: survivor-scan aggregate, one exchange") {
+    val c = Plans.planCounts(q("s29_bloom_index"))
+    assert(c.shuffles <= 1, s"s29_bloom_index shuffles: ${c.shuffles}")
+  }
+
+  test("pruned merge readback: one exchange (the per-month aggregate)") {
+    val c = Plans.planCounts(q("s30_merge_upsert"))
+    assert(c.shuffles <= 1, s"s30_merge_upsert shuffles: ${c.shuffles}")
+  }
+
+  test("FS linkage: blocking joins bounded; stop list and dims ride broadcasts") {
+    val c = Plans.planCounts(q("j30_er_fs_score"))
+    assert(c.shuffles <= 5 && c.broadcasts >= 2,
+      s"j30_er_fs_score shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+  }
+
+  test("Fama-MacBeth: exactly the two hash-agg exchanges, no window") {
+    val c = Plans.planCounts(q("a23_fama_macbeth"))
+    assert(c.shuffles <= 2, s"a23_fama_macbeth shuffles: ${c.shuffles}")
+  }
+
   test("bloom decontamination: fixed-size bitmap broadcast; eval grams never broadcast") {
     // two broadcast probes of the ≤16k-row bitmap; the exact tier over
     // the Bloom survivors is a plain shuffle semi-join (the point: the
