@@ -65,7 +65,14 @@ object ScaleProbe {
     // so the ANSWER is quadratic in copies (same reason the answer-
     // bound dedup tiers sit outside the x100 subset).
     "sk_kmv_overlap", "sk_priority_sample", "sk_kmv_matrix",
-    "mm_clip_neardup", "s28_hilbert_layout")
+    "mm_clip_neardup", "s28_hilbert_layout",
+    // round 9c: MG heavy hitters (long-tail key domain grows with the
+    // data), the Bloom-index build+probe, the pruned merge, and the
+    // two-stage panel regression. j30_er_fs_score is NOT probed — it
+    // runs on the customer dimension, which the probe symlinks
+    // unscaled; stream_* stay out (micro-batch floors dominate).
+    "sk_mg_heavyhitters", "s29_bloom_index", "s30_merge_upsert",
+    "a23_fama_macbeth")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -748,6 +748,98 @@ object QSketch extends Registry {
               LEFT JOIN truth t
                 ON t.src_a = p.src_a AND t.src_b = p.src_b""")),
 
+    // KMV A-NOT-B (ext.) — the set-DIFFERENCE face of the theta
+    // sketch (Apache DataSketches' AnotB, the third member of the
+    // union/intersection algebra sk_kmv_overlap ships): "how much of
+    // the new crawl is NOT already in holdings?" — the incremental-
+    // ingest sizing question, answered sketch-side. Below theta_min
+    // both sides are exact p-samples, so a sampled hash < theta_min is
+    // in B iff it is in B's sketch — membership is decidable INSIDE the
+    // sample, and |A\B| ≈ #(a-hashes < theta_min not in b) / p. Both
+    // directions ship with their exact truths (the anti-join the sketch
+    // replaces). Scale shape: identical to sk_kmv_overlap — everything
+    // past the k-bounded sketch is 2k rows of metadata.
+    Q("sk_kmv_anotb",
+      (s, d) => {
+        val k = KmvK
+        val hv = graft.Caches.registerTransient(
+          kmvHashes(Tables.documents(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val sk = graft.Caches.registerTransient(
+          kmvSketchFrom(hv, k)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val thetas = sk.agg(
+          max(when(col("side") === 0 && col("rk") === k, col("h")))
+            .as("theta_a"),
+          max(when(col("side") === 1 && col("rk") === k, col("h")))
+            .as("theta_b"))
+          .withColumn("theta_min", least(col("theta_a"), col("theta_b")))
+        def diffCounts(src: org.apache.spark.sql.DataFrame,
+            aCol: String, bCol: String) = src
+          .groupBy(col("h"))
+          .agg(max(when(col("side") === 0, 1).otherwise(0)).as("in_a"),
+            max(when(col("side") === 1, 1).otherwise(0)).as("in_b"))
+          .agg(
+            sum(when(col("in_a") === 1 && col("in_b") === 0, 1L)
+              .otherwise(0L)).as(aCol),
+            sum(when(col("in_b") === 1 && col("in_a") === 0, 1L)
+              .otherwise(0L)).as(bCol))
+        val sample = diffCounts(
+          sk.crossJoin(broadcast(thetas)).filter(col("h") < col("theta_min")),
+          "n_anotb_sample", "n_bnota_sample")
+        val truth = diffCounts(hv, "true_anotb", "true_bnota")
+        thetas.crossJoin(broadcast(sample)).crossJoin(broadcast(truth))
+          .select(lit(k).as("k"), col("theta_a"), col("theta_b"),
+            col("n_anotb_sample"), col("n_bnota_sample"),
+            col("true_anotb"), col("true_bnota"),
+            (col("n_anotb_sample").cast("double")
+              * lit(1.152921504606846976e18)
+              / col("theta_min").cast("double")).as("est_anotb"),
+            (col("n_bnota_sample").cast("double")
+              * lit(1.152921504606846976e18)
+              / col("theta_min").cast("double")).as("est_bnota"))
+      },
+      Some(s"""WITH $kmvSketchCtes,
+              thetas AS (
+                SELECT max(CASE WHEN side = 0 AND rk = $KmvK THEN h END)
+                         AS theta_a,
+                       max(CASE WHEN side = 1 AND rk = $KmvK THEN h END)
+                         AS theta_b
+                FROM sk),
+              tmin AS (SELECT theta_a, theta_b,
+                              least(theta_a, theta_b) AS theta_min
+                       FROM thetas),
+              smarks AS (
+                SELECT s.h,
+                       max(CASE WHEN s.side = 0 THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN s.side = 1 THEN 1 ELSE 0 END) AS in_b
+                FROM sk s, tmin t WHERE s.h < t.theta_min GROUP BY s.h),
+              sample AS (
+                SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anotb_sample,
+                       CAST(sum(CASE WHEN in_b = 1 AND in_a = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_bnota_sample
+                FROM smarks),
+              tmarks AS (
+                SELECT h,
+                       max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS in_a,
+                       max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS in_b
+                FROM hv GROUP BY h),
+              truth AS (
+                SELECT CAST(sum(CASE WHEN in_a = 1 AND in_b = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS true_anotb,
+                       CAST(sum(CASE WHEN in_b = 1 AND in_a = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS true_bnota
+                FROM tmarks)
+              SELECT CAST($KmvK AS INT) AS k, theta_a, theta_b,
+                     n_anotb_sample, n_bnota_sample,
+                     true_anotb, true_bnota,
+                     CAST(n_anotb_sample AS DOUBLE) * 1152921504606846976e0
+                       / CAST(theta_min AS DOUBLE) AS est_anotb,
+                     CAST(n_bnota_sample AS DOUBLE) * 1152921504606846976e0
+                       / CAST(theta_min AS DOUBLE) AS est_bnota
+              FROM tmin, sample, truth""")),
+
     // Misra–Gries EXACT heavy hitters in two passes (ext.) — the
     // frequency question the CMS can't answer: CMS needs the heavy keys
     // NAMED to probe them, MG DISCOVERS them. The stream is j20's hot

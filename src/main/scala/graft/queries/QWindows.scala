@@ -805,7 +805,93 @@ object QWindows extends Registry {
             SELECT l_suppkey, l_orderkey, l_linenumber, cents,
                    CAST(($num) * 1000 // ($den) AS BIGINT) AS ewma_milli
             FROM b"""
-      })
+      }),
+
+    // W26 (ext.) — grouped AUTOCORRELATION (lags 1–3) of each
+    // supplier's observed daily-revenue series: the seasonality /
+    // mean-reversion diagnostic every factor pipeline computes, built
+    // exactly like w18's OLS — integer sufficient statistics, here over
+    // (x_t, x_{t−h}) pairs. ONE window pass materializes all three lags
+    // (a single `stack` projection fans them out — no per-lag re-read),
+    // one hash-agg collects (n, Σx, Σxh, Σx², Σxh², Σx·xh) per
+    // (supplier, lag), and the Pearson pieces ship as exact BIGINTs
+    // (num, denx, deny) with r in milli via the shared IEEE
+    // floor(1000·num/√(dx·dy)). Units are kilo-cents (truncating div
+    // both engines share) so every squared sum stays deep inside Long
+    // at any SF. Scale shape: series rows are (supplier × active-day)
+    // group cardinality, the window sorts within supplier only, and the
+    // pair relation is 3× the series — never the fact table.
+    Q("w26_acf",
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .select(col("l_suppkey"), to_date(col("l_shipdate")).as("ship_d"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("bigint").as("cents"))
+          .groupBy(col("l_suppkey"), col("ship_d"))
+          .agg(sum(col("cents")).as("day_cents"))
+          .withColumn("x", expr("day_cents div 1000"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_suppkey")).orderBy(col("ship_d"))
+        val pairs = daily
+          .withColumn("x1", lag(col("x"), 1).over(w))
+          .withColumn("x2", lag(col("x"), 2).over(w))
+          .withColumn("x3", lag(col("x"), 3).over(w))
+          .select(col("l_suppkey"), col("x"),
+            expr("stack(3, 1, x1, 2, x2, 3, x3) AS (lag_h, xh)"))
+          .filter(col("xh").isNotNull)
+        pairs.groupBy(col("l_suppkey"), col("lag_h"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("xh")).as("sxh"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("xh") * col("xh")).as("sxhxh"),
+            sum(col("x") * col("xh")).as("sxy"))
+          .select(col("l_suppkey"), col("lag_h"), col("n"),
+            (col("n") * col("sxy") - col("sx") * col("sxh")).as("acf_num"),
+            (col("n") * col("sxx") - col("sx") * col("sx")).as("acf_denx"),
+            (col("n") * col("sxhxh") - col("sxh") * col("sxh"))
+              .as("acf_deny"))
+          .withColumn("r_milli",
+            when(col("acf_denx") > 0 && col("acf_deny") > 0,
+              floor(lit(1000.0) * col("acf_num") /
+                sqrt(col("acf_denx").cast("double")
+                  * col("acf_deny").cast("double"))).cast("bigint")))
+      },
+      Some("""WITH daily AS (
+                SELECT l_suppkey, CAST(l_shipdate AS DATE) AS ship_d,
+                       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * 100 AS BIGINT)) AS day_cents
+                FROM lineitem GROUP BY 1, 2),
+              x AS (SELECT l_suppkey, ship_d,
+                      CAST(day_cents // 1000 AS BIGINT) AS x FROM daily),
+              lagged AS (
+                SELECT l_suppkey, x,
+                       lag(x, 1) OVER w AS x1, lag(x, 2) OVER w AS x2,
+                       lag(x, 3) OVER w AS x3
+                FROM x
+                WINDOW w AS (PARTITION BY l_suppkey ORDER BY ship_d)),
+              pairs AS (
+                SELECT l_suppkey, 1 AS lag_h, x, x1 AS xh FROM lagged
+                WHERE x1 IS NOT NULL
+                UNION ALL
+                SELECT l_suppkey, 2, x, x2 FROM lagged WHERE x2 IS NOT NULL
+                UNION ALL
+                SELECT l_suppkey, 3, x, x3 FROM lagged WHERE x3 IS NOT NULL),
+              agg AS (
+                SELECT l_suppkey, lag_h, count(*) AS n,
+                       sum(x) AS sx, sum(xh) AS sxh, sum(x*x) AS sxx,
+                       sum(xh*xh) AS sxhxh, sum(x*xh) AS sxy
+                FROM pairs GROUP BY 1, 2)
+              SELECT l_suppkey, lag_h, CAST(n AS BIGINT) AS n,
+                     CAST(n*sxy - sx*sxh AS BIGINT) AS acf_num,
+                     CAST(n*sxx - sx*sx AS BIGINT) AS acf_denx,
+                     CAST(n*sxhxh - sxh*sxh AS BIGINT) AS acf_deny,
+                     CAST(CASE WHEN n*sxx - sx*sx > 0
+                               AND n*sxhxh - sxh*sxh > 0
+                          THEN floor(1000.0 * (n*sxy - sx*sxh)
+                            / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                              * CAST(n*sxhxh - sxh*sxh AS DOUBLE)))
+                          END AS BIGINT) AS r_milli
+              FROM agg"""))
   )
 
   /** W13 flag — SAME text on both engines (cross-engine determinism). */
