@@ -35,9 +35,12 @@ object BloomIndex {
   def build(s: SparkSession, path: String, keyCol: String, mBits: Long)
       : DataFrame = {
     require(mBits % 64 == 0 && mBits > 0, "mBits must be a positive multiple of 64")
+    // no distinct: bit_or is idempotent, so duplicate (file, key) rows
+    // re-set the same bits for free — a pre-dedup would cost a full
+    // data-relation shuffle before the expansion, the build's only
+    // non-metadata exchange is the partial-aggregated (file, word) fold
     val keys = s.read.parquet(path)
       .select(col("_metadata.file_path").as("file"), col(keyCol).as("k"))
-      .distinct()
     (0 until Hashes).map { j =>
         keys.select(col("file"),
           pmod(xxhash64(lit(j), col("k")), lit(mBits)).as("bit"))

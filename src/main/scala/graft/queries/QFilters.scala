@@ -1115,15 +1115,16 @@ object QFilters extends Registry {
           .select(col("l_orderkey")).distinct()
           .orderBy(col("l_orderkey")).limit(5)
           .as(org.apache.spark.sql.Encoders.scalaLong).collect().toSeq
-        // size the filter per KEY VOLUME (16 bits/key, parquet's own
-        // column-bloom practice), not a fixed constant: a fixed m
-        // saturates once keys/file outgrow it, every probe bit is set,
-        // and skipping silently dies — the x10 probe measured exactly
-        // that (every file surviving). count() here is a footer-stats
-        // read; the index stays metadata-sized (m/64 words per file).
+        // size the filter per KEY VOLUME (~8 bits/key across the
+        // table's files, the parquet column-bloom practice), not a
+        // fixed constant: a fixed m saturates once keys/file outgrow
+        // it, every probe bit is set, and skipping silently dies — the
+        // x10 probe measured exactly that (every file surviving).
+        // count() here is a footer-stats read; the index stays
+        // files·(m/64) words.
         val rows = s.read.parquet(s"$dir/lineitem_hashed").count()
         val m = java.lang.Long.highestOneBit(
-          math.max(1L << 17, rows) - 1) << 1
+          math.max(1L << 17, rows / 2) - 1) << 1
         val index = graft.operators.BloomIndex.build(
           s, s"$dir/lineitem_hashed", "l_orderkey", m)
         val files = graft.operators.BloomIndex.survivors(
