@@ -196,6 +196,53 @@ object QSketch extends Registry {
                t.true_tokens
         FROM truth t LEFT JOIN est e USING (source)"""
 
+  /** j20's hot shape over a huge key domain: 8 hot keys carry half the
+    * stream, the rest are once-seen tail keys (~n/2 distinct) — shared
+    * by `sk_mg_heavyhitters` and `stream_mg_census` so the two faces
+    * key identically.
+    */
+  private[queries] def mgKeyed(
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.select(
+      when((col("l_orderkey") + col("l_linenumber")) % 2 === 0,
+        concat(lit("hot-"), (col("l_orderkey") % 8).cast("string")))
+        .otherwise(concat(lit("u-"),
+          col("l_orderkey").cast("string"), lit("-"),
+          col("l_linenumber").cast("string"))).as("k"))
+
+  /** one (row count, ≤k-entry MG summary) per partition. */
+  private[queries] def mgPartials(
+      keyed: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.Dataset[(Long, Seq[(String, Long)])] =
+    keyed.as(org.apache.spark.sql.Encoders.STRING)
+      .mapPartitions(it => Iterator.single(
+        graft.operators.MisraGries.sketch(it, k) match {
+          case (n, m) => (n, m.toSeq)
+        }))(org.apache.spark.sql.Encoders.product[(Long, Seq[(String, Long)])])
+
+  /** exact recount of the candidate keys, thresholded cnt·(k+1) > n —
+    * the pass-2 assembly shared by both MG faces. */
+  private[queries] def mgRecount(
+      keyed: org.apache.spark.sql.DataFrame, candidates: Seq[String],
+      n: Long, k: Int): org.apache.spark.sql.DataFrame =
+    keyed.filter(col("k").isin(candidates: _*))
+      .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > lit(n))
+      .select(col("k"), col("cnt"))
+
+  /** the MG oracle — plain GROUP BY + HAVING (shared by both faces). */
+  private[queries] def mgOracle: String =
+    s"""WITH st AS (
+          SELECT CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+                      THEN 'hot-' || CAST(l_orderkey % 8 AS VARCHAR)
+                      ELSE 'u-' || CAST(l_orderkey AS VARCHAR) || '-'
+                           || CAST(l_linenumber AS VARCHAR) END AS k
+          FROM lineitem),
+        tf AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt
+               FROM st GROUP BY k),
+        n AS (SELECT count(*) AS n FROM st)
+        SELECT k, cnt FROM tf, n WHERE cnt * ${MgK + 1} > n"""
+
   private[queries] def cmsCol(i: Int): org.apache.spark.sql.Column = {
     val (a, b) = CmsRows(i)
     pmod(pmod(col("hp") * a + b, lit(2147483647L)), lit(1024L))
@@ -861,43 +908,19 @@ object QSketch extends Registry {
       (s, d) => {
         val k = MgK
         val stream = graft.Caches.registerTransient(
-          Tables.lineitem(s, d).select(
-            when((col("l_orderkey") + col("l_linenumber")) % 2 === 0,
-              concat(lit("hot-"), (col("l_orderkey") % 8).cast("string")))
-              .otherwise(concat(lit("u-"),
-                col("l_orderkey").cast("string"), lit("-"),
-                col("l_linenumber").cast("string"))).as("k"))
+          mgKeyed(Tables.lineitem(s, d))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // pass 1: per-partition sketch + row count in the SAME pass;
         // ≤ partitions·(k+1) driver-side entries — metadata-scale
-        val partials = stream
-          .as(org.apache.spark.sql.Encoders.STRING)
-          .mapPartitions(it => Iterator.single(
-            graft.operators.MisraGries.sketch(it, k) match {
-              case (n, m) => (n, m.toSeq)
-            }))(org.apache.spark.sql.Encoders.product[(Long, Seq[(String, Long)])])
-          .collect()
+        val partials = mgPartials(stream, k).collect()
         val n = partials.map(_._1).sum
         val merged = partials.map(_._2.toMap)
           .foldLeft(Map.empty[String, Long])(
             graft.operators.MisraGries.merge(_, _, k))
-        val candidates = merged.keys.toSeq
         // pass 2: exact recount of the ≤k survivors only
-        stream.filter(col("k").isin(candidates: _*))
-          .groupBy(col("k")).agg(count(lit(1)).as("cnt"))
-          .filter(col("cnt") * (k + 1) > lit(n))
-          .select(col("k"), col("cnt"))
+        mgRecount(stream, merged.keys.toSeq, n, k)
       },
-      Some(s"""WITH st AS (
-                SELECT CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
-                            THEN 'hot-' || CAST(l_orderkey % 8 AS VARCHAR)
-                            ELSE 'u-' || CAST(l_orderkey AS VARCHAR) || '-'
-                                 || CAST(l_linenumber AS VARCHAR) END AS k
-                FROM lineitem),
-              tf AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt
-                     FROM st GROUP BY k),
-              n AS (SELECT count(*) AS n FROM st)
-              SELECT k, cnt FROM tf, n WHERE cnt * ${MgK + 1} > n"""))
+      Some(mgOracle))
   )
 
   /** Shared CTE chain of the KMV oracle — ends at `sk(side, h, rk)`,

@@ -363,6 +363,67 @@ object QStreaming extends Registry {
       Some(s"""WITH ${QSketch.kmvSketchCtes}
               SELECT side, CAST(rk AS INT) AS rk, h FROM sk""")),
 
+    // Streaming MG census (ext.) — the heavy-hitter face of the
+    // per-batch-sketch family (CMS adds, KMV re-bottom-ks, priority
+    // sample re-tops, MG MERGES): each micro-batch externalizes one
+    // ≤k-entry Misra–Gries summary plus its row count (zero streaming
+    // state, the summary IS the state), and the merged candidate set
+    // keeps the superset-of-heavy guarantee because the
+    // mergeable-summaries fold preserves the additive n/(k+1) bound
+    // across ANY batch split (`MisraGriesSpec` pins it for hostile
+    // splits). The final exact recount of ≤k candidates runs over the
+    // full corpus read — the same pass-2 the batch query pays — so the
+    // OUTPUT equals the batch face exactly, and both share one oracle.
+    // A 100 TB ingest maintains its heavy-hitter set this way:
+    // per-batch cost one k-bounded pass, merge cost batches·k entries.
+    Q("stream_mg_census",
+      (s, d) => {
+        val outDir = graft.Scratch.dirFor("stream_mg", d) + "/summaries"
+        graft.Scratch.clear(outDir)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(outDir))
+        val k = QSketch.MgK
+        val q = StreamingDedup.parquetStream(s, s"$d/lineitem.parquet")
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              // fold the batch's partition summaries HERE (foreachBatch
+              // runs on the driver) so ONE ≤k-entry summary lands per
+              // batch, per-batchId overwrite = replay-idempotent
+              val parts = QSketch.mgPartials(QSketch.mgKeyed(batch), k)
+                .collect()
+              val merged = parts.map(_._2.toMap)
+                .foldLeft(Map.empty[String, Long])(
+                  graft.operators.MisraGries.merge(_, _, k))
+              import batch.sparkSession.implicits._
+              merged.toSeq.toDF("k", "cnt")
+                .coalesce(1)
+                .write.mode("overwrite").parquet(s"$outDir/batch=$batchId")
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import org.apache.spark.sql.types._
+        // one map per batch dir, folded with the SAME merge the batch
+        // face uses — the bound is additive across any split
+        val perBatch = s.read.schema(StructType(Seq(
+            StructField("k", StringType),
+            StructField("cnt", LongType),
+            StructField("batch", LongType))))
+          .parquet(outDir)
+          .collect()
+          .groupBy(_.getAs[Long]("batch"))
+          .map { case (_, rows) => rows.map(r =>
+            r.getAs[String]("k") -> r.getAs[Long]("cnt")).toMap }
+        val folded = perBatch
+          .foldLeft(Map.empty[String, Long])(
+            graft.operators.MisraGries.merge(_, _, k))
+        // pass 2 over the corpus — the recount the batch face also pays
+        val keyed = QSketch.mgKeyed(graft.Tables.lineitem(s, d))
+        QSketch.mgRecount(keyed, folded.keys.toSeq, keyed.count(), k)
+      },
+      Some(QSketch.mgOracle)),
+
     // Incremental priority sample (ext.) — the streaming face of the
     // Duffield–Lund–Thorup sample: each micro-batch externalizes its
     // OWN top-(k+1) priority frame (≤ k+1 rows, zero streaming state)
