@@ -1,7 +1,7 @@
 package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
-import graft.streaming.{Sessionize, StreamConf, StreamJoins, StreamingDaily, StreamingDedup}
+import graft.streaming.{RunningTotals, Sessionize, StreamConf, StreamJoins, StreamingDaily, StreamingDedup, TwsEvent, TwsTotals}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -362,6 +362,84 @@ object QStreaming extends Registry {
       },
       Some(s"""WITH ${QSketch.kmvSketchCtes}
               SELECT side, CAST(rk AS INT) AS rk, h FROM sk""")),
+
+    // transformWithState (ext.) — the Spark 4 arbitrary-state API
+    // (state API v2): typed NAMED state (`ValueState`), TTL config,
+    // RocksDB-backed store — the successor to the mapGroupsWithState
+    // path `stream_sessionize` exercises, run here as a per-user
+    // running-totals processor over THREE mtime-ordered arrival files.
+    // Each (user, batch-with-presence) emits one snapshot of the
+    // persisted totals, so the output is the running-total HISTORY at
+    // batch granularity — reproduced exactly by a batch cumulative sum
+    // over the deterministic batch index (the oracle). The state is one
+    // 16-byte pair per live key, the bounded shape a 100 TB ingest
+    // carries (plus TTL where keys retire).
+    Q("stream_transform_state",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_tws", d)
+        val src = s"$root/arrivals"
+        graft.Scratch.clear(src)
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(src))
+        val ev = graft.Tables.events(s, d).select(
+          col("user_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents"))
+        val batches = Seq(
+          ev.filter(col("ts") < "2024-01-10"),
+          ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20"),
+          ev.filter(col("ts") >= "2024-01-20"))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val tmp = s"$root/tmp_$i"
+          b.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
+          java.nio.file.Files.move(part.toPath, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        }
+        val schema = s.read.parquet(src).schema
+        val name = s"graft_stream_tws_${runSeq.incrementAndGet()}"
+        RunningTotals.withRocksDb(s) {
+          StreamConf.withStatePartitions(s) {
+            import org.apache.spark.sql.{Encoders => E}
+            val in = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .select(col("user_id"), col("cents"))
+              .as(E.product[TwsEvent])
+            implicit val twsTotalsEnc: org.apache.spark.sql.Encoder[TwsTotals] =
+              E.product[TwsTotals]
+            val q = in.groupByKey(_.user_id)(E.scalaLong)
+              .transformWithState(new RunningTotals,
+                org.apache.spark.sql.streaming.TimeMode.None(),
+                org.apache.spark.sql.streaming.OutputMode.Append())
+              .writeStream.format("memory").queryName(name)
+              .outputMode("append").trigger(Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+        }
+        s.table(name)
+          .select(col("user_id"), col("n_events"), col("sum_cents"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                       CASE WHEN CAST(ts AS TIMESTAMP)
+                              < TIMESTAMP '2024-01-10' THEN 0
+                            WHEN CAST(ts AS TIMESTAMP)
+                              < TIMESTAMP '2024-01-20' THEN 1
+                            ELSE 2 END AS bi,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS cents
+                FROM events),
+              pb AS (SELECT user_id, bi, count(*) AS n, sum(cents) AS c
+                     FROM e GROUP BY 1, 2)
+              SELECT user_id,
+                     CAST(sum(n) OVER w AS BIGINT) AS n_events,
+                     CAST(sum(c) OVER w AS BIGINT) AS sum_cents
+              FROM pb
+              WINDOW w AS (PARTITION BY user_id ORDER BY bi
+                           ROWS UNBOUNDED PRECEDING)""")),
 
     // Streaming MG census (ext.) — the heavy-hitter face of the
     // per-batch-sketch family (CMS adds, KMV re-bottom-ks, priority
