@@ -40,6 +40,11 @@ object GraftExtensions {
       if (!exp.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
         exp.extraStrategies =
           exp.extraStrategies :+ graft.plans.AsOfJoinStrategy
+      // optimizer rules for sessions built without spark.sql.extensions
+      if (!exp.extraOptimizations.contains(graft.plans.RangeJoinRewriteRule))
+        exp.extraOptimizations = exp.extraOptimizations ++
+          Seq(graft.plans.LevenshteinBoundRule,
+            graft.plans.RangeJoinRewriteRule)
     }
 }
 
@@ -135,6 +140,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     builders.foreach(ext.injectFunction)
     // domain optimizer rules (each carries its own enable conf)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinBoundRule)
+    ext.injectOptimizerRule(_ => graft.plans.RangeJoinRewriteRule)
     // whole-operator extension: the native as-of join's planner strategy
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }

@@ -656,6 +656,54 @@ object QJoins extends Registry {
               FROM dirty d LEFT JOIN best b
                 ON b.d_id = d.d_id AND b.rn = 1""")),
 
+    // J31 (ext.) — range join written NAIVELY, planned as an equi join
+    // by the engine's own optimizer rule (`plans.RangeJoinRewriteRule`,
+    // the Databricks bin-size technique as a Catalyst extension): the
+    // query below is `points JOIN bands ON p BETWEEN lo AND hi` with no
+    // hand bucketing — j17's manual form made the user do the
+    // bucketing; here the rule explodes each interval into its
+    // overlapped buckets, keys points by p div W, and the planner picks
+    // a shuffled equi join instead of BroadcastNestedLoopJoin. The
+    // oracle runs the same naive SQL in DuckDB, so the row certifies
+    // the rewrite is semantics-preserving end-to-end;
+    // `RangeJoinRuleSpec` pins both physical shapes and on==off
+    // equality (negatives and null bounds included).
+    Q("j31_range_rewrite",
+      (s, d) => {
+        val bands = s.range(0, 120).select(col("id").as("band"),
+          (col("id") * 87000 + 13).as("lo"),
+          (col("id") * 87000 + 50012).as("hi"))
+        val pts = Tables.lineitem(s, d).select(
+          (col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("bigint").as("p"))
+        val prev = s.conf.getOption("spark.graft.rangejoin.bucketWidth")
+        s.conf.set("spark.graft.rangejoin.bucketWidth", "65536")
+        // the rule reads the conf at OPTIMIZATION time — materialize
+        // inside the window (eager localCheckpoint) so the rewrite is
+        // what actually ran, then restore
+        try {
+          pts.join(bands, col("p") >= col("lo") && col("p") <= col("hi"))
+            .groupBy(col("band"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("p")).as("sum_cents"))
+            .localCheckpoint(true)
+        } finally prev match {
+          case Some(v) => s.conf.set("spark.graft.rangejoin.bucketWidth", v)
+          case None => s.conf.unset("spark.graft.rangejoin.bucketWidth")
+        }
+      },
+      Some("""WITH bands AS (
+                SELECT i AS band, i*87000 + 13 AS lo, i*87000 + 50012 AS hi
+                FROM range(0, 120) t(i)),
+              p AS (
+                SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) AS p
+                FROM lineitem)
+              SELECT band, count(*) AS n_rows,
+                     CAST(sum(p) AS BIGINT) AS sum_cents
+              FROM p JOIN bands ON p >= lo AND p <= hi
+              GROUP BY 1""")),
+
     // J30 (ext.) — Fellegi–Sunter PROBABILISTIC record linkage: j26
     // picks the closest candidate by edit distance; this is the model a
     // linkage pipeline actually ships (Splink/fastLink): per-field
