@@ -321,6 +321,20 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 2, s"a23_fama_macbeth shuffles: ${c.shuffles}")
   }
 
+  test("ACF: daily agg + one window/pair aggregate - two exchanges, no per-lag re-read") {
+    val c = Plans.planCounts(q("w26_acf"))
+    assert(c.shuffles <= 2, s"w26_acf shuffles: ${c.shuffles}")
+  }
+
+  test("KMV A-not-B: everything past the sketch is metadata-sized") {
+    // pre-persist expansion of the shared hv/sk frames, same class as
+    // sk_kmv_overlap's budget
+    val c = Plans.planCounts(q("sk_kmv_anotb"))
+    assert(c.shuffles <= 8 && c.broadcasts >= 2,
+      s"sk_kmv_anotb shuffles: ${c.shuffles}, broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
   test("bloom decontamination: fixed-size bitmap broadcast; eval grams never broadcast") {
     // two broadcast probes of the ≤16k-row bitmap; the exact tier over
     // the Bloom survivors is a plain shuffle semi-join (the point: the
