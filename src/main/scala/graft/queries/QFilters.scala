@@ -1217,7 +1217,68 @@ object QFilters extends Registry {
               SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
                      CAST(sum(qty) AS BIGINT) AS sum_qty,
                      CAST(sum(ok * 7 + ln) AS BIGINT) AS sum_key
-              FROM merged GROUP BY 1"""))
+              FROM merged GROUP BY 1""")),
+
+    // S31 — snapshot log + TIME TRAVEL (ext.): the table-format kernel.
+    // Commit 1 publishes the base table's file list as an immutable
+    // manifest; commit 2 is a COPY-ON-WRITE rewrite of month 3 only
+    // (qty+7 — new files, old files untouched on disk) publishing a
+    // second manifest. Readers pin snapshots: the query aggregates BOTH
+    // versions from their manifests — v1 must still read the original
+    // table bit-for-bit AFTER v2 committed (`SnapshotLogSpec` also pins
+    // manifest immutability and that a crashed commit is invisible).
+    // Scale shape: manifests are metadata, planning is a file-list
+    // handoff (no directory walk), and only the rewritten partition's
+    // files are new — the Iceberg/Delta read path from this repo's own
+    // parts (s30's pruned merge is the natural writer).
+    Q("s31_time_travel",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s31_tt", d)}/t"
+        graft.Scratch.clear(dir)
+        val base = Tables.lineitem(s, d).select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // month 3 isolated into its own file group so a rewrite can
+        // replace exactly its files (the per-file partition metadata a
+        // real format tracks)
+        base.filter(col("m") =!= 3).write.mode("overwrite")
+          .parquet(s"$dir/data/rest")
+        base.filter(col("m") === 3).write.mode("overwrite")
+          .parquet(s"$dir/data/m3")
+        import graft.operators.SnapshotLog
+        val rest = SnapshotLog.dataFiles(s"$dir/data/rest")
+        val v1 = SnapshotLog.commit(dir, rest ++
+          SnapshotLog.dataFiles(s"$dir/data/m3"))
+        // copy-on-write: rewrite month 3 (qty+7) into NEW files
+        s.read.parquet(SnapshotLog.dataFiles(s"$dir/data/m3"): _*)
+          .withColumn("qty", col("qty") + 7)
+          .write.mode("overwrite").parquet(s"$dir/data/m3_r1")
+        val v2 = SnapshotLog.commit(dir, rest ++
+          SnapshotLog.dataFiles(s"$dir/data/m3_r1"))
+        base.unpersist()
+        Seq(v1, v2).map { v =>
+          SnapshotLog.read(s, dir, v)
+            .groupBy(col("m"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(v).as("snapshot"), col("m"), col("n_rows"),
+              col("sum_qty"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH base AS (
+                SELECT month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem)
+              SELECT 1 AS snapshot, m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 2, m, count(*),
+                     CAST(sum(CASE WHEN m = 3 THEN qty + 7 ELSE qty END)
+                       AS BIGINT)
+              FROM base GROUP BY 2"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
