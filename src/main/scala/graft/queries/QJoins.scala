@@ -976,7 +976,64 @@ object QJoins extends Registry {
                       JOIN o e3 ON e3.s = e1.t AND e3.t = e2.t),
               pn AS (SELECT unnest([a, b, c]) AS id FROM tri)
               SELECT id, count(*) AS n_triangles
-              FROM pn GROUP BY 1"""))
+              FROM pn GROUP BY 1""")),
+
+    // G2 (ext.) — bounded-hop LABEL PROPAGATION over the same part
+    // co-purchase graph: synchronous min-label rounds (every node takes
+    // the minimum label over itself and its neighbors). With min as the
+    // tie-break the k-round result has a CLOSED FORM — label_k(v) =
+    // min id within v's k-hop neighborhood — which makes the usually
+    // order-dependent LPA heuristic deterministic and hash-gateable,
+    // and distinguishes it from full connected components (dd's CC):
+    // this is bounded-radius community structure, the "local cluster"
+    // signal at k=3. Each round is ONE edge-join + ONE hash-agg over
+    // the (adjacency ∪ self-loops) relation behind a lineage-truncating
+    // barrier — the dd_pagerank iteration shape; k rounds never touch
+    // more than |E|+|V| rows. `LabelPropSpec` pins the closed form on a
+    // path graph.
+    Q("g2_label_prop",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .distinct()
+        val sym = e.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+        val nodes = sym.select(col("src").as("id")).distinct()
+        val adj = graft.Caches.registerTransient(
+          sym.unionByName(nodes.select(col("id").as("src"),
+              col("id").as("dst")))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        var lbl = nodes.select(col("id"), col("id").as("lbl"))
+        for (_ <- 1 to 3) {
+          lbl = adj.join(lbl, adj("src") === lbl("id"))
+            .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
+            .select(col("dst").as("id"), col("lbl"))
+            .localCheckpoint(true)
+        }
+        lbl
+      },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok,
+                            l_partkey AS pk FROM lineitem),
+              e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+                    FROM li a JOIN li b
+                      ON a.ok = b.ok AND a.pk < b.pk),
+              sym AS (SELECT u AS src, v AS dst FROM e
+                      UNION ALL SELECT v, u FROM e),
+              nodes AS (SELECT DISTINCT src AS id FROM sym),
+              adj AS (SELECT src, dst FROM sym
+                      UNION ALL SELECT id, id FROM nodes),
+              l0 AS (SELECT id, id AS lbl FROM nodes),
+              l1 AS (SELECT a.dst AS id, min(l.lbl) AS lbl
+                     FROM adj a JOIN l0 l ON l.id = a.src GROUP BY 1),
+              l2 AS (SELECT a.dst AS id, min(l.lbl) AS lbl
+                     FROM adj a JOIN l1 l ON l.id = a.src GROUP BY 1),
+              l3 AS (SELECT a.dst AS id, min(l.lbl) AS lbl
+                     FROM adj a JOIN l2 l ON l.id = a.src GROUP BY 1)
+              SELECT id, lbl FROM l3"""))
   )
 
   /** J23 (ext.) — KEYLESS interval-overlap join via a time-grid: both
