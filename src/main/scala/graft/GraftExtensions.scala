@@ -82,6 +82,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     (new FunctionIdentifier("md5prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5prefix60"),
       children => Md5Prefix60(children.head)),
+    (new FunctionIdentifier("bottomk"),
+      new ExpressionInfo(classOf[graft.expressions.BottomK].getName,
+        "bottomk"),
+      children => graft.expressions.BottomK(children.head,
+        intLit("bottomk", "k")(children(1)))),
     (new FunctionIdentifier("dotq6"),
       new ExpressionInfo(classOf[DotQuant6].getName, "dotq6"),
       children => DotQuant6(children.head, children(1))),

@@ -795,6 +795,31 @@ object QSketch extends Registry {
               LEFT JOIN truth t
                 ON t.src_a = p.src_a AND t.src_b = p.src_b""")),
 
+    // NATIVE bottom-k aggregate (ext.) — the KMV primitive as a
+    // Catalyst TypedImperativeAggregate (`expressions.BottomK`, SQL
+    // `bottomk(h, k)`): the (b) custom-operator tier for AGGREGATION,
+    // completing the ladder next to the scalar native expressions and
+    // the j28 whole-operator tier. Spark plans the two-phase
+    // ObjectHashAggregate — per-task k-long max-heaps (O(log k)/row),
+    // partial buffers serialize as k packed longs, merge folds heaps —
+    // so the shuffle carries ≤ k longs per (task, side) whatever the
+    // corpus. The sketch it builds is value-identical to the typed
+    // Aggregator formulation the other KMV rows ship (`BottomKSpec`
+    // pins it, plus partition invariance and the planned shape); the
+    // oracle is the same sketch CTE chain.
+    Q("sk_kmv_native",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        kmvHashes(Tables.documents(s, d))
+          .groupBy(col("side"))
+          .agg(expr(s"bottomk(h, $KmvK)").as("hs"))
+          .select(col("side"), posexplode(col("hs")))
+          .select(col("side"), (col("pos") + 1).cast("int").as("rk"),
+            col("col").as("h"))
+      },
+      Some(s"""WITH $kmvSketchCtes
+              SELECT side, CAST(rk AS INT) AS rk, h FROM sk""")),
+
     // KMV A-NOT-B (ext.) — the set-DIFFERENCE face of the theta
     // sketch (Apache DataSketches' AnotB, the third member of the
     // union/intersection algebra sk_kmv_overlap ships): "how much of
