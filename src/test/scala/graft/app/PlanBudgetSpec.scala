@@ -335,6 +335,16 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearTransient()
   }
 
+  test("time travel: two snapshot aggregates, one exchange each") {
+    val c = Plans.planCounts(q("s31_time_travel"))
+    assert(c.shuffles <= 2, s"s31_time_travel shuffles: ${c.shuffles}")
+  }
+
+  test("native bottomk: one partial-combined exchange per sketch") {
+    val c = Plans.planCounts(q("sk_kmv_native"))
+    assert(c.shuffles <= 2, s"sk_kmv_native shuffles: ${c.shuffles}")
+  }
+
   test("bloom decontamination: fixed-size bitmap broadcast; eval grams never broadcast") {
     // two broadcast probes of the ≤16k-row bitmap; the exact tier over
     // the Bloom survivors is a plain shuffle semi-join (the point: the
