@@ -72,7 +72,12 @@ object ScaleProbe {
     // runs on the customer dimension, which the probe symlinks
     // unscaled; stream_* stay out (micro-batch floors dominate).
     "sk_mg_heavyhitters", "s29_bloom_index", "s30_merge_upsert",
-    "a23_fama_macbeth")
+    "a23_fama_macbeth",
+    // round 9d: the snapshot-log round trip (lineitem-scaled) and the
+    // native bottom-k sketch. g2_label_prop shares g1's geometry note
+    // (parts are an unscaled dim — the edge set is basket-bound) and
+    // stays out for the same reason g1's probe row needs its caveat.
+    "s31_time_travel", "sk_kmv_native")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the
