@@ -2,7 +2,7 @@ package graft.expressions
 
 import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
@@ -63,9 +63,15 @@ case class BottomK(
     k: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[BottomKBuffer] {
+  extends TypedImperativeAggregate[BottomKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, "bottomk: k must be positive")
+
+  // analysis-time contract: narrower integrals implicitly widen to
+  // LONG; a type Cast can't bridge fails analysis instead of throwing
+  // ClassCastException inside update() at execution (inferred type —
+  // AbstractDataType is private[sql])
+  override def inputTypes = Seq(LongType)
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false

@@ -45,12 +45,27 @@ object MergeInto {
     val afterDel = cur.join(
       deletes.select(keyCols.map(col): _*), keyCols, "left_anti")
     // MERGE precondition (same as SQL MERGE): at most one source row
-    // per target key — CDC rows repeated across partitions with
-    // identical values collapse here; true conflicts are caller bugs
-    val afterUpd = afterDel.join(
-        updates.select((keyCols.map(col) ++
-          newValues.values.map(col).toSeq): _*).distinct(),
-        keyCols, "left")
+    // per target key. CDC rows repeated across partitions with
+    // identical values collapse under distinct(); a key left with >1
+    // DISTINCT value rows would silently row-multiply the target
+    // through the left join, so it is ENFORCED — Delta's "multiple
+    // source rows matched" error, raised task-side (raise_error inside
+    // a filter over a window count; no extra driver pass).
+    val updDedup = updates.select((keyCols.map(col) ++
+      newValues.values.map(col).toSeq): _*).distinct()
+    val nSrc = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*))
+    val updChecked = updDedup
+      .withColumn("_graft_nsrc", nSrc)
+      .filter(when(col("_graft_nsrc") > 1,
+          raise_error(concat(
+            lit("MERGE: multiple source rows matched target key ("),
+            concat_ws(", ", keyCols.map(c => col(c).cast("string")): _*),
+            lit(")"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_graft_nsrc")
+    val afterUpd = afterDel.join(updChecked, keyCols, "left")
       .select(cols.map { c =>
         newValues.collectFirst { case (tgt, src) if tgt == c =>
           coalesce(col(src), col(c)).as(c)
@@ -66,6 +81,21 @@ object MergeInto {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None =>
         s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    // Dynamic overwrite only replaces partitions PRESENT in the output.
+    // A CDC batch that deletes EVERY row of a touched partition leaves
+    // that partition with zero output rows — its old files would
+    // silently survive and the deletes resurface. Clear touched
+    // partitions absent from the merged frame explicitly (the distinct
+    // is over the checkpointed merged frame and is bounded by the
+    // touched-partition count — metadata-scale).
+    val present = merged.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    touched.filterNot(present).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(tableDir, s"$partCol=$v")
+      if (fs.exists(p)) fs.delete(p, true)
     }
     touched
   }

@@ -1129,8 +1129,13 @@ object QFilters extends Registry {
           s, s"$dir/lineitem_hashed", "l_orderkey", m)
         val files = graft.operators.BloomIndex.survivors(
           s, index, probeKeys, m)
-        s.read.parquet(files: _*)
-          .filter(col("l_orderkey").isin(probeKeys: _*))
+        // zero survivors (possible at tiny SFs where no probe key
+        // exists) must yield an EMPTY frame, not a zero-path read
+        // error — keep the table schema, read nothing
+        val src =
+          if (files.nonEmpty) s.read.parquet(files: _*)
+          else s.read.parquet(s"$dir/lineitem_hashed").filter(lit(false))
+        src.filter(col("l_orderkey").isin(probeKeys: _*))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n_rows"),
             Tables.dsum(col("l_extendedprice")).as("sum_price"),

@@ -16,6 +16,29 @@ object QStreaming extends Registry {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Merge the per-batch KMV sketch dirs under `outDir` (one
+    * `batch=N` child per micro-batch) into the census sketch: union →
+    * per-(side, h) distinct → re-bottom-k. The per-batch dirs are
+    * Hive-partitioned, so the read APPENDS the inferred `batch` column
+    * even though the explicit schema omits it — the projection BEFORE
+    * the distinct is load-bearing: without it the same hash surviving
+    * in two batch sketches dedupes over (side, h, batch), stays
+    * duplicated, and eats rk slots (wrong theta). `KmvSpec` pins the
+    * multi-batch merge against the whole-corpus batch sketch.
+    */
+  private[queries] def kmvCensusMerge(
+      s: org.apache.spark.sql.SparkSession,
+      outDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val partials = s.read.schema(StructType(Seq(
+        StructField("side", LongType),
+        StructField("h", LongType))))
+      .parquet(outDir)
+      .select(col("side"), col("h"))
+      .distinct() // the same gram may survive in several batches
+    QSketch.kmvSketchFrom(partials, QSketch.KmvK)
+  }
+
   def qs: Seq[Q] = Seq(
 
     Q("stream_daily_panel",
@@ -352,13 +375,7 @@ object QStreaming extends Registry {
           }
           .trigger(Trigger.AvailableNow()).start()
         q.awaitTermination()
-        import org.apache.spark.sql.types._
-        val partials = s.read.schema(StructType(Seq(
-            StructField("side", LongType),
-            StructField("h", LongType))))
-          .parquet(outDir)
-          .distinct() // the same gram may survive in several batches
-        QSketch.kmvSketchFrom(partials, QSketch.KmvK)
+        kmvCensusMerge(s, outDir)
       },
       Some(s"""WITH ${QSketch.kmvSketchCtes}
               SELECT side, CAST(rk AS INT) AS rk, h FROM sk""")),

@@ -47,6 +47,22 @@ class BottomKSpec extends SparkSpec {
     hv.unpersist()
   }
 
+  test("narrower integrals implicitly widen; uncastable input fails analysis") {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    // INT column: pre-fix this analyzed fine and then threw
+    // ClassCastException inside update() at execution — now the
+    // ImplicitCastInputTypes contract widens it to LONG
+    val got = Seq(5, 1, 9, 3).toDF("v")
+      .agg(expr("bottomk(v, 2)")).head.getSeq[Long](0)
+    assert(got == Seq(1L, 3L))
+    // an array can never cast to LONG: analysis-time failure, like the
+    // other native expressions
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(Seq(1L)).toDF("v").agg(expr("bottomk(v, 2)")).head
+    }
+  }
+
   test("plans as two-phase ObjectHashAggregate with partial bottomk") {
     graft.GraftExtensions.ensure(spark)
     import spark.implicits._

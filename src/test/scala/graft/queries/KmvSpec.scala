@@ -58,6 +58,31 @@ class KmvSpec extends SparkSpec {
     hv.unpersist()
   }
 
+  test("multi-batch census merge == whole-corpus sketch (partition-col trap)") {
+    // the streaming census externalizes one sketch dir per micro-batch
+    // (`batch=N`); reading them back APPENDS the inferred partition
+    // column, and a distinct over (side, h, batch) would keep a hash
+    // surviving in two batches twice — eating rk slots and corrupting
+    // theta. Reproduce a 2-batch run where sketches OVERLAP heavily
+    // (both batches cover the full corpus per side) and pin the merge
+    // against the whole-corpus batch sketch.
+    val outDir = graft.Scratch.dirFor("kmv_census_spec", sf) + "/sketches"
+    graft.Scratch.clear(outDir)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val k = QSketch.KmvK
+    for ((batch, id) <- Seq(docs -> 0, docs.limit(400) -> 1))
+      QSketch.kmvSketchFrom(QSketch.kmvHashes(batch), k)
+        .select(col("side"), col("h"))
+        .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+    val merged = QStreaming.kmvCensusMerge(spark, outDir)
+      .select(col("side"), col("rk"), col("h"))
+    val whole = QSketch.kmvSketch(docs, k)
+      .select(col("side"), col("rk"), col("h"))
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0,
+      "census merge over overlapping batch sketches diverged from the batch face")
+  }
+
   test("sk_kmv_overlap estimates land within the 1/sqrt(k) band and are graded") {
     val row = SparkEntry.queries("sk_kmv_overlap")(spark, sf).collect().head
     val estU = row.getAs[Double]("est_union")

@@ -78,4 +78,67 @@ class MergeIntoSpec extends SparkSpec {
       want.exceptAll(got).count() == 0,
       "pruned merge must equal the logical whole-relation merge")
   }
+
+  test("multiple source rows with DIFFERENT values for one key raise") {
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dirFor("s30_conflict_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    Seq((1L, 1, 10, 1), (2L, 1, 20, 1), (3L, 1, 30, 2))
+      .toDF("k", "ln", "qty", "m")
+      .write.partitionBy("m").mode("overwrite").parquet(dir)
+    val empty = Seq.empty[(Long, Int, Int)].toDF("k", "ln", "m")
+    val emptyIns = Seq.empty[(Long, Int, Int, Int)]
+      .toDF("k", "ln", "qty", "m")
+    // two U rows for key (1, 1) with CONFLICTING new values — the
+    // Delta "multiple source rows matched" case; must raise, not
+    // silently row-multiply the target
+    val conflicting = Seq((1L, 1, 1, 77), (1L, 1, 1, 88))
+      .toDF("k", "ln", "m", "new_qty")
+    val e = intercept[Exception] {
+      MergeInto(spark, dir, "m", Seq("k", "ln"),
+        empty, conflicting, emptyIns, Map("qty" -> "new_qty"))
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("multiple source rows matched")),
+      s"wrong error: ${messages(e).mkString(" | ")}")
+
+    // identical duplicates (the cross-partition repeat case) still
+    // collapse and merge cleanly
+    val dup = Seq((1L, 1, 1, 77), (1L, 1, 1, 77))
+      .toDF("k", "ln", "m", "new_qty")
+    MergeInto(spark, dir, "m", Seq("k", "ln"),
+      empty, dup, emptyIns, Map("qty" -> "new_qty"))
+    val qty1 = spark.read.parquet(dir).filter(col("k") === 1)
+      .select(col("qty")).head.getInt(0)
+    assert(qty1 == 77)
+  }
+
+  test("a CDC batch deleting EVERY row of a partition clears it") {
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dirFor("s30_wipe_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    Seq((1L, 1, 10, 1), (2L, 1, 20, 1), (3L, 1, 30, 2), (4L, 1, 40, 3))
+      .toDF("k", "ln", "qty", "m")
+      .write.partitionBy("m").mode("overwrite").parquet(dir)
+    // delete BOTH rows of m=1 — the merged output holds no m=1 row, so
+    // dynamic overwrite alone would leave the old files and the
+    // deletes would silently resurface
+    val deletes = Seq((1L, 1, 1), (2L, 1, 1)).toDF("k", "ln", "m")
+    val emptyUpd = Seq.empty[(Long, Int, Int, Int)]
+      .toDF("k", "ln", "m", "new_qty")
+    val emptyIns = Seq.empty[(Long, Int, Int, Int)]
+      .toDF("k", "ln", "qty", "m")
+    val touched = MergeInto(spark, dir, "m", Seq("k", "ln"),
+      deletes, emptyUpd, emptyIns, Map("qty" -> "new_qty"))
+    assert(touched == Seq(1))
+    val left = spark.read.parquet(dir)
+      .select(col("k"), col("m")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(left == Set((3L, 2), (4L, 3)),
+      s"wiped partition resurfaced: $left")
+    assert(!new java.io.File(s"$dir/m=1").exists(),
+      "m=1 directory should be cleared")
+  }
 }

@@ -67,4 +67,45 @@ class SnapshotLogSpec extends SparkSpec {
       SnapshotLog.files(dir, 3)
     }
   }
+
+  test("racing committers: put-if-absent fails the loser, retry lands both") {
+    val dir = s"${graft.Scratch.dirFor("s31_race_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val v0 = SnapshotLog.commit(dir, Seq("base.parquet"))
+    assert(v0 == 1)
+
+    // deterministic interleave: committer A reads latest()=1 and
+    // computes next=2; committer B publishes v2 FIRST; A's publish of
+    // v2 must FAIL (not clobber), and A's commit() retry lands v3
+    val next = SnapshotLog.latest(dir) + 1          // A's stale read
+    assert(SnapshotLog.publish(dir, next, Seq("b.parquet")))  // B wins v2
+    assert(!SnapshotLog.publish(dir, next, Seq("a.parquet")),
+      "second publish of the same version must fail, not replace")
+    assert(SnapshotLog.files(dir, next) == Seq("b.parquet"),
+      "loser's publish clobbered the winner's manifest")
+    val vA = SnapshotLog.commit(dir, Seq("a.parquet"))
+    assert(vA == next + 1, "retry must land on the then-next version")
+    assert(SnapshotLog.files(dir, vA) == Seq("a.parquet"))
+
+    // true concurrency: 4 threads x 5 commits each — every commit must
+    // survive under a distinct id with its exact content
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = SnapshotLog.latest(dir)
+    val futs = (0 until 4).map { t =>
+      Future { (0 until 5).map { i =>
+        val payload = s"t$t-c$i.parquet"
+        (payload, SnapshotLog.commit(dir, Seq(payload)))
+      } }
+    }
+    val landed = Await.result(Future.sequence(futs), 120.seconds).flatten
+    assert(landed.map(_._2).distinct.size == 20,
+      "two commits landed on the same version id")
+    assert(SnapshotLog.latest(dir) == before + 20)
+    landed.foreach { case (payload, v) =>
+      assert(SnapshotLog.files(dir, v) == Seq(payload),
+        s"v$v lost its committed content")
+    }
+  }
 }
