@@ -41,37 +41,8 @@ object MergeInto {
     if (touched.isEmpty) return Nil
     val cur = s.read.parquet(tableDir)
       .filter(col(partCol).isin(touched: _*))
-    val cols = cur.columns.toSeq
-    val afterDel = cur.join(
-      deletes.select(keyCols.map(col): _*), keyCols, "left_anti")
-    // MERGE precondition (same as SQL MERGE): at most one source row
-    // per target key. CDC rows repeated across partitions with
-    // identical values collapse under distinct(); a key left with >1
-    // DISTINCT value rows would silently row-multiply the target
-    // through the left join, so it is ENFORCED — Delta's "multiple
-    // source rows matched" error, raised task-side (raise_error inside
-    // a filter over a window count; no extra driver pass).
-    val updDedup = updates.select((keyCols.map(col) ++
-      newValues.values.map(col).toSeq): _*).distinct()
-    val nSrc = count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*))
-    val updChecked = updDedup
-      .withColumn("_graft_nsrc", nSrc)
-      .filter(when(col("_graft_nsrc") > 1,
-          raise_error(concat(
-            lit("MERGE: multiple source rows matched target key ("),
-            concat_ws(", ", keyCols.map(c => col(c).cast("string")): _*),
-            lit(")"))).cast("boolean"))
-        .otherwise(lit(true)))
-      .drop("_graft_nsrc")
-    val afterUpd = afterDel.join(updChecked, keyCols, "left")
-      .select(cols.map { c =>
-        newValues.collectFirst { case (tgt, src) if tgt == c =>
-          coalesce(col(src), col(c)).as(c)
-        }.getOrElse(col(c))
-      }: _*)
-    val merged = afterUpd.unionByName(inserts.select(cols.map(col): _*))
+    val merged =
+      threeWayApply(cur, keyCols, deletes, updates, inserts, newValues)
       // truncate lineage: the write target is also the read source
       .localCheckpoint(true)
     val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -98,5 +69,48 @@ object MergeInto {
       if (fs.exists(p)) fs.delete(p, true)
     }
     touched
+  }
+
+  /** The logical MERGE over the (already pruned) current rows: anti-join
+    * deletes → left-join + coalesce updates → union inserts. Shared by
+    * the in-place dynamic-overwrite path above and the snapshot-log
+    * copy-on-write path ([[SnapshotMerge]]) so the two commit protocols
+    * cannot drift on semantics.
+    *
+    * MERGE precondition (same as SQL MERGE): at most one source row per
+    * target key. CDC rows repeated across partitions with identical
+    * values collapse under distinct(); a key left with >1 DISTINCT
+    * value rows would silently row-multiply the target through the
+    * left join, so it is ENFORCED — Delta's "multiple source rows
+    * matched" error, raised task-side (raise_error inside a filter over
+    * a window count; no extra driver pass).
+    */
+  private[operators] def threeWayApply(cur: DataFrame, keyCols: Seq[String],
+      deletes: DataFrame, updates: DataFrame, inserts: DataFrame,
+      newValues: Map[String, String]): DataFrame = {
+    val cols = cur.columns.toSeq
+    val afterDel = cur.join(
+      deletes.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val updDedup = updates.select((keyCols.map(col) ++
+      newValues.values.map(col).toSeq): _*).distinct()
+    val nSrc = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*))
+    val updChecked = updDedup
+      .withColumn("_graft_nsrc", nSrc)
+      .filter(when(col("_graft_nsrc") > 1,
+          raise_error(concat(
+            lit("MERGE: multiple source rows matched target key ("),
+            concat_ws(", ", keyCols.map(c => col(c).cast("string")): _*),
+            lit(")"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("_graft_nsrc")
+    val afterUpd = afterDel.join(updChecked, keyCols, "left")
+      .select(cols.map { c =>
+        newValues.collectFirst { case (tgt, src) if tgt == c =>
+          coalesce(col(src), col(c)).as(c)
+        }.getOrElse(col(c))
+      }: _*)
+    afterUpd.unionByName(inserts.select(cols.map(col): _*))
   }
 }

@@ -82,17 +82,141 @@ object SnapshotLog {
       s"snapshot commit at $tableDir lost $MaxRetries races; giving up")
   }
 
-  /** the file list of snapshot `v` (immutable once committed). */
-  def files(tableDir: String, v: Int): Seq[String] = {
+  /** One manifest row. `kind` is "D" (data) or "X" (equality-delete —
+    * a parquet file of key tuples subtracted at read, the merge-on-read
+    * half of the lake story). `partition` is the `col=value` label the
+    * writer recorded ("" when unpartitioned) — it makes partition
+    * pruning a pure manifest filter. `stats` carries per-file min/max
+    * for INT64 columns (paid ONCE at write from the parquet footer),
+    * so range pruning is a metadata read that never opens a footer at
+    * plan time — the Iceberg/Delta manifest-stats design.
+    */
+  final case class FileEntry(
+      path: String, kind: String, partition: String,
+      stats: Map[String, (Long, Long)]) {
+    def overlaps(colName: String, lo: Long, hi: Long): Boolean =
+      stats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // stats absent: conservative keep
+      }
+  }
+
+  private def renderEntry(e: FileEntry): String = {
+    val part = if (e.partition.isEmpty) "-" else e.partition
+    val st =
+      if (e.stats.isEmpty) "-"
+      else e.stats.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }.mkString(",")
+    s"${e.path}\t${e.kind}\t$part\t$st"
+  }
+
+  private def parseEntry(line: String): FileEntry =
+    line.split("\t") match {
+      case Array(p) => FileEntry(p, "D", "", Map.empty) // legacy: bare path
+      case Array(p, k, part, st) =>
+        val stats =
+          if (st == "-") Map.empty[String, (Long, Long)]
+          else st.split(",").map { s =>
+            val Array(c, mn, mx) = s.split(":")
+            c -> ((mn.toLong, mx.toLong))
+          }.toMap
+        FileEntry(p, k, if (part == "-") "" else part, stats)
+      case _ => throw new IllegalStateException(s"bad manifest line: $line")
+    }
+
+  /** the typed file list of snapshot `v` (immutable once committed). */
+  def entries(tableDir: String, v: Int): Seq[FileEntry] = {
     val m = manifestDir(tableDir).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $tableDir")
     new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty)
+      .split("\n").toSeq.filter(_.nonEmpty).map(parseEntry)
   }
 
-  /** read the table as of snapshot `v`. */
+  /** publish typed entries as the next snapshot (same CAS commit). */
+  def commitEntries(tableDir: String, es: Seq[FileEntry]): Int =
+    commit(tableDir, es.map(renderEntry))
+
+  /** put-if-absent for typed entries at a SPECIFIC version — the OCC
+    * primitive snapshot transforms build on: a writer that derived its
+    * output from snapshot v publishes at v+1 and must FAIL (not land on
+    * a later id) if another commit got there first, because its result
+    * no longer reflects the table it would replace.
+    */
+  private[graft] def publishEntries(
+      tableDir: String, v: Int, es: Seq[FileEntry]): Boolean =
+    publish(tableDir, v, es.map(renderEntry))
+
+  /** the DATA file list of snapshot `v`. */
+  def files(tableDir: String, v: Int): Seq[String] =
+    entries(tableDir, v).filter(_.kind == "D").map(_.path)
+
+  /** read the table as of snapshot `v` (data files only — see
+    * [[readMor]] for delete-vector application). */
   def read(s: SparkSession, tableDir: String, v: Int): DataFrame =
     s.read.parquet(files(tableDir, v): _*)
+
+  /** Merge-on-read: data files of snapshot `v` MINUS the keys in its
+    * equality-delete files (anti-join on the delete files' own
+    * columns — the reader consults the vectors, nothing is rewritten).
+    * At scale the delete set is a day's churn — broadcast-sized next
+    * to the data, and folded away lazily by compaction.
+    */
+  def readMor(s: SparkSession, tableDir: String, v: Int): DataFrame = {
+    val es = entries(tableDir, v)
+    val data = s.read.parquet(es.filter(_.kind == "D").map(_.path): _*)
+    val dels = es.filter(_.kind == "X").map(_.path)
+    if (dels.isEmpty) data
+    else {
+      val delKeys = s.read.parquet(dels: _*)
+      data.join(
+        org.apache.spark.sql.functions.broadcast(delKeys.distinct()),
+        delKeys.columns.toSeq, "left_anti")
+    }
+  }
+
+  /** Metadata-only range pruning: keep snapshot `v`'s data files whose
+    * manifest-carried [min, max] on `colName` overlaps [lo, hi] — a
+    * pure string read of the manifest; no parquet footer is opened at
+    * plan time (the spec proves it by DELETING the pruned files first).
+    * Falls back to all files for entries without stats.
+    */
+  def prunedRead(s: SparkSession, tableDir: String, v: Int,
+      colName: String, lo: Long, hi: Long): DataFrame = {
+    val keep = entries(tableDir, v)
+      .filter(e => e.kind == "D" && e.overlaps(colName, lo, hi))
+    if (keep.isEmpty)
+      read(s, tableDir, v).filter(org.apache.spark.sql.functions.lit(false))
+    else s.read.parquet(keep.map(_.path): _*)
+  }
+
+  /** Per-file min/max of INT64 columns from the parquet FOOTER —
+    * row-group stats folded per file. Paid once at WRITE time by the
+    * committing writer (files·cols metadata, the Iceberg writer-side
+    * stats collection); readers then prune from the manifest alone.
+    */
+  def footerStats(s: SparkSession, path: String, cols: Seq[String])
+      : Map[String, (Long, Long)] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      cols.flatMap { c =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == c)
+            .map(_.getStatistics)
+            .collect { case st if st != null && st.hasNonNullValue =>
+              (st.genericGetMin, st.genericGetMax) }
+            .collect { case (mn: java.lang.Long, mx: java.lang.Long) =>
+              (mn.longValue, mx.longValue) }
+        }
+        if (perBlock.isEmpty) None
+        else Some(c -> ((perBlock.map(_._1).min, perBlock.map(_._2).max)))
+      }.toMap
+    } finally reader.close()
+  }
 
   /** the data files a write just produced under `dir`. */
   def dataFiles(dir: String): Seq[String] = {

@@ -1283,7 +1283,188 @@ object QFilters extends Registry {
               SELECT 2, m, count(*),
                      CAST(sum(CASE WHEN m = 3 THEN qty + 7 ELSE qty END)
                        AS BIGINT)
-              FROM base GROUP BY 2"""))
+              FROM base GROUP BY 2""")),
+
+    // S32 — MERGE composed WITH the snapshot log (ext.): copy-on-write
+    // all the way down, so TIME TRAVEL spans upserts. v1 commits the
+    // base table through `SnapshotMerge.writeInitial` (one manifest
+    // entry per file, partition-labeled); the s30 CDC batch (deletes
+    // %19, updates %13 → key-deterministic qty, inserts %17 under new
+    // keys, confined to months 2–3) is applied by `SnapshotMerge`:
+    // touched partitions resolved from the MANIFEST (a metadata
+    // filter — no directory walk), three-way apply shared with s30,
+    // rewritten partitions written to NEW version-scoped files, and
+    // the v2 manifest REFERENCES the ten untouched months' v1 files
+    // unchanged (structural sharing — `SnapshotMergeSpec` pins it).
+    // The query aggregates BOTH snapshots: v1 must read the pre-merge
+    // table bit-for-bit AFTER the merge committed. OCC: the merge
+    // publishes put-if-absent at exactly v+1 and fails on a
+    // concurrent commit instead of landing stale output.
+    Q("s32_merge_snapshot",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s32_msnap", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val touchedSrc = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(2, 3))
+        val deletes = touchedSrc.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val updates = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v2 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        Seq(v1, v2).map { v =>
+          SnapshotLog.read(s, dir, v)
+            .groupBy(col("m"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"),
+              sum(col("l_orderkey") * 7 + col("l_linenumber"))
+                .cast("long").as("sum_key"))
+            .select(lit(v).as("snapshot"), col("m"), col("n_rows"),
+              col("sum_qty"), col("sum_key"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN m IN (2, 3) AND ok % 19 <> 0
+                                 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base
+                WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE m IN (2, 3) AND ok % 19 <> 0 AND ok % 13 <> 0
+                  AND ok % 17 = 0),
+              merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+              SELECT 1 AS snapshot, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(sum(ok * 7 + ln) AS BIGINT) AS sum_key
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 2, CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT),
+                     CAST(sum(ok * 7 + ln) AS BIGINT)
+              FROM merged GROUP BY 2""")),
+
+    // S33 — manifest-carried file stats → METADATA-ONLY pruning
+    // (ext.): where s18/s21 read parquet footers at PLAN time on every
+    // query, here the per-file l_orderkey min/max is paid ONCE at
+    // write (`writeInitial(statsCols)` folds row-group footer stats
+    // into the manifest line) and the range scan plans from the
+    // manifest alone — `ManifestPruneSpec` proves zero plan-time
+    // footer reads by DELETING the pruned files and reading anyway,
+    // and pins the survivor set to the footer-read planner's. The
+    // range-clustered write gives files tight key zones so the
+    // predicate actually skips; the RESULT is layout- and
+    // stats-invariant, which is what the oracle certifies.
+    Q("s33_manifest_prune",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s33_mstats", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          .repartitionByRange(16, col("l_orderkey"))
+          .sortWithinPartitions(col("l_orderkey"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m",
+          statsCols = Seq("l_orderkey"))
+        SnapshotLog.prunedRead(s, dir, v1, "l_orderkey", 1000L, 3000L)
+          .filter(col("l_orderkey").between(1000L, 3000L))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            min(col("l_orderkey")).as("min_key"),
+            max(col("l_orderkey")).as("max_key"))
+      },
+      Some("""SELECT CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(CAST(l_quantity AS INT)) AS BIGINT)
+                       AS sum_qty,
+                     min(l_orderkey) AS min_key,
+                     max(l_orderkey) AS max_key
+              FROM lineitem
+              WHERE l_orderkey BETWEEN 1000 AND 3000
+              GROUP BY 1""")),
+
+    // S34 — merge-on-read DELETE VECTORS (ext.): the high-churn half
+    // of the lake story. v1 commits the base table; the delete batch
+    // (months 2–3, keys %19) commits as an EQUALITY-DELETE file
+    // (Iceberg-style key tuples, manifest kind "X") WITHOUT rewriting
+    // any data file — `DeleteVectorsSpec` pins the v1 data files
+    // byte-identical under v2 — and readers subtract it with one
+    // broadcast anti-join (`readMor`). v3 is the lazy compaction that
+    // folds the vectors into fresh files (no "X" entries left). The
+    // query aggregates all three snapshots: v1 full, v2 deletes
+    // visible through the vectors, v3 identical values from
+    // vector-free files.
+    Q("s34_delete_vectors",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s34_dv", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val delKeys = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val v2 = DeleteVectors.appendDeletes(s, dir, delKeys)
+        val v3 = DeleteVectors.compact(s, dir, "m")
+        val faces = Seq(
+          v1 -> SnapshotLog.read(s, dir, v1),
+          v2 -> SnapshotLog.readMor(s, dir, v2),
+          v3 -> SnapshotLog.read(s, dir, v3))
+        faces.map { case (v, df) =>
+          df.groupBy(col("m"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(v).as("snapshot"), col("m"), col("n_rows"),
+              col("sum_qty"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT * FROM base
+                WHERE NOT (m IN (2, 3) AND ok % 19 = 0))
+              SELECT 1 AS snapshot, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 2, CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT)
+              FROM kept GROUP BY 2
+              UNION ALL
+              SELECT 3, CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT)
+              FROM kept GROUP BY 2"""))
   )
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and

@@ -1,0 +1,72 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read delete vectors (s34_delete_vectors) — what makes them
+  * the cheap-delete tier:
+  *
+  *  1. A delete commit rewrites NO data file (v1's data entries appear
+  *     in v2 verbatim, bytes untouched) yet the deletes are visible
+  *     through `readMor`.
+  *  2. Compaction folds the vectors away: v3 has no "X" entries, reads
+  *     WITHOUT the anti-join, and equals the vectored view exactly.
+  *  3. Time travel: v1 still reads the full pre-delete table.
+  */
+class DeleteVectorsSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("deletes visible with zero data rewrite; compaction folds vectors") {
+    val dir = s"${graft.Scratch.dirFor("s34_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    val e1 = SnapshotLog.entries(dir, v1)
+    val mtimes1 = e1.map(e =>
+      e.path -> new java.io.File(e.path).lastModified()).toMap
+
+    val delKeys = SnapshotLog.read(spark, dir, v1)
+      .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val v2 = DeleteVectors.appendDeletes(spark, dir, delKeys)
+
+    // 1. data entries shared verbatim, files untouched on disk
+    val e2 = SnapshotLog.entries(dir, v2)
+    assert(e2.filter(_.kind == "D").map(_.path).sorted ==
+      e1.map(_.path).sorted, "a delete commit must not rewrite data files")
+    assert(e2.exists(_.kind == "X"), "v2 must carry a delete entry")
+    e1.foreach { e =>
+      assert(new java.io.File(e.path).lastModified() == mtimes1(e.path),
+        s"data file ${e.path} was touched by a delete commit")
+    }
+    val want = base.join(delKeys, Seq("l_orderkey", "l_linenumber", "m"),
+        "left_anti") // using-columns join reorders — re-select for exceptAll
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    val got2 = SnapshotLog.readMor(spark, dir, v2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(got2.exceptAll(want).count() == 0 &&
+      want.exceptAll(got2).count() == 0,
+      "merge-on-read view must equal the logical anti-join")
+
+    // 2. compaction: vector-free snapshot, same content
+    val v3 = DeleteVectors.compact(spark, dir, "m")
+    val e3 = SnapshotLog.entries(dir, v3)
+    assert(e3.forall(_.kind == "D"), "compaction must fold the vectors away")
+    val got3 = SnapshotLog.read(spark, dir, v3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(got3.exceptAll(got2).count() == 0 &&
+      got2.exceptAll(got3).count() == 0,
+      "compacted snapshot diverged from the vectored view")
+
+    // 3. v1 unaffected throughout
+    val got1 = SnapshotLog.read(spark, dir, v1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(got1.exceptAll(base).count() == 0 &&
+      base.exceptAll(got1).count() == 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{SnapshotLog, SnapshotMerge}
+import org.apache.spark.sql.functions._
+
+/** Manifest-carried file stats (s33_manifest_prune) — the property that
+  * separates it from the s18 zone maps: pruning is a PURE MANIFEST read.
+  *
+  *  1. The survivor set from manifest stats equals the footer-read
+  *     planner's on the same range (same conservative-keep semantics).
+  *  2. Plan-time metadata-ONLY: after physically DELETING every pruned
+  *     file, the pruned read still answers correctly — if planning
+  *     opened any pruned footer (as s18's planner must), it would throw.
+  */
+class ManifestPruneSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("manifest pruning == footer pruning; survives deleting pruned files") {
+    val dir = s"${graft.Scratch.dirFor("s33_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+        month(to_date(col("l_shipdate"))).as("m"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m",
+      statsCols = Seq("l_orderkey"))
+    val (lo, hi) = (1000L, 3000L)
+    val es = SnapshotLog.entries(dir, v1)
+    assert(es.forall(_.stats.contains("l_orderkey")),
+      "every entry must carry write-time stats")
+    val fromManifest = es.filter(_.overlaps("l_orderkey", lo, hi))
+      .map(_.path).toSet
+    assert(fromManifest.nonEmpty && fromManifest.size < es.size,
+      s"range must actually prune (kept ${fromManifest.size}/${es.size})")
+
+    // 1. same survivors as the footer-read planner, file by file
+    val fromFooters = es.map(_.path).filter { p =>
+      val st = SnapshotLog.footerStats(spark, p, Seq("l_orderkey"))
+      st.get("l_orderkey").forall { case (mn, mx) => mx >= lo && mn <= hi }
+    }.toSet
+    assert(fromManifest == fromFooters,
+      "manifest survivors diverged from footer survivors")
+
+    val want = SnapshotLog.read(spark, dir, v1)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+
+    // 2. delete every PRUNED file — pruning that read footers at plan
+    // time would now throw; a manifest-only planner never notices
+    es.map(_.path).filterNot(fromManifest).foreach { p =>
+      assert(new java.io.File(p).delete(), s"couldn't delete $p")
+    }
+    val got = SnapshotLog.prunedRead(spark, dir, v1, "l_orderkey", lo, hi)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+    assert(got == want,
+      "metadata-pruned read diverged after pruned files were deleted")
+  }
+}

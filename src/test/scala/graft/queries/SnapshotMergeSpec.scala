@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{SnapshotLog, SnapshotMerge}
+import org.apache.spark.sql.functions._
+
+/** MERGE composed with the snapshot log (s32_merge_snapshot) — what the
+  * composition must guarantee:
+  *
+  *  1. Structural sharing: the post-merge manifest references the
+  *     untouched partitions' v1 files UNCHANGED (same paths), and those
+  *     files' bytes are untouched on disk.
+  *  2. Time travel across the upsert: v1 still reads the pre-merge
+  *     table exactly, v2 equals the logical whole-relation merge.
+  *  3. OCC: a merge derived from snapshot v fails loudly if another
+  *     commit landed first — it never publishes stale output on a
+  *     later id.
+  */
+class SnapshotMergeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("untouched entries shared; time travel spans the upsert; OCC") {
+    val dir = s"${graft.Scratch.dirFor("s32_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    assert(v1 == 1)
+    val e1 = SnapshotLog.entries(dir, v1)
+    assert(e1.nonEmpty && e1.forall(_.kind == "D"))
+    assert(e1.forall(_.partition.startsWith("m=")),
+      "every entry must carry its partition label")
+    val untouched1 = e1.filterNot(e => Set("m=2", "m=3")(e.partition))
+    val sizes1 = untouched1.map(e =>
+      e.path -> new java.io.File(e.path).lastModified()).toMap
+
+    val src = SnapshotLog.read(spark, dir, v1).filter(col("m").isin(2, 3))
+    val deletes = src.filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
+        col("l_orderkey") % 13 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+        (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+    val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+        col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+      .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+        col("l_linenumber"), col("qty"), col("m"))
+    val v2 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+      Map("qty" -> "new_qty"))
+    assert(v2 == 2)
+
+    // 1. untouched v1 entries appear in v2 VERBATIM, files untouched
+    val e2 = SnapshotLog.entries(dir, v2)
+    val untouched2 = e2.filterNot(e => Set("m=2", "m=3")(e.partition))
+    assert(untouched2.map(_.path).sorted == untouched1.map(_.path).sorted,
+      "untouched partitions must share v1's files, not be rewritten")
+    untouched1.foreach { e =>
+      assert(new java.io.File(e.path).lastModified() == sizes1(e.path),
+        s"shared file ${e.path} was modified by the merge")
+    }
+    assert(e2.filter(e => Set("m=2", "m=3")(e.partition))
+      .forall(_.path.contains("/data/v2/")),
+      "touched partitions must come from the new version root")
+
+    // 2a. v1 still reads the PRE-merge table after v2 committed
+    val got1 = SnapshotLog.read(spark, dir, v1)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(got1.exceptAll(base).count() == 0 &&
+      base.exceptAll(got1).count() == 0,
+      "time travel to v1 diverged after the merge commit")
+    // 2b. v2 equals the logical whole-relation merge
+    val want2 = base
+      .filter(!(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0))
+      .withColumn("qty",
+        when(col("m").isin(2, 3) && col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0,
+          (col("l_orderkey") % 47 + 1).cast("int"))
+          .otherwise(col("qty")))
+      .unionByName(base.filter(col("m").isin(2, 3) &&
+          col("l_orderkey") % 19 =!= 0 && col("l_orderkey") % 13 =!= 0 &&
+          col("l_orderkey") % 17 === 0)
+        .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+          col("l_linenumber"), col("qty"), col("m")))
+    val got2 = SnapshotLog.read(spark, dir, v2)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(got2.exceptAll(want2).count() == 0 &&
+      want2.exceptAll(got2).count() == 0,
+      "snapshot merge must equal the logical whole-relation merge")
+
+    // 3. OCC: an interloper commits v3 AFTER a second merge pinned its
+    // base to v2 — the pinned merge must FAIL (its derived output is
+    // stale), never land on a later id
+    assert(SnapshotLog.publishEntries(dir, 3, e2)) // interloper commits v3
+    intercept[java.util.ConcurrentModificationException] {
+      SnapshotMerge(spark, dir, "m",
+        Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+        Map("qty" -> "new_qty"), fromVersion = Some(v2))
+    }
+    assert(SnapshotLog.latest(dir) == 3,
+      "a failed OCC merge must not advance the table")
+  }
+}
