@@ -87,6 +87,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "bottomk"),
       children => graft.expressions.BottomK(children.head,
         intLit("bottomk", "k")(children(1)))),
+    (new FunctionIdentifier("mg"),
+      new ExpressionInfo(classOf[graft.expressions.MisraGriesAgg].getName,
+        "mg"),
+      children => graft.expressions.MisraGriesAgg(children.head,
+        intLit("mg", "k")(children(1)))),
     (new FunctionIdentifier("dotq6"),
       new ExpressionInfo(classOf[DotQuant6].getName, "dotq6"),
       children => DotQuant6(children.head, children(1))),

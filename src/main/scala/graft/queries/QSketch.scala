@@ -932,18 +932,24 @@ object QSketch extends Registry {
     Q("sk_mg_heavyhitters",
       (s, d) => {
         val k = MgK
+        graft.GraftExtensions.ensure(s)
         val stream = graft.Caches.registerTransient(
           mgKeyed(Tables.lineitem(s, d))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // pass 1: per-partition sketch + row count in the SAME pass;
-        // ≤ partitions·(k+1) driver-side entries — metadata-scale
-        val partials = mgPartials(stream, k).collect()
-        val n = partials.map(_._1).sum
-        val merged = partials.map(_._2.toMap)
-          .foldLeft(Map.empty[String, Long])(
-            graft.operators.MisraGries.merge(_, _, k))
+        // pass 1: the NATIVE `mg(key, k)` aggregate — Spark plans a
+        // two-phase ObjectHashAggregate, each task folds a k-counter
+        // summary, the wire carries ≤k entries per task, and ONE
+        // merged summary row reaches the driver (the mapPartitions +
+        // driver-fold formulation this replaces shipped
+        // partitions·(k+1) entries; the library fold survives as the
+        // streaming census' per-batch face)
+        val sk = stream.agg(expr(s"mg(k, $k)").as("sk"))
+          .head.getStruct(0)
+        val n = sk.getLong(0)
+        val candidates = sk.getSeq[org.apache.spark.sql.Row](1)
+          .map(_.getString(0))
         // pass 2: exact recount of the ≤k survivors only
-        mgRecount(stream, merged.keys.toSeq, n, k)
+        mgRecount(stream, candidates, n, k)
       },
       Some(mgOracle))
   )

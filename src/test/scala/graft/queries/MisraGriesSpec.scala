@@ -75,6 +75,49 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("native mg aggregate: library-fold equality, superset under " +
+      "partitioning, two-phase plan") {
+    graft.GraftExtensions.ensure(spark)
+    import spark.implicits._
+    val s = stream(9000)
+    val k = 8
+    val truth = s.groupBy(identity).map { case (kk, v) => kk -> v.size.toLong }
+    val heavy = truth.filter { case (_, c) => c * (k + 1) > s.size }.keySet
+    // hostile partitionings: the superset-of-heavy guarantee must hold
+    // whatever task split Spark picks
+    for (parts <- Seq(1, 3, 17)) {
+      val row = s.toDF("k").repartition(parts)
+        .agg(expr(s"mg(k, $k)")).head.getStruct(0)
+      assert(row.getLong(0) == 9000L)
+      val entries = row.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(entries.size <= k, s"parts=$parts overflowed: ${entries.size}")
+      assert(heavy.subsetOf(entries.map(_._1).toSet),
+        s"parts=$parts lost heavy keys")
+      // counts never exceed truth and honor the n/(k+1) band
+      entries.foreach { case (kk, est) =>
+        val c = truth(kk)
+        assert(est <= c && c - est <= 9000L / (k + 1),
+          s"parts=$parts key $kk: true $c stored $est")
+      }
+      // single partition == the library fold exactly (same algorithm,
+      // no merge nondeterminism)
+      if (parts == 1) {
+        val (_, lib) = MisraGries.sketch(s.iterator, k)
+        assert(entries.toMap == lib, "native single-task != library fold")
+      }
+    }
+    // nulls skipped, n counts only non-null
+    val withNulls = (s.map(Option(_)) ++ Seq(None, None)).toDF("k")
+    assert(withNulls.agg(expr(s"mg(k, $k)")).head.getStruct(0)
+      .getLong(0) == 9000L)
+    // plan shape: two-phase ObjectHashAggregate with a partial_mg
+    val plan = s.toDF("k").agg(expr(s"mg(k, $k)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(plan.contains("partial_mg"), plan)
+  }
+
   test("two-pass query equals the GROUP BY + HAVING formulation") {
     val got = SparkEntry.queries("sk_mg_heavyhitters")(spark, sf)
     val st = graft.Tables.lineitem(spark, sf).select(
