@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Generate, Join,
   LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -31,15 +31,27 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
   * Fires only when `spark.graft.rangejoin.bucketWidth` > 0 (W is
   * workload knowledge — interval width ÷ W bounds the per-interval
   * fan-out, exactly like the Databricks hint's bin size), the join is
-  * INNER, the condition holds a lower and an upper bound on the same
-  * integral point expression with bounds from the opposite side, and no
-  * equality predicate already crosses the join (if one does, the join
-  * is hash-plannable as-is and the rewritten node no longer matches —
-  * which is also what makes the rule idempotent under the optimizer's
-  * fixed-point loop). A Project restores the original output so the
-  * bucket column never escapes. NULL bounds/points are preserved:
-  * `sequence(null, …)` explodes to no rows and a null point's buckets
-  * never equal — both exactly the inner join's null semantics.
+  * INNER — or an OUTER join whose PRESERVED side is the point side
+  * (LEFT OUTER with points left / RIGHT OUTER with points right): the
+  * explode multiplies only interval rows, a matched point still meets
+  * each matching interval exactly once (the point has ONE bucket, and
+  * the interval's copy in that bucket is unique), and an unmatched
+  * point null-extends exactly once because the preserved side is never
+  * multiplied. An outer join that PRESERVES the interval side must NOT
+  * fire — its unmatched interval rows would null-extend once per
+  * exploded bucket — and doesn't (guard below). Additionally the
+  * condition must hold a lower and an upper bound on the same integral
+  * point expression with bounds from the opposite side, and no
+  * equality predicate may already cross the join (if one does, the
+  * join is hash-plannable as-is and the rewritten node no longer
+  * matches — which is also what makes the rule idempotent under the
+  * optimizer's fixed-point loop). A Project restores the original
+  * output so the bucket column never escapes. NULL bounds/points are
+  * preserved: `sequence(null, …)` explodes to no rows (harmless — the
+  * dropped interval row is on the non-preserved side and could match
+  * nothing) and a null point's bucket never equals — no match, which
+  * for an outer join leaves the preserved row null-extended, exactly
+  * the BETWEEN's null semantics.
   */
 object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -54,7 +66,7 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
     val w = conf.getConfString(WidthConf, "0").toLong
     if (w <= 0) plan
     else plan.transform {
-      case j @ Join(_, _, Inner, Some(_), _) =>
+      case j @ Join(_, _, Inner | LeftOuter | RightOuter, Some(_), _) =>
         rewrite(j, w).getOrElse(j)
     }
   }
@@ -98,28 +110,39 @@ object RangeJoinRewriteRule extends Rule[LogicalPlan] with PredicateHelper {
       lo <- cmps if lo.lower
       hi <- cmps if !hi.lower && hi.point.semanticEquals(lo.point)
     } yield (lo, hi)).headOption
-    pair.map { case (lo, hi) =>
+    pair.flatMap { case (lo, hi) =>
       val point = lo.point
       val pointOnLeft = fromLeft(point)
-      val intervalSide = if (pointOnLeft) j.right else j.left
-      def div(e: Expression) =
-        IntegralDivide(Cast(e, LongType), Literal(w))
-      val bucketOut = AttributeReference("_graft_range_bucket", LongType)()
-      // Sequence is TimeZoneAwareExpression: without an explicit
-      // timeZoneId it reports UNRESOLVED, and no analyzer pass runs
-      // after an optimizer rule — set it here
-      val gen = Generate(
-        Explode(new Sequence(div(lo.bound), div(hi.bound),
-          Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
-        unrequiredChildIndex = Nil, outer = false, qualifier = None,
-        generatorOutput = Seq(bucketOut), child = intervalSide)
-      val newCond = (EqualTo(bucketOut, div(point)) +: conjuncts)
-        .reduce(And)
-      val joined =
-        if (pointOnLeft) j.copy(right = gen, condition = Some(newCond))
-        else j.copy(left = gen, condition = Some(newCond))
-      // the bucket column must not escape the join's original schema
-      Project(j.output, joined)
+      // outer joins may only explode the NON-preserved side: a
+      // preserved interval row would null-extend once per bucket copy
+      val shapeOk = j.joinType match {
+        case Inner => true
+        case LeftOuter => pointOnLeft
+        case RightOuter => !pointOnLeft
+        case _ => false
+      }
+      if (!shapeOk) None
+      else {
+        val intervalSide = if (pointOnLeft) j.right else j.left
+        def div(e: Expression) =
+          IntegralDivide(Cast(e, LongType), Literal(w))
+        val bucketOut = AttributeReference("_graft_range_bucket", LongType)()
+        // Sequence is TimeZoneAwareExpression: without an explicit
+        // timeZoneId it reports UNRESOLVED, and no analyzer pass runs
+        // after an optimizer rule — set it here
+        val gen = Generate(
+          Explode(new Sequence(div(lo.bound), div(hi.bound),
+            Some(Literal(1L)), Some(conf.sessionLocalTimeZone))),
+          unrequiredChildIndex = Nil, outer = false, qualifier = None,
+          generatorOutput = Seq(bucketOut), child = intervalSide)
+        val newCond = (EqualTo(bucketOut, div(point)) +: conjuncts)
+          .reduce(And)
+        val joined =
+          if (pointOnLeft) j.copy(right = gen, condition = Some(newCond))
+          else j.copy(left = gen, condition = Some(newCond))
+        // the bucket column must not escape the join's original schema
+        Some(Project(j.output, joined))
+      }
     }
   }
 }

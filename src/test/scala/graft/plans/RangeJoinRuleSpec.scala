@@ -63,6 +63,56 @@ class RangeJoinRuleSpec extends SparkSpec {
     assert(!off.exists(_.getLong(1) == 3L))
   }
 
+  test("LEFT OUTER with points preserved: fires, on == off incl. null-extension") {
+    val (points, bands) = fixture()
+    def outer() = points.join(bands,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+      .select(col("p"), col("band"))
+    val offPlan = withWidth("0")(outer().queryExecution.executedPlan.toString)
+    assert(offPlan.contains("BroadcastNestedLoopJoin"), offPlan)
+    val onPlan = withWidth("64")(outer().queryExecution.executedPlan.toString)
+    assert(!onPlan.contains("BroadcastNestedLoopJoin"),
+      s"outer rewrite did not fire:\n$onPlan")
+    assert(onPlan.contains("Generate"), onPlan)
+    val off = withWidth("0")(outer().collect().toSet)
+    val on = withWidth("64")(outer().collect().toSet)
+    // unmatched points must null-extend EXACTLY once (a set compare
+    // would hide duplicate null-extensions — compare as multisets)
+    val offM = withWidth("0")(outer().collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap)
+    val onM = withWidth("64")(outer().collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap)
+    assert(off.exists(_.isNullAt(1)), "fixture must have unmatched points")
+    assert(onM == offM, "outer rewrite changed the multiset")
+    assert(on == off)
+  }
+
+  test("outer join preserving the INTERVAL side must not fire") {
+    val (points, bands) = fixture()
+    // bands LEFT OUTER points: the preserved side is the interval side —
+    // exploding it would null-extend unmatched bands once per bucket
+    def preservedIntervals() = bands.join(points,
+        col("p") >= col("lo") && col("p") <= col("hi"), "left_outer")
+      .select(col("band"), col("p"))
+    val onPlan = withWidth("64")(
+      preservedIntervals().queryExecution.executedPlan.toString)
+    assert(!onPlan.contains("Generate"),
+      s"rule fired on an interval-preserving outer join:\n$onPlan")
+    val off = withWidth("0")(preservedIntervals().collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue
+        else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap)
+    val on = withWidth("64")(preservedIntervals().collect().toSeq
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) Long.MinValue
+        else r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.size).toMap)
+    // the null-lo band appears exactly once, null-extended, both ways
+    assert(off((3L, Long.MinValue)) == 1)
+    assert(on == off)
+  }
+
   test("idempotent: an equi conjunct already present leaves the join alone") {
     import spark.implicits._
     val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "p")

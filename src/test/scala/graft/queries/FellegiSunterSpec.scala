@@ -43,6 +43,46 @@ class FellegiSunterSpec extends SparkSpec {
     }
   }
 
+  test("EM-learned weights classify pairs at least as well as hand-set") {
+    // truth per candidate pair: is it the record's true match?
+    val clean = QJoins.fsClean(spark, sf)
+    val dirty = QJoins.fsDirty(clean)
+    val gam = QJoins.fsGammas(QJoins.fsCand(dirty, clean), dirty, clean)
+      .withColumn("is_true",
+        (col("c_id") === col("true_id")).cast("int"))
+      .persist()
+    // learned: j32's per-cell ratio decision joined back onto pairs
+    val cells = SparkEntry.queries("j32_er_fs_em")(spark, sf)
+      .select(col("gn"), col("gp"), col("gt"),
+        (col("cls") === "match").cast("int").as("pred_learned"))
+    val learned = gam.join(broadcast(cells), Seq("gn", "gp", "gt"))
+    // hand-set: j30's milli-log2 score thresholded at MatchThresh
+    import graft.operators.{FellegiSunter => FS}
+    val hand = gam.join(dirty, Seq("d_id")).join(clean, Seq("c_id"))
+      .withColumn("pred_hand",
+        (FS.score(col("dname"), col("ename"), col("dphone"),
+          col("ephone"), col("dnation"), col("enation"))
+          >= FS.MatchThresh).cast("int"))
+    def accuracy(df: org.apache.spark.sql.DataFrame, pred: String): Double =
+      df.agg(avg((col(pred) === col("is_true")).cast("double")))
+        .head.getDouble(0)
+    val accLearned = accuracy(learned, "pred_learned")
+    val accHand = accuracy(hand, "pred_hand")
+    gam.unpersist()
+    assert(accLearned >= accHand,
+      s"EM-learned accuracy $accLearned below hand-set $accHand")
+    assert(accLearned > 0.9, s"learned classifier too weak: $accLearned")
+    // the EM must also have MOVED the params off their priors: the
+    // all-agree cell must be (near-)certain match, the all-disagree
+    // cell (if present) certain non-match
+    val w = SparkEntry.queries("j32_er_fs_em")(spark, sf).collect()
+      .map(r => (r.getAs[Int]("gn"), r.getAs[Int]("gp"),
+        r.getAs[Int]("gt")) -> r.getAs[Long]("w_milli")).toMap
+    assert(w((2, 2, 1)) >= 990, s"exact-agreement cell w=${w((2, 2, 1))}")
+    w.get((0, 0, 0)).foreach(v =>
+      assert(v <= 10, s"all-disagree cell w=$v"))
+  }
+
   test("alien-name class is invisible to gram blocking alone") {
     import graft.operators.ErBlocking
     val clean = graft.Tables.customer(spark, sf).select(
