@@ -77,7 +77,13 @@ object ScaleProbe {
     // native bottom-k sketch. g2_label_prop shares g1's geometry note
     // (parts are an unscaled dim — the edge set is basket-bound) and
     // stays out for the same reason g1's probe row needs its caveat.
-    "s31_time_travel", "sk_kmv_native")
+    "s31_time_travel", "sk_kmv_native",
+    // round 10: the composed lake kernel — snapshot-committed MERGE,
+    // manifest-stats pruning, and the delete-vector append+compact
+    // round trip (all lineitem-scaled). j32_er_fs_em shares j30's
+    // geometry note (customer is an unscaled symlinked dim) and its
+    // EM cost is cells×rounds — metadata whatever the pair volume.
+    "s32_merge_snapshot", "s33_manifest_prune", "s34_delete_vectors")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -167,9 +167,12 @@ object SnapshotLog {
     val dels = es.filter(_.kind == "X").map(_.path)
     if (dels.isEmpty) data
     else {
+      // no distinct here: anti-join semantics ignore right-side
+      // duplicates (appendDeletes already dedupes at write), and a
+      // distinct would add a shuffle to every vectored read
       val delKeys = s.read.parquet(dels: _*)
       data.join(
-        org.apache.spark.sql.functions.broadcast(delKeys.distinct()),
+        org.apache.spark.sql.functions.broadcast(delKeys),
         delKeys.columns.toSeq, "left_anti")
     }
   }

@@ -353,4 +353,29 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.broadcasts >= 2, s"dd_decontaminate_bloom broadcasts: ${c.broadcasts}")
     graft.Caches.clearTransient()
   }
+
+  test("snapshot merge readback: two snapshot aggregates, one exchange each") {
+    val c = Plans.planCounts(q("s32_merge_snapshot"))
+    assert(c.shuffles <= 2, s"s32_merge_snapshot shuffles: ${c.shuffles}")
+  }
+
+  test("manifest-stats pruned read: the per-month aggregate is the only exchange") {
+    val c = Plans.planCounts(q("s33_manifest_prune"))
+    assert(c.shuffles <= 1, s"s33_manifest_prune shuffles: ${c.shuffles}")
+  }
+
+  test("delete vectors: three snapshot aggregates; the vectored read adds " +
+      "one broadcast anti-join, never a shuffle") {
+    val c = Plans.planCounts(q("s34_delete_vectors"))
+    assert(c.shuffles <= 3, s"s34_delete_vectors shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"s34_delete_vectors broadcasts: ${c.broadcasts}")
+  }
+
+  test("FS EM surface: cells and params read from checkpoints — zero shuffles") {
+    // all pair-volume work sits behind the cells localCheckpoint; the
+    // returned frame is an 18-row × 1-row broadcast cross join
+    val c = Plans.planCounts(q("j32_er_fs_em"))
+    assert(c.shuffles == 0, s"j32_er_fs_em shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"j32_er_fs_em broadcasts: ${c.broadcasts}")
+  }
 }
