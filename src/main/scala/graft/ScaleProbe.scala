@@ -83,7 +83,10 @@ object ScaleProbe {
     // round trip (all lineitem-scaled). j32_er_fs_em shares j30's
     // geometry note (customer is an unscaled symlinked dim) and its
     // EM cost is cells×rounds — metadata whatever the pair volume.
-    "s32_merge_snapshot", "s33_manifest_prune", "s34_delete_vectors")
+    "s32_merge_snapshot", "s33_manifest_prune", "s34_delete_vectors",
+    // round 10b: the lifecycle pair — vacuum after a copy-on-write
+    // merge, and the hot-slice delete-vector fold
+    "s35_snapshot_expire", "s36_partial_compaction")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -42,6 +42,63 @@ object DeleteVectors {
     v + 1
   }
 
+  /** PARTITION-SCOPED compaction — fold the vectors into fresh files
+    * for ONLY the listed partitions (the hot slice), sharing every
+    * other data file by reference. Requires the delete keys to CARRY
+    * the partition column: the keys scoped to compacted partitions are
+    * now materialized into the rewritten files and must leave the
+    * vector, while keys targeting other partitions survive as a
+    * RESIDUAL delete file that readers keep applying (it cannot touch
+    * the compacted rows — their partition values are outside its key
+    * set). This is what makes compaction schedulable at 100 TB: fold
+    * where the churn is, never pay a full-table rewrite (the
+    * un-scoped [[compact]] remains the terminal OPTIMIZE).
+    */
+  def compactPartitions(s: SparkSession, tableDir: String, partCol: String,
+      parts: Seq[Any], statsCols: Seq[String] = Nil): Int = {
+    val v = SnapshotLog.latest(tableDir)
+    val es = SnapshotLog.entries(tableDir, v)
+    val delPaths = es.filter(_.kind == "X").map(_.path)
+    require(delPaths.nonEmpty, "no delete vectors to compact")
+    val delKeys = s.read.parquet(delPaths: _*)
+    require(delKeys.columns.contains(partCol),
+      s"partition-scoped compaction needs '$partCol' in the delete keys " +
+        "(otherwise a key could target an un-compacted partition)")
+    val labels = parts.map(p => s"$partCol=$p").toSet
+    val (tData, uData) = es.filter(_.kind == "D")
+      .partition(e => labels(e.partition))
+    val newRoot = s"$tableDir/data/v${v + 1}"
+    s.read.parquet(tData.map(_.path): _*)
+      .join(broadcast(delKeys), delKeys.columns.toSeq, "left_anti")
+      .withColumn("_gp", col(partCol))
+      .write.partitionBy("_gp").mode("overwrite").parquet(newRoot)
+    val newData = SnapshotLog.dataFiles(newRoot).map { f =>
+      val seg = new java.io.File(f).getParentFile.getName
+      val stats =
+        if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
+        else SnapshotLog.footerStats(s, f, statsCols)
+      SnapshotLog.FileEntry(f, "D",
+        s"$partCol=${seg.stripPrefix("_gp=")}", stats)
+    }
+    // residual vector: the keys whose partitions were NOT compacted
+    // (delete-batch-sized — an action over metadata, not data)
+    val residual = delKeys.filter(!col(partCol).isin(parts: _*))
+      .localCheckpoint(true)
+    val residualEntries =
+      if (residual.isEmpty) Nil
+      else {
+        val root = s"$tableDir/deletes/v${v + 1}"
+        residual.coalesce(1).write.mode("overwrite").parquet(root)
+        SnapshotLog.dataFiles(root)
+          .map(SnapshotLog.FileEntry(_, "X", "", Map.empty))
+      }
+    if (!SnapshotLog.publishEntries(tableDir, v + 1,
+        uData ++ newData ++ residualEntries))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $tableDir advanced past v$v during partial compaction")
+    v + 1
+  }
+
   /** Fold the delete vectors away: materialize the merge-on-read view
     * into fresh data files (partition labels + optional stats carried
     * into the new manifest) and commit a snapshot with NO "X" entries.

@@ -192,6 +192,32 @@ object SnapshotLog {
     else s.read.parquet(keep.map(_.path): _*)
   }
 
+  /** Expire snapshots below `keepFrom` — the VACUUM half of the
+    * lifecycle (Delta VACUUM / Iceberg expireSnapshots): delete the
+    * expired manifests and every file they reference that NO retained
+    * snapshot still references. Structural sharing makes this a set
+    * difference over manifest lines (pure metadata); retained
+    * snapshots keep reading byte-identical because a shared file is by
+    * construction in the retained set. Returns the deleted data files.
+    * Time travel below `keepFrom` fails loudly afterwards (the
+    * manifest is gone), never silently serves partial data.
+    */
+  def expire(tableDir: String, keepFrom: Int): Seq[String] = {
+    val last = latest(tableDir)
+    require(keepFrom >= 1 && keepFrom <= last,
+      s"keepFrom $keepFrom outside committed range [1, $last]")
+    val d = manifestDir(tableDir)
+    def live(v: Int) = Files.exists(d.resolve(s"v$v.manifest"))
+    val retained = (keepFrom to last).filter(live)
+      .flatMap(v => entries(tableDir, v).map(_.path)).toSet
+    val expired = (1 until keepFrom).filter(live)
+    val dead = expired.flatMap(v => entries(tableDir, v).map(_.path))
+      .distinct.filterNot(retained)
+    dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    expired.foreach(v => Files.delete(d.resolve(s"v$v.manifest")))
+    dead
+  }
+
   /** Per-file min/max of INT64 columns from the parquet FOOTER —
     * row-group stats folded per file. Paid once at WRITE time by the
     * committing writer (files·cols metadata, the Iceberg writer-side

@@ -1464,6 +1464,125 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 3, CAST(m AS INT), count(*),
                      CAST(sum(qty) AS BIGINT)
+              FROM kept GROUP BY 2""")),
+
+    // S35 — snapshot EXPIRY / VACUUM (ext.): the lifecycle end of the
+    // table format. v1 commits the base, v2 is the s32 copy-on-write
+    // merge (months 2–3 rewritten, ten months SHARED by reference),
+    // then `SnapshotLog.expire(keepFrom = v2)` deletes v1's manifest
+    // plus every file only v1 referenced — a pure manifest set
+    // difference; the shared files survive BECAUSE they appear in the
+    // retained manifest. The query reads the retained snapshot AFTER
+    // the vacuum physically deleted the old month-2/3 files — the
+    // oracle certifies post-vacuum correctness, `SnapshotExpireSpec`
+    // pins exactly which files died, that time travel below keepFrom
+    // fails loudly, and that the vacuum is a no-op at keepFrom = 1.
+    Q("s35_snapshot_expire",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s35_vacuum", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val touchedSrc = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(2, 3))
+        val deletes = touchedSrc.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val updates = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v2 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        SnapshotLog.expire(dir, keepFrom = v2)
+        SnapshotLog.read(s, dir, v2)
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            sum(col("l_orderkey") * 7 + col("l_linenumber"))
+              .cast("long").as("sum_key"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN m IN (2, 3) AND ok % 19 <> 0
+                                 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base
+                WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE m IN (2, 3) AND ok % 19 <> 0 AND ok % 13 <> 0
+                  AND ok % 17 = 0),
+              merged AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(sum(ok * 7 + ln) AS BIGINT) AS sum_key
+              FROM merged GROUP BY 1""")),
+
+    // S36 — PARTITION-SCOPED delete-vector compaction (ext.): fold the
+    // vectors only where the churn is. v2 appends equality deletes for
+    // months 2–3; v3 compacts ONLY month 2 — its files are rewritten
+    // with the deletes materialized, every other data file is shared
+    // by reference, and the keys still targeting month 3 survive as a
+    // RESIDUAL vector readers keep applying (they cannot touch the
+    // compacted rows: their partition values lie outside the residual
+    // key set). The vectored views of v2 and v3 must agree exactly —
+    // which is what the oracle certifies; `DeleteVectorsSpec` pins the
+    // file-level sharing, the residual's key scope, and the require
+    // when delete keys lack the partition column.
+    Q("s36_partial_compaction",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s36_pc", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val delKeys = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val v2 = DeleteVectors.appendDeletes(s, dir, delKeys)
+        val v3 = DeleteVectors.compactPartitions(s, dir, "m", Seq(2))
+        Seq(v2, v3).map { v =>
+          SnapshotLog.readMor(s, dir, v)
+            .groupBy(col("m"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(v).as("snapshot"), col("m"), col("n_rows"),
+              col("sum_qty"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT * FROM base
+                WHERE NOT (m IN (2, 3) AND ok % 19 = 0))
+              SELECT 2 AS snapshot, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM kept GROUP BY 2
+              UNION ALL
+              SELECT 3, CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT)
               FROM kept GROUP BY 2"""))
   )
 

@@ -371,6 +371,17 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.broadcasts >= 1, s"s34_delete_vectors broadcasts: ${c.broadcasts}")
   }
 
+  test("post-vacuum read: one aggregate exchange over the retained snapshot") {
+    val c = Plans.planCounts(q("s35_snapshot_expire"))
+    assert(c.shuffles <= 1, s"s35_snapshot_expire shuffles: ${c.shuffles}")
+  }
+
+  test("partial compaction: two vectored aggregates, broadcast residual") {
+    val c = Plans.planCounts(q("s36_partial_compaction"))
+    assert(c.shuffles <= 2, s"s36_partial_compaction shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"s36_partial_compaction broadcasts: ${c.broadcasts}")
+  }
+
   test("FS EM surface: cells and params read from checkpoints — zero shuffles") {
     // all pair-volume work sits behind the cells localCheckpoint; the
     // returned frame is an 18-row × 1-row broadcast cross join

@@ -69,4 +69,60 @@ class DeleteVectorsSpec extends SparkSpec {
     assert(got1.exceptAll(base).count() == 0 &&
       base.exceptAll(got1).count() == 0)
   }
+
+  test("partition-scoped compaction: fold only the hot slice, residual vector") {
+    val dir = s"${graft.Scratch.dirFor("s36_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    val delKeys = SnapshotLog.read(spark, dir, v1)
+      .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val v2 = DeleteVectors.appendDeletes(spark, dir, delKeys)
+    val wantView = SnapshotLog.readMor(spark, dir, v2)
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+
+    val v3 = DeleteVectors.compactPartitions(spark, dir, "m", Seq(2))
+    val e2 = SnapshotLog.entries(dir, v2)
+    val e3 = SnapshotLog.entries(dir, v3)
+    // only m=2's data files were rewritten; everything else shared
+    assert(e3.filter(e => e.kind == "D" && e.partition != "m=2")
+      .map(_.path).sorted ==
+      e2.filter(e => e.kind == "D" && e.partition != "m=2")
+        .map(_.path).sorted,
+      "partition-scoped compaction rewrote an unscoped partition")
+    assert(e3.filter(_.partition == "m=2").forall(_.path.contains("/data/v3/")))
+    // the residual vector carries ONLY month-3 keys
+    val residual = e3.filter(_.kind == "X").map(_.path)
+    assert(residual.nonEmpty, "month-3 deletes must survive as a residual")
+    val residualMonths = spark.read.parquet(residual: _*)
+      .select(col("m")).distinct().collect().map(_.getInt(0)).toSet
+    assert(residualMonths == Set(3), s"residual months: $residualMonths")
+    // the vectored view is unchanged by the fold
+    assert(SnapshotLog.readMor(spark, dir, v3)
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head == wantView)
+    // compacted rows are REALLY gone from the m=2 files (not just hidden
+    // by the residual): the raw data read holds no deleted m=2 key
+    val rawM2 = SnapshotLog.read(spark, dir, v3)
+      .filter(col("m") === 2 && col("l_orderkey") % 19 === 0)
+    assert(rawM2.count() == 0, "m=2 deletes not materialized by the fold")
+
+    // compacting the remaining partition folds the vector away entirely
+    val v4 = DeleteVectors.compactPartitions(spark, dir, "m", Seq(3))
+    assert(SnapshotLog.entries(dir, v4).forall(_.kind == "D"))
+    assert(SnapshotLog.read(spark, dir, v4)
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head == wantView)
+
+    // delete keys without the partition column are rejected
+    val v5 = DeleteVectors.appendDeletes(spark, dir,
+      SnapshotLog.read(spark, dir, v4).limit(5)
+        .select(col("l_orderkey"), col("l_linenumber")))
+    assert(v5 == 5)
+    intercept[IllegalArgumentException] {
+      DeleteVectors.compactPartitions(spark, dir, "m", Seq(2))
+    }
+  }
 }
