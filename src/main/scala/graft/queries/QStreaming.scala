@@ -16,6 +16,40 @@ object QStreaming extends Registry {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Stage the events table as THREE mtime-ordered arrival files
+    * (split on deterministic ts boundaries) so `maxFilesPerTrigger=1`
+    * delivers three micro-batches in a known order — the multi-epoch
+    * fixture shared by `stream_transform_state` and
+    * `stream_snapshot_commit` (one staging, one batch-boundary truth,
+    * both oracles derive from the same CASE on ts). Returns the source
+    * dir; columns (user_id, ts, cents).
+    */
+  private[queries] def stageArrivals(s: org.apache.spark.sql.SparkSession,
+      d: String, root: String): String = {
+    val src = s"$root/arrivals"
+    graft.Scratch.clear(src)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    val ev = graft.Tables.events(s, d).select(
+      col("user_id"), col("ts"),
+      (col("value").cast("decimal(18,2)") * 100)
+        .cast("long").as("cents"))
+    val batches = Seq(
+      ev.filter(col("ts") < "2024-01-10"),
+      ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20"),
+      ev.filter(col("ts") >= "2024-01-20"))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$root/tmp_$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    src
+  }
+
   /** Merge the per-batch KMV sketch dirs under `outDir` (one
     * `batch=N` child per micro-batch) into the census sketch: union →
     * per-(side, h) distinct → re-bottom-k. The per-batch dirs are
@@ -394,28 +428,7 @@ object QStreaming extends Registry {
     Q("stream_transform_state",
       (s, d) => {
         val root = graft.Scratch.dirFor("stream_tws", d)
-        val src = s"$root/arrivals"
-        graft.Scratch.clear(src)
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(src))
-        val ev = graft.Tables.events(s, d).select(
-          col("user_id"), col("ts"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        val batches = Seq(
-          ev.filter(col("ts") < "2024-01-10"),
-          ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20"),
-          ev.filter(col("ts") >= "2024-01-20"))
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val tmp = s"$root/tmp_$i"
-          b.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.toFile.setLastModified(1700000000000L + i * 60000L)
-        }
+        val src = stageArrivals(s, d, root)
         val schema = s.read.parquet(src).schema
         val name = s"graft_stream_tws_${runSeq.incrementAndGet()}"
         RunningTotals.withRocksDb(s) {
@@ -457,6 +470,59 @@ object QStreaming extends Registry {
               FROM pb
               WINDOW w AS (PARTITION BY user_id ORDER BY bi
                            ROWS UNBOUNDED PRECEDING)""")),
+
+    // Streaming SNAPSHOT COMMITS (ext.) — the streaming surface
+    // composed with the lake kernel: each micro-batch lands as ONE
+    // committed snapshot (`streaming.SnapshotCommitSink` — files to a
+    // batchId-scoped dir, manifest = prior entries + new files through
+    // the CAS publish), so the table is exactly-once AT THE TABLE
+    // LEVEL: a replayed epoch finds its batchId label in the manifest
+    // and no-ops (`SnapshotStreamSpec` replays one), and a reader
+    // pinned to snapshot v is never torn by the stream committing
+    // v+1. Three mtime-ordered arrival files under maxFilesPerTrigger=1
+    // give three deterministic epochs; the query reads EVERY snapshot
+    // — the table's history is the stream's prefix sums, which is what
+    // the batch oracle certifies.
+    Q("stream_snapshot_commit",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_snapc", d)
+        val tdir = s"$root/t"
+        graft.Scratch.clear(tdir)
+        val src = stageArrivals(s, d, root)
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              graft.streaming.SnapshotCommitSink
+                .commitBatch(s, tdir, batch, batchId)
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import graft.operators.SnapshotLog
+        (1 to SnapshotLog.latest(tdir)).map { v =>
+          SnapshotLog.read(s, tdir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).as("sum_cents"))
+            .select(lit(v).as("snapshot"), col("n_rows"), col("sum_cents"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH e AS (
+                SELECT CASE WHEN CAST(ts AS TIMESTAMP)
+                              < TIMESTAMP '2024-01-10' THEN 1
+                            WHEN CAST(ts AS TIMESTAMP)
+                              < TIMESTAMP '2024-01-20' THEN 2
+                            ELSE 3 END AS bi,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS cents
+                FROM events),
+              snaps AS (SELECT * FROM (VALUES (1), (2), (3)) t(v))
+              SELECT v AS snapshot, count(*) AS n_rows,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM snaps JOIN e ON e.bi <= snaps.v
+              GROUP BY 1""")),
 
     // Streaming MG census (ext.) — the heavy-hitter face of the
     // per-batch-sketch family (CMS adds, KMV re-bottom-ks, priority
