@@ -85,8 +85,9 @@ object ScaleProbe {
     // EM cost is cells×rounds — metadata whatever the pair volume.
     "s32_merge_snapshot", "s33_manifest_prune", "s34_delete_vectors",
     // round 10b: the lifecycle pair — vacuum after a copy-on-write
-    // merge, and the hot-slice delete-vector fold
-    "s35_snapshot_expire", "s36_partial_compaction")
+    // merge, and the hot-slice delete-vector fold — plus the
+    // manifest-driven change feed (diff cost = touched partitions)
+    "s35_snapshot_expire", "s36_partial_compaction", "s37_change_feed")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -192,6 +192,23 @@ object SnapshotLog {
     else s.read.parquet(keep.map(_.path): _*)
   }
 
+  /** The CHANGE-FEED planning step: the data entries exclusive to each
+    * of two snapshots (old-only, new-only). Structural sharing makes
+    * this the entire cost model of a snapshot diff — SHARED files
+    * cannot contribute changes (same path ⇒ same bytes ⇒ same rows),
+    * so a change feed reads only the partitions a commit actually
+    * rewrote, however large the table. A pure manifest set difference;
+    * no file is opened here.
+    */
+  def exclusiveEntries(tableDir: String, vOld: Int, vNew: Int)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val o = entries(tableDir, vOld).filter(_.kind == "D")
+    val n = entries(tableDir, vNew).filter(_.kind == "D")
+    val oPaths = o.map(_.path).toSet
+    val nPaths = n.map(_.path).toSet
+    (o.filterNot(e => nPaths(e.path)), n.filterNot(e => oPaths(e.path)))
+  }
+
   /** Expire snapshots below `keepFrom` — the VACUUM half of the
     * lifecycle (Delta VACUUM / Iceberg expireSnapshots): delete the
     * expired manifests and every file they reference that NO retained

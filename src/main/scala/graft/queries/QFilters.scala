@@ -1583,8 +1583,118 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 3, CAST(m AS INT), count(*),
                      CAST(sum(qty) AS BIGINT)
-              FROM kept GROUP BY 2"""))
+              FROM kept GROUP BY 2""")),
+
+    // S37 — CHANGE DATA FEED between snapshots (ext.): "what changed
+    // between v1 and v2" answered from the MANIFESTS — shared files
+    // cannot contribute changes (same path ⇒ same bytes), so the diff
+    // reads ONLY each snapshot's exclusive files (here: the rewritten
+    // months 2–3; the ten shared months are never opened —
+    // `ChangeFeedSpec` pins that nothing outside the touched months
+    // appears). Key-level signatures (row count + qty sum per key)
+    // full-outer join into D/U/I ops: old-only keys are deletes,
+    // new-only inserts, signature drift updates — recovering exactly
+    // the CDC batch the merge applied, which is what the oracle
+    // certifies. At 100 TB a downstream consumer pays the touched
+    // partitions, not a table scan — the Delta CDF/Iceberg
+    // incremental-read shape from the engine's own parts.
+    Q("s37_change_feed",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s37_cdf", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val touchedSrc = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(2, 3))
+        val deletes = touchedSrc.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val updates = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = touchedSrc.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v2 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        changeFeed(s, dir, v1, v2)
+          .groupBy(col("op"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("l_orderkey")).cast("long").as("sum_ok"),
+            sum(col("l_linenumber")).cast("long").as("sum_ln"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem
+                WHERE month(CAST(l_shipdate AS DATE)) IN (2, 3)),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN ok % 19 <> 0 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base WHERE ok % 19 <> 0),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE ok % 19 <> 0 AND ok % 13 <> 0 AND ok % 17 = 0),
+              newt AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+              oldg AS (SELECT ok, ln, m, count(*) AS n,
+                              CAST(sum(qty) AS BIGINT) AS sq
+                       FROM base GROUP BY 1, 2, 3),
+              newg AS (SELECT ok, ln, m, count(*) AS n,
+                              CAST(sum(qty) AS BIGINT) AS sq
+                       FROM newt GROUP BY 1, 2, 3),
+              diff AS (
+                SELECT COALESCE(o.ok, n.ok) AS ok,
+                       COALESCE(o.ln, n.ln) AS ln,
+                       CASE WHEN n.ok IS NULL THEN 'D'
+                            WHEN o.ok IS NULL THEN 'I'
+                            WHEN o.n <> n.n OR o.sq <> n.sq THEN 'U'
+                            ELSE NULL END AS op
+                FROM oldg o FULL OUTER JOIN newg n
+                  ON o.ok = n.ok AND o.ln = n.ln AND o.m = n.m)
+              SELECT op, count(*) AS n_keys,
+                     CAST(sum(ok) AS BIGINT) AS sum_ok,
+                     CAST(sum(ln) AS BIGINT) AS sum_ln
+              FROM diff WHERE op IS NOT NULL GROUP BY 1"""))
   )
+
+  /** The manifest-driven snapshot diff shared by `s37_change_feed` and
+    * `ChangeFeedSpec`: read ONLY the files exclusive to each snapshot
+    * (shared files cannot contribute), reduce both sides to key-level
+    * signatures (count + qty sum), full-outer join, classify D/U/I.
+    * Returns one row per changed key.
+    */
+  private[queries] def changeFeed(
+      s: org.apache.spark.sql.SparkSession, tableDir: String,
+      vOld: Int, vNew: Int): org.apache.spark.sql.DataFrame = {
+    import graft.operators.SnapshotLog
+    val (oldExc, newExc) = SnapshotLog.exclusiveEntries(tableDir, vOld, vNew)
+    val keys = Seq("l_orderkey", "l_linenumber", "m")
+    def sig(paths: Seq[String], n: String, sq: String) =
+      (if (paths.isEmpty)
+        SnapshotLog.read(s, tableDir, vNew).filter(lit(false))
+      else s.read.parquet(paths: _*))
+        .groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as(n), sum(col("qty")).cast("long").as(sq))
+    val oldg = sig(oldExc.map(_.path), "n_old", "sq_old")
+    val newg = sig(newExc.map(_.path), "n_new", "sq_new")
+    oldg.join(newg, keys, "full_outer")
+      .withColumn("op",
+        when(col("n_new").isNull, "D")
+          .when(col("n_old").isNull, "I")
+          .when(col("n_old") =!= col("n_new") ||
+            col("sq_old") =!= col("sq_new"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"), col("op"))
+  }
 
   /** Zone-map planning step shared by `s18_zonemap_prune` and
     * `ZoneMapSpec`: consult the REAL parquet FOOTER statistics (row-group

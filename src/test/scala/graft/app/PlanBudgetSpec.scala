@@ -382,6 +382,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.broadcasts >= 1, s"s36_partial_compaction broadcasts: ${c.broadcasts}")
   }
 
+  test("change feed: two signature aggregates + the diff join — ≤3 exchanges") {
+    val c = Plans.planCounts(q("s37_change_feed"))
+    assert(c.shuffles <= 3, s"s37_change_feed shuffles: ${c.shuffles}")
+  }
+
   test("FS EM surface: cells and params read from checkpoints — zero shuffles") {
     // all pair-volume work sits behind the cells localCheckpoint; the
     // returned frame is an 18-row × 1-row broadcast cross join
