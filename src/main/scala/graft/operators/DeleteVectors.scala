@@ -80,23 +80,34 @@ object DeleteVectors {
       SnapshotLog.FileEntry(f, "D",
         s"$partCol=${seg.stripPrefix("_gp=")}", stats)
     }
-    // residual vector: the keys whose partitions were NOT compacted
-    // (delete-batch-sized — an action over metadata, not data)
-    val residual = delKeys.filter(!col(partCol).isin(parts: _*))
-      .localCheckpoint(true)
     val residualEntries =
-      if (residual.isEmpty) Nil
-      else {
-        val root = s"$tableDir/deletes/v${v + 1}"
-        residual.coalesce(1).write.mode("overwrite").parquet(root)
-        SnapshotLog.dataFiles(root)
-          .map(SnapshotLog.FileEntry(_, "X", "", Map.empty))
-      }
+      writeResidual(s, tableDir, v + 1, delKeys, partCol, parts)
     if (!SnapshotLog.publishEntries(tableDir, v + 1,
         uData ++ newData ++ residualEntries))
       throw new java.util.ConcurrentModificationException(
         s"snapshot $tableDir advanced past v$v during partial compaction")
     v + 1
+  }
+
+  /** The residual vector left after folding the keys scoped to
+    * `parts`: keys targeting other partitions, rewritten as the next
+    * version's delete file (delete-batch-sized — an action over
+    * metadata, not data). Shared by [[compactPartitions]] and
+    * [[SnapshotMerge]] (a MERGE implicitly folds the touched
+    * partitions' vectors).
+    */
+  private[operators] def writeResidual(s: SparkSession, tableDir: String,
+      nextV: Int, delKeys: DataFrame, partCol: String,
+      parts: Seq[Any]): Seq[SnapshotLog.FileEntry] = {
+    val residual = delKeys.filter(!col(partCol).isin(parts: _*))
+      .localCheckpoint(true)
+    if (residual.isEmpty) Nil
+    else {
+      val root = s"$tableDir/deletes/v$nextV"
+      residual.coalesce(1).write.mode("overwrite").parquet(root)
+      SnapshotLog.dataFiles(root)
+        .map(SnapshotLog.FileEntry(_, "X", "", Map.empty))
+    }
   }
 
   /** Fold the delete vectors away: materialize the merge-on-read view

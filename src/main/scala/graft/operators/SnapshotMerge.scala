@@ -77,22 +77,39 @@ object SnapshotMerge {
       statsCols: Seq[String] = Nil, fromVersion: Option[Int] = None): Int = {
     val v = fromVersion.getOrElse(SnapshotLog.latest(tableDir))
     val es = SnapshotLog.entries(tableDir, v)
-    require(es.forall(_.kind == "D"),
-      "SnapshotMerge requires a compacted snapshot (no delete vectors); " +
-        "run DeleteVectors.compact first")
     val touched = deletes.select(col(partCol))
       .unionByName(updates.select(col(partCol)))
       .unionByName(inserts.select(col(partCol)))
       .distinct().collect().map(_.get(0)).toSeq
     if (touched.isEmpty) return v
     val touchedLabels = touched.map(partLabel(partCol, _)).toSet
-    val (tEntries, uEntries) = es.partition(e => touchedLabels(e.partition))
+    val dataEntries = es.filter(_.kind == "D")
+    val (tEntries, uEntries) =
+      dataEntries.partition(e => touchedLabels(e.partition))
     val curCols = SnapshotLog.read(s, tableDir, v).columns.toSeq
-    val cur =
+    val curRaw =
       if (tEntries.isEmpty)
         SnapshotLog.read(s, tableDir, v).filter(lit(false))
       else s.read.parquet(tEntries.map(_.path): _*)
         .select(curCols.map(col): _*)
+    // a MERGE onto a VECTORED table applies the committed deletes
+    // first (they logically precede the CDC batch) and implicitly
+    // folds the touched partitions' vector keys — keys scoped to other
+    // partitions survive as a residual vector (sound only when the
+    // keys carry the partition column, like partition-scoped
+    // compaction; enforced below)
+    val delVectors = es.filter(_.kind == "X").map(_.path)
+    val (cur, residualEntries) =
+      if (delVectors.isEmpty) (curRaw, Nil)
+      else {
+        val vecKeys = s.read.parquet(delVectors: _*)
+        require(vecKeys.columns.contains(partCol),
+          s"MERGE onto a vectored table needs '$partCol' in the delete " +
+            "keys (otherwise a key could target an untouched partition)")
+        (curRaw.join(broadcast(vecKeys), vecKeys.columns.toSeq, "left_anti"),
+          DeleteVectors.writeResidual(s, tableDir, v + 1, vecKeys,
+            partCol, touched))
+      }
     val merged = MergeInto.threeWayApply(
       cur, keyCols, deletes, updates, inserts, newValues)
     // copy-on-write: new files under a fresh version-scoped root — the
@@ -105,7 +122,8 @@ object SnapshotMerge {
     // derived output is stale and the merge must fail-and-retry (the
     // Delta/Iceberg transaction-conflict rule), not land on a later id
     if (!SnapshotLog.publishEntries(tableDir, v + 1,
-        uEntries ++ collectEntries(s, newRoot, partCol, statsCols)))
+        uEntries ++ collectEntries(s, newRoot, partCol, statsCols) ++
+          residualEntries))
       throw new java.util.ConcurrentModificationException(
         s"snapshot $tableDir advanced past v$v during MERGE; re-run the merge")
     v + 1

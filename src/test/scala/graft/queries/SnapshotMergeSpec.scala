@@ -103,4 +103,69 @@ class SnapshotMergeSpec extends SparkSpec {
     assert(SnapshotLog.latest(dir) == 3,
       "a failed OCC merge must not advance the table")
   }
+
+  test("MERGE onto a VECTORED table: touched vectors fold, residual survives") {
+    val dir = s"${graft.Scratch.dirFor("s32_vec_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    // committed equality deletes across months 2, 3 AND 5 — the merge
+    // below touches only 2 and 3, so month 5's keys must survive as a
+    // residual vector
+    val vecKeys = SnapshotLog.read(spark, dir, v1)
+      .filter(col("m").isin(2, 3, 5) && col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val v2 = graft.operators.DeleteVectors.appendDeletes(spark, dir, vecKeys)
+
+    val src = SnapshotLog.readMor(spark, dir, v2).filter(col("m").isin(2, 3))
+    val emptyDel = src.filter(lit(false))
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val updates = src.filter(col("l_orderkey") % 13 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+        (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+    val inserts = src.filter(col("l_orderkey") % 13 =!= 0 &&
+        col("l_orderkey") % 17 === 0)
+      .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+        col("l_linenumber"), col("qty"), col("m"))
+    val v3 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), emptyDel, updates, inserts,
+      Map("qty" -> "new_qty"))
+
+    val e3 = SnapshotLog.entries(dir, v3)
+    // touched partitions' vectors folded INTO the new files
+    val rawTouched = spark.read.parquet(
+      e3.filter(e => Set("m=2", "m=3")(e.partition)).map(_.path): _*)
+    assert(rawTouched.filter(col("l_orderkey") % 19 === 0 &&
+      col("l_orderkey") < 1000000L).count() == 0,
+      "vector keys not folded into the merged files")
+    // residual vector holds ONLY month 5's keys
+    val residual = e3.filter(_.kind == "X").map(_.path)
+    assert(residual.nonEmpty)
+    val residualMonths = spark.read.parquet(residual: _*)
+      .select(col("m")).distinct().collect().map(_.getInt(0)).toSet
+    assert(residualMonths == Set(5), s"residual months: $residualMonths")
+
+    // the vectored view equals the logical composition: committed
+    // deletes first, then the CDC batch on months 2-3
+    val afterVec = base.join(vecKeys,
+        Seq("l_orderkey", "l_linenumber", "m"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    val want = afterVec
+      .withColumn("qty",
+        when(col("m").isin(2, 3) && col("l_orderkey") % 13 === 0,
+          (col("l_orderkey") % 47 + 1).cast("int"))
+          .otherwise(col("qty")))
+      .unionByName(afterVec.filter(col("m").isin(2, 3) &&
+          col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+        .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+          col("l_linenumber"), col("qty"), col("m")))
+    val got = SnapshotLog.readMor(spark, dir, v3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "vectored merge must equal deletes-then-CDC composition")
+  }
 }
