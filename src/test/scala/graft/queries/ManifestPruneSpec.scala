@@ -60,4 +60,49 @@ class ManifestPruneSpec extends SparkSpec {
     assert(got == want,
       "metadata-pruned read diverged after pruned files were deleted")
   }
+
+  test("stats survive a MERGE: the rewritten files carry fresh min/max") {
+    val dir = s"${graft.Scratch.dirFor("s33_merge_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+        month(to_date(col("l_shipdate"))).as("m"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m",
+      statsCols = Seq("l_orderkey"))
+    val src = SnapshotLog.read(spark, dir, v1).filter(col("m").isin(2, 3))
+    val deletes = src.filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val emptyUpd = src.filter(lit(false))
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+        col("qty").as("new_qty"))
+    val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+        col("l_orderkey") % 17 === 0)
+      .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+        col("l_linenumber"), col("qty"), col("m"))
+    val v2 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), deletes, emptyUpd, inserts,
+      Map("qty" -> "new_qty"), statsCols = Seq("l_orderkey"))
+    // every v2 entry — shared AND rewritten — carries stats
+    val e2 = SnapshotLog.entries(dir, v2)
+    assert(e2.forall(_.stats.contains("l_orderkey")),
+      "a merged file lost its manifest stats")
+    // a range over the +1M insert keys prunes to rewritten files only,
+    // and the pruned read equals the plain filtered read
+    val lo = 1000000L
+    val keep = e2.filter(_.overlaps("l_orderkey", lo, Long.MaxValue))
+    assert(keep.nonEmpty && keep.size < e2.size)
+    assert(keep.forall(_.path.contains("/data/v2/")),
+      "an insert-range probe should touch only the rewritten files")
+    val got = SnapshotLog.prunedRead(spark, dir, v2, "l_orderkey", lo,
+        Long.MaxValue)
+      .filter(col("l_orderkey") >= lo)
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+    val want = SnapshotLog.read(spark, dir, v2)
+      .filter(col("l_orderkey") >= lo)
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+    assert(got == want)
+  }
 }
