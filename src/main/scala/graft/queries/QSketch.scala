@@ -201,14 +201,22 @@ object QSketch extends Registry {
     * by `sk_mg_heavyhitters` and `stream_mg_census` so the two faces
     * key identically.
     */
+  private[queries] def mgKeyCol: org.apache.spark.sql.Column =
+    when((col("l_orderkey") + col("l_linenumber")) % 2 === 0,
+      concat(lit("hot-"), (col("l_orderkey") % 8).cast("string")))
+      .otherwise(concat(lit("u-"),
+        col("l_orderkey").cast("string"), lit("-"),
+        col("l_linenumber").cast("string")))
+
   private[queries] def mgKeyed(
       li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    li.select(
-      when((col("l_orderkey") + col("l_linenumber")) % 2 === 0,
-        concat(lit("hot-"), (col("l_orderkey") % 8).cast("string")))
-        .otherwise(concat(lit("u-"),
-          col("l_orderkey").cast("string"), lit("-"),
-          col("l_linenumber").cast("string"))).as("k"))
+    li.select(mgKeyCol.as("k"))
+
+  private[queries] val mgKeySql: String =
+    """CASE WHEN (l_orderkey + l_linenumber) % 2 = 0
+            THEN 'hot-' || CAST(l_orderkey % 8 AS VARCHAR)
+            ELSE 'u-' || CAST(l_orderkey AS VARCHAR) || '-'
+                 || CAST(l_linenumber AS VARCHAR) END"""
 
   /** one (row count, ≤k-entry MG summary) per partition. */
   private[queries] def mgPartials(
@@ -951,7 +959,47 @@ object QSketch extends Registry {
         // pass 2: exact recount of the ≤k survivors only
         mgRecount(stream, candidates, n, k)
       },
-      Some(mgOracle))
+      Some(mgOracle)),
+
+    // GROUPED heavy hitters (ext.) — `mg(key, k)` per GROUP, the shape
+    // the global face can't show: Spark plans ONE grouped two-phase
+    // ObjectHashAggregate (≤k entries per (task, group) on the wire),
+    // and — unlike the global face — the candidate set never touches
+    // the driver: the per-group summaries EXPLODE into a
+    // (group, candidate) relation (groups·k rows, broadcast-sized),
+    // the recount is a broadcast semi-join + one hash agg, and the
+    // per-group threshold cnt·(k+1) > n_g rides the n the summary
+    // already carries. Fully distributed end-to-end; the OUTPUT is the
+    // exact per-group heavy set whatever the partitioning (the MG
+    // superset guarantee holds per group — every group's rows fold
+    // into its own k-counter state). Oracle: per-group
+    // GROUP BY + HAVING.
+    Q("sk_mg_grouped",
+      (s, d) => {
+        val k = MgK
+        graft.GraftExtensions.ensure(s)
+        val keyed = graft.Caches.registerTransient(
+          Tables.lineitem(s, d)
+            .select(col("l_returnflag").as("g"), mgKeyCol.as("k"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        val cand = keyed.groupBy(col("g"))
+          .agg(expr(s"mg(k, $k)").as("sk"))
+          .select(col("g"), col("sk.n").as("n_g"),
+            explode(col("sk.entries.key")).as("k"))
+        keyed.join(broadcast(cand), Seq("g", "k"))
+          .groupBy(col("g"), col("k"), col("n_g"))
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") * (k + 1) > col("n_g"))
+          .select(col("g"), col("k"), col("cnt"))
+      },
+      Some(s"""WITH st AS (
+                SELECT l_returnflag AS g, $mgKeySql AS k FROM lineitem),
+              tf AS (SELECT g, k, CAST(count(*) AS BIGINT) AS cnt
+                     FROM st GROUP BY 1, 2),
+              ng AS (SELECT g, count(*) AS n FROM st GROUP BY 1)
+              SELECT tf.g, tf.k, cnt
+              FROM tf JOIN ng USING (g)
+              WHERE cnt * ${MgK + 1} > ng.n"""))
   )
 
   /** Shared CTE chain of the KMV oracle — ends at `sk(side, h, rk)`,

@@ -382,6 +382,13 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.broadcasts >= 1, s"s36_partial_compaction broadcasts: ${c.broadcasts}")
   }
 
+  test("grouped MG: one grouped sketch agg + one recount agg, broadcast join") {
+    val c = Plans.planCounts(q("sk_mg_grouped"))
+    assert(c.shuffles <= 2, s"sk_mg_grouped shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"sk_mg_grouped broadcasts: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
   test("change feed: two signature aggregates + the diff join — ≤3 exchanges") {
     val c = Plans.planCounts(q("s37_change_feed"))
     assert(c.shuffles <= 3, s"s37_change_feed shuffles: ${c.shuffles}")

@@ -118,6 +118,34 @@ class MisraGriesSpec extends SparkSpec {
     assert(plan.contains("partial_mg"), plan)
   }
 
+  test("grouped face: per-group heavy sets, partitioning-invariant, " +
+      "candidates never collected") {
+    graft.GraftExtensions.ensure(spark)
+    val got = SparkEntry.queries("sk_mg_grouped")(spark, sf)
+    // per-group truth: plain GROUP BY + HAVING
+    val st = graft.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), QSketch.mgKeyCol.as("k"))
+    val ng = st.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val want = st.groupBy(col("g"), col("k")).agg(count(lit(1)).as("cnt"))
+      .join(ng, Seq("g"))
+      .filter(col("cnt") * (QSketch.MgK + 1) > col("n"))
+      .select(col("g"), col("k"), col("cnt"))
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "grouped two-pass MG != per-group GROUP BY + HAVING")
+    // every return-flag group surfaces all 8 hot keys
+    val perGroup = got.groupBy(col("g")).agg(count(lit(1)).as("nh"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perGroup.values.forall(_ == 8L), s"per-group heavy counts: $perGroup")
+    // the plan is ONE grouped two-phase ObjectHashAggregate (partial_mg)
+    // feeding a broadcast recount — no driver-side candidate list
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_mg"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    graft.Caches.clearTransient()
+  }
+
   test("two-pass query equals the GROUP BY + HAVING formulation") {
     val got = SparkEntry.queries("sk_mg_heavyhitters")(spark, sf)
     val st = graft.Tables.lineitem(spark, sf).select(
