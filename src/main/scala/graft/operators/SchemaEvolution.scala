@@ -36,6 +36,31 @@ object SchemaEvolution {
     }
   }
 
+  /** Lift a frame (files written under ANY historical schema version)
+    * to the full canonical schema: apply whichever of `renames` its
+    * columns still carry, cast every canonical column to its canonical
+    * type, and null-fill columns added after the frame's writer version
+    * (the add-column half of evolution). Output columns are exactly
+    * `canonical` (plus `keep`, passed through untouched — reader-
+    * internal metadata like row positions), in canonical order, so
+    * lifted groups union structurally. Pure projection — composes with
+    * pushdown and costs one codegen'd cast per column.
+    */
+  def upgradeTo(df: DataFrame,
+      canonical: org.apache.spark.sql.types.StructType,
+      renames: Map[String, String],
+      keep: Seq[String] = Nil): DataFrame = {
+    val applicable = renames.filter { case (o, n) =>
+      df.columns.contains(o) && !df.columns.contains(n)
+    }
+    val renamed = upgradeReader(df, applicable, Map.empty)
+    val cols = canonical.fields.toSeq.map { f =>
+      if (renamed.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ keep.map(col)
+    renamed.select(cols: _*)
+  }
+
   /** v1-compatibility view of the canonical relation: inverse renames +
     * narrowing casts, each guarded — out-of-range values raise, so an
     * old reader can trust the narrowed column exactly as far as it ever

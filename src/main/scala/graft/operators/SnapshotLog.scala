@@ -2,7 +2,8 @@ package graft.operators
 
 import java.nio.charset.StandardCharsets.UTF_8
 import java.nio.file.{FileAlreadyExistsException, Files, Paths}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** A minimal snapshot log — the table-format kernel (Iceberg/Delta's
   * core idea) as an explicit operator: every COMMIT publishes an
@@ -82,18 +83,27 @@ object SnapshotLog {
       s"snapshot commit at $tableDir lost $MaxRetries races; giving up")
   }
 
-  /** One manifest row. `kind` is "D" (data) or "X" (equality-delete —
-    * a parquet file of key tuples subtracted at read, the merge-on-read
-    * half of the lake story). `partition` is the `col=value` label the
+  /** One manifest row. `kind` is "D" (data), "X" (equality-delete — a
+    * parquet file of key tuples subtracted at read, the merge-on-read
+    * half of the lake story) or "P" (position-delete — a parquet file
+    * of `(file_path, row_pos)` rows naming individual PHYSICAL rows of
+    * specific data files, the Delta deletion-vector flavor: it can
+    * delete one of two byte-identical duplicates, which no equality
+    * vector can express). `partition` is the `col=value` label the
     * writer recorded ("" when unpartitioned) — it makes partition
     * pruning a pure manifest filter. `stats` carries per-file min/max
     * for INT64 columns (paid ONCE at write from the parquet footer),
     * so range pruning is a metadata read that never opens a footer at
-    * plan time — the Iceberg/Delta manifest-stats design.
+    * plan time — the Iceberg/Delta manifest-stats design. `seq` is the
+    * COMMIT SEQUENCE the entry was first published under (the Iceberg
+    * data-sequence-number): an equality vector applies only to data
+    * entries with a STRICTLY LOWER seq, so a key re-inserted by a later
+    * commit is never suppressed by an older vector. Position deletes
+    * name their target file explicitly, so their scope needs no seq.
     */
   final case class FileEntry(
       path: String, kind: String, partition: String,
-      stats: Map[String, (Long, Long)]) {
+      stats: Map[String, (Long, Long)], seq: Long = 0L) {
     def overlaps(colName: String, lo: Long, hi: Long): Boolean =
       stats.get(colName) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -107,34 +117,55 @@ object SnapshotLog {
       if (e.stats.isEmpty) "-"
       else e.stats.toSeq.sortBy(_._1)
         .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }.mkString(",")
-    s"${e.path}\t${e.kind}\t$part\t$st"
+    s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}"
   }
 
-  private def parseEntry(line: String): FileEntry =
+  private def parseEntry(line: String): FileEntry = {
+    def stats(st: String) =
+      if (st == "-") Map.empty[String, (Long, Long)]
+      else st.split(",").map { s =>
+        val Array(c, mn, mx) = s.split(":")
+        c -> ((mn.toLong, mx.toLong))
+      }.toMap
     line.split("\t") match {
       case Array(p) => FileEntry(p, "D", "", Map.empty) // legacy: bare path
       case Array(p, k, part, st) =>
-        val stats =
-          if (st == "-") Map.empty[String, (Long, Long)]
-          else st.split(",").map { s =>
-            val Array(c, mn, mx) = s.split(":")
-            c -> ((mn.toLong, mx.toLong))
-          }.toMap
-        FileEntry(p, k, if (part == "-") "" else part, stats)
+        // legacy 4-field line: no seq recorded. Data defaults to the
+        // OLDEST seq, vectors to the NEWEST — "the vector applies to
+        // everything", the pre-seq semantics, so old manifests keep
+        // reading exactly as they were written.
+        val sq = if (k == "D") 0L else Long.MaxValue
+        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq)
+      case Array(p, k, part, st, sq) =>
+        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong)
       case _ => throw new IllegalStateException(s"bad manifest line: $line")
     }
+  }
 
   /** the typed file list of snapshot `v` (immutable once committed). */
-  def entries(tableDir: String, v: Int): Seq[FileEntry] = {
+  def entries(tableDir: String, v: Int): Seq[FileEntry] =
+    manifestLines(tableDir, v).filterNot(_.startsWith("#")).map(parseEntry)
+
+  private def manifestLines(tableDir: String, v: Int): Seq[String] = {
     val m = manifestDir(tableDir).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $tableDir")
     new String(Files.readAllBytes(m), UTF_8)
-      .split("\n").toSeq.filter(_.nonEmpty).map(parseEntry)
+      .split("\n").toSeq.filter(_.nonEmpty)
   }
 
+  /** the `#`-prefixed HEADER lines of snapshot `v` (schema + rename
+    * mapping — table-level metadata that rides in the manifest, the
+    * Iceberg table-metadata idea scaled down to one file). Committers
+    * that build on a prior snapshot carry these forward.
+    */
+  def headers(tableDir: String, v: Int): Seq[String] =
+    if (v <= 0) Nil
+    else manifestLines(tableDir, v).filter(_.startsWith("#"))
+
   /** publish typed entries as the next snapshot (same CAS commit). */
-  def commitEntries(tableDir: String, es: Seq[FileEntry]): Int =
-    commit(tableDir, es.map(renderEntry))
+  def commitEntries(tableDir: String, es: Seq[FileEntry],
+      headerLines: Seq[String] = Nil): Int =
+    commit(tableDir, headerLines ++ es.map(renderEntry))
 
   /** put-if-absent for typed entries at a SPECIFIC version — the OCC
     * primitive snapshot transforms build on: a writer that derived its
@@ -143,37 +174,155 @@ object SnapshotLog {
     * no longer reflects the table it would replace.
     */
   private[graft] def publishEntries(
-      tableDir: String, v: Int, es: Seq[FileEntry]): Boolean =
-    publish(tableDir, v, es.map(renderEntry))
+      tableDir: String, v: Int, es: Seq[FileEntry],
+      headerLines: Seq[String] = Nil): Boolean =
+    publish(tableDir, v, headerLines ++ es.map(renderEntry))
 
   /** the DATA file list of snapshot `v`. */
   def files(tableDir: String, v: Int): Seq[String] =
     entries(tableDir, v).filter(_.kind == "D").map(_.path)
 
+  // ---- schema in the manifest -------------------------------------
+
+  private val SchemaHeader = "#schema"
+  private val RenameHeader = "#rename"
+
+  /** the canonical schema snapshot `v` serves (None for tables that
+    * never evolved — they read under whatever the files carry). */
+  def schemaOf(tableDir: String, v: Int): Option[StructType] =
+    headers(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$SchemaHeader\t") =>
+        StructType.fromDDL(l.stripPrefix(s"$SchemaHeader\t"))
+    }
+
+  /** historical-name → canonical-name mapping recorded by
+    * [[commitSchemaChange]] (cumulative across evolutions). */
+  def renamesOf(tableDir: String, v: Int): Map[String, String] =
+    headers(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$RenameHeader\t") =>
+        l.stripPrefix(s"$RenameHeader\t").split(",").map { kv =>
+          val Array(o, n) = kv.split(":"); o -> n
+        }.toMap
+    }.getOrElse(Map.empty)
+
+  private[graft] def renderSchemaHeaders(
+      schema: StructType, renames: Map[String, String]): Seq[String] = {
+    val sch = s"$SchemaHeader\t${schema.toDDL}"
+    if (renames.isEmpty) Seq(sch)
+    else sch +: Seq(s"$RenameHeader\t" + renames.toSeq.sorted
+      .map { case (o, n) => s"$o:$n" }.mkString(","))
+  }
+
+  /** Evolve the table's schema as a PURE METADATA commit: every file
+    * entry of the latest snapshot is carried forward verbatim (zero
+    * bytes rewritten at any table size), and the new manifest records
+    * the canonical schema plus the old-name → new-name mapping. Readers
+    * of the new snapshot resolve every older file through
+    * [[SchemaEvolution.upgradeReader]] (rename, widen, null-fill for
+    * added columns); readers pinned to OLDER snapshots keep the schema
+    * those snapshots recorded — time travel serves each version under
+    * its own schema, the Iceberg/Delta table-metadata contract.
+    */
+  def commitSchemaChange(tableDir: String, schema: StructType,
+      renames: Map[String, String] = Map.empty): Int = {
+    val v = latest(tableDir)
+    require(v >= 1, s"no snapshot to evolve at $tableDir")
+    // compose with any earlier mapping so a twice-renamed column still
+    // resolves from its original name
+    val prior = renamesOf(tableDir, v)
+    val merged = prior.map { case (o, n) => o -> renames.getOrElse(n, n) } ++
+      renames
+    commitEntries(tableDir, entries(tableDir, v),
+      renderSchemaHeaders(schema, merged))
+  }
+
+  // ---- reads (schema-aware, seq-scoped merge-on-read) -------------
+
   /** read the table as of snapshot `v` (data files only — see
-    * [[readMor]] for delete-vector application). */
+    * [[readMor]] for delete-vector application). When the manifest
+    * records a schema, files are grouped by commit seq (all files of a
+    * commit share their writer's schema) and each group is lifted to
+    * the canonical schema through [[SchemaEvolution.upgradeTo]] — a
+    * pure projection per group, no backfill.
+    */
   def read(s: SparkSession, tableDir: String, v: Int): DataFrame =
-    s.read.parquet(files(tableDir, v): _*)
+    readData(s, tableDir, v, entries(tableDir, v).filter(_.kind == "D"))
+
+  private def readData(s: SparkSession, tableDir: String, v: Int,
+      data: Seq[FileEntry], withMeta: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def scan(paths: Seq[String]) = {
+      val df = s.read.parquet(paths: _*)
+      if (withMeta)
+        df.select(col("*"),
+          col("_metadata.file_path").as(PosPathCol),
+          col("_metadata.row_index").as(PosIdxCol))
+      else df
+    }
+    schemaOf(tableDir, v) match {
+      case None => scan(data.map(_.path))
+      case Some(canonical) =>
+        val renames = renamesOf(tableDir, v)
+        data.groupBy(_.seq).toSeq.sortBy(_._1).map { case (_, g) =>
+          SchemaEvolution.upgradeTo(scan(g.map(_.path)), canonical, renames,
+            keep = if (withMeta) Seq(PosPathCol, PosIdxCol) else Nil)
+        }.reduce(_.unionByName(_))
+    }
+  }
+
+  private[graft] val PosPathCol = "_graft_pos_path"
+  private[graft] val PosIdxCol = "_graft_pos_idx"
 
   /** Merge-on-read: data files of snapshot `v` MINUS the keys in its
-    * equality-delete files (anti-join on the delete files' own
-    * columns — the reader consults the vectors, nothing is rewritten).
-    * At scale the delete set is a day's churn — broadcast-sized next
-    * to the data, and folded away lazily by compaction.
+    * equality-delete files MINUS the `(file_path, row_pos)` rows in its
+    * position-delete files. Equality vectors are SEQ-SCOPED: a vector
+    * applies only to data entries committed strictly before it, so a
+    * key re-inserted after the delete (a later stream batch, say) is
+    * served, not suppressed — the Iceberg sequence-number rule.
+    * Position deletes name their file, so they apply wherever the
+    * named file is still referenced. At scale the delete set is a
+    * day's churn — broadcast-sized next to the data, and folded away
+    * lazily by compaction.
     */
-  def readMor(s: SparkSession, tableDir: String, v: Int): DataFrame = {
-    val es = entries(tableDir, v)
-    val data = s.read.parquet(es.filter(_.kind == "D").map(_.path): _*)
-    val dels = es.filter(_.kind == "X").map(_.path)
-    if (dels.isEmpty) data
+  def readMor(s: SparkSession, tableDir: String, v: Int): DataFrame =
+    morFrame(s, tableDir, v, entries(tableDir, v))
+
+  /** Seq-scoped merge-on-read assembly over an arbitrary entry slice
+    * (shared by [[readMor]], [[prunedRead]] and the touched-partition
+    * reads of MERGE / partial compaction). Data entries are grouped by
+    * the SET of equality vectors that apply (seq-strictly-greater), so
+    * the plan stays "scan → ≤V broadcast anti-joins" with one union
+    * branch per distinct vector horizon — V is the live vector count,
+    * a handful between compactions, never data-sized.
+    */
+  private[graft] def morFrame(s: SparkSession, tableDir: String, v: Int,
+      es: Seq[FileEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val data = es.filter(_.kind == "D")
+    val eqDels = es.filter(_.kind == "X")
+    val posDels = es.filter(_.kind == "P")
+    require(data.nonEmpty, "merge-on-read over zero data entries")
+    val groups = data.groupBy(e =>
+      eqDels.filter(_.seq > e.seq).map(_.path).sorted).toSeq
+      .sortBy(_._1.mkString)
+    val parts = groups.map { case (vecPaths, g) =>
+      val base = readData(s, tableDir, v, g, withMeta = posDels.nonEmpty)
+      // one anti-join PER vector file (not a union of vectors): the
+      // vectors may carry different key columns, and set subtraction
+      // composes — each is broadcast-sized by the day's-churn contract
+      vecPaths.foldLeft(base) { (acc, p) =>
+        val keys = s.read.parquet(p)
+        acc.join(broadcast(keys), keys.columns.toSeq, "left_anti")
+      }
+    }
+    val unioned = parts.reduce(_.unionByName(_))
+    if (posDels.isEmpty) unioned
     else {
-      // no distinct here: anti-join semantics ignore right-side
-      // duplicates (appendDeletes already dedupes at write), and a
-      // distinct would add a shuffle to every vectored read
-      val delKeys = s.read.parquet(dels: _*)
-      data.join(
-        org.apache.spark.sql.functions.broadcast(delKeys),
-        delKeys.columns.toSeq, "left_anti")
+      val pos = s.read.parquet(posDels.map(_.path): _*)
+      unioned.join(broadcast(pos),
+        unioned(PosPathCol) === pos("file_path") &&
+          unioned(PosIdxCol) === pos("row_pos"), "left_anti")
+        .drop(PosPathCol, PosIdxCol)
     }
   }
 
@@ -181,15 +330,18 @@ object SnapshotLog {
     * manifest-carried [min, max] on `colName` overlaps [lo, hi] — a
     * pure string read of the manifest; no parquet footer is opened at
     * plan time (the spec proves it by DELETING the pruned files first).
-    * Falls back to all files for entries without stats.
+    * Falls back to all files for entries without stats. Delete vectors
+    * still apply to the surviving files (a pruned read of a vectored
+    * table must not resurrect deleted rows — `ManifestPruneSpec` pins
+    * it).
     */
   def prunedRead(s: SparkSession, tableDir: String, v: Int,
       colName: String, lo: Long, hi: Long): DataFrame = {
-    val keep = entries(tableDir, v)
-      .filter(e => e.kind == "D" && e.overlaps(colName, lo, hi))
+    val es = entries(tableDir, v)
+    val keep = es.filter(e => e.kind == "D" && e.overlaps(colName, lo, hi))
     if (keep.isEmpty)
       read(s, tableDir, v).filter(org.apache.spark.sql.functions.lit(false))
-    else s.read.parquet(keep.map(_.path): _*)
+    else morFrame(s, tableDir, v, keep ++ es.filter(_.kind != "D"))
   }
 
   /** The CHANGE-FEED planning step: the data entries exclusive to each
@@ -207,6 +359,38 @@ object SnapshotLog {
     val oPaths = o.map(_.path).toSet
     val nPaths = n.map(_.path).toSet
     (o.filterNot(e => nPaths(e.path)), n.filterNot(e => oPaths(e.path)))
+  }
+
+  /** The change-feed planning step GENERALIZED to merge-on-read
+    * snapshots: the data entries whose EFFECTIVE state differs between
+    * two snapshots. Under copy-on-write "same path ⇒ same rows", but a
+    * delete-vector commit changes a file's visible rows while sharing
+    * its bytes — so the sharing test is on the pair (path, applicable
+    * delete state): the seq-scoped equality vectors that cover the
+    * entry on each side, plus each side's position-delete set. A pure
+    * appendDeletes transition thus marks exactly the files the new
+    * vector can touch (every file committed before it) as changed; a
+    * COW transition degenerates to the plain path set-difference. Still
+    * a pure manifest computation — no file is opened here.
+    */
+  def changedEntries(tableDir: String, vOld: Int, vNew: Int)
+      : (Seq[FileEntry], Seq[FileEntry]) = {
+    val oEs = entries(tableDir, vOld)
+    val nEs = entries(tableDir, vNew)
+    def effective(es: Seq[FileEntry]): Map[String, (Seq[String], Seq[String])] = {
+      val eq = es.filter(_.kind == "X")
+      val pos = es.filter(_.kind == "P").map(_.path).sorted
+      es.filter(_.kind == "D").map { e =>
+        e.path -> ((eq.filter(_.seq > e.seq).map(_.path).sorted, pos))
+      }.toMap
+    }
+    val oEff = effective(oEs)
+    val nEff = effective(nEs)
+    val oChanged = oEs.filter(e =>
+      e.kind == "D" && !nEff.get(e.path).contains(oEff(e.path)))
+    val nChanged = nEs.filter(e =>
+      e.kind == "D" && !oEff.get(e.path).contains(nEff(e.path)))
+    (oChanged, nChanged)
   }
 
   /** Expire snapshots below `keepFrom` — the VACUUM half of the
@@ -262,6 +446,41 @@ object SnapshotLog {
         else Some(c -> ((perBlock.map(_._1).min, perBlock.map(_._2).max)))
       }.toMap
     } finally reader.close()
+  }
+
+  /** A WRITER-UNIQUE output root under a version-scoped prefix.
+    * Version-scoped naming alone is not enough: two writers that both
+    * derived from snapshot v (the OCC/rebase scenario) would compute
+    * the same `v+1` root, and the loser's `overwrite` write would
+    * clobber the winner's already-committed files BEFORE the CAS
+    * publish ever gets to arbitrate. Manifests reference absolute
+    * paths, so the unique suffix costs nothing — uncommitted loser
+    * directories are unreferenced and swept by [[removeOrphans]].
+    */
+  private[graft] def writerRoot(prefix: String): String =
+    s"$prefix/w-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** Delete every parquet file under the table's data/deletes roots
+    * that NO live manifest references — the Iceberg remove-orphan-files
+    * action, the cleanup half that [[expire]] (which only follows
+    * manifest references) cannot reach: crashed commits and lost OCC
+    * races leave writer-unique directories no manifest ever adopted.
+    * Returns the deleted paths. Safe by construction: a referenced
+    * file is by definition in some live manifest's entry list.
+    */
+  def removeOrphans(tableDir: String): Seq[String] = {
+    val last = latest(tableDir)
+    val live = (1 to last)
+      .filter(v => Files.exists(
+        manifestDir(tableDir).resolve(s"v$v.manifest")))
+      .flatMap(v => entries(tableDir, v).map(_.path)).toSet
+    val orphans = Seq("data", "deletes")
+      .map(d => Paths.get(tableDir, d))
+      .filter(Files.exists(_))
+      .flatMap(p => dataFiles(p.toString))
+      .filterNot(live)
+    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans
   }
 
   /** the data files a write just produced under `dir`. */

@@ -41,11 +41,11 @@ object SnapshotMerge {
     */
   def writeInitial(s: SparkSession, df: DataFrame, tableDir: String,
       partCol: String, statsCols: Seq[String] = Nil): Int = {
-    val root = s"$tableDir/data/v1"
+    val root = SnapshotLog.writerRoot(s"$tableDir/data/v1")
     df.withColumn("_gp", col(partCol))
       .write.partitionBy("_gp").mode("overwrite").parquet(root)
     SnapshotLog.commitEntries(tableDir,
-      collectEntries(s, root, partCol, statsCols))
+      collectEntries(s, root, partCol, statsCols, seq = 1L))
   }
 
   /** Manifest entries for every parquet file under a version-scoped
@@ -53,7 +53,8 @@ object SnapshotMerge {
     * stats from the parquet footer (write-side, once per file).
     */
   private def collectEntries(s: SparkSession, root: String,
-      partCol: String, statsCols: Seq[String]): Seq[SnapshotLog.FileEntry] =
+      partCol: String, statsCols: Seq[String],
+      seq: Long): Seq[SnapshotLog.FileEntry] =
     SnapshotLog.dataFiles(root).map { f =>
       val seg = new java.io.File(f).getParentFile.getName
       require(seg.startsWith("_gp="), s"unexpected layout at $f")
@@ -61,7 +62,7 @@ object SnapshotMerge {
       val stats =
         if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
         else SnapshotLog.footerStats(s, f, statsCols)
-      SnapshotLog.FileEntry(f, "D", label, stats)
+      SnapshotLog.FileEntry(f, "D", label, stats, seq)
     }
 
   /** Apply a CDC batch to the snapshot table at `tableDir` as a new
@@ -84,48 +85,119 @@ object SnapshotMerge {
     if (touched.isEmpty) return v
     val touchedLabels = touched.map(partLabel(partCol, _)).toSet
     val dataEntries = es.filter(_.kind == "D")
+    // the touched/untouched split below is a pure label comparison, so
+    // it is only sound when EVERY data entry was labeled under this
+    // partition column — a table mixing labeling conventions (e.g. a
+    // streaming sink's "batch=N" entries) could hide touched-partition
+    // rows inside an "untouched" file and duplicate or resurrect them
+    require(dataEntries.forall(_.partition.startsWith(s"$partCol=")),
+      s"MERGE on '$partCol' needs every data entry labeled '$partCol=…'; " +
+        s"found ${dataEntries.map(_.partition).distinct.filterNot(
+          _.startsWith(s"$partCol=")).take(3).mkString(", ")}")
     val (tEntries, uEntries) =
       dataEntries.partition(e => touchedLabels(e.partition))
     val curCols = SnapshotLog.read(s, tableDir, v).columns.toSeq
-    val curRaw =
+    // a MERGE onto a VECTORED table applies the committed deletes
+    // first (they logically precede the CDC batch — the seq-scoped
+    // merge-on-read view of the touched slice) and implicitly folds
+    // the touched partitions' vector keys — keys scoped to other
+    // partitions survive as residual vectors under their ORIGINAL
+    // sequences (sound only when the keys carry the partition column,
+    // like partition-scoped compaction; enforced below). Position-
+    // delete entries are folded the same way and carried forward:
+    // a "P" row naming a rewritten file is inert, one naming a shared
+    // file still applies.
+    val vecEntries = es.filter(e => e.kind == "X" || e.kind == "P")
+    val cur =
       if (tEntries.isEmpty)
         SnapshotLog.read(s, tableDir, v).filter(lit(false))
-      else s.read.parquet(tEntries.map(_.path): _*)
+      else SnapshotLog.morFrame(s, tableDir, v, tEntries ++ vecEntries)
         .select(curCols.map(col): _*)
-    // a MERGE onto a VECTORED table applies the committed deletes
-    // first (they logically precede the CDC batch) and implicitly
-    // folds the touched partitions' vector keys — keys scoped to other
-    // partitions survive as a residual vector (sound only when the
-    // keys carry the partition column, like partition-scoped
-    // compaction; enforced below)
-    val delVectors = es.filter(_.kind == "X").map(_.path)
-    val (cur, residualEntries) =
-      if (delVectors.isEmpty) (curRaw, Nil)
+    val residualEntries =
+      if (vecEntries.isEmpty) Nil
       else {
-        val vecKeys = s.read.parquet(delVectors: _*)
-        require(vecKeys.columns.contains(partCol),
-          s"MERGE onto a vectored table needs '$partCol' in the delete " +
-            "keys (otherwise a key could target an untouched partition)")
-        (curRaw.join(broadcast(vecKeys), vecKeys.columns.toSeq, "left_anti"),
-          DeleteVectors.writeResidual(s, tableDir, v + 1, vecKeys,
-            partCol, touched))
+        es.filter(_.kind == "X").foreach { ve =>
+          require(s.read.parquet(ve.path).columns.contains(partCol),
+            s"MERGE onto a vectored table needs '$partCol' in the delete " +
+              s"keys of ${ve.path} (otherwise a key could target an " +
+              "untouched partition)")
+        }
+        DeleteVectors.writeResidual(s, tableDir, v + 1,
+          es.filter(_.kind == "X"), partCol, touched) ++
+          es.filter(_.kind == "P")
       }
     val merged = MergeInto.threeWayApply(
       cur, keyCols, deletes, updates, inserts, newValues)
     // copy-on-write: new files under a fresh version-scoped root — the
     // old files (and every manifest pointing at them) stay intact
-    val newRoot = s"$tableDir/data/v${v + 1}"
+    val newRoot = SnapshotLog.writerRoot(s"$tableDir/data/v${v + 1}")
     merged.withColumn("_gp", col(partCol))
       .write.partitionBy("_gp").mode("overwrite").parquet(newRoot)
-    // OCC commit: this merge was derived FROM snapshot v, so it may
-    // only land AS v+1 — if a concurrent commit got there first, the
-    // derived output is stale and the merge must fail-and-retry (the
-    // Delta/Iceberg transaction-conflict rule), not land on a later id
-    if (!SnapshotLog.publishEntries(tableDir, v + 1,
-        uEntries ++ collectEntries(s, newRoot, partCol, statsCols) ++
-          residualEntries))
+    val newEntries = collectEntries(s, newRoot, partCol, statsCols,
+      seq = v + 1L)
+    val hdrs = SnapshotLog.headers(tableDir, v)
+    // OCC commit: this merge was derived FROM snapshot v, so it first
+    // tries to land AS v+1. If a concurrent commit got there first the
+    // derived output is stale IN GENERAL — but two writers touching
+    // DISJOINT partitions are semantically serializable, so before
+    // surfacing the conflict we attempt the Delta/Iceberg logical
+    // REBASE: if every interleaved commit only added/removed files in
+    // partitions disjoint from ours (and neither side involves delete
+    // vectors, whose fold cannot be replayed from metadata alone), the
+    // three-way apply is still exact — only the untouched-entry list
+    // changed, so re-derive it from the new latest and retry. Any
+    // overlap, vector, or label drift keeps the loud failure.
+    if (SnapshotLog.publishEntries(tableDir, v + 1,
+        uEntries ++ newEntries.map(_.copy(seq = v + 1L)) ++ residualEntries,
+        hdrs))
+      return v + 1
+    rebase(s, tableDir, partCol, v, es, touchedLabels, newEntries, hdrs)
+  }
+
+  /** The disjoint-partition rebase loop after a lost OCC race: verify
+    * from MANIFESTS ALONE that every commit interleaved since base `v`
+    * is logically non-conflicting, then republish the already-written
+    * merge output on top of the new latest. Pure metadata — the data
+    * files written by the failed attempt are reused verbatim.
+    */
+  private def rebase(s: SparkSession, tableDir: String, partCol: String,
+      v: Int, baseEs: Seq[SnapshotLog.FileEntry],
+      touchedLabels: Set[String], newEntries: Seq[SnapshotLog.FileEntry],
+      hdrs: Seq[String]): Int = {
+    def conflict(msg: String) =
       throw new java.util.ConcurrentModificationException(
-        s"snapshot $tableDir advanced past v$v during MERGE; re-run the merge")
-    v + 1
+        s"snapshot $tableDir advanced past v$v during MERGE ($msg); " +
+          "re-run the merge")
+    if (baseEs.exists(_.kind != "D"))
+      conflict("base snapshot carries delete vectors — fold not replayable")
+    val basePaths = baseEs.map(_.path).toSet
+    val MaxRetries = 100
+    var attempt = 0
+    while (attempt < MaxRetries) {
+      val cur = SnapshotLog.latest(tableDir)
+      val curEs = SnapshotLog.entries(tableDir, cur)
+      if (curEs.exists(_.kind != "D"))
+        conflict("an interleaved commit added delete vectors")
+      if (SnapshotLog.headers(tableDir, cur) != hdrs)
+        conflict("an interleaved commit changed the table schema")
+      val curPaths = curEs.map(_.path).toSet
+      val delta = curEs.filterNot(e => basePaths(e.path)) ++
+        baseEs.filterNot(e => curPaths(e.path))
+      delta.find(e => !e.partition.startsWith(s"$partCol=") ||
+          touchedLabels(e.partition)) match {
+        case Some(e) => conflict(
+          s"interleaved commit touched '${e.partition}', " +
+            s"overlapping this merge's partitions")
+        case None => ()
+      }
+      // disjoint: our rewritten partitions are byte-identical at cur,
+      // so the same output commits on top of cur's untouched entries
+      val uNow = curEs.filterNot(e => touchedLabels(e.partition))
+      if (SnapshotLog.publishEntries(tableDir, cur + 1,
+          uNow ++ newEntries.map(_.copy(seq = cur + 1L)), hdrs))
+        return cur + 1
+      attempt += 1
+    }
+    conflict(s"lost $MaxRetries rebase races")
   }
 }

@@ -1663,29 +1663,92 @@ object QFilters extends Registry {
               SELECT op, count(*) AS n_keys,
                      CAST(sum(ok) AS BIGINT) AS sum_ok,
                      CAST(sum(ln) AS BIGINT) AS sum_ln
-              FROM diff WHERE op IS NOT NULL GROUP BY 1"""))
+              FROM diff WHERE op IS NOT NULL GROUP BY 1""")),
+
+    // S38 — CHANGE DATA FEED over a MERGE-ON-READ commit (ext.): the
+    // round-10 `weak` cleared. An `appendDeletes` transition shares
+    // every data file path, so the old exclusive-path diff saw nothing
+    // while rows were logically deleted. The feed now diffs EFFECTIVE
+    // states — (path, seq-scoped vector set) — from the manifests
+    // alone: the new vector covers every file committed before it, so
+    // both sides read those files, the NEW side under the vector's
+    // anti-join, and the signature diff recovers exactly the deleted
+    // keys as D ops (what Delta CDF / Iceberg incremental reads do for
+    // delete files). A follow-up COMPACTION commit (v2→v3) rewrites
+    // every touched path yet changes no logical row — the same feed
+    // returns EMPTY for it, which the oracle's zero-row branch
+    // certifies alongside the D batch.
+    Q("s38_cdf_mor",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s38_cdf", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val delKeys = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val v2 = DeleteVectors.appendDeletes(s, dir, delKeys)
+        val v3 = DeleteVectors.compact(s, dir, "m")
+        val feedDel = changeFeed(s, dir, v1, v2)
+        val feedCompact = changeFeed(s, dir, v2, v3)
+        feedDel.withColumn("transition", lit("delete"))
+          .unionByName(feedCompact.withColumn("transition", lit("compact")))
+          .groupBy(col("transition"), col("op"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("l_orderkey")).cast("long").as("sum_ok"),
+            sum(col("l_linenumber")).cast("long").as("sum_ln"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              del AS (
+                SELECT DISTINCT ok, ln, m FROM base
+                WHERE m IN (2, 3) AND ok % 19 = 0)
+              SELECT 'delete' AS transition, 'D' AS op,
+                     count(*) AS n_keys,
+                     CAST(sum(ok) AS BIGINT) AS sum_ok,
+                     CAST(sum(ln) AS BIGINT) AS sum_ln
+              FROM del"""))
   )
 
-  /** The manifest-driven snapshot diff shared by `s37_change_feed` and
-    * `ChangeFeedSpec`: read ONLY the files exclusive to each snapshot
-    * (shared files cannot contribute), reduce both sides to key-level
-    * signatures (count + qty sum), full-outer join, classify D/U/I.
-    * Returns one row per changed key.
+  /** The manifest-driven snapshot diff shared by `s37_change_feed`,
+    * `s38_cdf_mor` and `ChangeFeedSpec`: read ONLY the data entries
+    * whose EFFECTIVE state differs between the snapshots
+    * ([[graft.operators.SnapshotLog.changedEntries]] — path plus the
+    * seq-scoped delete-vector set covering it, so a merge-on-read
+    * delete commit marks the files its vector can touch as changed
+    * even though every path is shared), apply each side's vectors to
+    * its own read (the `morFrame` semantics — rows already deleted on
+    * a side can never surface as that side's state), reduce both sides
+    * to key-level signatures (count + qty sum), full-outer join,
+    * classify D/U/I. Returns one row per changed key. Under pure
+    * copy-on-write this degenerates to the old exclusive-path diff;
+    * under a pure `appendDeletes` transition it recovers exactly the
+    * vector's visible keys as D ops — the round-10 gap where the feed
+    * came back empty while rows were logically deleted.
     */
   private[queries] def changeFeed(
       s: org.apache.spark.sql.SparkSession, tableDir: String,
       vOld: Int, vNew: Int): org.apache.spark.sql.DataFrame = {
     import graft.operators.SnapshotLog
-    val (oldExc, newExc) = SnapshotLog.exclusiveEntries(tableDir, vOld, vNew)
+    val (oldCh, newCh) = SnapshotLog.changedEntries(tableDir, vOld, vNew)
     val keys = Seq("l_orderkey", "l_linenumber", "m")
-    def sig(paths: Seq[String], n: String, sq: String) =
-      (if (paths.isEmpty)
+    def sig(v: Int, changed: Seq[SnapshotLog.FileEntry],
+        n: String, sq: String) = {
+      val dels = SnapshotLog.entries(tableDir, v).filter(_.kind != "D")
+      (if (changed.isEmpty)
         SnapshotLog.read(s, tableDir, vNew).filter(lit(false))
-      else s.read.parquet(paths: _*))
+      else SnapshotLog.morFrame(s, tableDir, v, changed ++ dels))
         .groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as(n), sum(col("qty")).cast("long").as(sq))
-    val oldg = sig(oldExc.map(_.path), "n_old", "sq_old")
-    val newg = sig(newExc.map(_.path), "n_new", "sq_new")
+    }
+    val oldg = sig(vOld, oldCh, "n_old", "sq_old")
+    val newg = sig(vNew, newCh, "n_new", "sq_new")
     oldg.join(newg, keys, "full_outer")
       .withColumn("op",
         when(col("n_new").isNull, "D")

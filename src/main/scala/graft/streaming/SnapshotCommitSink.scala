@@ -36,9 +36,16 @@ object SnapshotCommitSink {
     if (prior.exists(_.partition == batchLabel(batchId))) return v
     val dir = s"$tableDir/data/b$batchId"
     batch.write.mode("overwrite").parquet(dir)
+    // seq = the committing version: any delete vector already in the
+    // manifest has a LOWER seq and therefore does NOT apply to these
+    // rows — a key re-inserted by a later batch is served, not
+    // silently suppressed by an older vector (the Iceberg
+    // sequence-number scoping)
     val added = SnapshotLog.dataFiles(dir)
-      .map(SnapshotLog.FileEntry(_, "D", batchLabel(batchId), Map.empty))
-    if (!SnapshotLog.publishEntries(tableDir, v + 1, prior ++ added))
+      .map(SnapshotLog.FileEntry(_, "D", batchLabel(batchId), Map.empty,
+        seq = v + 1L))
+    if (!SnapshotLog.publishEntries(tableDir, v + 1, prior ++ added,
+        SnapshotLog.headers(tableDir, v)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot $tableDir advanced past v$v during streaming commit " +
           s"of batch $batchId")

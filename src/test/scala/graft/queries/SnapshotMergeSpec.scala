@@ -91,10 +91,13 @@ class SnapshotMergeSpec extends SparkSpec {
       want2.exceptAll(got2).count() == 0,
       "snapshot merge must equal the logical whole-relation merge")
 
-    // 3. OCC: an interloper commits v3 AFTER a second merge pinned its
+    // 3. OCC: an interloper rewrites an m=2 file (OVERLAPPING the
+    // second merge's touched partitions) AFTER that merge pinned its
     // base to v2 — the pinned merge must FAIL (its derived output is
-    // stale), never land on a later id
-    assert(SnapshotLog.publishEntries(dir, 3, e2)) // interloper commits v3
+    // stale and no metadata rebase can fix overlapping partitions),
+    // never land on a later id
+    assert(SnapshotLog.publishEntries(dir, 3,
+      e2.filterNot(_.partition == "m=2"))) // interloper drops m=2 at v3
     intercept[java.util.ConcurrentModificationException] {
       SnapshotMerge(spark, dir, "m",
         Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
@@ -102,6 +105,79 @@ class SnapshotMergeSpec extends SparkSpec {
     }
     assert(SnapshotLog.latest(dir) == 3,
       "a failed OCC merge must not advance the table")
+  }
+
+  test("OCC rebase: two merges on DISJOINT partitions both commit") {
+    val dir = s"${graft.Scratch.dirFor("s32_rebase_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+
+    def cdc(months: Seq[Int]) = {
+      val src = SnapshotLog.read(spark, dir, v1)
+        .filter(col("m").isin(months.map(Integer.valueOf): _*))
+      (src.filter(col("l_orderkey") % 19 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("m")),
+        src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty")))
+    }
+
+    // merge A commits from v1 normally
+    val (dA, uA) = cdc(Seq(2))
+    val v2 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), dA, uA,
+      dA.filter(lit(false)).drop("m").withColumn("qty", lit(0))
+        .withColumn("m", lit(0)).select("l_orderkey", "l_linenumber",
+          "qty", "m"),
+      Map("qty" -> "new_qty"))
+    assert(v2 == 2)
+
+    // merge B ALSO derived from v1 (a concurrent writer that planned
+    // before A committed) but touches only month 7 — DISJOINT from
+    // A's month 2, so the logical rebase commits it at v3 with NO
+    // caller retry
+    val (dB, uB) = cdc(Seq(7))
+    val v3 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), dB, uB,
+      dB.filter(lit(false)).drop("m").withColumn("qty", lit(0))
+        .withColumn("m", lit(0)).select("l_orderkey", "l_linenumber",
+          "qty", "m"),
+      Map("qty" -> "new_qty"), fromVersion = Some(v1))
+    assert(v3 == 3, "disjoint-partition merge must rebase, not fail")
+
+    // v3 carries BOTH merges: A's month-2 files VERBATIM (the rebase
+    // adopts the interleaved commit's entries) plus B's fresh month-7
+    // files from B's own writer-unique root
+    val e3 = SnapshotLog.entries(dir, v3)
+    val m2AtV2 = SnapshotLog.entries(dir, v2)
+      .filter(_.partition == "m=2").map(_.path).sorted
+    assert(e3.filter(_.partition == "m=2").map(_.path).sorted == m2AtV2,
+      "rebase must keep the interleaved merge's files")
+    val m7Roots = e3.filter(_.partition == "m=7")
+      .map(_.path.split("/_gp=").head).distinct
+    assert(m7Roots.size == 1 && !m2AtV2.exists(_.startsWith(m7Roots.head)),
+      "B's rewrite must live in its own writer root")
+    def applied(month: Int) = {
+      val got = SnapshotLog.read(spark, dir, v3).filter(col("m") === month)
+      assert(got.filter(col("l_orderkey") % 19 === 0).count() == 0,
+        s"month $month deletes missing after rebase")
+      assert(got.filter(col("l_orderkey") % 13 === 0 &&
+        col("qty") =!= (col("l_orderkey") % 47 + 1).cast("int"))
+        .count() == 0, s"month $month updates missing after rebase")
+    }
+    applied(2); applied(7)
+    // untouched months still the base rows
+    val untouched = SnapshotLog.read(spark, dir, v3)
+      .filter(!col("m").isin(2, 7))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    val wantU = base.filter(!col("m").isin(2, 7))
+    assert(untouched.exceptAll(wantU).count() == 0 &&
+      wantU.exceptAll(untouched).count() == 0)
   }
 
   test("MERGE onto a VECTORED table: touched vectors fold, residual survives") {
