@@ -1713,7 +1713,80 @@ object QFilters extends Registry {
                      count(*) AS n_keys,
                      CAST(sum(ok) AS BIGINT) AS sum_ok,
                      CAST(sum(ln) AS BIGINT) AS sum_ln
-              FROM del"""))
+              FROM del""")),
+
+    // S39 — `VERSION AS OF` through the SQL door (ext.): the snapshot
+    // log as a first-class DSv2 table (`sources/SnapshotTables`,
+    // format "graft-snapshot"), so a pinned snapshot is readable from
+    // PLAIN SQL TEXT over a temp view — the Delta `VERSION AS OF` /
+    // Iceberg `snapshot-id` read. The scan plans EXACTLY the pinned
+    // manifest's files (one input partition per manifest entry — the
+    // same SQL text at v1 and v2 reads different file sets; both
+    // versions are hash-gated against a two-branch oracle), and the
+    // projection is pushed into the parquet read schema
+    // (`SnapshotSourceSpec` pins partition count == manifest size).
+    // At 100 TB the planning cost is the manifest read, not a listing.
+    Q("s39_version_as_of_sql",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s39_vaso", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val src = SnapshotLog.read(s, dir, v1).filter(col("m").isin(2, 3))
+        val deletes = src.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v2 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        // the SAME SQL text, pinned to each version via the source's
+        // versionAsOf option
+        def at(v: Int) = {
+          s.read.format("graft-snapshot")
+            .option("path", dir).option("versionAsOf", v.toString)
+            .load().createOrReplaceTempView(s"snap_v$v")
+          s.sql(s"""SELECT $v AS snapshot, m, count(*) AS n_rows,
+                           CAST(sum(qty) AS BIGINT) AS sum_qty
+                    FROM snap_v$v GROUP BY m""")
+        }
+        at(v1).unionByName(at(v2))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN m IN (2, 3) AND ok % 19 <> 0
+                                 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE m IN (2, 3) AND ok % 19 <> 0 AND ok % 13 <> 0
+                  AND ok % 17 = 0),
+              v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+              SELECT 1 AS snapshot, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 2, CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT)
+              FROM v2 GROUP BY 2"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

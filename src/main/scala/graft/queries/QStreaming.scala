@@ -524,6 +524,68 @@ object QStreaming extends Registry {
               FROM snaps JOIN e ON e.bi <= snaps.v
               GROUP BY 1""")),
 
+    // Streaming CHANGE FEED (ext.) — the snapshot log as a streaming
+    // SOURCE, the read half next to `stream_snapshot_commit`'s write
+    // half: `readStream.format("graft-snapshot")` with
+    // `changeFeed=true` replays the table's COMMIT HISTORY — offsets
+    // are snapshot ids, each micro-batch is one commit's delta (new
+    // data files as `_op='I'` rows, new equality-delete vectors as
+    // `_op='D'` key rows, stamped `_commit`), and AvailableNow drains
+    // to the latest commit. Exactly-once resumption is structural:
+    // manifests are immutable, so a replayed epoch re-plans the
+    // identical file list (`SnapshotSourceSpec` restarts from a
+    // checkpoint and proves the no-op). The fixture commits three
+    // ways — initial write, streaming batch append, delete vector —
+    // and the oracle certifies every commit's delta: a 100 TB
+    // consumer pays each commit's files, never a table scan, the
+    // Delta CDF / Iceberg incremental-read shape.
+    Q("stream_change_feed",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("stream_cdf", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotMerge}
+        val base = graft.Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        SnapshotMerge.writeInitial(s,
+          base.filter(col("l_orderkey") % 3 =!= 0), dir, "m")
+        graft.streaming.SnapshotCommitSink.commitBatch(s, dir,
+          base.filter(col("l_orderkey") % 3 === 0), 0L)
+        DeleteVectors.appendDeletes(s, dir,
+          base.filter(col("l_orderkey") % 19 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+        val name = "stream_cdf_tbl"
+        val q = s.readStream.format("graft-snapshot")
+          .option("path", dir).option("changeFeed", "true").load()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+          .groupBy(col("_commit"), col("_op"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_orderkey")).cast("long").as("sum_ok"),
+            sum(col("l_linenumber")).cast("long").as("sum_ln"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT CAST(1 AS BIGINT) AS _commit, 'I' AS _op,
+                     count(*) AS n_rows,
+                     CAST(sum(ok) AS BIGINT) AS sum_ok,
+                     CAST(sum(ln) AS BIGINT) AS sum_ln
+              FROM base WHERE ok % 3 <> 0
+              UNION ALL
+              SELECT 2, 'I', count(*), CAST(sum(ok) AS BIGINT),
+                     CAST(sum(ln) AS BIGINT)
+              FROM base WHERE ok % 3 = 0
+              UNION ALL
+              SELECT 3, 'D', count(*), CAST(sum(ok) AS BIGINT),
+                     CAST(sum(ln) AS BIGINT)
+              FROM (SELECT DISTINCT ok, ln, m FROM base
+                    WHERE ok % 19 = 0)""")),
+
     // Streaming MG census (ext.) — the heavy-hitter face of the
     // per-batch-sketch family (CMS adds, KMV re-bottom-ks, priority
     // sample re-tops, MG MERGES): each micro-batch externalizes one

@@ -1,0 +1,329 @@
+package graft.sources
+
+import java.util
+
+import graft.operators.SnapshotLog
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The snapshot-log table as a FIRST-CLASS Spark data source
+  * (`spark.read.format("graft-snapshot")`) — the DSv2 face that makes
+  * the lake kernel reachable from plain SQL and from Structured
+  * Streaming, the Delta/Iceberg connector shape:
+  *
+  *  - BATCH + `versionAsOf`: `option("path", dir).option("versionAsOf",
+  *    "3")` plans EXACTLY snapshot 3's manifest files (one input
+  *    partition per data file — no directory walk, planning cost is the
+  *    manifest), so `VERSION AS OF` works through a temp view and
+  *    ordinary SQL text. Column pruning is pushed into the parquet
+  *    read schema (`SupportsPushDownRequiredColumns`).
+  *  - STREAMING + `changeFeed=true`: `readStream` replays the table's
+  *    COMMIT HISTORY — offsets are snapshot ids, each micro-batch is
+  *    one commit's delta (new data files as `_op = "I"` rows, new
+  *    equality-delete vectors as `_op = "D"` key rows, stamped with
+  *    `_commit`), resumable from the checkpoint and drained by
+  *    `Trigger.AvailableNow`. This is the table-as-a-source half of
+  *    the story next to `SnapshotCommitSink` (the table-as-a-sink):
+  *    a downstream consumer pays each commit's delta, never a table
+  *    scan, however large the table — the Delta CDF / Iceberg
+  *    incremental-read contract.
+  *
+  * Loud contracts (fail, never silently mis-read): the batch face
+  * refuses snapshots carrying live delete vectors (their anti-join
+  * belongs to `SnapshotLog.readMor`; a raw file scan would resurrect
+  * deleted rows), and the stream refuses COW-rewrite commits (their
+  * exact U/D split needs the batch `changeFeed` signature join).
+  *
+  * Executor-side reads use the parquet example Group API over the
+  * PROJECTED read schema — self-contained (no SparkSession on the
+  * reader path) and column-pruned at the parquet layer. Supported
+  * column types: LONG, INT, DOUBLE, FLOAT, BOOLEAN, STRING — the
+  * manifest-schema subset the kernel's tables use.
+  */
+class SnapshotTables extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = SnapshotTables.pathOf(options)
+    val v = SnapshotTables.versionOf(options)
+    val data = SnapshotTables.dataSchema(dir, v)
+    if (options.getBoolean("changeFeed", false))
+      StructType(data.fields ++ Seq(
+        StructField("_op", StringType, nullable = false),
+        StructField("_commit", LongType, nullable = false)))
+    else data
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SnapshotTable(schema)
+}
+
+object SnapshotTables {
+  private[sources] def pathOf(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty,
+      "graft-snapshot needs option(\"path\", <tableDir>)")
+    p
+  }
+
+  private[sources] def versionOf(options: CaseInsensitiveStringMap): Int = {
+    val dir = pathOf(options)
+    Option(options.get("versionAsOf")).map(_.toInt)
+      .getOrElse(SnapshotLog.latest(dir))
+  }
+
+  /** The data schema snapshot `v` serves: the manifest-recorded schema
+    * when present (the evolved-table case), else the first data file's
+    * footer mapped to Spark types.
+    */
+  private[sources] def dataSchema(dir: String, v: Int): StructType =
+    SnapshotLog.schemaOf(dir, v).getOrElse {
+      val files = SnapshotLog.files(dir, v)
+      require(files.nonEmpty, s"snapshot v$v of $dir has no data files")
+      val msg = footerSchema(files.head)
+      import scala.jdk.CollectionConverters._
+      StructType(msg.getFields.asScala.toSeq.map { f =>
+        StructField(f.getName, sparkType(f.asPrimitiveType()))
+      })
+    }
+
+  private[sources] def footerSchema(file: String): MessageType = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+    try reader.getFooter.getFileMetaData.getSchema
+    finally reader.close()
+  }
+
+  private[sources] def sparkType(p: PrimitiveType): DataType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    p.getPrimitiveTypeName match {
+      case INT64 => LongType
+      case INT32 => IntegerType
+      case DOUBLE => DoubleType
+      case FLOAT => FloatType
+      case BOOLEAN => BooleanType
+      case BINARY => StringType
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot: unsupported parquet type $other for " +
+          s"column ${p.getName}")
+    }
+  }
+}
+
+private class SnapshotTable(schema0: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_snapshot_table"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(schema0, options)
+}
+
+private class SnapshotScanBuilder(full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new SnapshotScan(
+    SnapshotTables.pathOf(options),
+    Option(options.get("versionAsOf")).map(_.toInt),
+    options.getBoolean("changeFeed", false),
+    options.getInt("startingVersion", 0),
+    full, required)
+}
+
+/** one snapshot data or delete file to read, with the op/commit stamp
+  * the change-feed rows carry ("" op for plain batch reads). */
+private case class SnapFilePartition(path: String, op: String, commit: Long)
+    extends InputPartition
+
+private class SnapshotScan(dir: String, versionAsOf: Option[Int],
+    changeFeed: Boolean, startingVersion: Int,
+    full: StructType, required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = {
+    require(!changeFeed,
+      "changeFeed=true is a STREAMING read (use readStream); the batch " +
+        "diff lives in the engine's changeFeed operator")
+    this
+  }
+  override def planInputPartitions(): Array[InputPartition] = {
+    val v = versionAsOf.getOrElse(SnapshotLog.latest(dir))
+    val es = SnapshotLog.entries(dir, v)
+    val vecs = es.filter(_.kind != "D")
+    require(vecs.isEmpty,
+      s"snapshot v$v of $dir carries ${vecs.size} live delete vector(s); " +
+        "a raw file scan would resurrect deleted rows — read it through " +
+        "SnapshotLog.readMor, or compact first")
+    es.filter(_.kind == "D")
+      .map(e => SnapFilePartition(e.path, "", v): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(changeFeed,
+      "streaming a graft-snapshot table needs option(\"changeFeed\", " +
+        "\"true\") — the stream replays commit deltas, not table state")
+    new SnapshotChangeStream(dir, startingVersion, required)
+  }
+}
+
+/** Offset = the last snapshot id whose delta has been delivered. */
+private[sources] case class SnapshotOffset(version: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+
+/** The change-feed MicroBatchStream: offsets are SNAPSHOT IDS, one
+  * commit per micro-batch (admission control), so a restart resumes at
+  * the exact commit boundary the checkpoint recorded and a replayed
+  * epoch re-plans the identical file list — idempotent by construction
+  * since manifests are immutable.
+  */
+private[sources] class SnapshotChangeStream(dir: String,
+    startingVersion: Int, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  override def initialOffset(): Offset =
+    SnapshotOffset(startingVersion.toLong)
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(json.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(start, limit) is used (SupportsAdmissionControl)")
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[SnapshotOffset].version
+    // one COMMIT per micro-batch regardless of the row limit: the
+    // commit is the exactly-once unit the offsets are defined over
+    SnapshotOffset(math.min(SnapshotLog.latest(dir).toLong, from + 1))
+  }
+  override def reportLatestOffset(): Offset =
+    SnapshotOffset(SnapshotLog.latest(dir).toLong)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SnapshotOffset].version
+    val e = end.asInstanceOf[SnapshotOffset].version
+    ((s + 1) to e).flatMap { v =>
+      val prev =
+        if (v <= 1) Nil else SnapshotLog.entries(dir, (v - 1).toInt)
+      val cur = SnapshotLog.entries(dir, v.toInt)
+      val prevPaths = prev.map(_.path).toSet
+      val curPaths = cur.map(_.path).toSet
+      val removed = prev.filterNot(x => curPaths(x.path))
+      require(removed.forall(_.kind != "D"),
+        s"commit v$v of $dir rewrites data files (copy-on-write); the " +
+          "change stream replays append/delete commits — use the batch " +
+          "changeFeed for rewrite transitions")
+      val added = cur.filterNot(x => prevPaths(x.path))
+      require(added.forall(_.kind != "P"),
+        s"commit v$v of $dir adds position deletes, which carry file " +
+          "addresses, not table keys — not streamable as a change feed")
+      added.map {
+        case x if x.kind == "D" => SnapFilePartition(x.path, "I", v)
+        case x => SnapFilePartition(x.path, "D", v)
+      }
+    }.toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SnapshotReaderFactory(required)
+  override def commit(
+      end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Executor-side parquet Group reader over the PROJECTED read schema:
+  * requested columns present in the file are read (column-pruned at
+  * the parquet layer), absent ones (a delete vector's non-key columns,
+  * a column added after this file was written) are null, and the
+  * `_op` / `_commit` stamps come from the partition, not the file.
+  */
+private class SnapshotReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val SnapFilePartition(file, op, commit) =
+      partition.asInstanceOf[SnapFilePartition]
+    val conf = new Configuration()
+    val fileSchema = SnapshotTables.footerSchema(file)
+    import scala.jdk.CollectionConverters._
+    val fileFields = fileSchema.getFields.asScala.map(_.getName).toSet
+    val dataNames = required.fields.map(_.name)
+      .filter(n => n != "_op" && n != "_commit")
+    val wanted = fileSchema.getFields.asScala
+      .filter(f => dataNames.contains(f.getName))
+    // an all-pruned projection (count(*)) still needs row COUNT — fall
+    // back to the narrowest single column
+    val proj = new MessageType(fileSchema.getName,
+      (if (wanted.nonEmpty) wanted
+       else fileSchema.getFields.asScala.take(1)).asJava)
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
+    val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
+      .withConf(conf).build()
+    new PartitionReader[InternalRow] {
+      private var cur: Group = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = {
+        val vals = required.fields.map { f =>
+          f.name match {
+            case "_op" => UTF8String.fromString(op)
+            case "_commit" => commit
+            case n if !fileFields(n) => null
+            case n if cur.getFieldRepetitionCount(n) == 0 => null
+            case n => readValue(cur, n, f.dataType)
+          }
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** read one Group field as the REQUESTED Spark type, widening from
+    * the file's physical type where the schemas diverged (an int file
+    * column serving a long canonical column after a widen). */
+  private def readValue(g: Group, name: String, t: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val phys = g.getType.getType(name).asPrimitiveType().getPrimitiveTypeName
+    (t, phys) match {
+      case (LongType, INT64) => g.getLong(name, 0)
+      case (LongType, INT32) => g.getInteger(name, 0).toLong
+      case (IntegerType, INT32) => g.getInteger(name, 0)
+      case (DoubleType, DOUBLE) => g.getDouble(name, 0)
+      case (DoubleType, FLOAT) => g.getFloat(name, 0).toDouble
+      case (FloatType, FLOAT) => g.getFloat(name, 0)
+      case (BooleanType, BOOLEAN) => g.getBoolean(name, 0)
+      case (StringType, BINARY) =>
+        UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
+      case (want, have) => throw new IllegalArgumentException(
+        s"graft-snapshot: cannot serve column $name as $want from " +
+          s"parquet $have")
+    }
+  }
+}

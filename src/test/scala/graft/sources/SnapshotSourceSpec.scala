@@ -1,0 +1,171 @@
+package graft.sources
+
+import graft.{SparkSpec, Tables}
+import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The `graft-snapshot` DSv2 source (s39_version_as_of_sql /
+  * stream_change_feed) — the connector contracts:
+  *
+  *  1. BATCH plan pin: the scan plans EXACTLY the pinned manifest's
+  *     files (input partitions == manifest data entries — no directory
+  *     walk), and two versions of the SAME SQL text read different
+  *     file sets.
+  *  2. A snapshot carrying live delete vectors refuses a raw batch
+  *     scan (it would resurrect deleted rows).
+  *  3. STREAMING exactly-once: a restart from the checkpoint with no
+  *     new commit delivers NOTHING (replayed epoch no-op); a new
+  *     commit afterwards delivers exactly its delta; the union of all
+  *     streamed deltas equals the batch diff.
+  *  4. A copy-on-write rewrite commit fails the stream loudly — its
+  *     U/D split needs the batch changeFeed, and silently emitting it
+  *     as inserts would double rows.
+  */
+class SnapshotSourceSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def mkBase() = Tables.lineitem(spark, sf).select(
+    col("l_orderkey"), col("l_linenumber"),
+    col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+    month(to_date(col("l_shipdate"))).as("m"))
+
+  test("batch face plans exactly the manifest's files; versions differ") {
+    val dir = s"${graft.Scratch.dirFor("snapsrc_batch", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = mkBase()
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    val src = SnapshotLog.read(spark, dir, v1).filter(col("m") === 2)
+    val deletes = src.filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val v2 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), deletes,
+      deletes.filter(lit(false)).withColumn("new_qty", lit(0)),
+      deletes.filter(lit(false)).withColumn("qty", lit(0))
+        .select("l_orderkey", "l_linenumber", "qty", "m"),
+      Map("qty" -> "new_qty"))
+
+    def scanOf(v: Int) = {
+      val df = spark.read.format("graft-snapshot")
+        .option("path", dir).option("versionAsOf", v.toString).load()
+      val parts = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions
+      }
+      (df, parts.getOrElse(fail("no BatchScanExec in the plan")))
+    }
+    val (df1, parts1) = scanOf(v1)
+    val (df2, parts2) = scanOf(v2)
+    assert(parts1 == SnapshotLog.files(dir, v1).size,
+      "the scan must plan one partition per manifest data entry")
+    assert(parts2 == SnapshotLog.files(dir, v2).size)
+
+    // values equal the engine's own snapshot reads, per version
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.agg(count(lit(1)), sum(col("qty")).cast("long")).head
+    assert(agg(df1) == agg(SnapshotLog.read(spark, dir, v1)))
+    assert(agg(df2) == agg(SnapshotLog.read(spark, dir, v2)))
+    assert(agg(df1) != agg(df2),
+      "the same SQL text at two versions must see different tables")
+  }
+
+  test("a vectored snapshot refuses the raw batch scan") {
+    val dir = s"${graft.Scratch.dirFor("snapsrc_vec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = mkBase()
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    DeleteVectors.appendDeletes(spark, dir,
+      SnapshotLog.read(spark, dir, v1).limit(5)
+        .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("path", dir)
+        .load().count()
+    }
+    assert(e.getMessage.contains("delete vector"),
+      s"expected the loud vector refusal, got: ${e.getMessage}")
+  }
+
+  test("stream: replayed epoch is a no-op; a new commit streams its delta") {
+    val dir = s"${graft.Scratch.dirFor("snapsrc_stream", sf)}/t"
+    graft.Scratch.clear(dir)
+    val out = s"${graft.Scratch.dirFor("snapsrc_stream", sf)}/out"
+    val ckpt = s"${graft.Scratch.dirFor("snapsrc_stream", sf)}/ckpt"
+    graft.Scratch.clear(out); graft.Scratch.clear(ckpt)
+    val base = mkBase()
+    SnapshotMerge.writeInitial(spark,
+      base.filter(col("l_orderkey") % 3 =!= 0), dir, "m")
+    graft.streaming.SnapshotCommitSink.commitBatch(spark, dir,
+      base.filter(col("l_orderkey") % 3 === 0), 0L)
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", dir).option("changeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == base.count(), "first drain must stream every commit")
+
+    // replay: no new commit — the restarted stream must add NOTHING
+    drain()
+    assert(spark.read.parquet(out).count() == n1,
+      "a replayed epoch re-delivered rows")
+
+    // a delete commit afterwards streams exactly its keys as D ops
+    DeleteVectors.appendDeletes(spark, dir,
+      base.filter(col("l_orderkey") % 19 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+    drain()
+    val all = spark.read.parquet(out)
+    val dRows = all.filter(col("_op") === "D")
+    assert(all.count() == n1 + dRows.count())
+    val wantD = base.filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m")).distinct()
+    val gotD = dRows.select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    assert(gotD.exceptAll(wantD).count() == 0 &&
+      wantD.exceptAll(gotD).count() == 0,
+      "streamed D ops must equal the vector's distinct keys")
+
+    // union of streamed deltas == the batch state: I rows minus D keys
+    val iRows = all.filter(col("_op") === "I")
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    val folded = iRows.join(gotD,
+      Seq("l_orderkey", "l_linenumber", "m"), "left_anti")
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    val want = SnapshotLog.readMor(spark, dir, SnapshotLog.latest(dir))
+      .select(col("l_orderkey"), col("l_linenumber"), col("qty"), col("m"))
+    assert(folded.exceptAll(want).count() == 0 &&
+      want.exceptAll(folded).count() == 0,
+      "folded stream deltas diverged from the table's batch state")
+  }
+
+  test("a copy-on-write rewrite commit fails the stream loudly") {
+    val dir = s"${graft.Scratch.dirFor("snapsrc_cow", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = mkBase()
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    val deletes = SnapshotLog.read(spark, dir, v1)
+      .filter(col("m") === 2 && col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), deletes,
+      deletes.filter(lit(false)).withColumn("new_qty", lit(0)),
+      deletes.filter(lit(false)).withColumn("qty", lit(0))
+        .select("l_orderkey", "l_linenumber", "qty", "m"),
+      Map("qty" -> "new_qty"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", dir).option("changeFeed", "true").load()
+        .writeStream.format("memory").queryName("snapsrc_cow_tbl")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("copy-on-write") ||
+      Option(e.getCause).exists(_.getMessage.contains("copy-on-write")),
+      s"expected the loud COW refusal, got: ${e.getMessage}")
+  }
+}
