@@ -1786,7 +1786,149 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 2, CAST(m AS INT), count(*),
                      CAST(sum(qty) AS BIGINT)
-              FROM v2 GROUP BY 2"""))
+              FROM v2 GROUP BY 2""")),
+
+    // S40 — SCHEMA EVOLUTION composed with the snapshot log (ext.):
+    // a RENAME + WIDEN commits as a PURE METADATA snapshot — the
+    // manifest carries the canonical schema and the old→new name
+    // mapping (`SnapshotLog.commitSchemaChange`), every v1 file entry
+    // is carried forward verbatim (zero bytes rewritten at any table
+    // size), and reads resolve each commit's files through
+    // `SchemaEvolution.upgradeTo` (rename, cast, null-fill — one
+    // codegen'd projection per commit group). Time travel serves each
+    // version under ITS OWN schema: the v1 branch reads `qty` INT
+    // exactly as written, the v3 branch reads `quantity` BIGINT
+    // spanning old files (lifted) and a post-evolution append (native)
+    // — both hash-gated against a two-branch oracle. The
+    // Iceberg/Delta table-metadata contract from the engine's parts.
+    Q("s40_schema_snapshot",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s40_schema", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        import org.apache.spark.sql.types._
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val canonical = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_linenumber", IntegerType),
+          StructField("quantity", LongType), // qty renamed + widened
+          StructField("m", IntegerType)))
+        SnapshotLog.commitSchemaChange(dir, canonical,
+          Map("qty" -> "quantity"))
+        // append AFTER the evolution, under the canonical schema
+        val appended = base.filter(col("l_orderkey") % 5 === 0)
+          .select((col("l_orderkey") + 2000000L).as("l_orderkey"),
+            col("l_linenumber"),
+            (col("qty") * 2 + 1).cast("long").as("quantity"), col("m"))
+        val v3 = graft.streaming.SnapshotCommitSink
+          .commitBatch(s, dir, appended, 0L)
+        val b1 = SnapshotLog.read(s, dir, v1)
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_q"))
+          .select(lit(v1).as("snapshot"), col("m"), col("n_rows"),
+            col("sum_q"))
+        val b3 = SnapshotLog.read(s, dir, v3)
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("quantity")).cast("long").as("sum_q"))
+          .select(lit(v3).as("snapshot"), col("m"), col("n_rows"),
+            col("sum_q"))
+        b1.unionByName(b3)
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              app AS (
+                SELECT ok + 2000000 AS ok, ln,
+                       CAST(qty * 2 + 1 AS BIGINT) AS q, m
+                FROM base WHERE ok % 5 = 0),
+              v3 AS (
+                SELECT ok, ln, CAST(qty AS BIGINT) AS q, m FROM base
+                UNION ALL SELECT ok, ln, q, m FROM app)
+              SELECT 1 AS snapshot, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_q
+              FROM base GROUP BY 2
+              UNION ALL
+              SELECT 3, CAST(m AS INT), count(*),
+                     CAST(sum(q) AS BIGINT)
+              FROM v3 GROUP BY 2""")),
+
+    // S41 — POSITION DELETES (ext.): the Delta deletion-vector flavor
+    // equality deletes cannot express — "delete THIS physical row".
+    // The fixture plants a full duplicate of every %23 row, then
+    // deletes exactly one physical copy per duplicate group: addresses
+    // come from the parquet `_metadata` row index, the delete commit
+    // is one tiny (file_path, row_pos) file + a manifest line, ZERO
+    // data files rewritten (the v1 entries appear in v2 verbatim).
+    // `readMor` subtracts the addresses with a broadcast anti-join on
+    // the scan's own `_metadata` columns; compaction (v3) folds the
+    // position file away and the content is unchanged — both
+    // snapshots hash-gate against the one oracle. At 100 TB this is
+    // the only way to de-duplicate physical rows without rewriting
+    // the files that hold them.
+    Q("s41_position_deletes",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s41_posdel", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val dupSlice = base.filter(col("l_orderkey") % 23 === 0)
+        val v1 = SnapshotMerge.writeInitial(s,
+          base.unionByName(dupSlice), dir, "m")
+        // one physical survivor per duplicate group: rank the
+        // addresses, delete ranks > 1
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"), col("l_linenumber"),
+            col("qty"), col("m"))
+          .orderBy(col("file_path"), col("row_pos"))
+        val toDelete = s.read.parquet(SnapshotLog.files(dir, v1): _*)
+          .select(col("*"),
+            col("_metadata.file_path").as("file_path"),
+            col("_metadata.row_index").as("row_pos"))
+          .filter(col("l_orderkey") % 23 === 0)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") > 1)
+          .select(col("file_path"), col("row_pos"))
+        val v2 = DeleteVectors.appendPositionDeletes(s, dir, toDelete)
+        val v3 = DeleteVectors.compact(s, dir, "m")
+        Seq(v2, v3).map { v =>
+          SnapshotLog.readMor(s, dir, v)
+            .groupBy(col("m"))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(v).as("snapshot"), col("m"), col("n_rows"),
+              col("sum_qty"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              vis AS (
+                SELECT * FROM base WHERE ok % 23 <> 0
+                UNION ALL
+                SELECT DISTINCT ok, ln, qty, m FROM base
+                WHERE ok % 23 = 0)
+              SELECT 2 AS snapshot, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM vis GROUP BY 2
+              UNION ALL
+              SELECT 3, CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT)
+              FROM vis GROUP BY 2"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -81,5 +81,47 @@ class ChangeFeedSpec extends SparkSpec {
     // 3. everything sits in the touched months
     assert(keysOf(cf).forall(k => k._3 == 2 || k._3 == 3))
     cf.unpersist()
+
+    // 4. under pure copy-on-write the effective-state diff degenerates
+    // to the plain exclusive-path diff — same planner read set
+    val (chO, chN) = SnapshotLog.changedEntries(dir, v1, v2)
+    assert(chO.map(_.path).sorted == oldExc.map(_.path).sorted &&
+      chN.map(_.path).sorted == newExc.map(_.path).sorted,
+      "COW changedEntries must equal exclusiveEntries")
+  }
+
+  test("change feed over a MERGE-ON-READ delete commit (the s38 shape)") {
+    val dir = s"${graft.Scratch.dirFor("s38_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    val delKeys = SnapshotLog.read(spark, dir, v1)
+      .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val v2 = graft.operators.DeleteVectors.appendDeletes(spark, dir, delKeys)
+
+    // every data path is SHARED between v1 and v2 — the old
+    // exclusive-path diff would see nothing; the effective-state diff
+    // must recover exactly the planted keys as D ops
+    val (oldExc, newExc) = SnapshotLog.exclusiveEntries(dir, v1, v2)
+    assert(oldExc.isEmpty && newExc.isEmpty,
+      "an appendDeletes transition must share every data path")
+    val cf = QFilters.changeFeed(spark, dir, v1, v2)
+    assert(cf.filter(col("op") =!= "D").count() == 0,
+      "a delete-only commit must produce only D ops")
+    val got = cf.select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val want = delKeys.distinct()
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      "D ops must equal the vector's visible keys")
+
+    // a compaction commit (v2→v3) rewrites every touched path but
+    // changes NO logical row — the feed must come back empty
+    val v3 = graft.operators.DeleteVectors.compact(spark, dir, "m")
+    assert(QFilters.changeFeed(spark, dir, v2, v3).count() == 0,
+      "compaction is a physical rewrite, not a logical change")
   }
 }

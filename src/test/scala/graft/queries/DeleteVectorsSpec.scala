@@ -124,5 +124,45 @@ class DeleteVectorsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeleteVectors.compactPartitions(spark, dir, "m", Seq(2))
     }
+    // ... and so is a partition list matching no data entries (typo'd
+    // value / already-compacted slice): loud, up front, not a
+    // mid-write schema-inference crash
+    intercept[IllegalArgumentException] {
+      DeleteVectors.compactPartitions(spark, dir, "m", Seq(99))
+    }
+  }
+
+  test("vectors are SEQUENCE-scoped: a re-inserted key is served") {
+    val dir = s"${graft.Scratch.dirFor("seq_scope_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+      col("l_orderkey"), col("l_linenumber"),
+      col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+      month(to_date(col("l_shipdate"))).as("m"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    val keys = SnapshotLog.read(spark, dir, v1)
+      .filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val v2 = DeleteVectors.appendDeletes(spark, dir, keys)
+    assert(SnapshotLog.readMor(spark, dir, v2)
+      .filter(col("l_orderkey") % 19 === 0).count() == 0)
+
+    // a LATER commit re-inserts the deleted keys (a stream batch) —
+    // the v2 vector must NOT suppress them: it applies only to data
+    // committed strictly before it (the Iceberg sequence-number rule;
+    // pre-seq semantics silently lost these rows)
+    val reinserted = base.filter(col("l_orderkey") % 19 === 0)
+      .withColumn("qty", lit(7))
+    val v3 = graft.streaming.SnapshotCommitSink
+      .commitBatch(spark, dir, reinserted, 0L)
+    val got = SnapshotLog.readMor(spark, dir, v3)
+      .filter(col("l_orderkey") % 19 === 0)
+    assert(got.count() == reinserted.count(),
+      "the older vector suppressed rows appended after it")
+    assert(got.filter(col("qty") =!= 7).count() == 0,
+      "served rows must be the re-inserted ones, not resurrected olds")
+    // and the pre-reinsert snapshot still reads vectored
+    assert(SnapshotLog.readMor(spark, dir, v2)
+      .filter(col("l_orderkey") % 19 === 0).count() == 0)
   }
 }

@@ -105,4 +105,39 @@ class ManifestPruneSpec extends SparkSpec {
       .agg(count(lit(1)), sum(col("qty")).cast("long")).head
     assert(got == want)
   }
+
+  test("pruned reads still apply delete vectors (no resurrection)") {
+    val dir = s"${graft.Scratch.dirFor("s33_vec_spec", sf)}/t"
+    graft.Scratch.clear(dir)
+    val base = Tables.lineitem(spark, sf).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+        month(to_date(col("l_shipdate"))).as("m"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions(col("l_orderkey"))
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m",
+      statsCols = Seq("l_orderkey"))
+    val (lo, hi) = (1000L, 3000L)
+    // delete keys INSIDE the probed range — a pruned read that skipped
+    // the vectors would resurrect exactly these
+    val keys = SnapshotLog.read(spark, dir, v1)
+      .filter(col("l_orderkey").between(lo, hi) &&
+        col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    assert(keys.count() > 0)
+    val v2 = graft.operators.DeleteVectors.appendDeletes(spark, dir, keys)
+
+    val got = SnapshotLog.prunedRead(spark, dir, v2, "l_orderkey", lo, hi)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+    val want = SnapshotLog.readMor(spark, dir, v2)
+      .filter(col("l_orderkey").between(lo, hi))
+      .agg(count(lit(1)), sum(col("qty")).cast("long")).head
+    assert(got == want,
+      "pruned == unpruned merge-on-read over a vectored table")
+    assert(SnapshotLog.prunedRead(spark, dir, v2, "l_orderkey", lo, hi)
+      .filter(col("l_orderkey") % 7 === 0 &&
+        col("l_orderkey").between(lo, hi)).count() == 0,
+      "a pruned read resurrected vector-deleted rows")
+  }
 }
