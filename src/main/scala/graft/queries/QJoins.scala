@@ -871,13 +871,7 @@ object QJoins extends Registry {
     // triangle counts hash-gate the whole construction.
     Q("g1_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
+        val e = copurchaseEdges(s, d)
         val deg = e.select(col("u").as("id"))
           .unionByName(e.select(col("v").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -969,13 +963,7 @@ object QJoins extends Registry {
     // path graph.
     Q("g2_label_prop",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
+        val e = copurchaseEdges(s, d)
         val sym = e.select(col("u").as("src"), col("v").as("dst"))
           .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
         val nodes = sym.select(col("src").as("id")).distinct()
@@ -1011,6 +999,29 @@ object QJoins extends Registry {
                      FROM adj a JOIN l2 l ON l.id = a.src GROUP BY 1)
               SELECT id, lbl FROM l3"""))
   )
+
+  /** The distinct co-purchase edge list (parts sharing an order,
+    * u < v) SHARED by `g1_triangles` and `g2_label_prop` — the two
+    * distinct-heavy derivation passes dominated both queries' cost, so
+    * the edge relation is a build-once session memo (the
+    * `Caches.memo` pattern the tp_* chain uses): first caller pays the
+    * order-key self-join + distincts, the second reads the persisted
+    * blocks. Bench attributes the warm hit explicitly (`memo_warm`).
+    * At 100 TB the analogue is materializing the edge relation once
+    * per corpus snapshot — every graph query downstream shares it.
+    */
+  private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Caches.memo(s, s"g_copurchase_edges:$d") {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** J23 (ext.) — KEYLESS interval-overlap join via a time-grid: both
     * interval sets explode to the 30-day grid cells they cover, the
