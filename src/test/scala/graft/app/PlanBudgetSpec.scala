@@ -401,4 +401,31 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles == 0, s"j32_er_fs_em shuffles: ${c.shuffles}")
     assert(c.broadcasts >= 1, s"j32_er_fs_em broadcasts: ${c.broadcasts}")
   }
+
+  test("CDF over MOR: two sided signatures + diff joins, vectors broadcast") {
+    // each transition pays its two signature aggregates + the diff
+    // full-outer join; the delete vectors ride BROADCAST anti-joins,
+    // never a shuffle of the data side
+    val c = Plans.planCounts(q("s38_cdf_mor"))
+    assert(c.shuffles <= 6, s"s38_cdf_mor shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"s38_cdf_mor broadcasts: ${c.broadcasts}")
+  }
+
+  test("VERSION AS OF via DSv2: one aggregate exchange per version") {
+    // the graft-snapshot scans plan the manifests' files directly —
+    // the only exchanges are the two per-version aggregates
+    val c = Plans.planCounts(q("s39_version_as_of_sql"))
+    assert(c.shuffles <= 2, s"s39_version_as_of_sql shuffles: ${c.shuffles}")
+  }
+
+  test("schema snapshots: the lift is projection-only — agg exchanges only") {
+    val c = Plans.planCounts(q("s40_schema_snapshot"))
+    assert(c.shuffles <= 2, s"s40_schema_snapshot shuffles: ${c.shuffles}")
+  }
+
+  test("position deletes: broadcast anti on row addresses; aggs only shuffle") {
+    val c = Plans.planCounts(q("s41_position_deletes"))
+    assert(c.shuffles <= 2, s"s41_position_deletes shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"s41_position_deletes broadcasts: ${c.broadcasts}")
+  }
 }

@@ -29,6 +29,12 @@ class TriangleCloseSpec extends SparkSpec {
   }
 
   test("shuffle close == broadcast close, node for node") {
+    // warm the shared co-purchase edge memo first: a cold (unmaterialized)
+    // cache has no size stats, so the first run would plan the degree and
+    // wedge joins as SMJ while the warm second run broadcasts them — the
+    // BHJ-count comparison below needs both variants planned from the
+    // SAME cache temperature
+    run("broadcast")
     val (bRows, bPlan) = run("broadcast")
     val (sRows, sPlan) = run("shuffle")
     assert(bRows.nonEmpty, "fixture produced no triangles")
