@@ -87,7 +87,13 @@ object ScaleProbe {
     // round 10b: the lifecycle pair — vacuum after a copy-on-write
     // merge, and the hot-slice delete-vector fold — plus the
     // manifest-driven change feed (diff cost = touched partitions)
-    "s35_snapshot_expire", "s36_partial_compaction", "s37_change_feed")
+    "s35_snapshot_expire", "s36_partial_compaction", "s37_change_feed",
+    // round 11: the lake kernel's read side — MOR-aware change feed,
+    // pinned-version SQL reads, metadata schema evolution, and position
+    // deletes (all lineitem-scaled lake fixtures). stream_change_feed
+    // stays out with the other stream_* rows (micro-batch floors).
+    "s38_cdf_mor", "s39_version_as_of_sql", "s40_schema_snapshot",
+    "s41_position_deletes")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

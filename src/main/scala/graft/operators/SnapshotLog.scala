@@ -393,6 +393,19 @@ object SnapshotLog {
     (oChanged, nChanged)
   }
 
+  /** ROLL BACK to snapshot `v`: publish a NEW snapshot whose content is
+    * exactly `v`'s (entries and headers carried verbatim) — history is
+    * append-only, so the bad commits stay inspectable (and expirable)
+    * while every reader of latest sees the restored state. The
+    * Iceberg rollback / Delta RESTORE shape: pure metadata, zero data
+    * movement at any table size. Returns the new snapshot id.
+    */
+  def rollback(tableDir: String, v: Int): Int = {
+    require(v >= 1 && v <= latest(tableDir),
+      s"cannot roll back to uncommitted v$v")
+    commitEntries(tableDir, entries(tableDir, v), headers(tableDir, v))
+  }
+
   /** Expire snapshots below `keepFrom` — the VACUUM half of the
     * lifecycle (Delta VACUUM / Iceberg expireSnapshots): delete the
     * expired manifests and every file they reference that NO retained

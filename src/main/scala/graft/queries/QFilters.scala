@@ -1928,7 +1928,263 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 3, CAST(m AS INT), count(*),
                      CAST(sum(qty) AS BIGINT)
-              FROM vis GROUP BY 2"""))
+              FROM vis GROUP BY 2""")),
+
+    // S42 — BRANCHES, TAGS and WRITE–AUDIT–PUBLISH (ext.): named refs
+    // over the snapshot log (`operators/SnapshotRefs`), the Iceberg
+    // refs / WAP pattern. Two batches are staged as commits on an
+    // `audit` branch — `main` and the `rel-1` tag keep reading the
+    // original snapshot untouched (the "write"); an audit pass
+    // validates the staged world; then `main` adopts the branch head by
+    // FAST-FORWARD, which requires ancestry (nothing landed on main
+    // meanwhile) and moves ONE POINTER — zero data, zero manifests,
+    // however many terabytes the branch staged. The tag pins the
+    // pre-publish release forever. All four reads (main/audit before,
+    // main/tag after) hash-gate against a month-sliced oracle.
+    Q("s43_branch_wap",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s43_wap", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge, SnapshotRefs}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s,
+          base.filter(col("m") <= 4), dir, "m")
+        SnapshotRefs.createBranch(dir, "main", v1)
+        SnapshotRefs.createBranch(dir, "audit", v1)
+        SnapshotRefs.tag(dir, "rel-1", v1)
+        SnapshotRefs.commitAppend(s, dir, "audit",
+          base.filter(col("m").between(5, 8)))
+        val v3 = SnapshotRefs.commitAppend(s, dir, "audit",
+          base.filter(col("m") >= 9))
+        def face(stage: String, ref: String, v: Int) =
+          SnapshotLog.read(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(stage).as("stage"), lit(ref).as("ref"),
+              col("n_rows"), col("sum_qty"))
+        // heads resolved BEFORE the publish pin the pre-publish reads
+        val pre = face("pre", "main", SnapshotRefs.head(dir, "main"))
+          .unionByName(face("pre", "audit", SnapshotRefs.head(dir, "audit")))
+        // the AUDIT: validate the staged branch before anyone can see it
+        require(SnapshotLog.read(s, dir, v3).count() > 0,
+          "audit failed: staged branch is empty")
+        SnapshotRefs.fastForward(dir, "main", v3)
+        pre
+          .unionByName(face("post", "main", SnapshotRefs.head(dir, "main")))
+          .unionByName(face("tag", "rel-1",
+            SnapshotRefs.resolveTag(dir, "rel-1")))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              a AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base WHERE m <= 4),
+              f AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base)
+              SELECT 'pre' AS stage, 'main' AS ref,
+                     n AS n_rows, sq AS sum_qty FROM a
+              UNION ALL SELECT 'pre', 'audit', n, sq FROM f
+              UNION ALL SELECT 'post', 'main', n, sq FROM f
+              UNION ALL SELECT 'tag', 'rel-1', n, sq FROM a""")),
+
+    // S43 — INCREMENTAL VIEW MAINTENANCE over the change feed (ext.):
+    // a grouped aggregate maintained WITHOUT ever re-reading the table
+    // — the classic delta rule (count/sum need no row matching at all):
+    // each commit contributes its changed entries' rows SIGNED (+1 new
+    // side, -1 old side, both under their own delete vectors), and one
+    // final fold of base ∪ deltas equals the aggregate computed
+    // directly at the head — the query emits BOTH faces and the oracle
+    // certifies them identical. The transitions cover all three commit
+    // species: a COW merge (only rewritten partitions contribute), an
+    // equality-vector delete (every covered file is conservatively
+    // changed — the Iceberg bound), and an append (only the new file).
+    // At 100 TB the maintained view pays commit volume, not table
+    // scans — s25's IVM composed with the lake kernel.
+    Q("s44_ivm_cdf",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s44_ivm", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val src = SnapshotLog.read(s, dir, v1).filter(col("m").isin(2, 3))
+        val deletes = src.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v2 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        val delKeys = SnapshotLog.readMor(s, dir, v2)
+          .filter(col("m").isin(5, 6) && col("l_orderkey") % 11 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val v3 = DeleteVectors.appendDeletes(s, dir, delKeys)
+        val app = base.filter(col("m") === 7 && col("l_orderkey") % 29 === 0)
+          .select((col("l_orderkey") + 3000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v4 = graft.streaming.SnapshotCommitSink
+          .commitBatch(s, dir, app, 0L)
+        def signed(v: Int, changed: Seq[SnapshotLog.FileEntry], w: Int) = {
+          val dels = SnapshotLog.entries(dir, v).filter(_.kind != "D")
+          (if (changed.isEmpty)
+            SnapshotLog.read(s, dir, v1).filter(lit(false))
+          else SnapshotLog.morFrame(s, dir, v, changed ++ dels))
+            .select(col("m"), col("qty"), lit(w).as("w"))
+        }
+        val deltas = Seq((v1, v2), (v2, v3), (v3, v4)).map { case (a, b) =>
+          val (oc, nc) = SnapshotLog.changedEntries(dir, a, b)
+          signed(a, oc, -1).unionByName(signed(b, nc, 1))
+        }.reduce(_.unionByName(_))
+        val ivm = SnapshotLog.read(s, dir, v1)
+          .select(col("m"), col("qty"), lit(1).as("w"))
+          .unionByName(deltas)
+          .groupBy(col("m"))
+          .agg(sum(col("w")).cast("long").as("n_rows"),
+            sum(col("w") * col("qty")).cast("long").as("sum_qty"))
+          .filter(col("n_rows") =!= 0) // fully-retracted groups drop out
+          .select(lit("ivm").as("face"), col("m"), col("n_rows"),
+            col("sum_qty"))
+        val direct = SnapshotLog.readMor(s, dir, v4)
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"))
+          .select(lit("direct").as("face"), col("m"), col("n_rows"),
+            col("sum_qty"))
+        ivm.unionByName(direct)
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN m IN (2, 3) AND ok % 19 <> 0
+                                 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE m IN (2, 3) AND ok % 19 <> 0 AND ok % 13 <> 0
+                  AND ok % 17 = 0),
+              v2 AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+              v3 AS (SELECT * FROM v2
+                     WHERE NOT (m IN (5, 6) AND ok % 11 = 0)),
+              app AS (SELECT ok + 3000000 AS ok, ln, m, qty FROM base
+                      WHERE m = 7 AND ok % 29 = 0),
+              v4 AS (SELECT * FROM v3 UNION ALL SELECT * FROM app),
+              agg AS (SELECT m, count(*) AS n_rows,
+                             CAST(sum(qty) AS BIGINT) AS sum_qty
+                      FROM v4 GROUP BY 1)
+              SELECT 'direct' AS face, CAST(m AS INT) AS m,
+                     n_rows, sum_qty FROM agg
+              UNION ALL
+              SELECT 'ivm', CAST(m AS INT), n_rows, sum_qty FROM agg""")),
+
+    // S45 — DSv2 WRITE into the snapshot log (ext.): the lake kernel's
+    // write half reachable from the STANDARD DataFrame writer —
+    // `df.write.format("graft-snapshot").mode("append")` commits the
+    // frame as ONE snapshot (task-local parquet files under a
+    // writer-unique root, driver-side CAS manifest publish; nothing
+    // visible until the manifest lands — the two-phase commit contract,
+    // `SnapshotWriteSpec` pins invisibility of uncommitted files and
+    // the append-rebase under an interleaved commit). The fixture
+    // builds the whole table through that door — two appends, two
+    // snapshots — then reads both versions back through the DSv2
+    // SOURCE, closing the loop: a table written and read entirely by
+    // plain Spark API, no programmatic kernel calls.
+    Q("s45_dsv2_write",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s45_dsv2w", d)}/t"
+        graft.Scratch.clear(dir)
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        base.filter(col("m") <= 6).write.format("graft-snapshot")
+          .option("path", dir).mode("append").save()
+        base.filter(col("m") > 6).write.format("graft-snapshot")
+          .option("path", dir).mode("append").save()
+        def at(v: Int) =
+          s.read.format("graft-snapshot")
+            .option("path", dir).option("versionAsOf", v.toString).load()
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(v).as("snapshot"), col("n_rows"), col("sum_qty"))
+        at(1).unionByName(at(2))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT 1 AS snapshot, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base WHERE m <= 6
+              UNION ALL
+              SELECT 2, count(*), CAST(sum(qty) AS BIGINT) FROM base""")),
+
+    // S46 — ROLLBACK / RESTORE (ext.): a bad commit undone by
+    // publishing a NEW snapshot with the old snapshot's exact content
+    // (`SnapshotLog.rollback`) — history stays append-only (the bad
+    // version remains inspectable and expirable), readers of latest see
+    // the restored state, and the operation is pure metadata at any
+    // table size (the Iceberg rollback / Delta RESTORE shape). The
+    // fixture commits a corrupting merge (drops a key slice), rolls
+    // back, and gates all three reads: v1 and v3 must agree exactly,
+    // v2 shows the damage the rollback undid.
+    Q("s46_rollback",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s46_rollb", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        // the bad commit: a merge that deletes every %7 key in months 4-5
+        val badDel = SnapshotLog.read(s, dir, v1)
+          .filter(col("m").isin(4, 5) && col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val v2 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), badDel,
+          badDel.limit(0).withColumn("new_qty", lit(0)),
+          base.limit(0), Map("qty" -> "new_qty"))
+        val v3 = SnapshotLog.rollback(dir, v1)
+        Seq(v1, v2, v3).map { v =>
+          SnapshotLog.read(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(v).as("snapshot"), col("n_rows"), col("sum_qty"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              bad AS (SELECT * FROM base
+                      WHERE NOT (m IN (4, 5) AND ok % 7 = 0))
+              SELECT 1 AS snapshot, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty FROM base
+              UNION ALL
+              SELECT 2, count(*), CAST(sum(qty) AS BIGINT) FROM bad
+              UNION ALL
+              SELECT 3, count(*), CAST(sum(qty) AS BIGINT) FROM base"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -586,6 +586,67 @@ object QStreaming extends Registry {
               FROM (SELECT DISTINCT ok, ln, m FROM base
                     WHERE ok % 19 = 0)""")),
 
+    // Streaming MERGE-ON-READ UPSERT (ext.) — the CDC-apply shape: each
+    // micro-batch commits as ONE snapshot carrying the batch's rows as
+    // a data file AND an equality-delete vector on the key column that
+    // retracts every OLDER version of those keys
+    // (`SnapshotCommitSink.upsertBatch`). The Iceberg sequence rule
+    // makes the pairing correct by construction — the vector's seq
+    // equals the committing version, so it covers all prior batches'
+    // rows and never the batch's own file — and `readMor` serves
+    // last-writer-wins per key with ZERO rewrites (compaction folds
+    // vectors off-peak). The arrival batches slice time in ascending
+    // disjoint ranges, so the final table must hold each user's
+    // LATEST event — the oracle's window rank certifies it. At 100 TB
+    // a CDC stream pays per-batch churn (broadcast-sized vectors),
+    // never a table rewrite per upsert.
+    Q("stream_mor_upsert",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_morup", d)
+        val tdir = s"$root/t"
+        graft.Scratch.clear(tdir)
+        val src = stageArrivals(s, d, root)
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+              // CDC-apply contract: one row per key per batch — keep
+              // the batch's last event per user (the slices are
+              // time-ordered, so this IS the user's latest overall)
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col("user_id"))
+                .orderBy(col("ts").desc, col("cents").desc)
+              val one = batch.withColumn("rk", row_number().over(w))
+                .filter(col("rk") === 1).drop("rk")
+              graft.streaming.SnapshotCommitSink
+                .upsertBatch(s, tdir, one, batchId, Seq("user_id"))
+              ()
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import graft.operators.SnapshotLog
+        SnapshotLog.readMor(s, tdir, SnapshotLog.latest(tdir))
+          .groupBy((col("user_id") % 10).as("bucket"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("cents")).as("sum_cents"))
+      },
+      Some("""WITH e AS (
+                SELECT user_id,
+                       CAST(ts AS TIMESTAMP) AS ts,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS cents
+                FROM events),
+              ranked AS (
+                SELECT user_id, cents,
+                       row_number() OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, cents DESC) AS rk
+                FROM e)
+              SELECT user_id % 10 AS bucket, count(*) AS n_users,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM ranked WHERE rk = 1 GROUP BY 1""")),
+
     // Streaming MG census (ext.) — the heavy-hitter face of the
     // per-batch-sketch family (CMS adds, KMV re-bottom-ks, priority
     // sample re-tops, MG MERGES): each micro-batch externalizes one

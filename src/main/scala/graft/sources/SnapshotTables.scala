@@ -2,7 +2,7 @@ package graft.sources
 
 import java.util
 
-import graft.operators.SnapshotLog
+import graft.operators.{SnapshotLog, SnapshotRefs}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.example.data.Group
@@ -13,9 +13,10 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -42,6 +43,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    a downstream consumer pays each commit's delta, never a table
   *    scan, however large the table — the Delta CDF / Iceberg
   *    incremental-read contract.
+  *  - BATCH WRITE: `df.write.format("graft-snapshot").mode("append")`
+  *    commits the DataFrame as ONE snapshot (task-local parquet files
+  *    under a writer-unique root, driver-side CAS manifest publish —
+  *    see [[SnapshotWrite]]); `option("branch", name)` stages the
+  *    append on a [[graft.operators.SnapshotRefs]] branch instead.
+  *  - Reads address snapshots three ways: `versionAsOf` (a raw id),
+  *    `branch` (the ref's current head), `tagAsOf` (an immutable pin).
   *
   * Loud contracts (fail, never silently mis-read): the batch face
   * refuses snapshots carrying live delete vectors (their anti-join
@@ -69,6 +77,10 @@ class SnapshotTables extends TableProvider with DataSourceRegister {
     else data
   }
 
+  // writes carry their own schema (the DataFrame's): an empty table has
+  // nothing to infer from, and the first append DEFINES the schema
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new SnapshotTable(schema)
@@ -84,8 +96,24 @@ object SnapshotTables {
 
   private[sources] def versionOf(options: CaseInsensitiveStringMap): Int = {
     val dir = pathOf(options)
-    Option(options.get("versionAsOf")).map(_.toInt)
-      .getOrElse(SnapshotLog.latest(dir))
+    explicitVersion(options).getOrElse(SnapshotLog.latest(dir))
+  }
+
+  /** the snapshot a read pins, resolved from whichever addressing the
+    * caller used: a raw id (`versionAsOf`), a branch head (`branch` —
+    * the same option a write targets), or an immutable tag (`tagAsOf`).
+    */
+  private[sources] def explicitVersion(
+      options: CaseInsensitiveStringMap): Option[Int] = {
+    val dir = pathOf(options)
+    val picked = Seq(
+      Option(options.get("versionAsOf")).map(_.toInt),
+      Option(options.get("branch")).map(SnapshotRefs.head(dir, _)),
+      Option(options.get("tagAsOf")).map(SnapshotRefs.resolveTag(dir, _)))
+      .flatten
+    require(picked.size <= 1,
+      "graft-snapshot: at most one of versionAsOf / branch / tagAsOf")
+    picked.headOption
   }
 
   /** The data schema snapshot `v` serves: the manifest-recorded schema
@@ -127,15 +155,18 @@ object SnapshotTables {
 }
 
 private class SnapshotTable(schema0: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = "graft_snapshot_table"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(schema0, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotWriteBuilder(SnapshotTables.pathOf(info.options()),
+      Option(info.options().get("branch")), info)
 }
 
 private class SnapshotScanBuilder(full: StructType,
@@ -146,7 +177,7 @@ private class SnapshotScanBuilder(full: StructType,
     required = requiredSchema
   override def build(): Scan = new SnapshotScan(
     SnapshotTables.pathOf(options),
-    Option(options.get("versionAsOf")).map(_.toInt),
+    SnapshotTables.explicitVersion(options),
     options.getBoolean("changeFeed", false),
     options.getInt("startingVersion", 0),
     full, required)

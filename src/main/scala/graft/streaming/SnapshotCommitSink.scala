@@ -51,4 +51,44 @@ object SnapshotCommitSink {
           s"of batch $batchId")
     v + 1
   }
+
+  /** Commit one micro-batch as a merge-on-read UPSERT — the streaming
+    * CDC-apply shape: the batch lands as a data file (the inserts) AND
+    * as an equality-delete vector on `keyCols` (retracting every OLDER
+    * row of the batch's keys). Both ride ONE snapshot commit, and the
+    * Iceberg sequence rule makes it correct by construction: the
+    * vector's seq equals the committing version, so it covers every
+    * data entry committed strictly before (all prior batches' versions
+    * of these keys) and NOT the batch's own file (same seq, not lower).
+    * `readMor` then serves last-writer-wins per key with zero rewrites
+    * — compaction folds the vectors off-peak, exactly the high-churn
+    * contract a CDC stream needs at 100 TB. The batch must be
+    * key-unique (dedupe upstream); replayed epochs no-op as in
+    * [[commitBatch]].
+    */
+  def upsertBatch(s: SparkSession, tableDir: String, batch: DataFrame,
+      batchId: Long, keyCols: Seq[String]): Int = {
+    val v = SnapshotLog.latest(tableDir)
+    val prior = if (v > 0) SnapshotLog.entries(tableDir, v) else Nil
+    if (prior.exists(_.partition == batchLabel(batchId))) return v
+    val dataDir = s"$tableDir/data/b$batchId"
+    val vecDir = s"$tableDir/deletes/b$batchId"
+    batch.write.mode("overwrite").parquet(dataDir)
+    batch.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").parquet(vecDir)
+    val seq = v + 1L
+    val added =
+      SnapshotLog.dataFiles(dataDir)
+        .map(SnapshotLog.FileEntry(_, "D", batchLabel(batchId), Map.empty,
+          seq = seq)) ++
+      SnapshotLog.dataFiles(vecDir)
+        .map(SnapshotLog.FileEntry(_, "X", batchLabel(batchId), Map.empty,
+          seq = seq))
+    if (!SnapshotLog.publishEntries(tableDir, v + 1, prior ++ added,
+        SnapshotLog.headers(tableDir, v)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $tableDir advanced past v$v during streaming upsert " +
+          s"of batch $batchId")
+    v + 1
+  }
 }

@@ -108,4 +108,19 @@ class SnapshotLogSpec extends SparkSpec {
         s"v$v lost its committed content")
     }
   }
+
+  test("rollback republishes old content; history stays append-only") {
+    val dir = s"/tmp/graft-test/snaplog-rollback"
+    graft.Scratch.clear(dir)
+    SnapshotLog.commit(dir, Seq("good-a.parquet", "good-b.parquet"))
+    SnapshotLog.commit(dir, Seq("bad.parquet"))
+    val v3 = SnapshotLog.rollback(dir, 1)
+    assert(v3 == 3 && SnapshotLog.latest(dir) == 3)
+    assert(SnapshotLog.files(dir, 3) == SnapshotLog.files(dir, 1))
+    // the bad version stays inspectable — append-only history
+    assert(SnapshotLog.files(dir, 2) == Seq("bad.parquet"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.rollback(dir, 99)
+    }
+  }
 }

@@ -52,4 +52,39 @@ class SnapshotStreamSpec extends SparkSpec {
     assert(SnapshotCommitSink.commitBatch(spark, dir, b1, 2L) == 3)
     assert(total(3) == ((4L, 40L)))
   }
+
+  test("upsert batches: last writer wins, re-insert served, replay no-op") {
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dirFor("snapupsert_spec", "x")}/t"
+    graft.Scratch.clear(dir)
+    def state(v: Int): Map[Long, Long] =
+      SnapshotLog.readMor(spark, dir, v).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // epoch 0: three fresh keys
+    val v1 = SnapshotCommitSink.upsertBatch(spark, dir,
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("user_id", "cents"),
+      0L, Seq("user_id"))
+    assert(v1 == 1 && state(1) == Map(1L -> 10L, 2L -> 20L, 3L -> 30L))
+
+    // epoch 1: update key 1, insert key 4 — keys 2,3 untouched
+    val v2 = SnapshotCommitSink.upsertBatch(spark, dir,
+      Seq((1L, 11L), (4L, 40L)).toDF("user_id", "cents"),
+      1L, Seq("user_id"))
+    assert(state(v2) == Map(1L -> 11L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+
+    // epoch 2: RE-UPSERT key 1 again — the seq rule must serve the
+    // epoch-2 row, not let epoch 1's vector suppress it
+    val v3 = SnapshotCommitSink.upsertBatch(spark, dir,
+      Seq((1L, 12L)).toDF("user_id", "cents"), 2L, Seq("user_id"))
+    assert(state(v3) == Map(1L -> 12L, 2L -> 20L, 3L -> 30L, 4L -> 40L))
+
+    // time travel: v2 still serves the epoch-1 value for key 1
+    assert(state(v2)(1L) == 11L)
+
+    // replayed epoch no-ops even with different content
+    assert(SnapshotCommitSink.upsertBatch(spark, dir,
+      Seq((1L, 999L)).toDF("user_id", "cents"), 1L, Seq("user_id")) == v3)
+    assert(state(v3)(1L) == 12L)
+  }
 }
