@@ -93,7 +93,11 @@ object ScaleProbe {
     // deletes (all lineitem-scaled lake fixtures). stream_change_feed
     // stays out with the other stream_* rows (micro-batch floors).
     "s38_cdf_mor", "s39_version_as_of_sql", "s40_schema_snapshot",
-    "s41_position_deletes")
+    "s41_position_deletes",
+    // round 11b: refs/WAP (pointer-move publish over a lineitem-scaled
+    // stage), IVM from commit deltas, the DSv2 write door, rollback.
+    // stream_mor_upsert stays out with the other stream_* rows.
+    "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -428,4 +428,30 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 2, s"s41_position_deletes shuffles: ${c.shuffles}")
     assert(c.broadcasts >= 1, s"s41_position_deletes broadcasts: ${c.broadcasts}")
   }
+
+  test("WAP: four pinned-snapshot reads, one agg exchange each") {
+    // the publish itself is a pointer move — the only exchanges are
+    // the four faces' global aggregates
+    val c = Plans.planCounts(q("s43_branch_wap"))
+    assert(c.shuffles <= 4, s"s43_branch_wap shuffles: ${c.shuffles}")
+  }
+
+  test("IVM over CDF: one fold of all signed deltas + the direct agg") {
+    // every transition's deltas union into ONE grouped aggregate (one
+    // exchange), the direct face pays the second; vectors ride
+    // broadcast anti-joins, never a shuffle of the data side
+    val c = Plans.planCounts(q("s44_ivm_cdf"))
+    assert(c.shuffles <= 2, s"s44_ivm_cdf shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"s44_ivm_cdf broadcasts: ${c.broadcasts}")
+  }
+
+  test("DSv2 write round trip: the writes are exchange-free, aggs only") {
+    val c = Plans.planCounts(q("s45_dsv2_write"))
+    assert(c.shuffles <= 2, s"s45_dsv2_write shuffles: ${c.shuffles}")
+  }
+
+  test("rollback: three pinned reads, one agg exchange each") {
+    val c = Plans.planCounts(q("s46_rollback"))
+    assert(c.shuffles <= 3, s"s46_rollback shuffles: ${c.shuffles}")
+  }
 }
