@@ -97,7 +97,8 @@ object ScaleProbe {
     // round 11b: refs/WAP (pointer-move publish over a lineitem-scaled
     // stage), IVM from commit deltas, the DSv2 write door, rollback.
     // stream_mor_upsert stays out with the other stream_* rows.
-    "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback")
+    "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback",
+    "s47_partition_evolution")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -186,6 +186,7 @@ object SnapshotLog {
 
   private val SchemaHeader = "#schema"
   private val RenameHeader = "#rename"
+  private val SpecHeader = "#spec"
 
   /** the canonical schema snapshot `v` serves (None for tables that
     * never evolved — they read under whatever the files carry). */
@@ -391,6 +392,63 @@ object SnapshotLog {
     val nChanged = nEs.filter(e =>
       e.kind == "D" && !oEff.get(e.path).contains(nEff(e.path)))
     (oChanged, nChanged)
+  }
+
+  // ---- partition-spec evolution ------------------------------------
+
+  /** the ACTIVE partition spec of snapshot `v` — the column whose
+    * `col=value` labels NEW file entries carry from this snapshot on.
+    * Files committed under an older spec keep their old labels; reads
+    * treat them conservatively (see [[prunedByPartition]]). None for
+    * tables that never declared one (their writers' labels still work,
+    * there is just no recorded contract).
+    */
+  def specOf(tableDir: String, v: Int): Option[String] =
+    headers(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$SpecHeader\t") =>
+        l.stripPrefix(s"$SpecHeader\t")
+    }
+
+  /** Evolve the table's PARTITION SPEC as a pure metadata commit — the
+    * Iceberg partition-spec-evolution idea: every existing file entry
+    * is carried forward verbatim under its OLD label (zero bytes
+    * rewritten), and the manifest records the new partitioning column
+    * that subsequent writers must label by. Readers never need a
+    * table rewrite: [[prunedByPartition]] prunes each entry by its own
+    * label's column, keeping foreign-spec entries conservatively.
+    */
+  def commitSpecChange(tableDir: String, newPartCol: String): Int = {
+    val v = latest(tableDir)
+    require(v >= 1, s"no snapshot to evolve at $tableDir")
+    val carried = headers(tableDir, v)
+      .filterNot(_.startsWith(s"$SpecHeader\t"))
+    commitEntries(tableDir, entries(tableDir, v),
+      carried :+ s"$SpecHeader\t$newPartCol")
+  }
+
+  /** Partition-pruned merge-on-read scan: skip snapshot `v`'s data
+    * entries whose label NAMES `colName` with a DIFFERENT value; keep
+    * matching entries, unlabeled entries, and entries labeled by
+    * another column (an older or newer spec era — their rows may hold
+    * any `colName` value, the conservative keep every table format
+    * applies across spec boundaries). Skipping is an optimization,
+    * never a bet: callers still apply the row filter. Pure manifest
+    * planning — the spec proves it by deleting the skipped files first.
+    */
+  def prunedByPartition(s: SparkSession, tableDir: String, v: Int,
+      colName: String, value: String): DataFrame = {
+    val es = entries(tableDir, v)
+    val keep = es.filter { e =>
+      e.kind == "D" && {
+        val label = e.partition
+        val i = label.indexOf('=')
+        i < 0 || label.take(i) != colName ||
+          label.drop(i + 1) == value
+      }
+    }
+    if (keep.isEmpty) read(s, tableDir, v)
+      .filter(org.apache.spark.sql.functions.lit(false))
+    else morFrame(s, tableDir, v, keep ++ es.filter(_.kind != "D"))
   }
 
   /** ROLL BACK to snapshot `v`: publish a NEW snapshot whose content is

@@ -48,6 +48,37 @@ object SnapshotMerge {
       collectEntries(s, root, partCol, statsCols, seq = 1L))
   }
 
+  /** APPEND `df` as one snapshot of partitioned, labeled files — the
+    * writer a table uses after [[SnapshotLog.commitSpecChange]]: when
+    * the manifest declares an active partition spec, `partCol` must
+    * match it (mixed-label eras are how rows silently escape partition
+    * pruning, so the mismatch fails loudly); files land under a
+    * writer-unique root and the commit CAS-retries like any append.
+    */
+  def appendPartitioned(s: SparkSession, df: DataFrame, tableDir: String,
+      partCol: String, statsCols: Seq[String] = Nil): Int = {
+    SnapshotLog.specOf(tableDir, SnapshotLog.latest(tableDir)).foreach {
+      spec => require(spec == partCol,
+        s"active partition spec of $tableDir is $spec; " +
+          s"appendPartitioned got $partCol")
+    }
+    val root = SnapshotLog.writerRoot(s"$tableDir/data/append")
+    df.withColumn("_gp", col(partCol))
+      .write.partitionBy("_gp").mode("overwrite").parquet(root)
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      require(attempts <= 1000, "partitioned append lost 1000 id races")
+      val v = SnapshotLog.latest(tableDir)
+      val t = v + 1
+      val prior = if (v > 0) SnapshotLog.entries(tableDir, v) else Nil
+      val added = collectEntries(s, root, partCol, statsCols, seq = t.toLong)
+      if (SnapshotLog.publishEntries(tableDir, t, prior ++ added,
+          SnapshotLog.headers(tableDir, v))) return t
+    }
+    -1 // unreachable
+  }
+
   /** Manifest entries for every parquet file under a version-scoped
     * partitioned write: partition label recovered from the `_gp=` dir,
     * stats from the parquet footer (write-side, once per file).

@@ -2184,7 +2184,65 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 2, count(*), CAST(sum(qty) AS BIGINT) FROM bad
               UNION ALL
-              SELECT 3, count(*), CAST(sum(qty) AS BIGINT) FROM base"""))
+              SELECT 3, count(*), CAST(sum(qty) AS BIGINT) FROM base""")),
+
+    // S47 — PARTITION-SPEC EVOLUTION (ext.): the table repartitions
+    // WITHOUT a rewrite (the Iceberg spec-evolution idea). The fixture
+    // starts partitioned by month, evolves the spec to the returnflag
+    // column as a PURE METADATA commit (`SnapshotLog.commitSpecChange`
+    // — every v1 entry carried verbatim under its old label), then
+    // appends files labeled by the NEW spec
+    // (`SnapshotMerge.appendPartitioned`, which refuses a column that
+    // contradicts the active spec). Pruned reads are per-ENTRY: an
+    // entry prunes by its own label's column, and an entry from the
+    // other era is kept conservatively (its rows may hold any value of
+    // the filter column) — so one query prunes the month era by label
+    // and scans the flag era, the other the reverse, and BOTH equal
+    // the oracle. `SpecEvolutionSpec` proves the skipping is
+    // metadata-only by deleting the pruned files. At 100 TB the
+    // alternative is rewriting the table to change its layout.
+    Q("s47_partition_evolution",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s47_specevo", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          col("l_returnflag").as("rf"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        SnapshotMerge.writeInitial(s, base, dir, "m")
+        SnapshotLog.commitSpecChange(dir, "rf")
+        val app = base.filter(col("l_orderkey") % 13 === 0)
+          .select((col("l_orderkey") + 5000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("rf"), col("m"))
+        val v3 = SnapshotMerge.appendPartitioned(s, app, dir, "rf")
+        def face(name: String, c: String, v: String,
+            rowFilter: org.apache.spark.sql.Column) =
+          SnapshotLog.prunedByPartition(s, dir, v3, c, v)
+            .filter(rowFilter)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(name).as("face"), col("n_rows"), col("sum_qty"))
+        face("prune_m3", "m", "3", col("m") === 3)
+          .unionByName(face("prune_rfR", "rf", "R", col("rf") === "R"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(l_quantity AS INT) AS qty,
+                       l_returnflag AS rf,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              full_t AS (
+                SELECT qty, rf, m FROM base
+                UNION ALL
+                SELECT qty, rf, m FROM base WHERE ok % 13 = 0)
+              SELECT 'prune_m3' AS face, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM full_t WHERE m = 3
+              UNION ALL
+              SELECT 'prune_rfR', count(*), CAST(sum(qty) AS BIGINT)
+              FROM full_t WHERE rf = 'R'"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -454,4 +454,11 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("s46_rollback"))
     assert(c.shuffles <= 3, s"s46_rollback shuffles: ${c.shuffles}")
   }
+
+  test("spec evolution: two pruned-scan faces, agg exchanges only") {
+    // the pruning is a manifest filter — nothing in the plan but each
+    // face's global aggregate
+    val c = Plans.planCounts(q("s47_partition_evolution"))
+    assert(c.shuffles <= 2, s"s47_partition_evolution shuffles: ${c.shuffles}")
+  }
 }
