@@ -98,7 +98,7 @@ object ScaleProbe {
     // stage), IVM from commit deltas, the DSv2 write door, rollback.
     // stream_mor_upsert stays out with the other stream_* rows.
     "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback",
-    "s47_partition_evolution")
+    "s47_partition_evolution", "s48_time_travel_ts", "s49_metadata_tables")
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

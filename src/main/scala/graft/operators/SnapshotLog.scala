@@ -53,17 +53,29 @@ object SnapshotLog {
     * [[FileAlreadyExistsException]] if `v` is already committed).
     * Returns false on collision so the caller can re-read `latest()`
     * and retry — the compare-and-swap a table-format commit is made of.
+    *
+    * Every publish is stamped with a `#ts` header — the commit
+    * wall-clock, forced STRICTLY ABOVE the predecessor's stamp so
+    * [[resolveTimestamp]] is total even when two commits land within
+    * one clock tick (any stale carried `#ts` from the base snapshot's
+    * headers is replaced, never duplicated).
     */
   private[graft] def publish(
       tableDir: String, v: Int, files: Seq[String]): Boolean = {
     val d = manifestDir(tableDir)
+    val stamped = files.filterNot(_.startsWith(s"$TsHeader\t")) :+
+      s"$TsHeader\t${nextTs(tableDir, v)}"
     val tmp = d.resolve(
       s".v$v.manifest.tmp-${java.util.UUID.randomUUID().toString}")
-    Files.write(tmp, files.sorted.mkString("\n").getBytes(UTF_8))
+    Files.write(tmp, stamped.sorted.mkString("\n").getBytes(UTF_8))
     try { Files.createLink(d.resolve(s"v$v.manifest"), tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
   }
+
+  private def nextTs(tableDir: String, v: Int): Long =
+    math.max(System.currentTimeMillis(),
+      tsOf(tableDir, v - 1).map(_ + 1L).getOrElse(0L))
 
   /** publish `files` as the next snapshot; returns its id. Safe under
     * concurrent committers: a lost race surfaces as a failed
@@ -154,13 +166,18 @@ object SnapshotLog {
   }
 
   /** the `#`-prefixed HEADER lines of snapshot `v` (schema + rename
-    * mapping — table-level metadata that rides in the manifest, the
-    * Iceberg table-metadata idea scaled down to one file). Committers
-    * that build on a prior snapshot carry these forward.
+    * mapping, spec, parent — table-level metadata that rides in the
+    * manifest, the Iceberg table-metadata idea scaled down to one
+    * file). Committers that build on a prior snapshot carry these
+    * forward. The `#ts` commit stamp is deliberately EXCLUDED: it is
+    * per-commit metadata, never carried (every publish mints its own)
+    * and never part of a table-metadata equality check (the OCC
+    * rebase compares these headers across interleaved commits).
     */
   def headers(tableDir: String, v: Int): Seq[String] =
     if (v <= 0) Nil
-    else manifestLines(tableDir, v).filter(_.startsWith("#"))
+    else manifestLines(tableDir, v)
+      .filter(l => l.startsWith("#") && !l.startsWith(s"$TsHeader\t"))
 
   /** publish typed entries as the next snapshot (same CAS commit). */
   def commitEntries(tableDir: String, es: Seq[FileEntry],
@@ -187,6 +204,36 @@ object SnapshotLog {
   private val SchemaHeader = "#schema"
   private val RenameHeader = "#rename"
   private val SpecHeader = "#spec"
+  private val TsHeader = "#ts"
+
+  // ---- time travel by TIMESTAMP ------------------------------------
+
+  /** the commit wall-clock of snapshot `v` (stamped by [[publish]];
+    * None for an expired or never-committed version). */
+  def tsOf(tableDir: String, v: Int): Option[Long] =
+    if (v <= 0 || !Files.exists(
+        manifestDir(tableDir).resolve(s"v$v.manifest"))) None
+    else manifestLines(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$TsHeader\t") =>
+        l.stripPrefix(s"$TsHeader\t").toLong
+    }
+
+  /** `TIMESTAMP AS OF`: the newest snapshot committed at or before
+    * `ts` — stamps are strictly increasing by construction, so the
+    * answer is unambiguous. Fails loudly when `ts` predates the oldest
+    * retained snapshot (never silently serves newer data).
+    */
+  def resolveTimestamp(tableDir: String, ts: Long): Int = {
+    val last = latest(tableDir)
+    val stamped = (1 to last)
+      .flatMap(v => tsOf(tableDir, v).map(v -> _))
+    require(stamped.nonEmpty, s"no timestamped snapshots at $tableDir")
+    val hits = stamped.filter(_._2 <= ts)
+    require(hits.nonEmpty,
+      s"no snapshot at or before ts=$ts at $tableDir " +
+        s"(earliest retained stamp: ${stamped.head._2})")
+    hits.map(_._1).max
+  }
 
   /** the canonical schema snapshot `v` serves (None for tables that
     * never evolved — they read under whatever the files carry). */
@@ -488,6 +535,44 @@ object SnapshotLog {
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(v => Files.delete(d.resolve(s"v$v.manifest")))
     dead
+  }
+
+  // ---- metadata tables ----------------------------------------------
+
+  /** The `snapshots` METADATA TABLE (Iceberg's `table.snapshots` /
+    * Delta's DESCRIBE HISTORY): one row per retained snapshot —
+    * version, commit stamp, parent, active spec, entry counts by kind,
+    * distinct partition-label count. Built from manifests alone on the
+    * driver (metadata-sized by construction), returned as a DataFrame
+    * so observability composes with ordinary SQL.
+    */
+  def metaSnapshots(s: SparkSession, tableDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val d = manifestDir(tableDir)
+    (1 to latest(tableDir))
+      .filter(v => Files.exists(d.resolve(s"v$v.manifest")))
+      .map { v =>
+        val es = entries(tableDir, v)
+        (v, tsOf(tableDir, v).getOrElse(-1L),
+          SnapshotRefs.parentOf(tableDir, v).getOrElse(-1),
+          specOf(tableDir, v).getOrElse("-"),
+          es.count(_.kind == "D").toLong,
+          es.count(_.kind == "X").toLong,
+          es.count(_.kind == "P").toLong,
+          es.filter(_.kind == "D").map(_.partition).distinct.size.toLong)
+      }
+      .toDF("version", "ts", "parent", "spec",
+        "n_data", "n_eqdel", "n_posdel", "n_partitions")
+  }
+
+  /** The `files` metadata table: snapshot `v`'s manifest entries as a
+    * DataFrame (path, kind, partition label, commit seq). */
+  def metaFiles(s: SparkSession, tableDir: String, v: Int)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    entries(tableDir, v).map(e => (e.path, e.kind, e.partition, e.seq))
+      .toDF("path", "kind", "partition", "seq")
   }
 
   /** Per-file min/max of INT64 columns from the parquet FOOTER —

@@ -2242,7 +2242,99 @@ object QFilters extends Registry {
               FROM full_t WHERE m = 3
               UNION ALL
               SELECT 'prune_rfR', count(*), CAST(sum(qty) AS BIGINT)
-              FROM full_t WHERE rf = 'R'"""))
+              FROM full_t WHERE rf = 'R'""")),
+
+    // S48 — `TIMESTAMP AS OF` time travel (ext.): every manifest
+    // publish is stamped with a `#ts` commit wall-clock forced STRICTLY
+    // above its predecessor's (two commits inside one clock tick still
+    // resolve unambiguously), and `timestampAsOf` on the DSv2 source
+    // resolves "the newest snapshot at or before t" — the Delta
+    // `TIMESTAMP AS OF` / Iceberg as-of-timestamp read. The fixture
+    // builds the table through two DSv2 appends, reads AT each commit's
+    // own stamp and BETWEEN the stamps (t2−1 must serve v1 — the
+    // strict-monotonicity guarantee made observable), all three faces
+    // against one oracle. Reads before the oldest retained stamp fail
+    // loudly rather than silently serving newer data.
+    Q("s48_time_travel_ts",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s48_tsaso", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.SnapshotLog
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        base.filter(col("m") <= 6).write.format("graft-snapshot")
+          .option("path", dir).mode("append").save()
+        base.filter(col("m") > 6).write.format("graft-snapshot")
+          .option("path", dir).mode("append").save()
+        val t1 = SnapshotLog.tsOf(dir, 1).get
+        val t2 = SnapshotLog.tsOf(dir, 2).get
+        def at(face: String, ts: Long) =
+          s.read.format("graft-snapshot").option("path", dir)
+            .option("timestampAsOf", ts.toString).load()
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(face).as("face"), col("n_rows"), col("sum_qty"))
+        at("at_t1", t1)
+          .unionByName(at("between", t2 - 1))
+          .unionByName(at("at_t2", t2))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              h AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base WHERE m <= 6),
+              f AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base)
+              SELECT 'at_t1' AS face, n AS n_rows, sq AS sum_qty FROM h
+              UNION ALL SELECT 'between', n, sq FROM h
+              UNION ALL SELECT 'at_t2', n, sq FROM f""")),
+
+    // S49 — METADATA TABLES (ext.): the table's own history as a
+    // queryable DataFrame — Iceberg's `table.snapshots` / Delta's
+    // DESCRIBE HISTORY. `SnapshotLog.metaSnapshots` surfaces one row
+    // per retained snapshot (version, parent, active spec, entry
+    // counts by kind, distinct partition labels), built from manifests
+    // alone on the driver — observability costs a metadata read at any
+    // table size, and composes with ordinary SQL (the query filters
+    // and projects it like any frame). The fixture walks three commit
+    // species — partitioned initial write, equality-delete vector,
+    // spec evolution — and the oracle pins each version's counts (the
+    // label count derives from the DATA: distinct months in lineitem).
+    Q("s49_metadata_tables",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s49_meta", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          col("l_returnflag").as("rf"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        DeleteVectors.appendDeletes(s, dir,
+          SnapshotLog.read(s, dir, v1)
+            .filter(col("l_orderkey") % 19 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+        SnapshotLog.commitSpecChange(dir, "rf")
+        SnapshotLog.metaSnapshots(s, dir)
+          .select(col("version"), col("spec"), col("n_eqdel"),
+            col("n_posdel"), col("n_partitions"))
+      },
+      Some("""WITH np AS (
+                SELECT CAST(count(DISTINCT
+                         month(CAST(l_shipdate AS DATE))) AS BIGINT) AS n
+                FROM lineitem)
+              SELECT 1 AS version, '-' AS spec,
+                     CAST(0 AS BIGINT) AS n_eqdel,
+                     CAST(0 AS BIGINT) AS n_posdel,
+                     n AS n_partitions FROM np
+              UNION ALL
+              SELECT 2, '-', 1, 0, n FROM np
+              UNION ALL
+              SELECT 3, 'rf', 1, 0, n FROM np"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -109,10 +109,12 @@ object SnapshotTables {
     val picked = Seq(
       Option(options.get("versionAsOf")).map(_.toInt),
       Option(options.get("branch")).map(SnapshotRefs.head(dir, _)),
-      Option(options.get("tagAsOf")).map(SnapshotRefs.resolveTag(dir, _)))
+      Option(options.get("tagAsOf")).map(SnapshotRefs.resolveTag(dir, _)),
+      Option(options.get("timestampAsOf"))
+        .map(t => SnapshotLog.resolveTimestamp(dir, t.toLong)))
       .flatten
-    require(picked.size <= 1,
-      "graft-snapshot: at most one of versionAsOf / branch / tagAsOf")
+    require(picked.size <= 1, "graft-snapshot: at most one of " +
+      "versionAsOf / branch / tagAsOf / timestampAsOf")
     picked.headOption
   }
 

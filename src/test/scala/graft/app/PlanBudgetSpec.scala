@@ -461,4 +461,15 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("s47_partition_evolution"))
     assert(c.shuffles <= 2, s"s47_partition_evolution shuffles: ${c.shuffles}")
   }
+
+  test("timestamp travel: three pinned reads, one agg exchange each") {
+    // resolution is a manifest-header walk — no plan nodes at all
+    val c = Plans.planCounts(q("s48_time_travel_ts"))
+    assert(c.shuffles <= 3, s"s48_time_travel_ts shuffles: ${c.shuffles}")
+  }
+
+  test("metadata tables: driver-built history frame — zero exchanges") {
+    val c = Plans.planCounts(q("s49_metadata_tables"))
+    assert(c.shuffles == 0, s"s49_metadata_tables shuffles: ${c.shuffles}")
+  }
 }
