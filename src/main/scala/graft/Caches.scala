@@ -86,6 +86,11 @@ object Caches {
 
   def memoHitSeen: Boolean = synchronized { memoHitSinceReset }
 
+  /** flag a warm hit on a DISK-level shared fixture (the shallow-clone
+    * lake base) so Bench attributes it exactly like a frame memo. */
+  private[graft] def markMemoHit(): Unit =
+    synchronized { memoHitSinceReset = true }
+
   /** Build-once memo of a persisted frame shared across queries within one
     * session.
     */

@@ -99,6 +99,12 @@ object ScaleProbe {
     // stream_mor_upsert stays out with the other stream_* rows.
     "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback",
     "s47_partition_evolution", "s48_time_travel_ts", "s49_metadata_tables")
+  // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
+  // shallow-clone one shared base table (QFilters.lakeBaseDir) that
+  // persists on disk per sf dir. A probe's x1 pass may find it warm
+  // while the xK pass (fresh replicated dir) builds it cold — clear
+  // /tmp/graft_lake_base_v1_* first when re-probing those rows, or the
+  // slopes overstate fixture growth.
 
   /** comma-separated subset for targeted runs (e.g. an x100 headline
     * pass where the answer-bound dedup tiers would be quadratic in the

@@ -498,6 +498,24 @@ object SnapshotLog {
     else morFrame(s, tableDir, v, keep ++ es.filter(_.kind != "D"))
   }
 
+  /** SHALLOW CLONE (Delta's CLONE / Iceberg snapshot-ref tables): a new
+    * table at `dstDir` whose v1 is the source's latest snapshot BY
+    * REFERENCE — one manifest write, zero data copied at any table
+    * size. Clones then diverge freely: commits on either side never
+    * touch the other (manifests are immutable, COW rewrites land under
+    * the writer's own root), and a clone's [[expire]] only ever deletes
+    * files under its OWN directory, so vacuuming a clone cannot
+    * corrupt its source. The fixture-sharing this enables is the same
+    * thing a 100 TB dev/test workflow buys: a writable copy of
+    * production for the cost of a metadata write.
+    */
+  def clone(srcDir: String, dstDir: String): Int = {
+    val v = latest(srcDir)
+    require(v >= 1, s"nothing to clone at $srcDir")
+    require(latest(dstDir) == 0, s"clone target $dstDir is not empty")
+    commitEntries(dstDir, entries(srcDir, v), headers(srcDir, v))
+  }
+
   /** ROLL BACK to snapshot `v`: publish a NEW snapshot whose content is
     * exactly `v`'s (entries and headers carried verbatim) — history is
     * append-only, so the bad commits stay inspectable (and expirable)
@@ -530,8 +548,15 @@ object SnapshotLog {
     val retained = (keepFrom to last).filter(live)
       .flatMap(v => entries(tableDir, v).map(_.path)).toSet
     val expired = (1 until keepFrom).filter(live)
+    // only files under THIS table's root are physically deleted: a
+    // shallow clone references its source's files by absolute path, and
+    // vacuuming the clone must never reach into the source (the same
+    // own-root rule Delta applies to cloned tables)
+    val ownRoot = Paths.get(tableDir).toAbsolutePath.toString
+      .stripSuffix("/") + "/"
     val dead = expired.flatMap(v => entries(tableDir, v).map(_.path))
       .distinct.filterNot(retained)
+      .filter(p => Paths.get(p).toAbsolutePath.toString.startsWith(ownRoot))
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(v => Files.delete(d.resolve(s"v$v.manifest")))
     dead

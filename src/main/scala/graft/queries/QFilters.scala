@@ -1309,7 +1309,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val touchedSrc = SnapshotLog.read(s, dir, v1)
           .filter(col("m").isin(2, 3))
         val deletes = touchedSrc.filter(col("l_orderkey") % 19 === 0)
@@ -1427,7 +1427,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val delKeys = SnapshotLog.read(s, dir, v1)
           .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("m"))
@@ -1553,7 +1553,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val delKeys = SnapshotLog.read(s, dir, v1)
           .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("m"))
@@ -1607,7 +1607,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val touchedSrc = SnapshotLog.read(s, dir, v1)
           .filter(col("m").isin(2, 3))
         val deletes = touchedSrc.filter(col("l_orderkey") % 19 === 0)
@@ -1687,7 +1687,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val delKeys = SnapshotLog.read(s, dir, v1)
           .filter(col("m").isin(2, 3) && col("l_orderkey") % 19 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("m"))
@@ -1735,7 +1735,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val src = SnapshotLog.read(s, dir, v1).filter(col("m").isin(2, 3))
         val deletes = src.filter(col("l_orderkey") % 19 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("m"))
@@ -1811,7 +1811,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val canonical = StructType(Seq(
           StructField("l_orderkey", LongType),
           StructField("l_linenumber", IntegerType),
@@ -2013,7 +2013,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         val src = SnapshotLog.read(s, dir, v1).filter(col("m").isin(2, 3))
         val deletes = src.filter(col("l_orderkey") % 19 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("m"))
@@ -2155,7 +2155,7 @@ object QFilters extends Registry {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
           month(to_date(col("l_shipdate"))).as("m"))
-        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m")
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
         // the bad commit: a merge that deletes every %7 key in months 4-5
         val badDel = SnapshotLog.read(s, dir, v1)
           .filter(col("m").isin(4, 5) && col("l_orderkey") % 7 === 0)
@@ -2334,7 +2334,51 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 2, '-', 1, 0, n FROM np
               UNION ALL
-              SELECT 3, 'rf', 1, 0, n FROM np"""))
+              SELECT 3, 'rf', 1, 0, n FROM np""")),
+
+    // S50 — SHALLOW CLONE (ext.): a writable copy of a table for the
+    // cost of ONE manifest write (Delta CLONE): the clone's v1
+    // references the source's files by path, zero bytes copied at any
+    // table size; the sides then diverge freely — the fixture deletes
+    // a key slice on the CLONE (merge-on-read vector, still zero
+    // copies) and proves the SOURCE serves every row untouched.
+    // `CloneSpec` additionally pins zero data files under the clone's
+    // root after cloning and that a clone-side VACUUM cannot reach the
+    // source's files (expire's own-root rule). This is the dev/test
+    // workflow of a 100 TB production table — and the engine's own
+    // harness runs on it: every lake fixture above clones one shared
+    // base instead of rewriting lineitem.
+    Q("s50_shallow_clone",
+      (s, d) => {
+        val cloneDir = s"${graft.Scratch.dirFor("s50_clone", d)}/t"
+        graft.Scratch.clear(cloneDir)
+        import graft.operators.{DeleteVectors, SnapshotLog}
+        val srcDir = lakeBaseDir(s, d)
+        val v1 = SnapshotLog.clone(srcDir, cloneDir)
+        val delKeys = SnapshotLog.read(s, cloneDir, v1)
+          .filter(col("m").isin(8, 9) && col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val v2 = DeleteVectors.appendDeletes(s, cloneDir, delKeys)
+        def face(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(name).as("face"), col("n_rows"), col("sum_qty"))
+        face("clone_v2", SnapshotLog.readMor(s, cloneDir, v2))
+          .unionByName(face("source",
+            SnapshotLog.read(s, srcDir, SnapshotLog.latest(srcDir))))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              cl AS (SELECT * FROM base
+                     WHERE NOT (m IN (8, 9) AND ok % 7 = 0))
+              SELECT 'clone_v2' AS face, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty FROM cl
+              UNION ALL
+              SELECT 'source', count(*), CAST(sum(qty) AS BIGINT)
+              FROM base"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,
@@ -2353,6 +2397,35 @@ object QFilters extends Registry {
     * vector's visible keys as D ops — the round-10 gap where the feed
     * came back empty while rows were logically deleted.
     */
+  /** The shared m-partitioned lake BASE TABLE — (l_orderkey,
+    * l_linenumber, qty, m) over lineitem — built ONCE per (sf dir) and
+    * SHALLOW-CLONED (S50) by every lake fixture that starts from this
+    * initial state: each query's v1 is a manifest referencing the
+    * shared files, zero bytes copied, and the clones diverge freely
+    * (COW rewrites and vectors land under each clone's own root;
+    * `expire`'s own-root rule keeps the shared files safe). This is
+    * the dev/test-clone workflow a 100 TB table runs daily, exercised
+    * by the harness itself — Bench attributes warm reuse explicitly
+    * (`memo_warm`), so no query silently banks the build.
+    * `s35_snapshot_expire` deliberately does NOT clone: its vacuum
+    * must physically delete its own dead files.
+    */
+  private[queries] def lakeBaseDir(s: org.apache.spark.sql.SparkSession,
+      d: String): String = synchronized {
+    import graft.operators.{SnapshotLog, SnapshotMerge}
+    val dir = s"${graft.Scratch.dirFor("lake_base_v1", d)}/t"
+    if (SnapshotLog.latest(dir) >= 1) { graft.Caches.markMemoHit(); dir }
+    else {
+      graft.Scratch.clear(dir)
+      val base = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+        month(to_date(col("l_shipdate"))).as("m"))
+      SnapshotMerge.writeInitial(s, base, dir, "m")
+      dir
+    }
+  }
+
   private[queries] def changeFeed(
       s: org.apache.spark.sql.SparkSession, tableDir: String,
       vOld: Int, vNew: Int): org.apache.spark.sql.DataFrame = {

@@ -192,8 +192,35 @@ private case class SnapFilePartition(path: String, op: String, commit: Long)
 
 private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     changeFeed: Boolean, startingVersion: Int,
-    full: StructType, required: StructType) extends Scan with Batch {
+    full: StructType, required: StructType) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Statistics from the MANIFEST (file sizes summed at plan time, a
+    * stat per entry, no footer opened): a snapshot-log table joins
+    * like a native table — Catalyst sees its true size and
+    * auto-broadcasts a small snapshot against a big fact scan, the
+    * decision every dimension-table join at 100 TB depends on.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val bytes: java.util.OptionalLong =
+        if (changeFeed) java.util.OptionalLong.empty()
+        else {
+          val v = versionAsOf.getOrElse(SnapshotLog.latest(dir))
+          val total = SnapshotLog.entries(dir, v)
+            .filter(_.kind == "D")
+            .map(e => try java.nio.file.Files.size(
+              java.nio.file.Paths.get(e.path)) catch {
+                case _: java.io.IOException => 0L })
+            .sum
+          java.util.OptionalLong.of(total)
+        }
+      override def sizeInBytes(): java.util.OptionalLong = bytes
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
   override def toBatch: Batch = {
     require(!changeFeed,
       "changeFeed=true is a STREAMING read (use readStream); the batch " +

@@ -472,4 +472,12 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("s49_metadata_tables"))
     assert(c.shuffles == 0, s"s49_metadata_tables shuffles: ${c.shuffles}")
   }
+
+  test("shallow clone: two face aggregates, vector rides broadcast") {
+    // the clone itself contributes NOTHING to the plan — it is one
+    // manifest write before planning starts
+    val c = Plans.planCounts(q("s50_shallow_clone"))
+    assert(c.shuffles <= 2, s"s50_shallow_clone shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"s50_shallow_clone broadcasts: ${c.broadcasts}")
+  }
 }

@@ -168,4 +168,25 @@ class SnapshotSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("copy-on-write")),
       s"expected the loud COW refusal, got: ${e.getMessage}")
   }
+
+  test("the scan reports manifest statistics — a small snapshot " +
+      "auto-broadcasts") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/snapsource-stats"
+    graft.Scratch.clear(dir)
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "tag")
+      .write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    val dim = spark.read.format("graft-snapshot").option("path", dir).load()
+    val fact = spark.range(0, 200000)
+      .select(org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") % 3 + 1).as("k"))
+    // NO broadcast() hint: the join side choice must come from the
+    // scan's reported sizeInBytes (a few KB, far under the threshold)
+    val joined = fact.join(dim, "k")
+    val plan = graft.Plans.formatted(joined)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small snapshot table did not auto-broadcast:\n${plan.take(1500)}")
+    assert(joined.count() == 200000)
+  }
 }
