@@ -202,6 +202,69 @@ object QDedup extends Registry {
 
   def qs: Seq[Q] = Seq(
 
+    // Curated-corpus SNAPSHOTS — the dedup ladder composed with the
+    // lake kernel: each crawl batch is curated (quality gate +
+    // within-batch exact dedup keeping the min doc_id per text) and
+    // committed as ONE merge-on-read UPSERT keyed on the text
+    // (`SnapshotCommitSink.upsertBatch`): a re-crawled document
+    // REPLACES its earlier copy via the batch's seq-scoped equality
+    // vector, a genuinely new document inserts, and the curated corpus
+    // becomes a TIME-TRAVELABLE TABLE — every training run pins the
+    // snapshot it read, re-crawls never duplicate, and the per-batch
+    // cost is the batch (vector = batch keys, broadcast-sized), never
+    // a corpus rewrite. The oracle replays the batch algebra
+    // (within-batch arg-min, last-batch-wins across batches).
+    Q("dd_lake_curation",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("dd_lakecur", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.SnapshotLog
+        import org.apache.spark.sql.expressions.Window
+        val base = Tables.documents(s, d)
+          .filter(col("n_chars") >= 120)
+          .select(col("doc_id"), col("text"), col("lang"))
+        val inc = base.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"),
+            col("lang"))
+          .unionByName(base.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 200000L).as("doc_id"),
+              concat(col("text"), lit(" vtwo")).as("text"), col("lang")))
+        val w = Window.partitionBy(col("text")).orderBy(col("doc_id"))
+        def curate(b: org.apache.spark.sql.DataFrame) =
+          b.withColumn("rk", row_number().over(w))
+            .filter(col("rk") === 1).drop("rk")
+        graft.streaming.SnapshotCommitSink
+          .upsertBatch(s, dir, curate(base), 0L, Seq("text"))
+        val v2 = graft.streaming.SnapshotCommitSink
+          .upsertBatch(s, dir, curate(inc), 1L, Seq("text"))
+        SnapshotLog.readMor(s, dir, v2)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("sum_winner"))
+      },
+      Some("""WITH base AS (
+                SELECT doc_id, text, lang FROM documents
+                WHERE n_chars >= 120),
+              b0 AS (SELECT text, min(doc_id) AS w,
+                            arg_min(lang, doc_id) AS lang
+                     FROM base GROUP BY 1),
+              inc AS (
+                SELECT doc_id + 100000 AS doc_id, text, lang FROM base
+                WHERE doc_id % 5 = 0
+                UNION ALL
+                SELECT doc_id + 200000, text || ' vtwo', lang FROM base
+                WHERE doc_id % 7 = 0),
+              b1 AS (SELECT text, min(doc_id) AS w,
+                            arg_min(lang, doc_id) AS lang
+                     FROM inc GROUP BY 1),
+              fin AS (
+                SELECT COALESCE(b1.w, b0.w) AS w,
+                       COALESCE(b1.lang, b0.lang) AS lang
+                FROM b0 FULL OUTER JOIN b1 ON b0.text = b1.text)
+              SELECT lang, count(*) AS n_docs,
+                     CAST(sum(w) AS BIGINT) AS sum_winner
+              FROM fin GROUP BY 1""")),
+
     // Tier 1 — exact dedup: md5-fingerprint groups, keep min doc_id.
     Q("dd_exact",
       (s, d) => {

@@ -473,6 +473,14 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles == 0, s"s49_metadata_tables shuffles: ${c.shuffles}")
   }
 
+  test("lake curation: one grouped agg; upsert vectors ride broadcast") {
+    // the curation commits happen before planning; the read is
+    // scan → ≤2 broadcast anti-joins → one (lang) hash aggregate
+    val c = Plans.planCounts(q("dd_lake_curation"))
+    assert(c.shuffles <= 1, s"dd_lake_curation shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, s"dd_lake_curation broadcasts: ${c.broadcasts}")
+  }
+
   test("shallow clone: two face aggregates, vector rides broadcast") {
     // the clone itself contributes NOTHING to the plan — it is one
     // manifest write before planning starts
