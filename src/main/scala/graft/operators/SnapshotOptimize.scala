@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** `OPTIMIZE ZORDER BY` as a SNAPSHOT COMMIT — the Delta/Iceberg
+  * maintenance job composed from the engine's own parts: rewrite the
+  * table's data clustered on the z-order of `dims` (each dimension
+  * normalized through its table min/max into the curve's bit budget,
+  * exactly what a real OPTIMIZE clusters on), and publish the result
+  * as ONE content-preserving snapshot whose manifest carries fresh
+  * per-file min/max on the z-columns. After the commit a box predicate
+  * prunes from the MANIFEST ([[SnapshotLog.prunedRead]]) to the small
+  * file subset the curve localized — no footer opened at plan time —
+  * while time travel still serves the pre-optimize layout under its
+  * own version. OCC publish at base+1: an interleaved commit fails the
+  * optimize loudly (it is a re-runnable maintenance job), never
+  * clobbers it; the orphaned rewrite directory is swept by
+  * [[SnapshotLog.removeOrphans]].
+  *
+  * Scale shape: the rewrite is byte-bound by design (s22's cost
+  * model — schedulable off-peak); everything else is metadata. The
+  * one-table-agg min/max pass is the same stats collection every
+  * OPTIMIZE implementation pays.
+  */
+object SnapshotOptimize {
+
+  def zorder(s: SparkSession, tableDir: String, dims: Seq[String],
+      nFiles: Int, bits: Int = 16): Int = {
+    val v = SnapshotLog.latest(tableDir)
+    val es = SnapshotLog.entries(tableDir, v)
+    require(es.forall(_.kind == "D"),
+      s"snapshot v$v of $tableDir carries delete vectors — compact " +
+        "before OPTIMIZE (a clustering rewrite must not resurrect rows)")
+    val df = SnapshotLog.read(s, tableDir, v)
+    val aggs = dims.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val mmRow = df.agg(aggs.head, aggs.tail: _*).head()
+    val zDims = dims.zipWithIndex.map { case (c, i) =>
+      ZOrder.bucketed(c, mmRow.getLong(2 * i), mmRow.getLong(2 * i + 1),
+        bits)
+    }
+    val root = SnapshotLog.writerRoot(s"$tableDir/data/optimize")
+    df.withColumn("_z", ZOrder.zValue(zDims, bits))
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(root)
+    val rewritten = SnapshotLog.dataFiles(root).map { f =>
+      SnapshotLog.FileEntry(f, "D", "",
+        SnapshotLog.footerStats(s, f, dims), seq = v + 1L)
+    }
+    if (!SnapshotLog.publishEntries(tableDir, v + 1, rewritten,
+        SnapshotLog.headers(tableDir, v)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $tableDir advanced past v$v during OPTIMIZE; re-run")
+    v + 1
+  }
+}

@@ -2378,7 +2378,47 @@ object QFilters extends Registry {
                      CAST(sum(qty) AS BIGINT) AS sum_qty FROM cl
               UNION ALL
               SELECT 'source', count(*), CAST(sum(qty) AS BIGINT)
-              FROM base"""))
+              FROM base""")),
+
+    // S51 — OPTIMIZE ZORDER as a snapshot COMMIT (ext.): the
+    // Delta/Iceberg maintenance job from the engine's own parts — the
+    // table's data rewritten clustered on the (l_orderkey, qty)
+    // z-curve and published as ONE content-preserving snapshot whose
+    // manifest carries fresh per-file min/max (`SnapshotOptimize`).
+    // The same manifest-pruned range read runs against BOTH layouts:
+    // identical answers (the oracle computes once, certifies both
+    // faces), but the optimized manifest localizes the key range to a
+    // small file subset where the month-partitioned layout had
+    // every file overlapping it — `OptimizeSpec` pins the survivor
+    // drop AND the time-traveled pre-optimize layout. The fixture
+    // starts from a SHALLOW CLONE of the shared base: even the
+    // maintenance-job demo costs zero base copies.
+    Q("s51_optimize_zorder",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s51_optz", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotOptimize}
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
+        val v2 = SnapshotOptimize.zorder(s, dir,
+          Seq("l_orderkey", "qty"), nFiles = 8)
+        def face(name: String, v: Int) =
+          SnapshotLog.prunedRead(s, dir, v, "l_orderkey", 10000L, 30000L)
+            .filter(col("l_orderkey").between(10000L, 30000L))
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(name).as("face"), col("n_rows"), col("sum_qty"))
+        face("pre_optimize", v1).unionByName(face("post_optimize", v2))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem
+                WHERE l_orderkey BETWEEN 10000 AND 30000),
+              a AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base)
+              SELECT 'pre_optimize' AS face, n AS n_rows, sq AS sum_qty
+              FROM a
+              UNION ALL SELECT 'post_optimize', n, sq FROM a"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

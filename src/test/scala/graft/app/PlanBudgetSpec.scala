@@ -488,4 +488,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 2, s"s50_shallow_clone shuffles: ${c.shuffles}")
     assert(c.broadcasts >= 1, s"s50_shallow_clone broadcasts: ${c.broadcasts}")
   }
+
+  test("optimize zorder: the layout pays at write; reads are agg-only") {
+    // both pruned-range faces plan scan → filter → one agg exchange;
+    // the pruning and the rewrite never appear in the read plan
+    val c = Plans.planCounts(q("s51_optimize_zorder"))
+    assert(c.shuffles <= 2, s"s51_optimize_zorder shuffles: ${c.shuffles}")
+  }
 }
