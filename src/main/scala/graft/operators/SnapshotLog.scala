@@ -63,8 +63,13 @@ object SnapshotLog {
   private[graft] def publish(
       tableDir: String, v: Int, files: Seq[String]): Boolean = {
     val d = manifestDir(tableDir)
-    val stamped = files.filterNot(_.startsWith(s"$TsHeader\t")) :+
+    val withTs = files.filterNot(_.startsWith(s"$TsHeader\t")) :+
       s"$TsHeader\t${nextTs(tableDir, v)}"
+    // record lineage: an explicit #parent (a branch commit) passes
+    // through; every other commit derived from the linear predecessor
+    val stamped =
+      if (v <= 1 || withTs.exists(_.startsWith(s"$ParentHeader\t"))) withTs
+      else withTs :+ s"$ParentHeader\t${v - 1}"
     val tmp = d.resolve(
       s".v$v.manifest.tmp-${java.util.UUID.randomUUID().toString}")
     Files.write(tmp, stamped.sorted.mkString("\n").getBytes(UTF_8))
@@ -166,18 +171,21 @@ object SnapshotLog {
   }
 
   /** the `#`-prefixed HEADER lines of snapshot `v` (schema + rename
-    * mapping, spec, parent — table-level metadata that rides in the
-    * manifest, the Iceberg table-metadata idea scaled down to one
-    * file). Committers that build on a prior snapshot carry these
-    * forward. The `#ts` commit stamp is deliberately EXCLUDED: it is
-    * per-commit metadata, never carried (every publish mints its own)
-    * and never part of a table-metadata equality check (the OCC
-    * rebase compares these headers across interleaved commits).
+    * mapping, spec — TABLE-level metadata that rides in the manifest,
+    * the Iceberg table-metadata idea scaled down to one file).
+    * Committers that build on a prior snapshot carry these forward.
+    * COMMIT-level headers are deliberately EXCLUDED: the `#ts` stamp
+    * (every publish mints its own) and the `#parent` lineage pointer —
+    * a carry-forward writer that propagated its base's parent would
+    * corrupt ancestry (a plain append on a branch head must record the
+    * head as ITS parent, not the head's parent). Neither is part of
+    * the OCC rebase's table-metadata equality check.
     */
   def headers(tableDir: String, v: Int): Seq[String] =
     if (v <= 0) Nil
     else manifestLines(tableDir, v)
-      .filter(l => l.startsWith("#") && !l.startsWith(s"$TsHeader\t"))
+      .filter(l => l.startsWith("#") && !l.startsWith(s"$TsHeader\t") &&
+        !l.startsWith(s"$ParentHeader\t"))
 
   /** publish typed entries as the next snapshot (same CAS commit). */
   def commitEntries(tableDir: String, es: Seq[FileEntry],
@@ -205,6 +213,19 @@ object SnapshotLog {
   private val RenameHeader = "#rename"
   private val SpecHeader = "#spec"
   private val TsHeader = "#ts"
+  private[operators] val ParentHeader = "#parent"
+
+  /** the snapshot this commit DERIVED from — explicit for branch
+    * commits ([[SnapshotRefs]] writes the header), implicit v−1 for
+    * every linear commit ([[publish]] records it). None only for v1
+    * and for pre-parent manifests. */
+  def parentOf(tableDir: String, v: Int): Option[Int] =
+    if (v <= 0 || !Files.exists(
+        manifestDir(tableDir).resolve(s"v$v.manifest"))) None
+    else manifestLines(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$ParentHeader\t") =>
+        l.stripPrefix(s"$ParentHeader\t").toInt
+    }
 
   // ---- time travel by TIMESTAMP ------------------------------------
 

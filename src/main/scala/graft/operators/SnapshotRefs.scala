@@ -58,13 +58,12 @@ object SnapshotRefs {
   }
 
   /** the snapshot a manifest records as its parent (None for root
-    * commits and for pre-refs linear manifests, which are their own
-    * implicit chain — see [[isAncestor]]). */
+    * commits and for pre-parent manifests, which are their own
+    * implicit chain — see [[isAncestor]]). Commit-level metadata, read
+    * raw — [[SnapshotLog.headers]] deliberately excludes it so
+    * carry-forward writers can never propagate a stale parent. */
   def parentOf(tableDir: String, v: Int): Option[Int] =
-    SnapshotLog.headers(tableDir, v).collectFirst {
-      case l if l.startsWith(s"$ParentHeader\t") =>
-        l.stripPrefix(s"$ParentHeader\t").toInt
-    }
+    SnapshotLog.parentOf(tableDir, v)
 
   private[graft] def parentHeader(v: Int): String = s"$ParentHeader\t$v"
 
@@ -135,8 +134,8 @@ object SnapshotRefs {
     val root = SnapshotLog.writerRoot(s"$tableDir/data/ref-$name")
     batch.write.mode("overwrite").parquet(root)
     val prior = SnapshotLog.entries(tableDir, h)
+    // headers() carries only table-level metadata (no stale #parent/#ts)
     val carried = SnapshotLog.headers(tableDir, h)
-      .filterNot(_.startsWith(s"$ParentHeader\t"))
     // the GLOBAL id mint retries like any append (an interleaved commit
     // on another branch is not a logical conflict for an append — the
     // manifest derives from the BRANCH head, not from latest); the ref

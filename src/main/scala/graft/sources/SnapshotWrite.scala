@@ -92,8 +92,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
       case Some(name) =>
         val h = SnapshotRefs.head(dir, name)
         val prior = SnapshotLog.entries(dir, h)
+        // headers() carries only table-level metadata (no stale parent)
         val carried = SnapshotLog.headers(dir, h)
-          .filterNot(_.startsWith("#parent\t"))
         var done = false
         var attempts = 0
         while (!done) {

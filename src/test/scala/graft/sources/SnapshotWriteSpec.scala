@@ -89,6 +89,19 @@ class SnapshotWriteSpec extends SparkSpec {
       SnapshotRefs.head(dir, "stage"))
     assert(refCount("branch" -> "main") == 2)
     assert(refCount("tagAsOf" -> "pin") == 1)
+
+    // a PLAIN (non-branch) append on top of the published branch head
+    // records the head as ITS parent — not a stale carried pointer —
+    // so the ref can fast-forward onto it (the ancestry-corruption
+    // case headers()'s #parent exclusion exists for)
+    Seq((3L, 30L)).toDF("id", "v")
+      .write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    val tip = graft.operators.SnapshotLog.latest(dir)
+    assert(SnapshotRefs.parentOf(dir, tip)
+      .contains(SnapshotRefs.head(dir, "main")))
+    SnapshotRefs.fastForward(dir, "main", tip)
+    assert(refCount("branch" -> "main") == 3)
     // at most one addressing option per read
     intercept[IllegalArgumentException] {
       spark.read.format("graft-snapshot").option("path", dir)
