@@ -98,7 +98,9 @@ object ScaleProbe {
     // stage), IVM from commit deltas, the DSv2 write door, rollback.
     // stream_mor_upsert stays out with the other stream_* rows.
     "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback",
-    "s47_partition_evolution", "s48_time_travel_ts", "s49_metadata_tables")
+    "s47_partition_evolution", "s48_time_travel_ts", "s49_metadata_tables",
+    // round 11c: clone + optimize + the lake-curation composition
+    "s50_shallow_clone", "s51_optimize_zorder", "dd_lake_curation")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm
