@@ -35,6 +35,10 @@ object SnapshotLog {
     p
   }
 
+  /** is snapshot `v` committed and still retained? */
+  def committed(tableDir: String, v: Int): Boolean =
+    v >= 1 && Files.exists(manifestDir(tableDir).resolve(s"v$v.manifest"))
+
   /** newest committed snapshot id, 0 if none. */
   def latest(tableDir: String): Int = {
     val d = manifestDir(tableDir)
@@ -185,7 +189,23 @@ object SnapshotLog {
     if (v <= 0) Nil
     else manifestLines(tableDir, v)
       .filter(l => l.startsWith("#") && !l.startsWith(s"$TsHeader\t") &&
-        !l.startsWith(s"$ParentHeader\t"))
+        !l.startsWith(s"$ParentHeader\t") && !l.startsWith(s"$RefHeader\t"))
+
+  /** the BRANCH a commit was staged on (the `#ref` commit-level header
+    * written by branch-targeted writers), None for every commit on the
+    * main line. Like `#ts`/`#parent` this is per-commit metadata —
+    * [[headers]] excludes it, so carry-forward writers never propagate
+    * a stale staging marker. The unpinned DSv2 read resolves through
+    * this: a staged commit is invisible to readers of the default face
+    * until a fast-forward publishes it (write–audit–publish isolation).
+    */
+  def refOf(tableDir: String, v: Int): Option[String] =
+    if (v <= 0 || !Files.exists(
+        manifestDir(tableDir).resolve(s"v$v.manifest"))) None
+    else manifestLines(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$RefHeader\t") =>
+        l.stripPrefix(s"$RefHeader\t")
+    }
 
   /** publish typed entries as the next snapshot (same CAS commit). */
   def commitEntries(tableDir: String, es: Seq[FileEntry],
@@ -214,6 +234,8 @@ object SnapshotLog {
   private val SpecHeader = "#spec"
   private val TsHeader = "#ts"
   private[operators] val ParentHeader = "#parent"
+  private[graft] val RefHeader = "#ref"
+  private[graft] val KeysHeader = "#keys"
 
   /** the snapshot this commit DERIVED from — explicit for branch
     * commits ([[SnapshotRefs]] writes the header), implicit v−1 for
@@ -301,9 +323,41 @@ object SnapshotLog {
     val prior = renamesOf(tableDir, v)
     val merged = prior.map { case (o, n) => o -> renames.getOrElse(n, n) } ++
       renames
+    // carry every FOREIGN table-level header (the active #spec, declared
+    // #keys, …) — replacing only the schema/rename pair, exactly like
+    // commitSpecChange carries the schema. Dropping them would silently
+    // void the partition-spec contract after a schema evolution.
+    val carried = headers(tableDir, v).filterNot(l =>
+      l.startsWith(s"$SchemaHeader\t") || l.startsWith(s"$RenameHeader\t"))
     commitEntries(tableDir, entries(tableDir, v),
-      renderSchemaHeaders(schema, merged))
+      carried ++ renderSchemaHeaders(schema, merged))
   }
+
+  /** Declare the table's LOGICAL KEY columns as a pure metadata commit
+    * (a `#keys` table-level header carried forward by every subsequent
+    * commit). Nothing in the kernel enforces uniqueness — the header is
+    * the contract consumers of the CHANGE FEED need to pair old/new
+    * rows of a copy-on-write rewrite into `_op = U` updates (the
+    * streaming U-split reads it; tables without declared keys keep the
+    * loud rewrite refusal).
+    */
+  def commitKeysChange(tableDir: String, keyCols: Seq[String]): Int = {
+    val v = latest(tableDir)
+    require(v >= 1, s"no snapshot to evolve at $tableDir")
+    require(keyCols.nonEmpty, "commitKeysChange needs at least one key")
+    val carried = headers(tableDir, v)
+      .filterNot(_.startsWith(s"$KeysHeader\t"))
+    commitEntries(tableDir, entries(tableDir, v),
+      carried :+ s"$KeysHeader\t${keyCols.mkString(",")}")
+  }
+
+  /** the declared logical key columns of snapshot `v` (None when the
+    * table never declared any). */
+  def keysOf(tableDir: String, v: Int): Option[Seq[String]] =
+    headers(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$KeysHeader\t") =>
+        l.stripPrefix(s"$KeysHeader\t").split(",").toSeq
+    }
 
   // ---- reads (schema-aware, seq-scoped merge-on-read) -------------
 
@@ -534,7 +588,25 @@ object SnapshotLog {
     val v = latest(srcDir)
     require(v >= 1, s"nothing to clone at $srcDir")
     require(latest(dstDir) == 0, s"clone target $dstDir is not empty")
-    commitEntries(dstDir, entries(srcDir, v), headers(srcDir, v))
+    val es = entries(srcDir, v)
+    // CONTINUE the source's sequence numbering (Iceberg preserves and
+    // continues sequence numbers across refs): carried entries keep
+    // their original seqs, and the clone's first snapshot lands at the
+    // highest carried seq — so every subsequent clone commit mints a
+    // seq STRICTLY ABOVE everything carried. Restarting at v1 would let
+    // a new clone-side vector (seq 2) silently miss carried data with
+    // seq >= 2, and a carried vector wrongly suppress new inserts.
+    // Legacy vectors (seq = MaxValue, "applies to everything") are
+    // excluded from the max — their scope is unbounded by design.
+    val maxSeq = es.map(_.seq).filter(_ != Long.MaxValue)
+      .foldLeft(1L)(math.max)
+    val at = math.min(maxSeq, Int.MaxValue.toLong).toInt
+    // parent 0 marks the clone root explicitly — without it, publish
+    // would record a phantom parent `at - 1` that never existed here
+    val ok = publishEntries(dstDir, at, es,
+      s"$ParentHeader\t0" +: headers(srcDir, v))
+    require(ok, s"clone target $dstDir is not empty")
+    at
   }
 
   /** ROLL BACK to snapshot `v`: publish a NEW snapshot whose content is
@@ -667,20 +739,35 @@ object SnapshotLog {
     * action, the cleanup half that [[expire]] (which only follows
     * manifest references) cannot reach: crashed commits and lost OCC
     * races leave writer-unique directories no manifest ever adopted.
-    * Returns the deleted paths. Safe by construction: a referenced
-    * file is by definition in some live manifest's entry list.
+    * Returns the deleted paths.
+    *
+    * `olderThanMillis` guards IN-FLIGHT commits: a concurrent writer
+    * that has staged its writer-unique files but not yet CAS-published
+    * is unreferenced by any manifest at sweep time — deleting its files
+    * would let the subsequent publish reference dead paths (data loss).
+    * Files modified within the cutoff are therefore SKIPPED; the
+    * default (3 h) comfortably exceeds any commit's stage-to-publish
+    * window, the same reasoning behind Iceberg's remove_orphan_files
+    * older-than default. Pass 0 only when no writer can be in flight
+    * (tests, single-writer maintenance windows).
     */
-  def removeOrphans(tableDir: String): Seq[String] = {
+  def removeOrphans(tableDir: String,
+      olderThanMillis: Long = 3L * 3600 * 1000): Seq[String] = {
     val last = latest(tableDir)
     val live = (1 to last)
       .filter(v => Files.exists(
         manifestDir(tableDir).resolve(s"v$v.manifest")))
       .flatMap(v => entries(tableDir, v).map(_.path)).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    def oldEnough(p: String): Boolean =
+      try Files.getLastModifiedTime(Paths.get(p)).toMillis <= cutoff
+      catch { case _: java.io.IOException => false }
     val orphans = Seq("data", "deletes")
       .map(d => Paths.get(tableDir, d))
       .filter(Files.exists(_))
       .flatMap(p => dataFiles(p.toString))
       .filterNot(live)
+      .filter(oldEnough)
     orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
     orphans
   }

@@ -22,6 +22,14 @@ import org.apache.spark.sql.functions._
   * model — schedulable off-peak); everything else is metadata. The
   * one-table-agg min/max pass is the same stats collection every
   * OPTIMIZE implementation pays.
+  *
+  * LAYOUT CONTRACT: the z-curve clusters ACROSS partitions, so the
+  * rewritten entries carry no partition label — after a ZORDER the
+  * table prunes by the curve's stats, not by `col=value` labels, and
+  * partition-scoped MERGE/compaction refuse it (their label split
+  * would be unsound) until a `writeInitial` re-partitions. The
+  * partition-preserving maintenance job is [[binPack]], which rewrites
+  * WITHIN partitions and keeps every label.
   */
 object SnapshotOptimize {
 
@@ -36,6 +44,11 @@ object SnapshotOptimize {
     val aggs = dims.flatMap(c =>
       Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val mmRow = df.agg(aggs.head, aggs.tail: _*).head()
+    dims.zipWithIndex.foreach { case (c, i) =>
+      require(!mmRow.isNullAt(2 * i) && !mmRow.isNullAt(2 * i + 1),
+        s"OPTIMIZE ZORDER: dimension '$c' has no non-null values " +
+          "(empty table or all-null column) — nothing to cluster on")
+    }
     val zDims = dims.zipWithIndex.map { case (c, i) =>
       ZOrder.bucketed(c, mmRow.getLong(2 * i), mmRow.getLong(2 * i + 1),
         bits)

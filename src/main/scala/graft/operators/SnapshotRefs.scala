@@ -78,6 +78,10 @@ object SnapshotRefs {
         s"branch $name already exists at $tableDir")
   }
 
+  /** does branch `name` exist at this table? */
+  def branchExists(tableDir: String, name: String): Boolean =
+    latestSeq(refDir(tableDir, name)) >= 1
+
   /** current head of branch `name`. */
   def head(tableDir: String, name: String): Int = {
     val d = refDir(tableDir, name)
@@ -151,8 +155,11 @@ object SnapshotRefs {
       val added = SnapshotLog.dataFiles(root).map(
         SnapshotLog.FileEntry(_, "D", s"ref=$name", Map.empty,
           seq = t.toLong))
+      // the #ref staging marker keeps this commit OFF the default read
+      // face until a fast-forward publishes it (WAP isolation)
       if (SnapshotLog.publishEntries(tableDir, t, prior ++ added,
-          parentHeader(h) +: carried)) target = t
+          Seq(parentHeader(h), s"${SnapshotLog.RefHeader}\t$name") ++
+            carried)) target = t
     }
     advance(tableDir, name, h, target)
     target

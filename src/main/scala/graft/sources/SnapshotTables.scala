@@ -96,7 +96,49 @@ object SnapshotTables {
 
   private[sources] def versionOf(options: CaseInsensitiveStringMap): Int = {
     val dir = pathOf(options)
-    explicitVersion(options).getOrElse(SnapshotLog.latest(dir))
+    explicitVersion(options).getOrElse(defaultVersion(dir))
+  }
+
+  /** is snapshot `v` on the PUBLISHED line? Branch-staged commits (the
+    * `#ref` marker) are invisible to unpinned readers until a
+    * fast-forward publishes them — at which point they are ancestors of
+    * the `main` head and resolve again. This is the isolation half of
+    * write–audit–publish: "no reader of main can see" is enforced at
+    * the read door, not just promised by the ref layer.
+    */
+  private[sources] def visibleVersion(dir: String, v: Int): Boolean =
+    SnapshotLog.committed(dir, v) && (SnapshotLog.refOf(dir, v) match {
+      case None => true
+      case Some(_) => SnapshotRefs.branchExists(dir, "main") &&
+        SnapshotRefs.isAncestor(dir, v, SnapshotRefs.head(dir, "main"))
+    })
+
+  /** the snapshot an UNPINNED read serves: the newest VISIBLE commit.
+    * A table whose every retained commit is branch-staged refuses the
+    * default read (address a ref explicitly) rather than serving
+    * unpublished data.
+    */
+  private[sources] def defaultVersion(dir: String): Int = {
+    val last = SnapshotLog.latest(dir)
+    if (last == 0) 0
+    else (last to 1 by -1).find(visibleVersion(dir, _)).getOrElse(
+      throw new IllegalArgumentException(
+        s"every retained snapshot of $dir is staged on a branch; " +
+          "read it via option(\"branch\", ...) or publish first"))
+  }
+
+  /** `TIMESTAMP AS OF` over the PUBLISHED line only — a staged commit's
+    * stamp never resolves for an unpinned reader. */
+  private[sources] def resolveTimestampVisible(dir: String, ts: Long): Int = {
+    val stamped = (1 to SnapshotLog.latest(dir))
+      .filter(visibleVersion(dir, _))
+      .flatMap(v => SnapshotLog.tsOf(dir, v).map(v -> _))
+    require(stamped.nonEmpty, s"no published timestamped snapshots at $dir")
+    val hits = stamped.filter(_._2 <= ts)
+    require(hits.nonEmpty,
+      s"no published snapshot at or before ts=$ts at $dir " +
+        s"(earliest retained stamp: ${stamped.head._2})")
+    hits.map(_._1).max
   }
 
   /** the snapshot a read pins, resolved from whichever addressing the
@@ -111,7 +153,7 @@ object SnapshotTables {
       Option(options.get("branch")).map(SnapshotRefs.head(dir, _)),
       Option(options.get("tagAsOf")).map(SnapshotRefs.resolveTag(dir, _)),
       Option(options.get("timestampAsOf"))
-        .map(t => SnapshotLog.resolveTimestamp(dir, t.toLong)))
+        .map(t => resolveTimestampVisible(dir, t.toLong)))
       .flatten
     require(picked.size <= 1, "graft-snapshot: at most one of " +
       "versionAsOf / branch / tagAsOf / timestampAsOf")
@@ -208,7 +250,7 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       private val bytes: java.util.OptionalLong =
         if (changeFeed) java.util.OptionalLong.empty()
         else {
-          val v = versionAsOf.getOrElse(SnapshotLog.latest(dir))
+          val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
           val total = SnapshotLog.entries(dir, v)
             .filter(_.kind == "D")
             .map(e => try java.nio.file.Files.size(
@@ -228,7 +270,7 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     this
   }
   override def planInputPartitions(): Array[InputPartition] = {
-    val v = versionAsOf.getOrElse(SnapshotLog.latest(dir))
+    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
     val es = SnapshotLog.entries(dir, v)
     val vecs = es.filter(_.kind != "D")
     require(vecs.isEmpty,
@@ -291,6 +333,17 @@ private[sources] class SnapshotChangeStream(dir: String,
     val s = start.asInstanceOf[SnapshotOffset].version
     val e = end.asInstanceOf[SnapshotOffset].version
     ((s + 1) to e).flatMap { v =>
+      // branch-STAGED commits never enter the published change feed
+      // (the same isolation the batch default read enforces); their
+      // content reaches consumers only through commits that follow the
+      // publish. Skipped, not refused: offsets stay contiguous.
+      if (SnapshotLog.refOf(dir, v.toInt).nonEmpty) Nil
+      else planCommitDelta(v)
+    }.toArray
+  }
+
+  private def planCommitDelta(v: Long): Seq[InputPartition] = {
+    {
       val prev =
         if (v <= 1) Nil else SnapshotLog.entries(dir, (v - 1).toInt)
       val cur = SnapshotLog.entries(dir, v.toInt)
@@ -309,7 +362,7 @@ private[sources] class SnapshotChangeStream(dir: String,
         case x if x.kind == "D" => SnapFilePartition(x.path, "I", v)
         case x => SnapFilePartition(x.path, "D", v)
       }
-    }.toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required)

@@ -103,7 +103,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
           val added = files.map(SnapshotLog.FileEntry(_, "D",
             s"ref=$name", Map.empty, seq = t.toLong))
           if (SnapshotLog.publishEntries(dir, t, prior ++ added,
-              SnapshotRefs.parentHeader(h) +: carried)) {
+              Seq(SnapshotRefs.parentHeader(h),
+                s"${SnapshotLog.RefHeader}\t$name") ++ carried)) {
             SnapshotRefs.advance(dir, name, h, t)
             done = true
           }

@@ -53,4 +53,19 @@ class OptimizeSpec extends SparkSpec {
       SnapshotOptimize.zorder(spark, dir, Seq("id", "v"), nFiles = 4)
     }
   }
+
+  test("an all-null z-dimension fails loudly, not with an NPE") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/optimize-null/t"
+    graft.Scratch.clear("/tmp/graft-test/optimize-null")
+    val df = (0L until 20L)
+      .map(i => (i, i % 2, null.asInstanceOf[java.lang.Long]))
+      .toDF("id", "grp", "dead")
+    SnapshotMerge.writeInitial(spark, df, dir, "grp")
+    val e = intercept[IllegalArgumentException] {
+      SnapshotOptimize.zorder(spark, dir, Seq("id", "dead"), nFiles = 4)
+    }
+    assert(e.getMessage.contains("no non-null values"),
+      s"expected the loud all-null guard, got: ${e.getMessage}")
+  }
 }

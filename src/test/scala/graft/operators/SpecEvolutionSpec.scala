@@ -58,4 +58,36 @@ class SpecEvolutionSpec extends SparkSpec {
     assert(got.exists(_ >= 100L),
       "conservative keep must include the foreign-era appends")
   }
+
+  test("a schema evolution CARRIES the active #spec (and #keys) forward") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/specevo-schema/t"
+    graft.Scratch.clear("/tmp/graft-test/specevo-schema")
+    val base = (0L until 40L).map(i => (i, i % 4, (i * 2).toInt))
+      .toDF("id", "grp", "qty")
+    SnapshotMerge.writeInitial(spark, base, dir, "grp")
+    SnapshotLog.commitSpecChange(dir, "grp")
+    SnapshotLog.commitKeysChange(dir, Seq("id"))
+    // schema evolution is a header REPLACEMENT for schema/rename only —
+    // every other table-level header must survive it
+    val canonical = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("grp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("quantity",
+        org.apache.spark.sql.types.LongType)))
+    val v = SnapshotLog.commitSchemaChange(dir, canonical,
+      Map("qty" -> "quantity"))
+    assert(SnapshotLog.specOf(dir, v).contains("grp"),
+      "schema evolution dropped the active partition spec")
+    assert(SnapshotLog.keysOf(dir, v).contains(Seq("id")),
+      "schema evolution dropped the declared keys")
+    assert(SnapshotLog.schemaOf(dir, v).contains(canonical))
+    // the spec guard still holds after the evolution
+    intercept[IllegalArgumentException] {
+      SnapshotMerge.appendPartitioned(spark,
+        Seq((100L, 0L, 7L)).toDF("id", "other", "quantity"), dir, "other")
+    }
+  }
 }

@@ -58,7 +58,12 @@ class SnapshotWriteSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/data/append/w-crashed")
     assert(SnapshotLog.latest(dir) == 1)
     assert(SnapshotLog.read(spark, dir, 1).count() == 1)
-    val swept = SnapshotLog.removeOrphans(dir)
+    // an in-contract sweep (default cutoff) must SKIP the fresh files —
+    // they look exactly like a concurrent writer's staged-not-yet-
+    // published commit
+    assert(SnapshotLog.removeOrphans(dir).isEmpty,
+      "the age-guarded sweep deleted files inside the in-flight window")
+    val swept = SnapshotLog.removeOrphans(dir, olderThanMillis = 0L)
     assert(swept.exists(_.contains("w-crashed")), s"swept: $swept")
     assert(SnapshotLog.read(spark, dir, 1).count() == 1)
   }
@@ -84,11 +89,27 @@ class SnapshotWriteSpec extends SparkSpec {
     assert(refCount("branch" -> "stage") == 2)
     assert(refCount("tagAsOf" -> "pin") == 1)
     assert(SnapshotRefs.head(dir, "main") == 1)
+    // WAP isolation at the READ DOOR: the staged commit minted a global
+    // snapshot id, but an UNPINNED read (and a timestamp read at the
+    // staged commit's own stamp) must keep serving the published line
+    val defCount = spark.read.format("graft-snapshot")
+      .option("path", dir).load().count()
+    assert(defCount == 1,
+      s"default read served a branch-staged commit ($defCount rows)")
+    val stagedTs = SnapshotLog.tsOf(dir, SnapshotLog.latest(dir)).get
+    val tsCount = spark.read.format("graft-snapshot").option("path", dir)
+      .option("timestampAsOf", stagedTs.toString).load().count()
+    assert(tsCount == 1,
+      s"TIMESTAMP AS OF served a branch-staged commit ($tsCount rows)")
 
     SnapshotRefs.fastForward(dir, "main",
       SnapshotRefs.head(dir, "stage"))
     assert(refCount("branch" -> "main") == 2)
     assert(refCount("tagAsOf" -> "pin") == 1)
+    // ... and the fast-forward PUBLISHES it to the default face
+    assert(spark.read.format("graft-snapshot").option("path", dir)
+      .load().count() == 2,
+      "default read must serve the branch commit once published")
 
     // a PLAIN (non-branch) append on top of the published branch head
     // records the head as ITS parent — not a stale carried pointer —
