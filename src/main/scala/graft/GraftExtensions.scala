@@ -45,6 +45,12 @@ object GraftExtensions {
         exp.extraOptimizations = exp.extraOptimizations ++
           Seq(graft.plans.LevenshteinBoundRule,
             graft.plans.RangeJoinRewriteRule)
+      // the path catalog for SQL DML on snapshot tables (resolved
+      // lazily at first `graft_lake.…` reference, so a runtime conf
+      // set is sufficient)
+      if (!spark.conf.getOption("spark.sql.catalog.graft_lake").isDefined)
+        spark.conf.set("spark.sql.catalog.graft_lake",
+          classOf[graft.sources.GraftCatalog].getName)
     }
 }
 

@@ -100,7 +100,15 @@ object ScaleProbe {
     "s43_branch_wap", "s44_ivm_cdf", "s45_dsv2_write", "s46_rollback",
     "s47_partition_evolution", "s48_time_travel_ts", "s49_metadata_tables",
     // round 11c: clone + optimize + the lake-curation composition
-    "s50_shallow_clone", "s51_optimize_zorder", "dd_lake_curation")
+    "s50_shallow_clone", "s51_optimize_zorder", "dd_lake_curation",
+    // round 12: SQL DML (lineitem-scaled clone + three statements),
+    // bin-packing OPTIMIZE (fragmented write + pack), and the
+    // metadata-count write (task-side stats collection is the scaled
+    // cost; the count itself is a manifest read). s52 stays out — its
+    // entries derive from DISTINCT month/flag values, constant at any
+    // K (a probe would time fixture noise); stream_cdf_cow stays out
+    // with the other stream_* rows (micro-batch floors).
+    "s53_sql_dml", "s54_optimize_binpack", "s55_metadata_count")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm

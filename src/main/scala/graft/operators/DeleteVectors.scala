@@ -133,14 +133,8 @@ object DeleteVectors {
     SnapshotLog.morFrame(s, tableDir, v, tData ++ vecEntries)
       .withColumn("_gp", col(partCol))
       .write.partitionBy("_gp").mode("overwrite").parquet(newRoot)
-    val newData = SnapshotLog.dataFiles(newRoot).map { f =>
-      val seg = new java.io.File(f).getParentFile.getName
-      val stats =
-        if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
-        else SnapshotLog.footerStats(s, f, statsCols)
-      SnapshotLog.FileEntry(f, "D",
-        s"$partCol=${seg.stripPrefix("_gp=")}", stats, seq = v + 1L)
-    }
+    val newData = SnapshotMerge.collectEntries(s, newRoot, partCol,
+      statsCols, seq = v + 1L)
     val residualEntries = writeResidual(s, tableDir, v + 1,
       es.filter(_.kind == "X"), partCol, parts) ++ es.filter(_.kind == "P")
     if (!SnapshotLog.publishEntries(tableDir, v + 1,
@@ -190,14 +184,8 @@ object DeleteVectors {
     SnapshotLog.readMor(s, tableDir, v)
       .withColumn("_gp", col(partCol))
       .write.partitionBy("_gp").mode("overwrite").parquet(newRoot)
-    val entries = SnapshotLog.dataFiles(newRoot).map { f =>
-      val seg = new java.io.File(f).getParentFile.getName
-      val label = s"$partCol=${seg.stripPrefix("_gp=")}"
-      val stats =
-        if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
-        else SnapshotLog.footerStats(s, f, statsCols)
-      SnapshotLog.FileEntry(f, "D", label, stats, seq = v + 1L)
-    }
+    val entries = SnapshotMerge.collectEntries(s, newRoot, partCol,
+      statsCols, seq = v + 1L)
     if (!SnapshotLog.publishEntries(tableDir, v + 1, entries,
         SnapshotLog.headers(tableDir, v)))
       throw new java.util.ConcurrentModificationException(

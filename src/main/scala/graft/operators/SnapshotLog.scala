@@ -52,11 +52,27 @@ object SnapshotLog {
   }
 
   /** Try to publish `files` as EXACTLY snapshot `v` — put-if-absent.
-    * Stages the full manifest to a committer-unique temp file, then
+    * Stages the manifest to a committer-unique temp file, then
     * publishes via `Files.createLink` (atomic on POSIX; throws
     * [[FileAlreadyExistsException]] if `v` is already committed).
     * Returns false on collision so the caller can re-read `latest()`
     * and retry — the compare-and-swap a table-format commit is made of.
+    *
+    * TWO-LEVEL manifests (the Iceberg manifest-list design): entry
+    * lines live in immutable SEGMENT files (`_manifests/seg-*.seg`,
+    * each written once by the commit that minted it), and the
+    * per-version manifest is a tiny LIST — header lines plus `@seg`
+    * references. A commit whose entry set fully contains a parent
+    * segment REFERENCES it verbatim (never re-serialized); only the
+    * delta is written as one new segment. So an append to a
+    * millions-of-files table writes O(delta) manifest bytes, not
+    * O(table) — the round-11 kernel's first 100-TB breaking point
+    * closed. Commits that drop entries from a parent segment (COW
+    * rewrites, vector folds) rewrite exactly the affected segments'
+    * survivors into the delta segment, the Iceberg rewrite-affected-
+    * manifests behavior. Legacy single-file manifests (inline entry
+    * lines) keep reading unchanged and self-migrate: the first commit
+    * on top of one writes its full entry list as segment zero.
     *
     * Every publish is stamped with a `#ts` header — the commit
     * wall-clock, forced STRICTLY ABOVE the predecessor's stamp so
@@ -64,22 +80,116 @@ object SnapshotLog {
     * one clock tick (any stale carried `#ts` from the base snapshot's
     * headers is replaced, never duplicated).
     */
-  private[graft] def publish(
-      tableDir: String, v: Int, files: Seq[String]): Boolean = {
+  private[graft] def publish(tableDir: String, v: Int, files: Seq[String],
+      segmentsFrom: Option[(String, Int)] = None): Boolean = {
     val d = manifestDir(tableDir)
-    val withTs = files.filterNot(_.startsWith(s"$TsHeader\t")) :+
+    val (headerLines0, entryLines) = files.partition(_.startsWith("#"))
+    val withTs = headerLines0.filterNot(_.startsWith(s"$TsHeader\t")) :+
       s"$TsHeader\t${nextTs(tableDir, v)}"
     // record lineage: an explicit #parent (a branch commit) passes
     // through; every other commit derived from the linear predecessor
     val stamped =
       if (v <= 1 || withTs.exists(_.startsWith(s"$ParentHeader\t"))) withTs
       else withTs :+ s"$ParentHeader\t${v - 1}"
+    val segLines = renderSegments(tableDir, v, entryLines, stamped,
+      segmentsFrom)
     val tmp = d.resolve(
       s".v$v.manifest.tmp-${java.util.UUID.randomUUID().toString}")
-    Files.write(tmp, stamped.sorted.mkString("\n").getBytes(UTF_8))
+    Files.write(tmp,
+      (stamped ++ segLines).sorted.mkString("\n").getBytes(UTF_8))
     try { Files.createLink(d.resolve(s"v$v.manifest"), tmp); true }
     catch { case _: FileAlreadyExistsException => false }
     finally Files.deleteIfExists(tmp)
+  }
+
+  /** Soft ceiling on `@seg` references per manifest: a commit that
+    * would exceed it folds its smallest adopted segments into the delta
+    * segment (Iceberg's manifest merge) — planning cost per snapshot
+    * stays bounded while the amortized write cost stays O(delta).
+    */
+  private val MaxSegRefs = 64
+  private val MergeDownTo = 32
+
+  /** The `@seg` reference lines for this commit's entry set: adopt
+    * every parent segment fully contained in it, write the remainder
+    * once as a new segment. Pure metadata — adopted segments are
+    * compared through the (immutable, cached) segment store, and the
+    * only bytes written are the delta's.
+    */
+  private def renderSegments(tableDir: String, v: Int,
+      entryLines: Seq[String], headerLines: Seq[String],
+      segmentsFrom: Option[(String, Int)]): Seq[String] = {
+    val distinct = entryLines.distinct
+    // duplicate entry lines would make subset adoption unsound; no
+    // writer produces them, but correctness never bets on that
+    require(distinct.size == entryLines.size,
+      s"duplicate manifest entry lines in commit v$v at $tableDir")
+    val parent: Option[(String, Int)] = segmentsFrom.orElse {
+      val p = headerLines.collectFirst {
+        case l if l.startsWith(s"$ParentHeader\t") =>
+          l.stripPrefix(s"$ParentHeader\t").toInt
+      }.getOrElse(v - 1)
+      if (committed(tableDir, p)) Some(tableDir -> p) else None
+    }
+    val candidates = parent.toSeq
+      .flatMap { case (dir, pv) => segRefs(dir, pv) }
+      .sortBy(-_._2) // prefer the biggest shared prefix of history
+    var remaining = entryLines.toSet
+    val adopted = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    candidates.foreach { case (segPath, n) =>
+      if (n > 0 && n <= remaining.size) {
+        val lines = segmentLines(segPath)
+        if (lines.forall(remaining.contains)) {
+          adopted += (segPath -> n)
+          remaining = remaining -- lines
+        }
+      }
+    }
+    // manifest merge: fold the smallest refs into the delta segment
+    val kept =
+      if (adopted.size + 1 <= MaxSegRefs) adopted.toSeq
+      else {
+        val (keep, fold) = adopted.sortBy(-_._2).splitAt(MergeDownTo)
+        fold.foreach { case (p, _) => remaining = remaining ++ segmentLines(p) }
+        keep
+      }
+    val delta =
+      if (remaining.isEmpty) Nil
+      else {
+        val segPath = manifestDir(tableDir).resolve(
+          s"seg-${java.util.UUID.randomUUID().toString}.seg")
+        // order within a segment is irrelevant (entries are a set);
+        // sorted for determinism
+        Files.write(segPath,
+          remaining.toSeq.sorted.mkString("\n").getBytes(UTF_8))
+        Seq(segPath.toAbsolutePath.toString -> remaining.size.toLong)
+      }
+    (kept.toSeq ++ delta).map { case (p, n) => s"$SegHeader\t$p\t$n" }
+  }
+
+  private val SegHeader = "@seg"
+
+  /** the segment references of snapshot `v`: (absolute path, entry
+    * count). Empty for legacy inline manifests. */
+  private[graft] def segRefs(tableDir: String, v: Int): Seq[(String, Long)] =
+    if (!committed(tableDir, v)) Nil
+    else rawLines(tableDir, v).collect {
+      case l if l.startsWith(s"$SegHeader\t") =>
+        val Array(_, p, n) = l.split("\t")
+        p -> n.toLong
+    }
+
+  // segments are immutable once referenced — cache their lines (reads
+  // during subset adoption and entry resolution). Bounded: a full
+  // clear on overflow is always safe, only ever a re-read.
+  private val segCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def segmentLines(path: String): Seq[String] = {
+    if (segCache.size > 4096) segCache.clear()
+    segCache.computeIfAbsent(path, p =>
+      new String(Files.readAllBytes(Paths.get(p)), UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty))
   }
 
   private def nextTs(tableDir: String, v: Int): Long =
@@ -124,13 +234,33 @@ object SnapshotLog {
     */
   final case class FileEntry(
       path: String, kind: String, partition: String,
-      stats: Map[String, (Long, Long)], seq: Long = 0L) {
+      stats: Map[String, (Long, Long)], seq: Long = 0L,
+      rows: Long = -1L,
+      strStats: Map[String, (String, String)] = Map.empty) {
     def overlaps(colName: String, lo: Long, hi: Long): Boolean =
       stats.get(colName) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None => true // stats absent: conservative keep
       }
+    /** string-range overlap (dates ride as ISO strings, so one bound
+      * type serves both); absent stats keep conservatively. */
+    def overlapsStr(colName: String, lo: String, hi: String): Boolean =
+      strStats.get(colName) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
   }
+
+  // string bounds are %-encoded so values may hold the manifest's own
+  // separators; bounds longer than this are DROPPED (conservative keep)
+  // rather than truncated — truncating an upper bound without the
+  // Iceberg increment trick would under-report the max
+  private val MaxStrStat = 64
+
+  private def encStat(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def decStat(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
 
   private def renderEntry(e: FileEntry): String = {
     val part = if (e.partition.isEmpty) "-" else e.partition
@@ -138,7 +268,12 @@ object SnapshotLog {
       if (e.stats.isEmpty) "-"
       else e.stats.toSeq.sortBy(_._1)
         .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }.mkString(",")
-    s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}"
+    val sst =
+      if (e.strStats.isEmpty) "-"
+      else e.strStats.toSeq.sortBy(_._1)
+        .map { case (c, (mn, mx)) => s"$c:${encStat(mn)}:${encStat(mx)}" }
+        .mkString(",")
+    s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}\t${e.rows}\t$sst"
   }
 
   private def parseEntry(line: String): FileEntry = {
@@ -147,6 +282,12 @@ object SnapshotLog {
       else st.split(",").map { s =>
         val Array(c, mn, mx) = s.split(":")
         c -> ((mn.toLong, mx.toLong))
+      }.toMap
+    def strStats(st: String) =
+      if (st == "-") Map.empty[String, (String, String)]
+      else st.split(",").map { s =>
+        val Array(c, mn, mx) = s.split(":")
+        c -> ((decStat(mn), decStat(mx)))
       }.toMap
     line.split("\t") match {
       case Array(p) => FileEntry(p, "D", "", Map.empty) // legacy: bare path
@@ -159,6 +300,9 @@ object SnapshotLog {
         FileEntry(p, k, if (part == "-") "" else part, stats(st), sq)
       case Array(p, k, part, st, sq) =>
         FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong)
+      case Array(p, k, part, st, sq, rw, sst) =>
+        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
+          rw.toLong, strStats(sst))
       case _ => throw new IllegalStateException(s"bad manifest line: $line")
     }
   }
@@ -167,12 +311,28 @@ object SnapshotLog {
   def entries(tableDir: String, v: Int): Seq[FileEntry] =
     manifestLines(tableDir, v).filterNot(_.startsWith("#")).map(parseEntry)
 
-  private def manifestLines(tableDir: String, v: Int): Seq[String] = {
+  /** the manifest's own lines — headers, `@seg` references, and (legacy
+    * manifests) inline entry lines; never opens a segment. */
+  private def rawLines(tableDir: String, v: Int): Seq[String] = {
     val m = manifestDir(tableDir).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $tableDir")
     new String(Files.readAllBytes(m), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
   }
+
+  /** manifest lines with every `@seg` reference RESOLVED: headers plus
+    * the full entry-line list (segment contents spliced in). */
+  private def manifestLines(tableDir: String, v: Int): Seq[String] =
+    rawLines(tableDir, v).flatMap {
+      case l if l.startsWith(s"$SegHeader\t") =>
+        val Array(_, p, n) = l.split("\t")
+        val lines = segmentLines(p)
+        require(lines.size == n.toLong,
+          s"segment $p of v$v at $tableDir: expected $n lines, " +
+            s"found ${lines.size} (truncated or foreign file)")
+        lines
+      case l => Seq(l)
+    }
 
   /** the `#`-prefixed HEADER lines of snapshot `v` (schema + rename
     * mapping, spec — TABLE-level metadata that rides in the manifest,
@@ -187,7 +347,7 @@ object SnapshotLog {
     */
   def headers(tableDir: String, v: Int): Seq[String] =
     if (v <= 0) Nil
-    else manifestLines(tableDir, v)
+    else rawLines(tableDir, v)
       .filter(l => l.startsWith("#") && !l.startsWith(s"$TsHeader\t") &&
         !l.startsWith(s"$ParentHeader\t") && !l.startsWith(s"$RefHeader\t"))
 
@@ -202,7 +362,7 @@ object SnapshotLog {
   def refOf(tableDir: String, v: Int): Option[String] =
     if (v <= 0 || !Files.exists(
         manifestDir(tableDir).resolve(s"v$v.manifest"))) None
-    else manifestLines(tableDir, v).collectFirst {
+    else rawLines(tableDir, v).collectFirst {
       case l if l.startsWith(s"$RefHeader\t") =>
         l.stripPrefix(s"$RefHeader\t")
     }
@@ -220,8 +380,9 @@ object SnapshotLog {
     */
   private[graft] def publishEntries(
       tableDir: String, v: Int, es: Seq[FileEntry],
-      headerLines: Seq[String] = Nil): Boolean =
-    publish(tableDir, v, headerLines ++ es.map(renderEntry))
+      headerLines: Seq[String] = Nil,
+      segmentsFrom: Option[(String, Int)] = None): Boolean =
+    publish(tableDir, v, headerLines ++ es.map(renderEntry), segmentsFrom)
 
   /** the DATA file list of snapshot `v`. */
   def files(tableDir: String, v: Int): Seq[String] =
@@ -244,7 +405,7 @@ object SnapshotLog {
   def parentOf(tableDir: String, v: Int): Option[Int] =
     if (v <= 0 || !Files.exists(
         manifestDir(tableDir).resolve(s"v$v.manifest"))) None
-    else manifestLines(tableDir, v).collectFirst {
+    else rawLines(tableDir, v).collectFirst {
       case l if l.startsWith(s"$ParentHeader\t") =>
         l.stripPrefix(s"$ParentHeader\t").toInt
     }
@@ -256,7 +417,7 @@ object SnapshotLog {
   def tsOf(tableDir: String, v: Int): Option[Long] =
     if (v <= 0 || !Files.exists(
         manifestDir(tableDir).resolve(s"v$v.manifest"))) None
-    else manifestLines(tableDir, v).collectFirst {
+    else rawLines(tableDir, v).collectFirst {
       case l if l.startsWith(s"$TsHeader\t") =>
         l.stripPrefix(s"$TsHeader\t").toLong
     }
@@ -396,6 +557,20 @@ object SnapshotLog {
   private[graft] val PosPathCol = "_graft_pos_path"
   private[graft] val PosIdxCol = "_graft_pos_idx"
 
+  /** Canonical form of a file path for POSITION-delete matching: the
+    * scheme stripped (`file:///a/b` → `/a/b`), so addresses written by
+    * Spark's `_metadata.file_path` (scheme-qualified) and by the DSv2
+    * row-level writer (manifest paths, scheme-less) subtract the same
+    * rows. String function only — usable on executors.
+    */
+  private[graft] def normPath(p: String): String =
+    p.replaceFirst("^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
+  private[graft] def normPathCol(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(
+      c, "^[A-Za-z][A-Za-z0-9+.-]*:/+", "/")
+
   /** Merge-on-read: data files of snapshot `v` MINUS the keys in its
     * equality-delete files MINUS the `(file_path, row_pos)` rows in its
     * position-delete files. Equality vectors are SEQ-SCOPED: a vector
@@ -443,7 +618,7 @@ object SnapshotLog {
     else {
       val pos = s.read.parquet(posDels.map(_.path): _*)
       unioned.join(broadcast(pos),
-        unioned(PosPathCol) === pos("file_path") &&
+        normPathCol(unioned(PosPathCol)) === normPathCol(pos("file_path")) &&
           unioned(PosIdxCol) === pos("row_pos"), "left_anti")
         .drop(PosPathCol, PosIdxCol)
     }
@@ -602,9 +777,14 @@ object SnapshotLog {
       .foldLeft(1L)(math.max)
     val at = math.min(maxSeq, Int.MaxValue.toLong).toInt
     // parent 0 marks the clone root explicitly — without it, publish
-    // would record a phantom parent `at - 1` that never existed here
+    // would record a phantom parent `at - 1` that never existed here.
+    // Segments are adopted FROM THE SOURCE: a clone of a segmented
+    // table writes one manifest list referencing the source's segment
+    // files by absolute path — O(1) metadata, zero entry lines
+    // re-serialized, the same structural sharing the data files get.
     val ok = publishEntries(dstDir, at, es,
-      s"$ParentHeader\t0" +: headers(srcDir, v))
+      s"$ParentHeader\t0" +: headers(srcDir, v),
+      segmentsFrom = Some(srcDir -> v))
     require(ok, s"clone target $dstDir is not empty")
     at
   }
@@ -647,11 +827,20 @@ object SnapshotLog {
     // own-root rule Delta applies to cloned tables)
     val ownRoot = Paths.get(tableDir).toAbsolutePath.toString
       .stripSuffix("/") + "/"
+    def own(p: String) =
+      Paths.get(p).toAbsolutePath.toString.startsWith(ownRoot)
     val dead = expired.flatMap(v => entries(tableDir, v).map(_.path))
-      .distinct.filterNot(retained)
-      .filter(p => Paths.get(p).toAbsolutePath.toString.startsWith(ownRoot))
+      .distinct.filterNot(retained).filter(own)
+    // manifest SEGMENTS expire by the same rule: a segment referenced
+    // by no retained manifest is dead metadata — but only the table's
+    // OWN segments go (a clone's list references the source's)
+    val retainedSegs = (keepFrom to last).filter(live)
+      .flatMap(v => segRefs(tableDir, v).map(_._1)).toSet
+    val deadSegs = expired.flatMap(v => segRefs(tableDir, v).map(_._1))
+      .distinct.filterNot(retainedSegs).filter(own)
     dead.foreach(p => Files.deleteIfExists(Paths.get(p)))
     expired.foreach(v => Files.delete(d.resolve(s"v$v.manifest")))
+    deadSegs.foreach(p => Files.deleteIfExists(Paths.get(p)))
     dead
   }
 
@@ -722,6 +911,90 @@ object SnapshotLog {
     } finally reader.close()
   }
 
+  /** Per-file write-side statistics collected with ONE DISTRIBUTED
+    * aggregation over the just-written files — row count always,
+    * min/max for the requested LONG and STRING columns — replacing the
+    * per-file driver footer loop (an OPTIMIZE emitting 10k files would
+    * serialize 10k filesystem round-trips; this is one job, stats fold
+    * task-side exactly like every real table format's writers). Result
+    * values match [[footerStats]] bit-for-bit for INT64 columns
+    * (`TaskStatsSpec` pins it): parquet footer min/max ARE the data's
+    * min/max, and both sides skip nulls. Keyed by the manifest
+    * (scheme-less) path.
+    */
+  def collectFileStats(s: SparkSession, files: Seq[String],
+      statsCols: Seq[String])
+      : Map[String, (Long, Map[String, (Long, Long)],
+        Map[String, (String, String)])] = {
+    import org.apache.spark.sql.functions._
+    if (files.isEmpty) return Map.empty
+    val df = s.read.parquet(files: _*)
+    val fieldType = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val longCols = statsCols.filter(c =>
+      fieldType.get(c).contains(org.apache.spark.sql.types.LongType))
+    val strCols = statsCols.filter(c =>
+      fieldType.get(c).contains(org.apache.spark.sql.types.StringType))
+    val aggs = Seq(count(lit(1)).as("__n")) ++
+      longCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+      strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+    val rows = df
+      .groupBy(normPathCol(col("_metadata.file_path")).as("__p"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per written file — metadata-sized
+    rows.map { r =>
+      val p = r.getString(0)
+      val n = r.getLong(1)
+      val base = 2
+      val ls = longCols.zipWithIndex.flatMap { case (c, i) =>
+        val (a, b) = (base + 2 * i, base + 2 * i + 1)
+        if (r.isNullAt(a) || r.isNullAt(b)) None
+        else Some(c -> ((r.getLong(a), r.getLong(b))))
+      }.toMap
+      val sBase = base + 2 * longCols.size
+      val ss = strCols.zipWithIndex.flatMap { case (c, i) =>
+        val (a, b) = (sBase + 2 * i, sBase + 2 * i + 1)
+        if (r.isNullAt(a) || r.isNullAt(b) ||
+            r.getString(a).length > MaxStrStat ||
+            r.getString(b).length > MaxStrStat) None
+        else Some(c -> ((r.getString(a), r.getString(b))))
+      }.toMap
+      p -> ((n, ls, ss))
+    }.toMap
+  }
+
+  /** METADATA-ONLY `COUNT(*) GROUP BY partition`: answered from the
+    * manifest's per-file row counts alone — zero data files opened (the
+    * driver query proves it by deleting them first, the s33 trick).
+    * Refuses loudly when any entry lacks a recorded count or a delete
+    * vector makes manifest counts an over-statement — correctness never
+    * bets on stale metadata.
+    */
+  def metaCount(s: SparkSession, tableDir: String, v: Int): DataFrame = {
+    import s.implicits._
+    val es = entries(tableDir, v)
+    require(es.forall(_.kind == "D"),
+      s"snapshot v$v of $tableDir carries delete vectors — manifest " +
+        "row counts over-state the visible rows; compact first")
+    es.filter(_.kind == "D").foreach(e => require(e.rows >= 0L,
+      s"no recorded row count for ${e.path} — written by a pre-stats " +
+        "writer; rewrite or count the data"))
+    es.groupBy(_.partition).toSeq
+      .map { case (p, g) => (p, g.map(_.rows).sum) }
+      .toDF("partition", "n_rows")
+  }
+
+  /** [[prunedRead]] for STRING bounds (dates ride as ISO strings): keep
+    * the data files whose manifest [min, max] on `colName` overlaps
+    * [lo, hi] — same metadata-only contract, vectors still apply. */
+  def prunedReadStr(s: SparkSession, tableDir: String, v: Int,
+      colName: String, lo: String, hi: String): DataFrame = {
+    val es = entries(tableDir, v)
+    val keep = es.filter(e => e.kind == "D" && e.overlapsStr(colName, lo, hi))
+    if (keep.isEmpty)
+      read(s, tableDir, v).filter(org.apache.spark.sql.functions.lit(false))
+    else morFrame(s, tableDir, v, keep ++ es.filter(_.kind != "D"))
+  }
+
   /** A WRITER-UNIQUE output root under a version-scoped prefix.
     * Version-scoped naming alone is not enough: two writers that both
     * derived from snapshot v (the OCC/rebase scenario) would compute
@@ -768,8 +1041,24 @@ object SnapshotLog {
       .flatMap(p => dataFiles(p.toString))
       .filterNot(live)
       .filter(oldEnough)
-    orphans.foreach(p => Files.deleteIfExists(Paths.get(p)))
-    orphans
+    // orphaned manifest SEGMENTS: written by a commit that lost its CAS
+    // race (or crashed before it) — unreferenced by any live manifest
+    val liveSegs = (1 to last)
+      .filter(v => Files.exists(
+        manifestDir(tableDir).resolve(s"v$v.manifest")))
+      .flatMap(v => segRefs(tableDir, v).map(_._1)).toSet
+    val segOrphans = {
+      val listing = Files.list(manifestDir(tableDir))
+      try listing.toArray.toSeq.map(_.toString)
+        .filter(p => Paths.get(p).getFileName.toString.matches(
+          "seg-[0-9a-f-]+\\.seg"))
+        .map(p => Paths.get(p).toAbsolutePath.toString)
+        .filterNot(liveSegs)
+        .filter(oldEnough)
+      finally listing.close()
+    }
+    (orphans ++ segOrphans).foreach(p => Files.deleteIfExists(Paths.get(p)))
+    orphans ++ segOrphans
   }
 
   /** the data files a write just produced under `dir`. */

@@ -81,20 +81,25 @@ object SnapshotMerge {
 
   /** Manifest entries for every parquet file under a version-scoped
     * partitioned write: partition label recovered from the `_gp=` dir,
-    * stats from the parquet footer (write-side, once per file).
+    * per-file row counts + min/max collected TASK-SIDE in one
+    * distributed aggregation ([[SnapshotLog.collectFileStats]]) — the
+    * commit path contains no per-file driver I/O loop.
     */
-  private def collectEntries(s: SparkSession, root: String,
+  private[operators] def collectEntries(s: SparkSession, root: String,
       partCol: String, statsCols: Seq[String],
-      seq: Long): Seq[SnapshotLog.FileEntry] =
-    SnapshotLog.dataFiles(root).map { f =>
+      seq: Long): Seq[SnapshotLog.FileEntry] = {
+    val files = SnapshotLog.dataFiles(root)
+    val st = SnapshotLog.collectFileStats(s, files, statsCols)
+    files.map { f =>
       val seg = new java.io.File(f).getParentFile.getName
       require(seg.startsWith("_gp="), s"unexpected layout at $f")
       val label = s"$partCol=${seg.stripPrefix("_gp=")}"
-      val stats =
-        if (statsCols.isEmpty) Map.empty[String, (Long, Long)]
-        else SnapshotLog.footerStats(s, f, statsCols)
-      SnapshotLog.FileEntry(f, "D", label, stats, seq)
+      val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
+        (-1L, Map.empty[String, (Long, Long)],
+          Map.empty[String, (String, String)]))
+      SnapshotLog.FileEntry(f, "D", label, longs, seq, rows, strs)
     }
+  }
 
   /** Apply a CDC batch to the snapshot table at `tableDir` as a new
     * COMMITTED snapshot; returns the new snapshot id. Contract matches

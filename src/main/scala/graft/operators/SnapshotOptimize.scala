@@ -59,11 +59,68 @@ object SnapshotOptimize {
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(root)
-    val rewritten = SnapshotLog.dataFiles(root).map { f =>
-      SnapshotLog.FileEntry(f, "D", "",
-        SnapshotLog.footerStats(s, f, dims), seq = v + 1L)
+    val files = SnapshotLog.dataFiles(root)
+    // stats + row counts fold task-side in ONE distributed agg — no
+    // per-file driver footer loop on a 10k-file rewrite
+    val st = SnapshotLog.collectFileStats(s, files, dims)
+    val rewritten = files.map { f =>
+      val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
+        (-1L, Map.empty[String, (Long, Long)],
+          Map.empty[String, (String, String)]))
+      SnapshotLog.FileEntry(f, "D", "", longs, seq = v + 1L, rows, strs)
     }
     if (!SnapshotLog.publishEntries(tableDir, v + 1, rewritten,
+        SnapshotLog.headers(tableDir, v)))
+      throw new java.util.ConcurrentModificationException(
+        s"snapshot $tableDir advanced past v$v during OPTIMIZE; re-run")
+    v + 1
+  }
+
+  /** Plain BIN-PACKING `OPTIMIZE` as a snapshot commit — the everyday
+    * maintenance job (Delta `OPTIMIZE` without ZORDER): coalesce ONLY
+    * the small files (the s17 planner's decision — under `smallBytes`,
+    * ≥ 2 per partition so there is something to pack), one rewrite per
+    * touched partition, and publish a snapshot that SHARES every other
+    * entry by reference — the untouched big files keep their paths,
+    * mtimes and manifest stats verbatim, so the commit's write cost is
+    * the small-file bytes, never the table. Partition labels are
+    * PRESERVED (the rewrite stays inside each partition), so
+    * partition-scoped MERGE keeps working — the label-dropping
+    * trade-off is [[zorder]]'s alone. Time travel serves the
+    * pre-optimize layout; OCC publish fails loudly on interleave.
+    *
+    * Scale shape: the small-file scan is one `stat` per manifest entry
+    * (pure metadata); the rewrite reads exactly the packed files. At
+    * 100 TB this is the job that keeps a streaming-ingested table's
+    * file count bounded without ever paying a table rewrite.
+    */
+  def binPack(s: SparkSession, tableDir: String, partCol: String,
+      smallBytes: Long, statsCols: Seq[String] = Nil): Int = {
+    import java.nio.file.{Files, Paths}
+    val v = SnapshotLog.latest(tableDir)
+    val es = SnapshotLog.entries(tableDir, v)
+    require(es.forall(_.kind == "D"),
+      s"snapshot v$v of $tableDir carries delete vectors — compact " +
+        "before OPTIMIZE (a packing rewrite must not resurrect rows)")
+    val small = es.filter(e => Files.size(Paths.get(e.path)) < smallBytes)
+    small.foreach(e => require(e.partition.startsWith(s"$partCol="),
+      s"bin-packing on '$partCol' needs every small entry labeled " +
+        s"'$partCol=…'; found '${e.partition}' at ${e.path}"))
+    val packable = small.groupBy(_.partition).filter(_._2.size >= 2)
+    if (packable.isEmpty) return v // nothing to pack: no-op, no commit
+    val touched = packable.values.flatten.toSeq
+    val touchedPaths = touched.map(_.path).toSet
+    val untouched = es.filterNot(e => touchedPaths(e.path))
+    val root = SnapshotLog.writerRoot(s"$tableDir/data/binpack")
+    // one read of exactly the packed files; one output file per bin
+    // (hash-partitioned by label so each partition's smalls coalesce)
+    s.read.parquet(touched.map(_.path): _*)
+      .withColumn("_gp", col(partCol))
+      .repartition(packable.size, col("_gp"))
+      .write.partitionBy("_gp").mode("overwrite").parquet(root)
+    val packed = SnapshotMerge.collectEntries(s, root, partCol,
+      statsCols, seq = v + 1L)
+    if (!SnapshotLog.publishEntries(tableDir, v + 1, untouched ++ packed,
         SnapshotLog.headers(tableDir, v)))
       throw new java.util.ConcurrentModificationException(
         s"snapshot $tableDir advanced past v$v during OPTIMIZE; re-run")

@@ -2418,7 +2418,245 @@ object QFilters extends Registry {
                     FROM base)
               SELECT 'pre_optimize' AS face, n AS n_rows, sq AS sum_qty
               FROM a
-              UNION ALL SELECT 'post_optimize', n, sq FROM a"""))
+              UNION ALL SELECT 'post_optimize', n, sq FROM a""")),
+
+    // S52 — TWO-LEVEL MANIFESTS / O(delta) commits (ext.): the
+    // round-11 kernel's first 100-TB breaking point closed. Entry
+    // lines live in immutable SEGMENT files; each per-version manifest
+    // is a tiny list of `@seg` references (the Iceberg manifest-list
+    // design), and a commit that carries a parent segment REFERENCES
+    // it — never re-serializes it. The fixture commits three times
+    // (sizes derived from the data so the oracle is relational, not
+    // literal) and the query surfaces the sharing structure itself:
+    // every commit adds exactly ONE new segment and reuses EVERY
+    // segment of its parent, so commit k writes O(delta) metadata
+    // bytes on a table of any size (`ManifestSegmentSpec` pins the
+    // byte bound, the legacy-manifest migration, and the ≤64-ref
+    // merge-down).
+    Q("s52_manifest_segments",
+      (s, d) => {
+        import s.implicits._
+        val dir = s"${graft.Scratch.dirFor("s52_segs", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.SnapshotLog
+        val li = Tables.lineitem(s, d)
+        def fakes(tag: String, vals: Seq[String]) = vals.map(v =>
+          SnapshotLog.FileEntry(s"$dir/data/$tag-$v.parquet", "D",
+            s"$tag=$v", Map.empty, seq = 1L))
+        val months = li.select(month(to_date(col("l_shipdate"))))
+          .distinct().collect().map(_.getInt(0).toString).sorted.toSeq
+        val flags = li.select(col("l_returnflag")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val statuses = li.select(col("l_linestatus")).distinct()
+          .collect().map(_.getString(0)).sorted.toSeq
+        val e1 = fakes("m", months)
+        val e2 = e1 ++ fakes("rf", flags)
+        val e3 = e2 ++ fakes("ls", statuses)
+        val vs = Seq(e1, e2, e3).map(SnapshotLog.commitEntries(dir, _))
+        val rows = vs.foldLeft(Seq.empty[(Int, Long, Long, Long)]) {
+          (acc, v) =>
+            val refs = SnapshotLog.segRefs(dir, v).map(_._1).toSet
+            val parentRefs = if (v == vs.head) Set.empty[String]
+              else SnapshotLog.segRefs(dir, v - 1).map(_._1).toSet
+            acc :+ ((v, SnapshotLog.entries(dir, v).size.toLong,
+              (refs -- parentRefs).size.toLong,
+              (refs intersect parentRefs).size.toLong))
+        }
+        rows.toDF("version", "n_entries", "n_new_segs", "n_reused_segs")
+      },
+      Some("""WITH np AS (
+                SELECT CAST(count(DISTINCT
+                         month(CAST(l_shipdate AS DATE))) AS BIGINT) AS m,
+                       CAST(count(DISTINCT l_returnflag) AS BIGINT) AS rf,
+                       CAST(count(DISTINCT l_linestatus) AS BIGINT) AS ls
+                FROM lineitem)
+              SELECT 1 AS version, m AS n_entries,
+                     CAST(1 AS BIGINT) AS n_new_segs,
+                     CAST(0 AS BIGINT) AS n_reused_segs FROM np
+              UNION ALL SELECT 2, m + rf, 1, 1 FROM np
+              UNION ALL SELECT 3, m + rf + ls, 1, 2 FROM np""")),
+
+    // S53 — SQL DML through the catalog door (ext.): `DELETE FROM` /
+    // `UPDATE` / `MERGE INTO` as PLAIN SQL TEXT against a
+    // `graft_lake.`dir`` table — Spark's own row-level-operation
+    // rewrites planned over the table's DSv2 scan (which serves the
+    // `(_file, _pos)` row address as metadata columns), each statement
+    // committing ONE merge-on-read snapshot: deletes land as
+    // position-delete vectors, updates as delete + reinsert, merge
+    // mixes all three — ZERO data files rewritten at any table size
+    // (`SqlDmlSpec` pins the path-sharing; the oracle gates the
+    // content after every statement). Arbitrary predicates work —
+    // nothing has to translate to source filters, because the matched
+    // rows are computed by Spark over the scan.
+    Q("s53_sql_dml",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s53_sqldml", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.SnapshotLog
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
+        val tbl = s"graft_lake.`$dir`"
+        s.sql(s"DELETE FROM $tbl WHERE m IN (2, 3) AND l_orderkey % 19 = 0")
+        s.sql(s"UPDATE $tbl SET qty = qty + 100 " +
+          "WHERE m = 5 AND l_orderkey % 13 = 0")
+        SnapshotLog.read(s, dir, v1)
+          .filter(col("m") === 7 && col("l_orderkey") % 23 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+          .distinct()
+          .withColumn("nq", (col("l_orderkey") % 31).cast("int"))
+          .unionByName(
+            SnapshotLog.read(s, dir, v1)
+              .filter(col("m") === 7 && col("l_orderkey") % 29 === 0)
+              .select((col("l_orderkey") + 4000000L).as("l_orderkey"),
+                col("l_linenumber"), col("m")).distinct()
+              .withColumn("nq", lit(7).cast("int")))
+          .createOrReplaceTempView("s53_src")
+        s.sql(
+          s"""MERGE INTO $tbl t USING s53_src s
+              ON t.l_orderkey = s.l_orderkey
+                 AND t.l_linenumber = s.l_linenumber AND t.m = s.m
+              WHEN MATCHED THEN UPDATE SET qty = s.nq
+              WHEN NOT MATCHED THEN INSERT (l_orderkey, l_linenumber,
+                qty, m) VALUES (s.l_orderkey, s.l_linenumber, s.nq, s.m)""")
+        s.sql(s"""SELECT m, count(*) AS n_rows,
+                         CAST(sum(qty) AS BIGINT) AS sum_qty
+                  FROM $tbl GROUP BY m""")
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              afterdel AS (
+                SELECT * FROM base
+                WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              afterupd AS (
+                SELECT ok, ln,
+                       CASE WHEN m = 5 AND ok % 13 = 0
+                            THEN qty + 100 ELSE qty END AS qty, m
+                FROM afterdel),
+              merged AS (
+                SELECT ok, ln,
+                       CASE WHEN m = 7 AND ok % 23 = 0
+                            THEN CAST(ok % 31 AS INT) ELSE qty END AS qty,
+                       m
+                FROM afterupd),
+              ins AS (
+                SELECT DISTINCT ok + 4000000 AS ok, ln,
+                       CAST(7 AS INT) AS qty, m
+                FROM base WHERE m = 7 AND ok % 29 = 0),
+              final_t AS (SELECT * FROM merged UNION ALL SELECT * FROM ins)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM final_t GROUP BY 1""")),
+
+    // S54 — BIN-PACKING OPTIMIZE as a snapshot commit (ext.): the
+    // everyday maintenance job (Delta OPTIMIZE without ZORDER) — the
+    // s17 planner's decision composed with the kernel: only the small
+    // files of each partition rewrite into packed bins; every large
+    // file is SHARED by reference (paths + mtimes pinned in
+    // `OptimizeSpec`), partition labels survive (unlike ZORDER's
+    // cross-partition clustering), and time travel serves the
+    // pre-pack layout. The fixture force-fragments a table (12-way
+    // pre-shuffle per partition), appends two big files, packs, and
+    // gates all three faces on one oracle — content is invariant
+    // under layout, which is the whole point of a maintenance job.
+    Q("s54_optimize_binpack",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s54_binpack", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge, SnapshotOptimize}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s,
+          base.filter(col("m") <= 6).repartition(12), dir, "m")
+        val v2 = SnapshotMerge.appendPartitioned(s,
+          base.filter(col("m") > 6).coalesce(1), dir, "m")
+        val v3 = SnapshotOptimize.binPack(s, dir, "m",
+          smallBytes = 512L * 1024, statsCols = Seq("l_orderkey"))
+        require(v3 == v2 + 1, "fixture must actually pack something")
+        def face(name: String, v: Int) =
+          SnapshotLog.read(s, dir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("qty")).cast("long").as("sum_qty"))
+            .select(lit(name).as("face"), col("n_rows"), col("sum_qty"))
+        face("pre_pack", v2).unionByName(face("post_pack", v3))
+          .unionByName(face("time_travel_v1", v1))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              f AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base),
+              h AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base WHERE m <= 6)
+              SELECT 'pre_pack' AS face, n AS n_rows, sq AS sum_qty FROM f
+              UNION ALL SELECT 'post_pack', n, sq FROM f
+              UNION ALL SELECT 'time_travel_v1', n, sq FROM h""")),
+
+    // S55 — MANIFEST ROW COUNTS + STRING BOUNDS (ext.): write-side
+    // stats now fold TASK-SIDE in one distributed agg (no per-file
+    // driver footer loop — `TaskStatsSpec` pins bit-equality with the
+    // parquet footers), and the manifest carries per-file row counts
+    // and string min/max. The payoff, proven the s33 way by DELETING
+    // files first: (a) a date-RANGE scan prunes from string bounds
+    // alone — the files that cannot overlap the range are deleted
+    // before the read and the answer still gates; (b) COUNT(*) BY
+    // partition is answered from the manifest with EVERY data file
+    // deleted — zero files opened, the Iceberg/Delta metadata-only
+    // count. At 100 TB these are the queries that should never touch
+    // storage at all.
+    Q("s55_metadata_count",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("s55_metacount", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          col("l_shipdate").as("sd"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        val v1 = SnapshotMerge.writeInitial(s, base, dir, "m",
+          statsCols = Seq("l_orderkey", "sd"))
+        val es = SnapshotLog.entries(dir, v1)
+        val lo = "1995-03-01"; val hi = "1995-06-30"
+        // (a) delete every file whose string bounds cannot overlap the
+        // date range, then answer the range query from the survivors
+        es.filter(e => !e.overlapsStr("sd", lo, hi)).foreach(e =>
+          java.nio.file.Files.delete(java.nio.file.Paths.get(e.path)))
+        val pruned = SnapshotLog.prunedReadStr(s, dir, v1, "sd", lo, hi)
+          .filter(col("sd").between(lo, hi))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"))
+          .select(lit("date_pruned").as("face"),
+            lit(-1).as("m"), col("n_rows"), col("sum_qty"))
+          .localCheckpoint(true) // materialize BEFORE the counts face
+        // (b) now delete EVERY remaining data file: the per-partition
+        // count must come from the manifest alone
+        SnapshotLog.entries(dir, v1).foreach(e =>
+          java.nio.file.Files.deleteIfExists(
+            java.nio.file.Paths.get(e.path)))
+        val counts = SnapshotLog.metaCount(s, dir, v1)
+          .select(lit("meta_count").as("face"),
+            regexp_replace(col("partition"), "^m=", "").cast("int").as("m"),
+            col("n_rows"), lit(null).cast("long").as("sum_qty"))
+        pruned.unionByName(counts)
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty, l_shipdate AS sd,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT 'date_pruned' AS face, -1 AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base WHERE sd BETWEEN '1995-03-01' AND '1995-06-30'
+              UNION ALL
+              SELECT 'meta_count', CAST(m AS INT), count(*),
+                     CAST(NULL AS BIGINT)
+              FROM base GROUP BY 2"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -586,6 +586,102 @@ object QStreaming extends Registry {
               FROM (SELECT DISTINCT ok, ln, m FROM base
                     WHERE ok % 19 = 0)""")),
 
+    // Streaming CDF with the U-SPLIT (ext.): the round-11 refusal
+    // removed — a COPY-ON-WRITE rewrite commit now streams as the
+    // exact logical delta. The table declares its logical keys
+    // (`#keys`, a metadata commit); when the replayed commit rewrote
+    // data files, the micro-batch planner runs the generic multiset
+    // snapshot diff (`operators/ChangeDiff`: both sides read ONLY the
+    // rewritten entries under their own vectors, full-row value groups
+    // cancel, survivors fold per key to D/U/I) and serves the result
+    // as literal rows — churn-sized by construction, computed once per
+    // commit. Rewritten-but-identical rows cancel, so a MERGE-heavy
+    // table replays its true change history: inserts as I, deleted
+    // keys as D, updated keys as U — certified against the relational
+    // multiset diff the oracle computes from scratch. Append and
+    // vector commits keep the zero-read fast path.
+    Q("stream_cdf_cow",
+      (s, d) => {
+        val dir = s"${graft.Scratch.dirFor("stream_cdfcow", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val v1 = SnapshotLog.clone(QFilters.lakeBaseDir(s, d), dir)
+        SnapshotLog.commitKeysChange(dir,
+          Seq("l_orderkey", "l_linenumber", "m"))
+        val src = SnapshotLog.read(s, dir, v1).filter(col("m").isin(2, 3))
+        val deletes = src.filter(col("l_orderkey") % 19 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+        val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 === 0)
+          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+        val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+            col("l_linenumber"), col("qty"), col("m"))
+        val v3 = SnapshotMerge(s, dir, "m",
+          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+          Map("qty" -> "new_qty"))
+        val name = "stream_cdfcow_tbl"
+        val q = s.readStream.format("graft-snapshot")
+          .option("path", dir).option("changeFeed", "true")
+          // start AFTER the initial load: the feed under test is the
+          // keys commit (empty delta) + the COW merge (the U-split)
+          .option("startingVersion", v1).load()
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).filter(col("_commit") === v3)
+          .groupBy(col("_op").as("op"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("l_orderkey")).cast("long").as("sum_ok"),
+            sum(col("l_linenumber")).cast("long").as("sum_ln"))
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       CAST(l_quantity AS INT) AS qty
+                FROM lineitem),
+              kept AS (
+                SELECT ok, ln, m,
+                       CASE WHEN m IN (2, 3) AND ok % 19 <> 0
+                                 AND ok % 13 = 0
+                            THEN CAST(ok % 47 + 1 AS INT)
+                            ELSE qty END AS qty
+                FROM base WHERE NOT (m IN (2, 3) AND ok % 19 = 0)),
+              ins AS (
+                SELECT ok + 1000000 AS ok, ln, m, qty FROM base
+                WHERE m IN (2, 3) AND ok % 19 <> 0 AND ok % 13 <> 0
+                  AND ok % 17 = 0),
+              newt AS (SELECT * FROM kept UNION ALL SELECT * FROM ins),
+              og AS (SELECT ok, ln, m, qty, count(*) AS n
+                     FROM base GROUP BY 1, 2, 3, 4),
+              ng AS (SELECT ok, ln, m, qty, count(*) AS n
+                     FROM newt GROUP BY 1, 2, 3, 4),
+              gd AS (
+                SELECT COALESCE(o.ok, n.ok) AS ok,
+                       COALESCE(o.ln, n.ln) AS ln,
+                       COALESCE(o.m, n.m) AS m,
+                       COALESCE(o.n, 0) AS n_o, COALESCE(n.n, 0) AS n_n
+                FROM og o FULL OUTER JOIN ng n
+                  ON o.ok = n.ok AND o.ln = n.ln AND o.m = n.m
+                     AND o.qty = n.qty
+                WHERE COALESCE(o.n, 0) <> COALESCE(n.n, 0)),
+              keyd AS (
+                SELECT ok, ln, m,
+                       CAST(sum(n_o) AS BIGINT) AS o,
+                       CAST(sum(n_n) AS BIGINT) AS n
+                FROM gd GROUP BY 1, 2, 3),
+              ops AS (
+                SELECT ok, ln,
+                       CASE WHEN n = 0 THEN 'D'
+                            WHEN o = 0 THEN 'I' ELSE 'U' END AS op
+                FROM keyd)
+              SELECT op, count(*) AS n_keys,
+                     CAST(sum(ok) AS BIGINT) AS sum_ok,
+                     CAST(sum(ln) AS BIGINT) AS sum_ln
+              FROM ops GROUP BY 1""")),
+
     // Streaming MERGE-ON-READ UPSERT (ext.) — the CDC-apply shape: each
     // micro-batch commits as ONE snapshot carrying the batch's rows as
     // a data file AND an equality-delete vector on the key column that

@@ -83,7 +83,7 @@ class SnapshotTables extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new SnapshotTable(schema)
+    new SnapshotTable(schema, None)
 }
 
 object SnapshotTables {
@@ -96,7 +96,7 @@ object SnapshotTables {
 
   private[sources] def versionOf(options: CaseInsensitiveStringMap): Int = {
     val dir = pathOf(options)
-    explicitVersion(options).getOrElse(defaultVersion(dir))
+    explicitVersion(dir, options).getOrElse(defaultVersion(dir))
   }
 
   /** is snapshot `v` on the PUBLISHED line? Branch-staged commits (the
@@ -145,9 +145,8 @@ object SnapshotTables {
     * caller used: a raw id (`versionAsOf`), a branch head (`branch` —
     * the same option a write targets), or an immutable tag (`tagAsOf`).
     */
-  private[sources] def explicitVersion(
+  private[sources] def explicitVersion(dir: String,
       options: CaseInsensitiveStringMap): Option[Int] = {
-    val dir = pathOf(options)
     val picked = Seq(
       Option(options.get("versionAsOf")).map(_.toInt),
       Option(options.get("branch")).map(SnapshotRefs.head(dir, _)),
@@ -198,39 +197,80 @@ object SnapshotTables {
   }
 }
 
-private class SnapshotTable(schema0: StructType)
-    extends Table with SupportsRead with SupportsWrite {
-  override def name(): String = "graft_snapshot_table"
+/** The table object behind both doors: the path-options provider
+  * (`format("graft-snapshot")`) constructs it with `dir0 = None` (the
+  * path rides in the scan/write options), the [[GraftCatalog]] with the
+  * resolved directory — which is what unlocks SQL DML: catalog tables
+  * are addressable by `MERGE INTO` / `DELETE` / `UPDATE`, and this
+  * table answers them through [[SupportsRowLevelOperations]] with a
+  * POSITION-DELTA operation (`sources/SnapshotDelta.scala`): matched
+  * rows are addressed by the `(_file, _pos)` metadata columns the scan
+  * itself serves, deletes commit as position-delete vectors and
+  * inserts as new data files — ONE merge-on-read snapshot, zero data
+  * files rewritten, the Iceberg position-delta write shape.
+  */
+private[sources] class SnapshotTable(schema0: StructType,
+    dir0: Option[String])
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  override def name(): String =
+    dir0.map(d => s"graft_lake.`$d`").getOrElse("graft_snapshot_table")
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(schema0, options)
+    new SnapshotScanBuilder(schema0,
+      dir0.getOrElse(SnapshotTables.pathOf(options)), options)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new SnapshotWriteBuilder(SnapshotTables.pathOf(info.options()),
+    new SnapshotWriteBuilder(
+      dir0.getOrElse(SnapshotTables.pathOf(info.options())),
       Option(info.options().get("branch")), info)
+
+  /** the row-address metadata columns the position-delta DML rides on:
+    * `_file` (the manifest path of the row's data file) and `_pos`
+    * (its physical row index in that file) — served by the scan, never
+    * stored. The Iceberg `_file`/`_pos` convention.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    SnapshotDelta.MetaCols
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val dir = dir0.getOrElse(SnapshotTables.pathOf(info.options()))
+    () => new SnapshotDelta.PositionDeltaOperation(dir, info.command())
+  }
 }
 
-private class SnapshotScanBuilder(full: StructType,
+private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new SnapshotScan(
-    SnapshotTables.pathOf(options),
-    SnapshotTables.explicitVersion(options),
+    dir,
+    SnapshotTables.explicitVersion(dir, options),
     options.getBoolean("changeFeed", false),
     options.getInt("startingVersion", 0),
     full, required)
 }
 
 /** one snapshot data or delete file to read, with the op/commit stamp
-  * the change-feed rows carry ("" op for plain batch reads). */
-private case class SnapFilePartition(path: String, op: String, commit: Long)
-    extends InputPartition
+  * the change-feed rows carry ("" op for plain batch reads) and the
+  * position-delete files whose addresses subtract from this file's
+  * physical rows (churn-sized by the delete contract). */
+private[sources] case class SnapFilePartition(path: String, op: String,
+    commit: Long, posDeletes: Seq[String] = Nil) extends InputPartition
+
+/** a plan-time-computed logical delta (the COW/pos-delete U-split):
+  * key tuples + op, churn-sized, carried as literal rows. */
+private[sources] case class SnapRowsPartition(keyCols: Seq[String],
+    rows: Seq[(Array[Any], String)], commit: Long) extends InputPartition
 
 private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     changeFeed: Boolean, startingVersion: Int,
@@ -272,13 +312,20 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
     val es = SnapshotLog.entries(dir, v)
-    val vecs = es.filter(_.kind != "D")
-    require(vecs.isEmpty,
-      s"snapshot v$v of $dir carries ${vecs.size} live delete vector(s); " +
-        "a raw file scan would resurrect deleted rows — read it through " +
-        "SnapshotLog.readMor, or compact first")
+    // POSITION deletes apply inside each partition's reader (the file
+    // addresses its own subtraction set — no join needed); EQUALITY
+    // vectors still refuse: their seq-scoped anti-join belongs to
+    // SnapshotLog.readMor, and a raw scan would resurrect deleted rows
+    val eqVecs = es.filter(_.kind == "X")
+    require(eqVecs.isEmpty,
+      s"snapshot v$v of $dir carries ${eqVecs.size} live delete " +
+        "vector(s); a raw file scan would resurrect deleted rows — " +
+        "read it through SnapshotLog.readMor, or compact first")
+    val posDeletes = es.filter(_.kind == "P").map(_.path)
     es.filter(_.kind == "D")
-      .map(e => SnapFilePartition(e.path, "", v): InputPartition).toArray
+      .map(e =>
+        SnapFilePartition(e.path, "", v, posDeletes): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new SnapshotReaderFactory(required)
@@ -343,25 +390,44 @@ private[sources] class SnapshotChangeStream(dir: String,
   }
 
   private def planCommitDelta(v: Long): Seq[InputPartition] = {
-    {
-      val prev =
-        if (v <= 1) Nil else SnapshotLog.entries(dir, (v - 1).toInt)
-      val cur = SnapshotLog.entries(dir, v.toInt)
-      val prevPaths = prev.map(_.path).toSet
-      val curPaths = cur.map(_.path).toSet
-      val removed = prev.filterNot(x => curPaths(x.path))
-      require(removed.forall(_.kind != "D"),
-        s"commit v$v of $dir rewrites data files (copy-on-write); the " +
-          "change stream replays append/delete commits — use the batch " +
-          "changeFeed for rewrite transitions")
-      val added = cur.filterNot(x => prevPaths(x.path))
-      require(added.forall(_.kind != "P"),
-        s"commit v$v of $dir adds position deletes, which carry file " +
-          "addresses, not table keys — not streamable as a change feed")
+    val prev =
+      if (v <= 1) Nil else SnapshotLog.entries(dir, (v - 1).toInt)
+    val cur = SnapshotLog.entries(dir, v.toInt)
+    val prevPaths = prev.map(_.path).toSet
+    val curPaths = cur.map(_.path).toSet
+    val removed = prev.filterNot(x => curPaths(x.path))
+    val added = cur.filterNot(x => prevPaths(x.path))
+    // rewrite transitions (COW merge, compaction, bin-pack) and
+    // position-delete commits cannot be replayed from file lists alone
+    // — pairing old/new rows into the U-split needs the table's
+    // LOGICAL KEYS. Tables that declared them (#keys) get the exact
+    // batch diff, computed once at plan time over just the rewritten
+    // partitions and collected (churn-sized by construction — the
+    // diff's output is the commit's logical delta, not its bytes).
+    // Undeclared tables keep the loud refusal.
+    val needsDiff = removed.exists(_.kind == "D") ||
+      added.exists(_.kind == "P")
+    if (!needsDiff)
       added.map {
-        case x if x.kind == "D" => SnapFilePartition(x.path, "I", v)
+        case x if x.kind == "D" =>
+          SnapFilePartition(x.path, "I", v): InputPartition
         case x => SnapFilePartition(x.path, "D", v)
       }
+    else SnapshotLog.keysOf(dir, v.toInt) match {
+      case None =>
+        throw new IllegalArgumentException(
+          s"commit v$v of $dir rewrites data files (copy-on-write) or " +
+            "adds position deletes; replaying it as a change feed " +
+            "needs the table's logical keys — declare them with " +
+            "SnapshotLog.commitKeysChange, or use the batch changeFeed")
+      case Some(keys) =>
+        val s = org.apache.spark.sql.SparkSession.active
+        val diff = graft.operators.ChangeDiff
+          .diffKeys(s, dir, (v - 1).toInt, v.toInt, keys).collect()
+        if (diff.isEmpty) Nil // e.g. a compaction: zero logical change
+        else Seq(SnapRowsPartition(keys,
+          diff.map(r => (keys.indices.map(r.get).toArray,
+            r.getString(keys.size))).toSeq, v))
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -379,16 +445,79 @@ private[sources] class SnapshotChangeStream(dir: String,
   */
 private class SnapshotReaderFactory(required: StructType)
     extends PartitionReaderFactory {
+
+  /** the physical row indexes of `file` named by the partition's
+    * position-delete files — churn-sized by the delete contract, so a
+    * per-task in-memory set is in-model (the same bound readMor's
+    * broadcast relies on). */
+  private def deletedPositions(file: String,
+      posDeletes: Seq[String]): java.util.HashSet[java.lang.Long] = {
+    val mine = SnapshotLog.normPath(file)
+    val out = new java.util.HashSet[java.lang.Long]()
+    posDeletes.foreach { p =>
+      val conf = new Configuration()
+      val reader = ParquetReader.builder(
+        new GroupReadSupport(), new Path(p)).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount("file_path") > 0 &&
+              SnapshotLog.normPath(
+                g.getBinary("file_path", 0).toStringUsingUTF8) == mine)
+            out.add(g.getLong("row_pos", 0))
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    out
+  }
+
   override def createReader(
-      partition: InputPartition): PartitionReader[InternalRow] = {
-    val SnapFilePartition(file, op, commit) =
-      partition.asInstanceOf[SnapFilePartition]
+      partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: SnapRowsPartition => literalRowsReader(p)
+      case p: SnapFilePartition => fileReader(p)
+    }
+
+  /** serves a plan-time-computed delta (key tuples + op): key columns
+    * populated, non-key data columns null — the same shape the D rows
+    * of an equality vector already have. */
+  private def literalRowsReader(
+      p: SnapRowsPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < p.rows.length }
+      override def get(): InternalRow = {
+        val (keyVals, op) = p.rows(i)
+        val vals = required.fields.map { f =>
+          f.name match {
+            case "_op" => UTF8String.fromString(op)
+            case "_commit" => p.commit
+            case n if p.keyCols.contains(n) =>
+              p.keyCols.indexOf(n) match {
+                case k => keyVals(k) match {
+                  case s: String => UTF8String.fromString(s)
+                  case other => other
+                }
+              }
+            case _ => null
+          }
+        }
+        new GenericInternalRow(vals.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+
+  private def fileReader(
+      part: SnapFilePartition): PartitionReader[InternalRow] = {
+    val SnapFilePartition(file, op, commit, posDeletes) = part
     val conf = new Configuration()
     val fileSchema = SnapshotTables.footerSchema(file)
     import scala.jdk.CollectionConverters._
     val fileFields = fileSchema.getFields.asScala.map(_.getName).toSet
     val dataNames = required.fields.map(_.name)
-      .filter(n => n != "_op" && n != "_commit")
+      .filter(n => n != "_op" && n != "_commit" &&
+        n != SnapshotDelta.FileCol && n != SnapshotDelta.PosCol)
     val wanted = fileSchema.getFields.asScala
       .filter(f => dataNames.contains(f.getName))
     // an all-pruned projection (count(*)) still needs row COUNT — fall
@@ -399,14 +528,27 @@ private class SnapshotReaderFactory(required: StructType)
     conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
     val reader = ParquetReader.builder(new GroupReadSupport(), new Path(file))
       .withConf(conf).build()
+    val dead =
+      if (posDeletes.isEmpty) new java.util.HashSet[java.lang.Long]()
+      else deletedPositions(file, posDeletes)
+    val fileUtf8 = UTF8String.fromString(file)
     new PartitionReader[InternalRow] {
       private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      private var pos = -1L // physical row index of `cur` in the file
+      override def next(): Boolean = {
+        cur = reader.read(); pos += 1
+        while (cur != null && dead.contains(pos)) {
+          cur = reader.read(); pos += 1
+        }
+        cur != null
+      }
       override def get(): InternalRow = {
         val vals = required.fields.map { f =>
           f.name match {
             case "_op" => UTF8String.fromString(op)
             case "_commit" => commit
+            case SnapshotDelta.FileCol => fileUtf8
+            case SnapshotDelta.PosCol => pos
             case n if !fileFields(n) => null
             case n if cur.getFieldRepetitionCount(n) == 0 => null
             case n => readValue(cur, n, f.dataType)

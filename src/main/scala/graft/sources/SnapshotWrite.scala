@@ -85,9 +85,11 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
     new SnapshotWriterFactory(root, schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    // (path, rows): the row counts folded TASK-SIDE ride into the
+    // manifest for free — metadata-only COUNT needs no extra pass here
     val files = messages.collect {
-      case SnapFileCommit(p, n) if n > 0 => p
-    }.sorted
+      case SnapFileCommit(p, n) if n > 0 => (p, n)
+    }.sortBy(_._1)
     branch match {
       case Some(name) =>
         val h = SnapshotRefs.head(dir, name)
@@ -100,8 +102,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
           attempts += 1
           require(attempts <= 1000, "snapshot write lost 1000 id races")
           val t = SnapshotLog.latest(dir) + 1
-          val added = files.map(SnapshotLog.FileEntry(_, "D",
-            s"ref=$name", Map.empty, seq = t.toLong))
+          val added = files.map { case (p, n) => SnapshotLog.FileEntry(
+            p, "D", s"ref=$name", Map.empty, seq = t.toLong, rows = n) }
           if (SnapshotLog.publishEntries(dir, t, prior ++ added,
               Seq(SnapshotRefs.parentHeader(h),
                 s"${SnapshotLog.RefHeader}\t$name") ++ carried)) {
@@ -118,8 +120,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
           val v = SnapshotLog.latest(dir)
           val prior = if (v > 0) SnapshotLog.entries(dir, v) else Nil
           val t = v + 1
-          val added = files.map(SnapshotLog.FileEntry(_, "D", "",
-            Map.empty, seq = t.toLong))
+          val added = files.map { case (p, n) => SnapshotLog.FileEntry(
+            p, "D", "", Map.empty, seq = t.toLong, rows = n) }
           if (SnapshotLog.publishEntries(dir, t, prior ++ added,
               SnapshotLog.headers(dir, v)))
             done = true

@@ -495,4 +495,32 @@ class PlanBudgetSpec extends SparkSpec {
     val c = Plans.planCounts(q("s51_optimize_zorder"))
     assert(c.shuffles <= 2, s"s51_optimize_zorder shuffles: ${c.shuffles}")
   }
+
+  test("manifest segments: driver-built sharing report — zero exchanges") {
+    val c = Plans.planCounts(q("s52_manifest_segments"))
+    assert(c.shuffles == 0, s"s52_manifest_segments shuffles: ${c.shuffles}")
+  }
+
+  test("SQL DML readback: position deletes apply INSIDE the scan's " +
+      "readers — one agg exchange, no join") {
+    val c = Plans.planCounts(q("s53_sql_dml"))
+    assert(c.shuffles <= 1, s"s53_sql_dml shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("bin-pack optimize: three face aggregates only") {
+    val c = Plans.planCounts(q("s54_optimize_binpack"))
+    assert(c.shuffles <= 3, s"s54_optimize_binpack shuffles: ${c.shuffles}")
+  }
+
+  test("metadata count: one checkpointed pruned agg; counts are literal") {
+    val c = Plans.planCounts(q("s55_metadata_count"))
+    assert(c.shuffles <= 1, s"s55_metadata_count shuffles: ${c.shuffles}")
+  }
+
+  test("streaming U-split readback: one grouped agg over the sink table") {
+    val c = Plans.planCounts(q("stream_cdf_cow"))
+    assert(c.shuffles <= 1, s"stream_cdf_cow shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
 }

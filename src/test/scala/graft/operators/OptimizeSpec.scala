@@ -54,6 +54,57 @@ class OptimizeSpec extends SparkSpec {
     }
   }
 
+  test("bin-packing OPTIMIZE: smalls coalesce, larges shared, labels kept") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/optimize-binpack/t"
+    graft.Scratch.clear("/tmp/graft-test/optimize-binpack")
+    // many SMALL files per partition (forced by pre-repartitioning) ...
+    val smallDf = (0L until 2000L).map(i => (i, i % 4, i * 2))
+      .toDF("id", "grp", "v").repartition(12)
+    val v1 = SnapshotMerge.writeInitial(spark, smallDf, dir, "grp")
+    // ... plus one LARGE appended batch per partition
+    val bigDf = (100000L until 500000L).map(i => (i, i % 4, i))
+      .toDF("id", "grp", "v").coalesce(2)
+    val v2 = SnapshotMerge.appendPartitioned(spark, bigDf, dir, "grp")
+    val threshold = 64L * 1024
+    def sizeOf(p: String) =
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    val esBefore = SnapshotLog.entries(dir, v2)
+    val bigBefore = esBefore.filter(e => sizeOf(e.path) >= threshold)
+    assert(bigBefore.nonEmpty &&
+      esBefore.size - bigBefore.size > 8, "fixture needs smalls + larges")
+    val mtimes = bigBefore.map(e => e.path ->
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(e.path))).toMap
+
+    val v3 = SnapshotOptimize.binPack(spark, dir, "grp", threshold,
+      statsCols = Seq("id"))
+    val esAfter = SnapshotLog.entries(dir, v3)
+    // every pre-pack small file is gone from the manifest; per
+    // partition at most ONE packed output remains under the threshold
+    esAfter.groupBy(_.partition).foreach { case (p, g) =>
+      assert(g.count(e => sizeOf(e.path) < threshold) <= 1,
+        s"partition $p still holds multiple small files")
+    }
+    // untouched large entries shared verbatim: same paths, same mtimes
+    assert(bigBefore.forall(e => esAfter.exists(_.path == e.path)),
+      "bin-pack rewrote a large file")
+    assert(mtimes.forall { case (p, t) =>
+      java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(p)) == t })
+    // labels preserved → partition-scoped merge still works
+    assert(esAfter.forall(_.partition.startsWith("grp=")))
+    // content identical; time travel serves the pre-pack layout
+    def ids(v: Int) = SnapshotLog.read(spark, dir, v)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(col("id"))).head
+    assert(ids(v3) == ids(v2))
+    assert(SnapshotLog.entries(dir, v2).size == esBefore.size)
+    // idempotent: nothing left to pack → no-op, no new snapshot
+    assert(SnapshotOptimize.binPack(spark, dir, "grp", threshold) == v3)
+  }
+
   test("an all-null z-dimension fails loudly, not with an NPE") {
     import spark.implicits._
     val dir = "/tmp/graft-test/optimize-null/t"

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Write-side statistics collection (the task-side replacement for the
+  * per-file driver footer loop). Claims:
+  *  - `collectFileStats` == `footerStats` per file for INT64 columns,
+  *    and its row counts == the parquet footers' — the distributed agg
+  *    and the footer walk can never disagree;
+  *  - string bounds land in the manifest and drive `prunedReadStr`
+  *    (metadata-only, proven by deleting the pruned files);
+  *  - `metaCount` answers COUNT(*) BY partition with ZERO data files
+  *    opened (also proven by deletion), and refuses vectored tables.
+  */
+class TaskStatsSpec extends SparkSpec {
+
+  test("distributed stats == footer stats, rows == footer row counts") {
+    import spark.implicits._
+    val root = "/tmp/graft-test/taskstats/w"
+    graft.Scratch.clear("/tmp/graft-test/taskstats")
+    (0L until 500L).map(i => (i, i % 5, s"s${i % 23}",
+      if (i % 11 == 0) null.asInstanceOf[java.lang.Long] else
+        java.lang.Long.valueOf(i * 3)))
+      .toDF("id", "grp", "tag", "sparse")
+      .repartition(4).write.parquet(root)
+    val files = SnapshotLog.dataFiles(root)
+    val st = SnapshotLog.collectFileStats(spark, files,
+      Seq("id", "sparse", "tag"))
+    assert(st.size == files.size)
+    files.foreach { f =>
+      val (rows, longs, strs) = st(SnapshotLog.normPath(f))
+      val footer = SnapshotLog.footerStats(spark, f, Seq("id", "sparse"))
+      assert(longs == footer,
+        s"task-side long stats diverged from the footer at $f")
+      // row count from the footer blocks, independently
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f),
+          spark.sparkContext.hadoopConfiguration))
+      val nFooter = try {
+        import scala.jdk.CollectionConverters._
+        reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally reader.close()
+      assert(rows == nFooter, s"row count diverged at $f")
+      assert(strs.contains("tag"), "string bounds missing")
+    }
+  }
+
+  test("string-bounds pruning is metadata-only; metaCount opens no file") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/taskstats-prune/t"
+    graft.Scratch.clear("/tmp/graft-test/taskstats-prune")
+    // dates as ISO strings, one month per partition — bounds per file
+    val df = (0 until 360).map { i =>
+      val m = i % 12 + 1
+      (i.toLong, m.toLong, f"2024-$m%02d-${i % 28 + 1}%02d")
+    }.toDF("id", "grp", "d")
+    SnapshotMerge.writeInitial(spark, df, dir, "grp",
+      statsCols = Seq("id", "d"))
+    val v = SnapshotLog.latest(dir)
+    val es = SnapshotLog.entries(dir, v)
+    assert(es.forall(e => e.rows >= 0 && e.strStats.contains("d")))
+
+    // the manifest answers COUNT(*) by partition before any deletion
+    val counted = SnapshotLog.metaCount(spark, dir, v)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counted.values.sum == 360 && counted.size == 12)
+
+    val want = spark.sparkContext.range(0, 360).count() // warm context
+    val expect = df.filter(col("d").between("2024-03-01", "2024-03-31"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+    // DELETE every file whose string bounds cannot overlap March —
+    // the pruned read must not notice
+    es.filter(e => !e.overlapsStr("d", "2024-03-01", "2024-03-31"))
+      .foreach(e => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(e.path)))
+    val got = SnapshotLog.prunedReadStr(spark, dir, v,
+      "d", "2024-03-01", "2024-03-31")
+      .filter(col("d").between("2024-03-01", "2024-03-31"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == expect, "string-pruned read lost rows or opened files")
+
+    // metaCount still answers with EVERY data file gone
+    es.filter(e => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(e.path)))
+      .foreach(e => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(e.path)))
+    val counted2 = SnapshotLog.metaCount(spark, dir, v)
+      .agg(sum(col("n_rows"))).head.getLong(0)
+    assert(counted2 == 360, "metaCount opened a data file (or lost rows)")
+  }
+
+  test("metaCount refuses vectored snapshots and pre-stats writers") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/taskstats-refuse/t"
+    graft.Scratch.clear("/tmp/graft-test/taskstats-refuse")
+    val df = (0L until 50L).map(i => (i, i % 2)).toDF("id", "grp")
+    SnapshotMerge.writeInitial(spark, df, dir, "grp")
+    DeleteVectors.appendDeletes(spark, dir,
+      Seq((1L, 1L)).toDF("id", "grp"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.metaCount(spark, dir, SnapshotLog.latest(dir))
+    }
+    // a hand-written legacy manifest (no row counts) refuses too
+    val dir2 = "/tmp/graft-test/taskstats-refuse/legacy"
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(dir2, "_manifests"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir2, "_manifests", "v1.manifest"),
+      s"$dir2/data/a.parquet\tD\tp=1\t-\t1".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      SnapshotLog.metaCount(spark, dir2, 1)
+    }
+  }
+}

@@ -143,6 +143,88 @@ class SnapshotSourceSpec extends SparkSpec {
       "folded stream deltas diverged from the table's batch state")
   }
 
+  test("a KEYED table streams a COW merge as the exact U/D/I split") {
+    val dir = s"${graft.Scratch.dirFor("snapsrc_usplit", sf)}/t"
+    graft.Scratch.clear(dir)
+    val out = s"${graft.Scratch.dirFor("snapsrc_usplit", sf)}/out"
+    val ckpt = s"${graft.Scratch.dirFor("snapsrc_usplit", sf)}/ckpt"
+    graft.Scratch.clear(out); graft.Scratch.clear(ckpt)
+    val base = mkBase()
+    val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    SnapshotLog.commitKeysChange(dir,
+      Seq("l_orderkey", "l_linenumber", "m"))
+
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("path", dir).option("changeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain() // v1 inserts + the metadata-only keys commit (empty delta)
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == base.count())
+
+    // the COW merge: deletes + updates + inserts in months 2-3
+    val src = SnapshotLog.read(spark, dir, v1).filter(col("m").isin(2, 3))
+    val deletes = src.filter(col("l_orderkey") % 19 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+    val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
+        col("l_orderkey") % 13 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+        (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+    val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+        col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
+      .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+        col("l_linenumber"), col("qty"), col("m"))
+    val v3 = SnapshotMerge(spark, dir, "m",
+      Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
+      Map("qty" -> "new_qty"))
+
+    drain() // must now serve the rewrite as a U-split, not refuse
+    val delta = spark.read.parquet(out).filter(col("_commit") === v3)
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"), col("_op"))
+
+    // independent expectation: full-row multiset diff of the two
+    // snapshots, folded per key (computed WITHOUT the operator)
+    val o = SnapshotLog.read(spark, dir, v1)
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("m"),
+        col("qty")).agg(count(lit(1)).as("n_o"))
+    val n = SnapshotLog.read(spark, dir, v3)
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("m"),
+        col("qty")).agg(count(lit(1)).as("n_n"))
+    val want = o.join(n,
+        Seq("l_orderkey", "l_linenumber", "m", "qty"), "full_outer")
+      .na.fill(0L, Seq("n_o", "n_n"))
+      .filter(col("n_o") =!= col("n_n"))
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("m"))
+      .agg(sum(col("n_o")).as("o"), sum(col("n_n")).as("n"))
+      .withColumn("_op", when(col("n") === 0, "D")
+        .when(col("o") === 0, "I").otherwise("U"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("m"), col("_op"))
+    assert(delta.exceptAll(want).count() == 0 &&
+      want.exceptAll(delta).count() == 0,
+      "streamed U-split diverged from the multiset snapshot diff")
+    assert(delta.filter(col("_op") === "U").count() > 0 &&
+      delta.filter(col("_op") === "D").count() > 0 &&
+      delta.filter(col("_op") === "I").count() > 0,
+      "fixture must exercise all three ops")
+
+    // a COMPACTION-shaped rewrite (zero logical change) streams EMPTY
+    DeleteVectors.appendDeletes(spark, dir,
+      SnapshotLog.read(spark, dir, v3).limit(3)
+        .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+    DeleteVectors.compact(spark, dir, "m")
+    val before = spark.read.parquet(out).count()
+    drain()
+    val tail = spark.read.parquet(out)
+      .filter(col("_commit") > v3)
+    // the vector commit streams its 3 keys as D; the compaction adds 0
+    assert(tail.count() == 3 && tail.filter(col("_op") === "D").count() == 3,
+      s"got ${tail.collect().mkString(";")} after $before")
+  }
+
   test("a copy-on-write rewrite commit fails the stream loudly") {
     val dir = s"${graft.Scratch.dirFor("snapsrc_cow", sf)}/t"
     graft.Scratch.clear(dir)

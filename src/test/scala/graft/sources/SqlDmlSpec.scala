@@ -1,0 +1,131 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+import org.apache.spark.sql.functions._
+
+/** SQL DML on snapshot tables through the `graft_lake` path catalog and
+  * the POSITION-DELTA row-level operation. Claims pinned:
+  *
+  *  - `DELETE FROM graft_lake.`dir` WHERE <arbitrary predicate>`
+  *    commits ONE merge-on-read snapshot: every prior data entry is
+  *    carried byte-identically (paths unchanged — ZERO rewrites), the
+  *    delta is a position-delete vector, and both the SQL door and
+  *    `readMor` serve the post-delete state;
+  *  - `UPDATE` is delete + reinsert: old rows position-deleted, new
+  *    rows in fresh data files, still zero rewrites;
+  *  - `MERGE INTO` mixes matched-update / matched-delete / not-matched-
+  *    insert in one statement and one commit;
+  *  - time travel to the pre-DML snapshot serves the original rows;
+  *  - a zero-match DML is a NO-OP (no new snapshot);
+  *  - DML derived from a stale base fails loudly (OCC), never
+  *    clobbers.
+  */
+class SqlDmlSpec extends SparkSpec {
+
+  private def fresh(tag: String): (String, String) = {
+    val dir = s"/tmp/graft-test/sqldml-$tag/t"
+    graft.Scratch.clear(s"/tmp/graft-test/sqldml-$tag")
+    (dir, s"graft_lake.`$dir`")
+  }
+
+  private def writeBase(dir: String): Int = {
+    import spark.implicits._
+    val base = (0L until 200L).map(i => (i, i % 4, i * 10))
+      .toDF("id", "grp", "v")
+    graft.operators.SnapshotMerge.writeInitial(spark, base, dir, "grp")
+  }
+
+  test("SQL DELETE: position vector, zero rewrites, both faces agree") {
+    val (dir, tbl) = fresh("delete")
+    val v1 = writeBase(dir)
+    val v1Data = SnapshotLog.entries(dir, v1).map(_.path).toSet
+
+    spark.sql(s"DELETE FROM $tbl WHERE id % 7 = 0 AND grp = 2")
+
+    val v2 = SnapshotLog.latest(dir)
+    assert(v2 == v1 + 1, "DELETE must commit exactly one snapshot")
+    val es = SnapshotLog.entries(dir, v2)
+    assert(es.filter(_.kind == "D").map(_.path).toSet == v1Data,
+      "DELETE must rewrite ZERO data files (all entries shared)")
+    assert(es.count(_.kind == "P") >= 1, "DELETE must commit a P vector")
+
+    val expect = (0L until 200L).filterNot(i => i % 7 == 0 && i % 4 == 2)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(SnapshotLog.readMor(spark, dir, v2)) == expect)
+    assert(ids(spark.sql(s"SELECT id FROM $tbl")) == expect,
+      "the SQL door must serve its own delete")
+    // time travel: the pre-DML snapshot is intact
+    assert(SnapshotLog.readMor(spark, dir, v1).count() == 200)
+  }
+
+  test("SQL UPDATE: delete + reinsert, zero rewrites") {
+    val (dir, tbl) = fresh("update")
+    val v1 = writeBase(dir)
+    val v1Data = SnapshotLog.entries(dir, v1).map(_.path).toSet
+
+    spark.sql(s"UPDATE $tbl SET v = v + 1000000 WHERE id < 10")
+
+    val v2 = SnapshotLog.latest(dir)
+    val es = SnapshotLog.entries(dir, v2)
+    assert(v1Data.subsetOf(es.filter(_.kind == "D").map(_.path).toSet),
+      "UPDATE must carry every prior data file untouched")
+    assert(es.count(_.kind == "P") >= 1 &&
+      es.exists(e => e.kind == "D" && !v1Data(e.path)),
+      "UPDATE = position deletes + fresh insert files")
+
+    val got = spark.sql(s"SELECT sum(v) FROM $tbl").head.getLong(0)
+    val want = (0L until 200L)
+      .map(i => if (i < 10) i * 10 + 1000000 else i * 10).sum
+    assert(got == want)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 200)
+  }
+
+  test("SQL MERGE INTO: update + delete + insert in one commit") {
+    val (dir, tbl) = fresh("merge")
+    val v1 = writeBase(dir)
+    import spark.implicits._
+    // src: ids 0..4 update, 100..104 delete, 1000..1002 insert
+    ((0L until 5L).map(i => (i, 111L)) ++
+      (100L until 105L).map(i => (i, -1L)) ++
+      (1000L until 1003L).map(i => (i, 7L)))
+      .toDF("id", "nv").createOrReplaceTempView("dml_src")
+
+    spark.sql(
+      s"""MERGE INTO $tbl t USING dml_src s ON t.id = s.id
+          WHEN MATCHED AND s.nv < 0 THEN DELETE
+          WHEN MATCHED THEN UPDATE SET v = s.nv
+          WHEN NOT MATCHED THEN INSERT (id, grp, v)
+            VALUES (s.id, s.id % 4, s.nv)""")
+
+    val v2 = SnapshotLog.latest(dir)
+    assert(v2 == v1 + 1, "MERGE must commit exactly one snapshot")
+    val got = spark.sql(
+      s"SELECT id, v FROM $tbl ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = ((0L until 200L).filterNot(i => 100L <= i && i < 105L)
+      .map(i => (i, if (i < 5) 111L else i * 10)) ++
+      (1000L until 1003L).map(i => (i, 7L))).sortBy(_._1)
+    assert(got == want)
+    // still zero rewrites
+    val v1Data = SnapshotLog.entries(dir, v1).map(_.path).toSet
+    assert(v1Data.subsetOf(SnapshotLog.entries(dir, v2)
+      .filter(_.kind == "D").map(_.path).toSet))
+  }
+
+  test("zero-match DML is a no-op; stacked DML composes") {
+    val (dir, tbl) = fresh("noop")
+    val v1 = writeBase(dir)
+    spark.sql(s"DELETE FROM $tbl WHERE id > 99999")
+    assert(SnapshotLog.latest(dir) == v1,
+      "a zero-row DELETE must not mint a snapshot")
+    // two stacked deletes: the second subtracts from the first's MOR
+    // state (its scan already applies the first's position vector)
+    spark.sql(s"DELETE FROM $tbl WHERE id < 10")
+    spark.sql(s"DELETE FROM $tbl WHERE id < 20")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 180)
+    assert(SnapshotLog.readMor(spark, dir, SnapshotLog.latest(dir))
+      .agg(min(col("id"))).head.getLong(0) == 20L)
+  }
+}
