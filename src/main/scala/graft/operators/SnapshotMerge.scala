@@ -89,7 +89,14 @@ object SnapshotMerge {
       partCol: String, statsCols: Seq[String],
       seq: Long): Seq[SnapshotLog.FileEntry] = {
     val files = SnapshotLog.dataFiles(root)
-    val st = SnapshotLog.collectFileStats(s, files, statsCols)
+    // the stats pass (rows + min/max, one job) runs only when asked —
+    // a stats-free writer stays a pure write; metaCount's loud
+    // refusal covers tables that never recorded counts
+    val st =
+      if (statsCols.isEmpty)
+        Map.empty[String, (Long, Map[String, (Long, Long)],
+          Map[String, (String, String)])]
+      else SnapshotLog.collectFileStats(s, files, statsCols)
     files.map { f =>
       val seg = new java.io.File(f).getParentFile.getName
       require(seg.startsWith("_gp="), s"unexpected layout at $f")

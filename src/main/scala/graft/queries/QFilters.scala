@@ -2656,7 +2656,58 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 'meta_count', CAST(m AS INT), count(*),
                      CAST(NULL AS BIGINT)
-              FROM base GROUP BY 2"""))
+              FROM base GROUP BY 2""")),
+
+    // S56b — SQL TIME TRAVEL SYNTAX (ext.): `VERSION AS OF` /
+    // `TIMESTAMP AS OF` as literal SQL clauses on a catalog table —
+    // the catalog's time-travel `loadTable` overloads resolve a raw
+    // snapshot id, a TAG name, or a commit timestamp (millis stamps,
+    // micros from Spark, floor-converted), and the pin rides into the
+    // scan options so the plan is exactly the pinned manifest's files.
+    // Four faces, one table built through the plain DataFrame writer:
+    // by id, by tag, between the stamps (strict monotonicity made
+    // visible from SQL), and the unpinned head.
+    Q("s56_sql_time_travel",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s56_sqltt", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotRefs}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        base.filter(col("m") <= 6).write.format("graft-snapshot")
+          .option("path", dir).mode("append").save()
+        base.filter(col("m") > 6).write.format("graft-snapshot")
+          .option("path", dir).mode("append").save()
+        SnapshotRefs.tag(dir, "rel-1", 1)
+        val t2 = SnapshotLog.tsOf(dir, 2).get
+        val beforeT2 = java.time.Instant.ofEpochMilli(t2 - 1)
+          .toString.replace("T", " ").stripSuffix("Z")
+        val tbl = s"graft_lake.`$dir`"
+        def face(name: String, sql: String) =
+          s.sql(s"""SELECT '$name' AS face, count(*) AS n_rows,
+                           CAST(sum(qty) AS BIGINT) AS sum_qty
+                    FROM $sql""")
+        face("by_id", s"$tbl VERSION AS OF 1")
+          .unionByName(face("by_tag", s"$tbl VERSION AS OF 'rel-1'"))
+          .unionByName(face("between",
+            s"$tbl TIMESTAMP AS OF '$beforeT2'"))
+          .unionByName(face("head", tbl))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              h AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base WHERE m <= 6),
+              f AS (SELECT count(*) AS n, CAST(sum(qty) AS BIGINT) AS sq
+                    FROM base)
+              SELECT 'by_id' AS face, n AS n_rows, sq AS sum_qty FROM h
+              UNION ALL SELECT 'by_tag', n, sq FROM h
+              UNION ALL SELECT 'between', n, sq FROM h
+              UNION ALL SELECT 'head', n, sq FROM f"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

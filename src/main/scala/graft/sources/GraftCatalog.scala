@@ -55,6 +55,41 @@ class GraftCatalog extends TableCatalog {
     new SnapshotTable(SnapshotTables.dataSchema(dir, v), Some(dir))
   }
 
+  /** SQL `VERSION AS OF`: a raw snapshot id, a TAG, or a BRANCH name —
+    * the same three addressings the options door serves, now reachable
+    * as literal SQL text:
+    *
+    *   SELECT * FROM graft_lake.`/dir` VERSION AS OF 3
+    *   SELECT * FROM graft_lake.`/dir` VERSION AS OF 'rel-1'
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val dir = dirOf(ident)
+    if (SnapshotLog.latest(dir) == 0) throw new NoSuchTableException(ident)
+    val v = version.toIntOption.getOrElse {
+      if (graft.operators.SnapshotRefs.branchExists(dir, version) &&
+          scala.util.Try(
+            graft.operators.SnapshotRefs.resolveTag(dir, version)).isFailure)
+        graft.operators.SnapshotRefs.head(dir, version)
+      else graft.operators.SnapshotRefs.resolveTag(dir, version)
+    }
+    require(SnapshotLog.committed(dir, v),
+      s"no snapshot v$v at $dir (expired or never committed)")
+    new SnapshotTable(SnapshotTables.dataSchema(dir, v), Some(dir),
+      pinned = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF`: Spark hands micros since epoch; commit
+    * stamps are millis — resolved over the PUBLISHED line only (the
+    * same WAP rule every unpinned read applies). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val dir = dirOf(ident)
+    if (SnapshotLog.latest(dir) == 0) throw new NoSuchTableException(ident)
+    val v = SnapshotTables.resolveTimestampVisible(dir,
+      Math.floorDiv(timestampMicros, 1000L))
+    new SnapshotTable(SnapshotTables.dataSchema(dir, v), Some(dir),
+      pinned = Some(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 

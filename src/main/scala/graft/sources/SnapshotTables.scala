@@ -210,7 +210,7 @@ object SnapshotTables {
   * files rewritten, the Iceberg position-delta write shape.
   */
 private[sources] class SnapshotTable(schema0: StructType,
-    dir0: Option[String])
+    dir0: Option[String], pinned: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -221,9 +221,19 @@ private[sources] class SnapshotTable(schema0: StructType,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(
-      options: CaseInsensitiveStringMap): ScanBuilder =
+      options: CaseInsensitiveStringMap): ScanBuilder = {
+    // a catalog time-travel load (SQL VERSION/TIMESTAMP AS OF) pins the
+    // snapshot at loadTable time; the pin rides into the scan options
+    val opts = pinned match {
+      case Some(v) if options.get("versionAsOf") == null =>
+        val m = new java.util.HashMap[String, String](options)
+        m.put("versionAsOf", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case _ => options
+    }
     new SnapshotScanBuilder(schema0,
-      dir0.getOrElse(SnapshotTables.pathOf(options)), options)
+      dir0.getOrElse(SnapshotTables.pathOf(opts)), opts)
+  }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(
       dir0.getOrElse(SnapshotTables.pathOf(info.options())),

@@ -518,6 +518,11 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 1, s"s55_metadata_count shuffles: ${c.shuffles}")
   }
 
+  test("SQL time travel: four pinned faces, one agg exchange each") {
+    val c = Plans.planCounts(q("s56_sql_time_travel"))
+    assert(c.shuffles <= 4, s"s56_sql_time_travel shuffles: ${c.shuffles}")
+  }
+
   test("streaming U-split readback: one grouped agg over the sink table") {
     val c = Plans.planCounts(q("stream_cdf_cow"))
     assert(c.shuffles <= 1, s"stream_cdf_cow shuffles: ${c.shuffles}")

@@ -114,6 +114,38 @@ class SqlDmlSpec extends SparkSpec {
       .filter(_.kind == "D").map(_.path).toSet))
   }
 
+  test("SQL VERSION/TIMESTAMP AS OF: id, tag, branch, stamp, isolation") {
+    import spark.implicits._
+    val (dir, tbl) = fresh("timetravel")
+    writeBase(dir)
+    spark.sql(s"DELETE FROM $tbl WHERE id < 50")
+    graft.operators.SnapshotRefs.tag(dir, "pin", 1)
+    graft.operators.SnapshotRefs.createBranch(dir, "dev", 2)
+    def n(sql: String) =
+      spark.sql(s"SELECT count(*) FROM $sql").head.getLong(0)
+    assert(n(s"$tbl VERSION AS OF 1") == 200)
+    assert(n(s"$tbl VERSION AS OF 2") == 150)
+    assert(n(s"$tbl VERSION AS OF 'pin'") == 200)
+    assert(n(s"$tbl VERSION AS OF 'dev'") == 150)
+    val t1 = SnapshotLog.tsOf(dir, 1).get
+    val lit1 = java.time.Instant.ofEpochMilli(t1)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(n(s"$tbl TIMESTAMP AS OF '$lit1'") == 200)
+    // a branch-STAGED commit stays invisible to SQL time travel: its
+    // stamp resolves to the published predecessor, and the head read
+    // keeps serving the published line
+    Seq((9999L, 1L, 1L)).toDF("id", "grp", "v")
+      .write.format("graft-snapshot").option("path", dir)
+      .option("branch", "dev").mode("append").save()
+    val t3 = SnapshotLog.tsOf(dir, SnapshotLog.latest(dir)).get
+    val lit3 = java.time.Instant.ofEpochMilli(t3)
+      .toString.replace("T", " ").stripSuffix("Z")
+    assert(n(s"$tbl TIMESTAMP AS OF '$lit3'") == 150,
+      "SQL TIMESTAMP AS OF served a staged commit")
+    assert(n(tbl) == 150)
+    assert(n(s"$tbl VERSION AS OF 'dev'") == 151)
+  }
+
   test("zero-match DML is a no-op; stacked DML composes") {
     val (dir, tbl) = fresh("noop")
     val v1 = writeBase(dir)
