@@ -108,7 +108,15 @@ object ScaleProbe {
     // entries derive from DISTINCT month/flag values, constant at any
     // K (a probe would time fixture noise); stream_cdf_cow stays out
     // with the other stream_* rows (micro-batch floors).
-    "s53_sql_dml", "s54_optimize_binpack", "s55_metadata_count")
+    "s53_sql_dml", "s54_optimize_binpack", "s55_metadata_count",
+    // round 12b: the vector-aware SQL scan (vectors stack over a
+    // lineitem-scaled clone — probe cost is vector write + MOR read)
+    // and the CALL-driven maintenance lifecycle (append, bin-pack,
+    // position-delete, compact — byte-bound on the compact rewrite,
+    // the s22 caveat applies). s56_sql_time_travel stays out: its
+    // fixture is two plain DSv2 appends — a probe would time the
+    // append writes s45 already probes.
+    "s57_sql_mor_read", "s58_sql_procedures")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm

@@ -2707,7 +2707,129 @@ object QFilters extends Registry {
               SELECT 'by_id' AS face, n AS n_rows, sq AS sum_qty FROM h
               UNION ALL SELECT 'by_tag', n, sq FROM h
               UNION ALL SELECT 'between', n, sq FROM h
-              UNION ALL SELECT 'head', n, sq FROM f"""))
+              UNION ALL SELECT 'head', n, sq FROM f""")),
+
+    // S57 — MERGE-ON-READ through the SQL door (ext.): a snapshot
+    // carrying live EQUALITY-delete vectors now reads correctly from
+    // plain SQL — the round-11 scan refused it ("compact first"),
+    // which made every streaming-MOR-upserted table SQL-dark until a
+    // maintenance job ran. The scan resolves each vector's seq scope
+    // at PLAN time (a vector applies only to files committed strictly
+    // before it — the Iceberg sequence-number rule, so re-inserted
+    // keys are served) and each file's reader probes the churn-sized
+    // key sets as a per-task hash filter: readMor's broadcast
+    // anti-join semantics with zero extra Spark operators, and the
+    // key columns widen only the parquet projection, never the
+    // output, so `count(*)` stays all-pruned. The fixture stacks
+    // vector → re-insert → vector and gates the SQL aggregate
+    // against the relational oracle (`SnapshotSourceSpec` pins
+    // scan == readMor row-for-row).
+    Q("s57_sql_mor_read",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s57_sqlmor", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{DeleteVectors, SnapshotLog}
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
+        val base = SnapshotLog.read(s, dir, v1)
+        // vector 1: delete every %19 key across the table
+        DeleteVectors.appendDeletes(s, dir,
+          base.filter(col("l_orderkey") % 19 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+        // re-insert a slice of the DELETED keys in a later commit —
+        // the older vector must not suppress them (seq scoping)
+        base.filter(col("l_orderkey") % 19 === 0 && col("m") <= 3)
+          .withColumn("qty", (col("l_orderkey") % 37).cast("int"))
+          .write.format("graft-snapshot").option("path", dir)
+          .mode("append").save()
+        // vector 2 on top: applies to base files AND the re-inserts
+        DeleteVectors.appendDeletes(s, dir,
+          base.filter(col("l_orderkey") % 23 === 0)
+            .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+        s.sql(s"""SELECT m, count(*) AS n_rows,
+                         CAST(sum(qty) AS BIGINT) AS sum_qty
+                  FROM graft_lake.`$dir` GROUP BY m""")
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              afterv1 AS (SELECT * FROM base WHERE ok % 19 <> 0),
+              reins AS (
+                SELECT ok, ln, CAST(ok % 37 AS INT) AS qty, m
+                FROM base WHERE ok % 19 = 0 AND m <= 3),
+              allrows AS (
+                SELECT * FROM afterv1 UNION ALL SELECT * FROM reins),
+              final_t AS (SELECT * FROM allrows WHERE ok % 23 <> 0)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM final_t GROUP BY 1""")),
+
+    // S58 — SQL STORED PROCEDURES (ext.): the kernel's maintenance
+    // surface through Spark 4's DSv2 ProcedureCatalog — `CALL
+    // graft_lake.system.<proc>(...)` as literal SQL text, the Iceberg
+    // system-procedure shape. The fixture runs a whole maintenance
+    // lifecycle from SQL alone: two fragmenting appends → CALL
+    // optimize (bin-pack, content-preserving) → CALL create_tag →
+    // SQL DELETE (one position vector, zero rewrites) → CALL compact
+    // (the vector folds away) — then reads BOTH faces back through
+    // the SQL door: the head (deletes applied, vectors folded) and
+    // the tag (pre-delete state, served by time travel). Every CALL
+    // delegates to the operator that owns the semantics (OCC publish,
+    // own-root vacuum, orphan age guard); `ProcedureSpec` pins each
+    // procedure's effect individually.
+    Q("s58_sql_procedures",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s58_sqlproc", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val v1 = SnapshotLog.clone(lakeBaseDir(s, d), dir)
+        val base = SnapshotLog.read(s, dir, v1)
+        // two fragmenting appends (every partition gains small files)
+        SnapshotMerge.appendPartitioned(s,
+          base.filter(col("l_orderkey") % 31 === 0)
+            .withColumn("qty", (col("l_orderkey") % 11).cast("int")),
+          dir, "m")
+        SnapshotMerge.appendPartitioned(s,
+          base.filter(col("l_orderkey") % 37 === 0)
+            .withColumn("qty", (col("l_orderkey") % 13).cast("int")),
+          dir, "m")
+        val tbl = s"graft_lake.`$dir`"
+        s.sql(s"CALL graft_lake.system.optimize('$dir', 'm', 134217728)")
+        s.sql(s"CALL graft_lake.system.create_tag('$dir', 'pre-delete')")
+        s.sql(s"DELETE FROM $tbl WHERE m IN (2, 3) AND l_orderkey % 19 = 0")
+        s.sql(s"CALL graft_lake.system.compact('$dir', 'm')")
+        s.sql(s"""SELECT 'head' AS face, m, count(*) AS n_rows,
+                         CAST(sum(qty) AS BIGINT) AS sum_qty
+                  FROM $tbl GROUP BY m
+                  UNION ALL
+                  SELECT 'tagged', m, count(*),
+                         CAST(sum(qty) AS BIGINT)
+                  FROM $tbl VERSION AS OF 'pre-delete' GROUP BY m""")
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok, l_linenumber AS ln,
+                       CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              a AS (SELECT ok, ln, CAST(ok % 11 AS INT) AS qty, m
+                    FROM base WHERE ok % 31 = 0),
+              b AS (SELECT ok, ln, CAST(ok % 13 AS INT) AS qty, m
+                    FROM base WHERE ok % 37 = 0),
+              tagged AS (SELECT * FROM base UNION ALL
+                         SELECT * FROM a UNION ALL SELECT * FROM b),
+              head AS (SELECT * FROM tagged
+                       WHERE NOT (m IN (2, 3) AND ok % 19 = 0))
+              SELECT 'head' AS face, CAST(m AS INT) AS m,
+                     count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM head GROUP BY 2
+              UNION ALL
+              SELECT 'tagged', CAST(m AS INT), count(*),
+                     CAST(sum(qty) AS BIGINT)
+              FROM tagged GROUP BY 2"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -3,6 +3,7 @@ package graft.sources
 import graft.operators.SnapshotLog
 import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.ProcedureCatalog
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -28,8 +29,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * identically through both doors. Tables are CREATED by the engine's
   * writers (writeInitial / DSv2 append), not by DDL — create/alter/
   * drop refuse loudly rather than half-supporting a second lifecycle.
+  *
+  * The catalog is also a [[ProcedureCatalog]]: the kernel's
+  * maintenance jobs are callable as SQL stored procedures
+  * (`CALL graft_lake.system.expire_snapshots('/dir', 5)` …) — see
+  * [[GraftProcedures]] for the full surface.
   */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog {
   private var catalogName = "graft_lake"
 
   override def initialize(name: String,
@@ -111,4 +117,21 @@ class GraftCatalog extends TableCatalog {
       newIdent: Identifier): Unit =
     throw new UnsupportedOperationException(
       "graft_lake tables are addressed by directory; move the directory")
+
+  // ---- stored procedures (CALL graft_lake.system.<name>(...)) -------
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace().sameElements(Array("system")),
+      s"procedures live in the 'system' namespace; got " +
+        s"${ident.namespace().mkString(".")}.${ident.name()}")
+    GraftProcedures.load(ident.name())
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.procedures.keys.toSeq.sorted
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 }

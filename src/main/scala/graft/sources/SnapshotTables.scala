@@ -51,11 +51,14 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - Reads address snapshots three ways: `versionAsOf` (a raw id),
   *    `branch` (the ref's current head), `tagAsOf` (an immutable pin).
   *
-  * Loud contracts (fail, never silently mis-read): the batch face
-  * refuses snapshots carrying live delete vectors (their anti-join
-  * belongs to `SnapshotLog.readMor`; a raw file scan would resurrect
-  * deleted rows), and the stream refuses COW-rewrite commits (their
-  * exact U/D split needs the batch `changeFeed` signature join).
+  * MERGE-ON-READ is served natively: position deletes subtract inside
+  * each file's reader, and equality-delete vectors (seq-scoped at plan
+  * time) filter rows by key-tuple membership — the same semantics as
+  * `SnapshotLog.readMor`, executed as per-task hash probes over
+  * churn-sized key sets, so a vectored table reads correctly through
+  * plain SQL with zero compaction required. The one loud contract
+  * left: the stream refuses COW-rewrite commits on tables without
+  * declared keys (their exact U/D split needs the key signature).
   *
   * Executor-side reads use the parquet example Group API over the
   * PROJECTED read schema — self-contained (no SparkSession on the
@@ -271,11 +274,16 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
 }
 
 /** one snapshot data or delete file to read, with the op/commit stamp
-  * the change-feed rows carry ("" op for plain batch reads) and the
+  * the change-feed rows carry ("" op for plain batch reads), the
   * position-delete files whose addresses subtract from this file's
-  * physical rows (churn-sized by the delete contract). */
+  * physical rows, and the equality-delete vectors whose key tuples
+  * suppress matching rows (only vectors with seq STRICTLY ABOVE this
+  * file's — the applicability is resolved at PLAN time, so the reader
+  * never sees an out-of-scope vector). All delete inputs are
+  * churn-sized by the delete contract. */
 private[sources] case class SnapFilePartition(path: String, op: String,
-    commit: Long, posDeletes: Seq[String] = Nil) extends InputPartition
+    commit: Long, posDeletes: Seq[String] = Nil,
+    eqDeletes: Seq[String] = Nil) extends InputPartition
 
 /** a plan-time-computed logical delta (the COW/pos-delete U-split):
   * key tuples + op, churn-sized, carried as literal rows. */
@@ -322,23 +330,25 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
   override def planInputPartitions(): Array[InputPartition] = {
     val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
     val es = SnapshotLog.entries(dir, v)
-    // POSITION deletes apply inside each partition's reader (the file
-    // addresses its own subtraction set — no join needed); EQUALITY
-    // vectors still refuse: their seq-scoped anti-join belongs to
-    // SnapshotLog.readMor, and a raw scan would resurrect deleted rows
+    // BOTH merge-on-read flavors apply inside each partition's reader:
+    // POSITION deletes name their file (no join needed), and EQUALITY
+    // vectors are churn-sized key sets — each reader loads the vectors
+    // that apply to ITS file (seq strictly above the file's, resolved
+    // here at plan time: the Iceberg sequence-number rule) and filters
+    // rows by key-tuple membership. Same semantics as readMor's
+    // broadcast anti-join, executed as a per-task hash probe.
     val eqVecs = es.filter(_.kind == "X")
-    require(eqVecs.isEmpty,
-      s"snapshot v$v of $dir carries ${eqVecs.size} live delete " +
-        "vector(s); a raw file scan would resurrect deleted rows — " +
-        "read it through SnapshotLog.readMor, or compact first")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
     es.filter(_.kind == "D")
-      .map(e =>
-        SnapFilePartition(e.path, "", v, posDeletes): InputPartition)
+      .map(e => SnapFilePartition(e.path, "", v, posDeletes,
+        eqVecs.filter(_.seq > e.seq).map(_.path).sorted): InputPartition)
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required)
+    new SnapshotReaderFactory(required, {
+      val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+      SnapshotLog.renamesOf(dir, v)
+    })
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(changeFeed,
@@ -447,13 +457,34 @@ private[sources] class SnapshotChangeStream(dir: String,
   override def stop(): Unit = ()
 }
 
+/** one equality vector's in-memory form: its key column names (as
+  * the vector file spells them) and the canonicalized key tuples. */
+private final case class VecSet(keyCols: Seq[String],
+    tuples: java.util.HashSet[Seq[Any]])
+
 /** Executor-side parquet Group reader over the PROJECTED read schema:
   * requested columns present in the file are read (column-pruned at
   * the parquet layer), absent ones (a delete vector's non-key columns,
   * a column added after this file was written) are null, and the
   * `_op` / `_commit` stamps come from the partition, not the file.
+  *
+  * RENAME-AWARE: `renames` is the manifest's historical-name →
+  * canonical-name map — a file written before a rename serves the
+  * canonical column from its old field (with the usual physical-type
+  * widening), so schema-evolved tables read correctly through the SQL
+  * door without a rewrite.
+  *
+  * EQUALITY-VECTOR-AWARE: a partition's applicable vectors (resolved
+  * seq-scoped at plan time) are loaded once per task as key-tuple hash
+  * sets — churn-sized by the delete contract — and rows whose tuple
+  * matches any vector are skipped. Values are canonicalized (ints
+  * widen to long, floats to double, binary to string) so a vector
+  * written against a widened schema still matches rows in pre-widen
+  * files. SQL-null semantics: a null key never matches (the same
+  * contract as readMor's anti-join).
   */
-private class SnapshotReaderFactory(required: StructType)
+private class SnapshotReaderFactory(required: StructType,
+    renames: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
 
   /** the physical row indexes of `file` named by the partition's
@@ -518,18 +549,79 @@ private class SnapshotReaderFactory(required: StructType)
       override def close(): Unit = ()
     }
 
+  /** load one equality-delete file into a key-tuple set — churn-sized
+    * by the delete contract, so a per-task in-memory set is in-model.
+    * Tuples containing null are DROPPED: a null key matches nothing
+    * under the anti-join contract, so keeping them could only cost
+    * memory, never change an answer. */
+  private def loadVector(path: String): VecSet = {
+    import scala.jdk.CollectionConverters._
+    val schema = SnapshotTables.footerSchema(path)
+    val keyCols = schema.getFields.asScala.map(_.getName).toSeq
+    val set = new java.util.HashSet[Seq[Any]]()
+    val reader = ParquetReader.builder(
+      new GroupReadSupport(), new Path(path))
+      .withConf(new Configuration()).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val t = keyCols.map(canonValue(g, _))
+        if (!t.contains(null)) set.add(t)
+        g = reader.read()
+      }
+    } finally reader.close()
+    VecSet(keyCols, set)
+  }
+
+  /** one Group field as a CANONICAL comparison value (long / double /
+    * string / boolean — ints widened, floats widened, binary as UTF-8)
+    * so key tuples compare equal across physically-divergent files. */
+  private def canonValue(g: Group, field: String): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!g.getType.containsField(field) ||
+        g.getFieldRepetitionCount(field) == 0) null
+    else g.getType.getType(field).asPrimitiveType().getPrimitiveTypeName match {
+      case INT64 => g.getLong(field, 0)
+      case INT32 => g.getInteger(field, 0).toLong
+      case DOUBLE => g.getDouble(field, 0)
+      case FLOAT => g.getFloat(field, 0).toDouble
+      case BOOLEAN => g.getBoolean(field, 0)
+      case BINARY => g.getBinary(field, 0).toStringUsingUTF8
+      case _ => null
+    }
+  }
+
   private def fileReader(
       part: SnapFilePartition): PartitionReader[InternalRow] = {
-    val SnapFilePartition(file, op, commit, posDeletes) = part
+    val SnapFilePartition(file, op, commit, posDeletes, eqDeletes) = part
     val conf = new Configuration()
     val fileSchema = SnapshotTables.footerSchema(file)
     import scala.jdk.CollectionConverters._
     val fileFields = fileSchema.getFields.asScala.map(_.getName).toSet
+    // canonical column name -> the FILE's field for it: the canonical
+    // name itself when present, else the historical name the rename
+    // map says this column used to carry (pre-rename files serve the
+    // renamed column from their old field)
+    def fieldFor(canonical: String): Option[String] =
+      if (fileFields(canonical)) Some(canonical)
+      else renames.collectFirst {
+        case (old, nw) if nw == canonical && fileFields(old) => old
+      }
     val dataNames = required.fields.map(_.name)
       .filter(n => n != "_op" && n != "_commit" &&
         n != SnapshotDelta.FileCol && n != SnapshotDelta.PosCol)
+    // applicable equality vectors, loaded once per task (plan-time
+    // seq-scoping guarantees every one of these covers this file)
+    val vecs = eqDeletes.map(loadVector)
+    // vector key columns may be pruned from the OUTPUT but are still
+    // needed to evaluate membership — widen the parquet projection,
+    // never the emitted row
+    val vecFields = vecs.flatMap(_.keyCols)
+      .flatMap(kc => fieldFor(renames.getOrElse(kc, kc))).distinct
+    val projNames =
+      (dataNames.flatMap(fieldFor(_)) ++ vecFields).distinct.toSet
     val wanted = fileSchema.getFields.asScala
-      .filter(f => dataNames.contains(f.getName))
+      .filter(f => projNames.contains(f.getName))
     // an all-pruned projection (count(*)) still needs row COUNT — fall
     // back to the narrowest single column
     val proj = new MessageType(fileSchema.getName,
@@ -542,12 +634,24 @@ private class SnapshotReaderFactory(required: StructType)
       if (posDeletes.isEmpty) new java.util.HashSet[java.lang.Long]()
       else deletedPositions(file, posDeletes)
     val fileUtf8 = UTF8String.fromString(file)
+    // this row's tuple for one vector, read under the same canonical
+    // widening the vector's own rows got
+    def vecDeleted(g: Group): Boolean = vecs.exists { v =>
+      val t = v.keyCols.map { kc =>
+        fieldFor(renames.getOrElse(kc, kc)) match {
+          case Some(f) => canonValue(g, f)
+          case None => null
+        }
+      }
+      !t.contains(null) && v.tuples.contains(t)
+    }
     new PartitionReader[InternalRow] {
       private var cur: Group = _
       private var pos = -1L // physical row index of `cur` in the file
       override def next(): Boolean = {
         cur = reader.read(); pos += 1
-        while (cur != null && dead.contains(pos)) {
+        while (cur != null &&
+            (dead.contains(pos) || (vecs.nonEmpty && vecDeleted(cur)))) {
           cur = reader.read(); pos += 1
         }
         cur != null
@@ -559,9 +663,11 @@ private class SnapshotReaderFactory(required: StructType)
             case "_commit" => commit
             case SnapshotDelta.FileCol => fileUtf8
             case SnapshotDelta.PosCol => pos
-            case n if !fileFields(n) => null
-            case n if cur.getFieldRepetitionCount(n) == 0 => null
-            case n => readValue(cur, n, f.dataType)
+            case n => fieldFor(n) match {
+              case Some(ff) if cur.getFieldRepetitionCount(ff) > 0 =>
+                readValue(cur, ff, f.dataType)
+              case _ => null
+            }
           }
         }
         new GenericInternalRow(vals.asInstanceOf[Array[Any]])

@@ -528,4 +528,18 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 1, s"stream_cdf_cow shuffles: ${c.shuffles}")
     graft.Caches.clearTransient()
   }
+
+  test("SQL MOR read: vectors apply INSIDE the scan's readers — one " +
+      "grouped-agg exchange, no anti-join in the plan") {
+    val c = Plans.planCounts(q("s57_sql_mor_read"))
+    assert(c.shuffles <= 1, s"s57_sql_mor_read shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("SQL procedures: two-face readback — one agg exchange per face " +
+      "plus the union") {
+    val c = Plans.planCounts(q("s58_sql_procedures"))
+    assert(c.shuffles <= 2, s"s58_sql_procedures shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
 }

@@ -13,8 +13,9 @@ import org.apache.spark.sql.streaming.Trigger
   *     files (input partitions == manifest data entries — no directory
   *     walk), and two versions of the SAME SQL text read different
   *     file sets.
-  *  2. A snapshot carrying live delete vectors refuses a raw batch
-  *     scan (it would resurrect deleted rows).
+  *  2. A snapshot carrying live delete vectors reads MERGE-ON-READ
+  *     through the scan: seq-scoped equality vectors and position
+  *     deletes apply inside each file's reader, scan == readMor.
   *  3. STREAMING exactly-once: a restart from the checkpoint with no
   *     new commit delivers NOTHING (replayed epoch no-op); a new
   *     commit afterwards delivers exactly its delta; the union of all
@@ -70,20 +71,75 @@ class SnapshotSourceSpec extends SparkSpec {
       "the same SQL text at two versions must see different tables")
   }
 
-  test("a vectored snapshot refuses the raw batch scan") {
+  test("a vectored snapshot reads merge-on-read through the scan: " +
+      "scan == readMor, seq scoping serves re-inserts, count(*) prunes") {
     val dir = s"${graft.Scratch.dirFor("snapsrc_vec", sf)}/t"
     graft.Scratch.clear(dir)
     val base = mkBase()
     val v1 = SnapshotMerge.writeInitial(spark, base, dir, "m")
+    // vector 1: a spread of keys across partitions
     DeleteVectors.appendDeletes(spark, dir,
-      SnapshotLog.read(spark, dir, v1).limit(5)
+      SnapshotLog.read(spark, dir, v1)
+        .filter(col("l_orderkey") % 19 === 0)
         .select(col("l_orderkey"), col("l_linenumber"), col("m")))
-    val e = intercept[Exception] {
-      spark.read.format("graft-snapshot").option("path", dir)
-        .load().count()
-    }
-    assert(e.getMessage.contains("delete vector"),
-      s"expected the loud vector refusal, got: ${e.getMessage}")
+    // RE-INSERT some deleted keys in a LATER commit: the older vector
+    // must not suppress them (seq scoping — the Iceberg rule)
+    val reins = base.filter(col("l_orderkey") % 19 === 0)
+      .limit(7).withColumn("qty", lit(777))
+    reins.write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    // vector 2 on top: different key subset
+    DeleteVectors.appendDeletes(spark, dir,
+      SnapshotLog.read(spark, dir, v1)
+        .filter(col("l_orderkey") % 23 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+    val vN = SnapshotLog.latest(dir)
+
+    val scan = spark.read.format("graft-snapshot").option("path", dir)
+      .load().select("l_orderkey", "l_linenumber", "qty", "m")
+    val mor = SnapshotLog.readMor(spark, dir, vN)
+      .select("l_orderkey", "l_linenumber", "qty", "m")
+    assert(scan.exceptAll(mor).count() == 0 &&
+      mor.exceptAll(scan).count() == 0,
+      "vector-aware scan diverged from readMor")
+    assert(scan.filter(col("qty") === 777).count() > 0,
+      "re-inserted keys must be served (seq scoping)")
+    // the all-pruned projection (count(*)) must still apply vectors —
+    // key columns widen the parquet projection, not the output
+    assert(scan.count() == mor.count())
+  }
+
+  test("rename-aware scan: pre-rename files serve the renamed column") {
+    import spark.implicits._
+    val dir = s"${graft.Scratch.dirFor("snapsrc_ren", sf)}/t"
+    graft.Scratch.clear(dir)
+    Seq((1L, 10L, "a"), (2L, 20L, "b")).toDF("k", "val", "tag")
+      .write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    SnapshotLog.commitSchemaChange(dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, amount BIGINT, tag STRING"),
+      renames = Map("val" -> "amount"))
+    // post-rename append writes the NEW name
+    Seq((3L, 30L, "c")).toDF("k", "amount", "tag")
+      .write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    val got = spark.read.format("graft-snapshot").option("path", dir)
+      .load().select("k", "amount", "tag")
+    val want = Seq((1L, 10L, "a"), (2L, 20L, "b"), (3L, 30L, "c"))
+      .toDF("k", "amount", "tag")
+    assert(got.exceptAll(want).count() == 0 &&
+      want.exceptAll(got).count() == 0,
+      s"rename-aware read diverged: ${got.collect().mkString(";")}")
+    // and a vector written against the CANONICAL name still deletes
+    // rows living in pre-rename files
+    DeleteVectors.appendDeletes(spark, dir,
+      Seq((1L)).toDF("k"))
+    val after = spark.read.format("graft-snapshot").option("path", dir)
+      .load().select("k", "amount", "tag")
+    assert(after.count() == 2 &&
+      after.filter(col("k") === 1L).count() == 0,
+      "canonical-name vector must delete pre-rename rows")
   }
 
   test("stream: replayed epoch is a no-op; a new commit streams its delta") {
