@@ -116,7 +116,10 @@ object ScaleProbe {
     // the s22 caveat applies). s56_sql_time_travel stays out: its
     // fixture is two plain DSv2 appends — a probe would time the
     // append writes s45 already probes.
-    "s57_sql_mor_read", "s58_sql_procedures")
+    "s57_sql_mor_read", "s58_sql_procedures",
+    // round 12c: runtime-pruned lake join (scan cost should track the
+    // SELECTED partitions, not the table)
+    "s59_lake_dpp")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm

@@ -2829,7 +2829,49 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 'tagged', CAST(m AS INT), count(*),
                      CAST(sum(qty) AS BIGINT)
-              FROM tagged GROUP BY 2"""))
+              FROM tagged GROUP BY 2""")),
+
+    // S59 — RUNTIME PARTITION PRUNING on lake tables (ext.): the
+    // snapshot scan implements SupportsRuntimeV2Filtering, so a join
+    // whose dimension side resolves at RUNTIME hands the scan its
+    // join-key value set (Spark's dynamic-partition-pruning broadcast)
+    // and manifest entries whose partition label or stats exclude
+    // every value are dropped BEFORE input partitions are planned —
+    // the dim-filtered fact scan of a 100 TB lake table reads only
+    // the partitions the dim selects, deciding from metadata alone.
+    // Labels veto exactly, INT64/string stats veto by range overlap,
+    // everything else keeps conservatively (pruning is an
+    // optimization, never a bet — Spark re-applies the join).
+    // `RuntimePruneSpec` pins exact label pruning, stats soundness,
+    // and the e2e partition-count drop under real DPP.
+    Q("s59_lake_dpp",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dimPath = s"${graft.Scratch.dirFor("s59_dpp", d)}/dim"
+        graft.Scratch.clear(dimPath)
+        val dir = lakeBaseDir(s, d)
+        // the dim MUST be a scanned source: a driver-local frame
+        // constant-folds its filter and DPP never fires
+        Tables.lineitem(s, d)
+          .select(month(to_date(col("l_shipdate"))).as("m")).distinct()
+          .withColumn("flag",
+            when(col("m").isin(3, 8), 1).otherwise(0))
+          .write.mode("overwrite").parquet(dimPath)
+        val fact = s.read.format("graft-snapshot")
+          .option("path", dir).load()
+        val dim = s.read.parquet(dimPath).filter(col("flag") === 1)
+        fact.join(dim.select("m"), Seq("m"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"))
+      },
+      Some("""WITH base AS (
+                SELECT CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base WHERE m IN (3, 8) GROUP BY 1"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

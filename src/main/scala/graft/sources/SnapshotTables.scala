@@ -293,8 +293,102 @@ private[sources] case class SnapRowsPartition(keyCols: Seq[String],
 private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     changeFeed: Boolean, startingVersion: Int,
     full: StructType, required: StructType) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
+
+  // ---- runtime filtering (DPP for lake tables) ----------------------
+  // Spark hands the scan the JOIN-KEY value set it computed at runtime
+  // (the dynamic-partition-pruning broadcast); entries whose partition
+  // label or manifest stats exclude every value are dropped BEFORE the
+  // batch plans its input partitions — a dimension-filtered join over
+  // a 100 TB snapshot table reads only the partitions the dim selects,
+  // with zero data files opened to decide. Purely an optimization:
+  // unlabeled entries, foreign-label columns, and entries without
+  // stats are kept conservatively (Spark re-applies the join itself).
+
+  /** runtime-prunable columns: anything a manifest entry can veto on —
+    * partition-label columns, INT64 stats columns, string-bound
+    * columns. Computed from the pinned manifest (metadata-sized). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (changeFeed) return Array.empty
+    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+    val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
+    val labelCols = es.map(_.partition).filter(_.nonEmpty)
+      .map(p => p.take(math.max(p.indexOf('='), 0))).filter(_.nonEmpty)
+    val statCols = es.flatMap(e => e.stats.keys ++ e.strStats.keys)
+    // Spark resolves these against the scan's (column-pruned) OUTPUT —
+    // offering a pruned-away column would fail analysis
+    val served = required.fieldNames.toSet
+    (labelCols ++ statCols).distinct.filter(served)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  /** col → the runtime value set (stringified for label compare, raw
+    * for stats-range probes). Populated by [[filter]]. */
+  private var runtimeIn: Map[String, Seq[Any]] = Map.empty
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    // matched through the PUBLIC connector interfaces (NamedReference /
+    // Literal) — the concrete FieldReference/LiteralValue classes are
+    // private[sql] to Spark
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val collected = predicates.toSeq.flatMap { p =>
+      val kids = p.children()
+      def lit(e: org.apache.spark.sql.connector.expressions.Expression)
+          : Option[Any] = e match {
+        case l: Literal[_] => Some(l.value())
+        case _ => None
+      }
+      (p.name(), kids.headOption) match {
+        case ("IN", Some(f: NamedReference)) =>
+          val vals = kids.tail.flatMap(lit)
+          // a non-literal operand means we understood only part of the
+          // set — pruning on it could drop matching rows; skip
+          if (vals.length == kids.length - 1)
+            Some(f.fieldNames().mkString(".") -> vals.toSeq)
+          else None
+        case ("=", Some(f: NamedReference)) =>
+          kids.lift(1).flatMap(lit)
+            .map(v => f.fieldNames().mkString(".") -> Seq(v))
+        case _ => None
+      }
+    }
+    runtimeIn = collected.groupBy(_._1)
+      // multiple predicates on one column intersect semantically; the
+      // conservative sound choice is the SMALLEST set we saw
+      .map { case (c, vs) => c -> vs.map(_._2).minBy(_.size) }
+  }
+
+  /** does `e` possibly hold any of the runtime values? Label veto is
+    * exact (the writer stamped the value); stats veto is range-overlap;
+    * everything else keeps. */
+  private def survivesRuntime(e: SnapshotLog.FileEntry): Boolean =
+    runtimeIn.forall { case (c, vals) =>
+      val labelHit = {
+        val i = e.partition.indexOf('=')
+        if (i <= 0 || e.partition.take(i) != c) None
+        else Some(vals.exists(v => String.valueOf(v) == e.partition.drop(i + 1)))
+      }
+      labelHit.getOrElse {
+        val longVals = vals.collect {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+          case s: java.lang.Short => s.longValue
+        }
+        if (e.stats.contains(c) && longVals.size == vals.size)
+          longVals.exists(v => e.overlaps(c, v, v))
+        else if (e.strStats.contains(c))
+          vals.exists(v => e.overlapsStr(c, String.valueOf(v),
+            String.valueOf(v)))
+        else true
+      }
+    }
 
   /** Statistics from the MANIFEST (file sizes summed at plan time, a
     * stat per entry, no footer opened): a snapshot-log table joins
@@ -339,7 +433,7 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     // broadcast anti-join, executed as a per-task hash probe.
     val eqVecs = es.filter(_.kind == "X")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
-    es.filter(_.kind == "D")
+    es.filter(e => e.kind == "D" && survivesRuntime(e))
       .map(e => SnapFilePartition(e.path, "", v, posDeletes,
         eqVecs.filter(_.seq > e.seq).map(_.path).sorted): InputPartition)
       .toArray

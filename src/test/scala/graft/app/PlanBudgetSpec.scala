@@ -542,4 +542,13 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 2, s"s58_sql_procedures shuffles: ${c.shuffles}")
     graft.Caches.clearTransient()
   }
+
+  test("lake DPP: broadcast dim join + one agg exchange; the runtime " +
+      "filter rides the scan, not the plan") {
+    val df = q("s59_lake_dpp")
+    val c = Plans.planCounts(df)
+    assert(c.shuffles <= 2, s"s59_lake_dpp shuffles: ${c.shuffles}")
+    assert(c.broadcasts >= 1, "dim side must broadcast")
+    graft.Caches.clearTransient()
+  }
 }

@@ -160,4 +160,26 @@ class SqlDmlSpec extends SparkSpec {
     assert(SnapshotLog.readMor(spark, dir, SnapshotLog.latest(dir))
       .agg(min(col("id"))).head.getLong(0) == 20L)
   }
+
+  test("SQL INSERT INTO: values and subquery forms append one snapshot " +
+      "each; DML over inserted rows composes") {
+    val (dir, tbl) = fresh("insert")
+    val v1 = writeBase(dir)
+    spark.sql(s"INSERT INTO $tbl VALUES (1000, 9, 10000), (1001, 9, 10010)")
+    val v2 = SnapshotLog.latest(dir)
+    assert(v2 == v1 + 1, "INSERT must commit exactly one snapshot")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 202)
+    // subquery form
+    spark.sql(s"INSERT INTO $tbl SELECT id + 2000, 8, v FROM $tbl " +
+      "WHERE id < 5")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 207)
+    // DML sees the inserted rows
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 9")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $tbl WHERE id >= 1000 AND id < 2000")
+      .head.getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").head.getLong(0) == 205)
+    // the pre-insert snapshot is intact
+    assert(SnapshotLog.readMor(spark, dir, v1).count() == 200)
+  }
 }
