@@ -2499,6 +2499,12 @@ object QFilters extends Registry {
         s.sql(s"DELETE FROM $tbl WHERE m IN (2, 3) AND l_orderkey % 19 = 0")
         s.sql(s"UPDATE $tbl SET qty = qty + 100 " +
           "WHERE m = 5 AND l_orderkey % 13 = 0")
+        // insert-branch keys offset by max(l_orderkey)+1 — DERIVED from
+        // the data, so they can never collide with a live key at any
+        // scale (a literal offset broke the MERGE's one-match-per-row
+        // contract once the x100 probe's replicated keys outgrew it)
+        val off = SnapshotLog.read(s, dir, v1)
+          .agg(max(col("l_orderkey"))).head.getLong(0) + 1L
         SnapshotLog.read(s, dir, v1)
           .filter(col("m") === 7 && col("l_orderkey") % 23 === 0)
           .select(col("l_orderkey"), col("l_linenumber"), col("m"))
@@ -2507,7 +2513,7 @@ object QFilters extends Registry {
           .unionByName(
             SnapshotLog.read(s, dir, v1)
               .filter(col("m") === 7 && col("l_orderkey") % 29 === 0)
-              .select((col("l_orderkey") + 4000000L).as("l_orderkey"),
+              .select((col("l_orderkey") + off).as("l_orderkey"),
                 col("l_linenumber"), col("m")).distinct()
               .withColumn("nq", lit(7).cast("int")))
           .createOrReplaceTempView("s53_src")
@@ -2541,8 +2547,9 @@ object QFilters extends Registry {
                             THEN CAST(ok % 31 AS INT) ELSE qty END AS qty,
                        m
                 FROM afterupd),
+              mx AS (SELECT max(l_orderkey) + 1 AS off FROM lineitem),
               ins AS (
-                SELECT DISTINCT ok + 4000000 AS ok, ln,
+                SELECT DISTINCT ok + (SELECT off FROM mx) AS ok, ln,
                        CAST(7 AS INT) AS qty, m
                 FROM base WHERE m = 7 AND ok % 29 = 0),
               final_t AS (SELECT * FROM merged UNION ALL SELECT * FROM ins)

@@ -556,6 +556,25 @@ private[sources] class SnapshotChangeStream(dir: String,
 private final case class VecSet(keyCols: Seq[String],
     tuples: java.util.HashSet[Seq[Any]])
 
+/** Executor-side caches of DECODED delete files — the per-executor
+  * analogue of a broadcast: vector and position-delete files are
+  * immutable once committed, so each executor JVM pays one load per
+  * file instead of one per task (without this, a scan over F files
+  * re-decodes every vector F times — measured 17.6x/10x on the MOR
+  * readback before the cache, ~linear after). Bounded by a full clear
+  * on overflow — only ever a re-read. */
+private object DeleteFileCaches {
+  val vecs = new java.util.concurrent.ConcurrentHashMap[String, VecSet]()
+  /** pos-delete path → (normalized data path → dead row positions) */
+  val pos = new java.util.concurrent.ConcurrentHashMap[String,
+    java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]()
+  def boundedPut[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V],
+      k: K, f: K => V): V = {
+    if (m.size > 512) m.clear()
+    m.computeIfAbsent(k, kk => f(kk))
+  }
+}
+
 /** Executor-side parquet Group reader over the PROJECTED read schema:
   * requested columns present in the file are read (column-pruned at
   * the parquet layer), absent ones (a delete vector's non-key columns,
@@ -582,27 +601,39 @@ private class SnapshotReaderFactory(required: StructType,
     extends PartitionReaderFactory {
 
   /** the physical row indexes of `file` named by the partition's
-    * position-delete files — churn-sized by the delete contract, so a
-    * per-task in-memory set is in-model (the same bound readMor's
-    * broadcast relies on). */
+    * position-delete files — churn-sized by the delete contract.
+    * Each position file decodes ONCE per executor (immutable-file
+    * cache) into a per-data-file index; this reader then takes its
+    * own file's slice. */
   private def deletedPositions(file: String,
       posDeletes: Seq[String]): java.util.HashSet[java.lang.Long] = {
     val mine = SnapshotLog.normPath(file)
     val out = new java.util.HashSet[java.lang.Long]()
     posDeletes.foreach { p =>
-      val conf = new Configuration()
-      val reader = ParquetReader.builder(
-        new GroupReadSupport(), new Path(p)).withConf(conf).build()
-      try {
-        var g = reader.read()
-        while (g != null) {
-          if (g.getFieldRepetitionCount("file_path") > 0 &&
-              SnapshotLog.normPath(
-                g.getBinary("file_path", 0).toStringUsingUTF8) == mine)
-            out.add(g.getLong("row_pos", 0))
-          g = reader.read()
-        }
-      } finally reader.close()
+      val byFile = DeleteFileCaches.boundedPut(DeleteFileCaches.pos, p,
+        (path: String) => {
+          val m = new java.util.HashMap[String,
+            java.util.HashSet[java.lang.Long]]()
+          val reader = ParquetReader.builder(
+            new GroupReadSupport(), new Path(path))
+            .withConf(new Configuration()).build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              if (g.getFieldRepetitionCount("file_path") > 0) {
+                val k = SnapshotLog.normPath(
+                  g.getBinary("file_path", 0).toStringUsingUTF8)
+                m.computeIfAbsent(k,
+                  _ => new java.util.HashSet[java.lang.Long]())
+                  .add(g.getLong("row_pos", 0))
+              }
+              g = reader.read()
+            }
+          } finally reader.close()
+          m
+        })
+      val s = byFile.get(mine)
+      if (s != null) out.addAll(s)
     }
     out
   }
@@ -644,11 +675,15 @@ private class SnapshotReaderFactory(required: StructType,
     }
 
   /** load one equality-delete file into a key-tuple set — churn-sized
-    * by the delete contract, so a per-task in-memory set is in-model.
+    * by the delete contract, so a per-executor in-memory set is
+    * in-model; decoded ONCE per executor (immutable-file cache).
     * Tuples containing null are DROPPED: a null key matches nothing
     * under the anti-join contract, so keeping them could only cost
     * memory, never change an answer. */
-  private def loadVector(path: String): VecSet = {
+  private def loadVector(path0: String): VecSet =
+    DeleteFileCaches.boundedPut(DeleteFileCaches.vecs, path0, loadVector0)
+
+  private def loadVector0(path: String): VecSet = {
     import scala.jdk.CollectionConverters._
     val schema = SnapshotTables.footerSchema(path)
     val keyCols = schema.getFields.asScala.map(_.getName).toSeq
@@ -728,24 +763,44 @@ private class SnapshotReaderFactory(required: StructType,
       if (posDeletes.isEmpty) new java.util.HashSet[java.lang.Long]()
       else deletedPositions(file, posDeletes)
     val fileUtf8 = UTF8String.fromString(file)
+    // per-vector FILE FIELDS resolved once per reader, not per row; a
+    // vector whose key column this file lacks is a no-op here (every
+    // row tuple would hold a null, and null never matches) — dropped
+    // up front so the row loop never touches it
+    val activeVecs: Array[(Array[String], java.util.HashSet[Seq[Any]])] =
+      vecs.flatMap { v =>
+        val fields = v.keyCols.map(kc => fieldFor(renames.getOrElse(kc, kc)))
+        if (fields.exists(_.isEmpty)) None
+        else Some((fields.map(_.get).toArray, v.tuples))
+      }.toArray
     // this row's tuple for one vector, read under the same canonical
     // widening the vector's own rows got
-    def vecDeleted(g: Group): Boolean = vecs.exists { v =>
-      val t = v.keyCols.map { kc =>
-        fieldFor(renames.getOrElse(kc, kc)) match {
-          case Some(f) => canonValue(g, f)
-          case None => null
+    def vecDeleted(g: Group): Boolean = {
+      var i = 0
+      while (i < activeVecs.length) {
+        val (fs, set) = activeVecs(i)
+        val t = new Array[Any](fs.length)
+        var j = 0
+        var hasNull = false
+        while (j < fs.length && !hasNull) {
+          val v = canonValue(g, fs(j))
+          if (v == null) hasNull = true else t(j) = v
+          j += 1
         }
+        // ArraySeq and the stored List hash/compare alike (Seq equality)
+        if (!hasNull && set.contains(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(t))) return true
+        i += 1
       }
-      !t.contains(null) && v.tuples.contains(t)
+      false
     }
     new PartitionReader[InternalRow] {
       private var cur: Group = _
       private var pos = -1L // physical row index of `cur` in the file
       override def next(): Boolean = {
         cur = reader.read(); pos += 1
-        while (cur != null &&
-            (dead.contains(pos) || (vecs.nonEmpty && vecDeleted(cur)))) {
+        while (cur != null && (dead.contains(pos) ||
+            (activeVecs.nonEmpty && vecDeleted(cur)))) {
           cur = reader.read(); pos += 1
         }
         cur != null
