@@ -261,16 +261,38 @@ private[sources] class SnapshotTable(schema0: StructType,
 
 private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
   private var required: StructType = full
+  private var pruningPreds: Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** STATIC predicate pushdown — for MANIFEST PRUNING only: every
+    * predicate is returned as "not (fully) pushed", so Spark keeps
+    * re-applying it after the scan (pruning stays an optimization,
+    * never a correctness bet — the same contract the runtime filter
+    * path holds). The scan uses the ones it understands (=, IN, >,
+    * >=, <, <=) to drop entries whose partition label or manifest
+    * stats exclude every possibly-matching row. */
+  override def pushPredicates(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
+    pruningPreds = predicates
+    predicates
+  }
+  override def pushedPredicates(): Array[
+    org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
+
   override def build(): Scan = new SnapshotScan(
     dir,
     SnapshotTables.explicitVersion(dir, options),
     options.getBoolean("changeFeed", false),
     options.getInt("startingVersion", 0),
-    full, required)
+    full, required, pruningPreds)
 }
 
 /** one snapshot data or delete file to read, with the op/commit stamp
@@ -292,7 +314,10 @@ private[sources] case class SnapRowsPartition(keyCols: Seq[String],
 
 private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     changeFeed: Boolean, startingVersion: Int,
-    full: StructType, required: StructType) extends Scan with Batch
+    full: StructType, required: StructType,
+    staticPreds: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      Array.empty) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -326,19 +351,26 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       .toArray
   }
 
-  /** col → the runtime value set (stringified for label compare, raw
-    * for stats-range probes). Populated by [[filter]]. */
-  private var runtimeIn: Map[String, Seq[Any]] = Map.empty
+  /** one manifest-prunable constraint: a value SET (=, IN) or a
+    * one-sided RANGE bound (>, >=, <, <= — bounds kept inclusive,
+    * strictness conservatively widened). */
+  private sealed trait Constraint { def col: String }
+  private final case class InSet(col: String, vals: Seq[Any])
+      extends Constraint
+  private final case class Bound(col: String, lo: Option[Any],
+      hi: Option[Any]) extends Constraint
 
-  override def filter(
+  /** the constraints we can prune on, parsed through the PUBLIC
+    * connector interfaces (NamedReference / Literal — the concrete
+    * FieldReference/LiteralValue classes are private[sql] to Spark).
+    * Anything not understood is simply not a constraint: Spark
+    * re-applies every predicate after the scan. */
+  private def parseConstraints(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit = {
-    // matched through the PUBLIC connector interfaces (NamedReference /
-    // Literal) — the concrete FieldReference/LiteralValue classes are
-    // private[sql] to Spark
+      : Seq[Constraint] = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
-    val collected = predicates.toSeq.flatMap { p =>
+    predicates.toSeq.flatMap { p =>
       val kids = p.children()
       def lit(e: org.apache.spark.sql.connector.expressions.Expression)
           : Option[Any] = e match {
@@ -351,44 +383,106 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
           // a non-literal operand means we understood only part of the
           // set — pruning on it could drop matching rows; skip
           if (vals.length == kids.length - 1)
-            Some(f.fieldNames().mkString(".") -> vals.toSeq)
+            Some(InSet(f.fieldNames().mkString("."), vals.toSeq))
           else None
         case ("=", Some(f: NamedReference)) =>
           kids.lift(1).flatMap(lit)
-            .map(v => f.fieldNames().mkString(".") -> Seq(v))
+            .map(v => InSet(f.fieldNames().mkString("."), Seq(v)))
+        case (">" | ">=", Some(f: NamedReference)) =>
+          kids.lift(1).flatMap(lit)
+            .map(v => Bound(f.fieldNames().mkString("."), Some(v), None))
+        case ("<" | "<=", Some(f: NamedReference)) =>
+          kids.lift(1).flatMap(lit)
+            .map(v => Bound(f.fieldNames().mkString("."), None, Some(v)))
         case _ => None
       }
     }
-    runtimeIn = collected.groupBy(_._1)
-      // multiple predicates on one column intersect semantically; the
-      // conservative sound choice is the SMALLEST set we saw
-      .map { case (c, vs) => c -> vs.map(_._2).minBy(_.size) }
   }
 
-  /** does `e` possibly hold any of the runtime values? Label veto is
-    * exact (the writer stamped the value); stats veto is range-overlap;
-    * everything else keeps. */
-  private def survivesRuntime(e: SnapshotLog.FileEntry): Boolean =
-    runtimeIn.forall { case (c, vals) =>
-      val labelHit = {
-        val i = e.partition.indexOf('=')
-        if (i <= 0 || e.partition.take(i) != c) None
-        else Some(vals.exists(v => String.valueOf(v) == e.partition.drop(i + 1)))
-      }
-      labelHit.getOrElse {
-        val longVals = vals.collect {
-          case l: java.lang.Long => l.longValue
-          case i: java.lang.Integer => i.longValue
-          case s: java.lang.Short => s.longValue
-        }
-        if (e.stats.contains(c) && longVals.size == vals.size)
-          longVals.exists(v => e.overlaps(c, v, v))
-        else if (e.strStats.contains(c))
-          vals.exists(v => e.overlapsStr(c, String.valueOf(v),
-            String.valueOf(v)))
-        else true
-      }
+  /** static constraints from the pushed-down predicates (fixed at
+    * build time) and runtime constraints from DPP (populated by
+    * [[filter]]); an entry must survive BOTH sets. */
+  private val staticConstraints: Seq[Constraint] =
+    parseConstraints(staticPreds)
+  private var runtimeConstraints: Seq[Constraint] = Nil
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    runtimeConstraints = parseConstraints(predicates)
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: java.lang.Long => Some(l.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case _ => None
+  }
+
+  /** can `e` possibly hold a row satisfying `c`? Label veto is exact
+    * (the writer stamped the value; numeric compare when both sides
+    * parse, string equality otherwise); stats veto is range-overlap;
+    * everything unresolvable keeps — pruning is an optimization,
+    * never a bet. */
+  private def survives(e: SnapshotLog.FileEntry, c: Constraint): Boolean = {
+    val labelVal: Option[String] = {
+      val i = e.partition.indexOf('=')
+      if (i <= 0 || e.partition.take(i) != c.col) None
+      else Some(e.partition.drop(i + 1))
     }
+    c match {
+      case InSet(col, vals) =>
+        labelVal match {
+          case Some(lv) =>
+            vals.exists { v =>
+              String.valueOf(v) == lv ||
+                ((asLong(v), lv.toLongOption) match {
+                  case (Some(a), Some(b)) => a == b
+                  case _ => false
+                })
+            }
+          case None =>
+            val longVals = vals.flatMap(asLong)
+            if (e.stats.contains(col) && longVals.size == vals.size)
+              longVals.exists(v => e.overlaps(col, v, v))
+            else if (e.strStats.contains(col))
+              vals.exists(v => e.overlapsStr(col, String.valueOf(v),
+                String.valueOf(v)))
+            else true
+        }
+      case Bound(col, lo, hi) =>
+        val loL = lo.flatMap(asLong)
+        val hiL = hi.flatMap(asLong)
+        labelVal match {
+          case Some(lv) =>
+            lv.toLongOption match {
+              case Some(l) =>
+                loL.forall(l >= _) && hiL.forall(l <= _)
+              case None => (lo.orElse(hi)) match {
+                // string-typed bound against a string label value
+                case Some(_: String) =>
+                  lo.forall(v => lv >= String.valueOf(v)) &&
+                    hi.forall(v => lv <= String.valueOf(v))
+                case _ => true
+              }
+            }
+          case None =>
+            if (e.stats.contains(col) && (loL.isDefined || hiL.isDefined))
+              e.overlaps(col, loL.getOrElse(Long.MinValue),
+                hiL.getOrElse(Long.MaxValue))
+            else if (e.strStats.contains(col) &&
+                (lo.orElse(hi)).exists(_.isInstanceOf[String]))
+              e.overlapsStr(col,
+                lo.collect { case s: String => s }.getOrElse(""),
+                hi.collect { case s: String => s }
+                  .getOrElse("￿￿"))
+            else true
+        }
+    }
+  }
+
+  private def survivesRuntime(e: SnapshotLog.FileEntry): Boolean =
+    (staticConstraints ++ runtimeConstraints).forall(survives(e, _))
 
   /** Statistics from the MANIFEST (file sizes summed at plan time, a
     * stat per entry, no footer opened): a snapshot-log table joins

@@ -137,6 +137,15 @@ class ProcedureSpec extends SparkSpec {
     assert(nRows == 300L || nRows < 0L) // <0 only if stats-free writer
   }
 
+  test("SHOW PROCEDURES enumerates the system namespace") {
+    val rows = spark.sql("SHOW PROCEDURES IN graft_lake.system").collect()
+    val names = rows.map(_.getString(rows.head.schema.fieldIndex(
+      "procedure_name"))).toSet
+    assert(Set("expire_snapshots", "optimize", "rollback", "compact",
+      "create_branch", "snapshots").subsetOf(names),
+      s"SHOW PROCEDURES missing entries: $names")
+  }
+
   test("an unknown procedure fails loudly, naming the surface") {
     val e = intercept[Exception] {
       spark.sql("CALL graft_lake.system.frobnicate('/tmp/x')").collect()

@@ -94,6 +94,52 @@ class RuntimePruneSpec extends SparkSpec {
     assert(scan3.planInputPartitions().isEmpty)
   }
 
+  test("STATIC pushdown: a literal WHERE prunes entries at build time; " +
+      "ranges prune on labels and stats; results unchanged") {
+    import spark.implicits._
+    val dir = mkTable("static")
+    val total = SnapshotLog.files(dir, SnapshotLog.latest(dir)).size
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // execute THIS plan (subqueries prepared)
+      def deep(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[BatchScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          deep(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          deep(s.plan)
+        case b: BatchScanExec if b.scan.isInstanceOf[SnapshotScan] => Seq(b)
+        case other => other.children.flatMap(deep)
+      }
+      deep(df.queryExecution.executedPlan).head.inputRDD.getNumPartitions
+    }
+    val fact = spark.read.format("graft-snapshot").option("path", dir).load()
+
+    // label equality: exactly one partition's files survive
+    val eq = fact.filter(col("m") === 4)
+    assert(eq.count() == 100)
+    assert(scanParts(fact.filter(col("m") === 4)) < total,
+      "static m = 4 must prune the scan to the labeled entries")
+
+    // label IN: two partitions
+    assert(fact.filter(col("m").isin(2, 5)).count() == 200)
+    assert(scanParts(fact.filter(col("m").isin(2, 5))) < total)
+
+    // label range: m >= 10 keeps partitions 10, 11
+    val rng = fact.filter(col("m") >= 10)
+    assert(rng.count() == 200)
+    assert(scanParts(fact.filter(col("m") >= 10)) < total,
+      "static range must prune on numeric label compare")
+
+    // stats range on the unlabeled column: sound (k spans every file
+    // in this fixture, so no veto — but no wrong veto either)
+    val ks = fact.filter(col("k") < 50L)
+    assert(ks.count() == 50)
+
+    // combined static + aggregate result correctness vs plain parquet
+    val want = (0L until 1200L).filter(i => (i % 12) >= 10).map(_ * 3).sum
+    assert(rng.agg(sum(col("v"))).head.getLong(0) == want)
+  }
+
   test("e2e: a dim-filtered join prunes the fact scan's partitions at " +
       "runtime, result unchanged") {
     import spark.implicits._
