@@ -963,23 +963,50 @@ object SnapshotLog {
   }
 
   /** METADATA-ONLY `COUNT(*) GROUP BY partition`: answered from the
-    * manifest's per-file row counts alone — zero data files opened (the
-    * driver query proves it by deleting them first, the s33 trick).
-    * Refuses loudly when any entry lacks a recorded count or a delete
-    * vector makes manifest counts an over-statement — correctness never
-    * bets on stale metadata.
+    * manifest's per-file row counts alone — zero DATA files opened
+    * (the driver query proves it by deleting them first, the s33
+    * trick). POSITION-deleted tables are served EXACTLY: each
+    * position-delete row names one physical row of one named file, so
+    * the count is sum(rows) minus the distinct live-file positions —
+    * the delete files are churn-sized delete METADATA, read without
+    * touching a data file (positions naming files no longer
+    * referenced are inert, matching readMor). EQUALITY vectors still
+    * refuse (their key semantics can't be counted without reading
+    * data), as do entries lacking a recorded count — correctness
+    * never bets on stale metadata.
     */
   def metaCount(s: SparkSession, tableDir: String, v: Int): DataFrame = {
     import s.implicits._
     val es = entries(tableDir, v)
-    require(es.forall(_.kind == "D"),
+    require(!es.exists(_.kind == "X"),
       s"snapshot v$v of $tableDir carries delete vectors — manifest " +
         "row counts over-state the visible rows; compact first")
-    es.filter(_.kind == "D").foreach(e => require(e.rows >= 0L,
+    val data = es.filter(_.kind == "D")
+    data.foreach(e => require(e.rows >= 0L,
       s"no recorded row count for ${e.path} — written by a pre-stats " +
         "writer; rewrite or count the data"))
-    es.groupBy(_.partition).toSeq
-      .map { case (p, g) => (p, g.map(_.rows).sum) }
+    val pos = es.filter(_.kind == "P")
+    // per-live-file dead-row counts from the position files (distinct
+    // (file, pos) — the same address named twice subtracts once)
+    val deadByFile: Map[String, Long] =
+      if (pos.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.{col, countDistinct}
+        val live = data.map(e => normPath(e.path)).toSet
+        s.read.parquet(pos.map(_.path): _*)
+          .select(normPathCol(col("file_path")).as("f"), col("row_pos"))
+          .groupBy(col("f"))
+          .agg(countDistinct(col("row_pos")).as("n"))
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+          .filter { case (f, _) => live(f) }
+          .toMap
+      }
+    data.groupBy(_.partition).toSeq
+      .map { case (p, g) =>
+        (p, g.map(e =>
+          e.rows - deadByFile.getOrElse(normPath(e.path), 0L)).sum)
+      }
       .toDF("partition", "n_rows")
   }
 

@@ -92,6 +92,34 @@ class TaskStatsSpec extends SparkSpec {
     assert(counted2 == 360, "metaCount opened a data file (or lost rows)")
   }
 
+  test("metaCount serves POSITION-deleted tables exactly, still with " +
+      "every data file gone") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/taskstats-pos/t"
+    graft.Scratch.clear("/tmp/graft-test/taskstats-pos")
+    val df = (0L until 120L).map(i => (i, (i % 3).toInt)).toDF("id", "grp")
+    val v1 = SnapshotMerge.writeInitial(spark, df, dir, "grp",
+      statsCols = Seq("id")) // stats pass on → row counts recorded
+    // position-delete 7 rows of grp=1 via the SQL DML door (kind "P")
+    graft.GraftExtensions.ensure(spark)
+    spark.sql(s"DELETE FROM graft_lake.`$dir` " +
+      "WHERE grp = 1 AND id < 21") // ids 1,4,7,10,13,16,19 → 7 rows
+    val v2 = SnapshotLog.latest(dir)
+    val want = SnapshotLog.readMor(spark, dir, v2)
+      .groupBy("grp").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    // now delete EVERY data file: the count must come from manifests
+    // + the churn-sized position files alone
+    SnapshotLog.files(dir, v2).foreach(p =>
+      java.nio.file.Files.delete(java.nio.file.Paths.get(p)))
+    val got = SnapshotLog.metaCount(spark, dir, v2).collect()
+      .map(r => (r.getString(0).stripPrefix("grp=").toInt, r.getLong(1)))
+      .toMap
+    assert(got == want,
+      s"position-aware metaCount diverged: got $got want $want")
+    assert(got(1) == 40L - 7L)
+  }
+
   test("metaCount refuses vectored snapshots and pre-stats writers") {
     import spark.implicits._
     val dir = "/tmp/graft-test/taskstats-refuse/t"
