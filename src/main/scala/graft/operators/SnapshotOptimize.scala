@@ -23,18 +23,22 @@ import org.apache.spark.sql.functions._
   * one-table-agg min/max pass is the same stats collection every
   * OPTIMIZE implementation pays.
   *
-  * LAYOUT CONTRACT: the z-curve clusters ACROSS partitions, so the
-  * rewritten entries carry no partition label — after a ZORDER the
-  * table prunes by the curve's stats, not by `col=value` labels, and
-  * partition-scoped MERGE/compaction refuse it (their label split
-  * would be unsound) until a `writeInitial` re-partitions. The
-  * partition-preserving maintenance job is [[binPack]], which rewrites
-  * WITHIN partitions and keeps every label.
+  * LAYOUT CONTRACT: the default z-curve clusters ACROSS partitions,
+  * so the rewritten entries carry no partition label — after a global
+  * ZORDER the table prunes by the curve's stats, not by `col=value`
+  * labels, and partition-scoped MERGE/compaction refuse it (their
+  * label split would be unsound) until a `writeInitial`
+  * re-partitions. Pass `withinPartCol` to keep the table's
+  * partitioning instead: the curve then clusters WITHIN each
+  * partition (Delta's `OPTIMIZE WHERE ... ZORDER BY` shape), every
+  * rewritten entry keeps its label, and partition-scoped MERGE keeps
+  * composing. The pure small-file job is [[binPack]].
   */
 object SnapshotOptimize {
 
   def zorder(s: SparkSession, tableDir: String, dims: Seq[String],
-      nFiles: Int, bits: Int = 16): Int = {
+      nFiles: Int, bits: Int = 16,
+      withinPartCol: Option[String] = None): Int = {
     val v = SnapshotLog.latest(tableDir)
     val es = SnapshotLog.entries(tableDir, v)
     require(es.forall(_.kind == "D"),
@@ -54,20 +58,38 @@ object SnapshotOptimize {
         bits)
     }
     val root = SnapshotLog.writerRoot(s"$tableDir/data/optimize")
-    df.withColumn("_z", ZOrder.zValue(zDims, bits))
-      .repartitionByRange(nFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
-      .write.mode("overwrite").parquet(root)
-    val files = SnapshotLog.dataFiles(root)
-    // stats + row counts fold task-side in ONE distributed agg — no
-    // per-file driver footer loop on a 10k-file rewrite
-    val st = SnapshotLog.collectFileStats(s, files, dims)
-    val rewritten = files.map { f =>
-      val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
-        (-1L, Map.empty[String, (Long, Long)],
-          Map.empty[String, (String, String)]))
-      SnapshotLog.FileEntry(f, "D", "", longs, seq = v + 1L, rows, strs)
+    val zed = df.withColumn("_z", ZOrder.zValue(zDims, bits))
+    val rewritten = withinPartCol match {
+      case None =>
+        // GLOBAL curve: cluster across partitions, labels dropped
+        zed.repartitionByRange(nFiles, col("_z"))
+          .sortWithinPartitions("_z")
+          .drop("_z")
+          .write.mode("overwrite").parquet(root)
+        val files = SnapshotLog.dataFiles(root)
+        // stats + row counts fold task-side in ONE distributed agg —
+        // no per-file driver footer loop on a 10k-file rewrite
+        val st = SnapshotLog.collectFileStats(s, files, dims)
+        files.map { f =>
+          val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
+            (-1L, Map.empty[String, (Long, Long)],
+              Map.empty[String, (String, String)]))
+          SnapshotLog.FileEntry(f, "D", "", longs, seq = v + 1L, rows, strs)
+        }
+      case Some(pc) =>
+        // PARTITION-SCOPED curve (Delta's OPTIMIZE WHERE … ZORDER BY
+        // shape): range-partition on (partition, z) so each task's
+        // slice is label-contiguous and z-sorted, write Hive-layout,
+        // recover every label — partition-scoped MERGE keeps working
+        es.foreach(e => require(e.partition.startsWith(s"$pc="),
+          s"ZORDER within '$pc' needs every entry labeled '$pc=…'; " +
+            s"found '${e.partition}' at ${e.path}"))
+        zed.withColumn("_gp", col(pc))
+          .repartitionByRange(nFiles, col("_gp"), col("_z"))
+          .sortWithinPartitions("_gp", "_z")
+          .drop("_z")
+          .write.partitionBy("_gp").mode("overwrite").parquet(root)
+        SnapshotMerge.collectEntries(s, root, pc, dims, seq = v + 1L)
     }
     if (!SnapshotLog.publishEntries(tableDir, v + 1, rewritten,
         SnapshotLog.headers(tableDir, v)))

@@ -132,12 +132,15 @@ object GraftProcedures {
     new Proc("optimize_zorder",
       "rewrite the table in z-order over the given dimensions " +
         "(comma-separated); content-preserving, time travel keeps the " +
-        "pre-optimize layout",
+        "pre-optimize layout; within_part_col keeps the table's " +
+        "partition labels (the OPTIMIZE WHERE ... ZORDER shape)",
       Seq(p("table", StringType), p("dims", StringType),
-        pd("n_files", IntegerType, "8")),
+        pd("n_files", IntegerType, "8"),
+        pd("within_part_col", StringType, "''")),
       out("new_version" -> IntegerType),
       in => Seq(row(SnapshotOptimize.zorder(spark, str(in, 0),
-        str(in, 1).split(",").map(_.trim).toSeq, in.getInt(2))))),
+        str(in, 1).split(",").map(_.trim).toSeq, in.getInt(2),
+        withinPartCol = Option(str(in, 3)).filter(_.nonEmpty))))),
 
     new Proc("compact",
       "fold every live delete vector into a rewritten table (the " +

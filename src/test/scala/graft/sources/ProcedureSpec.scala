@@ -137,6 +137,17 @@ class ProcedureSpec extends SparkSpec {
     assert(nRows == 300L || nRows < 0L) // <0 only if stats-free writer
   }
 
+  test("CALL optimize_zorder with within_part_col keeps labels") {
+    val dir = freshTable("zwithin")
+    val r = call(s"CALL graft_lake.system.optimize_zorder(" +
+      s"'$dir', 'k,v', 4, 'm')")
+    val v2 = r.head.getInt(0)
+    assert(SnapshotLog.entries(dir, v2)
+      .forall(_.partition.startsWith("m=")),
+      "within_part_col ZORDER must keep partition labels")
+    assert(SnapshotLog.read(spark, dir, v2).count() == 300)
+  }
+
   test("SHOW PROCEDURES enumerates the system namespace") {
     val rows = spark.sql("SHOW PROCEDURES IN graft_lake.system").collect()
     val names = rows.map(_.getString(rows.head.schema.fieldIndex(
