@@ -493,21 +493,32 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      private val bytes: java.util.OptionalLong =
-        if (changeFeed) java.util.OptionalLong.empty()
+      // statistics reflect STATIC pruning: a WHERE-filtered lake scan
+      // reports the surviving entries' size, so Catalyst can broadcast
+      // a small selected slice of a huge table — the join decision at
+      // 100 TB. Row counts come from the manifest when every survivor
+      // recorded one (delete vectors make counts an over-statement —
+      // still a sound upper bound for planning).
+      private val survivors =
+        if (changeFeed) Nil
         else {
           val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-          val total = SnapshotLog.entries(dir, v)
-            .filter(_.kind == "D")
-            .map(e => try java.nio.file.Files.size(
-              java.nio.file.Paths.get(e.path)) catch {
-                case _: java.io.IOException => 0L })
-            .sum
-          java.util.OptionalLong.of(total)
+          SnapshotLog.entries(dir, v).filter(e =>
+            e.kind == "D" && staticConstraints.forall(survives(e, _)))
         }
+      private val bytes: java.util.OptionalLong =
+        if (changeFeed) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(survivors
+          .map(e => try java.nio.file.Files.size(
+            java.nio.file.Paths.get(e.path)) catch {
+              case _: java.io.IOException => 0L })
+          .sum)
+      private val rows: java.util.OptionalLong =
+        if (changeFeed || survivors.exists(_.rows < 0L))
+          java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(survivors.map(_.rows).sum)
       override def sizeInBytes(): java.util.OptionalLong = bytes
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   override def toBatch: Batch = {
     require(!changeFeed,

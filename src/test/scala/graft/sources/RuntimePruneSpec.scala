@@ -140,6 +140,25 @@ class RuntimePruneSpec extends SparkSpec {
     assert(rng.agg(sum(col("v"))).head.getLong(0) == want)
   }
 
+  test("statistics reflect static pruning: a WHERE-selected slice of " +
+      "a big snapshot auto-broadcasts") {
+    import spark.implicits._
+    val dir = mkTable("stats-prune")
+    // big probe side so the join direction is decided by the lake
+    // table's REPORTED size: unpruned it is the whole table; pruned to
+    // one partition it sits far under the broadcast threshold
+    val probe = spark.range(0, 300000)
+      .select(org.apache.spark.sql.functions.col("id"),
+        (org.apache.spark.sql.functions.col("id") % 12).cast("int").as("m"))
+    val fact = spark.read.format("graft-snapshot").option("path", dir)
+      .load().filter(col("m") === 4)
+    val joined = probe.join(fact, "m")
+    val plan = graft.Plans.formatted(joined)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned slice did not auto-broadcast:\n${plan.take(1200)}")
+    assert(joined.count() == 100L * 25000L)
+  }
+
   test("e2e: a dim-filtered join prunes the fact scan's partitions at " +
       "runtime, result unchanged") {
     import spark.implicits._
