@@ -157,6 +157,14 @@ class ProcedureSpec extends SparkSpec {
       s"SHOW PROCEDURES missing entries: $names")
   }
 
+  test("DESCRIBE PROCEDURE surfaces the registered description") {
+    val out = spark.sql(
+      "DESC PROCEDURE graft_lake.system.expire_snapshots").collect()
+      .map(_.toString).mkString(" ")
+    assert(out.contains("expire_snapshots"),
+      s"DESCRIBE PROCEDURE output unexpected: $out")
+  }
+
   test("an unknown procedure fails loudly, naming the surface") {
     val e = intercept[Exception] {
       spark.sql("CALL graft_lake.system.frobnicate('/tmp/x')").collect()
