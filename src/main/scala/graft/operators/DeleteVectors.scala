@@ -46,7 +46,8 @@ object DeleteVectors {
     val root = SnapshotLog.writerRoot(s"$tableDir/deletes/v${v + 1}")
     delKeys.distinct().coalesce(1).write.mode("overwrite").parquet(root)
     val delEntries = SnapshotLog.dataFiles(root)
-      .map(SnapshotLog.FileEntry(_, "X", "", Map.empty, seq = v + 1L))
+      .map(f => SnapshotLog.FileEntry(f, "X", "", Map.empty,
+        seq = v + 1L, bytes = SnapshotLog.statBytes(f)))
     if (!SnapshotLog.publishEntries(tableDir, v + 1,
         SnapshotLog.entries(tableDir, v) ++ delEntries,
         SnapshotLog.headers(tableDir, v)))
@@ -70,7 +71,8 @@ object DeleteVectors {
     val root = SnapshotLog.writerRoot(s"$tableDir/deletes/v${v + 1}")
     pos.distinct().coalesce(1).write.mode("overwrite").parquet(root)
     val entries = SnapshotLog.dataFiles(root)
-      .map(SnapshotLog.FileEntry(_, "P", "", Map.empty, seq = v + 1L))
+      .map(f => SnapshotLog.FileEntry(f, "P", "", Map.empty,
+        seq = v + 1L, bytes = SnapshotLog.statBytes(f)))
     if (!SnapshotLog.publishEntries(tableDir, v + 1,
         SnapshotLog.entries(tableDir, v) ++ entries,
         SnapshotLog.headers(tableDir, v)))
@@ -168,7 +170,8 @@ object DeleteVectors {
         val root = SnapshotLog.writerRoot(s"$tableDir/deletes/v${nextV}_r$i")
         residual.coalesce(1).write.mode("overwrite").parquet(root)
         SnapshotLog.dataFiles(root)
-          .map(SnapshotLog.FileEntry(_, "X", "", Map.empty, seq = ve.seq))
+          .map(f => SnapshotLog.FileEntry(f, "X", "", Map.empty,
+            seq = ve.seq, bytes = SnapshotLog.statBytes(f)))
       }
     }
 

@@ -185,11 +185,117 @@ object SnapshotLog {
   private val segCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
+  /** segment FILE reads (cache misses) — test instrumentation for the
+    * O(delta) append contract: an append on a segmented table must
+    * never open the parent's segments. */
+  private[graft] val segFileReads = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetSegCache(): Unit = segCache.clear()
+
   private def segmentLines(path: String): Seq[String] = {
     if (segCache.size > 4096) segCache.clear()
-    segCache.computeIfAbsent(path, p =>
+    segCache.computeIfAbsent(path, p => {
+      segFileReads.incrementAndGet()
       new String(Files.readAllBytes(Paths.get(p)), UTF_8)
-        .split("\n").toSeq.filter(_.nonEmpty))
+        .split("\n").toSeq.filter(_.nonEmpty)
+    })
+  }
+
+  /** O(delta) APPEND publish — the commit path for writers that ADD
+    * entries and change nothing else (DSv2 appends, streaming epochs,
+    * partitioned appends): the parent's `@seg` reference lines are
+    * copied VERBATIM (never resolved — zero segment files opened, so
+    * commit memory and time are the delta's, not the table's, the
+    * Iceberg manifest-list append), the added entries are written as
+    * one new delta segment, and the manifest CAS-links exactly like
+    * [[publish]]. Falls back to the full [[publish]] path for legacy
+    * inline parents (the one-time self-migration) and for the empty
+    * table. The ≥[[MaxSegRefs]] merge-down still applies — it reads
+    * only the FOLDED (smallest) segments, keeping the amortized cost
+    * O(delta).
+    *
+    * CONTRACT: `added` paths are fresh (writer-unique roots mint
+    * them), so the no-duplicate-lines invariant subset adoption
+    * depends on holds without enumerating the parent. `dropHeaders`
+    * removes carried table-level headers by prefix (a committer
+    * REPLACING its own marker, e.g. the streaming high-water).
+    */
+  private[graft] def publishAppend(tableDir: String, v: Int, parentV: Int,
+      added: Seq[FileEntry], extraHeaders: Seq[String] = Nil,
+      dropHeaders: Seq[String] = Nil): Boolean = {
+    val addedLines = added.map(renderEntry)
+    require(addedLines.distinct.size == addedLines.size,
+      s"duplicate appended entries in commit v$v at $tableDir")
+    val parentCommitted = parentV >= 1 && committed(tableDir, parentV)
+    val legacyInline = parentCommitted && rawLines(tableDir, parentV)
+      .exists(l => !l.startsWith("#") && !l.startsWith(s"$SegHeader\t"))
+    if (!parentCommitted || legacyInline) {
+      // empty table, or a legacy inline parent: one full publish
+      // (which writes the complete entry list as segment zero — the
+      // self-migration; every subsequent append is O(delta))
+      val prior = if (parentCommitted) entries(tableDir, parentV) else Nil
+      val carried = (if (parentCommitted) headers(tableDir, parentV)
+        else Nil).filterNot(h => dropHeaders.exists(h.startsWith))
+      return publish(tableDir, v,
+        carried ++ extraHeaders ++ (prior ++ added).map(renderEntry))
+    }
+    val d = manifestDir(tableDir)
+    val carried = headers(tableDir, parentV)
+      .filterNot(h => dropHeaders.exists(h.startsWith))
+    val hdr0 = (carried ++ extraHeaders)
+      .filterNot(_.startsWith(s"$TsHeader\t"))
+    val withTs = hdr0 :+ s"$TsHeader\t${nextTs(tableDir, v)}"
+    val stamped =
+      if (v <= 1 || withTs.exists(_.startsWith(s"$ParentHeader\t"))) withTs
+      else withTs :+ s"$ParentHeader\t${v - 1}"
+    var delta = addedLines
+    var kept = segRefs(tableDir, parentV)
+    if (kept.size + 1 > MaxSegRefs) {
+      val (keep, fold) = kept.sortBy(-_._2).splitAt(MergeDownTo)
+      delta = delta ++ fold.flatMap { case (p, _) => segmentLines(p) }
+      kept = keep
+    }
+    val deltaSeg =
+      if (delta.isEmpty) None // zero-entry append: refs copy verbatim
+      else {
+        val segPath = d.resolve(
+          s"seg-${java.util.UUID.randomUUID().toString}.seg")
+        Files.write(segPath, delta.sorted.mkString("\n").getBytes(UTF_8))
+        Some(segPath)
+      }
+    val segLines = (kept ++ deltaSeg.map(p =>
+      p.toAbsolutePath.toString -> delta.size.toLong))
+      .map { case (p, n) => s"$SegHeader\t$p\t$n" }
+    val tmp = d.resolve(
+      s".v$v.manifest.tmp-${java.util.UUID.randomUUID().toString}")
+    Files.write(tmp,
+      (stamped ++ segLines).sorted.mkString("\n").getBytes(UTF_8))
+    try { Files.createLink(d.resolve(s"v$v.manifest"), tmp); true }
+    catch {
+      case _: FileAlreadyExistsException =>
+        deltaSeg.foreach(Files.deleteIfExists(_)) // referenced by nothing
+        false
+    }
+    finally Files.deleteIfExists(tmp)
+  }
+
+  /** CAS-retrying O(delta) append commit onto the LINEAR head:
+    * `mkAdded(t)` builds the new entries with their seq stamped to the
+    * target version `t` (re-rendered per retry — data-file seq must
+    * equal the committed version). Returns the committed id. */
+  private[graft] def appendEntries(tableDir: String,
+      mkAdded: Int => Seq[FileEntry],
+      extraHeaders: Seq[String] = Nil,
+      dropHeaders: Seq[String] = Nil): Int = {
+    var attempts = 0
+    while (attempts < 1000) {
+      attempts += 1
+      val v = latest(tableDir)
+      val t = v + 1
+      if (publishAppend(tableDir, t, v, mkAdded(t),
+          extraHeaders = extraHeaders, dropHeaders = dropHeaders)) return t
+    }
+    throw new IllegalStateException(
+      s"append commit at $tableDir lost 1000 races; giving up")
   }
 
   private def nextTs(tableDir: String, v: Int): Long =
@@ -231,12 +337,20 @@ object SnapshotLog {
     * entries with a STRICTLY LOWER seq, so a key re-inserted by a later
     * commit is never suppressed by an older vector. Position deletes
     * name their target file explicitly, so their scope needs no seq.
+    * `bytes` is the file's SIZE as the committing writer recorded it
+    * (the Iceberg `file_size_in_bytes` manifest field): plan-time
+    * consumers (scan statistics, bin-pack planning) read it from the
+    * manifest instead of a per-entry `Files.size()` round-trip — on a
+    * millions-of-files table that driver-side stat loop IS the
+    * planning cost. −1 marks a pre-bytes writer; [[sizeOf]] falls back
+    * to the filesystem for those entries only.
     */
   final case class FileEntry(
       path: String, kind: String, partition: String,
       stats: Map[String, (Long, Long)], seq: Long = 0L,
       rows: Long = -1L,
-      strStats: Map[String, (String, String)] = Map.empty) {
+      strStats: Map[String, (String, String)] = Map.empty,
+      bytes: Long = -1L) {
     def overlaps(colName: String, lo: Long, hi: Long): Boolean =
       stats.get(colName) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -273,8 +387,23 @@ object SnapshotLog {
       else e.strStats.toSeq.sortBy(_._1)
         .map { case (c, (mn, mx)) => s"$c:${encStat(mn)}:${encStat(mx)}" }
         .mkString(",")
-    s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}\t${e.rows}\t$sst"
+    s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}\t${e.rows}\t$sst\t${e.bytes}"
   }
+
+  /** the entry's file size: manifest-recorded when the writer stamped
+    * it, one filesystem stat otherwise (legacy entries only — every
+    * current writer records bytes at commit). A vanished legacy file
+    * reads as 0, matching the scan-statistics convention. */
+  def sizeOf(e: FileEntry): Long =
+    if (e.bytes >= 0L) e.bytes
+    else try Files.size(Paths.get(e.path))
+    catch { case _: java.io.IOException => 0L }
+
+  /** writer-side size stat for a just-written file (O(delta) at commit
+    * time, never at plan time); −1 if unreadable. */
+  private[graft] def statBytes(p: String): Long =
+    try Files.size(Paths.get(p))
+    catch { case _: java.io.IOException => -1L }
 
   private def parseEntry(line: String): FileEntry = {
     def stats(st: String) =
@@ -303,6 +432,9 @@ object SnapshotLog {
       case Array(p, k, part, st, sq, rw, sst) =>
         FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
           rw.toLong, strStats(sst))
+      case Array(p, k, part, st, sq, rw, sst, by) =>
+        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
+          rw.toLong, strStats(sst), by.toLong)
       case _ => throw new IllegalStateException(s"bad manifest line: $line")
     }
   }
@@ -397,6 +529,21 @@ object SnapshotLog {
   private[operators] val ParentHeader = "#parent"
   private[graft] val RefHeader = "#ref"
   private[graft] val KeysHeader = "#keys"
+
+  /** the streaming sink's epoch HIGH-WATER mark (a table-level header,
+    * carried forward by every writer): replay detection reads this one
+    * header line instead of scanning the entry set for a batch label —
+    * the no-op check stays O(1) however large the table. */
+  private[graft] val BatchHwHeader = "#batchhw"
+
+  /** the highest streaming epoch committed into snapshot `v` (−1 when
+    * the table predates high-water stamping). */
+  private[graft] def batchHighWater(tableDir: String, v: Int): Long =
+    if (v <= 0) -1L
+    else headers(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$BatchHwHeader\t") =>
+        l.stripPrefix(s"$BatchHwHeader\t").toLong
+    }.getOrElse(-1L)
 
   /** the snapshot this commit DERIVED from — explicit for branch
     * commits ([[SnapshotRefs]] writes the header), implicit v−1 for

@@ -65,18 +65,11 @@ object SnapshotMerge {
     val root = SnapshotLog.writerRoot(s"$tableDir/data/append")
     df.withColumn("_gp", col(partCol))
       .write.partitionBy("_gp").mode("overwrite").parquet(root)
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      require(attempts <= 1000, "partitioned append lost 1000 id races")
-      val v = SnapshotLog.latest(tableDir)
-      val t = v + 1
-      val prior = if (v > 0) SnapshotLog.entries(tableDir, v) else Nil
-      val added = collectEntries(s, root, partCol, statsCols, seq = t.toLong)
-      if (SnapshotLog.publishEntries(tableDir, t, prior ++ added,
-          SnapshotLog.headers(tableDir, v))) return t
-    }
-    -1 // unreachable
+    // stats collected ONCE (a Spark job); the O(delta) append commit
+    // re-stamps only the seq per CAS retry
+    val base = collectEntries(s, root, partCol, statsCols, seq = 0L)
+    SnapshotLog.appendEntries(tableDir,
+      t => base.map(_.copy(seq = t.toLong)))
   }
 
   /** Manifest entries for every parquet file under a version-scoped
@@ -98,14 +91,26 @@ object SnapshotMerge {
           Map[String, (String, String)])]
       else SnapshotLog.collectFileStats(s, files, statsCols)
     files.map { f =>
-      val seg = new java.io.File(f).getParentFile.getName
-      require(seg.startsWith("_gp="), s"unexpected layout at $f")
-      val label = s"$partCol=${seg.stripPrefix("_gp=")}"
+      // the label dir is the parent for a one-level partitioned write,
+      // an ancestor when a sub-partition dir (a bin-pack's `_bin=`)
+      // rides below it
+      val label = s"$partCol=${gpOf(f)}"
       val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
         (-1L, Map.empty[String, (Long, Long)],
           Map.empty[String, (String, String)]))
-      SnapshotLog.FileEntry(f, "D", label, longs, seq, rows, strs)
+      // bytes: one stat per JUST-WRITTEN file — O(delta) at commit, so
+      // plan-time consumers never stat the table (sizeOf reads these)
+      SnapshotLog.FileEntry(f, "D", label, longs, seq, rows, strs,
+        bytes = java.nio.file.Files.size(java.nio.file.Paths.get(f)))
     }
+  }
+
+  /** the `_gp=<value>` ancestor dir's value for a written file. */
+  private def gpOf(f: String): String = {
+    var d = new java.io.File(f).getParentFile
+    while (d != null && !d.getName.startsWith("_gp=")) d = d.getParentFile
+    require(d != null, s"unexpected layout at $f (no _gp= ancestor)")
+    d.getName.stripPrefix("_gp=")
   }
 
   /** Apply a CDC batch to the snapshot table at `tableDir` as a new

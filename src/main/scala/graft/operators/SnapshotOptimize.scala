@@ -74,7 +74,8 @@ object SnapshotOptimize {
           val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
             (-1L, Map.empty[String, (Long, Long)],
               Map.empty[String, (String, String)]))
-          SnapshotLog.FileEntry(f, "D", "", longs, seq = v + 1L, rows, strs)
+          SnapshotLog.FileEntry(f, "D", "", longs, seq = v + 1L, rows,
+            strs, bytes = SnapshotLog.statBytes(f))
         }
       case Some(pc) =>
         // PARTITION-SCOPED curve (Delta's OPTIMIZE WHERE … ZORDER BY
@@ -111,20 +112,28 @@ object SnapshotOptimize {
     * trade-off is [[zorder]]'s alone. Time travel serves the
     * pre-optimize layout; OCC publish fails loudly on interleave.
     *
-    * Scale shape: the small-file scan is one `stat` per manifest entry
-    * (pure metadata); the rewrite reads exactly the packed files. At
-    * 100 TB this is the job that keeps a streaming-ingested table's
-    * file count bounded without ever paying a table rewrite.
+    * Scale shape: the small-file scan reads sizes from the MANIFEST
+    * ([[SnapshotLog.sizeOf]] — zero filesystem stats on a
+    * bytes-carrying table); the rewrite reads exactly the packed
+    * files. At 100 TB this is the job that keeps a streaming-ingested
+    * table's file count bounded without ever paying a table rewrite.
+    *
+    * `targetBytes` caps each packed OUTPUT file: inside each partition
+    * the small files are binned by running-sum-div-target (the s17
+    * planner's binning), one output file per bin — a partition with
+    * thousands of tiny files never collapses into one arbitrarily
+    * large file (Delta's OPTIMIZE target-size behavior). Default: one
+    * bin per partition (no cap).
     */
   def binPack(s: SparkSession, tableDir: String, partCol: String,
-      smallBytes: Long, statsCols: Seq[String] = Nil): Int = {
-    import java.nio.file.{Files, Paths}
+      smallBytes: Long, statsCols: Seq[String] = Nil,
+      targetBytes: Option[Long] = None): Int = {
     val v = SnapshotLog.latest(tableDir)
     val es = SnapshotLog.entries(tableDir, v)
     require(es.forall(_.kind == "D"),
       s"snapshot v$v of $tableDir carries delete vectors — compact " +
         "before OPTIMIZE (a packing rewrite must not resurrect rows)")
-    val small = es.filter(e => Files.size(Paths.get(e.path)) < smallBytes)
+    val small = es.filter(e => SnapshotLog.sizeOf(e) < smallBytes)
     small.foreach(e => require(e.partition.startsWith(s"$partCol="),
       s"bin-packing on '$partCol' needs every small entry labeled " +
         s"'$partCol=…'; found '${e.partition}' at ${e.path}"))
@@ -134,12 +143,35 @@ object SnapshotOptimize {
     val touchedPaths = touched.map(_.path).toSet
     val untouched = es.filterNot(e => touchedPaths(e.path))
     val root = SnapshotLog.writerRoot(s"$tableDir/data/binpack")
-    // one read of exactly the packed files; one output file per bin
-    // (hash-partitioned by label so each partition's smalls coalesce)
-    s.read.parquet(touched.map(_.path): _*)
+    // per-partition BIN assignment from manifest sizes alone: files in
+    // path order, bin = floor(cumulative-input-bytes / target) — each
+    // bin's input totals ~target, so each output file respects the cap
+    val target = targetBytes.getOrElse(Long.MaxValue)
+    require(target > 0, s"targetBytes must be positive; got $target")
+    val binOf: Seq[(String, String, Int)] =
+      packable.toSeq.flatMap { case (lbl, g) =>
+        var cum = 0L
+        g.sortBy(_.path).map { e =>
+          val b = (cum / target).toInt
+          cum += SnapshotLog.sizeOf(e)
+          (e.path, lbl, b)
+        }
+      }
+    val nBins = binOf.map(t => (t._2, t._3)).distinct.size
+    // one read of exactly the packed files; the (partition, bin) combo
+    // rides as write-partition columns, so each combo lands in its own
+    // directory — hash co-location per combo makes it ONE output file
+    import s.implicits._
+    val bins = binOf.map(t => (t._1, t._3)).toDF("_path", "_bin")
+    val data = s.read.parquet(touched.map(_.path): _*)
       .withColumn("_gp", col(partCol))
-      .repartition(packable.size, col("_gp"))
-      .write.partitionBy("_gp").mode("overwrite").parquet(root)
+      .withColumn("_p", SnapshotLog.normPathCol(col("_metadata.file_path")))
+    data.join(org.apache.spark.sql.functions.broadcast(
+        bins.withColumn("_path", SnapshotLog.normPathCol(col("_path")))),
+        data("_p") === col("_path"))
+      .drop("_p", "_path")
+      .repartition(nBins, col("_gp"), col("_bin"))
+      .write.partitionBy("_gp", "_bin").mode("overwrite").parquet(root)
     val packed = SnapshotMerge.collectEntries(s, root, partCol,
       statsCols, seq = v + 1L)
     if (!SnapshotLog.publishEntries(tableDir, v + 1, untouched ++ packed,

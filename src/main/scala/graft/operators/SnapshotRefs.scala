@@ -137,14 +137,12 @@ object SnapshotRefs {
     val h = head(tableDir, name)
     val root = SnapshotLog.writerRoot(s"$tableDir/data/ref-$name")
     batch.write.mode("overwrite").parquet(root)
-    val prior = SnapshotLog.entries(tableDir, h)
-    // headers() carries only table-level metadata (no stale #parent/#ts)
-    val carried = SnapshotLog.headers(tableDir, h)
     // the GLOBAL id mint retries like any append (an interleaved commit
     // on another branch is not a logical conflict for an append — the
     // manifest derives from the BRANCH head, not from latest); the ref
     // advance below is the real OCC gate. Entries re-render per retry
-    // because data-file seq must equal the committed version.
+    // because data-file seq must equal the committed version. O(delta):
+    // the branch head's segment refs are adopted verbatim.
     var target = 0
     var attempts = 0
     while (target == 0) {
@@ -152,14 +150,15 @@ object SnapshotRefs {
       require(attempts <= 1000,
         s"branch commit on $name lost 1000 id races; giving up")
       val t = SnapshotLog.latest(tableDir) + 1
-      val added = SnapshotLog.dataFiles(root).map(
-        SnapshotLog.FileEntry(_, "D", s"ref=$name", Map.empty,
-          seq = t.toLong))
+      val added = SnapshotLog.dataFiles(root).map(f =>
+        SnapshotLog.FileEntry(f, "D", s"ref=$name", Map.empty,
+          seq = t.toLong, bytes = SnapshotLog.statBytes(f)))
       // the #ref staging marker keeps this commit OFF the default read
       // face until a fast-forward publishes it (WAP isolation)
-      if (SnapshotLog.publishEntries(tableDir, t, prior ++ added,
-          Seq(parentHeader(h), s"${SnapshotLog.RefHeader}\t$name") ++
-            carried)) target = t
+      if (SnapshotLog.publishAppend(tableDir, t, h, added,
+          extraHeaders =
+            Seq(parentHeader(h), s"${SnapshotLog.RefHeader}\t$name")))
+        target = t
     }
     advance(tableDir, name, h, target)
     target

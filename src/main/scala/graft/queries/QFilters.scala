@@ -2878,7 +2878,162 @@ object QFilters extends Registry {
                 FROM lineitem)
               SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
                      CAST(sum(qty) AS BIGINT) AS sum_qty
-              FROM base WHERE m IN (3, 8) GROUP BY 1"""))
+              FROM base WHERE m IN (3, 8) GROUP BY 1""")),
+
+    // S61 — AGGREGATE PUSHDOWN TO THE MANIFEST (ext.):
+    // `SupportsPushDownAggregates` on the snapshot scan — SQL
+    // `COUNT(*)` / `MIN` / `MAX` (grouped by the partition column,
+    // under an exactly-label-decided WHERE) are answered from manifest
+    // row counts and stats through the STANDARD plan, the most common
+    // query a 100 TB user runs first. Proven the s33/s55 way: every
+    // data file is DELETED before the SQL runs. Position-deleted
+    // tables count EXACTLY (distinct live addresses subtracted from
+    // churn-sized delete metadata); MIN/MAX under deletes and
+    // equality vectors REFUSE into a real scan (never a wrong answer
+    // — `MetaAggPushSpec` pins the refusals hash-equal to the scan).
+    Q("s60_agg_pushdown",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s60_aggpush", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          // ISO STRING date: string bounds are what the manifest
+          // carries (timestamps record no stats → MIN/MAX would refuse)
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        SnapshotMerge.writeInitial(s, base, dir, "m",
+          statsCols = Seq("l_orderkey", "sd"))
+        // schema into the manifest (S40): resolution stays metadata
+        SnapshotLog.commitSchemaChange(dir,
+          SnapshotLog.read(s, dir, 1).schema)
+        val tbl = s"graft_lake.`$dir`"
+        // SQL DELETE → position-delete METADATA; COUNT stays exact
+        s.sql(s"DELETE FROM $tbl WHERE l_orderkey % 11 = 0")
+        // the proof: every data file is gone before the aggregates run
+        SnapshotLog.entries(dir, SnapshotLog.latest(dir))
+          .filter(_.kind == "D").foreach(e =>
+            java.nio.file.Files.deleteIfExists(
+              java.nio.file.Paths.get(e.path)))
+        // the SQL text is PURE aggregation (a literal inside the
+        // aggregate's SELECT blocks Spark's pushdown match); the face
+        // labels ride in a Project ABOVE the aggregate
+        // v2 (pre-DML) carries no deletes: MIN/MAX serve from stats
+        val minmax = s.sql(
+          s"""SELECT min(l_orderkey) AS lo, max(l_orderkey) AS hi,
+                     min(sd) AS sd_lo, max(sd) AS sd_hi
+              FROM $tbl VERSION AS OF 2""")
+          .select(lit("minmax_v2").as("face"), lit(-1).as("m"),
+            lit(null).cast("long").as("n_rows"),
+            col("lo"), col("hi"), col("sd_lo"), col("sd_hi"))
+        // latest: grouped COUNT with the position deletes subtracted
+        val grouped = s.sql(
+          s"SELECT m, count(*) AS n_rows FROM $tbl GROUP BY m")
+          .select(lit("grouped").as("face"), col("m"), col("n_rows"),
+            lit(null).cast("long").as("lo"),
+            lit(null).cast("long").as("hi"),
+            lit(null).cast("string").as("sd_lo"),
+            lit(null).cast("string").as("sd_hi"))
+        // exact partition WHERE: filter fully pushed, agg still metadata
+        val whereM3 = s.sql(
+          s"SELECT count(*) AS n_rows FROM $tbl WHERE m = 3")
+          .select(lit("where_m3").as("face"), lit(3).as("m"),
+            col("n_rows"),
+            lit(null).cast("long").as("lo"),
+            lit(null).cast("long").as("hi"),
+            lit(null).cast("string").as("sd_lo"),
+            lit(null).cast("string").as("sd_hi"))
+        minmax.unionByName(grouped).unionByName(whereM3)
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sd,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              afterdel AS (SELECT * FROM base WHERE ok % 11 <> 0)
+              SELECT 'minmax_v2' AS face, CAST(-1 AS INT) AS m,
+                     CAST(NULL AS BIGINT) AS n_rows,
+                     min(ok) AS lo, max(ok) AS hi,
+                     min(sd) AS sd_lo, max(sd) AS sd_hi
+              FROM base
+              UNION ALL
+              SELECT 'grouped', CAST(m AS INT), count(*),
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                     CAST(NULL AS STRING), CAST(NULL AS STRING)
+              FROM afterdel GROUP BY 2
+              UNION ALL
+              SELECT 'where_m3', CAST(3 AS INT), count(*),
+                     CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                     CAST(NULL AS STRING), CAST(NULL AS STRING)
+              FROM afterdel WHERE m = 3""")),
+
+    // S62 — SQL DDL ON THE KERNEL (ext.): `CREATE TABLE … PARTITIONED
+    // BY` commits an empty schema-carrying snapshot; `INSERT INTO`
+    // labels every produced file by the spec column task-side (rows,
+    // bytes, label — partition pruning and metadata COUNT work from
+    // birth); `ALTER TABLE RENAME COLUMN / ADD COLUMN` are the S40
+    // pure-metadata evolution — zero bytes rewritten, old files serve
+    // the new schema through the rename/null-fill reader, and time
+    // travel reads the pre-evolution version under its OWN schema
+    // (`SqlDdlSpec` pins mtime-equality and the loud refusals: DROP
+    // COLUMN, narrowing casts, renaming the spec column).
+    Q("s61_sql_ddl",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s61_ddl", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.SnapshotLog
+        val tbl = s"graft_lake.`$dir`"
+        s.sql(s"CREATE TABLE $tbl (ok BIGINT, ln BIGINT, qty INT, " +
+          "m INT) PARTITIONED BY (m)")
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+          month(to_date(col("l_shipdate"))).cast("int").as("m"))
+          .createOrReplaceTempView("s61_src")
+        s.sql(s"INSERT INTO $tbl SELECT ok, ln, qty, m FROM s61_src")
+        val vIns = SnapshotLog.latest(dir)
+        s.sql(s"ALTER TABLE $tbl RENAME COLUMN qty TO quantity")
+        s.sql(s"ALTER TABLE $tbl ADD COLUMN note STRING")
+        s.sql(s"INSERT INTO $tbl VALUES (9999999, 1, 5, 3, 'tagged')")
+        def shape(face: String, df: org.apache.spark.sql.DataFrame) =
+          df.select(lit(face).as("face"), col("n_rows"), col("sum_qty"),
+            col("n_notes"))
+        val evolved = shape("evolved", s.sql(
+          s"""SELECT count(*) AS n_rows,
+                     CAST(sum(quantity) AS BIGINT) AS sum_qty,
+                     count(note) AS n_notes FROM $tbl"""))
+        // pre-evolution version: its OWN schema (qty, no note)
+        val old = shape("old_schema", s.sql(
+          s"""SELECT count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(0 AS BIGINT) AS n_notes
+              FROM $tbl VERSION AS OF $vIns"""))
+        // partition pruning on the DDL-created table's labels
+        val pruned = shape("pruned_m3", s.sql(
+          s"""SELECT count(*) AS n_rows,
+                     CAST(sum(quantity) AS BIGINT) AS sum_qty,
+                     count(note) AS n_notes FROM $tbl WHERE m = 3"""))
+        evolved.unionByName(old).unionByName(pruned)
+      },
+      Some("""WITH src AS (
+                SELECT l_orderkey AS ok, CAST(l_quantity AS INT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT 'evolved' AS face, count(*) + 1 AS n_rows,
+                     CAST(sum(qty) + 5 AS BIGINT) AS sum_qty,
+                     CAST(1 AS BIGINT) AS n_notes
+              FROM src
+              UNION ALL
+              SELECT 'old_schema', count(*),
+                     CAST(sum(qty) AS BIGINT), CAST(0 AS BIGINT)
+              FROM src
+              UNION ALL
+              SELECT 'pruned_m3', count(*) + 1,
+                     CAST(sum(qty) + 5 AS BIGINT), CAST(1 AS BIGINT)
+              FROM src WHERE m = 3"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

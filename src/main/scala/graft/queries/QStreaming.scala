@@ -524,6 +524,58 @@ object QStreaming extends Registry {
               FROM snaps JOIN e ON e.bi <= snaps.v
               GROUP BY 1""")),
 
+    // STREAMING_WRITE through the STANDARD DSv2 door (ext., S63) —
+    // `writeStream.format("graft-snapshot")`: every epoch commits as
+    // ONE snapshot (entries labeled `batch=<epoch>`, O(delta) segment
+    // append), a replayed epoch no-ops on the manifest's own
+    // `#batchhw` high-water mark (`StreamingWriteSpec` pins the
+    // byte-identical manifest), and the drained table equals the
+    // batch-written oracle — `stream_snapshot_commit`'s contract
+    // without the foreachBatch shim. Faces: one row per snapshot (the
+    // stream's prefix states), exactly-once at the table level.
+    Q("stream_table_sink",
+      (s, d) => {
+        val root = graft.Scratch.dirFor("stream_tsink", d)
+        val tdir = s"$root/t"
+        graft.Scratch.clear(tdir)
+        // the checkpoint must die with the table: a stale checkpoint
+        // over a cleared table would no-op every epoch (exactly-once
+        // doing its job against a fixture that broke its own contract)
+        graft.Scratch.clear(s"$root/cp")
+        val src = stageArrivals(s, d, root)
+        val schema = s.read.parquet(src).schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(src)
+          .select(col("user_id"), col("cents"))
+          .writeStream.format("graft-snapshot")
+          .option("path", tdir)
+          .option("checkpointLocation", s"$root/cp")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        import graft.operators.SnapshotLog
+        (1 to SnapshotLog.latest(tdir)).map { v =>
+          SnapshotLog.read(s, tdir, v)
+            .agg(count(lit(1)).as("n_rows"),
+              sum(col("cents")).as("sum_cents"))
+            .select(lit(v).as("snapshot"), col("n_rows"),
+              col("sum_cents"))
+        }.reduce(_.unionByName(_))
+      },
+      Some("""WITH e AS (
+                SELECT CASE WHEN CAST(ts AS TIMESTAMP)
+                              < TIMESTAMP '2024-01-10' THEN 1
+                            WHEN CAST(ts AS TIMESTAMP)
+                              < TIMESTAMP '2024-01-20' THEN 2
+                            ELSE 3 END AS bi,
+                       CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+                         AS cents
+                FROM events),
+              snaps AS (SELECT * FROM (VALUES (1), (2), (3)) t(v))
+              SELECT v AS snapshot, count(*) AS n_rows,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM snaps JOIN e ON e.bi <= snaps.v
+              GROUP BY 1""")),
+
     // Streaming CHANGE FEED (ext.) — the snapshot log as a streaming
     // SOURCE, the read half next to `stream_snapshot_commit`'s write
     // half: `readStream.format("graft-snapshot")` with

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.NoSuchTableException
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.catalog.ProcedureCatalog
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** A PATH catalog for snapshot-log tables — the `delta.`/path`` /
@@ -26,9 +26,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * commits stay invisible, the same WAP rule the options door applies)
   * and returns the same [[SnapshotTable]] the DSv2 provider serves, so
   * SELECT, DML (row-level position delta), and time travel behave
-  * identically through both doors. Tables are CREATED by the engine's
-  * writers (writeInitial / DSv2 append), not by DDL — create/alter/
-  * drop refuse loudly rather than half-supporting a second lifecycle.
+  * identically through both doors. DDL lands on the kernel too:
+  * `CREATE TABLE … PARTITIONED BY` commits an empty schema-carrying
+  * snapshot, and `ALTER TABLE RENAME/ADD COLUMN` / widening type
+  * changes are the S40 pure-metadata evolution — while DROP COLUMN,
+  * narrowing casts and table renames refuse loudly rather than
+  * half-supporting a second lifecycle.
   *
   * The catalog is also a [[ProcedureCatalog]]: the kernel's
   * maintenance jobs are callable as SQL stored procedures
@@ -99,17 +102,115 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty
 
+  /** SQL `CREATE TABLE graft_lake.`/dir` (...) [PARTITIONED BY (col)]`:
+    * v1 is a pure-metadata snapshot — the recorded schema (the S40
+    * face), the optional partition spec (the S47 face), zero entries.
+    * `INSERT INTO` then appends through the DSv2 write, whose tasks
+    * label every produced file by the spec column, so the created
+    * table feeds partition pruning, metadata COUNT and aggregate
+    * pushdown exactly like a `writeInitial` table. Only identity
+    * partitioning on one column is supported (the kernel's label
+    * model); anything fancier refuses loudly.
+    */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "graft_lake tables are created by the snapshot writers " +
-        "(SnapshotMerge.writeInitial / DSv2 append), not by DDL")
+      properties: java.util.Map[String, String]): Table = {
+    val dir = dirOf(ident)
+    val spec: Option[String] = partitions.toSeq match {
+      case Nil => None
+      case Seq(t) if t.name() == "identity" &&
+          t.references().length == 1 =>
+        val col = t.references()(0).fieldNames().mkString(".")
+        require(schema.fieldNames.contains(col),
+          s"PARTITIONED BY column '$col' is not in the table schema")
+        Some(col)
+      case other => throw new UnsupportedOperationException(
+        "graft_lake supports PARTITIONED BY (one identity column); " +
+          s"got ${other.map(_.describe()).mkString(", ")}")
+    }
+    val headers =
+      SnapshotLog.renderSchemaHeaders(schema, Map.empty) ++
+        spec.map(c => s"#spec\t$c")
+    if (!SnapshotLog.publishEntries(dir, 1, Nil, headers))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    new SnapshotTable(schema, Some(dir))
+  }
 
+  /** SQL `ALTER TABLE` onto the kernel's schema-evolution commit
+    * (S40): RENAME COLUMN, ADD COLUMN (nullable), and WIDENING type
+    * changes (int→bigint, float→double) land as PURE-METADATA
+    * snapshots — zero bytes rewritten at any table size; readers of
+    * older versions keep each version's own schema, and pre-evolution
+    * files serve the new schema through the rename/widen/null-fill
+    * reader. Anything the metadata commit cannot express (DROP
+    * COLUMN, narrowing casts, NOT NULL additions, renaming the active
+    * partition-spec column) refuses loudly — never a silent mis-read.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter graft_lake tables through SnapshotLog.commitSchemaChange")
+      changes: TableChange*): Table = {
+    val dir = dirOf(ident)
+    if (SnapshotLog.latest(dir) == 0) throw new NoSuchTableException(ident)
+    val v = SnapshotLog.latest(dir)
+    var schema = SnapshotTables.dataSchema(dir, v)
+    var renames = Map.empty[String, String]
+    val activeSpec = SnapshotLog.specOf(dir, v)
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested columns are not supported: ${names.mkString(".")}")
+      names(0)
+    }
+    def idxOf(c: String): Int = {
+      val i = schema.fieldNames.indexOf(c)
+      require(i >= 0, s"no column '$c' in ${schema.fieldNames.mkString(", ")}")
+      i
+    }
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        val old = one(r.fieldNames())
+        require(!activeSpec.contains(old),
+          s"cannot rename '$old': it is the table's active partition " +
+            "spec column (manifest labels are keyed by name)")
+        val i = idxOf(old)
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(name = r.newName())))
+        renames += (old -> r.newName())
+      case a: TableChange.AddColumn =>
+        val name = one(a.fieldNames())
+        require(a.isNullable,
+          s"ADD COLUMN $name: new columns must be nullable (existing " +
+            "files null-fill them)")
+        require(!schema.fieldNames.contains(name),
+          s"column '$name' already exists")
+        schema = StructType(schema.fields :+
+          StructField(name, a.dataType(), nullable = true))
+      case u: TableChange.UpdateColumnType =>
+        val name = one(u.fieldNames())
+        val i = idxOf(name)
+        val from = schema.fields(i).dataType
+        val to = u.newDataType()
+        val widening = (from, to) match {
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case _ => false
+        }
+        require(widening,
+          s"ALTER COLUMN $name TYPE: only widening casts are " +
+            s"metadata-safe (int→bigint, float→double); got $from → $to")
+        schema = StructType(schema.fields.updated(i,
+          schema.fields(i).copy(dataType = to)))
+      case d: TableChange.DeleteColumn =>
+        throw new UnsupportedOperationException(
+          s"DROP COLUMN ${one(d.fieldNames())}: a metadata-only drop " +
+            "would silently hide data; rewrite the table instead")
+      case other =>
+        throw new UnsupportedOperationException(
+          s"unsupported ALTER TABLE change: $other")
+    }
+    SnapshotLog.commitSchemaChange(dir, schema, renames)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = false
 

@@ -83,8 +83,36 @@ object GraftProcedures {
 
   private def spark: SparkSession = SparkSession.active
 
-  private def str(r: InternalRow, i: Int): String =
+  /** an explicit NULL argument (`CALL ...(..., arg => NULL)`) reaches
+    * the body as a null slot — getUTF8String would NPE before any
+    * Option wrapper could apply. Required args refuse descriptively;
+    * optional ones read through [[strOpt]] and treat NULL like their
+    * declared default. */
+  private def str(r: InternalRow, i: Int): String = {
+    require(!r.isNullAt(i),
+      s"procedure argument #${i + 1} is NULL; pass a value " +
+        "(or omit the argument to use its default)")
     r.getUTF8String(i).toString
+  }
+
+  /** optional string argument: NULL and '' both mean "not given". */
+  private def strOpt(r: InternalRow, i: Int): Option[String] =
+    if (r.isNullAt(i)) None
+    else Option(r.getUTF8String(i).toString).filter(_.nonEmpty)
+
+  private def int(r: InternalRow, i: Int): Int = {
+    require(!r.isNullAt(i),
+      s"procedure argument #${i + 1} is NULL; pass a value " +
+        "(or omit the argument to use its default)")
+    r.getInt(i)
+  }
+
+  private def lng(r: InternalRow, i: Int): Long = {
+    require(!r.isNullAt(i),
+      s"procedure argument #${i + 1} is NULL; pass a value " +
+        "(or omit the argument to use its default)")
+    r.getLong(i)
+  }
 
   val procedures: Map[String, UnboundProcedure] = Seq(
     new Proc("expire_snapshots",
@@ -94,8 +122,8 @@ object GraftProcedures {
       Seq(p("table", StringType), p("keep_from", IntegerType)),
       out("deleted_data_files" -> IntegerType, "kept_from" -> IntegerType),
       in => {
-        val dead = SnapshotLog.expire(str(in, 0), in.getInt(1))
-        Seq(row(dead.size, in.getInt(1)))
+        val dead = SnapshotLog.expire(str(in, 0), int(in, 1))
+        Seq(row(dead.size, int(in, 1)))
       }),
 
     new Proc("remove_orphans",
@@ -106,7 +134,7 @@ object GraftProcedures {
       out("deleted_files" -> IntegerType),
       in => {
         val dead = SnapshotLog.removeOrphans(str(in, 0),
-          in.getInt(1).toLong * 3600 * 1000)
+          int(in, 1).toLong * 3600 * 1000)
         Seq(row(dead.size))
       }),
 
@@ -116,18 +144,22 @@ object GraftProcedures {
       Seq(p("table", StringType), p("version", IntegerType)),
       out("restored_from" -> IntegerType, "new_version" -> IntegerType),
       in => {
-        val nv = SnapshotLog.rollback(str(in, 0), in.getInt(1))
-        Seq(row(in.getInt(1), nv))
+        val nv = SnapshotLog.rollback(str(in, 0), int(in, 1))
+        Seq(row(int(in, 1), nv))
       }),
 
     new Proc("optimize",
-      "bin-pack each partition's sub-threshold files into one; large " +
-        "files are shared by reference (no-op when nothing to pack)",
+      "bin-pack each partition's sub-threshold files; large files are " +
+        "shared by reference (no-op when nothing to pack); " +
+        "target_bytes > 0 caps each packed output file (one bin per " +
+        "~target input bytes)",
       Seq(p("table", StringType), p("part_col", StringType),
-        pd("small_bytes", LongType, "33554432")),
+        pd("small_bytes", LongType, "33554432"),
+        pd("target_bytes", LongType, "0")),
       out("new_version" -> IntegerType),
       in => Seq(row(SnapshotOptimize.binPack(spark, str(in, 0),
-        str(in, 1), in.getLong(2))))),
+        str(in, 1), lng(in, 2),
+        targetBytes = Some(lng(in, 3)).filter(_ > 0))))),
 
     new Proc("optimize_zorder",
       "rewrite the table in z-order over the given dimensions " +
@@ -139,8 +171,8 @@ object GraftProcedures {
         pd("within_part_col", StringType, "''")),
       out("new_version" -> IntegerType),
       in => Seq(row(SnapshotOptimize.zorder(spark, str(in, 0),
-        str(in, 1).split(",").map(_.trim).toSeq, in.getInt(2),
-        withinPartCol = Option(str(in, 3)).filter(_.nonEmpty))))),
+        str(in, 1).split(",").map(_.trim).toSeq, int(in, 2),
+        withinPartCol = strOpt(in, 3))))),
 
     new Proc("compact",
       "fold every live delete vector into a rewritten table (the " +
@@ -158,8 +190,8 @@ object GraftProcedures {
       out("branch" -> StringType, "at_version" -> IntegerType),
       in => {
         val dir = str(in, 0)
-        val at = if (in.getInt(2) <= 0) SnapshotLog.latest(dir)
-          else in.getInt(2)
+        val at = if (int(in, 2) <= 0) SnapshotLog.latest(dir)
+          else int(in, 2)
         SnapshotRefs.createBranch(dir, str(in, 1), at)
         Seq(row(str(in, 1), at))
       }),
@@ -172,8 +204,8 @@ object GraftProcedures {
       out("tag" -> StringType, "at_version" -> IntegerType),
       in => {
         val dir = str(in, 0)
-        val at = if (in.getInt(2) <= 0) SnapshotLog.latest(dir)
-          else in.getInt(2)
+        val at = if (int(in, 2) <= 0) SnapshotLog.latest(dir)
+          else int(in, 2)
         SnapshotRefs.tag(dir, str(in, 1), at)
         Seq(row(str(in, 1), at))
       }),
@@ -185,8 +217,8 @@ object GraftProcedures {
         p("to_version", IntegerType)),
       out("branch" -> StringType, "head" -> IntegerType),
       in => {
-        SnapshotRefs.fastForward(str(in, 0), str(in, 1), in.getInt(2))
-        Seq(row(str(in, 1), in.getInt(2)))
+        SnapshotRefs.fastForward(str(in, 0), str(in, 1), int(in, 2))
+        Seq(row(str(in, 1), int(in, 2)))
       }),
 
     new Proc("set_keys",
@@ -240,8 +272,8 @@ object GraftProcedures {
         "partition" -> StringType, "seq" -> LongType, "n_rows" -> LongType),
       in => {
         val dir = str(in, 0)
-        val v = if (in.getInt(1) <= 0) SnapshotLog.latest(dir)
-          else in.getInt(1)
+        val v = if (int(in, 1) <= 0) SnapshotLog.latest(dir)
+          else int(in, 1)
         SnapshotLog.entries(dir, v).map(e =>
           row(e.path, e.kind, e.partition, e.seq, e.rows))
       })

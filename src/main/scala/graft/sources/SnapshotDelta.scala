@@ -134,9 +134,11 @@ private class PositionDeltaBatchWrite(dir: String, baseV: Int,
     val msgs = messages.collect { case m: DeltaFileCommit => m }
     val newSeq = baseV + 1L
     val dataEntries = msgs.filter(_.dataRows > 0).map(m =>
-      SnapshotLog.FileEntry(m.dataPath, "D", "", Map.empty, seq = newSeq))
+      SnapshotLog.FileEntry(m.dataPath, "D", "", Map.empty, seq = newSeq,
+        rows = m.dataRows, bytes = SnapshotLog.statBytes(m.dataPath)))
     val posEntries = msgs.filter(_.posRows > 0).map(m =>
-      SnapshotLog.FileEntry(m.posPath, "P", "", Map.empty, seq = newSeq))
+      SnapshotLog.FileEntry(m.posPath, "P", "", Map.empty, seq = newSeq,
+        rows = m.posRows, bytes = SnapshotLog.statBytes(m.posPath)))
     if (dataEntries.isEmpty && posEntries.isEmpty) return // zero-row DML
     val prior = SnapshotLog.entries(dir, baseV)
     if (!SnapshotLog.publishEntries(dir, baseV + 1,
@@ -191,8 +193,10 @@ private class PositionDeltaWriter(dataRoot: String, delRoot: String,
   override def insert(row: InternalRow): Unit = inserts.write(row)
 
   override def commit(): WriterCommitMessage = {
-    val dataMsg = inserts.commit()
-      .asInstanceOf[SnapFileCommit]
+    // the insert writer is unpartitioned here (no spec fan-out for DML
+    // inserts): zero or one file per task
+    val dataMsg = inserts.commit().asInstanceOf[SnapFilesCommit]
+      .files.headOption.getOrElse(SnapFile("", 0L, -1L, ""))
     val (posPath, posRows) =
       if (positions.isEmpty) ("", 0L)
       else {

@@ -222,7 +222,8 @@ private[sources] class SnapshotTable(schema0: StructType,
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE)
+      TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     // a catalog time-travel load (SQL VERSION/TIMESTAMP AS OF) pins the
@@ -259,105 +260,19 @@ private[sources] class SnapshotTable(schema0: StructType,
   }
 }
 
-private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
-    options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters {
-  private var required: StructType = full
-  private var pruningPreds: Array[
-    org.apache.spark.sql.connector.expressions.filter.Predicate] = Array.empty
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  /** STATIC predicate pushdown — for MANIFEST PRUNING only: every
-    * predicate is returned as "not (fully) pushed", so Spark keeps
-    * re-applying it after the scan (pruning stays an optimization,
-    * never a correctness bet — the same contract the runtime filter
-    * path holds). The scan uses the ones it understands (=, IN, >,
-    * >=, <, <=) to drop entries whose partition label or manifest
-    * stats exclude every possibly-matching row. */
-  override def pushPredicates(
-      predicates: Array[
-        org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] = {
-    pruningPreds = predicates
-    predicates
-  }
-  override def pushedPredicates(): Array[
-    org.apache.spark.sql.connector.expressions.filter.Predicate] =
-    Array.empty
-
-  override def build(): Scan = new SnapshotScan(
-    dir,
-    SnapshotTables.explicitVersion(dir, options),
-    options.getBoolean("changeFeed", false),
-    options.getInt("startingVersion", 0),
-    full, required, pruningPreds)
-}
-
-/** one snapshot data or delete file to read, with the op/commit stamp
-  * the change-feed rows carry ("" op for plain batch reads), the
-  * position-delete files whose addresses subtract from this file's
-  * physical rows, and the equality-delete vectors whose key tuples
-  * suppress matching rows (only vectors with seq STRICTLY ABOVE this
-  * file's — the applicability is resolved at PLAN time, so the reader
-  * never sees an out-of-scope vector). All delete inputs are
-  * churn-sized by the delete contract. */
-private[sources] case class SnapFilePartition(path: String, op: String,
-    commit: Long, posDeletes: Seq[String] = Nil,
-    eqDeletes: Seq[String] = Nil) extends InputPartition
-
-/** a plan-time-computed logical delta (the COW/pos-delete U-split):
-  * key tuples + op, churn-sized, carried as literal rows. */
-private[sources] case class SnapRowsPartition(keyCols: Seq[String],
-    rows: Seq[(Array[Any], String)], commit: Long) extends InputPartition
-
-private class SnapshotScan(dir: String, versionAsOf: Option[Int],
-    changeFeed: Boolean, startingVersion: Int,
-    full: StructType, required: StructType,
-    staticPreds: Array[
-      org.apache.spark.sql.connector.expressions.filter.Predicate] =
-      Array.empty) extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
-  override def readSchema(): StructType = required
-
-  // ---- runtime filtering (DPP for lake tables) ----------------------
-  // Spark hands the scan the JOIN-KEY value set it computed at runtime
-  // (the dynamic-partition-pruning broadcast); entries whose partition
-  // label or manifest stats exclude every value are dropped BEFORE the
-  // batch plans its input partitions — a dimension-filtered join over
-  // a 100 TB snapshot table reads only the partitions the dim selects,
-  // with zero data files opened to decide. Purely an optimization:
-  // unlabeled entries, foreign-label columns, and entries without
-  // stats are kept conservatively (Spark re-applies the join itself).
-
-  /** runtime-prunable columns: anything a manifest entry can veto on —
-    * partition-label columns, INT64 stats columns, string-bound
-    * columns. Computed from the pinned manifest (metadata-sized). */
-  override def filterAttributes()
-      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
-    if (changeFeed) return Array.empty
-    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-    val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
-    val labelCols = es.map(_.partition).filter(_.nonEmpty)
-      .map(p => p.take(math.max(p.indexOf('='), 0))).filter(_.nonEmpty)
-    val statCols = es.flatMap(e => e.stats.keys ++ e.strStats.keys)
-    // Spark resolves these against the scan's (column-pruned) OUTPUT —
-    // offering a pruned-away column would fail analysis
-    val served = required.fieldNames.toSet
-    (labelCols ++ statCols).distinct.filter(served)
-      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
-      .toArray
-  }
-
+/** The ONE constraint model every manifest-pruning face shares —
+  * static filter pushdown, runtime (DPP) filtering, scan statistics,
+  * and the aggregate pushdown's exact-filter analysis all parse
+  * predicates into these constraints and test entries through
+  * [[survives]], so the faces cannot drift on semantics.
+  */
+private[sources] object SnapshotPrune {
   /** one manifest-prunable constraint: a value SET (=, IN) or a
     * one-sided RANGE bound (>, >=, <, <= — bounds kept inclusive,
     * strictness conservatively widened). */
-  private sealed trait Constraint { def col: String }
-  private final case class InSet(col: String, vals: Seq[Any])
-      extends Constraint
-  private final case class Bound(col: String, lo: Option[Any],
+  sealed trait Constraint { def col: String }
+  final case class InSet(col: String, vals: Seq[Any]) extends Constraint
+  final case class Bound(col: String, lo: Option[Any],
       hi: Option[Any]) extends Constraint
 
   /** the constraints we can prune on, parsed through the PUBLIC
@@ -365,16 +280,24 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     * FieldReference/LiteralValue classes are private[sql] to Spark).
     * Anything not understood is simply not a constraint: Spark
     * re-applies every predicate after the scan. */
-  private def parseConstraints(
+  def parseConstraints(
       predicates: Array[
         org.apache.spark.sql.connector.expressions.filter.Predicate])
       : Seq[Constraint] = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
     predicates.toSeq.flatMap { p =>
       val kids = p.children()
+      // CANONICALIZE literal values: predicates Spark actually pushes
+      // carry StringType values as UTF8String (LiteralValue's internal
+      // form), so a bare `l.value()` would never match the String-typed
+      // label/strStats branches below — the string-bound pruning would
+      // be dead code that only hand-built Expressions.literal tests hit
       def lit(e: org.apache.spark.sql.connector.expressions.Expression)
           : Option[Any] = e match {
-        case l: Literal[_] => Some(l.value())
+        case l: Literal[_] => l.value() match {
+          case u: UTF8String => Some(u.toString)
+          case v => Some(v)
+        }
         case _ => None
       }
       (p.name(), kids.headOption) match {
@@ -399,24 +322,18 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     }
   }
 
-  /** static constraints from the pushed-down predicates (fixed at
-    * build time) and runtime constraints from DPP (populated by
-    * [[filter]]); an entry must survive BOTH sets. */
-  private val staticConstraints: Seq[Constraint] =
-    parseConstraints(staticPreds)
-  private var runtimeConstraints: Seq[Constraint] = Nil
-
-  override def filter(
-      predicates: Array[
-        org.apache.spark.sql.connector.expressions.filter.Predicate])
-      : Unit =
-    runtimeConstraints = parseConstraints(predicates)
-
-  private def asLong(v: Any): Option[Long] = v match {
+  def asLong(v: Any): Option[Long] = v match {
     case l: java.lang.Long => Some(l.longValue)
     case i: java.lang.Integer => Some(i.longValue)
     case s: java.lang.Short => Some(s.longValue)
     case _ => None
+  }
+
+  /** the `col=value` label value of `e` when its label names `col`. */
+  def labelValue(e: SnapshotLog.FileEntry, col: String): Option[String] = {
+    val i = e.partition.indexOf('=')
+    if (i <= 0 || e.partition.take(i) != col) None
+    else Some(e.partition.drop(i + 1))
   }
 
   /** can `e` possibly hold a row satisfying `c`? Label veto is exact
@@ -424,12 +341,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     * parse, string equality otherwise); stats veto is range-overlap;
     * everything unresolvable keeps — pruning is an optimization,
     * never a bet. */
-  private def survives(e: SnapshotLog.FileEntry, c: Constraint): Boolean = {
-    val labelVal: Option[String] = {
-      val i = e.partition.indexOf('=')
-      if (i <= 0 || e.partition.take(i) != c.col) None
-      else Some(e.partition.drop(i + 1))
-    }
+  def survives(e: SnapshotLog.FileEntry, c: Constraint): Boolean = {
+    val labelVal: Option[String] = labelValue(e, c.col)
     c match {
       case InSet(col, vals) =>
         labelVal match {
@@ -480,13 +393,398 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
         }
     }
   }
+}
+
+private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownV2Filters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  private var required: StructType = full
+  private var pruningPreds: Array[Predicate] = Array.empty
+  private var exactPreds: Array[Predicate] = Array.empty
+  private var plannedAgg: Option[MetaAggScan] = None
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  private def changeFeed = options.getBoolean("changeFeed", false)
+
+  /** the snapshot this scan will serve, resolved ONCE at pushdown time
+    * so the exact-filter and aggregate analyses below reason about the
+    * same manifest the scan plans from. */
+  private lazy val pinnedV: Int =
+    SnapshotTables.explicitVersion(dir, options)
+      .getOrElse(SnapshotTables.defaultVersion(dir))
+
+  /** is `p` decided EXACTLY by partition-label pruning — so Spark may
+    * drop its post-scan re-check entirely? True only when every data
+    * entry of the pinned snapshot is labeled by the predicate's
+    * column with an integral value, the column's type is integral,
+    * and every operand is an integral literal: each surviving file is
+    * then label-pure (the partitioned writers stamp the label FROM
+    * the column), so the scan's output contains exactly the matching
+    * rows. Anything else stays a post-scan filter — full pushdown is
+    * a correctness bet the manifest must be able to honor. */
+  private def exactlyDecided(p: Predicate): Boolean = {
+    if (changeFeed) return false
+    def integralLabeled(col: String): Boolean = {
+      val integralCol = full.fields.find(_.name == col).exists(f =>
+        f.dataType == LongType || f.dataType == IntegerType ||
+          f.dataType == ShortType)
+      val es = SnapshotLog.entries(dir, pinnedV).filter(_.kind == "D")
+      integralCol && es.nonEmpty &&
+        es.forall(e => SnapshotPrune.labelValue(e, col)
+          .exists(_.toLongOption.isDefined))
+    }
+    try {
+      // IS_NOT_NULL rides along with every SQL equality (the analyzer
+      // adds it): on a fully-labeled integral column it is exactly
+      // TRUE for every row (label-pure files, null labels spell
+      // __HIVE_DEFAULT_PARTITION__ and fail the parse), so claiming it
+      // pushes a no-op — and unblocks aggregate pushdown, which Spark
+      // only offers when zero post-scan filters remain
+      if (p.name() == "IS_NOT_NULL")
+        return p.children() match {
+          case Array(f: NamedReference) =>
+            integralLabeled(f.fieldNames().mkString("."))
+          case _ => false
+        }
+      val cs = SnapshotPrune.parseConstraints(Array(p))
+      cs.size == 1 && (cs.head match {
+        case SnapshotPrune.InSet(col, vals) =>
+          integralLabeled(col) &&
+            vals.forall(v => SnapshotPrune.asLong(v).isDefined)
+        case _ => false
+      })
+    } catch { case scala.util.control.NonFatal(_) => false }
+  }
+
+  /** STATIC predicate pushdown: every predicate prunes the manifest
+    * (the scan drops entries whose partition label or stats exclude
+    * every possibly-matching row); predicates the label decides
+    * EXACTLY are additionally claimed as fully pushed — Spark drops
+    * the post-scan re-check, which is what unlocks aggregate pushdown
+    * under a WHERE clause. Everything else is returned as "evaluate
+    * after scan" (pruning stays an optimization, never a bet — the
+    * same contract the runtime filter path holds). */
+  override def pushPredicates(
+      predicates: Array[Predicate]): Array[Predicate] = {
+    pruningPreds = predicates
+    val (exact, rest) = predicates.partition(exactlyDecided)
+    exactPreds = exact
+    rest
+  }
+  override def pushedPredicates(): Array[Predicate] = exactPreds
+
+  // ---- aggregate pushdown: SQL answered from the manifest ----------
+  // COUNT(*) / MIN / MAX (optionally grouped by the partition-label
+  // column) are served from manifest row counts and stats through the
+  // STANDARD plan — `SELECT count(*) FROM t GROUP BY part` on a 100 TB
+  // table opens zero data files (the first query every user runs).
+  // Semantics mirror the programmatic metaCount/stats machinery:
+  // position-deleted tables are counted EXACTLY (distinct live-file
+  // addresses subtracted, reading only churn-sized delete metadata);
+  // equality vectors, missing counts, missing stats, or any grouping
+  // the label can't type REFUSE the pushdown — Spark falls back to
+  // the real scan, never a wrong answer.
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    plannedAgg.isDefined || planAggregation(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    planAggregation(agg) match {
+      case Some(scan) => plannedAgg = Some(scan); true
+      case None => false
+    }
+  }
+
+  /** typed group value from a label string, or None to refuse. String
+    * labels containing '%' are refused: the partitioned writer
+    * Hive-escapes special characters into the directory name and the
+    * manifest stores the dir name raw, so only escape-free labels
+    * round-trip exactly. */
+  private def typedLabel(raw: String, dt: DataType): Option[Any] =
+    dt match {
+      case LongType => raw.toLongOption
+      case IntegerType => raw.toIntOption
+      case StringType if !raw.contains('%') &&
+        raw != "__HIVE_DEFAULT_PARTITION__" => Some(raw)
+      case _ => None
+    }
+
+  private def planAggregation(agg: Aggregation): Option[MetaAggScan] = {
+    if (changeFeed) return None
+    try {
+      val es = SnapshotLog.entries(dir, pinnedV)
+      // an equality vector suppresses rows by KEY — no metadata-only
+      // answer exists for any aggregate over a vectored snapshot
+      if (es.exists(_.kind == "X")) return None
+      // Spark only offers aggregate pushdown when no post-scan filter
+      // remains — i.e. every pushed predicate was claimed exact. Hold
+      // that as a local invariant too: a non-exact predicate in play
+      // here would make the per-file facts below partial answers.
+      if (!pruningPreds.forall(exactPreds.contains)) return None
+      val data = es.filter(e => e.kind == "D" &&
+        SnapshotPrune.parseConstraints(exactPreds)
+          .forall(SnapshotPrune.survives(e, _)))
+      val posDeletes = es.filter(_.kind == "P")
+      // grouping: none, or one column every data entry's label names
+      val groupCol: Option[(String, DataType)] =
+        agg.groupByExpressions() match {
+          case Array() => None
+          case Array(g: NamedReference) =>
+            val col = g.fieldNames().mkString(".")
+            val dt = full.fields.find(_.name == col).map(_.dataType)
+              .getOrElse(return None)
+            if (data.forall(e => SnapshotPrune.labelValue(e, col)
+                .flatMap(typedLabel(_, dt)).isDefined))
+              Some(col -> dt)
+            else return None
+          case _ => return None
+        }
+      // each aggregate must be answerable from the manifest
+      sealed trait Served
+      case object ServeCount extends Served
+      case class ServeMin(col: String, dt: DataType) extends Served
+      case class ServeMax(col: String, dt: DataType) extends Served
+      val served: Seq[(Served, StructField)] =
+        agg.aggregateExpressions().toSeq.map {
+          case _: CountStar =>
+            if (data.exists(_.rows < 0L)) return None
+            (ServeCount, StructField("count", LongType, nullable = false))
+          case m: Min => minMax(m.column(), data, posDeletes)
+            .map { case (c, dt) => (ServeMin(c, dt): Served,
+              StructField("min", dt)) }.getOrElse(return None)
+          case m: Max => minMax(m.column(), data, posDeletes)
+            .map { case (c, dt) => (ServeMax(c, dt): Served,
+              StructField("max", dt)) }.getOrElse(return None)
+          case _ => return None // SUM/AVG/COUNT(col): null semantics
+            // and overflow are data questions, not manifest questions
+        }
+      if (served.isEmpty) return None
+      // the complete-pushdown contract: readSchema = group cols then
+      // aggregate columns, rows = one per group
+      val schema = StructType(
+        groupCol.map { case (c, dt) => StructField(c, dt) }.toSeq ++
+          served.map(_._2))
+      val computeRows: () => Seq[Seq[Any]] = () => {
+        val dead: Map[String, Long] =
+          if (posDeletes.isEmpty ||
+              !served.exists(_._1 == ServeCount)) Map.empty
+          else MetaAggScan.deadByFile(posDeletes.map(_.path),
+            data.map(e => SnapshotLog.normPath(e.path)).toSet)
+        val groups: Seq[(Option[Any], Seq[SnapshotLog.FileEntry])] =
+          groupCol match {
+            case None => Seq(None -> data)
+            case Some((c, dt)) => data.groupBy(e =>
+              typedLabel(SnapshotPrune.labelValue(e, c).get, dt).get)
+              .toSeq.map { case (k, g) => (Some(k): Option[Any]) -> g }
+          }
+        groups.map { case (k, g) =>
+          k.toSeq ++ served.map {
+            case (ServeCount, _) => g.map(e =>
+              e.rows - dead.getOrElse(SnapshotLog.normPath(e.path), 0L))
+              .sum: Any
+            case (ServeMin(c, dt), _) => dt match {
+              case LongType => g.map(_.stats(c)._1).min: Any
+              case _ => g.map(_.strStats(c)._1).min: Any
+            }
+            case (ServeMax(c, dt), _) => dt match {
+              case LongType => g.map(_.stats(c)._2).max: Any
+              case _ => g.map(_.strStats(c)._2).max: Any
+            }
+          }
+        }
+      }
+      Some(new MetaAggScan(schema, computeRows))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** MIN/MAX over `col` is manifest-answerable when NO delete file
+    * exists (either kind could remove the extreme row), the column is
+    * a plain reference, and EVERY surviving data entry carries bounds
+    * for it (LONG stats or string bounds — absent means an all-null
+    * file or a truncated bound, both unanswerable). */
+  private def minMax(colExpr:
+      org.apache.spark.sql.connector.expressions.Expression,
+      data: Seq[SnapshotLog.FileEntry],
+      posDeletes: Seq[SnapshotLog.FileEntry])
+      : Option[(String, DataType)] = colExpr match {
+    case f: NamedReference if posDeletes.isEmpty && data.nonEmpty =>
+      val col = f.fieldNames().mkString(".")
+      full.fields.find(_.name == col).map(_.dataType) match {
+        case Some(LongType) if data.forall(_.stats.contains(col)) =>
+          Some(col -> LongType)
+        case Some(StringType) if data.forall(_.strStats.contains(col)) =>
+          Some(col -> StringType)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  override def build(): Scan = plannedAgg.getOrElse(new SnapshotScan(
+    dir,
+    SnapshotTables.explicitVersion(dir, options),
+    changeFeed,
+    options.getInt("startingVersion", 0),
+    full, required, pruningPreds,
+    options.getLong("maxDeltaRows", 1000000L)))
+}
+
+/** one literal result partition for a manifest-served aggregate. */
+private[sources] case class MetaAggPartition(rows: Seq[Seq[Any]])
+    extends InputPartition
+
+/** A scan whose OUTPUT is the completely-pushed-down aggregation,
+  * computed from the manifest on the driver (metadata-sized) and
+  * served as one literal partition — zero data files opened, which
+  * the driver query proves by deleting them first. */
+private[sources] class MetaAggScan(schema: StructType,
+    compute: () => Seq[Seq[Any]]) extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftMetaAgg[${schema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaAggPartition(compute()))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(
+          partition: InputPartition): PartitionReader[InternalRow] = {
+        val rows = partition.asInstanceOf[MetaAggPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < rows.length }
+          override def get(): InternalRow =
+            new GenericInternalRow(rows(i).map {
+              case s: String => UTF8String.fromString(s)
+              case v => v
+            }.toArray[Any])
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private[sources] object MetaAggScan {
+  /** distinct dead-row counts per LIVE data file from position-delete
+    * parquet files — read directly (churn-sized delete METADATA, no
+    * SparkSession, no data file touched). Addresses naming files no
+    * longer referenced are inert, matching readMor. */
+  def deadByFile(posPaths: Seq[String],
+      live: Set[String]): Map[String, Long] = {
+    val seen = new java.util.HashMap[String,
+      java.util.HashSet[java.lang.Long]]()
+    posPaths.foreach { p =>
+      val reader = ParquetReader.builder(
+        new GroupReadSupport(), new Path(p))
+        .withConf(new Configuration()).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          if (g.getFieldRepetitionCount("file_path") > 0) {
+            val f = SnapshotLog.normPath(
+              g.getBinary("file_path", 0).toStringUsingUTF8)
+            if (live(f))
+              seen.computeIfAbsent(f,
+                _ => new java.util.HashSet[java.lang.Long]())
+                .add(g.getLong("row_pos", 0))
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    import scala.jdk.CollectionConverters._
+    seen.asScala.map { case (k, v) => k -> v.size.toLong }.toMap
+  }
+}
+
+/** one snapshot data or delete file to read, with the op/commit stamp
+  * the change-feed rows carry ("" op for plain batch reads), the
+  * position-delete files whose addresses subtract from this file's
+  * physical rows, and the equality-delete vectors whose key tuples
+  * suppress matching rows (only vectors with seq STRICTLY ABOVE this
+  * file's — the applicability is resolved at PLAN time, so the reader
+  * never sees an out-of-scope vector). All delete inputs are
+  * churn-sized by the delete contract. */
+private[sources] case class SnapFilePartition(path: String, op: String,
+    commit: Long, posDeletes: Seq[String] = Nil,
+    eqDeletes: Seq[String] = Nil) extends InputPartition
+
+/** a plan-time-computed logical delta (the COW/pos-delete U-split):
+  * key tuples + op, churn-sized, carried as literal rows. */
+private[sources] case class SnapRowsPartition(keyCols: Seq[String],
+    rows: Seq[(Array[Any], String)], commit: Long) extends InputPartition
+
+private class SnapshotScan(dir: String, versionAsOf: Option[Int],
+    changeFeed: Boolean, startingVersion: Int,
+    full: StructType, required: StructType,
+    staticPreds: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate] =
+      Array.empty,
+    maxDeltaRows: Long = 1000000L) extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+  override def readSchema(): StructType = required
+
+  // ---- runtime filtering (DPP for lake tables) ----------------------
+  // Spark hands the scan the JOIN-KEY value set it computed at runtime
+  // (the dynamic-partition-pruning broadcast); entries whose partition
+  // label or manifest stats exclude every value are dropped BEFORE the
+  // batch plans its input partitions — a dimension-filtered join over
+  // a 100 TB snapshot table reads only the partitions the dim selects,
+  // with zero data files opened to decide. Purely an optimization:
+  // unlabeled entries, foreign-label columns, and entries without
+  // stats are kept conservatively (Spark re-applies the join itself).
+
+  /** runtime-prunable columns: anything a manifest entry can veto on —
+    * partition-label columns, INT64 stats columns, string-bound
+    * columns. Computed from the pinned manifest (metadata-sized). */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    if (changeFeed) return Array.empty
+    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+    val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
+    val labelCols = es.map(_.partition).filter(_.nonEmpty)
+      .map(p => p.take(math.max(p.indexOf('='), 0))).filter(_.nonEmpty)
+    val statCols = es.flatMap(e => e.stats.keys ++ e.strStats.keys)
+    // Spark resolves these against the scan's (column-pruned) OUTPUT —
+    // offering a pruned-away column would fail analysis
+    val served = required.fieldNames.toSet
+    (labelCols ++ statCols).distinct.filter(served)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
+  }
+
+  /** static constraints from the pushed-down predicates (fixed at
+    * build time) and runtime constraints from DPP (populated by
+    * [[filter]]); an entry must survive BOTH sets. */
+  private val staticConstraints: Seq[SnapshotPrune.Constraint] =
+    SnapshotPrune.parseConstraints(staticPreds)
+  private var runtimeConstraints: Seq[SnapshotPrune.Constraint] = Nil
+
+  override def filter(
+      predicates: Array[
+        org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit =
+    runtimeConstraints = SnapshotPrune.parseConstraints(predicates)
+
+  private def survives(e: SnapshotLog.FileEntry,
+      c: SnapshotPrune.Constraint): Boolean = SnapshotPrune.survives(e, c)
 
   private def survivesRuntime(e: SnapshotLog.FileEntry): Boolean =
     (staticConstraints ++ runtimeConstraints).forall(survives(e, _))
 
-  /** Statistics from the MANIFEST (file sizes summed at plan time, a
-    * stat per entry, no footer opened): a snapshot-log table joins
-    * like a native table — Catalyst sees its true size and
+  /** Statistics from the MANIFEST ALONE: file sizes are the bytes the
+    * committing writer recorded (`FileEntry.bytes` — the Iceberg
+    * `file_size_in_bytes` field), so planning performs ZERO filesystem
+    * stats at any file count ([[SnapshotLog.sizeOf]] touches the
+    * filesystem only for pre-bytes legacy entries). A snapshot-log
+    * table joins like a native table — Catalyst sees its true size and
     * auto-broadcasts a small snapshot against a big fact scan, the
     * decision every dimension-table join at 100 TB depends on.
     */
@@ -508,11 +806,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
         }
       private val bytes: java.util.OptionalLong =
         if (changeFeed) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(survivors
-          .map(e => try java.nio.file.Files.size(
-            java.nio.file.Paths.get(e.path)) catch {
-              case _: java.io.IOException => 0L })
-          .sum)
+        else java.util.OptionalLong.of(
+          survivors.map(SnapshotLog.sizeOf).sum)
       private val rows: java.util.OptionalLong =
         if (changeFeed || survivors.exists(_.rows < 0L))
           java.util.OptionalLong.empty()
@@ -553,7 +848,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     require(changeFeed,
       "streaming a graft-snapshot table needs option(\"changeFeed\", " +
         "\"true\") — the stream replays commit deltas, not table state")
-    new SnapshotChangeStream(dir, startingVersion, required)
+    new SnapshotChangeStream(dir, startingVersion, required,
+      maxDeltaRows)
   }
 }
 
@@ -570,7 +866,8 @@ private[sources] case class SnapshotOffset(version: Long)
   * since manifests are immutable.
   */
 private[sources] class SnapshotChangeStream(dir: String,
-    startingVersion: Int, required: StructType)
+    startingVersion: Int, required: StructType,
+    maxDeltaRows: Long = 1000000L)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
@@ -641,8 +938,21 @@ private[sources] class SnapshotChangeStream(dir: String,
             "SnapshotLog.commitKeysChange, or use the batch changeFeed")
       case Some(keys) =>
         val s = org.apache.spark.sql.SparkSession.active
+        // BOUNDED plan-time collect: the diff is churn-sized for
+        // CDC-shaped commits, but a pathological COW rewrite (half the
+        // table changed in one commit) would ship that half through
+        // the driver — cap it (option "maxDeltaRows", default 1M rows)
+        // and fail LOUDLY pointing at the batch changeFeed, which
+        // computes the same delta distributed
         val diff = graft.operators.ChangeDiff
-          .diffKeys(s, dir, (v - 1).toInt, v.toInt, keys).collect()
+          .diffKeys(s, dir, (v - 1).toInt, v.toInt, keys)
+          .limit((maxDeltaRows + 1).min(Int.MaxValue.toLong).toInt)
+          .collect()
+        if (diff.length > maxDeltaRows) throw new IllegalStateException(
+          s"commit v$v of $dir changes more than maxDeltaRows=" +
+            s"$maxDeltaRows keys — too large to stream as a plan-time " +
+            "delta; raise option(\"maxDeltaRows\", ...) or consume " +
+            "this commit through the batch changeFeed")
         if (diff.isEmpty) Nil // e.g. a compaction: zero logical change
         else Seq(SnapRowsPartition(keys,
           diff.map(r => (keys.indices.map(r.get).toArray,
@@ -666,17 +976,32 @@ private final case class VecSet(keyCols: Seq[String],
   * immutable once committed, so each executor JVM pays one load per
   * file instead of one per task (without this, a scan over F files
   * re-decodes every vector F times — measured 17.6x/10x on the MOR
-  * readback before the cache, ~linear after). Bounded by a full clear
-  * on overflow — only ever a re-read. */
+  * readback before the cache, ~linear after). Bounded LRU, 512
+  * entries per cache: a scan touching more distinct delete files
+  * evicts only the least-recently-used decode (a re-read, never a
+  * wrong answer) instead of thrashing the whole cache mid-scan. Each
+  * entry is churn-sized by the delete contract, so the 512-entry
+  * bound is also an approximate memory bound. */
 private object DeleteFileCaches {
-  val vecs = new java.util.concurrent.ConcurrentHashMap[String, VecSet]()
+  private val MaxEntries = 512
+  private def lru[V](): java.util.Map[String, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, V](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, V]): Boolean =
+          size() > MaxEntries
+      })
+  val vecs: java.util.Map[String, VecSet] = lru[VecSet]()
   /** pos-delete path → (normalized data path → dead row positions) */
-  val pos = new java.util.concurrent.ConcurrentHashMap[String,
-    java.util.HashMap[String, java.util.HashSet[java.lang.Long]]]()
-  def boundedPut[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V],
-      k: K, f: K => V): V = {
-    if (m.size > 512) m.clear()
-    m.computeIfAbsent(k, kk => f(kk))
+  val pos: java.util.Map[String,
+    java.util.HashMap[String, java.util.HashSet[java.lang.Long]]] = lru()
+  // non-atomic check-then-load by design: two tasks racing on a cold
+  // key both decode (immutable file — identical results), one wins
+  def boundedPut[V](m: java.util.Map[String, V],
+      k: String, f: String => V): V = {
+    val hit = m.get(k)
+    if (hit != null) hit
+    else { val v = f(k); m.put(k, v); v }
   }
 }
 
@@ -809,7 +1134,14 @@ private class SnapshotReaderFactory(required: StructType,
 
   /** one Group field as a CANONICAL comparison value (long / double /
     * string / boolean — ints widened, floats widened, binary as UTF-8)
-    * so key tuples compare equal across physically-divergent files. */
+    * so key tuples compare equal across physically-divergent files.
+    * An UNSUPPORTED physical type (FIXED_LEN_BYTE_ARRAY decimals,
+    * INT96 timestamps, …) in a vector KEY column refuses loudly —
+    * silently returning null here would make the vector delete
+    * nothing and deleted rows resurrect, breaking the "fail loudly,
+    * never silently mis-read" contract `readValue` already holds.
+    * A truly ABSENT value (missing field / null) stays null: a null
+    * key matches nothing under the anti-join contract. */
   private def canonValue(g: Group, field: String): Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     if (!g.getType.containsField(field) ||
@@ -821,7 +1153,10 @@ private class SnapshotReaderFactory(required: StructType,
       case FLOAT => g.getFloat(field, 0).toDouble
       case BOOLEAN => g.getBoolean(field, 0)
       case BINARY => g.getBinary(field, 0).toStringUsingUTF8
-      case _ => null
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot: equality-delete key column $field has " +
+          s"unsupported parquet physical type $other — cannot compare " +
+          "key tuples; rewrite the vector with a supported key type")
     }
   }
 

@@ -66,11 +66,122 @@ private[sources] class SnapshotWriteBuilder(dir: String,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(dir, branch, info.schema())
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      new SnapshotStreamingWrite(dir, branch, info.schema())
   }
 }
 
-/** one finished task file. */
-private case class SnapFileCommit(path: String, rows: Long)
+/** `writeStream.format("graft-snapshot")` — the STREAMING face of the
+  * snapshot table through the standard DSv2 door: every epoch commits
+  * as ONE snapshot whose entries carry the `batch=<epochId>` label and
+  * a `#batchhw` high-water header, so a REPLAYED epoch (restart,
+  * speculative re-run) no-ops against the manifest's own high-water
+  * mark — identical manifest bytes, the files of the replay left
+  * unreferenced for the orphan sweep. Exactly the
+  * [[graft.streaming.SnapshotCommitSink]] contract, now reachable
+  * without a foreachBatch shim; `option("branch", name)` stages
+  * epochs on a [[SnapshotRefs]] branch (write–audit–publish for
+  * streams). Commits are O(delta) segment appends.
+  */
+private[sources] class SnapshotStreamingWrite(dir: String,
+    branch: Option[String], schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  // one writer-unique root per QUERY RUN; epochs nest under it, so two
+  // concurrent runs (or a zombie executor from a failed run) can never
+  // collide on paths
+  private val root = SnapshotLog.writerRoot(
+    s"$dir/data/${branch.map(b => s"stream-$b").getOrElse("stream")}")
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming
+        .StreamingDataWriterFactory =
+    new SnapshotStreamingWriterFactory(root, schema)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.collect { case SnapFilesCommit(fs) => fs }
+      .flatten.filter(_.rows > 0).sortBy(_.path)
+    SnapshotStreamingWrite.commitEpoch(dir, branch, epochId,
+      files.map(f => (f.path, f.rows, f.bytes)))
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case SnapFilesCommit(fs) => fs.filter(_.path.nonEmpty).foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
+      case _ =>
+    }
+}
+
+private[sources] object SnapshotStreamingWrite {
+  private def label(epochId: Long) = s"batch=$epochId"
+
+  /** commit one epoch's files as the next snapshot; NO-OP when the
+    * epoch is at or below the target line's `#batchhw` high-water mark
+    * (the replay path after a restart — same manifest bytes, nothing
+    * republished). Returns the line's head either way. */
+  private[sources] def commitEpoch(dir: String, branch: Option[String],
+      epochId: Long, files: Seq[(String, Long, Long)]): Int = {
+    def entriesAt(t: Long) = files.map { case (p, n, b) =>
+      SnapshotLog.FileEntry(p, "D", label(epochId), Map.empty,
+        seq = t, rows = n, bytes = b)
+    }
+    // an EMPTY epoch (AvailableNow's drain tick, an all-filtered
+    // micro-batch) commits nothing: no empty snapshot, no high-water
+    // advance — a later replay of it is empty again, still a no-op
+    if (files.isEmpty)
+      return branch.map(SnapshotRefs.head(dir, _))
+        .getOrElse(SnapshotLog.latest(dir))
+    branch match {
+      case None =>
+        val v = SnapshotLog.latest(dir)
+        if (SnapshotLog.batchHighWater(dir, v) >= epochId) return v
+        val hw = math.max(SnapshotLog.batchHighWater(dir, v), epochId)
+        SnapshotLog.appendEntries(dir, t => entriesAt(t.toLong),
+          extraHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t$hw"),
+          dropHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t"))
+      case Some(name) =>
+        val h = SnapshotRefs.head(dir, name)
+        if (SnapshotLog.batchHighWater(dir, h) >= epochId) return h
+        val hw = math.max(SnapshotLog.batchHighWater(dir, h), epochId)
+        var attempts = 0
+        while (attempts < 1000) {
+          attempts += 1
+          val t = SnapshotLog.latest(dir) + 1
+          if (SnapshotLog.publishAppend(dir, t, h, entriesAt(t.toLong),
+              extraHeaders = Seq(SnapshotRefs.parentHeader(h),
+                s"${SnapshotLog.RefHeader}\t$name",
+                s"${SnapshotLog.BatchHwHeader}\t$hw"),
+              dropHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t"))) {
+            SnapshotRefs.advance(dir, name, h, t)
+            return t
+          }
+        }
+        throw new IllegalStateException(
+          s"streaming epoch commit on branch $name lost 1000 races")
+    }
+  }
+}
+
+private class SnapshotStreamingWriterFactory(root: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming
+      .StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new SnapshotDataWriter(s"$root/e$epochId", schema, partitionId, taskId)
+}
+
+/** one finished task file with everything the manifest wants: path,
+  * row count, byte size (all known task-side at close — no driver-side
+  * stat loop at any file count) and the `col=value` partition label
+  * when the table declares an integral partition spec ("" otherwise).
+  */
+private case class SnapFile(path: String, rows: Long, bytes: Long,
+    label: String)
+private case class SnapFilesCommit(files: Seq[SnapFile])
     extends WriterCommitMessage
 
 private class SnapshotBatchWrite(dir: String, branch: Option[String],
@@ -82,91 +193,136 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotWriterFactory(root, schema)
+    new SnapshotWriterFactory(root, schema, partColIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // (path, rows): the row counts folded TASK-SIDE ride into the
-    // manifest for free — metadata-only COUNT needs no extra pass here
-    val files = messages.collect {
-      case SnapFileCommit(p, n) if n > 0 => (p, n)
-    }.sortBy(_._1)
+    // (path, rows, bytes, label): everything folded TASK-SIDE rides
+    // into the manifest for free — metadata-only COUNT, plan-time
+    // statistics, and partition pruning need no extra pass here
+    val files = messages.collect { case SnapFilesCommit(fs) => fs }
+      .flatten.filter(_.rows > 0).sortBy(_.path)
+    // O(delta) commit: the parent's @seg reference lines are adopted
+    // verbatim (publishAppend) — an append to a millions-of-files table
+    // neither enumerates nor re-serializes the parent's entry set
     branch match {
       case Some(name) =>
         val h = SnapshotRefs.head(dir, name)
-        val prior = SnapshotLog.entries(dir, h)
-        // headers() carries only table-level metadata (no stale parent)
-        val carried = SnapshotLog.headers(dir, h)
         var done = false
         var attempts = 0
         while (!done) {
           attempts += 1
           require(attempts <= 1000, "snapshot write lost 1000 id races")
           val t = SnapshotLog.latest(dir) + 1
-          val added = files.map { case (p, n) => SnapshotLog.FileEntry(
-            p, "D", s"ref=$name", Map.empty, seq = t.toLong, rows = n) }
-          if (SnapshotLog.publishEntries(dir, t, prior ++ added,
-              Seq(SnapshotRefs.parentHeader(h),
-                s"${SnapshotLog.RefHeader}\t$name") ++ carried)) {
+          val added = files.map(f => SnapshotLog.FileEntry(
+            f.path, "D", s"ref=$name", Map.empty, seq = t.toLong,
+            rows = f.rows, bytes = f.bytes))
+          if (SnapshotLog.publishAppend(dir, t, h, added,
+              extraHeaders = Seq(SnapshotRefs.parentHeader(h),
+                s"${SnapshotLog.RefHeader}\t$name"))) {
             SnapshotRefs.advance(dir, name, h, t)
             done = true
           }
         }
       case None =>
-        var done = false
-        var attempts = 0
-        while (!done) {
-          attempts += 1
-          require(attempts <= 1000, "snapshot write lost 1000 id races")
-          val v = SnapshotLog.latest(dir)
-          val prior = if (v > 0) SnapshotLog.entries(dir, v) else Nil
-          val t = v + 1
-          val added = files.map { case (p, n) => SnapshotLog.FileEntry(
-            p, "D", "", Map.empty, seq = t.toLong, rows = n) }
-          if (SnapshotLog.publishEntries(dir, t, prior ++ added,
-              SnapshotLog.headers(dir, v)))
-            done = true
-        }
+        SnapshotLog.appendEntries(dir, t =>
+          files.map(f => SnapshotLog.FileEntry(
+            f.path, "D", f.label, Map.empty, seq = t.toLong,
+            rows = f.rows, bytes = f.bytes)))
     }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     // best-effort: the files are unreferenced either way (orphan sweep)
     messages.foreach {
-      case SnapFileCommit(p, _) if p.nonEmpty =>
-        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      case SnapFilesCommit(fs) => fs.filter(_.path.nonEmpty).foreach(f =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(f.path)))
       case _ =>
     }
   }
+
+  /** the table's INTEGRAL partition spec column, when one is declared
+    * and present in the write schema — each task then splits its rows
+    * by the column's value and labels every produced file, so SQL
+    * `INSERT INTO` a `PARTITIONED BY` lake table feeds partition
+    * pruning and metadata COUNT exactly like the partitioned writers.
+    * Branch-staged writes keep their `ref=` label instead (the WAP
+    * staging marker wins), and non-integral specs stay unlabeled (the
+    * manifest's tab-separated lines cannot carry arbitrary strings).
+    */
+  private[sources] def partColIdx: Option[Int] =
+    if (branch.nonEmpty) None
+    else {
+      val v = SnapshotLog.latest(dir)
+      if (v < 1) None
+      else SnapshotLog.specOf(dir, v).flatMap { pc =>
+        val i = schema.fieldNames.indexOf(pc)
+        if (i >= 0 && (schema.fields(i).dataType == LongType ||
+            schema.fields(i).dataType == IntegerType)) Some(i)
+        else None
+      }
+    }
 }
 
-private class SnapshotWriterFactory(root: String, schema: StructType)
-    extends DataWriterFactory {
+private class SnapshotWriterFactory(root: String, schema: StructType,
+    partColIdx: Option[Int]) extends DataWriterFactory {
   override def createWriter(partitionId: Int,
       taskId: Long): DataWriter[InternalRow] =
-    new SnapshotDataWriter(root, schema, partitionId, taskId)
+    new SnapshotDataWriter(root, schema, partitionId, taskId, partColIdx)
 }
 
 /** Task-side parquet writer over the example Group API — lazy: a task
-  * with zero rows writes no file (its commit message carries rows = 0
-  * and the driver skips it). */
+  * with zero rows writes no file (its commit message carries nothing).
+  * With `partColIdx` set (the table declares an integral partition
+  * spec), the task splits rows by the column's value — one open writer
+  * and one output file per distinct value seen by this task, each
+  * labeled `col=value` in the commit message. The fan-out is the
+  * task's distinct-value count: bounded by how the planner clustered
+  * the input, exactly like Spark's own dynamic-partition writes. */
 private class SnapshotDataWriter(root: String, schema: StructType,
-    partitionId: Int, taskId: Long) extends DataWriter[InternalRow] {
+    partitionId: Int, taskId: Long,
+    partColIdx: Option[Int] = None) extends DataWriter[InternalRow] {
   private val msg = SnapshotWrite.parquetSchema(schema)
   private val factory = new SimpleGroupFactory(msg)
-  private val file =
-    s"$root/part-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-  private var writer: org.apache.parquet.hadoop.ParquetWriter[
-    org.apache.parquet.example.data.Group] = _
-  private var rows = 0L
+
+  private final class OneFile(val label: String, sub: String) {
+    val file =
+      s"$root$sub/part-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    var rows = 0L
+    lazy val writer: org.apache.parquet.hadoop.ParquetWriter[
+      org.apache.parquet.example.data.Group] = {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(file).getParent)
+      ExampleParquetWriter.builder(new Path(file))
+        .withConf(new Configuration()).withType(msg).build()
+    }
+  }
+  // unpartitioned: exactly one sink; partitioned: one per value
+  private val sinks =
+    new java.util.LinkedHashMap[Long, OneFile]()
+  private def sinkFor(row: InternalRow): OneFile = partColIdx match {
+    case None =>
+      var s = sinks.get(0L)
+      if (s == null) { s = new OneFile("", ""); sinks.put(0L, s) }
+      s
+    case Some(i) =>
+      require(!row.isNullAt(i),
+        "graft-snapshot write: the partition-spec column must be " +
+          "non-null (a null partition value cannot be labeled)")
+      val v = schema.fields(i).dataType match {
+        case IntegerType => row.getInt(i).toLong
+        case _ => row.getLong(i)
+      }
+      var s = sinks.get(v)
+      if (s == null) {
+        val col = schema.fieldNames(partColIdx.get)
+        s = new OneFile(s"$col=$v", s"/$col=$v")
+        sinks.put(v, s)
+      }
+      s
+  }
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) {
-      java.nio.file.Files.createDirectories(
-        java.nio.file.Paths.get(root))
-      val conf = new Configuration()
-      writer = ExampleParquetWriter.builder(new Path(file))
-        .withConf(conf).withType(msg).build()
-    }
+    val sink = sinkFor(row)
     val g = factory.newGroup()
     schema.fields.zipWithIndex.foreach { case (f, i) =>
       if (!row.isNullAt(i)) f.dataType match {
@@ -181,18 +337,28 @@ private class SnapshotDataWriter(root: String, schema: StructType,
           s"graft-snapshot write: unsupported type $other")
       }
     }
-    writer.write(g)
-    rows += 1
+    sink.writer.write(g)
+    sink.rows += 1
+  }
+
+  private def allSinks: Seq[OneFile] = {
+    import scala.jdk.CollectionConverters._
+    sinks.values.asScala.toSeq
   }
 
   override def commit(): WriterCommitMessage = {
-    if (writer != null) writer.close()
-    SnapFileCommit(if (rows > 0) file else "", rows)
+    allSinks.foreach(s => if (s.rows > 0) s.writer.close())
+    SnapFilesCommit(allSinks.filter(_.rows > 0).map(s =>
+      SnapFile(s.file, s.rows,
+        java.nio.file.Files.size(java.nio.file.Paths.get(s.file)),
+        s.label)))
   }
 
   override def abort(): Unit = {
-    if (writer != null) writer.close()
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(file))
+    allSinks.foreach { s =>
+      if (s.rows > 0) s.writer.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s.file))
+    }
   }
 
   override def close(): Unit = ()

@@ -25,6 +25,23 @@ object SnapshotCommitSink {
 
   private def batchLabel(batchId: Long) = s"batch=$batchId"
 
+  /** has `batchId` already been committed into the table? The
+    * `#batchhw` high-water header answers in O(1); tables written
+    * before high-water stamping fall back to the legacy label scan. */
+  private def replayed(tableDir: String, v: Int, batchId: Long): Boolean = {
+    val hw = SnapshotLog.batchHighWater(tableDir, v)
+    if (hw >= 0L) batchId <= hw
+    else v > 0 && SnapshotLog.entries(tableDir, v)
+      .exists(_.partition == batchLabel(batchId))
+  }
+
+  private def hwHeaders(tableDir: String, v: Int, batchId: Long)
+      : (Seq[String], Seq[String]) = {
+    val hw = math.max(SnapshotLog.batchHighWater(tableDir, v), batchId)
+    (Seq(s"${SnapshotLog.BatchHwHeader}\t$hw"),
+      Seq(s"${SnapshotLog.BatchHwHeader}\t"))
+  }
+
   /** Commit one micro-batch as the next snapshot; no-op (returning the
     * current latest) if `batchId` is already committed — the replay
     * path after a restart.
@@ -32,24 +49,22 @@ object SnapshotCommitSink {
   def commitBatch(s: SparkSession, tableDir: String,
       batch: DataFrame, batchId: Long): Int = {
     val v = SnapshotLog.latest(tableDir)
-    val prior = if (v > 0) SnapshotLog.entries(tableDir, v) else Nil
-    if (prior.exists(_.partition == batchLabel(batchId))) return v
+    if (replayed(tableDir, v, batchId)) return v
     val dir = s"$tableDir/data/b$batchId"
     batch.write.mode("overwrite").parquet(dir)
     // seq = the committing version: any delete vector already in the
     // manifest has a LOWER seq and therefore does NOT apply to these
     // rows — a key re-inserted by a later batch is served, not
     // silently suppressed by an older vector (the Iceberg
-    // sequence-number scoping)
-    val added = SnapshotLog.dataFiles(dir)
-      .map(SnapshotLog.FileEntry(_, "D", batchLabel(batchId), Map.empty,
-        seq = v + 1L))
-    if (!SnapshotLog.publishEntries(tableDir, v + 1, prior ++ added,
-        SnapshotLog.headers(tableDir, v)))
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot $tableDir advanced past v$v during streaming commit " +
-          s"of batch $batchId")
-    v + 1
+    // sequence-number scoping). O(delta) commit: the parent's segment
+    // refs are adopted verbatim, only this epoch's entries are written.
+    val files = SnapshotLog.dataFiles(dir)
+    val (extra, drop) = hwHeaders(tableDir, v, batchId)
+    SnapshotLog.appendEntries(tableDir,
+      t => files.map(f => SnapshotLog.FileEntry(f, "D",
+        batchLabel(batchId), Map.empty, seq = t.toLong,
+        bytes = SnapshotLog.statBytes(f))),
+      extraHeaders = extra, dropHeaders = drop)
   }
 
   /** Commit one micro-batch as a merge-on-read UPSERT — the streaming
@@ -69,26 +84,23 @@ object SnapshotCommitSink {
   def upsertBatch(s: SparkSession, tableDir: String, batch: DataFrame,
       batchId: Long, keyCols: Seq[String]): Int = {
     val v = SnapshotLog.latest(tableDir)
-    val prior = if (v > 0) SnapshotLog.entries(tableDir, v) else Nil
-    if (prior.exists(_.partition == batchLabel(batchId))) return v
+    if (replayed(tableDir, v, batchId)) return v
     val dataDir = s"$tableDir/data/b$batchId"
     val vecDir = s"$tableDir/deletes/b$batchId"
     batch.write.mode("overwrite").parquet(dataDir)
     batch.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").parquet(vecDir)
-    val seq = v + 1L
-    val added =
-      SnapshotLog.dataFiles(dataDir)
-        .map(SnapshotLog.FileEntry(_, "D", batchLabel(batchId), Map.empty,
-          seq = seq)) ++
-      SnapshotLog.dataFiles(vecDir)
-        .map(SnapshotLog.FileEntry(_, "X", batchLabel(batchId), Map.empty,
-          seq = seq))
-    if (!SnapshotLog.publishEntries(tableDir, v + 1, prior ++ added,
-        SnapshotLog.headers(tableDir, v)))
-      throw new java.util.ConcurrentModificationException(
-        s"snapshot $tableDir advanced past v$v during streaming upsert " +
-          s"of batch $batchId")
-    v + 1
+    val dataFiles = SnapshotLog.dataFiles(dataDir)
+    val vecFiles = SnapshotLog.dataFiles(vecDir)
+    val (extra, drop) = hwHeaders(tableDir, v, batchId)
+    SnapshotLog.appendEntries(tableDir,
+      t =>
+        dataFiles.map(f => SnapshotLog.FileEntry(f, "D",
+          batchLabel(batchId), Map.empty, seq = t.toLong,
+          bytes = SnapshotLog.statBytes(f))) ++
+        vecFiles.map(f => SnapshotLog.FileEntry(f, "X",
+          batchLabel(batchId), Map.empty, seq = t.toLong,
+          bytes = SnapshotLog.statBytes(f))),
+      extraHeaders = extra, dropHeaders = drop)
   }
 }

@@ -551,4 +551,31 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.broadcasts >= 1, "dim side must broadcast")
     graft.Caches.clearTransient()
   }
+
+  test("aggregate pushdown: ZERO exchanges — every face is a literal " +
+      "metadata partition (MetaAggScan), no aggregate node survives") {
+    val df = q("s60_agg_pushdown")
+    val c = Plans.planCounts(df)
+    assert(c.shuffles == 0, s"s60_agg_pushdown shuffles: ${c.shuffles}")
+    val scans = df.queryExecution.executedPlan.collectWithSubqueries {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b.scan
+    }
+    assert(scans.nonEmpty &&
+      scans.forall(_.getClass.getSimpleName == "MetaAggScan"),
+      s"expected only MetaAggScan faces, got ${scans.map(_.getClass)}")
+    graft.Caches.clearTransient()
+  }
+
+  test("SQL DDL readback: three face aggregates only") {
+    val c = Plans.planCounts(q("s61_sql_ddl"))
+    assert(c.shuffles <= 3, s"s61_sql_ddl shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("streaming table sink readback: one agg exchange per snapshot face") {
+    val c = Plans.planCounts(q("stream_table_sink"))
+    assert(c.shuffles <= 3, s"stream_table_sink shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
 }

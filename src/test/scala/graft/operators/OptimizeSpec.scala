@@ -105,6 +105,75 @@ class OptimizeSpec extends SparkSpec {
     assert(SnapshotOptimize.binPack(spark, dir, "grp", threshold) == v3)
   }
 
+  test("binPack targetBytes: oversized partitions split into bounded bins") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/optimize-target/t"
+    graft.Scratch.clear("/tmp/graft-test/optimize-target")
+    // one partition with MANY small files whose total far exceeds the
+    // target: without binning they would collapse into one big file
+    val smallDf = (0L until 40000L).map(i => (i, i % 2, i * 3))
+      .toDF("id", "grp", "v").repartition(16)
+    SnapshotMerge.writeInitial(spark, smallDf, dir, "grp")
+    def sizeOf(p: String) =
+      java.nio.file.Files.size(java.nio.file.Paths.get(p))
+    val es1 = SnapshotLog.entries(dir, SnapshotLog.latest(dir))
+    val target = 56L * 1024
+    val perPart = es1.groupBy(_.partition)
+      .map { case (p, g) => p -> g.map(e => sizeOf(e.path)).sum }
+    assert(perPart.values.forall(_ > 2 * target),
+      s"fixture: each partition's smalls must exceed 2x target, " +
+        s"got $perPart")
+    val v2 = SnapshotOptimize.binPack(spark, dir, "grp",
+      smallBytes = 10L * 1024 * 1024, statsCols = Seq("id"),
+      targetBytes = Some(target))
+    val es2 = SnapshotLog.entries(dir, v2)
+    es2.groupBy(_.partition).foreach { case (p, g) =>
+      assert(g.size >= 2,
+        s"partition $p should split into >= 2 bins, got ${g.size}")
+      // parquet re-encodes (often smaller); the bound is the bin's
+      // INPUT bytes: target + one small file of slack
+      g.foreach(e => assert(sizeOf(e.path) <= 2 * target,
+        s"packed file ${e.path} is ${sizeOf(e.path)} bytes, " +
+          s"target was $target"))
+    }
+    // content identical under the layout change
+    def fact(v: Int) = SnapshotLog.read(spark, dir, v)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.sum(col("id"))).head
+    assert(fact(v2) == fact(1))
+    // manifest-carried sizes made the small-file decision: entries
+    // carry bytes, and the packed outputs recorded theirs
+    assert(es2.forall(_.bytes >= 0L))
+  }
+
+  test("plan statistics come from manifest bytes — files deleted first") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/optimize-planstats/t"
+    graft.Scratch.clear("/tmp/graft-test/optimize-planstats")
+    val df = (0L until 5000L).map(i => (i, i % 3, i)).toDF("id", "grp", "v")
+    // statsCols turns on the write-side stats pass → per-file ROW
+    // counts in the manifest (bytes are recorded by every writer)
+    SnapshotMerge.writeInitial(spark, df, dir, "grp",
+      statsCols = Seq("id"))
+    SnapshotLog.commitSchemaChange(dir,
+      SnapshotLog.read(spark, dir, 1).schema)
+    val v = SnapshotLog.latest(dir)
+    val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
+    assert(es.forall(_.bytes > 0L), "writers must record bytes")
+    val recorded = es.map(_.bytes).sum
+    // the s33 trick applied to PLANNING: delete the data files, the
+    // scan still reports the manifest-recorded size and row count
+    es.foreach(e => java.nio.file.Files.delete(
+      java.nio.file.Paths.get(e.path)))
+    val rel = spark.read.format("graft-snapshot").option("path", dir)
+      .load().queryExecution.optimizedPlan
+    val stats = rel.stats
+    assert(stats.sizeInBytes == BigInt(recorded),
+      s"expected $recorded manifest bytes, got ${stats.sizeInBytes}")
+    assert(stats.rowCount.contains(BigInt(5000)))
+  }
+
   test("ZORDER WITHIN a partition column: labels survive, content " +
       "preserved, partition-scoped MERGE still composes") {
     import spark.implicits._
