@@ -119,7 +119,14 @@ object ScaleProbe {
     "s57_sql_mor_read", "s58_sql_procedures",
     // round 12c: runtime-pruned lake join (scan cost should track the
     // SELECTED partitions, not the table)
-    "s59_lake_dpp")
+    "s59_lake_dpp",
+    // round 13: aggregate pushdown (the scaled cost is the stats-
+    // collecting write + the DML delete; the COUNT/MIN/MAX faces are
+    // manifest reads at any K) and SQL DDL (the scaled cost is the
+    // partitioned INSERT — the per-value task fan-out writer).
+    // stream_table_sink stays out with the other stream_* rows
+    // (micro-batch floors dominate).
+    "s60_agg_pushdown", "s61_sql_ddl")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm

@@ -212,7 +212,28 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean = false
+  /** SQL `DROP TABLE graft_lake.`/dir``: removes the table — its
+    * manifests, segments, data and delete files, everything under the
+    * table's OWN directory (the own-root rule: a clone referencing
+    * this table's files by absolute path breaks, exactly like
+    * dropping a cloned Delta table's source). Returns false when
+    * there is no table, so `DROP TABLE IF EXISTS` behaves. */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = dirOf(ident)
+    if (SnapshotLog.latest(dir) == 0) false
+    else {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val listing = java.nio.file.Files.list(p)
+          try listing.forEach(rm(_)) finally listing.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      rm(java.nio.file.Paths.get(dir))
+      true
+    }
+  }
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit =

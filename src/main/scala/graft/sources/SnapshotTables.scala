@@ -223,7 +223,7 @@ private[sources] class SnapshotTable(schema0: StructType,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder = {
     // a catalog time-travel load (SQL VERSION/TIMESTAMP AS OF) pins the
@@ -420,6 +420,12 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
     SnapshotTables.explicitVersion(dir, options)
       .getOrElse(SnapshotTables.defaultVersion(dir))
 
+  /** the pinned snapshot's DATA entries, read once per builder — the
+    * exact-filter analysis runs per pushed predicate and must not pay
+    * one manifest resolution each. */
+  private lazy val pinnedData: Seq[SnapshotLog.FileEntry] =
+    SnapshotLog.entries(dir, pinnedV).filter(_.kind == "D")
+
   /** is `p` decided EXACTLY by partition-label pruning — so Spark may
     * drop its post-scan re-check entirely? True only when every data
     * entry of the pinned snapshot is labeled by the predicate's
@@ -435,9 +441,8 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
       val integralCol = full.fields.find(_.name == col).exists(f =>
         f.dataType == LongType || f.dataType == IntegerType ||
           f.dataType == ShortType)
-      val es = SnapshotLog.entries(dir, pinnedV).filter(_.kind == "D")
-      integralCol && es.nonEmpty &&
-        es.forall(e => SnapshotPrune.labelValue(e, col)
+      integralCol && pinnedData.nonEmpty &&
+        pinnedData.forall(e => SnapshotPrune.labelValue(e, col)
           .exists(_.toLongOption.isDefined))
     }
     try {
@@ -565,30 +570,46 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
           case _ => return None // SUM/AVG/COUNT(col): null semantics
             // and overflow are data questions, not manifest questions
         }
-      if (served.isEmpty) return None
+      // an EMPTY aggregate list is a real plan, not a degenerate one:
+      // a consumer that prunes every aggregate away (count() over the
+      // faces, SELECT DISTINCT part) leaves group-by-only pushdown —
+      // the groups (or the global aggregate's always-one row) must
+      // still be served, or the fallback scans data the caller proved
+      // deleted
+      // GROUP EXISTENCE is a row question: a partition whose every row
+      // is position-deleted produces NO group in SQL — deciding that
+      // needs live counts, so grouped pushdown always requires
+      // recorded rows (0-row entries are writer-excluded, but
+      // correctness never bets on it)
+      if (groupCol.isDefined && data.exists(_.rows < 0L)) return None
       // the complete-pushdown contract: readSchema = group cols then
-      // aggregate columns, rows = one per group
+      // aggregate columns, rows = one per (non-empty) group
       val schema = StructType(
         groupCol.map { case (c, dt) => StructField(c, dt) }.toSeq ++
           served.map(_._2))
       val computeRows: () => Seq[Seq[Any]] = () => {
         val dead: Map[String, Long] =
           if (posDeletes.isEmpty ||
-              !served.exists(_._1 == ServeCount)) Map.empty
+              (served.forall(_._1 != ServeCount) && groupCol.isEmpty))
+            Map.empty
           else MetaAggScan.deadByFile(posDeletes.map(_.path),
             data.map(e => SnapshotLog.normPath(e.path)).toSet)
+        def live(g: Seq[SnapshotLog.FileEntry]): Long =
+          g.map(e =>
+            e.rows - dead.getOrElse(SnapshotLog.normPath(e.path), 0L))
+            .sum
         val groups: Seq[(Option[Any], Seq[SnapshotLog.FileEntry])] =
           groupCol match {
             case None => Seq(None -> data)
             case Some((c, dt)) => data.groupBy(e =>
               typedLabel(SnapshotPrune.labelValue(e, c).get, dt).get)
               .toSeq.map { case (k, g) => (Some(k): Option[Any]) -> g }
+              // SQL group semantics: zero live rows ⇒ no group row
+              .filter { case (_, g) => live(g) > 0L }
           }
         groups.map { case (k, g) =>
           k.toSeq ++ served.map {
-            case (ServeCount, _) => g.map(e =>
-              e.rows - dead.getOrElse(SnapshotLog.normPath(e.path), 0L))
-              .sum: Any
+            case (ServeCount, _) => live(g): Any
             case (ServeMin(c, dt), _) => dt match {
               case LongType => g.map(_.stats(c)._1).min: Any
               case _ => g.map(_.strStats(c)._1).min: Any

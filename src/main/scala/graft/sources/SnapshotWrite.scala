@@ -62,13 +62,35 @@ private[sources] object SnapshotWrite {
 }
 
 private[sources] class SnapshotWriteBuilder(dir: String,
-    branch: Option[String], info: LogicalWriteInfo) extends WriteBuilder {
+    branch: Option[String], info: LogicalWriteInfo) extends WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+
+  /** SQL `INSERT OVERWRITE` / `df.write.mode("overwrite")`: the commit
+    * REPLACES the table's content — new files only, prior entries
+    * dropped — as one ordinary snapshot, so time travel still serves
+    * every pre-overwrite version (the Delta/Iceberg overwrite shape:
+    * a version, never a wipe). Table-level headers (schema, spec,
+    * keys) carry. Branch-staged overwrites refuse: a WAP stage is an
+    * audit of additions, not a replacement. */
+  override def truncate(): WriteBuilder = {
+    require(branch.isEmpty,
+      "INSERT OVERWRITE cannot target a branch stage; overwrite main " +
+        "or write a fresh table")
+    doTruncate = true
+    this
+  }
+
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new SnapshotBatchWrite(dir, branch, info.schema())
+      new SnapshotBatchWrite(dir, branch, info.schema(), doTruncate)
     override def toStreaming
-        : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!doTruncate,
+        "streaming writes append epochs; complete-mode overwrite is " +
+          "not supported on graft-snapshot tables")
       new SnapshotStreamingWrite(dir, branch, info.schema())
+    }
   }
 }
 
@@ -185,7 +207,7 @@ private case class SnapFilesCommit(files: Seq[SnapFile])
     extends WriterCommitMessage
 
 private class SnapshotBatchWrite(dir: String, branch: Option[String],
-    schema: StructType) extends BatchWrite {
+    schema: StructType, truncate: Boolean = false) extends BatchWrite {
   // writer-unique root, minted ONCE on the driver so every task of this
   // job (and only this job) lands under it
   private val root = SnapshotLog.writerRoot(
@@ -222,6 +244,21 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
             SnapshotRefs.advance(dir, name, h, t)
             done = true
           }
+        }
+      case None if truncate =>
+        // REPLACE content: new files only, headers carried — an
+        // ordinary snapshot, so pre-overwrite versions stay readable
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          require(attempts <= 1000, "overwrite lost 1000 id races")
+          val v = SnapshotLog.latest(dir)
+          val added = files.map(f => SnapshotLog.FileEntry(
+            f.path, "D", f.label, Map.empty, seq = v + 1L,
+            rows = f.rows, bytes = f.bytes))
+          done = SnapshotLog.publishEntries(dir, v + 1, added,
+            SnapshotLog.headers(dir, v))
         }
       case None =>
         SnapshotLog.appendEntries(dir, t =>

@@ -145,6 +145,39 @@ class MetaAggPushSpec extends SparkSpec {
     assert((df.head.getLong(0), df.head.getLong(1)) == ((448500L, 300L)))
   }
 
+  test("pruned-away aggregates (count(), DISTINCT) still serve — " +
+      "group-by-only and exists-row pushdown") {
+    // a consumer that counts the faces (the probe's df.count()) makes
+    // the optimizer prune every aggregate out of the pushed Aggregation
+    // — the scan must serve the GROUPS (or the global aggregate's
+    // always-one row) from metadata, not fall back to a scan of files
+    // the fixture proved deleted
+    val (dir, tbl) = fresh("emptyagg")
+    writeBase(dir)
+    val v1 = recordSchema(dir)
+    deleteDataFiles(dir, v1)
+    val d = spark.sql(s"SELECT DISTINCT grp FROM $tbl")
+    assert(d.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(spark.sql(s"SELECT grp, count(*) AS n FROM $tbl GROUP BY grp")
+      .count() == 3L)
+    assert(spark.sql(s"SELECT min(id) AS lo FROM $tbl").count() == 1L)
+  }
+
+  test("a fully position-deleted partition produces NO group row") {
+    val (dir, tbl) = fresh("deadgroup")
+    writeBase(dir)
+    recordSchema(dir)
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 1")
+    deleteDataFiles(dir, SnapshotLog.latest(dir))
+    val rows = spark.sql(
+      s"SELECT grp, count(*) AS n FROM $tbl GROUP BY grp")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(0L -> 100L, 2L -> 100L),
+      s"a zero-live-row group must not surface; got $rows")
+    assert(spark.sql(s"SELECT DISTINCT grp FROM $tbl")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L))
+  }
+
   test("string-typed WHERE pushed through SQL prunes from string bounds") {
     // the ADVICE regression: Spark pushes StringType literals as
     // UTF8String — pruning must still fire. Proven by deleting the

@@ -102,6 +102,36 @@ class SqlDdlSpec extends SparkSpec {
     assert(old.count() == 10L)
   }
 
+  test("INSERT OVERWRITE replaces content as a snapshot; DROP removes") {
+    val (dir, tbl) = fresh("overwrite")
+    spark.sql(s"CREATE TABLE $tbl (id BIGINT, grp BIGINT) " +
+      "PARTITIONED BY (grp)")
+    spark.sql(s"INSERT INTO $tbl SELECT id, id % 2 FROM range(50)")
+    val vIns = SnapshotLog.latest(dir)
+    spark.sql(s"INSERT OVERWRITE $tbl SELECT id, id % 2 FROM range(7)")
+    // content replaced — but as a VERSION: time travel serves the
+    // pre-overwrite table, nothing was wiped
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head.getLong(0)
+      == 7L)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM $tbl VERSION AS OF $vIns")
+      .head.getLong(0) == 50L)
+    // overwrite files are spec-labeled like any insert
+    val es = SnapshotLog.entries(dir, SnapshotLog.latest(dir))
+      .filter(_.kind == "D")
+    assert(es.forall(_.partition.matches("grp=\\d+")))
+
+    // DROP TABLE removes it; IF EXISTS then no-ops; re-CREATE works
+    spark.sql(s"DROP TABLE $tbl")
+    assert(SnapshotLog.latest(dir) == 0)
+    intercept[Exception](spark.sql(s"SELECT * FROM $tbl").collect())
+    spark.sql(s"DROP TABLE IF EXISTS $tbl") // no throw
+    spark.sql(s"CREATE TABLE $tbl (x BIGINT)")
+    spark.sql(s"INSERT INTO $tbl VALUES (1)")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $tbl").head.getLong(0)
+      == 1L)
+  }
+
   test("unsupported ALTERs refuse loudly") {
     val (dir, tbl) = fresh("refuse")
     spark.sql(s"CREATE TABLE $tbl (id BIGINT, grp BIGINT, v DOUBLE) " +
