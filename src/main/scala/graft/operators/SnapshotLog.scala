@@ -285,11 +285,18 @@ object SnapshotLog {
   private[graft] def appendEntries(tableDir: String,
       mkAdded: Int => Seq[FileEntry],
       extraHeaders: Seq[String] = Nil,
-      dropHeaders: Seq[String] = Nil): Int = {
+      dropHeaders: Seq[String] = Nil,
+      noopIf: Int => Boolean = _ => false): Int = {
     var attempts = 0
     while (attempts < 1000) {
       attempts += 1
       val v = latest(tableDir)
+      // the idempotence guard re-evaluates against EVERY head this
+      // loop observes, not just the one the caller checked before
+      // calling: two racing committers of the same streaming epoch
+      // must resolve to one commit + one no-op, never two commits
+      // (the CAS loser would otherwise just retry onto the next id)
+      if (noopIf(v)) return v
       val t = v + 1
       if (publishAppend(tableDir, t, v, mkAdded(t),
           extraHeaders = extraHeaders, dropHeaders = dropHeaders)) return t
@@ -524,7 +531,7 @@ object SnapshotLog {
 
   private val SchemaHeader = "#schema"
   private val RenameHeader = "#rename"
-  private val SpecHeader = "#spec"
+  private[graft] val SpecHeader = "#spec"
   private val TsHeader = "#ts"
   private[operators] val ParentHeader = "#parent"
   private[graft] val RefHeader = "#ref"

@@ -166,6 +166,20 @@ object SnapshotOptimize {
     val data = s.read.parquet(touched.map(_.path): _*)
       .withColumn("_gp", col(partCol))
       .withColumn("_p", SnapshotLog.normPathCol(col("_metadata.file_path")))
+    // LOUD path-spelling check BEFORE the bin join: if any scanned
+    // file's metadata path fails to match its manifest spelling (an
+    // exotic table directory the normalizer does not canonicalize),
+    // the inner join below would silently drop that file's rows and
+    // commit the loss — refuse instead. One distinct over the
+    // file-path metadata column: file-count-sized, never row-heavy.
+    val scanned = data.select(col("_p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val known = binOf.map(t => SnapshotLog.normPath(t._1)).toSet
+    require(scanned.subsetOf(known),
+      s"bin-pack: scanned file(s) matched no manifest entry (path " +
+        s"normalization mismatch, e.g. " +
+        s"${(scanned -- known).take(2).mkString(", ")}); refusing a " +
+        "lossy rewrite")
     data.join(org.apache.spark.sql.functions.broadcast(
         bins.withColumn("_path", SnapshotLog.normPathCol(col("_path")))),
         data("_p") === col("_path"))

@@ -130,7 +130,7 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     }
     val headers =
       SnapshotLog.renderSchemaHeaders(schema, Map.empty) ++
-        spec.map(c => s"#spec\t$c")
+        spec.map(c => s"${SnapshotLog.SpecHeader}\t$c")
     if (!SnapshotLog.publishEntries(dir, 1, Nil, headers))
       throw new org.apache.spark.sql.catalyst.analysis
         .TableAlreadyExistsException(

@@ -497,15 +497,24 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
   // the label can't type REFUSE the pushdown — Spark falls back to
   // the real scan, never a wrong answer.
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean =
-    plannedAgg.isDefined || planAggregation(agg).isDefined
+  // Spark consults supportCompletePushDown BEFORE pushAggregation with
+  // the same Aggregation — plan once, reuse by reference (Aggregation
+  // holds arrays, so value equality is unreliable)
+  private var plannedFor: Aggregation = _
 
-  override def pushAggregation(agg: Aggregation): Boolean = {
-    planAggregation(agg) match {
-      case Some(scan) => plannedAgg = Some(scan); true
-      case None => false
+  private def planOnce(agg: Aggregation): Option[MetaAggScan] = {
+    if (!(plannedFor eq agg)) {
+      plannedAgg = planAggregation(agg)
+      plannedFor = agg
     }
+    plannedAgg
   }
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    planOnce(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    planOnce(agg).isDefined
 
   /** typed group value from a label string, or None to refuse. String
     * labels containing '%' are refused: the partitioned writer
@@ -647,13 +656,24 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
     case _ => None
   }
 
-  override def build(): Scan = plannedAgg.getOrElse(new SnapshotScan(
-    dir,
-    SnapshotTables.explicitVersion(dir, options),
-    changeFeed,
-    options.getInt("startingVersion", 0),
-    full, required, pruningPreds,
-    options.getLong("maxDeltaRows", 1000000L)))
+  override def build(): Scan = plannedAgg.getOrElse {
+    // when a predicate was claimed FULLY pushed, the scan must execute
+    // against the exact manifest the exactness proof was computed from
+    // — re-resolving the head at plan time could adopt a concurrent
+    // commit's unlabeled entries with the WHERE re-check already
+    // dropped by Spark. Explicit pins win; otherwise the exact-filter
+    // path pins the analyzed version, and the plain path keeps
+    // resolving the head (fresh reads for unpinned consumers).
+    val pin = SnapshotTables.explicitVersion(dir, options)
+      .orElse(if (exactPreds.nonEmpty) Some(pinnedV) else None)
+    new SnapshotScan(
+      dir,
+      pin,
+      changeFeed,
+      options.getInt("startingVersion", 0),
+      full, required, pruningPreds,
+      options.getLong("maxDeltaRows", 1000000L))
+  }
 }
 
 /** one literal result partition for a manifest-served aggregate. */
@@ -967,7 +987,9 @@ private[sources] class SnapshotChangeStream(dir: String,
         // computes the same delta distributed
         val diff = graft.operators.ChangeDiff
           .diffKeys(s, dir, (v - 1).toInt, v.toInt, keys)
-          .limit((maxDeltaRows + 1).min(Int.MaxValue.toLong).toInt)
+          // saturating: maxDeltaRows = Long.MaxValue ("no cap") must
+          // not wrap to limit(0) and silently empty every delta
+          .limit(math.min(maxDeltaRows, Int.MaxValue - 2L).toInt + 1)
           .collect()
         if (diff.length > maxDeltaRows) throw new IllegalStateException(
           s"commit v$v of $dir changes more than maxDeltaRows=" +

@@ -41,6 +41,24 @@ import org.apache.spark.sql.types._
   */
 private[sources] object SnapshotWrite {
 
+  /** the table's INTEGRAL partition spec column when one is declared,
+    * present in the write schema, and the write is not branch-staged
+    * (the WAP `ref=` label wins there). Non-integral specs stay
+    * unlabeled — the manifest's tab-separated lines cannot carry
+    * arbitrary strings. */
+  private[sources] def specColOf(dir: String, branch: Option[String],
+      schema: StructType): Option[String] =
+    if (branch.nonEmpty) None
+    else {
+      val v = SnapshotLog.latest(dir)
+      if (v < 1) None
+      else SnapshotLog.specOf(dir, v).filter { pc =>
+        val i = schema.fieldNames.indexOf(pc)
+        i >= 0 && (schema.fields(i).dataType == LongType ||
+          schema.fields(i).dataType == IntegerType)
+      }
+    }
+
   private[sources] def parquetSchema(schema: StructType): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach { f =>
@@ -81,7 +99,9 @@ private[sources] class SnapshotWriteBuilder(dir: String,
     this
   }
 
-  override def build(): Write = new Write {
+  override def build(): Write = new Write
+      with org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering {
     override def toBatch: BatchWrite =
       new SnapshotBatchWrite(dir, branch, info.schema(), doTruncate)
     override def toStreaming
@@ -91,6 +111,39 @@ private[sources] class SnapshotWriteBuilder(dir: String,
           "not supported on graft-snapshot tables")
       new SnapshotStreamingWrite(dir, branch, info.schema())
     }
+
+    // SPEC-CLUSTERED WRITES (the Iceberg/Delta write-distribution
+    // contract): when the table declares an integral partition spec,
+    // ask Spark to CLUSTER rows by it and SORT each task's slice on it
+    // — every task then holds at most a handful of values and the
+    // value-change writer below keeps exactly ONE parquet writer open
+    // (one row-group buffer), instead of one per value per task (12
+    // values x 32 tasks x 128 MB buffers OOMed the x100 probe). An
+    // unspecced table keeps Spark's own distribution.
+    private val specCol: Option[String] =
+      SnapshotWrite.specColOf(dir, branch, info.schema())
+    import org.apache.spark.sql.connector.expressions.Expressions
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      specCol match {
+        case Some(pc) =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .clustered(Array(Expressions.column(pc)))
+        case None =>
+          org.apache.spark.sql.connector.distributions.Distributions
+            .unspecified()
+      }
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      specCol match {
+        case Some(pc) => Array(Expressions.sort(Expressions.column(pc),
+          org.apache.spark.sql.connector.expressions.SortDirection
+            .ASCENDING))
+        case None => Array.empty
+      }
+    // clustering is a LAYOUT preference, not a correctness need (the
+    // writer handles interleaved values by rolling files)
+    override def distributionStrictlyRequired(): Boolean = false
   }
 }
 
@@ -163,7 +216,8 @@ private[sources] object SnapshotStreamingWrite {
         val hw = math.max(SnapshotLog.batchHighWater(dir, v), epochId)
         SnapshotLog.appendEntries(dir, t => entriesAt(t.toLong),
           extraHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t$hw"),
-          dropHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t"))
+          dropHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t"),
+          noopIf = h => SnapshotLog.batchHighWater(dir, h) >= epochId)
       case Some(name) =>
         val h = SnapshotRefs.head(dir, name)
         if (SnapshotLog.batchHighWater(dir, h) >= epochId) return h
@@ -287,17 +341,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
     * manifest's tab-separated lines cannot carry arbitrary strings).
     */
   private[sources] def partColIdx: Option[Int] =
-    if (branch.nonEmpty) None
-    else {
-      val v = SnapshotLog.latest(dir)
-      if (v < 1) None
-      else SnapshotLog.specOf(dir, v).flatMap { pc =>
-        val i = schema.fieldNames.indexOf(pc)
-        if (i >= 0 && (schema.fields(i).dataType == LongType ||
-            schema.fields(i).dataType == IntegerType)) Some(i)
-        else None
-      }
-    }
+    SnapshotWrite.specColOf(dir, branch, schema)
+      .map(schema.fieldNames.indexOf(_))
 }
 
 private class SnapshotWriterFactory(root: String, schema: StructType,
@@ -310,11 +355,16 @@ private class SnapshotWriterFactory(root: String, schema: StructType,
 /** Task-side parquet writer over the example Group API — lazy: a task
   * with zero rows writes no file (its commit message carries nothing).
   * With `partColIdx` set (the table declares an integral partition
-  * spec), the task splits rows by the column's value — one open writer
-  * and one output file per distinct value seen by this task, each
-  * labeled `col=value` in the commit message. The fan-out is the
-  * task's distinct-value count: bounded by how the planner clustered
-  * the input, exactly like Spark's own dynamic-partition writes. */
+  * spec), every produced file is labeled `col=value`, and the writer
+  * holds exactly ONE open parquet writer at a time: when the value
+  * changes it CLOSES the current file and rolls a new one. Under the
+  * clustered + sorted distribution the Write requests, each task's
+  * values arrive contiguously, so this yields one file per value per
+  * task with one row-group buffer of memory — per-value open-writer
+  * maps blow up as values x tasks x buffer (the x100 probe OOMed on
+  * exactly that). Unsorted input (a foreign plan that ignored the
+  * ordering preference) just rolls more files; never wrong, never
+  * unbounded. */
 private class SnapshotDataWriter(root: String, schema: StructType,
     partitionId: Int, taskId: Long,
     partColIdx: Option[Int] = None) extends DataWriter[InternalRow] {
@@ -332,15 +382,21 @@ private class SnapshotDataWriter(root: String, schema: StructType,
       ExampleParquetWriter.builder(new Path(file))
         .withConf(new Configuration()).withType(msg).build()
     }
+    def finish(): Unit = if (rows > 0) writer.close()
   }
-  // unpartitioned: exactly one sink; partitioned: one per value
-  private val sinks =
-    new java.util.LinkedHashMap[Long, OneFile]()
+
+  private var current: OneFile = _
+  private var currentVal = 0L
+  private val finished = scala.collection.mutable.ArrayBuffer.empty[OneFile]
+
+  private def roll(label: String, sub: String): OneFile = {
+    if (current != null) { current.finish(); finished += current }
+    current = new OneFile(label, sub)
+    current
+  }
+
   private def sinkFor(row: InternalRow): OneFile = partColIdx match {
-    case None =>
-      var s = sinks.get(0L)
-      if (s == null) { s = new OneFile("", ""); sinks.put(0L, s) }
-      s
+    case None => if (current == null) roll("", "") else current
     case Some(i) =>
       require(!row.isNullAt(i),
         "graft-snapshot write: the partition-spec column must be " +
@@ -349,13 +405,12 @@ private class SnapshotDataWriter(root: String, schema: StructType,
         case IntegerType => row.getInt(i).toLong
         case _ => row.getLong(i)
       }
-      var s = sinks.get(v)
-      if (s == null) {
-        val col = schema.fieldNames(partColIdx.get)
-        s = new OneFile(s"$col=$v", s"/$col=$v")
-        sinks.put(v, s)
+      if (current == null || v != currentVal) {
+        val col = schema.fieldNames(i)
+        roll(s"$col=$v", s"/$col=$v")
+        currentVal = v
       }
-      s
+      current
   }
 
   override def write(row: InternalRow): Unit = {
@@ -366,8 +421,8 @@ private class SnapshotDataWriter(root: String, schema: StructType,
         case LongType => g.add(f.name, row.getLong(i))
         case IntegerType => g.add(f.name, row.getInt(i))
         case DoubleType => g.add(f.name, row.getDouble(i))
-        case FloatType => g.add(f.name, row.getFloat(i))
         case BooleanType => g.add(f.name, row.getBoolean(i))
+        case FloatType => g.add(f.name, row.getFloat(i))
         case StringType => g.add(f.name,
           Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
         case other => throw new IllegalArgumentException(
@@ -378,14 +433,14 @@ private class SnapshotDataWriter(root: String, schema: StructType,
     sink.rows += 1
   }
 
-  private def allSinks: Seq[OneFile] = {
-    import scala.jdk.CollectionConverters._
-    sinks.values.asScala.toSeq
-  }
+  private def allSinks: Seq[OneFile] =
+    finished.toSeq ++ Option(current).toSeq
 
   override def commit(): WriterCommitMessage = {
-    allSinks.foreach(s => if (s.rows > 0) s.writer.close())
-    SnapFilesCommit(allSinks.filter(_.rows > 0).map(s =>
+    if (current != null) { current.finish(); finished += current }
+    val done = finished.toSeq
+    current = null
+    SnapFilesCommit(done.filter(_.rows > 0).map(s =>
       SnapFile(s.file, s.rows,
         java.nio.file.Files.size(java.nio.file.Paths.get(s.file)),
         s.label)))
@@ -393,7 +448,7 @@ private class SnapshotDataWriter(root: String, schema: StructType,
 
   override def abort(): Unit = {
     allSinks.foreach { s =>
-      if (s.rows > 0) s.writer.close()
+      s.finish()
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(s.file))
     }
   }

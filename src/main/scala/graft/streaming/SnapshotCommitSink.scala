@@ -64,7 +64,8 @@ object SnapshotCommitSink {
       t => files.map(f => SnapshotLog.FileEntry(f, "D",
         batchLabel(batchId), Map.empty, seq = t.toLong,
         bytes = SnapshotLog.statBytes(f))),
-      extraHeaders = extra, dropHeaders = drop)
+      extraHeaders = extra, dropHeaders = drop,
+      noopIf = h => replayed(tableDir, h, batchId))
   }
 
   /** Commit one micro-batch as a merge-on-read UPSERT — the streaming
@@ -101,6 +102,7 @@ object SnapshotCommitSink {
         vecFiles.map(f => SnapshotLog.FileEntry(f, "X",
           batchLabel(batchId), Map.empty, seq = t.toLong,
           bytes = SnapshotLog.statBytes(f))),
-      extraHeaders = extra, dropHeaders = drop)
+      extraHeaders = extra, dropHeaders = drop,
+      noopIf = h => replayed(tableDir, h, batchId))
   }
 }
