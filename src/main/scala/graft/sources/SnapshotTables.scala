@@ -1038,13 +1038,29 @@ private object DeleteFileCaches {
   /** pos-delete path → (normalized data path → dead row positions) */
   val pos: java.util.Map[String,
     java.util.HashMap[String, java.util.HashSet[java.lang.Long]]] = lru()
-  // non-atomic check-then-load by design: two tasks racing on a cold
-  // key both decode (immutable file — identical results), one wins
+  // PER-KEY load serialization: a cold vector file must decode ONCE
+  // per executor even when 32 tasks hit it simultaneously — without
+  // this, every cold task holds its own multi-million-tuple decode in
+  // flight before the put (32 concurrent duplicates of a large vector
+  // OOMed the x100 probe; ConcurrentHashMap.computeIfAbsent gave the
+  // old cache this property per bucket for free)
+  private val loading =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
   def boundedPut[V](m: java.util.Map[String, V],
       k: String, f: String => V): V = {
     val hit = m.get(k)
-    if (hit != null) hit
-    else { val v = f(k); m.put(k, v); v }
+    if (hit != null) return hit
+    val lock = loading.computeIfAbsent(k, _ => new Object)
+    lock.synchronized {
+      val again = m.get(k)
+      if (again != null) again
+      else {
+        val v = f(k)
+        m.put(k, v)
+        loading.remove(k)
+        v
+      }
+    }
   }
 }
 
