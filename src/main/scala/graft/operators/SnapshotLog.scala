@@ -506,7 +506,23 @@ object SnapshotLog {
         l.stripPrefix(s"$RefHeader\t")
     }
 
-  /** publish typed entries as the next snapshot (same CAS commit). */
+  /** publish typed entries as the next snapshot (same CAS commit).
+    *
+    * METADATA PURITY CONTRACT (holds for every commit door —
+    * [[commitEntries]], [[publishEntries]], [[appendEntries]]): an
+    * entry's `partition` label, `rows`, `stats`/`strStats` and `bytes`
+    * MUST be true of the file's contents — a `col=value` label asserts
+    * EVERY row of the file holds exactly that value in `col`, and
+    * `rows` asserts the file's exact physical row count. The engine's
+    * writers guarantee this by construction (labels and counts are
+    * folded task-side from the rows being written); a HAND-COMMITTED
+    * entry that violates it makes pruning, metadata COUNT, scan
+    * statistics and the SQL aggregate pushdown silently wrong — the
+    * kernel trusts the manifest precisely so that 100-TB plans never
+    * re-open files to re-verify it. Callers that cannot certify a
+    * fact must omit it (`""` label, `rows = -1`, empty stats): absent
+    * metadata degrades to conservative scans, never to wrong answers.
+    */
   def commitEntries(tableDir: String, es: Seq[FileEntry],
       headerLines: Seq[String] = Nil): Int =
     commit(tableDir, headerLines ++ es.map(renderEntry))
@@ -515,7 +531,8 @@ object SnapshotLog {
     * primitive snapshot transforms build on: a writer that derived its
     * output from snapshot v publishes at v+1 and must FAIL (not land on
     * a later id) if another commit got there first, because its result
-    * no longer reflects the table it would replace.
+    * no longer reflects the table it would replace. Entry metadata is
+    * subject to the purity contract documented on [[commitEntries]].
     */
   private[graft] def publishEntries(
       tableDir: String, v: Int, es: Seq[FileEntry],
@@ -543,6 +560,15 @@ object SnapshotLog {
     * the no-op check stays O(1) however large the table. */
   private[graft] val BatchHwHeader = "#batchhw"
 
+  /** PER-WRITER epoch high-water (the Delta `txn` appId idea): each
+    * streaming writer keys its replay detection by its OWN id, so a
+    * second query writing the same table (independent epoch counters)
+    * or a query restarted with a fresh checkpoint never has its
+    * lower-numbered epochs silently no-op'd against another writer's
+    * high-water. The table-global [[BatchHwHeader]] remains the ""
+    * writer's marker (legacy tables keep reading unchanged). */
+  private[graft] val WriterHwHeader = "#writerhw"
+
   /** the highest streaming epoch committed into snapshot `v` (−1 when
     * the table predates high-water stamping). */
   private[graft] def batchHighWater(tableDir: String, v: Int): Long =
@@ -551,6 +577,30 @@ object SnapshotLog {
       case l if l.startsWith(s"$BatchHwHeader\t") =>
         l.stripPrefix(s"$BatchHwHeader\t").toLong
     }.getOrElse(-1L)
+
+  /** [[batchHighWater]] scoped to one WRITER's marker; the empty
+    * writerId reads the table-global legacy header. */
+  private[graft] def batchHighWater(tableDir: String, v: Int,
+      writerId: String): Long =
+    if (writerId.isEmpty) batchHighWater(tableDir, v)
+    else if (v <= 0) -1L
+    else headers(tableDir, v).collectFirst {
+      case l if l.startsWith(s"$WriterHwHeader\t$writerId\t") =>
+        l.stripPrefix(s"$WriterHwHeader\t$writerId\t").toLong
+    }.getOrElse(-1L)
+
+  /** the header line recording writer `writerId`'s epoch high-water,
+    * and the prefix a committer drops to replace ITS OWN marker (and
+    * never another writer's). */
+  private[graft] def hwHeader(writerId: String, hw: Long): String = {
+    require(!writerId.contains('\t') && !writerId.contains('\n'),
+      s"writerId must not contain tab/newline: $writerId")
+    if (writerId.isEmpty) s"$BatchHwHeader\t$hw"
+    else s"$WriterHwHeader\t$writerId\t$hw"
+  }
+  private[graft] def hwDropPrefix(writerId: String): String =
+    if (writerId.isEmpty) s"$BatchHwHeader\t"
+    else s"$WriterHwHeader\t$writerId\t"
 
   /** the snapshot this commit DERIVED from — explicit for branch
     * commits ([[SnapshotRefs]] writes the header), implicit v−1 for

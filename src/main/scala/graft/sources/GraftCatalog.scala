@@ -172,6 +172,9 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
         require(!activeSpec.contains(old),
           s"cannot rename '$old': it is the table's active partition " +
             "spec column (manifest labels are keyed by name)")
+        require(!schema.fieldNames.contains(r.newName()),
+          s"cannot rename '$old' to '${r.newName()}': a column with " +
+            "that name already exists")
         val i = idxOf(old)
         schema = StructType(schema.fields.updated(i,
           schema.fields(i).copy(name = r.newName())))

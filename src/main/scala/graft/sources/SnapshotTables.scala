@@ -1052,14 +1052,19 @@ private object DeleteFileCaches {
     if (hit != null) return hit
     val lock = loading.computeIfAbsent(k, _ => new Object)
     lock.synchronized {
-      val again = m.get(k)
-      if (again != null) again
-      else {
-        val v = f(k)
-        m.put(k, v)
-        loading.remove(k)
-        v
-      }
+      // the lock entry is removed in finally: a loader that THROWS
+      // (corrupt/expired delete file) must not leave its lock object
+      // in `loading` forever — repeated failures across distinct keys
+      // would grow the map unboundedly
+      try {
+        val again = m.get(k)
+        if (again != null) again
+        else {
+          val v = f(k)
+          m.put(k, v)
+          v
+        }
+      } finally loading.remove(k)
     }
   }
 }

@@ -109,7 +109,13 @@ private[sources] class SnapshotWriteBuilder(dir: String,
       require(!doTruncate,
         "streaming writes append epochs; complete-mode overwrite is " +
           "not supported on graft-snapshot tables")
-      new SnapshotStreamingWrite(dir, branch, info.schema())
+      // replay idempotence is keyed by the STREAMING QUERY's stable id
+      // (Spark persists it in the checkpoint): two queries writing the
+      // same table, or one restarted with a fresh checkpoint, each get
+      // their own high-water — epochs are never silently dropped
+      // against another writer's marker (the Delta txn-appId contract)
+      new SnapshotStreamingWrite(dir, branch, info.schema(),
+        Option(info.queryId()).getOrElse(""))
     }
 
     // SPEC-CLUSTERED WRITES (the Iceberg/Delta write-distribution
@@ -160,7 +166,7 @@ private[sources] class SnapshotWriteBuilder(dir: String,
   * streams). Commits are O(delta) segment appends.
   */
 private[sources] class SnapshotStreamingWrite(dir: String,
-    branch: Option[String], schema: StructType)
+    branch: Option[String], schema: StructType, writerId: String = "")
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   // one writer-unique root per QUERY RUN; epochs nest under it, so two
   // concurrent runs (or a zombie executor from a failed run) can never
@@ -178,7 +184,7 @@ private[sources] class SnapshotStreamingWrite(dir: String,
     val files = messages.collect { case SnapFilesCommit(fs) => fs }
       .flatten.filter(_.rows > 0).sortBy(_.path)
     SnapshotStreamingWrite.commitEpoch(dir, branch, epochId,
-      files.map(f => (f.path, f.rows, f.bytes)))
+      files.map(f => (f.path, f.rows, f.bytes)), writerId)
   }
 
   override def abort(epochId: Long,
@@ -194,15 +200,21 @@ private[sources] object SnapshotStreamingWrite {
   private def label(epochId: Long) = s"batch=$epochId"
 
   /** commit one epoch's files as the next snapshot; NO-OP when the
-    * epoch is at or below the target line's `#batchhw` high-water mark
-    * (the replay path after a restart — same manifest bytes, nothing
-    * republished). Returns the line's head either way. */
+    * epoch is at or below THIS WRITER's high-water mark (the replay
+    * path after a restart — same manifest bytes, nothing republished).
+    * `writerId` scopes the marker: the DSv2 door passes the streaming
+    * query's stable id, so a second query (or a fresh-checkpoint
+    * restart) never has its epochs dropped against a foreign marker;
+    * "" keeps the table-global legacy header. Returns the line's head
+    * either way. */
   private[sources] def commitEpoch(dir: String, branch: Option[String],
-      epochId: Long, files: Seq[(String, Long, Long)]): Int = {
+      epochId: Long, files: Seq[(String, Long, Long)],
+      writerId: String = ""): Int = {
     def entriesAt(t: Long) = files.map { case (p, n, b) =>
       SnapshotLog.FileEntry(p, "D", label(epochId), Map.empty,
         seq = t, rows = n, bytes = b)
     }
+    def hwOf(v: Int) = SnapshotLog.batchHighWater(dir, v, writerId)
     // an EMPTY epoch (AvailableNow's drain tick, an all-filtered
     // micro-batch) commits nothing: no empty snapshot, no high-water
     // advance — a later replay of it is empty again, still a no-op
@@ -212,16 +224,16 @@ private[sources] object SnapshotStreamingWrite {
     branch match {
       case None =>
         val v = SnapshotLog.latest(dir)
-        if (SnapshotLog.batchHighWater(dir, v) >= epochId) return v
-        val hw = math.max(SnapshotLog.batchHighWater(dir, v), epochId)
+        if (hwOf(v) >= epochId) return v
+        val hw = math.max(hwOf(v), epochId)
         SnapshotLog.appendEntries(dir, t => entriesAt(t.toLong),
-          extraHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t$hw"),
-          dropHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t"),
-          noopIf = h => SnapshotLog.batchHighWater(dir, h) >= epochId)
+          extraHeaders = Seq(SnapshotLog.hwHeader(writerId, hw)),
+          dropHeaders = Seq(SnapshotLog.hwDropPrefix(writerId)),
+          noopIf = h => hwOf(h) >= epochId)
       case Some(name) =>
         val h = SnapshotRefs.head(dir, name)
-        if (SnapshotLog.batchHighWater(dir, h) >= epochId) return h
-        val hw = math.max(SnapshotLog.batchHighWater(dir, h), epochId)
+        if (hwOf(h) >= epochId) return h
+        val hw = math.max(hwOf(h), epochId)
         var attempts = 0
         while (attempts < 1000) {
           attempts += 1
@@ -229,8 +241,8 @@ private[sources] object SnapshotStreamingWrite {
           if (SnapshotLog.publishAppend(dir, t, h, entriesAt(t.toLong),
               extraHeaders = Seq(SnapshotRefs.parentHeader(h),
                 s"${SnapshotLog.RefHeader}\t$name",
-                s"${SnapshotLog.BatchHwHeader}\t$hw"),
-              dropHeaders = Seq(s"${SnapshotLog.BatchHwHeader}\t"))) {
+                SnapshotLog.hwHeader(writerId, hw)),
+              dropHeaders = Seq(SnapshotLog.hwDropPrefix(writerId)))) {
             SnapshotRefs.advance(dir, name, h, t)
             return t
           }
@@ -375,14 +387,20 @@ private class SnapshotDataWriter(root: String, schema: StructType,
     val file =
       s"$root$sub/part-$partitionId-$taskId-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
     var rows = 0L
+    // tracks whether the lazy writer was ever OPENED: finish() must
+    // close by that fact, not by rows — a task that fails during its
+    // first write (writer open, rows still 0) would otherwise leak the
+    // handle/buffer on abort while the file is deleted underneath it
+    private var opened = false
     lazy val writer: org.apache.parquet.hadoop.ParquetWriter[
       org.apache.parquet.example.data.Group] = {
       java.nio.file.Files.createDirectories(
         java.nio.file.Paths.get(file).getParent)
+      opened = true
       ExampleParquetWriter.builder(new Path(file))
         .withConf(new Configuration()).withType(msg).build()
     }
-    def finish(): Unit = if (rows > 0) writer.close()
+    def finish(): Unit = if (opened) writer.close()
   }
 
   private var current: OneFile = _

@@ -25,31 +25,43 @@ object SnapshotCommitSink {
 
   private def batchLabel(batchId: Long) = s"batch=$batchId"
 
-  /** has `batchId` already been committed into the table? The
-    * `#batchhw` high-water header answers in O(1); tables written
-    * before high-water stamping fall back to the legacy label scan. */
-  private def replayed(tableDir: String, v: Int, batchId: Long): Boolean = {
-    val hw = SnapshotLog.batchHighWater(tableDir, v)
+  /** has `batchId` already been committed into the table BY THIS
+    * WRITER? The high-water header answers in O(1); tables written
+    * before high-water stamping fall back to the legacy label scan.
+    * `writerId` scopes the marker (see [[commitBatch]]). */
+  private def replayed(tableDir: String, v: Int, batchId: Long,
+      writerId: String): Boolean = {
+    val hw = SnapshotLog.batchHighWater(tableDir, v, writerId)
     if (hw >= 0L) batchId <= hw
-    else v > 0 && SnapshotLog.entries(tableDir, v)
+    else writerId.isEmpty && v > 0 && SnapshotLog.entries(tableDir, v)
       .exists(_.partition == batchLabel(batchId))
   }
 
-  private def hwHeaders(tableDir: String, v: Int, batchId: Long)
-      : (Seq[String], Seq[String]) = {
-    val hw = math.max(SnapshotLog.batchHighWater(tableDir, v), batchId)
-    (Seq(s"${SnapshotLog.BatchHwHeader}\t$hw"),
-      Seq(s"${SnapshotLog.BatchHwHeader}\t"))
+  private def hwHeaders(tableDir: String, v: Int, batchId: Long,
+      writerId: String): (Seq[String], Seq[String]) = {
+    val hw = math.max(
+      SnapshotLog.batchHighWater(tableDir, v, writerId), batchId)
+    (Seq(SnapshotLog.hwHeader(writerId, hw)),
+      Seq(SnapshotLog.hwDropPrefix(writerId)))
   }
 
   /** Commit one micro-batch as the next snapshot; no-op (returning the
     * current latest) if `batchId` is already committed — the replay
     * path after a restart.
+    *
+    * `writerId` SCOPES the replay detection (the Delta txn-appId
+    * contract): pass your streaming query's stable id
+    * (`query.id.toString`) whenever MORE THAN ONE query may write this
+    * table, or a query may restart with a fresh checkpoint — each
+    * writer then replays against its own high-water. The default ""
+    * keeps the table-global marker: correct for the single-query,
+    * stable-checkpoint shape, but a second independent epoch counter
+    * would silently no-op its early epochs against it.
     */
   def commitBatch(s: SparkSession, tableDir: String,
-      batch: DataFrame, batchId: Long): Int = {
+      batch: DataFrame, batchId: Long, writerId: String = ""): Int = {
     val v = SnapshotLog.latest(tableDir)
-    if (replayed(tableDir, v, batchId)) return v
+    if (replayed(tableDir, v, batchId, writerId)) return v
     val dir = s"$tableDir/data/b$batchId"
     batch.write.mode("overwrite").parquet(dir)
     // seq = the committing version: any delete vector already in the
@@ -59,13 +71,13 @@ object SnapshotCommitSink {
     // sequence-number scoping). O(delta) commit: the parent's segment
     // refs are adopted verbatim, only this epoch's entries are written.
     val files = SnapshotLog.dataFiles(dir)
-    val (extra, drop) = hwHeaders(tableDir, v, batchId)
+    val (extra, drop) = hwHeaders(tableDir, v, batchId, writerId)
     SnapshotLog.appendEntries(tableDir,
       t => files.map(f => SnapshotLog.FileEntry(f, "D",
         batchLabel(batchId), Map.empty, seq = t.toLong,
         bytes = SnapshotLog.statBytes(f))),
       extraHeaders = extra, dropHeaders = drop,
-      noopIf = h => replayed(tableDir, h, batchId))
+      noopIf = h => replayed(tableDir, h, batchId, writerId))
   }
 
   /** Commit one micro-batch as a merge-on-read UPSERT — the streaming
@@ -83,9 +95,9 @@ object SnapshotCommitSink {
     * [[commitBatch]].
     */
   def upsertBatch(s: SparkSession, tableDir: String, batch: DataFrame,
-      batchId: Long, keyCols: Seq[String]): Int = {
+      batchId: Long, keyCols: Seq[String], writerId: String = ""): Int = {
     val v = SnapshotLog.latest(tableDir)
-    if (replayed(tableDir, v, batchId)) return v
+    if (replayed(tableDir, v, batchId, writerId)) return v
     val dataDir = s"$tableDir/data/b$batchId"
     val vecDir = s"$tableDir/deletes/b$batchId"
     batch.write.mode("overwrite").parquet(dataDir)
@@ -93,7 +105,7 @@ object SnapshotCommitSink {
       .write.mode("overwrite").parquet(vecDir)
     val dataFiles = SnapshotLog.dataFiles(dataDir)
     val vecFiles = SnapshotLog.dataFiles(vecDir)
-    val (extra, drop) = hwHeaders(tableDir, v, batchId)
+    val (extra, drop) = hwHeaders(tableDir, v, batchId, writerId)
     SnapshotLog.appendEntries(tableDir,
       t =>
         dataFiles.map(f => SnapshotLog.FileEntry(f, "D",
@@ -103,6 +115,6 @@ object SnapshotCommitSink {
           batchLabel(batchId), Map.empty, seq = t.toLong,
           bytes = SnapshotLog.statBytes(f))),
       extraHeaders = extra, dropHeaders = drop,
-      noopIf = h => replayed(tableDir, h, batchId))
+      noopIf = h => replayed(tableDir, h, batchId, writerId))
   }
 }

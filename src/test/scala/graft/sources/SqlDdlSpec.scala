@@ -150,6 +150,12 @@ class SqlDdlSpec extends SparkSpec {
     val spec = intercept[Exception](
       spark.sql(s"ALTER TABLE $tbl RENAME COLUMN grp TO g2"))
     assert(spec.getMessage.contains("partition"))
+    // renaming ONTO an existing column would record a schema header
+    // with duplicate field names — refused, not silently corrupted
+    val collide = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN id TO v"))
+    assert(collide.getMessage.contains("already exists"),
+      s"got: ${collide.getMessage}")
     // the failed ALTERs committed nothing
     assert(spark.sql(s"SELECT * FROM $tbl").columns.toSeq ==
       Seq("id", "grp", "v"))

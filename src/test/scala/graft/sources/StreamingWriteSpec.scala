@@ -42,8 +42,11 @@ class StreamingWriteSpec extends SparkSpec {
     val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
     assert(es.forall(_.partition.startsWith("batch=")))
     assert(es.forall(e => e.rows > 0 && e.bytes > 0))
-    // the table records the epoch high-water mark
-    assert(SnapshotLog.batchHighWater(dir, v) >= 0L)
+    // the table records the epoch high-water mark, scoped to THIS
+    // query's stable id (the Delta txn-appId shape — a second query's
+    // epochs never replay against it)
+    assert(SnapshotLog.headers(dir, v)
+      .exists(_.startsWith(s"${SnapshotLog.WriterHwHeader}\t")))
   }
 
   test("replayed epoch no-ops: same latest, byte-identical manifest") {
@@ -77,6 +80,43 @@ class StreamingWriteSpec extends SparkSpec {
     // the next NEW epoch commits
     assert(SnapshotStreamingWrite.commitEpoch(dir, None, 2L,
       Seq((b, 1L, SnapshotLog.statBytes(b)))) == 3)
+  }
+
+  test("two writers replay independently: epoch ids never cross-drop") {
+    import spark.implicits._
+    val dir = fresh("twowriters")
+    val f = s"/tmp/graft-test/streamwrite-twowriters/f.parquet"
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1).write
+      .mode("overwrite").parquet(f)
+    val p = SnapshotLog.dataFiles(f).head
+    def files = Seq((p, 1L, SnapshotLog.statBytes(p)))
+    // writer A commits epochs 0..2
+    (0L to 2L).foreach(e =>
+      SnapshotStreamingWrite.commitEpoch(dir, None, e, files, "qA"))
+    assert(SnapshotLog.latest(dir) == 3)
+    // writer B (a second query, or a fresh-checkpoint restart with a
+    // new id) starts at epoch 0: MUST COMMIT, not silently no-op
+    // against A's high-water
+    assert(SnapshotStreamingWrite.commitEpoch(dir, None, 0L, files,
+      "qB") == 4)
+    assert(SnapshotStreamingWrite.commitEpoch(dir, None, 1L, files,
+      "qB") == 5)
+    // each writer's own replays still no-op
+    assert(SnapshotStreamingWrite.commitEpoch(dir, None, 2L, files,
+      "qA") == 5)
+    assert(SnapshotStreamingWrite.commitEpoch(dir, None, 1L, files,
+      "qB") == 5)
+    // both markers coexist in the manifest headers
+    val hs = SnapshotLog.headers(dir, 5)
+    assert(hs.contains(s"${SnapshotLog.WriterHwHeader}\tqA\t2"))
+    assert(hs.contains(s"${SnapshotLog.WriterHwHeader}\tqB\t1"))
+    // and the foreachBatch door keys by writer too
+    val b = Seq((7L, 70L)).toDF("id", "v")
+    val v6 = graft.streaming.SnapshotCommitSink.commitBatch(spark, dir,
+      b, 0L, writerId = "qC")
+    assert(v6 == 6, "a third writer's epoch 0 must commit")
+    assert(graft.streaming.SnapshotCommitSink.commitBatch(spark, dir,
+      b, 0L, writerId = "qC") == 6, "its replay must no-op")
   }
 
   test("branch-staged streaming epochs stay off the default read") {
