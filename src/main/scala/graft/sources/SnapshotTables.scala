@@ -672,7 +672,8 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
       changeFeed,
       options.getInt("startingVersion", 0),
       full, required, pruningPreds,
-      options.getLong("maxDeltaRows", 1000000L))
+      options.getLong("maxDeltaRows", 1000000L),
+      options.getLong("splitTargetBytes", 128L * 1024 * 1024))
   }
 }
 
@@ -744,17 +745,38 @@ private[sources] object MetaAggScan {
   }
 }
 
-/** one snapshot data or delete file to read, with the op/commit stamp
-  * the change-feed rows carry ("" op for plain batch reads), the
-  * position-delete files whose addresses subtract from this file's
-  * physical rows, and the equality-delete vectors whose key tuples
-  * suppress matching rows (only vectors with seq STRICTLY ABOVE this
-  * file's — the applicability is resolved at PLAN time, so the reader
-  * never sees an out-of-scope vector). All delete inputs are
-  * churn-sized by the delete contract. */
-private[sources] case class SnapFilePartition(path: String, op: String,
-    commit: Long, posDeletes: Seq[String] = Nil,
-    eqDeletes: Seq[String] = Nil) extends InputPartition
+/** one BYTE RANGE of one snapshot data file (the Hadoop split model:
+  * a range reader serves the row groups whose midpoint falls inside
+  * [start, start+length)), plus the equality-delete vectors whose key
+  * tuples suppress this file's rows (only vectors with seq STRICTLY
+  * ABOVE the file's — applicability is resolved at PLAN time, so the
+  * reader never sees an out-of-scope vector). `length = -1` means
+  * "the whole file" (resolved executor-side for legacy entries whose
+  * manifest carries no byte size). */
+private[sources] case class SnapChunk(path: String, start: Long,
+    length: Long, eqDeletes: Seq[String] = Nil)
+
+/** one scan task: one or more file chunks (a big file splits into
+  * several ranges; small files coalesce into one task — both decided
+  * at plan time from the manifest's own byte sizes), the op/commit
+  * stamp the change-feed rows carry ("" op for plain batch reads),
+  * and the position-delete files whose addresses subtract from these
+  * files' physical rows. All delete inputs are churn-sized by the
+  * delete contract. */
+private[sources] case class SnapFilePartition(chunks: Seq[SnapChunk],
+    op: String, commit: Long,
+    posDeletes: Seq[String] = Nil) extends InputPartition {
+  private[sources] def paths: Seq[String] = chunks.map(_.path)
+}
+
+private[sources] object SnapFilePartition {
+  /** the one-whole-file task every non-batch face plans. */
+  def one(path: String, op: String, commit: Long,
+      posDeletes: Seq[String] = Nil,
+      eqDeletes: Seq[String] = Nil): SnapFilePartition =
+    SnapFilePartition(Seq(SnapChunk(path, 0L, -1L, eqDeletes)), op,
+      commit, posDeletes)
+}
 
 /** a plan-time-computed logical delta (the COW/pos-delete U-split):
   * key tuples + op, churn-sized, carried as literal rows. */
@@ -767,7 +789,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     staticPreds: Array[
       org.apache.spark.sql.connector.expressions.filter.Predicate] =
       Array.empty,
-    maxDeltaRows: Long = 1000000L) extends Scan with Batch
+    maxDeltaRows: Long = 1000000L,
+    splitTargetBytes: Long = 128L * 1024 * 1024) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
   override def readSchema(): StructType = required
@@ -874,16 +897,35 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     // broadcast anti-join, executed as a per-task hash probe.
     val eqVecs = es.filter(_.kind == "X")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
-    es.filter(e => e.kind == "D" && survivesRuntime(e))
-      .map(e => SnapFilePartition(e.path, "", v, posDeletes,
+    val data = es.filter(e => e.kind == "D" && survivesRuntime(e))
+    if (eqVecs.nonEmpty)
+      // equality vectors keep the ROW path (per-row key probes):
+      // one whole-file task each — Spark refuses mixed row/columnar
+      // partitions, so the presence of any vector pins the whole scan
+      data.map(e => SnapFilePartition.one(e.path, "", v, posDeletes,
         eqVecs.filter(_.seq > e.seq).map(_.path).sorted): InputPartition)
-      .toArray
+        .toArray
+    else
+      // target task size for splitting big files and coalescing small
+      // ones (the Iceberg read.split.target-size idea); the scan
+      // option "splitTargetBytes" tunes it
+      SnapshotScanPlanner.plan(data, v, posDeletes,
+        splitTargetBytes).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required, {
-      val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-      SnapshotLog.renamesOf(dir, v)
-    })
+
+  /** the scan is COLUMNAR whenever no equality vector is live in the
+    * pinned snapshot: batches come straight from Spark's vectorized
+    * parquet reader (position deletes applied as a per-batch row-index
+    * mask), and whole-stage codegen above consumes ColumnarBatch input
+    * — the 5-20x decode constant a 100-TB scan pays on the row path.
+    * Vectored snapshots keep the per-row key-probe reader. */
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+    val vectored = !changeFeed &&
+      SnapshotLog.entries(dir, v).exists(_.kind == "X")
+    new SnapshotReaderFactory(required, SnapshotLog.renamesOf(dir, v),
+      columnar = !changeFeed && !vectored)
+  }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(changeFeed,
@@ -891,6 +933,55 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
         "\"true\") — the stream replays commit deltas, not table state")
     new SnapshotChangeStream(dir, startingVersion, required,
       maxDeltaRows)
+  }
+}
+
+/** Scan-task planning from the manifest's own byte sizes: files above
+  * ~1.5x the target split into row-group-aligned byte ranges (the
+  * Hadoop split rule: a range serves the row groups whose midpoints
+  * fall inside it — ranges partition the file, so every row group is
+  * served exactly once), and small files BIN-PACK into shared tasks.
+  * Without this, one 10 GB file is one straggler task and a million
+  * tiny files are a million scheduler entries; with it, task count
+  * tracks ceil(bytes/target) at any file-size distribution. Pure
+  * metadata — zero filesystem calls at plan time (legacy entries
+  * without recorded bytes stay one-task-per-file, conservatively).
+  */
+private[sources] object SnapshotScanPlanner {
+  def plan(data: Seq[SnapshotLog.FileEntry], commit: Long,
+      posDeletes: Seq[String], targetBytes: Long): Seq[InputPartition] = {
+    // (chunk, weight): weight drives the bin-packing below
+    val chunks: Seq[(SnapChunk, Long)] = data.sortBy(_.path).flatMap { e =>
+      if (e.bytes > targetBytes * 3 / 2) {
+        val n = ((e.bytes + targetBytes - 1) / targetBytes).toInt
+        val step = e.bytes / n
+        (0 until n).map { i =>
+          val s = i.toLong * step
+          // the LAST range runs to EOF (-1), so a tail row group is
+          // served even if the true size exceeds the recorded bytes
+          val len = if (i == n - 1) -1L else step
+          (SnapChunk(e.path, s, len),
+            if (i == n - 1) e.bytes - s else step)
+        }
+      } else
+        // unknown size (legacy entry): weigh as one full task so it
+        // never coalesces with anything
+        Seq((SnapChunk(e.path, 0L, -1L),
+          if (e.bytes >= 0L) e.bytes else targetBytes))
+    }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[SnapChunk]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[SnapChunk]
+    var curW = 0L
+    chunks.foreach { case (c, w) =>
+      if (cur.nonEmpty && curW + w > targetBytes) {
+        bins += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+        curW = 0L
+      }
+      cur += c; curW += w
+    }
+    if (cur.nonEmpty) bins += cur.toSeq
+    bins.toSeq.map(cs =>
+      SnapFilePartition(cs, "", commit, posDeletes): InputPartition)
   }
 }
 
@@ -967,8 +1058,8 @@ private[sources] class SnapshotChangeStream(dir: String,
     if (!needsDiff)
       added.map {
         case x if x.kind == "D" =>
-          SnapFilePartition(x.path, "I", v): InputPartition
-        case x => SnapFilePartition(x.path, "D", v)
+          SnapFilePartition.one(x.path, "I", v): InputPartition
+        case x => SnapFilePartition.one(x.path, "D", v)
       }
     else SnapshotLog.keysOf(dir, v.toInt) match {
       case None =>
@@ -1091,8 +1182,42 @@ private object DeleteFileCaches {
   * contract as readMor's anti-join).
   */
 private class SnapshotReaderFactory(required: StructType,
-    renames: Map[String, String] = Map.empty)
+    renames: Map[String, String] = Map.empty,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  /** COLUMNAR reads whenever the scan planned them (no equality
+    * vector live): every partition answers alike — Spark refuses
+    * mixed row/columnar partitions within one scan. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar && partition.isInstanceOf[SnapFilePartition]
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[SnapFilePartition]
+    val its = p.chunks.iterator
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var cur: SnapshotVectorized.ChunkReader = _
+      @annotation.tailrec
+      override def next(): Boolean = {
+        if (cur == null) {
+          if (!its.hasNext) return false
+          val c = its.next()
+          require(c.eqDeletes.isEmpty,
+            "columnar scans are planned only without equality vectors")
+          cur = new SnapshotVectorized.ChunkReader(c, p.op, p.commit,
+            if (p.posDeletes.isEmpty) null
+            else deletedPositions(c.path, p.posDeletes),
+            required, renames)
+        }
+        if (cur.nextBatch()) true
+        else { cur.close(); cur = null; next() }
+      }
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
+        cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
 
   /** the physical row indexes of `file` named by the partition's
     * position-delete files — churn-sized by the delete contract.
@@ -1224,9 +1349,37 @@ private class SnapshotReaderFactory(required: StructType,
     }
   }
 
+  /** a multi-chunk partition read row-by-row: chunks are served in
+    * sequence (each a WHOLE file in row mode — byte-range splits are
+    * planned only for the columnar path, where parquet's own row
+    * indexes keep `_pos` exact under ranges). */
   private def fileReader(
       part: SnapFilePartition): PartitionReader[InternalRow] = {
-    val SnapFilePartition(file, op, commit, posDeletes, eqDeletes) = part
+    val its = part.chunks.iterator
+    new PartitionReader[InternalRow] {
+      private var cur: PartitionReader[InternalRow] = _
+      @annotation.tailrec
+      override def next(): Boolean = {
+        if (cur == null) {
+          if (!its.hasNext) return false
+          cur = chunkRowReader(its.next(), part.op, part.commit,
+            part.posDeletes)
+        }
+        if (cur.next()) true
+        else { cur.close(); cur = null; next() }
+      }
+      override def get(): InternalRow = cur.get()
+      override def close(): Unit = if (cur != null) cur.close()
+    }
+  }
+
+  private def chunkRowReader(chunk: SnapChunk, op: String, commit: Long,
+      posDeletes: Seq[String]): PartitionReader[InternalRow] = {
+    require(chunk.start == 0L && chunk.length < 0L,
+      "row-mode readers serve whole files; byte-range chunks are " +
+        "columnar-only (physical row positions need parquet row indexes)")
+    val file = chunk.path
+    val eqDeletes = chunk.eqDeletes
     val conf = new Configuration()
     val fileSchema = SnapshotTables.footerSchema(file)
     import scala.jdk.CollectionConverters._

@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapred.FileSplit
+import org.apache.hadoop.mapreduce.TaskAttemptID
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.datasources.parquet.{ParquetFileFormat, ParquetReadSupport, VectorizedParquetRecordReader}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarArray, ColumnarBatch, ColumnarMap}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The VECTORIZED read path of the `graft-snapshot` scan: each chunk
+  * decodes through Spark's own `VectorizedParquetRecordReader` into
+  * `ColumnarBatch`es — page-level columnar decode, lazy decompression,
+  * and batch input to whole-stage codegen above the scan — instead of
+  * the row-at-a-time parquet `Group` loop (one `Group` + one
+  * `GenericInternalRow` + per-field dispatch PER ROW, a 5-20x constant
+  * on a scan-bound 100-TB read; the Iceberg/Delta connectors made the
+  * same move for the same reason).
+  *
+  * What the row path expressed per row, this path expresses per batch:
+  *
+  *  - COLUMN PRUNING and RENAME/WIDEN evolution ride the requested
+  *    Catalyst schema: each required column is requested under the
+  *    FILE's field name for it (the historical name for pre-rename
+  *    files) at its CANONICAL type — the vectorized reader's updaters
+  *    decode int32 pages straight into long vectors (float into
+  *    double), and columns the file lacks entirely come back as null
+  *    vectors. No per-row translation layer remains.
+  *  - POSITION DELETES become a per-batch ROW-INDEX MASK: the reader
+  *    is asked for parquet's physical row index as an extra column
+  *    (the engine-generated row-index column, exact under byte-range
+  *    splits because each row group knows its first row index), each
+  *    batch computes the surviving positions once, and every output
+  *    vector is served through that mapping ([[MaskedColumnVector]] —
+  *    the Iceberg ColumnVectorWithFilter shape). No row is copied.
+  *  - The `_op` / `_commit` / `_file` stamps ride as CONSTANT vectors
+  *    (the reader's partition-value mechanism); `_pos` IS the row
+  *    index column, masked like everything else.
+  *
+  * Byte-range chunks map to parquet's split contract: a reader serves
+  * exactly the row groups whose midpoints fall in its range, so the
+  * planner's ranges partition a file without consulting its footer.
+  *
+  * EQUALITY vectors are the one thing this path refuses: their per-row
+  * key probes keep the row reader (the scan plans row-mode whenever a
+  * vector is live — never a wrong answer, only the row path's speed).
+  */
+private[sources] object SnapshotVectorized {
+  private val Capacity = 4096
+
+  /** vectorized reader over ONE chunk. `dead` is the chunk's file's
+    * deleted physical positions (null when no position delete applies
+    * — the fast path serves the reader's batches unwrapped). */
+  final class ChunkReader(chunk: SnapChunk, op: String, commit: Long,
+      dead: java.util.HashSet[java.lang.Long],
+      required: StructType, renames: Map[String, String]) {
+    import scala.jdk.CollectionConverters._
+
+    private val file = chunk.path
+    private val masked = dead != null && !dead.isEmpty
+
+    private val fileFields: Set[String] = {
+      val msg = SnapshotTables.footerSchema(file)
+      msg.getFields.asScala.map(_.getName).toSet
+    }
+    private def fieldFor(canonical: String): Option[String] =
+      if (fileFields(canonical)) Some(canonical)
+      else renames.collectFirst {
+        case (old, nw) if nw == canonical && fileFields(old) => old
+      }
+
+    private val metaNames =
+      Set("_op", "_commit", SnapshotDelta.FileCol)
+    private val posName = SnapshotDelta.PosCol
+
+    // requested DATA columns in `required` order: (canonical name,
+    // requested field under the file's name for it at the canonical
+    // type — missing columns stay requested and come back null)
+    private val dataReq: Seq[(String, StructField)] =
+      required.fields.toSeq
+        .filter(f => !metaNames(f.name) && f.name != posName)
+        .map(f => f.name ->
+          StructField(fieldFor(f.name).getOrElse(f.name), f.dataType,
+            nullable = true))
+    private val needRowIdx =
+      masked || required.fieldNames.contains(posName)
+    // the row-index field must be requested NULLABLE: the reader
+    // routes it through its missing-column path (it is never in the
+    // file), where the row-index special case keeps the vector
+    // writable for the per-batch generator — a required missing
+    // column is a loud error instead
+    private val requested = StructType(dataReq.map(_._2) ++
+      (if (needRowIdx)
+        Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          LongType, nullable = true))
+      else Nil))
+    private val rowIdxPos = dataReq.size
+
+    // the constant stamps, appended by the reader AFTER the requested
+    // columns (its partition-value mechanism)
+    private val constFields: Seq[StructField] =
+      required.fields.toSeq.filter(f => metaNames(f.name))
+    private val constBase = requested.size
+
+    private val reader: VectorizedParquetRecordReader = {
+      val conf = new Configuration()
+      conf.set("parquet.read.support.class",
+        classOf[ParquetReadSupport].getName)
+      conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+        requested.json)
+      // the Parquet->Spark schema converter reads these from the
+      // Hadoop conf WITHOUT defaults (executor-side readers normally
+      // inherit them from the session's hadoopConf) — pin the engine's
+      // fixed answers: binary stays binary unless string-annotated,
+      // no INT96 in the kernel's type surface, case-insensitive names
+      import org.apache.spark.sql.internal.SQLConf
+      conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key, true)
+      conf.setBoolean(SQLConf.CASE_SENSITIVE.key, false)
+      conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+        true)
+      conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
+      conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, false)
+      val len =
+        if (chunk.length >= 0L) chunk.length
+        else java.nio.file.Files.size(java.nio.file.Paths.get(file)) -
+          chunk.start
+      val split = new FileSplit(new Path(file), chunk.start, len,
+        Array.empty[String])
+      val r = new VectorizedParquetRecordReader(
+        null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
+      r.initialize(split, new TaskAttemptContextImpl(conf,
+        new TaskAttemptID()))
+      val constRow = new GenericInternalRow(constFields.map { f =>
+        (f.name match {
+          case "_op" => UTF8String.fromString(op)
+          case "_commit" => commit
+          case _ => UTF8String.fromString(file) // SnapshotDelta.FileCol
+        }): Any
+      }.toArray)
+      r.initBatch(StructType(constFields), constRow)
+      r
+    }
+    private val batch: ColumnarBatch = reader.resultBatch()
+
+    // output vectors in `required` order, each through the shared mask
+    // when position deletes apply to this file
+    private var liveMap: Array[Int] =
+      if (masked) new Array[Int](Capacity) else null
+
+    private val outVectors: Array[ColumnVector] = {
+      var di = 0
+      var ci = 0
+      required.fields.map { f =>
+        val base: ColumnVector =
+          if (metaNames(f.name)) {
+            val v = batch.column(constBase + ci); ci += 1; v
+          }
+          else if (f.name == posName) batch.column(rowIdxPos)
+          else { val v = batch.column(di); di += 1; v }
+        if (masked) new MaskedColumnVector(base) else base
+      }.toArray
+    }
+    private val outBatch = new ColumnarBatch(outVectors)
+
+    def nextBatch(): Boolean = {
+      if (!reader.nextBatch()) return false
+      val n = batch.numRows()
+      if (!masked) { outBatch.setNumRows(n); return true }
+      val idxVec = batch.column(rowIdxPos)
+      if (liveMap.length < n) liveMap = new Array[Int](n)
+      var live = 0
+      var i = 0
+      while (i < n) {
+        if (!dead.contains(idxVec.getLong(i))) { liveMap(live) = i; live += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < outVectors.length) {
+        outVectors(j).asInstanceOf[MaskedColumnVector].set(liveMap)
+        j += 1
+      }
+      outBatch.setNumRows(live)
+      // an all-deleted batch still RETURNS (zero rows) — callers must
+      // not interpret it as end-of-chunk
+      true
+    }
+
+    def get(): ColumnarBatch = outBatch
+
+    def close(): Unit = reader.close()
+  }
+}
+
+/** a ColumnVector view through a row-index mapping: logical row i of
+  * the batch is physical row `map(i)` of the delegate — how position
+  * deletes subtract from a ColumnarBatch without copying a single
+  * value (the Iceberg vectorized-delete shape). The delegate owns the
+  * memory; closing the wrapper is a no-op. */
+private[sources] final class MaskedColumnVector(base: ColumnVector)
+    extends ColumnVector(base.dataType()) {
+  private var map: Array[Int] = _
+  def set(m: Array[Int]): Unit = map = m
+  override def close(): Unit = ()
+  override def hasNull: Boolean = base.hasNull
+  override def numNulls(): Int = base.numNulls()
+  override def isNullAt(i: Int): Boolean = base.isNullAt(map(i))
+  override def getBoolean(i: Int): Boolean = base.getBoolean(map(i))
+  override def getByte(i: Int): Byte = base.getByte(map(i))
+  override def getShort(i: Int): Short = base.getShort(map(i))
+  override def getInt(i: Int): Int = base.getInt(map(i))
+  override def getLong(i: Int): Long = base.getLong(map(i))
+  override def getFloat(i: Int): Float = base.getFloat(map(i))
+  override def getDouble(i: Int): Double = base.getDouble(map(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    base.getDecimal(map(i), precision, scale)
+  override def getUTF8String(i: Int): UTF8String =
+    base.getUTF8String(map(i))
+  override def getBinary(i: Int): Array[Byte] = base.getBinary(map(i))
+  override def getArray(i: Int): ColumnarArray = base.getArray(map(i))
+  override def getMap(i: Int): ColumnarMap = base.getMap(map(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    throw new UnsupportedOperationException(
+      "nested columns are not served by the snapshot scan")
+}

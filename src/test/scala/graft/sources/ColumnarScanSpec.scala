@@ -1,0 +1,163 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** The VECTORIZED snapshot scan:
+  *
+  *  1. a vector-free snapshot executes COLUMNAR (ColumnarBatch input to
+  *     codegen — `BatchScanExec.supportsColumnar`), and equals the
+  *     row-path oracle;
+  *  2. position deletes apply as a per-batch row-index MASK on the
+  *     columnar path — results equal `readMor`, `_pos` stays the
+  *     PHYSICAL index;
+  *  3. a big multi-row-group file SPLITS into several byte-range tasks
+  *     (each row group served exactly once); tiny files COALESCE into
+  *     shared tasks — counts and sums unchanged by either;
+  *  4. an equality-vectored snapshot falls back to the row path (per-
+  *     row key probes), still correct.
+  */
+class ColumnarScanSpec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val base = s"/tmp/graft-test/colscan-$tag"
+    graft.Scratch.clear(base)
+    s"$base/t"
+  }
+
+  private def deepScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[BatchScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      deepScan(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      deepScan(s.plan)
+    case b: BatchScanExec => Seq(b)
+    case other => other.children.flatMap(deepScan)
+  }
+
+  private def scanExec(df: DataFrame): BatchScanExec = {
+    df.collect()
+    deepScan(df.queryExecution.executedPlan).head
+  }
+
+  test("vector-free scan is columnar and equals the row oracle") {
+    import spark.implicits._
+    val dir = fresh("basic")
+    val base = (0L until 5000L)
+      .map(i => (i, (i % 7).toInt, i * 0.5, s"s$i"))
+      .toDF("id", "m", "v", "s")
+    SnapshotMerge.writeInitial(spark,
+      base.withColumn("m", col("m").cast("long")), dir, "m")
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    val b = scanExec(df)
+    assert(b.supportsColumnar,
+      "a vector-free snapshot scan must serve ColumnarBatches")
+    val got = df.agg(count(lit(1)), sum(col("id")), sum(col("v")),
+      countDistinct(col("s"))).head
+    assert((got.getLong(0), got.getLong(1), got.getDouble(2),
+      got.getLong(3)) ==
+      ((5000L, 5000L * 4999 / 2, 0.5 * (5000L * 4999 / 2), 5000L)))
+  }
+
+  test("position deletes mask columnar batches; _pos stays physical") {
+    import spark.implicits._
+    val dir = fresh("posdel")
+    val base = (0L until 4000L).map(i => (i, i % 3)).toDF("id", "g")
+    base.coalesce(2).write.parquet(s"$dir/data")
+    val files = SnapshotLog.dataFiles(s"$dir/data")
+    SnapshotLog.commitEntries(dir, files.map(f =>
+      SnapshotLog.FileEntry(f, "D", "", Map.empty, seq = 1L,
+        rows = -1L, bytes = SnapshotLog.statBytes(f))))
+    // delete positions 0, 1, and every 13th row of the FIRST file
+    val f0 = files.head
+    val n0 = spark.read.parquet(f0).count()
+    val deadPos = (0L until n0).filter(p => p < 2 || p % 13 == 0)
+    deadPos.map(p => (f0, p)).toDF("file_path", "row_pos")
+      .coalesce(1).write.parquet(s"$dir/deletes")
+    val pd = SnapshotLog.dataFiles(s"$dir/deletes")
+    SnapshotLog.commitEntries(dir,
+      SnapshotLog.entries(dir, 1) ++ pd.map(f =>
+        SnapshotLog.FileEntry(f, "P", "", Map.empty, seq = 2L,
+          bytes = SnapshotLog.statBytes(f))))
+
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    val b = scanExec(df)
+    assert(b.supportsColumnar,
+      "position deletes must not force the row path")
+    assert(df.count() == 4000L - deadPos.size)
+    assert(df.count() == SnapshotLog.readMor(spark, dir, 2).count())
+    // _pos is the PHYSICAL index: surviving rows of file 0 skip the
+    // masked positions exactly
+    val posCol = df.select(col(SnapshotDelta.FileCol).as("f"),
+      col(SnapshotDelta.PosCol).as("p"))
+      .filter(col("f") === f0).select("p").as[Long].collect().sorted
+    val want = (0L until n0).filterNot(deadPos.toSet)
+    assert(posCol.toSeq == want,
+      s"masked _pos mismatch: got ${posCol.take(5).toSeq}… " +
+        s"want ${want.take(5)}…")
+  }
+
+  test("a big file splits into byte-range tasks; rows served once") {
+    import spark.implicits._
+    val dir = fresh("split")
+    // many small row groups so byte ranges can land mid-file
+    (0L until 200000L).map(i => (i, i * 2)).toDF("id", "v")
+      .coalesce(1).write.option("parquet.block.size", "65536")
+      .parquet(s"$dir/data")
+    val f = SnapshotLog.dataFiles(s"$dir/data").head
+    SnapshotLog.commitEntries(dir, Seq(
+      SnapshotLog.FileEntry(f, "D", "", Map.empty, seq = 1L,
+        rows = 200000L, bytes = SnapshotLog.statBytes(f))))
+    val df = spark.read.format("graft-snapshot").option("path", dir)
+      .option("splitTargetBytes", (256 * 1024).toString).load()
+    val b = scanExec(df)
+    val parts = b.partitions.flatten
+      .collect { case p: SnapFilePartition => p }
+    assert(parts.size > 1,
+      s"a ${SnapshotLog.statBytes(f)}-byte file at a 256 KiB target " +
+        "must plan several byte-range tasks")
+    assert(parts.flatMap(_.chunks).forall(_.path == f))
+    val got = df.agg(count(lit(1)), sum(col("id")), sum(col("v"))).head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((200000L, 200000L * 199999 / 2, 2L * (200000L * 199999 / 2))),
+      "byte-range splits must serve every row group exactly once")
+  }
+
+  test("tiny files coalesce into shared tasks; counts unchanged") {
+    import spark.implicits._
+    val dir = fresh("coalesce")
+    val df0 = (0L until 1200L).map(i => (i, i % 12)).toDF("k", "m")
+    SnapshotMerge.writeInitial(spark, df0, dir, "m")
+    val nFiles = SnapshotLog.files(dir, 1).size
+    assert(nFiles >= 12)
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    val b = scanExec(df)
+    val parts = b.partitions.flatten
+      .collect { case p: SnapFilePartition => p }
+    assert(parts.size < nFiles,
+      s"$nFiles tiny files must coalesce into fewer tasks " +
+        s"(got ${parts.size})")
+    assert(parts.flatMap(_.paths).sorted ==
+      SnapshotLog.files(dir, 1).sorted,
+      "every file exactly once across the coalesced tasks")
+    assert(df.count() == 1200L)
+  }
+
+  test("equality vectors keep the row path; results stay MOR-exact") {
+    import spark.implicits._
+    val dir = fresh("eqvec")
+    val base = (0L until 500L).map(i => (i, i % 5)).toDF("id", "m")
+    SnapshotMerge.writeInitial(spark, base, dir, "m")
+    DeleteVectors.appendDeletes(spark, dir,
+      (0L until 500L by 9L).map(i => (i, i % 5)).toDF("id", "m"))
+    val vN = SnapshotLog.latest(dir)
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    val b = scanExec(df)
+    assert(!b.supportsColumnar,
+      "an equality-vectored snapshot must fall back to the row path")
+    assert(df.count() == SnapshotLog.readMor(spark, dir, vN).count())
+  }
+}

@@ -43,21 +43,41 @@ class RuntimePruneSpec extends SparkSpec {
       .build().asInstanceOf[SnapshotScan]
   }
 
+  /** the planned FILE set (tasks may coalesce several small files or
+    * split one big file — pruning assertions are about files). */
+  private def plannedFiles(parts: Array[
+      org.apache.spark.sql.connector.read.InputPartition]): Seq[String] =
+    parts.collect { case p: SnapFilePartition => p.paths }
+      .flatten.distinct.toSeq
+
+  /** the executed scan's files, read from its RDD — the
+    * POST-runtime-filter partition set. */
+  private def rddFiles(b: BatchScanExec): Seq[String] =
+    b.inputRDD.partitions.collect {
+      case d: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceRDDPartition =>
+        d.inputPartitions.collect {
+          case p: SnapFilePartition => p.paths
+        }.flatten
+    }.flatten.distinct.toSeq
+
   test("IN on the label column prunes to exactly the named partitions") {
     val dir = mkTable("label")
     val scan = scanOf(dir)
-    val total = scan.planInputPartitions().length
-    assert(total == SnapshotLog.files(dir, SnapshotLog.latest(dir)).size)
+    val total = plannedFiles(scan.planInputPartitions())
+    assert(total.size ==
+      SnapshotLog.files(dir, SnapshotLog.latest(dir)).size)
     scan.filter(Array(new Predicate("IN",
       Array(Expressions.column("m"),
         Expressions.literal(2), Expressions.literal(5)))))
     val kept = scan.planInputPartitions()
-    assert(kept.length < total, "runtime IN must prune entries")
+    assert(plannedFiles(kept).size < total.size,
+      "runtime IN must prune entries")
     val keptLabels = kept.collect {
-      case p: SnapFilePartition =>
+      case p: SnapFilePartition => p.paths.map(path =>
         SnapshotLog.entries(dir, SnapshotLog.latest(dir))
-          .find(_.path == p.path).get.partition
-    }.toSet
+          .find(_.path == path).get.partition)
+    }.flatten.toSet
     assert(keptLabels == Set("m=2", "m=5"),
       s"kept the wrong partitions: $keptLabels")
   }
@@ -78,7 +98,7 @@ class RuntimePruneSpec extends SparkSpec {
     val es = SnapshotLog.entries(dir, SnapshotLog.latest(dir))
     val holder = es.find(e => e.stats.get("k").exists {
       case (lo, hi) => lo <= 7L && 7L <= hi }).get
-    assert(kept.collect { case p: SnapFilePartition => p.path }
+    assert(kept.collect { case p: SnapFilePartition => p.paths }.flatten
       .contains(holder.path), "pruning dropped a possibly-matching file")
 
     // unknown column: prune nothing
@@ -110,7 +130,10 @@ class RuntimePruneSpec extends SparkSpec {
         case b: BatchScanExec if b.scan.isInstanceOf[SnapshotScan] => Seq(b)
         case other => other.children.flatMap(deep)
       }
-      deep(df.queryExecution.executedPlan).head.inputRDD.getNumPartitions
+      // count planned FILES, not tasks: small files coalesce into
+      // shared tasks, so task count no longer witnesses pruning. Read
+      // them from the RDD (the post-runtime-filter partition set).
+      rddFiles(deep(df.queryExecution.executedPlan).head).size
     }
     val fact = spark.read.format("graft-snapshot").option("path", dir).load()
 
@@ -190,7 +213,7 @@ class RuntimePruneSpec extends SparkSpec {
     val scans = deepCollect(joined.queryExecution.executedPlan)
     assert(scans.nonEmpty, "no snapshot BatchScanExec in the plan")
     val totalFiles = SnapshotLog.files(dir, SnapshotLog.latest(dir)).size
-    val planned = scans.head.inputRDD.getNumPartitions
+    val planned = rddFiles(scans.head).size
     if (scans.head.runtimeFilters.nonEmpty)
       assert(planned < totalFiles,
         s"runtime filters present but scan planned $planned of " +

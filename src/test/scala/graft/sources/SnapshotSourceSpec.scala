@@ -51,16 +51,20 @@ class SnapshotSourceSpec extends SparkSpec {
     def scanOf(v: Int) = {
       val df = spark.read.format("graft-snapshot")
         .option("path", dir).option("versionAsOf", v.toString).load()
-      val parts = df.queryExecution.executedPlan.collectFirst {
-        case b: BatchScanExec => b.inputRDD.getNumPartitions
+      val files = df.queryExecution.executedPlan.collectFirst {
+        case b: BatchScanExec => b.partitions.flatten
+          .collect { case p: SnapFilePartition => p.paths }
+          .flatten.sorted
       }
-      (df, parts.getOrElse(fail("no BatchScanExec in the plan")))
+      (df, files.getOrElse(fail("no BatchScanExec in the plan")))
     }
-    val (df1, parts1) = scanOf(v1)
-    val (df2, parts2) = scanOf(v2)
-    assert(parts1 == SnapshotLog.files(dir, v1).size,
-      "the scan must plan one partition per manifest data entry")
-    assert(parts2 == SnapshotLog.files(dir, v2).size)
+    val (df1, files1) = scanOf(v1)
+    val (df2, files2) = scanOf(v2)
+    // the scan plans EXACTLY the manifest's data files (small files
+    // may share a task, but each file is read exactly once)
+    assert(files1 == SnapshotLog.files(dir, v1).sorted,
+      "the scan must plan exactly the manifest's data files")
+    assert(files2 == SnapshotLog.files(dir, v2).sorted)
 
     // values equal the engine's own snapshot reads, per version
     def agg(df: org.apache.spark.sql.DataFrame) =
