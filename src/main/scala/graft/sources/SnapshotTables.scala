@@ -329,6 +329,20 @@ private[sources] object SnapshotPrune {
     case _ => None
   }
 
+  /** typed group value from a label string, or None to refuse. String
+    * labels containing '%' are refused: the partitioned writer
+    * Hive-escapes special characters into the directory name and the
+    * manifest stores the dir name raw, so only escape-free labels
+    * round-trip exactly. */
+  def typedLabel(raw: String, dt: DataType): Option[Any] =
+    dt match {
+      case LongType => raw.toLongOption
+      case IntegerType => raw.toIntOption
+      case StringType if !raw.contains('%') &&
+        raw != "__HIVE_DEFAULT_PARTITION__" => Some(raw)
+      case _ => None
+    }
+
   /** the `col=value` label value of `e` when its label names `col`. */
   def labelValue(e: SnapshotLog.FileEntry, col: String): Option[String] = {
     val i = e.partition.indexOf('=')
@@ -516,19 +530,8 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
   override def pushAggregation(agg: Aggregation): Boolean =
     planOnce(agg).isDefined
 
-  /** typed group value from a label string, or None to refuse. String
-    * labels containing '%' are refused: the partitioned writer
-    * Hive-escapes special characters into the directory name and the
-    * manifest stores the dir name raw, so only escape-free labels
-    * round-trip exactly. */
   private def typedLabel(raw: String, dt: DataType): Option[Any] =
-    dt match {
-      case LongType => raw.toLongOption
-      case IntegerType => raw.toIntOption
-      case StringType if !raw.contains('%') &&
-        raw != "__HIVE_DEFAULT_PARTITION__" => Some(raw)
-      case _ => None
-    }
+    SnapshotPrune.typedLabel(raw, dt)
 
   private def planAggregation(agg: Aggregation): Option[MetaAggScan] = {
     if (changeFeed) return None
@@ -778,6 +781,23 @@ private[sources] object SnapFilePartition {
       commit, posDeletes)
 }
 
+/** a scan task that KNOWS its partition value ([[HasPartitionKey]]) —
+  * what storage-partitioned joins ride on: Spark groups tasks by key
+  * and aligns two scans reporting the same KeyGroupedPartitioning
+  * into an exchange-free join. All chunks of a keyed task share one
+  * label value (the planner never mixes values into a bin). */
+private[sources] final class KeyedSnapFilePartition(
+    chunks: Seq[SnapChunk], op: String, commit: Long,
+    posDeletes: Seq[String], keyVal: Any)
+    extends SnapFilePartition(chunks, op, commit, posDeletes)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](keyVal match {
+      case s: String => UTF8String.fromString(s)
+      case v => v
+    }))
+}
+
 /** a plan-time-computed logical delta (the COW/pos-delete U-split):
   * key tuples + op, churn-sized, carried as literal rows. */
 private[sources] case class SnapRowsPartition(keyCols: Seq[String],
@@ -792,8 +812,64 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     maxDeltaRows: Long = 1000000L,
     splitTargetBytes: Long = 128L * 1024 * 1024) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
   override def readSchema(): StructType = required
+
+  // ---- storage-partitioned joins (SPJ) ------------------------------
+  // When EVERY data entry of the pinned snapshot is labeled by the
+  // same column with a typed value, the scan reports its layout as
+  // KeyGroupedPartitioning over that column and every task knows its
+  // key: two lake tables partitioned on the same column then join
+  // with ZERO exchanges on either side (under
+  // spark.sql.sources.v2.bucketing.enabled) — the Iceberg SPJ
+  // contract, and the difference between shuffling two 100-TB fact
+  // tables and shuffling nothing. Mixed spec eras (S47: entries
+  // labeled by different columns), unlabeled entries, escape-bearing
+  // labels, and a pruned-away partition column all refuse the report
+  // conservatively — Spark just plans the ordinary exchange.
+
+  /** the groupable partition column: Some((col, type)) only when every
+    * data entry's label names the SAME column with a value the
+    * column's type parses exactly, and the scan still SERVES that
+    * column (Spark resolves the key expressions against the pruned
+    * output schema). */
+  private lazy val groupCol: Option[(String, DataType)] =
+    if (changeFeed) None
+    else {
+      val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+      val data = SnapshotLog.entries(dir, v).filter(_.kind == "D")
+      val cols = data.map { e =>
+        val i = e.partition.indexOf('=')
+        if (i <= 0) "" else e.partition.take(i)
+      }.distinct
+      cols match {
+        case Seq(col) if col.nonEmpty && data.nonEmpty =>
+          required.fields.find(_.name == col).map(f => col -> f.dataType)
+            .filter { case (c, dt) =>
+              data.forall(e => SnapshotPrune.labelValue(e, c)
+                .flatMap(SnapshotPrune.typedLabel(_, dt)).isDefined)
+            }
+        case _ => None
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    groupCol match {
+      case Some((col, _)) =>
+        val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+        val n = SnapshotLog.entries(dir, v).filter(e =>
+          e.kind == "D" && staticConstraints.forall(survives(e, _)))
+          .map(_.partition).distinct.size
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .identity(col)), n)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   // ---- runtime filtering (DPP for lake tables) ----------------------
   // Spark hands the scan the JOIN-KEY value set it computed at runtime
@@ -898,19 +974,30 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     val eqVecs = es.filter(_.kind == "X")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
     val data = es.filter(e => e.kind == "D" && survivesRuntime(e))
+    def keyOf(e: SnapshotLog.FileEntry): Option[Any] = groupCol
+      .flatMap { case (c, dt) => SnapshotPrune.labelValue(e, c)
+        .flatMap(SnapshotPrune.typedLabel(_, dt)) }
     if (eqVecs.nonEmpty)
       // equality vectors keep the ROW path (per-row key probes):
       // one whole-file task each — Spark refuses mixed row/columnar
-      // partitions, so the presence of any vector pins the whole scan
-      data.map(e => SnapFilePartition.one(e.path, "", v, posDeletes,
-        eqVecs.filter(_.seq > e.seq).map(_.path).sorted): InputPartition)
-        .toArray
+      // partitions, so the presence of any vector pins the whole scan.
+      // Tasks still carry their partition key when the layout is
+      // groupable, so SPJ survives the fallback.
+      data.map { e =>
+        val vecs = eqVecs.filter(_.seq > e.seq).map(_.path).sorted
+        (keyOf(e) match {
+          case Some(k) => new KeyedSnapFilePartition(
+            Seq(SnapChunk(e.path, 0L, -1L, vecs)), "", v, posDeletes, k)
+          case None => SnapFilePartition.one(e.path, "", v, posDeletes,
+            vecs)
+        }): InputPartition
+      }.toArray
     else
       // target task size for splitting big files and coalescing small
       // ones (the Iceberg read.split.target-size idea); the scan
       // option "splitTargetBytes" tunes it
       SnapshotScanPlanner.plan(data, v, posDeletes,
-        splitTargetBytes).toArray
+        splitTargetBytes, groupCol).toArray
   }
 
   /** the scan is COLUMNAR whenever no equality vector is live in the
@@ -948,8 +1035,25 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
   * without recorded bytes stay one-task-per-file, conservatively).
   */
 private[sources] object SnapshotScanPlanner {
+  /** with `groupCol` set (the SPJ-groupable layout), bins never mix
+    * label values and every task carries its key. */
   def plan(data: Seq[SnapshotLog.FileEntry], commit: Long,
-      posDeletes: Seq[String], targetBytes: Long): Seq[InputPartition] = {
+      posDeletes: Seq[String], targetBytes: Long,
+      groupCol: Option[(String, DataType)] = None): Seq[InputPartition] =
+    groupCol match {
+      case None => planOne(data, commit, posDeletes, targetBytes, None)
+      case Some((c, dt)) =>
+        data.groupBy(e => SnapshotPrune.labelValue(e, c)
+          .flatMap(SnapshotPrune.typedLabel(_, dt)).get)
+          .toSeq.sortBy(_._1.toString)
+          .flatMap { case (k, g) =>
+            planOne(g, commit, posDeletes, targetBytes, Some(k))
+          }
+    }
+
+  private def planOne(data: Seq[SnapshotLog.FileEntry], commit: Long,
+      posDeletes: Seq[String], targetBytes: Long,
+      key: Option[Any]): Seq[InputPartition] = {
     // (chunk, weight): weight drives the bin-packing below
     val chunks: Seq[(SnapChunk, Long)] = data.sortBy(_.path).flatMap { e =>
       if (e.bytes > targetBytes * 3 / 2) {
@@ -980,8 +1084,11 @@ private[sources] object SnapshotScanPlanner {
       cur += c; curW += w
     }
     if (cur.nonEmpty) bins += cur.toSeq
-    bins.toSeq.map(cs =>
-      SnapFilePartition(cs, "", commit, posDeletes): InputPartition)
+    bins.toSeq.map(cs => (key match {
+      case Some(k) =>
+        new KeyedSnapFilePartition(cs, "", commit, posDeletes, k)
+      case None => SnapFilePartition(cs, "", commit, posDeletes)
+    }): InputPartition)
   }
 }
 

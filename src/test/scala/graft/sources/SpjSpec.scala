@@ -1,0 +1,133 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.{SnapshotLog, SnapshotMerge}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins over snapshot tables: two lake tables
+  * partitioned on the same column report KeyGroupedPartitioning from
+  * their manifests' own labels, every task knows its key, and the join
+  * plans with ZERO shuffle exchanges on either side (under
+  * `spark.sql.sources.v2.bucketing.enabled`) — the difference between
+  * shuffling two 100-TB fact tables and shuffling nothing. Mixed
+  * partition-spec eras refuse the grouped report conservatively.
+  */
+class SpjSpec extends SparkSpec {
+
+  private def fresh(tag: String): String = {
+    val base = s"/tmp/graft-test/spj-$tag"
+    graft.Scratch.clear(base)
+    base
+  }
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect()
+    def deep(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        deep(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(s.plan)
+      case other => other +: other.children.flatMap(deep)
+    }
+    deep(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+  }
+
+  private def withSpj[T](f: => T): T = {
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> conf.getOption(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try f finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
+  test("same-spec lake tables join with zero shuffles on either side") {
+    import spark.implicits._
+    val root = fresh("join")
+    val dirA = s"$root/a"
+    val dirB = s"$root/b"
+    val a = (0L until 2400L).map(i => (i, i % 12, i * 2))
+      .toDF("ka", "m", "va")
+    val b = (0L until 1200L).map(i => (i, i % 12, i * 7))
+      .toDF("kb", "m", "vb")
+    SnapshotMerge.writeInitial(spark, a, dirA, "m")
+    SnapshotMerge.writeInitial(spark, b, dirB, "m")
+
+    withSpj {
+      val fa = spark.read.format("graft-snapshot").option("path", dirA)
+        .load()
+      val fb = spark.read.format("graft-snapshot").option("path", dirB)
+        .load()
+      // the JOIN plans exchange-free (the one-row global aggregate
+      // below would add its own single-partition exchange — that one
+      // is the aggregate's, not the join's)
+      assert(shuffles(fa.join(fb, "m").select("m", "va", "vb")) == 0,
+        "a same-spec lake-to-lake join must plan ZERO shuffle exchanges")
+      // oracle: the same join over plain frames
+      val want = a.join(b, "m")
+        .agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      val got = fa.join(fb, "m")
+        .agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      assert(got == want, s"SPJ changed the answer: $got vs $want")
+    }
+  }
+
+  test("grouped aggregation on the partition column skips the shuffle") {
+    import spark.implicits._
+    val root = fresh("agg")
+    val dir = s"$root/t"
+    val df0 = (0L until 2400L).map(i => (i, i % 12, i * 3))
+      .toDF("k", "m", "v")
+    SnapshotMerge.writeInitial(spark, df0, dir, "m")
+    withSpj {
+      val t = spark.read.format("graft-snapshot").option("path", dir)
+        .load()
+      val agg = t.groupBy("m").agg(sum(col("v")).as("s"),
+        count(lit(1)).as("n"))
+      assert(shuffles(agg) == 0,
+        "group-by on the reported partition key must not shuffle")
+      val got = agg.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val want = df0.groupBy("m").agg(sum(col("v")), count(lit(1)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      assert(got.toSeq == want.toSeq)
+    }
+  }
+
+  test("mixed spec eras and unlabeled tables refuse the grouped report") {
+    import spark.implicits._
+    val root = fresh("mixed")
+    val dir = s"$root/t"
+    val df0 = (0L until 240L).map(i => (i, i % 4, i % 3))
+      .toDF("k", "m", "g")
+    SnapshotMerge.writeInitial(spark, df0, dir, "m")
+    // spec evolution: later files labeled by a DIFFERENT column
+    SnapshotLog.commitSpecChange(dir, "g")
+    val more = (240L until 300L).map(i => (i, i % 4, i % 3))
+      .toDF("k", "m", "g")
+    graft.operators.SnapshotMerge.appendPartitioned(spark, more, dir, "g")
+    val scan = {
+      val opts = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Map.of("path", dir))
+      new SnapshotScanBuilder(
+        SnapshotTables.dataSchema(dir, SnapshotLog.latest(dir)), dir,
+        opts).build().asInstanceOf[SnapshotScan]
+    }
+    assert(scan.outputPartitioning().isInstanceOf[
+      org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning],
+      "mixed label columns must refuse KeyGroupedPartitioning")
+    // and the read stays correct regardless
+    val t = spark.read.format("graft-snapshot").option("path", dir).load()
+    assert(t.count() == 300L)
+  }
+}
