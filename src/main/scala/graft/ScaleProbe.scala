@@ -126,7 +126,14 @@ object ScaleProbe {
     // partitioned INSERT — the per-value task fan-out writer).
     // stream_table_sink stays out with the other stream_* rows
     // (micro-batch floors dominate).
-    "s60_agg_pushdown", "s61_sql_ddl")
+    "s60_agg_pushdown", "s61_sql_ddl",
+    // round 14: the metadata DELETE (scaled cost is the stats write +
+    // the vector commit — the DELETE itself is metadata at any K), the
+    // staged CTAS/RTAS (two staged writes + stats), the storage-
+    // partitioned join (the 0-exchange join IS the scaled cost), and
+    // the scan-bound columnar read (the vectorized-path throughput row
+    // — no deletion trick, this row times real decode).
+    "s62_meta_delete", "s63_ctas_rtas", "s64_spj_join", "s65_lake_scan")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm

@@ -352,12 +352,21 @@ object SnapshotLog {
     * planning cost. −1 marks a pre-bytes writer; [[sizeOf]] falls back
     * to the filesystem for those entries only.
     */
+  /** `nullCounts` (9th tab field) is the per-column NULL count the
+    * committing writer recorded (the Iceberg `null_value_counts`
+    * manifest field): `COUNT(col) = rows − nulls` becomes a metadata
+    * answer. `sums` (10th field) records exact per-column sums for
+    * INT64 columns (dropped by the writer when the file's own sum
+    * overflows), serving SUM pushdown. Both absent on legacy entries —
+    * consumers refuse, never guess. */
   final case class FileEntry(
       path: String, kind: String, partition: String,
       stats: Map[String, (Long, Long)], seq: Long = 0L,
       rows: Long = -1L,
       strStats: Map[String, (String, String)] = Map.empty,
-      bytes: Long = -1L) {
+      bytes: Long = -1L,
+      nullCounts: Map[String, Long] = Map.empty,
+      sums: Map[String, Long] = Map.empty) {
     def overlaps(colName: String, lo: Long, hi: Long): Boolean =
       stats.get(colName) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -394,7 +403,17 @@ object SnapshotLog {
       else e.strStats.toSeq.sortBy(_._1)
         .map { case (c, (mn, mx)) => s"$c:${encStat(mn)}:${encStat(mx)}" }
         .mkString(",")
-    s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}\t${e.rows}\t$sst\t${e.bytes}"
+    def kv(m: Map[String, Long]): String =
+      if (m.isEmpty) "-"
+      else m.toSeq.sortBy(_._1).map { case (c, n) => s"$c:$n" }
+        .mkString(",")
+    val base = s"${e.path}\t${e.kind}\t$part\t$st\t${e.seq}\t${e.rows}" +
+      s"\t$sst\t${e.bytes}"
+    // entries without the newer stats keep the 8-field form verbatim
+    // (byte-identical manifests for unchanged writers; old readers of
+    // new manifests were never supported in reverse)
+    if (e.nullCounts.isEmpty && e.sums.isEmpty) base
+    else s"$base\t${kv(e.nullCounts)}\t${kv(e.sums)}"
   }
 
   /** the entry's file size: manifest-recorded when the writer stamped
@@ -442,6 +461,14 @@ object SnapshotLog {
       case Array(p, k, part, st, sq, rw, sst, by) =>
         FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
           rw.toLong, strStats(sst), by.toLong)
+      case Array(p, k, part, st, sq, rw, sst, by, nc, sm) =>
+        def kv(v: String): Map[String, Long] =
+          if (v == "-") Map.empty
+          else v.split(",").map { s =>
+            val Array(c, n) = s.split(":"); c -> n.toLong
+          }.toMap
+        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
+          rw.toLong, strStats(sst), by.toLong, kv(nc), kv(sm))
       case _ => throw new IllegalStateException(s"bad manifest line: $line")
     }
   }
@@ -1126,10 +1153,20 @@ object SnapshotLog {
     * min/max, and both sides skip nulls. Keyed by the manifest
     * (scheme-less) path.
     */
+  /** one file's write-side statistics, everything folded in the same
+    * single distributed aggregation: exact row count, LONG and STRING
+    * min/max, per-column NULL counts, and exact per-column SUMS for
+    * LONG columns (recorded only when the file's own sum fits a long —
+    * summed as 38-digit decimals task-side, so an overflowing file
+    * simply drops its sum instead of wrapping). */
+  final case class FileStats(rows: Long,
+      longs: Map[String, (Long, Long)],
+      strs: Map[String, (String, String)],
+      nulls: Map[String, Long],
+      sums: Map[String, Long])
+
   def collectFileStats(s: SparkSession, files: Seq[String],
-      statsCols: Seq[String])
-      : Map[String, (Long, Map[String, (Long, Long)],
-        Map[String, (String, String)])] = {
+      statsCols: Seq[String]): Map[String, FileStats] = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty) return Map.empty
     val df = s.read.parquet(files: _*)
@@ -1138,9 +1175,13 @@ object SnapshotLog {
       fieldType.get(c).contains(org.apache.spark.sql.types.LongType))
     val strCols = statsCols.filter(c =>
       fieldType.get(c).contains(org.apache.spark.sql.types.StringType))
+    val statCols = longCols ++ strCols
     val aggs = Seq(count(lit(1)).as("__n")) ++
       longCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
-      strCols.flatMap(c => Seq(min(col(c)), max(col(c))))
+      strCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
+      statCols.map(c => count(col(c))) ++ // nulls = __n - count(col)
+      longCols.map(c => sum(col(c)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
     val rows = df
       .groupBy(normPathCol(col("_metadata.file_path")).as("__p"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1162,7 +1203,21 @@ object SnapshotLog {
             r.getString(b).length > MaxStrStat) None
         else Some(c -> ((r.getString(a), r.getString(b))))
       }.toMap
-      p -> ((n, ls, ss))
+      val nBase = sBase + 2 * strCols.size
+      val nulls = statCols.zipWithIndex.map { case (c, i) =>
+        c -> (n - r.getLong(nBase + i))
+      }.toMap
+      val mBase = nBase + statCols.size
+      val sums = longCols.zipWithIndex.flatMap { case (c, i) =>
+        if (r.isNullAt(mBase + i)) None
+        else {
+          val d = r.getDecimal(mBase + i)
+          val bi = d.toBigInteger
+          if (bi.bitLength() <= 62) Some(c -> bi.longValueExact())
+          else None // file-local overflow: drop, never wrap
+        }
+      }.toMap
+      p -> FileStats(n, ls, ss, nulls, sums)
     }.toMap
   }
 

@@ -86,22 +86,22 @@ object SnapshotMerge {
     // a stats-free writer stays a pure write; metaCount's loud
     // refusal covers tables that never recorded counts
     val st =
-      if (statsCols.isEmpty)
-        Map.empty[String, (Long, Map[String, (Long, Long)],
-          Map[String, (String, String)])]
+      if (statsCols.isEmpty) Map.empty[String, SnapshotLog.FileStats]
       else SnapshotLog.collectFileStats(s, files, statsCols)
     files.map { f =>
       // the label dir is the parent for a one-level partitioned write,
       // an ancestor when a sub-partition dir (a bin-pack's `_bin=`)
       // rides below it
       val label = s"$partCol=${gpOf(f)}"
-      val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
-        (-1L, Map.empty[String, (Long, Long)],
-          Map.empty[String, (String, String)]))
+      val fs = st.getOrElse(SnapshotLog.normPath(f),
+        SnapshotLog.FileStats(-1L, Map.empty, Map.empty, Map.empty,
+          Map.empty))
       // bytes: one stat per JUST-WRITTEN file — O(delta) at commit, so
       // plan-time consumers never stat the table (sizeOf reads these)
-      SnapshotLog.FileEntry(f, "D", label, longs, seq, rows, strs,
-        bytes = java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+      SnapshotLog.FileEntry(f, "D", label, fs.longs, seq, fs.rows,
+        fs.strs,
+        bytes = java.nio.file.Files.size(java.nio.file.Paths.get(f)),
+        nullCounts = fs.nulls, sums = fs.sums)
     }
   }
 

@@ -71,11 +71,12 @@ object SnapshotOptimize {
         // no per-file driver footer loop on a 10k-file rewrite
         val st = SnapshotLog.collectFileStats(s, files, dims)
         files.map { f =>
-          val (rows, longs, strs) = st.getOrElse(SnapshotLog.normPath(f),
-            (-1L, Map.empty[String, (Long, Long)],
-              Map.empty[String, (String, String)]))
-          SnapshotLog.FileEntry(f, "D", "", longs, seq = v + 1L, rows,
-            strs, bytes = SnapshotLog.statBytes(f))
+          val fs = st.getOrElse(SnapshotLog.normPath(f),
+            SnapshotLog.FileStats(-1L, Map.empty, Map.empty, Map.empty,
+              Map.empty))
+          SnapshotLog.FileEntry(f, "D", "", fs.longs, seq = v + 1L,
+            fs.rows, fs.strs, bytes = SnapshotLog.statBytes(f),
+            nullCounts = fs.nulls, sums = fs.sums)
         }
       case Some(pc) =>
         // PARTITION-SCOPED curve (Delta's OPTIMIZE WHERE … ZORDER BY

@@ -2945,7 +2945,19 @@ object QFilters extends Registry {
             lit(null).cast("long").as("hi"),
             lit(null).cast("string").as("sd_lo"),
             lit(null).cast("string").as("sd_hi"))
+        // COUNT(col) and SUM(col) from the manifest's null counts and
+        // exact per-file sums (v2: no deletes) — the files are still
+        // gone, so only the metadata can answer
+        val countSum = s.sql(
+          s"""SELECT count(l_orderkey) AS n_rows,
+                     sum(l_orderkey) AS lo FROM $tbl VERSION AS OF 2""")
+          .select(lit("countsum_v2").as("face"), lit(-1).as("m"),
+            col("n_rows"), col("lo"),
+            lit(null).cast("long").as("hi"),
+            lit(null).cast("string").as("sd_lo"),
+            lit(null).cast("string").as("sd_hi"))
         minmax.unionByName(grouped).unionByName(whereM3)
+          .unionByName(countSum)
       },
       Some("""WITH base AS (
                 SELECT l_orderkey AS ok,
@@ -2967,7 +2979,12 @@ object QFilters extends Registry {
               SELECT 'where_m3', CAST(3 AS INT), count(*),
                      CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
                      CAST(NULL AS STRING), CAST(NULL AS STRING)
-              FROM afterdel WHERE m = 3""")),
+              FROM afterdel WHERE m = 3
+              UNION ALL
+              SELECT 'countsum_v2', CAST(-1 AS INT), count(ok),
+                     CAST(sum(ok) AS BIGINT), CAST(NULL AS BIGINT),
+                     CAST(NULL AS STRING), CAST(NULL AS STRING)
+              FROM base""")),
 
     // S62 — SQL DDL ON THE KERNEL (ext.): `CREATE TABLE … PARTITIONED
     // BY` commits an empty schema-carrying snapshot; `INSERT INTO`
@@ -3033,7 +3050,227 @@ object QFilters extends Registry {
               UNION ALL
               SELECT 'pruned_m3', count(*) + 1,
                      CAST(sum(qty) + 5 AS BIGINT), CAST(1 AS BIGINT)
-              FROM src WHERE m = 3"""))
+              FROM src WHERE m = 3""")),
+
+    // S65 — METADATA-ONLY SQL DELETE (ext.): a value-set WHERE on one
+    // column commits an EQUALITY-DELETE VECTOR through SupportsDeleteV2
+    // — zero data files opened, proven by HIDING every data file while
+    // the DELETE runs (a row-level plan would crash). The MOR read
+    // then serves the delete exactly; ranges and multi-column
+    // predicates fall back to the position-delta path
+    // (`DeleteWhereSpec` pins the fallbacks).
+    Q("s62_meta_delete",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s62_metadel", d)}/t"
+        graft.Scratch.clear(dir)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
+        val base = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"),
+          col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        SnapshotMerge.writeInitial(s, base, dir, "m")
+        SnapshotLog.commitSchemaChange(dir,
+          SnapshotLog.read(s, dir, 1).schema)
+        val tbl = s"graft_lake.`$dir`"
+        // the doomed keys: the 20 smallest orderkeys (deterministic,
+        // oracle-expressible) — collected BEFORE the files hide
+        val doomed = base.select(col("ok")).distinct()
+          .orderBy(col("ok")).limit(20).collect().map(_.getLong(0))
+        val files = SnapshotLog.files(dir, SnapshotLog.latest(dir))
+        // HIDE every data file: only a metadata-only DELETE survives
+        files.foreach(f => java.nio.file.Files.move(
+          java.nio.file.Paths.get(f),
+          java.nio.file.Paths.get(f + ".h")))
+        try s.sql(s"DELETE FROM $tbl WHERE ok IN " +
+          doomed.mkString("(", ", ", ")"))
+        finally files.foreach(f => java.nio.file.Files.move(
+          java.nio.file.Paths.get(f + ".h"),
+          java.nio.file.Paths.get(f)))
+        s.sql(s"""SELECT m, count(*) AS n_rows,
+                         CAST(sum(qty) AS BIGINT) AS sum_qty
+                  FROM $tbl GROUP BY m""")
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              doomed AS (
+                SELECT DISTINCT ok FROM base ORDER BY ok LIMIT 20)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM base WHERE ok NOT IN (SELECT ok FROM doomed)
+              GROUP BY 1""")),
+
+    // S66 — ATOMIC CTAS / RTAS (ext.): `CREATE TABLE … AS SELECT`
+    // stages the whole write and publishes ONE labeled,
+    // stats-carrying snapshot at commit (a crashed CTAS leaves no
+    // committed table — `CtasSpec` injects the failure); `REPLACE
+    // TABLE … AS SELECT` swaps content AND schema as one snapshot
+    // with every prior version still time-travelable.
+    Q("s63_ctas_rtas",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        val dir = s"${graft.Scratch.dirFor("s63_ctas", d)}/t"
+        graft.Scratch.clear(dir)
+        val tbl = s"graft_lake.`$dir`"
+        Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"),
+          col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+          .createOrReplaceTempView("s63_src")
+        s.sql(s"CREATE TABLE $tbl PARTITIONED BY (m) AS " +
+          "SELECT * FROM s63_src")
+        // pinned to v1 explicitly: the union below executes AFTER the
+        // REPLACE, and an unpinned read would (correctly) resolve the
+        // replaced table
+        val created = s.sql(
+          s"""SELECT m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM $tbl VERSION AS OF 1 GROUP BY m""")
+          .select(lit("ctas").as("face"), col("m"), col("n_rows"),
+            col("sum_qty"))
+        s.sql(s"REPLACE TABLE $tbl AS " +
+          "SELECT ok % 7 AS g, qty FROM s63_src WHERE m <= 6")
+        val replaced = s.sql(
+          s"""SELECT g, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM $tbl GROUP BY g""")
+          .select(lit("rtas").as("face"), col("g").as("m"),
+            col("n_rows"), col("sum_qty"))
+        // the pre-replace version stays readable under its own schema
+        val old = s.sql(
+          s"""SELECT count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM $tbl VERSION AS OF 1""")
+          .select(lit("old_v1").as("face"), lit(-1L).as("m"),
+            col("n_rows"), col("sum_qty"))
+        created.unionByName(replaced).unionByName(old)
+      },
+      Some("""WITH src AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT 'ctas' AS face, CAST(m AS BIGINT) AS m,
+                     count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty
+              FROM src GROUP BY 2
+              UNION ALL
+              SELECT 'rtas', ok % 7, count(*), CAST(sum(qty) AS BIGINT)
+              FROM src WHERE m <= 6 GROUP BY 2
+              UNION ALL
+              SELECT 'old_v1', -1, count(*), CAST(sum(qty) AS BIGINT)
+              FROM src""")),
+
+    // S67 — STORAGE-PARTITIONED JOIN (ext.): two lake tables
+    // partitioned on the same column join with ZERO shuffle exchanges
+    // on either side — the scans report KeyGroupedPartitioning from
+    // their manifests' own labels, every task knows its key, and the
+    // downstream GROUP BY on the partition column rides the same
+    // layout (PLANS.md pins the 0-exchange plan; `SpjSpec` pins it
+    // against plain-frame oracles). At 100 TB this is the difference
+    // between shuffling two fact tables and shuffling nothing.
+    Q("s64_spj_join",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        // storage-partitioned joins are an opt-in planner feature;
+        // leaving it enabled is safe (it only changes task grouping
+        // for scans that report a key-grouped layout)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        val root = graft.Scratch.dirFor("s64_spj", d)
+        graft.Scratch.clear(root)
+        import graft.operators.SnapshotMerge
+        val dirA = s"$root/a"
+        val dirB = s"$root/b"
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"),
+          col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"))
+        SnapshotMerge.writeInitial(s, li, dirA, "m")
+        SnapshotMerge.writeInitial(s,
+          li.groupBy(col("m")).agg(
+            countDistinct(col("ok")).as("n_orders")), dirB, "m")
+        val fa = s.read.format("graft-snapshot").option("path", dirA)
+          .load()
+        val fb = s.read.format("graft-snapshot").option("path", dirB)
+          .load()
+        // merge hint: the exchange-free sort-merge join (a broadcast
+        // would also avoid the shuffle but wouldn't witness SPJ)
+        fa.hint("merge").join(fb, "m")
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            max(col("n_orders")).as("n_orders"))
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem),
+              dim AS (
+                SELECT m, count(DISTINCT ok) AS n_orders
+                FROM li GROUP BY m)
+              SELECT CAST(li.m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(li.qty) AS BIGINT) AS sum_qty,
+                     CAST(max(dim.n_orders) AS BIGINT) AS n_orders
+              FROM li JOIN dim ON li.m = dim.m
+              GROUP BY 1""")),
+
+    // S65 face, scan-bound: a FULL columnar scan of a snapshot table
+    // through SQL — the aggregate mixes columns (qty * (ok % 7)), so
+    // no metadata pushdown can serve it and the measured cost IS the
+    // vectorized read path (ColumnarBatch decode straight into
+    // whole-stage codegen). The ×10 probe row records the columnar
+    // scan's throughput slope; the s33/s55 deletion trick is
+    // deliberately NOT used here — this row exists to time real reads.
+    Q("s65_lake_scan",
+      (s, d) => {
+        graft.GraftExtensions.ensure(s)
+        // this row times the COLUMNAR DECODE with the split/coalesce
+        // task layout — pin SPJ task-grouping off so a prior
+        // s64_spj_join in the same session can't reshape it to
+        // one-task-per-label
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        // v2 in the tag: the fixture persists across runs (this row
+        // times reads, not the build) — bump it when the build changes
+        val dir = s"${graft.Scratch.dirFor("s65_scan_v2", d)}/t"
+        if (graft.operators.SnapshotLog.latest(dir) == 0) {
+          graft.Scratch.clear(dir)
+          val base = Tables.lineitem(s, d).select(
+            col("l_orderkey").as("ok"),
+            col("l_partkey").as("pk"),
+            col("l_quantity").cast("decimal(18,2)").cast("long")
+              .as("qty"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          graft.operators.SnapshotMerge.writeInitial(s, base, dir, "m")
+        }
+        val tbl = s"graft_lake.`$dir`"
+        s.sql(
+          s"""SELECT m, count(*) AS n_rows,
+                     CAST(sum(qty * (ok % 7)) AS BIGINT) AS mix,
+                     CAST(sum(cents) AS BIGINT) AS cents,
+                     min(sd) AS sd_lo, max(sd) AS sd_hi
+              FROM $tbl GROUP BY m""")
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) AS cents,
+                       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sd,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty * (ok % 7)) AS BIGINT) AS mix,
+                     CAST(sum(cents) AS BIGINT) AS cents,
+                     min(sd) AS sd_lo, max(sd) AS sd_hi
+              FROM base GROUP BY 1"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

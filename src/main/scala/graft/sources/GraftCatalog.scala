@@ -38,7 +38,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (`CALL graft_lake.system.expire_snapshots('/dir', 5)` …) — see
   * [[GraftProcedures]] for the full surface.
   */
-class GraftCatalog extends TableCatalog with ProcedureCatalog {
+class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
   private var catalogName = "graft_lake"
 
   override def initialize(name: String,
@@ -112,22 +113,25 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
     * partitioning on one column is supported (the kernel's label
     * model); anything fancier refuses loudly.
     */
+  private def identitySpec(partitions: Array[Transform],
+      schema: StructType): Option[String] = partitions.toSeq match {
+    case Nil => None
+    case Seq(t) if t.name() == "identity" &&
+        t.references().length == 1 =>
+      val col = t.references()(0).fieldNames().mkString(".")
+      require(schema.fieldNames.contains(col),
+        s"PARTITIONED BY column '$col' is not in the table schema")
+      Some(col)
+    case other => throw new UnsupportedOperationException(
+      "graft_lake supports PARTITIONED BY (one identity column); " +
+        s"got ${other.map(_.describe()).mkString(", ")}")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val dir = dirOf(ident)
-    val spec: Option[String] = partitions.toSeq match {
-      case Nil => None
-      case Seq(t) if t.name() == "identity" &&
-          t.references().length == 1 =>
-        val col = t.references()(0).fieldNames().mkString(".")
-        require(schema.fieldNames.contains(col),
-          s"PARTITIONED BY column '$col' is not in the table schema")
-        Some(col)
-      case other => throw new UnsupportedOperationException(
-        "graft_lake supports PARTITIONED BY (one identity column); " +
-          s"got ${other.map(_.describe()).mkString(", ")}")
-    }
+    val spec = identitySpec(partitions, schema)
     val headers =
       SnapshotLog.renderSchemaHeaders(schema, Map.empty) ++
         spec.map(c => s"${SnapshotLog.SpecHeader}\t$c")
@@ -137,6 +141,42 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
           (ident.namespace() :+ ident.name()).toSeq)
     new SnapshotTable(schema, Some(dir))
   }
+
+  // ---- atomic CTAS / RTAS (StagingTableCatalog) ----------------------
+  // `CREATE TABLE … AS SELECT` and `REPLACE TABLE … AS SELECT` stage
+  // their writes into the table directory but publish NO manifest until
+  // Spark calls commitStagedChanges — a crashed or aborted CTAS leaves
+  // zero committed state (only unreferenced files the orphan sweep
+  // reclaims), and RTAS replaces content+schema as ONE snapshot commit
+  // (prior versions stay time-travelable, the Iceberg REPLACE shape).
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val dir = dirOf(ident)
+    if (SnapshotLog.latest(dir) >= 1)
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(
+          (ident.namespace() :+ ident.name()).toSeq)
+    new StagedGraftTable(dir, ident, schema,
+      identitySpec(partitions, schema), mustNotExist = true)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable = {
+    val dir = dirOf(ident)
+    if (SnapshotLog.latest(dir) == 0)
+      throw new NoSuchTableException(ident)
+    new StagedGraftTable(dir, ident, schema,
+      identitySpec(partitions, schema), mustNotExist = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: java.util.Map[String, String]): StagedTable =
+    new StagedGraftTable(dirOf(ident), ident, schema,
+      identitySpec(partitions, schema), mustNotExist = false)
 
   /** SQL `ALTER TABLE` onto the kernel's schema-evolution commit
     * (S40): RENAME COLUMN, ADD COLUMN (nullable), and WIDENING type
@@ -259,4 +299,136 @@ class GraftCatalog extends TableCatalog with ProcedureCatalog {
       GraftProcedures.procedures.keys.toSeq.sorted
         .map(n => Identifier.of(Array("system"), n)).toArray
     else Array.empty
+}
+
+/** The staged table behind atomic CTAS/RTAS: the SELECT's tasks write
+  * ordinary labeled data files under a writer-unique root inside the
+  * table directory, the DRIVER stashes the finished file list, and
+  * NOTHING publishes until [[commitStagedChanges]] — which commits the
+  * schema+spec headers and the file entries as ONE snapshot (v1 for
+  * CREATE, put-if-absent; latest+1 for REPLACE, CAS-retried with the
+  * content replaced but history retained). Per-file stats (rows,
+  * bounds, null counts, sums) fold in one distributed aggregation at
+  * commit, so a CTAS table prunes and answers metadata aggregates
+  * from birth. A crash anywhere before the commit leaves zero
+  * committed state.
+  */
+private[sources] class StagedGraftTable(dir: String,
+    ident: Identifier, schema0: StructType, spec: Option[String],
+    mustNotExist: Boolean)
+    extends StagedTable with SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
+  @volatile private var staged: Seq[SnapFile] = Nil
+  @volatile private var written = false
+
+  override def name(): String = s"graft_lake.`$dir` (staged)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
+
+  /** the integral spec column's index — the task writers label files
+    * only for integral specs (the manifest's label model); a string
+    * spec still records the `#spec` header, files stay unlabeled. */
+  private def partColIdx: Option[Int] = spec
+    .map(schema0.fieldNames.indexOf(_)).filter(_ >= 0)
+    .filter { i =>
+      schema0.fields(i).dataType == org.apache.spark.sql.types.LongType ||
+        schema0.fields(i).dataType == org.apache.spark.sql.types.IntegerType
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      // RTAS plans its write as truncate-then-append on the staged
+      // table; the staged commit IS the replacement, so accept
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new Write
+          with RequiresDistributionAndOrdering {
+        import org.apache.spark.sql.connector.expressions.Expressions
+        private val pc = partColIdx.map(schema0.fieldNames(_))
+        override def requiredDistribution()
+            : org.apache.spark.sql.connector.distributions.Distribution =
+          pc match {
+            case Some(c) =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .clustered(Array(Expressions.column(c)))
+            case None =>
+              org.apache.spark.sql.connector.distributions.Distributions
+                .unspecified()
+          }
+        override def requiredOrdering()
+            : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+          pc.map(c => Expressions.sort(Expressions.column(c),
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING)).toArray
+        override def distributionStrictlyRequired(): Boolean = false
+        override def toBatch: BatchWrite = new BatchWrite {
+          private val root = SnapshotLog.writerRoot(s"$dir/data/ctas")
+          override def createBatchWriterFactory(
+              info: PhysicalWriteInfo): DataWriterFactory =
+            new SnapshotWriterFactory(root, schema0, partColIdx)
+          override def commit(
+              messages: Array[WriterCommitMessage]): Unit = {
+            staged = messages.collect { case SnapFilesCommit(fs) => fs }
+              .flatten.filter(_.rows > 0).sortBy(_.path).toSeq
+            written = true
+          }
+          override def abort(
+              messages: Array[WriterCommitMessage]): Unit =
+            messages.foreach {
+              case SnapFilesCommit(fs) =>
+                fs.filter(_.path.nonEmpty).foreach(f =>
+                  java.nio.file.Files.deleteIfExists(
+                    java.nio.file.Paths.get(f.path)))
+              case _ =>
+            }
+        }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    require(written, "commitStagedChanges before the staged write ran")
+    val s = org.apache.spark.sql.SparkSession.active
+    // full write-side stats in ONE distributed aggregation: the CTAS
+    // table prunes, COUNTs and SUMs from metadata from birth
+    val statsCols = schema0.fields.filter(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
+    val st =
+      if (staged.isEmpty) Map.empty[String, SnapshotLog.FileStats]
+      else SnapshotLog.collectFileStats(s, staged.map(_.path), statsCols)
+    def entriesAt(t: Long): Seq[SnapshotLog.FileEntry] =
+      staged.map { f =>
+        val fs = st.getOrElse(SnapshotLog.normPath(f.path),
+          SnapshotLog.FileStats(f.rows, Map.empty, Map.empty,
+            Map.empty, Map.empty))
+        SnapshotLog.FileEntry(f.path, "D", f.label, fs.longs,
+          seq = t, rows = f.rows, strStats = fs.strs, bytes = f.bytes,
+          nullCounts = fs.nulls, sums = fs.sums)
+      }
+    val headers = SnapshotLog.renderSchemaHeaders(schema0, Map.empty) ++
+      spec.map(c => s"${SnapshotLog.SpecHeader}\t$c")
+    if (mustNotExist) {
+      if (!SnapshotLog.publishEntries(dir, 1, entriesAt(1L), headers))
+        throw new org.apache.spark.sql.catalyst.analysis
+          .TableAlreadyExistsException(
+            (ident.namespace() :+ ident.name()).toSeq)
+    } else {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        require(attempts <= 1000, "staged replace lost 1000 id races")
+        val v = SnapshotLog.latest(dir)
+        done = SnapshotLog.publishEntries(dir, v + 1,
+          entriesAt(v + 1L), headers)
+      }
+    }
+  }
+
+  override def abortStagedChanges(): Unit =
+    staged.foreach(f => java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(f.path)))
 }

@@ -50,6 +50,136 @@ object SnapshotDelta {
   val FileCol = "_file"
   val PosCol = "_pos"
 
+  /** METADATA-ONLY DELETE (`SupportsDeleteV2`): when the WHERE clause
+    * is exactly a value-set test on ONE column — `c = v`, `c IN (…)`,
+    * plus the analyzer's `IS NOT NULL c` rider — the delete commits as
+    * an EQUALITY-DELETE VECTOR on that column (the S34 write path
+    * through the SQL door): one tiny parquet of the named values, one
+    * manifest line, ZERO data files opened at any table size. The
+    * Iceberg sequence rule makes it exact: the vector's seq is the
+    * committing version, so it suppresses every row of every earlier
+    * file whose `c` matches — precisely the rows `c IN (…)` selects
+    * (null `c` matches neither the SQL predicate nor the vector).
+    * Anything else (ranges, multi-column predicates, non-literal
+    * operands) refuses [[canPlan]] and falls back to the row-level
+    * position-delta path — never a wrong answer, only a slower one.
+    */
+  private[sources] object MetaDelete {
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+    /** the (column, values, type) a metadata delete would commit, or
+      * None to refuse into the row-level path. */
+    def canPlan(dir: String, schema: StructType,
+        predicates: Array[Predicate]): Option[(String, Seq[Any],
+        DataType)] = {
+      if (predicates.isEmpty) return None // DELETE all: row-level/TRUNCATE
+      val (riders, tests) =
+        predicates.partition(_.name() == "IS_NOT_NULL")
+      val cs = SnapshotPrune.parseConstraints(tests)
+      // every non-rider predicate must parse, and to exactly one
+      // value-set constraint on one column
+      if (cs.size != tests.length || cs.size != 1) return None
+      cs.head match {
+        case SnapshotPrune.InSet(col, vals) =>
+          val riderOk = riders.forall(_.children() match {
+            case Array(f: NamedReference) =>
+              f.fieldNames().mkString(".") == col
+            case _ => false
+          })
+          if (!riderOk) return None
+          schema.fields.find(_.name == col).map(_.dataType) match {
+            case Some(dt @ (LongType | IntegerType | StringType)) =>
+              // values must carry in the column's own type — a lossy
+              // coercion would delete the wrong rows
+              val typed = vals.flatMap { v =>
+                (dt, v) match {
+                  case (LongType, _) => SnapshotPrune.asLong(v)
+                  case (IntegerType, _) => SnapshotPrune.asLong(v)
+                    .filter(l => l >= Int.MinValue && l <= Int.MaxValue)
+                    .map(_.toInt)
+                  case (StringType, s: String) => Some(s)
+                  case _ => None
+                }
+              }
+              if (typed.size == vals.size && typed.nonEmpty)
+                Some((col, typed, dt))
+              else None
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+
+    /** Commit the delete. Two metadata shapes, picked per snapshot:
+      *
+      *  - PARTITION DROP: when EVERY data entry is labeled by `col`
+      *    with a typed value (label purity — the writer stamped the
+      *    label FROM the column), `DELETE WHERE col IN (…)` is exactly
+      *    "drop those entries": the new manifest simply omits them.
+      *    No vector is introduced, so metadata COUNT and aggregate
+      *    pushdown KEEP working after the delete — the Hive
+      *    drop-partition / Iceberg delete-by-partition-predicate
+      *    optimization. A no-match delete commits nothing.
+      *  - EQUALITY VECTOR otherwise: one tiny parquet of the named
+      *    values (CAS append; the vector's seq = the committed
+      *    version, scoping it to all prior files).
+      */
+    def commit(dir: String, col: String, vals: Seq[Any],
+        dt: DataType): Int = {
+      val typedSet = vals.toSet
+      var attempts = 0
+      while (attempts < 1000) {
+        attempts += 1
+        val v = SnapshotLog.latest(dir)
+        val es = SnapshotLog.entries(dir, v)
+        val data = es.filter(_.kind == "D")
+        def labelVal(e: SnapshotLog.FileEntry): Option[Any] =
+          SnapshotPrune.labelValue(e, col)
+            .flatMap(SnapshotPrune.typedLabel(_, dt))
+        if (data.isEmpty || data.exists(e => labelVal(e).isEmpty))
+          return commitVector(dir, col, vals, dt)
+        val (drop, keep) = data.partition(e =>
+          typedSet.contains(labelVal(e).get))
+        if (drop.isEmpty) return v // zero matching rows: no-op
+        if (SnapshotLog.publishEntries(dir, v + 1,
+            keep ++ es.filter(_.kind != "D"),
+            SnapshotLog.headers(dir, v)))
+          return v + 1
+        // CAS loss: re-derive from the new head and retry
+      }
+      throw new IllegalStateException(
+        s"metadata DELETE at $dir lost 1000 races")
+    }
+
+    private def commitVector(dir: String, col: String, vals: Seq[Any],
+        dt: DataType): Int = {
+      val root = SnapshotLog.writerRoot(s"$dir/deletes/keydel")
+      val file = s"$root/values.parquet"
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(file).getParent)
+      val msg = SnapshotWrite.parquetSchema(
+        StructType(Seq(StructField(col, dt))))
+      val factory = new SimpleGroupFactory(msg)
+      val w = ExampleParquetWriter.builder(new Path(file))
+        .withConf(new Configuration()).withType(msg).build()
+      try vals.foreach { v =>
+        val g = factory.newGroup()
+        (dt, v) match {
+          case (LongType, l: Long) => g.add(col, l)
+          case (IntegerType, i: Int) => g.add(col, i)
+          case (StringType, s: String) =>
+            g.add(col, Binary.fromString(s))
+          case other => throw new IllegalStateException(
+            s"unreachable: $other")
+        }
+        w.write(g)
+      } finally w.close()
+      SnapshotLog.appendEntries(dir, t => Seq(SnapshotLog.FileEntry(
+        file, "X", "", Map.empty, seq = t.toLong,
+        bytes = SnapshotLog.statBytes(file))))
+    }
+  }
+
   val MetaCols: Array[MetadataColumn] = Array(
     new MetadataColumn {
       override def name(): String = FileCol

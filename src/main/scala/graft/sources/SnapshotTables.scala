@@ -216,7 +216,8 @@ private[sources] class SnapshotTable(schema0: StructType,
     dir0: Option[String], pinned: Option[Int] = None)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   override def name(): String =
     dir0.map(d => s"graft_lake.`$d`").getOrElse("graft_snapshot_table")
   override def schema(): StructType = schema0
@@ -257,6 +258,30 @@ private[sources] class SnapshotTable(schema0: StructType,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     val dir = dir0.getOrElse(SnapshotTables.pathOf(info.options()))
     () => new SnapshotDelta.PositionDeltaOperation(dir, info.command())
+  }
+
+  // ---- metadata-only DELETE (SupportsDeleteV2) ----------------------
+  // Spark's OptimizeMetadataOnlyDeleteFromTable prefers this over the
+  // row-level rewrite whenever canDeleteWhere accepts: a value-set
+  // DELETE on one column commits an equality-delete VECTOR — zero data
+  // files opened (see SnapshotDelta.MetaDelete). Everything else
+  // refuses into the position-delta path.
+  override def canDeleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Boolean = dir0.exists(d =>
+    SnapshotDelta.MetaDelete.canPlan(d, schema0, predicates).isDefined)
+
+  override def deleteWhere(predicates: Array[
+      org.apache.spark.sql.connector.expressions.filter.Predicate])
+      : Unit = {
+    val d = dir0.getOrElse(
+      throw new UnsupportedOperationException(
+        "metadata DELETE needs a catalog-addressed table"))
+    val (col, vals, dt) = SnapshotDelta.MetaDelete
+      .canPlan(d, schema0, predicates)
+      .getOrElse(throw new IllegalStateException(
+        "deleteWhere called for predicates canDeleteWhere refused"))
+    SnapshotDelta.MetaDelete.commit(d, col, vals, dt)
   }
 }
 
@@ -566,21 +591,50 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
       // each aggregate must be answerable from the manifest
       sealed trait Served
       case object ServeCount extends Served
+      case class ServeCountCol(col: String) extends Served
+      case class ServeSum(col: String) extends Served
       case class ServeMin(col: String, dt: DataType) extends Served
       case class ServeMax(col: String, dt: DataType) extends Served
+      def namedCol(e:
+          org.apache.spark.sql.connector.expressions.Expression)
+          : Option[String] = e match {
+        case f: NamedReference => Some(f.fieldNames().mkString("."))
+        case _ => None
+      }
       val served: Seq[(Served, StructField)] =
         agg.aggregateExpressions().toSeq.map {
           case _: CountStar =>
             if (data.exists(_.rows < 0L)) return None
             (ServeCount, StructField("count", LongType, nullable = false))
+          // COUNT(col) = Σ(rows − nulls): exact rows AND recorded null
+          // counts on every surviving entry, and no position deletes
+          // (a dead row's null-ness is a data question)
+          case c: Count if !c.isDistinct && posDeletes.isEmpty =>
+            val col = namedCol(c.column()).getOrElse(return None)
+            if (data.exists(e =>
+                e.rows < 0L || !e.nullCounts.contains(col))) return None
+            (ServeCountCol(col),
+              StructField("count", LongType, nullable = false))
+          // SUM(col): every entry recorded an exact sum for the LONG
+          // column, no deletes of either kind, and the fold must not
+          // overflow (checked EAGERLY below — overflow refuses the
+          // pushdown at plan time, never a wrapped answer)
+          case m: Sum if !m.isDistinct && posDeletes.isEmpty &&
+              data.nonEmpty =>
+            val col = namedCol(m.column()).getOrElse(return None)
+            val isLong = full.fields.find(_.name == col)
+              .exists(_.dataType == LongType)
+            if (!isLong || data.exists(e => !e.sums.contains(col)))
+              return None
+            (ServeSum(col), StructField("sum", LongType))
           case m: Min => minMax(m.column(), data, posDeletes)
             .map { case (c, dt) => (ServeMin(c, dt): Served,
               StructField("min", dt)) }.getOrElse(return None)
           case m: Max => minMax(m.column(), data, posDeletes)
             .map { case (c, dt) => (ServeMax(c, dt): Served,
               StructField("max", dt)) }.getOrElse(return None)
-          case _ => return None // SUM/AVG/COUNT(col): null semantics
-            // and overflow are data questions, not manifest questions
+          case _ => return None // AVG/DISTINCT/…: null semantics and
+            // exactness are data questions, not manifest questions
         }
       // an EMPTY aggregate list is a real plan, not a degenerate one:
       // a consumer that prunes every aggregate away (count() over the
@@ -622,6 +676,11 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
         groups.map { case (k, g) =>
           k.toSeq ++ served.map {
             case (ServeCount, _) => live(g): Any
+            case (ServeCountCol(c), _) =>
+              g.map(e => e.rows - e.nullCounts(c))
+                .foldLeft(0L)(Math.addExact): Any
+            case (ServeSum(c), _) =>
+              g.map(_.sums(c)).foldLeft(0L)(Math.addExact): Any
             case (ServeMin(c, dt), _) => dt match {
               case LongType => g.map(_.stats(c)._1).min: Any
               case _ => g.map(_.strStats(c)._1).min: Any
@@ -633,7 +692,11 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
           }
         }
       }
-      Some(new MetaAggScan(schema, computeRows))
+      // EAGER evaluation (metadata-sized): a SUM whose fold overflows
+      // throws HERE, and the enclosing catch turns it into a refusal —
+      // the fallback scan computes the true answer, never a wrapped one
+      val rows = computeRows()
+      Some(new MetaAggScan(schema, () => rows))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

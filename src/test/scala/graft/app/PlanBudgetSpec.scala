@@ -578,4 +578,46 @@ class PlanBudgetSpec extends SparkSpec {
     assert(c.shuffles <= 3, s"stream_table_sink shuffles: ${c.shuffles}")
     graft.Caches.clearTransient()
   }
+
+  test("metadata DELETE readback: one grouped-agg exchange") {
+    val c = Plans.planCounts(q("s62_meta_delete"))
+    assert(c.shuffles <= 1, s"s62_meta_delete shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("CTAS/RTAS readback: one agg exchange per face") {
+    val c = Plans.planCounts(q("s63_ctas_rtas"))
+    assert(c.shuffles <= 3, s"s63_ctas_rtas shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("storage-partitioned join: ZERO exchanges — the join AND the " +
+      "grouped aggregate ride the manifests' own key-grouped layout") {
+    val c = Plans.planCounts(q("s64_spj_join"))
+    assert(c.shuffles == 0, s"s64_spj_join shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
+  test("scan-bound columnar read: at most the one grouped-agg exchange") {
+    val df = q("s65_lake_scan")
+    val c = Plans.planCounts(df)
+    assert(c.shuffles <= 1, s"s65_lake_scan shuffles: ${c.shuffles}")
+    // and the scan itself executes COLUMNAR (the vectorized path)
+    df.collect()
+    def deep(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => deep(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        deep(s.plan)
+      case other => other +: other.children.flatMap(deep)
+    }
+    val scans = deep(df.queryExecution.executedPlan).collect {
+      case b: org.apache.spark.sql.execution.datasources.v2
+        .BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "the lake scan must serve ColumnarBatches")
+    graft.Caches.clearTransient()
+  }
 }

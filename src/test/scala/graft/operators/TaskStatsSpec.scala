@@ -29,7 +29,8 @@ class TaskStatsSpec extends SparkSpec {
       Seq("id", "sparse", "tag"))
     assert(st.size == files.size)
     files.foreach { f =>
-      val (rows, longs, strs) = st(SnapshotLog.normPath(f))
+      val SnapshotLog.FileStats(rows, longs, strs, nulls, sums) =
+        st(SnapshotLog.normPath(f))
       val footer = SnapshotLog.footerStats(spark, f, Seq("id", "sparse"))
       assert(longs == footer,
         s"task-side long stats diverged from the footer at $f")
@@ -44,6 +45,17 @@ class TaskStatsSpec extends SparkSpec {
       } finally reader.close()
       assert(rows == nFooter, s"row count diverged at $f")
       assert(strs.contains("tag"), "string bounds missing")
+      // null counts: id has none, `sparse` nulls every 11th id
+      assert(nulls("id") == 0L)
+      val sparseNulls = spark.read.parquet(f)
+        .filter(col("sparse").isNull).count()
+      assert(nulls("sparse") == sparseNulls,
+        s"null count diverged at $f")
+      // exact sums for the long columns (nulls skipped, like SQL SUM)
+      val wantSum = spark.read.parquet(f)
+        .agg(org.apache.spark.sql.functions.sum(col("id"))).head.getLong(0)
+      assert(sums("id") == wantSum, s"sum diverged at $f")
+      assert(sums.contains("sparse"))
     }
   }
 

@@ -73,6 +73,93 @@ class MetaAggPushSpec extends SparkSpec {
     assert(isMetaAgg(df))
   }
 
+  test("COUNT(col) and SUM(col) served from null counts and sums; " +
+      "files deleted first") {
+    import spark.implicits._
+    val (dir, tbl) = fresh("countcol")
+    // `sparse` nulls every 7th row — COUNT(sparse) must subtract them
+    val base = (0L until 300L).map(i => (i, i % 3,
+      if (i % 7 == 0) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(i * 2)))
+      .toDF("id", "grp", "sparse")
+    SnapshotMerge.writeInitial(spark, base, dir, "grp",
+      statsCols = Seq("id", "sparse"))
+    val wantN = base.filter(org.apache.spark.sql.functions
+      .col("sparse").isNotNull).count()
+    val wantSum = base.agg(org.apache.spark.sql.functions
+      .sum($"sparse")).head.getLong(0)
+    val v1 = recordSchema(dir)
+    deleteDataFiles(dir, v1)
+    val df = spark.sql(
+      s"""SELECT count(sparse) AS n, sum(id) AS sid,
+                 sum(sparse) AS ss FROM $tbl""")
+    val r = df.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      ((wantN, 300L * 299 / 2 * 2 / 2 * 2 / 2, wantSum)))
+    assert(isMetaAgg(df), "COUNT(col)/SUM must be manifest-served")
+    // grouped flavor too
+    val g = spark.sql(s"SELECT grp, count(sparse) AS n, sum(id) AS s " +
+      s"FROM $tbl GROUP BY grp")
+    val got = g.collect().map(r2 =>
+      (r2.getLong(0), r2.getLong(1), r2.getLong(2))).sortBy(_._1)
+    val want = base.groupBy("grp").agg(
+      org.apache.spark.sql.functions.count($"sparse"),
+      org.apache.spark.sql.functions.sum($"id"))
+      .collect().map(r2 => (r2.getLong(0), r2.getLong(1), r2.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    assert(isMetaAgg(g))
+  }
+
+  test("COUNT(col)/SUM refusals: position deletes, missing sums, and " +
+      "a sum overflow all fall back to the scan") {
+    import spark.implicits._
+    val (dir, tbl) = fresh("countcol-refuse")
+    val base = (0L until 100L).map(i => (i, i % 2, i * 3))
+      .toDF("id", "grp", "v")
+    SnapshotMerge.writeInitial(spark, base, dir, "grp",
+      statsCols = Seq("id", "v"))
+    // (a) position deletes: COUNT(col)/SUM refuse (dead rows' null-ness
+    // and values are data questions) — answer comes from the real scan
+    graft.operators.DeleteVectors.appendPositionDeletes(spark, dir,
+      graft.operators.DeleteVectors.positionsOf(spark, dir, 1,
+        $"id" % 10 === 0))
+    val vP = SnapshotLog.latest(dir)
+    val df = spark.sql(s"SELECT count(v) AS n, sum(v) AS s FROM $tbl")
+    assert(!isMetaAgg(df), "deletes must refuse COUNT(col)/SUM pushdown")
+    val r = df.head
+    val live = SnapshotLog.readMor(spark, dir, vP)
+    assert(r.getLong(0) == live.count())
+    assert(r.getLong(1) == live.agg(
+      org.apache.spark.sql.functions.sum($"v")).head.getLong(0))
+
+    // (b) missing sums (legacy entries): refuse, scan answers
+    val (dir2, tbl2) = fresh("countcol-legacy")
+    val b2 = (0L until 50L).map(i => (i, i % 2)).toDF("id", "grp")
+    SnapshotMerge.writeInitial(spark, b2, dir2, "grp") // no statsCols
+    val df2 = spark.sql(s"SELECT sum(id) AS s FROM $tbl2")
+    assert(!isMetaAgg(df2))
+    assert(df2.head.getLong(0) == 49L * 50 / 2)
+
+    // (c) OVERFLOW: hand-committed entries whose per-file sums are
+    // near Long.Max — the eager fold throws at plan time and the
+    // pushdown refuses (the scan then computes Spark's own ANSI-less
+    // answer); never a silently wrapped manifest answer
+    val (dir3, tbl3) = fresh("countcol-overflow")
+    val b3 = Seq((Long.MaxValue / 2, 0L), (Long.MaxValue / 2, 1L))
+      .toDF("id", "grp")
+    SnapshotMerge.writeInitial(spark, b3, dir3, "grp",
+      statsCols = Seq("id"))
+    // two files, each sum ≈ Long.Max/2: the global fold overflows…
+    // make it overflow for sure by doubling via a third entry
+    val es3 = SnapshotLog.entries(dir3, 1)
+    SnapshotLog.commitEntries(dir3, es3.map(e =>
+      e.copy(sums = Map("id" -> (Long.MaxValue - 10)))),
+      SnapshotLog.headers(dir3, 1))
+    val df3 = spark.sql(s"SELECT sum(id) AS s FROM $tbl3")
+    assert(!isMetaAgg(df3), "an overflowing fold must refuse pushdown")
+  }
+
   test("COUNT(*) under an exact partition WHERE is served; files deleted") {
     val (dir, tbl) = fresh("where")
     writeBase(dir)
@@ -167,7 +254,10 @@ class MetaAggPushSpec extends SparkSpec {
     val (dir, tbl) = fresh("deadgroup")
     writeBase(dir)
     recordSchema(dir)
-    spark.sql(s"DELETE FROM $tbl WHERE grp = 1")
+    // the second conjunct forces the POSITION-delta path (a bare
+    // grp = 1 would now take the metadata partition-drop, which this
+    // test is not about)
+    spark.sql(s"DELETE FROM $tbl WHERE grp = 1 AND id >= 0")
     deleteDataFiles(dir, SnapshotLog.latest(dir))
     val rows = spark.sql(
       s"SELECT grp, count(*) AS n FROM $tbl GROUP BY grp")
