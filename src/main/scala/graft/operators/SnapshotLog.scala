@@ -359,6 +359,12 @@ object SnapshotLog {
     * INT64 columns (dropped by the writer when the file's own sum
     * overflows), serving SUM pushdown. Both absent on legacy entries —
     * consumers refuse, never guess. */
+  /** `splitOffsets` (11th field) records the file's ROW-GROUP start
+    * offsets (the Iceberg `split_offsets` manifest field, recorded
+    * only when the file has more than one group): scan planning then
+    * splits big files EXACTLY at group boundaries — no empty ranges,
+    * no straggler range holding two groups — without opening a footer
+    * at plan time. */
   final case class FileEntry(
       path: String, kind: String, partition: String,
       stats: Map[String, (Long, Long)], seq: Long = 0L,
@@ -366,7 +372,8 @@ object SnapshotLog {
       strStats: Map[String, (String, String)] = Map.empty,
       bytes: Long = -1L,
       nullCounts: Map[String, Long] = Map.empty,
-      sums: Map[String, Long] = Map.empty) {
+      sums: Map[String, Long] = Map.empty,
+      splitOffsets: Seq[Long] = Nil) {
     def overlaps(colName: String, lo: Long, hi: Long): Boolean =
       stats.get(colName) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -412,8 +419,13 @@ object SnapshotLog {
     // entries without the newer stats keep the 8-field form verbatim
     // (byte-identical manifests for unchanged writers; old readers of
     // new manifests were never supported in reverse)
-    if (e.nullCounts.isEmpty && e.sums.isEmpty) base
-    else s"$base\t${kv(e.nullCounts)}\t${kv(e.sums)}"
+    if (e.nullCounts.isEmpty && e.sums.isEmpty && e.splitOffsets.isEmpty)
+      base
+    else {
+      val withKv = s"$base\t${kv(e.nullCounts)}\t${kv(e.sums)}"
+      if (e.splitOffsets.isEmpty) withKv
+      else s"$withKv\t${e.splitOffsets.mkString(",")}"
+    }
   }
 
   /** the entry's file size: manifest-recorded when the writer stamped
@@ -430,6 +442,37 @@ object SnapshotLog {
   private[graft] def statBytes(p: String): Long =
     try Files.size(Paths.get(p))
     catch { case _: java.io.IOException => -1L }
+
+  /** a just-written file's ROW-GROUP start offsets, from its footer —
+    * recorded only when splitting is possible (>1 group), so the
+    * common small file costs nothing beyond the footer read. Paid at
+    * WRITE time (task-side for DSv2 tasks, one small read per file
+    * elsewhere), never at plan time. */
+  private[graft] def splitOffsetsOf(p: String): Seq[Long] =
+    try {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p),
+          new org.apache.hadoop.conf.Configuration()))
+      try {
+        import scala.jdk.CollectionConverters._
+        val offs = reader.getFooter.getBlocks.asScala
+          .map(_.getStartingPos).toSeq.sorted
+        if (offs.size > 1) offs else Nil
+      } finally reader.close()
+    } catch { case _: java.io.IOException => Nil }
+
+  /** [[splitOffsetsOf]] for a whole commit's files — DISTRIBUTED when
+    * the delta is big (an OPTIMIZE emitting 10k files must not
+    * serialize 10k footer reads on the driver). */
+  private[graft] def collectSplitOffsets(s: SparkSession,
+      files: Seq[String]): Map[String, Seq[Long]] =
+    if (files.size <= 64)
+      files.map(f => normPath(f) -> splitOffsetsOf(f)).toMap
+    else s.sparkContext
+      .parallelize(files, math.min(files.size, 256))
+      .map(f => normPath(f) -> splitOffsetsOf(f))
+      .collect().toMap
 
   private def parseEntry(line: String): FileEntry = {
     def stats(st: String) =
@@ -469,6 +512,15 @@ object SnapshotLog {
           }.toMap
         FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
           rw.toLong, strStats(sst), by.toLong, kv(nc), kv(sm))
+      case Array(p, k, part, st, sq, rw, sst, by, nc, sm, so) =>
+        def kv(v: String): Map[String, Long] =
+          if (v == "-") Map.empty
+          else v.split(",").map { s =>
+            val Array(c, n) = s.split(":"); c -> n.toLong
+          }.toMap
+        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
+          rw.toLong, strStats(sst), by.toLong, kv(nc), kv(sm),
+          if (so == "-") Nil else so.split(",").map(_.toLong).toSeq)
       case _ => throw new IllegalStateException(s"bad manifest line: $line")
     }
   }

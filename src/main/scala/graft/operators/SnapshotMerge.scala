@@ -88,6 +88,7 @@ object SnapshotMerge {
     val st =
       if (statsCols.isEmpty) Map.empty[String, SnapshotLog.FileStats]
       else SnapshotLog.collectFileStats(s, files, statsCols)
+    val offs = SnapshotLog.collectSplitOffsets(s, files)
     files.map { f =>
       // the label dir is the parent for a one-level partitioned write,
       // an ancestor when a sub-partition dir (a bin-pack's `_bin=`)
@@ -101,7 +102,8 @@ object SnapshotMerge {
       SnapshotLog.FileEntry(f, "D", label, fs.longs, seq, fs.rows,
         fs.strs,
         bytes = java.nio.file.Files.size(java.nio.file.Paths.get(f)),
-        nullCounts = fs.nulls, sums = fs.sums)
+        nullCounts = fs.nulls, sums = fs.sums,
+        splitOffsets = offs.getOrElse(SnapshotLog.normPath(f), Nil))
     }
   }
 

@@ -70,13 +70,15 @@ object SnapshotOptimize {
         // stats + row counts fold task-side in ONE distributed agg —
         // no per-file driver footer loop on a 10k-file rewrite
         val st = SnapshotLog.collectFileStats(s, files, dims)
+        val offs = SnapshotLog.collectSplitOffsets(s, files)
         files.map { f =>
           val fs = st.getOrElse(SnapshotLog.normPath(f),
             SnapshotLog.FileStats(-1L, Map.empty, Map.empty, Map.empty,
               Map.empty))
           SnapshotLog.FileEntry(f, "D", "", fs.longs, seq = v + 1L,
             fs.rows, fs.strs, bytes = SnapshotLog.statBytes(f),
-            nullCounts = fs.nulls, sums = fs.sums)
+            nullCounts = fs.nulls, sums = fs.sums,
+            splitOffsets = offs.getOrElse(SnapshotLog.normPath(f), Nil))
         }
       case Some(pc) =>
         // PARTITION-SCOPED curve (Delta's OPTIMIZE WHERE … ZORDER BY

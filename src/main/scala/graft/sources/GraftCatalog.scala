@@ -406,7 +406,8 @@ private[sources] class StagedGraftTable(dir: String,
             Map.empty, Map.empty))
         SnapshotLog.FileEntry(f.path, "D", f.label, fs.longs,
           seq = t, rows = f.rows, strStats = fs.strs, bytes = f.bytes,
-          nullCounts = fs.nulls, sums = fs.sums)
+          nullCounts = fs.nulls, sums = fs.sums,
+          splitOffsets = f.splitOffsets)
       }
     val headers = SnapshotLog.renderSchemaHeaders(schema0, Map.empty) ++
       spec.map(c => s"${SnapshotLog.SpecHeader}\t$c")

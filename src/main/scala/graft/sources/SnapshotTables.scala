@@ -739,7 +739,8 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
       options.getInt("startingVersion", 0),
       full, required, pruningPreds,
       options.getLong("maxDeltaRows", 1000000L),
-      options.getLong("splitTargetBytes", 128L * 1024 * 1024))
+      options.getLong("splitTargetBytes", 128L * 1024 * 1024),
+      options.getBoolean("rowMode", false))
   }
 }
 
@@ -873,7 +874,11 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       org.apache.spark.sql.connector.expressions.filter.Predicate] =
       Array.empty,
     maxDeltaRows: Long = 1000000L,
-    splitTargetBytes: Long = 128L * 1024 * 1024) extends Scan with Batch
+    splitTargetBytes: Long = 128L * 1024 * 1024,
+    // benchmark escape hatch: option("rowMode","true") forces the
+    // row-at-a-time reader so the columnar path's gain is MEASURED,
+    // not asserted (SCALING.md records the head-to-head)
+    rowMode: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1040,12 +1045,14 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     def keyOf(e: SnapshotLog.FileEntry): Option[Any] = groupCol
       .flatMap { case (c, dt) => SnapshotPrune.labelValue(e, c)
         .flatMap(SnapshotPrune.typedLabel(_, dt)) }
-    if (eqVecs.nonEmpty)
+    if (eqVecs.nonEmpty || rowMode)
       // equality vectors keep the ROW path (per-row key probes):
       // one whole-file task each — Spark refuses mixed row/columnar
-      // partitions, so the presence of any vector pins the whole scan.
-      // Tasks still carry their partition key when the layout is
-      // groupable, so SPJ survives the fallback.
+      // partitions, so the presence of any vector pins the whole scan
+      // (and byte-range splits are columnar-only: row-mode `_pos`
+      // counts physical rows from the file start). Tasks still carry
+      // their partition key when the layout is groupable, so SPJ
+      // survives the fallback.
       data.map { e =>
         val vecs = eqVecs.filter(_.seq > e.seq).map(_.path).sorted
         (keyOf(e) match {
@@ -1074,7 +1081,7 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     val vectored = !changeFeed &&
       SnapshotLog.entries(dir, v).exists(_.kind == "X")
     new SnapshotReaderFactory(required, SnapshotLog.renamesOf(dir, v),
-      columnar = !changeFeed && !vectored)
+      columnar = !changeFeed && !vectored && !rowMode)
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1102,24 +1109,57 @@ private[sources] object SnapshotScanPlanner {
     * label values and every task carries its key. */
   def plan(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
-      groupCol: Option[(String, DataType)] = None): Seq[InputPartition] =
+      groupCol: Option[(String, DataType)] = None): Seq[InputPartition] = {
+    // ADAPTIVE task size (the Iceberg adaptive-split-size idea): the
+    // configured target is a CEILING for big tables, but packing a
+    // small table into 128 MiB bins would idle the cluster — measured
+    // 0.84x on the scan head-to-head when 12 files collapsed into one
+    // task. Aim for at least default-parallelism tasks when the bytes
+    // allow (a single medium file then SPLITS into ranges), floored at
+    // 1 MiB so a tiny table never plans thousand-way confetti.
+    val total = data.map(e =>
+      if (e.bytes >= 0L) e.bytes else targetBytes).sum
+    val par = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.defaultParallelism).getOrElse(32).max(1)
+    val adaptive = math.max(1L * 1024 * 1024,
+      math.min(targetBytes, math.max(1L, total / par)))
     groupCol match {
-      case None => planOne(data, commit, posDeletes, targetBytes, None)
+      case None => planOne(data, commit, posDeletes, adaptive, None)
       case Some((c, dt)) =>
         data.groupBy(e => SnapshotPrune.labelValue(e, c)
           .flatMap(SnapshotPrune.typedLabel(_, dt)).get)
           .toSeq.sortBy(_._1.toString)
           .flatMap { case (k, g) =>
-            planOne(g, commit, posDeletes, targetBytes, Some(k))
+            planOne(g, commit, posDeletes, adaptive, Some(k))
           }
     }
+  }
 
   private def planOne(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
       key: Option[Any]): Seq[InputPartition] = {
     // (chunk, weight): weight drives the bin-packing below
     val chunks: Seq[(SnapChunk, Long)] = data.sortBy(_.path).flatMap { e =>
-      if (e.bytes > targetBytes * 3 / 2) {
+      if (e.bytes > targetBytes * 3 / 2 && e.splitOffsets.size > 1) {
+        // GROUP-ALIGNED ranges from the manifest's recorded offsets
+        // (the Iceberg split_offsets): consecutive row groups
+        // accumulate to ~target, each range holds whole groups — no
+        // empty range, no straggler holding two groups by midpoint
+        // accident (measured 1.44x vs the native source before this)
+        val offs = e.splitOffsets
+        val starts = scala.collection.mutable.ArrayBuffer(offs.head)
+        offs.tail.foreach { o =>
+          if (o - starts.last >= targetBytes) starts += o
+        }
+        starts.toSeq.zipWithIndex.map { case (st, i) =>
+          if (i == starts.size - 1)
+            (SnapChunk(e.path, st, -1L), e.bytes - st)
+          else (SnapChunk(e.path, st, starts(i + 1) - st),
+            starts(i + 1) - st)
+        }
+      } else if (e.bytes > targetBytes * 3 / 2) {
+        // no recorded offsets (legacy entry): blind midpoint ranges —
+        // every group served exactly once, alignment best-effort
         val n = ((e.bytes + targetBytes - 1) / targetBytes).toInt
         val step = e.bytes / n
         (0 until n).map { i =>

@@ -268,7 +268,7 @@ private class SnapshotStreamingWriterFactory(root: String,
   * when the table declares an integral partition spec ("" otherwise).
   */
 private case class SnapFile(path: String, rows: Long, bytes: Long,
-    label: String)
+    label: String, splitOffsets: Seq[Long] = Nil)
 private case class SnapFilesCommit(files: Seq[SnapFile])
     extends WriterCommitMessage
 
@@ -303,7 +303,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
           val t = SnapshotLog.latest(dir) + 1
           val added = files.map(f => SnapshotLog.FileEntry(
             f.path, "D", s"ref=$name", Map.empty, seq = t.toLong,
-            rows = f.rows, bytes = f.bytes))
+            rows = f.rows, bytes = f.bytes,
+            splitOffsets = f.splitOffsets))
           if (SnapshotLog.publishAppend(dir, t, h, added,
               extraHeaders = Seq(SnapshotRefs.parentHeader(h),
                 s"${SnapshotLog.RefHeader}\t$name"))) {
@@ -322,7 +323,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
           val v = SnapshotLog.latest(dir)
           val added = files.map(f => SnapshotLog.FileEntry(
             f.path, "D", f.label, Map.empty, seq = v + 1L,
-            rows = f.rows, bytes = f.bytes))
+            rows = f.rows, bytes = f.bytes,
+            splitOffsets = f.splitOffsets))
           done = SnapshotLog.publishEntries(dir, v + 1, added,
             SnapshotLog.headers(dir, v))
         }
@@ -330,7 +332,8 @@ private class SnapshotBatchWrite(dir: String, branch: Option[String],
         SnapshotLog.appendEntries(dir, t =>
           files.map(f => SnapshotLog.FileEntry(
             f.path, "D", f.label, Map.empty, seq = t.toLong,
-            rows = f.rows, bytes = f.bytes)))
+            rows = f.rows, bytes = f.bytes,
+            splitOffsets = f.splitOffsets)))
     }
   }
 
@@ -461,7 +464,11 @@ private class SnapshotDataWriter(root: String, schema: StructType,
     SnapFilesCommit(done.filter(_.rows > 0).map(s =>
       SnapFile(s.file, s.rows,
         java.nio.file.Files.size(java.nio.file.Paths.get(s.file)),
-        s.label)))
+        s.label,
+        // row-group offsets read TASK-SIDE from the just-written
+        // footer (one local read per file): the planner then splits
+        // big files exactly at group boundaries
+        SnapshotLog.splitOffsetsOf(s.file))))
   }
 
   override def abort(): Unit = {
