@@ -1045,21 +1045,23 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     def keyOf(e: SnapshotLog.FileEntry): Option[Any] = groupCol
       .flatMap { case (c, dt) => SnapshotPrune.labelValue(e, c)
         .flatMap(SnapshotPrune.typedLabel(_, dt)) }
-    if (eqVecs.nonEmpty || rowMode)
-      // equality vectors keep the ROW path (per-row key probes):
-      // one whole-file task each — Spark refuses mixed row/columnar
-      // partitions, so the presence of any vector pins the whole scan
-      // (and byte-range splits are columnar-only: row-mode `_pos`
-      // counts physical rows from the file start). Tasks still carry
-      // their partition key when the layout is groupable, so SPJ
-      // survives the fallback.
+    // the equality vectors applying to each file, resolved seq-scoped
+    // at PLAN time (the Iceberg sequence rule) — the reader never sees
+    // an out-of-scope vector
+    def vecsFor(e: SnapshotLog.FileEntry): Seq[String] =
+      eqVecs.filter(_.seq > e.seq).map(_.path).sorted
+    if (rowMode)
+      // benchmark escape hatch: one whole-file task each (row-mode
+      // `_pos` counts physical rows from the file start, so byte
+      // ranges are columnar-only). Tasks still carry their partition
+      // key when the layout is groupable, so SPJ survives.
       data.map { e =>
-        val vecs = eqVecs.filter(_.seq > e.seq).map(_.path).sorted
         (keyOf(e) match {
           case Some(k) => new KeyedSnapFilePartition(
-            Seq(SnapChunk(e.path, 0L, -1L, vecs)), "", v, posDeletes, k)
+            Seq(SnapChunk(e.path, 0L, -1L, vecsFor(e))), "", v,
+            posDeletes, k)
           case None => SnapFilePartition.one(e.path, "", v, posDeletes,
-            vecs)
+            vecsFor(e))
         }): InputPartition
       }.toArray
     else
@@ -1067,21 +1069,21 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       // ones (the Iceberg read.split.target-size idea); the scan
       // option "splitTargetBytes" tunes it
       SnapshotScanPlanner.plan(data, v, posDeletes,
-        splitTargetBytes, groupCol).toArray
+        splitTargetBytes, groupCol, vecsFor).toArray
   }
 
-  /** the scan is COLUMNAR whenever no equality vector is live in the
-    * pinned snapshot: batches come straight from Spark's vectorized
-    * parquet reader (position deletes applied as a per-batch row-index
-    * mask), and whole-stage codegen above consumes ColumnarBatch input
-    * — the 5-20x decode constant a 100-TB scan pays on the row path.
-    * Vectored snapshots keep the per-row key-probe reader. */
+  /** every BATCH read is COLUMNAR: batches come straight from Spark's
+    * vectorized parquet reader, position deletes apply as a per-batch
+    * row-index mask, equality vectors as per-batch KEY PROBES over the
+    * same cached churn-sized tuple sets the row path uses, and
+    * whole-stage codegen above consumes ColumnarBatch input — the
+    * decode constant a 100-TB scan pays on a row-at-a-time path.
+    * Change-feed reads (op-stamped deltas) and the `rowMode` bench
+    * escape hatch keep the row reader. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-    val vectored = !changeFeed &&
-      SnapshotLog.entries(dir, v).exists(_.kind == "X")
     new SnapshotReaderFactory(required, SnapshotLog.renamesOf(dir, v),
-      columnar = !changeFeed && !vectored && !rowMode)
+      columnar = !changeFeed && !rowMode)
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1109,7 +1111,9 @@ private[sources] object SnapshotScanPlanner {
     * label values and every task carries its key. */
   def plan(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
-      groupCol: Option[(String, DataType)] = None): Seq[InputPartition] = {
+      groupCol: Option[(String, DataType)] = None,
+      vecsFor: SnapshotLog.FileEntry => Seq[String] = _ => Nil)
+      : Seq[InputPartition] = {
     // ADAPTIVE task size (the Iceberg adaptive-split-size idea): the
     // configured target is a CEILING for big tables, but packing a
     // small table into 128 MiB bins would idle the cluster — measured
@@ -1124,20 +1128,22 @@ private[sources] object SnapshotScanPlanner {
     val adaptive = math.max(1L * 1024 * 1024,
       math.min(targetBytes, math.max(1L, total / par)))
     groupCol match {
-      case None => planOne(data, commit, posDeletes, adaptive, None)
+      case None =>
+        planOne(data, commit, posDeletes, adaptive, None, vecsFor)
       case Some((c, dt)) =>
         data.groupBy(e => SnapshotPrune.labelValue(e, c)
           .flatMap(SnapshotPrune.typedLabel(_, dt)).get)
           .toSeq.sortBy(_._1.toString)
           .flatMap { case (k, g) =>
-            planOne(g, commit, posDeletes, adaptive, Some(k))
+            planOne(g, commit, posDeletes, adaptive, Some(k), vecsFor)
           }
     }
   }
 
   private def planOne(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
-      key: Option[Any]): Seq[InputPartition] = {
+      key: Option[Any],
+      vecsFor: SnapshotLog.FileEntry => Seq[String]): Seq[InputPartition] = {
     // (chunk, weight): weight drives the bin-packing below
     val chunks: Seq[(SnapChunk, Long)] = data.sortBy(_.path).flatMap { e =>
       if (e.bytes > targetBytes * 3 / 2 && e.splitOffsets.size > 1) {
@@ -1151,10 +1157,11 @@ private[sources] object SnapshotScanPlanner {
         offs.tail.foreach { o =>
           if (o - starts.last >= targetBytes) starts += o
         }
+        val vecs = vecsFor(e)
         starts.toSeq.zipWithIndex.map { case (st, i) =>
           if (i == starts.size - 1)
-            (SnapChunk(e.path, st, -1L), e.bytes - st)
-          else (SnapChunk(e.path, st, starts(i + 1) - st),
+            (SnapChunk(e.path, st, -1L, vecs), e.bytes - st)
+          else (SnapChunk(e.path, st, starts(i + 1) - st, vecs),
             starts(i + 1) - st)
         }
       } else if (e.bytes > targetBytes * 3 / 2) {
@@ -1162,18 +1169,19 @@ private[sources] object SnapshotScanPlanner {
         // every group served exactly once, alignment best-effort
         val n = ((e.bytes + targetBytes - 1) / targetBytes).toInt
         val step = e.bytes / n
+        val vecs = vecsFor(e)
         (0 until n).map { i =>
           val s = i.toLong * step
           // the LAST range runs to EOF (-1), so a tail row group is
           // served even if the true size exceeds the recorded bytes
           val len = if (i == n - 1) -1L else step
-          (SnapChunk(e.path, s, len),
+          (SnapChunk(e.path, s, len, vecs),
             if (i == n - 1) e.bytes - s else step)
         }
       } else
         // unknown size (legacy entry): weigh as one full task so it
         // never coalesces with anything
-        Seq((SnapChunk(e.path, 0L, -1L),
+        Seq((SnapChunk(e.path, 0L, -1L, vecsFor(e)),
           if (e.bytes >= 0L) e.bytes else targetBytes))
     }
     val bins = scala.collection.mutable.ArrayBuffer.empty[Seq[SnapChunk]]
@@ -1312,8 +1320,84 @@ private[sources] class SnapshotChangeStream(dir: String,
 
 /** one equality vector's in-memory form: its key column names (as
   * the vector file spells them) and the canonicalized key tuples. */
-private final case class VecSet(keyCols: Seq[String],
+private[sources] final case class VecSet(keyCols: Seq[String],
     tuples: java.util.HashSet[Seq[Any]])
+
+/** equality-vector decode shared by the ROW and COLUMNAR readers —
+  * one canonical form, one cache, no drift between the paths. */
+private[sources] object EqVectors {
+  /** load one equality-delete file into a key-tuple set — churn-sized
+    * by the delete contract, so a per-executor in-memory set is
+    * in-model; decoded ONCE per executor (immutable-file cache).
+    * Tuples containing null are DROPPED: a null key matches nothing
+    * under the anti-join contract, so keeping them could only cost
+    * memory, never change an answer. */
+  def load(path0: String): VecSet =
+    DeleteFileCaches.boundedPut(DeleteFileCaches.vecs, path0, load0)
+
+  private def load0(path: String): VecSet = {
+    import scala.jdk.CollectionConverters._
+    val schema = SnapshotTables.footerSchema(path)
+    val keyCols = schema.getFields.asScala.map(_.getName).toSeq
+    val set = new java.util.HashSet[Seq[Any]]()
+    val reader = ParquetReader.builder(
+      new GroupReadSupport(), new Path(path))
+      .withConf(new Configuration()).build()
+    try {
+      var g = reader.read()
+      while (g != null) {
+        val t = keyCols.map(canonValue(g, _))
+        if (!t.contains(null)) set.add(t)
+        g = reader.read()
+      }
+    } finally reader.close()
+    VecSet(keyCols, set)
+  }
+
+  /** one Group field as a CANONICAL comparison value (long / double /
+    * string / boolean — ints widened, floats widened, binary as UTF-8)
+    * so key tuples compare equal across physically-divergent files.
+    * An UNSUPPORTED physical type (FIXED_LEN_BYTE_ARRAY decimals,
+    * INT96 timestamps, …) in a vector KEY column refuses loudly —
+    * silently returning null here would make the vector delete
+    * nothing and deleted rows resurrect. A truly ABSENT value
+    * (missing field / null) stays null: a null key matches nothing
+    * under the anti-join contract. */
+  def canonValue(g: Group, field: String): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    if (!g.getType.containsField(field) ||
+        g.getFieldRepetitionCount(field) == 0) null
+    else g.getType.getType(field).asPrimitiveType()
+        .getPrimitiveTypeName match {
+      case INT64 => g.getLong(field, 0)
+      case INT32 => g.getInteger(field, 0).toLong
+      case DOUBLE => g.getDouble(field, 0)
+      case FLOAT => g.getFloat(field, 0).toDouble
+      case BOOLEAN => g.getBoolean(field, 0)
+      case BINARY => g.getBinary(field, 0).toStringUsingUTF8
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot: equality-delete key column $field has " +
+          s"unsupported parquet physical type $other — cannot compare " +
+          "key tuples; rewrite the vector with a supported key type")
+    }
+  }
+
+  /** the CANONICAL Spark type a file field must be requested at so a
+    * columnar probe extracts exactly [[canonValue]]'s widened form. */
+  def canonSparkType(p: PrimitiveType): DataType = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    p.getPrimitiveTypeName match {
+      case INT64 | INT32 => LongType
+      case DOUBLE | FLOAT => DoubleType
+      case BOOLEAN => BooleanType
+      case BINARY => StringType
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot: equality-delete key column ${p.getName} has " +
+          s"unsupported parquet physical type $other — cannot compare " +
+          "key tuples; rewrite the vector with a supported key type")
+    }
+  }
+}
 
 /** Executor-side caches of DECODED delete files — the per-executor
   * analogue of a broadcast: vector and position-delete files are
@@ -1413,8 +1497,6 @@ private class SnapshotReaderFactory(required: StructType,
         if (cur == null) {
           if (!its.hasNext) return false
           val c = its.next()
-          require(c.eqDeletes.isEmpty,
-            "columnar scans are planned only without equality vectors")
           cur = new SnapshotVectorized.ChunkReader(c, p.op, p.commit,
             if (p.posDeletes.isEmpty) null
             else deletedPositions(c.path, p.posDeletes),
@@ -1503,61 +1585,10 @@ private class SnapshotReaderFactory(required: StructType,
       override def close(): Unit = ()
     }
 
-  /** load one equality-delete file into a key-tuple set — churn-sized
-    * by the delete contract, so a per-executor in-memory set is
-    * in-model; decoded ONCE per executor (immutable-file cache).
-    * Tuples containing null are DROPPED: a null key matches nothing
-    * under the anti-join contract, so keeping them could only cost
-    * memory, never change an answer. */
-  private def loadVector(path0: String): VecSet =
-    DeleteFileCaches.boundedPut(DeleteFileCaches.vecs, path0, loadVector0)
+  private def loadVector(path0: String): VecSet = EqVectors.load(path0)
 
-  private def loadVector0(path: String): VecSet = {
-    import scala.jdk.CollectionConverters._
-    val schema = SnapshotTables.footerSchema(path)
-    val keyCols = schema.getFields.asScala.map(_.getName).toSeq
-    val set = new java.util.HashSet[Seq[Any]]()
-    val reader = ParquetReader.builder(
-      new GroupReadSupport(), new Path(path))
-      .withConf(new Configuration()).build()
-    try {
-      var g = reader.read()
-      while (g != null) {
-        val t = keyCols.map(canonValue(g, _))
-        if (!t.contains(null)) set.add(t)
-        g = reader.read()
-      }
-    } finally reader.close()
-    VecSet(keyCols, set)
-  }
-
-  /** one Group field as a CANONICAL comparison value (long / double /
-    * string / boolean — ints widened, floats widened, binary as UTF-8)
-    * so key tuples compare equal across physically-divergent files.
-    * An UNSUPPORTED physical type (FIXED_LEN_BYTE_ARRAY decimals,
-    * INT96 timestamps, …) in a vector KEY column refuses loudly —
-    * silently returning null here would make the vector delete
-    * nothing and deleted rows resurrect, breaking the "fail loudly,
-    * never silently mis-read" contract `readValue` already holds.
-    * A truly ABSENT value (missing field / null) stays null: a null
-    * key matches nothing under the anti-join contract. */
-  private def canonValue(g: Group, field: String): Any = {
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    if (!g.getType.containsField(field) ||
-        g.getFieldRepetitionCount(field) == 0) null
-    else g.getType.getType(field).asPrimitiveType().getPrimitiveTypeName match {
-      case INT64 => g.getLong(field, 0)
-      case INT32 => g.getInteger(field, 0).toLong
-      case DOUBLE => g.getDouble(field, 0)
-      case FLOAT => g.getFloat(field, 0).toDouble
-      case BOOLEAN => g.getBoolean(field, 0)
-      case BINARY => g.getBinary(field, 0).toStringUsingUTF8
-      case other => throw new IllegalArgumentException(
-        s"graft-snapshot: equality-delete key column $field has " +
-          s"unsupported parquet physical type $other — cannot compare " +
-          "key tuples; rewrite the vector with a supported key type")
-    }
-  }
+  private def canonValue(g: Group, field: String): Any =
+    EqVectors.canonValue(g, field)
 
   /** a multi-chunk partition read row-by-row: chunks are served in
     * sequence (each a WHOLE file in row mode — byte-range splits are

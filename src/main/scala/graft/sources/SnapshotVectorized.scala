@@ -45,28 +45,31 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly the row groups whose midpoints fall in its range, so the
   * planner's ranges partition a file without consulting its footer.
   *
-  * EQUALITY vectors are the one thing this path refuses: their per-row
-  * key probes keep the row reader (the scan plans row-mode whenever a
-  * vector is live — never a wrong answer, only the row path's speed).
+  *  - EQUALITY vectors probe PER BATCH: the chunk's applicable vectors
+  *    (seq-scoped at plan time) load once per executor from the same
+  *    cache the row path uses, key columns ride the parquet request at
+  *    canonical widened types (never the emitted row), and suppressed
+  *    rows drop out of the same live-row mapping the position mask
+  *    uses — a vectored 100-TB table reads columnar too.
   */
 private[sources] object SnapshotVectorized {
   private val Capacity = 4096
 
   /** vectorized reader over ONE chunk. `dead` is the chunk's file's
-    * deleted physical positions (null when no position delete applies
-    * — the fast path serves the reader's batches unwrapped). */
+    * deleted physical positions (null when no position delete applies);
+    * the chunk's equality vectors probe per batch over the same cached
+    * key-tuple sets the row path uses. */
   final class ChunkReader(chunk: SnapChunk, op: String, commit: Long,
       dead: java.util.HashSet[java.lang.Long],
       required: StructType, renames: Map[String, String]) {
     import scala.jdk.CollectionConverters._
 
     private val file = chunk.path
-    private val masked = dead != null && !dead.isEmpty
+    private val deadMasked = dead != null && !dead.isEmpty
 
-    private val fileFields: Set[String] = {
-      val msg = SnapshotTables.footerSchema(file)
-      msg.getFields.asScala.map(_.getName).toSet
-    }
+    private val fileMsg = SnapshotTables.footerSchema(file)
+    private val fileFields: Set[String] =
+      fileMsg.getFields.asScala.map(_.getName).toSet
     private def fieldFor(canonical: String): Option[String] =
       if (fileFields(canonical)) Some(canonical)
       else renames.collectFirst {
@@ -86,19 +89,52 @@ private[sources] object SnapshotVectorized {
         .map(f => f.name ->
           StructField(fieldFor(f.name).getOrElse(f.name), f.dataType,
             nullable = true))
+
+    // ---- equality vectors: per-batch key probes ----------------------
+    // a vector whose key column this file lacks is a no-op here (every
+    // row tuple would hold a null, and null never matches) — dropped
+    // up front. Key columns may be pruned from the OUTPUT but are
+    // still needed to evaluate membership: widen the parquet request,
+    // never the emitted row.
+    private val vecs: Seq[VecSet] = chunk.eqDeletes.map(EqVectors.load)
+    private val activeVecs: Seq[(Seq[String], VecSet)] = vecs.flatMap {
+      v =>
+        val fields = v.keyCols
+          .map(kc => fieldFor(renames.getOrElse(kc, kc)))
+        if (fields.exists(_.isEmpty)) None
+        else Some((fields.map(_.get), v))
+    }
+    // probe fields not already served by a requested data column ride
+    // as EXTRA requested columns at the canonical probe type
+    private val dataFieldPos: Map[String, Int] =
+      dataReq.map(_._2.name).zipWithIndex.toMap
+    private val probeExtra: Seq[StructField] =
+      activeVecs.flatMap(_._1).distinct
+        .filterNot(dataFieldPos.contains)
+        .map { f =>
+          StructField(f, EqVectors.canonSparkType(
+            fileMsg.getFields.asScala.find(_.getName == f).get
+              .asPrimitiveType()), nullable = true)
+        }
+    private val probePos: Map[String, Int] =
+      dataFieldPos ++ probeExtra.map(_.name)
+        .zipWithIndex.map { case (n, i) => n -> (dataReq.size + i) }
+
     private val needRowIdx =
-      masked || required.fieldNames.contains(posName)
+      deadMasked || required.fieldNames.contains(posName)
+    private val masked = deadMasked || activeVecs.nonEmpty
     // the row-index field must be requested NULLABLE: the reader
     // routes it through its missing-column path (it is never in the
     // file), where the row-index special case keeps the vector
     // writable for the per-batch generator — a required missing
     // column is a loud error instead
     private val requested = StructType(dataReq.map(_._2) ++
+      probeExtra ++
       (if (needRowIdx)
         Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
           LongType, nullable = true))
       else Nil))
-    private val rowIdxPos = dataReq.size
+    private val rowIdxPos = dataReq.size + probeExtra.size
 
     // the constant stamps, appended by the reader AFTER the requested
     // columns (its partition-value mechanism)
@@ -147,8 +183,61 @@ private[sources] object SnapshotVectorized {
     }
     private val batch: ColumnarBatch = reader.resultBatch()
 
+    // per active vector: the batch positions and extraction types of
+    // its key columns, plus its tuple set — resolved once per chunk,
+    // probed per row under the SAME canonical widening the vector's
+    // own rows got (ints→long, floats→double, binary→string)
+    private val probes: Array[(Array[Int], Array[DataType],
+        java.util.HashSet[Seq[Any]])] =
+      activeVecs.map { case (fields, v) =>
+        val pos = fields.map(probePos).toArray
+        val dts = fields.map { f =>
+          dataFieldPos.get(f) match {
+            case Some(i) => dataReq(i)._2.dataType
+            case None => EqVectors.canonSparkType(
+              fileMsg.getFields.asScala.find(_.getName == f).get
+                .asPrimitiveType())
+          }
+        }.toArray
+        (pos, dts, v.tuples)
+      }.toArray
+
+    private def canonAt(vec: ColumnVector, dt: DataType, i: Int): Any =
+      if (vec.isNullAt(i)) null
+      else dt match {
+        case LongType => vec.getLong(i)
+        case IntegerType => vec.getInt(i).toLong
+        case DoubleType => vec.getDouble(i)
+        case FloatType => vec.getFloat(i).toDouble
+        case BooleanType => vec.getBoolean(i)
+        case StringType => vec.getUTF8String(i).toString
+        case other => throw new IllegalArgumentException(
+          s"graft-snapshot: cannot probe a $other key column")
+      }
+
+    /** is RAW batch row `i` suppressed by any applicable vector? */
+    private def vecDeleted(i: Int): Boolean = {
+      var p = 0
+      while (p < probes.length) {
+        val (pos, dts, set) = probes(p)
+        val t = new Array[Any](pos.length)
+        var j = 0
+        var hasNull = false
+        while (j < pos.length && !hasNull) {
+          val v = canonAt(batch.column(pos(j)), dts(j), i)
+          if (v == null) hasNull = true else t(j) = v
+          j += 1
+        }
+        // ArraySeq and the stored List hash/compare alike (Seq equality)
+        if (!hasNull && set.contains(scala.collection.immutable.ArraySeq
+            .unsafeWrapArray(t))) return true
+        p += 1
+      }
+      false
+    }
+
     // output vectors in `required` order, each through the shared mask
-    // when position deletes apply to this file
+    // when position deletes or vectors apply to this file
     private var liveMap: Array[Int] =
       if (masked) new Array[Int](Capacity) else null
 
@@ -171,12 +260,16 @@ private[sources] object SnapshotVectorized {
       if (!reader.nextBatch()) return false
       val n = batch.numRows()
       if (!masked) { outBatch.setNumRows(n); return true }
-      val idxVec = batch.column(rowIdxPos)
+      val idxVec = if (deadMasked) batch.column(rowIdxPos) else null
+      val probing = probes.nonEmpty
       if (liveMap.length < n) liveMap = new Array[Int](n)
       var live = 0
       var i = 0
       while (i < n) {
-        if (!dead.contains(idxVec.getLong(i))) { liveMap(live) = i; live += 1 }
+        if ((idxVec == null || !dead.contains(idxVec.getLong(i))) &&
+            (!probing || !vecDeleted(i))) {
+          liveMap(live) = i; live += 1
+        }
         i += 1
       }
       var j = 0

@@ -146,18 +146,36 @@ class ColumnarScanSpec extends SparkSpec {
     assert(df.count() == 1200L)
   }
 
-  test("equality vectors keep the row path; results stay MOR-exact") {
+  test("equality vectors probe columnar batches; results stay " +
+      "MOR-exact incl. re-inserts and pruned key columns") {
     import spark.implicits._
     val dir = fresh("eqvec")
-    val base = (0L until 500L).map(i => (i, i % 5)).toDF("id", "m")
+    val base = (0L until 500L).map(i => (i, i % 5, i * 3))
+      .toDF("id", "m", "v")
     SnapshotMerge.writeInitial(spark, base, dir, "m")
     DeleteVectors.appendDeletes(spark, dir,
       (0L until 500L by 9L).map(i => (i, i % 5)).toDF("id", "m"))
+    // re-insert some deleted keys LATER: the older vector must not
+    // suppress them (seq scoping through the columnar probe)
+    Seq((9L, 4L, 777L), (18L, 3L, 888L)).toDF("id", "m", "v")
+      .write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
     val vN = SnapshotLog.latest(dir)
     val df = spark.read.format("graft-snapshot").option("path", dir).load()
     val b = scanExec(df)
-    assert(!b.supportsColumnar,
-      "an equality-vectored snapshot must fall back to the row path")
-    assert(df.count() == SnapshotLog.readMor(spark, dir, vN).count())
+    assert(b.supportsColumnar,
+      "equality vectors must ride the columnar path as batch probes")
+    val mor = SnapshotLog.readMor(spark, dir, vN)
+    assert(df.count() == mor.count())
+    assert(df.agg(sum(col("v"))).head.getLong(0) ==
+      mor.agg(sum(col("v"))).head.getLong(0))
+    // key columns pruned from the OUTPUT still probe: project only v
+    val onlyV = df.select("v")
+    assert(onlyV.count() == mor.count())
+    assert(onlyV.agg(sum(col("v"))).head.getLong(0) ==
+      mor.agg(sum(col("v"))).head.getLong(0))
+    // the re-inserted keys are served
+    assert(df.filter(col("id") === 9L).select("v").as[Long]
+      .collect().toSeq == Seq(777L))
   }
 }
