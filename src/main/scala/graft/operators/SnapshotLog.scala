@@ -1232,8 +1232,11 @@ object SnapshotLog {
       longCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
       strCols.flatMap(c => Seq(min(col(c)), max(col(c)))) ++
       statCols.map(c => count(col(c))) ++ // nulls = __n - count(col)
-      longCols.map(c => sum(col(c)
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+      // TRY-mode long sum: codegen-fast (a Decimal(38,0) sum here cost
+      // the write-bound bench rows 20-30%), NULL on any overflow — the
+      // file simply drops its sum, never wraps. TRY eval mode checks
+      // overflow regardless of the session's ANSI setting.
+      longCols.map(c => try_sum(col(c)))
     val rows = df
       .groupBy(normPathCol(col("_metadata.file_path")).as("__p"))
       .agg(aggs.head, aggs.tail: _*)
@@ -1261,13 +1264,9 @@ object SnapshotLog {
       }.toMap
       val mBase = nBase + statCols.size
       val sums = longCols.zipWithIndex.flatMap { case (c, i) =>
+        // null = all-null column OR overflow (TRY mode): drop the sum
         if (r.isNullAt(mBase + i)) None
-        else {
-          val d = r.getDecimal(mBase + i)
-          val bi = d.toBigInteger
-          if (bi.bitLength() <= 62) Some(c -> bi.longValueExact())
-          else None // file-local overflow: drop, never wrap
-        }
+        else Some(c -> r.getLong(mBase + i))
       }.toMap
       p -> FileStats(n, ls, ss, nulls, sums)
     }.toMap
