@@ -658,15 +658,41 @@ object SnapshotLog {
     }.getOrElse(-1L)
 
   /** [[batchHighWater]] scoped to one WRITER's marker; the empty
-    * writerId reads the table-global legacy header. */
+    * writerId reads the table-global legacy header.
+    *
+    * UPGRADE FALLBACK: a table written before writer scoping carries
+    * only the global `#batchhw` header. For such a table (NO
+    * writer-scoped marker of ANY writer exists yet) a scoped lookup
+    * falls back to the global marker — otherwise the first
+    * crash-restart replay after upgrading would see hw = −1 and
+    * re-commit an already-committed epoch (silent duplicate rows).
+    * Once any writer has stamped its own marker the table is
+    * post-upgrade and foreign writers correctly read −1, so a second
+    * query's early epochs are never dropped against the first's
+    * high-water. */
   private[graft] def batchHighWater(tableDir: String, v: Int,
       writerId: String): Long =
     if (writerId.isEmpty) batchHighWater(tableDir, v)
     else if (v <= 0) -1L
-    else headers(tableDir, v).collectFirst {
-      case l if l.startsWith(s"$WriterHwHeader\t$writerId\t") =>
-        l.stripPrefix(s"$WriterHwHeader\t$writerId\t").toLong
-    }.getOrElse(-1L)
+    else {
+      val hs = headers(tableDir, v)
+      hs.collectFirst {
+        case l if l.startsWith(s"$WriterHwHeader\t$writerId\t") =>
+          l.stripPrefix(s"$WriterHwHeader\t$writerId\t").toLong
+      }.getOrElse {
+        if (hs.exists(_.startsWith(s"$WriterHwHeader\t"))) -1L
+        else batchHighWater(tableDir, v)
+      }
+    }
+
+  /** does snapshot `v` PREDATE writer-scoped replay markers entirely?
+    * (No `#writerhw` header of any writer.) Legacy replay fallbacks
+    * — the global high-water, the batch-label scan — are sound only
+    * in this state: the table was then written under the one-writer
+    * contract those mechanisms assume. */
+  private[graft] def preWriterScoped(tableDir: String, v: Int): Boolean =
+    v <= 0 || !headers(tableDir, v)
+      .exists(_.startsWith(s"$WriterHwHeader\t"))
 
   /** the header line recording writer `writerId`'s epoch high-water,
     * and the prefix a committer drops to replace ITS OWN marker (and

@@ -3172,11 +3172,17 @@ object QFilters extends Registry {
     // against plain-frame oracles). At 100 TB this is the difference
     // between shuffling two fact tables and shuffling nothing.
     Q("s64_spj_join",
-      (s, d) => {
+      (s0, d) => {
+        // DEDICATED SESSION: SPJ task-grouping is an opt-in planner
+        // conf consulted at PHYSICAL planning (i.e. when the returned
+        // frame executes, after this body returned — a try/finally
+        // restore would un-set it before it's read). A child session
+        // shares the SparkContext but owns its conf, so this query
+        // plans under bucketing=on while the registry session — and
+        // every other query's plan — is untouched, whatever the
+        // execution order.
+        val s = s0.newSession()
         graft.GraftExtensions.ensure(s)
-        // storage-partitioned joins are an opt-in planner feature;
-        // leaving it enabled is safe (it only changes task grouping
-        // for scans that report a key-grouped layout)
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set(
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
@@ -3227,12 +3233,13 @@ object QFilters extends Registry {
     // scan's throughput slope; the s33/s55 deletion trick is
     // deliberately NOT used here — this row exists to time real reads.
     Q("s65_lake_scan",
-      (s, d) => {
-        graft.GraftExtensions.ensure(s)
+      (s0, d) => {
         // this row times the COLUMNAR DECODE with the split/coalesce
-        // task layout — pin SPJ task-grouping off so a prior
-        // s64_spj_join in the same session can't reshape it to
-        // one-task-per-label
+        // task layout — pin SPJ task-grouping off (in a DEDICATED
+        // child session, so the pin itself leaks nowhere) so no other
+        // query's planner confs can reshape it to one-task-per-label
+        val s = s0.newSession()
+        graft.GraftExtensions.ensure(s)
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
         // v2 in the tag: the fixture persists across runs (this row
         // times reads, not the build) — bump it when the build changes

@@ -692,11 +692,21 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
           }
         }
       }
-      // EAGER evaluation (metadata-sized): a SUM whose fold overflows
-      // throws HERE, and the enclosing catch turns it into a refusal —
-      // the fallback scan computes the true answer, never a wrapped one
-      val rows = computeRows()
-      Some(new MetaAggScan(schema, () => rows))
+      // EAGER evaluation ONLY for the overflow-sensitive folds: a SUM
+      // or COUNT(col) whose Math.addExact fold overflows must throw
+      // HERE, where the enclosing catch turns it into a refusal (the
+      // fallback scan computes the true answer, never a wrapped one).
+      // Both folds refuse under position deletes, so the eager run
+      // never decodes a delete file. Every other shape stays LAZY:
+      // deadByFile's churn-sized position-delete decode runs when the
+      // scan executes, not during every pushAggregation probe Spark
+      // may ultimately discard.
+      val overflowSensitive = served.exists(s =>
+        s._1.isInstanceOf[ServeSum] || s._1.isInstanceOf[ServeCountCol])
+      val rowsFn: () => Seq[Seq[Any]] =
+        if (overflowSensitive) { val rows = computeRows(); () => rows }
+        else computeRows
+      Some(new MetaAggScan(schema, rowsFn))
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -25,16 +25,41 @@ object SnapshotCommitSink {
 
   private def batchLabel(batchId: Long) = s"batch=$batchId"
 
+  /** the batch STAGING directory, keyed by writer AND batch: two
+    * writers committing the same epoch number must never share a
+    * staging path — the second's mode("overwrite") write would
+    * truncate files the first's already-published manifest still
+    * references (reads break, data lost). The empty writerId keeps
+    * the legacy single-writer layout byte-for-byte. */
+  private def stagingDir(tableDir: String, sub: String, batchId: Long,
+      writerId: String): String =
+    if (writerId.isEmpty) s"$tableDir/$sub/b$batchId"
+    else {
+      // filesystem-safe, collision-safe: readable prefix + a hash of
+      // the FULL id (two ids sanitizing alike still get distinct dirs)
+      val safe = writerId.map(c =>
+        if (c.isLetterOrDigit || c == '-' || c == '.' || c == '_') c
+        else '_').take(40)
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(writerId.getBytes("UTF-8")).take(4)
+        .map("%02x".format(_)).mkString
+      s"$tableDir/$sub/w-$safe-$h/b$batchId"
+    }
+
   /** has `batchId` already been committed into the table BY THIS
-    * WRITER? The high-water header answers in O(1); tables written
-    * before high-water stamping fall back to the legacy label scan.
-    * `writerId` scopes the marker (see [[commitBatch]]). */
+    * WRITER? The high-water header answers in O(1) (with the
+    * pre-upgrade global-marker fallback — see
+    * [[SnapshotLog.batchHighWater]]); tables written before
+    * high-water stamping entirely fall back to the legacy label scan,
+    * which is sound only while the table predates writer scoping
+    * (single-writer contract). */
   private def replayed(tableDir: String, v: Int, batchId: Long,
       writerId: String): Boolean = {
     val hw = SnapshotLog.batchHighWater(tableDir, v, writerId)
     if (hw >= 0L) batchId <= hw
-    else writerId.isEmpty && v > 0 && SnapshotLog.entries(tableDir, v)
-      .exists(_.partition == batchLabel(batchId))
+    else (writerId.isEmpty || SnapshotLog.preWriterScoped(tableDir, v)) &&
+      v > 0 && SnapshotLog.entries(tableDir, v)
+        .exists(_.partition == batchLabel(batchId))
   }
 
   private def hwHeaders(tableDir: String, v: Int, batchId: Long,
@@ -62,7 +87,7 @@ object SnapshotCommitSink {
       batch: DataFrame, batchId: Long, writerId: String = ""): Int = {
     val v = SnapshotLog.latest(tableDir)
     if (replayed(tableDir, v, batchId, writerId)) return v
-    val dir = s"$tableDir/data/b$batchId"
+    val dir = stagingDir(tableDir, "data", batchId, writerId)
     batch.write.mode("overwrite").parquet(dir)
     // seq = the committing version: any delete vector already in the
     // manifest has a LOWER seq and therefore does NOT apply to these
@@ -98,8 +123,8 @@ object SnapshotCommitSink {
       batchId: Long, keyCols: Seq[String], writerId: String = ""): Int = {
     val v = SnapshotLog.latest(tableDir)
     if (replayed(tableDir, v, batchId, writerId)) return v
-    val dataDir = s"$tableDir/data/b$batchId"
-    val vecDir = s"$tableDir/deletes/b$batchId"
+    val dataDir = stagingDir(tableDir, "data", batchId, writerId)
+    val vecDir = stagingDir(tableDir, "deletes", batchId, writerId)
     batch.write.mode("overwrite").parquet(dataDir)
     batch.select(keyCols.map(org.apache.spark.sql.functions.col): _*)
       .write.mode("overwrite").parquet(vecDir)
