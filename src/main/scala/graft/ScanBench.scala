@@ -59,10 +59,41 @@ object ScanBench {
     val colSec = run(rowMode = false)
     val rowSec = run(rowMode = true)
     val natSec = native()
+    // SELECTIVE face: the same table under a narrow non-partition
+    // WHERE — what parquet-level predicate pushdown buys. Timed with
+    // the filter pushed (default), with the push disabled (the
+    // escape hatch), and through the native source; rawRows records
+    // how many raw rows each variant actually DECODED.
+    val band = col("ok").between(lit(100L), lit(2000L))
+    def selAgg(df: org.apache.spark.sql.DataFrame) =
+      df.filter(band).groupBy(col("m"))
+        .agg(count(lit(1)), sum(col("qty")), sum(col("cents")))
+        .collect()
+    def rawDelta(f: => Unit): Long = {
+      val b = graft.sources.SnapshotVectorized.rawRows.sum(); f
+      graft.sources.SnapshotVectorized.rawRows.sum() - b
+    }
+    def selRun(push: Boolean): Double = time(selAgg(
+      spark.read.format("graft-snapshot").option("path", dir)
+        .option("parquetFilter", push.toString).load()))
+    var rawOn = 0L; var rawOff = 0L
+    val selOnSec = selRun(push = true)
+    val selOffSec = selRun(push = false)
+    rawOn = rawDelta(selAgg(spark.read.format("graft-snapshot")
+      .option("path", dir).load()))
+    rawOff = rawDelta(selAgg(spark.read.format("graft-snapshot")
+      .option("path", dir).option("parquetFilter", "false").load()))
+    val selNatSec = time(selAgg(spark.read.parquet(files: _*)))
     println(f"""{"columnar_sec":$colSec%.3f,"row_sec":$rowSec%.3f,""" +
       f""""native_sec":$natSec%.3f,""" +
       f""""row_over_columnar":${rowSec / colSec}%.2f,""" +
-      f""""columnar_over_native":${colSec / natSec}%.2f}""")
+      f""""columnar_over_native":${colSec / natSec}%.2f,""" +
+      f""""selective_sec":$selOnSec%.3f,""" +
+      f""""selective_nopush_sec":$selOffSec%.3f,""" +
+      f""""selective_native_sec":$selNatSec%.3f,""" +
+      f""""selective_raw_rows":$rawOn,""" +
+      f""""selective_nopush_raw_rows":$rawOff,""" +
+      f""""selective_over_native":${selOnSec / selNatSec}%.2f}""")
     spark.stop()
   }
 }

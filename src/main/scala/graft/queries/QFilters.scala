@@ -3277,7 +3277,64 @@ object QFilters extends Registry {
                      CAST(sum(qty * (ok % 7)) AS BIGINT) AS mix,
                      CAST(sum(cents) AS BIGINT) AS cents,
                      min(sd) AS sd_lo, max(sd) AS sd_hi
-              FROM base GROUP BY 1"""))
+              FROM base GROUP BY 1""")),
+
+    // S71 — PARQUET-LEVEL PREDICATE PUSHDOWN (ext.): a SELECTIVE
+    // WHERE over a snapshot table pushes into the parquet read itself
+    // — the scan's predicates re-translate per file into FilterApi
+    // predicates, and row groups whose statistics exclude every match
+    // are never decoded (the fixture records NO manifest stats, so
+    // every file survives manifest pruning and all skipping below is
+    // parquet's own). `ParquetFilterSpec` pins the skip with the
+    // rawRows counter; ScanBench's selective face measures it; this
+    // row proves the end-to-end answer exact. Shares s65's fixture —
+    // the same table serves the full-scan and selective-scan faces.
+    Q("s66_selective_scan",
+      (s0, d) => {
+        // same layout pin as s65 (dedicated session, SPJ grouping off):
+        // this row times a selective read over the split/coalesce
+        // layout, not whatever a prior query's planner confs left
+        val s = s0.newSession()
+        graft.GraftExtensions.ensure(s)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+        val dir = s"${graft.Scratch.dirFor("s65_scan_v2", d)}/t"
+        if (graft.operators.SnapshotLog.latest(dir) == 0) {
+          graft.Scratch.clear(dir)
+          val base = Tables.lineitem(s, d).select(
+            col("l_orderkey").as("ok"),
+            col("l_partkey").as("pk"),
+            col("l_quantity").cast("decimal(18,2)").cast("long")
+              .as("qty"),
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"),
+            date_format(col("l_shipdate"), "yyyy-MM-dd").as("sd"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          graft.operators.SnapshotMerge.writeInitial(s, base, dir, "m")
+        }
+        val tbl = s"graft_lake.`$dir`"
+        // a fixed narrow orderkey band: selectivity GROWS with sf, so
+        // the ×10/×100 probes time exactly what pushdown buys — the
+        // skipped row groups' decode
+        s.sql(
+          s"""SELECT m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(sum(cents) AS BIGINT) AS cents,
+                     min(sd) AS sd_lo
+              FROM $tbl WHERE ok BETWEEN 100 AND 2000 GROUP BY m""")
+      },
+      Some("""WITH base AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT) AS cents,
+                       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS sd,
+                       month(CAST(l_shipdate AS DATE)) AS m
+                FROM lineitem)
+              SELECT CAST(m AS INT) AS m, count(*) AS n_rows,
+                     CAST(sum(qty) AS BIGINT) AS sum_qty,
+                     CAST(sum(cents) AS BIGINT) AS cents,
+                     min(sd) AS sd_lo
+              FROM base WHERE ok BETWEEN 100 AND 2000 GROUP BY 1"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -750,7 +750,8 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
       full, required, pruningPreds,
       options.getLong("maxDeltaRows", 1000000L),
       options.getLong("splitTargetBytes", 128L * 1024 * 1024),
-      options.getBoolean("rowMode", false))
+      options.getBoolean("rowMode", false),
+      options.getBoolean("parquetFilter", true))
   }
 }
 
@@ -888,7 +889,11 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     // benchmark escape hatch: option("rowMode","true") forces the
     // row-at-a-time reader so the columnar path's gain is MEASURED,
     // not asserted (SCALING.md records the head-to-head)
-    rowMode: Boolean = false) extends Scan with Batch
+    rowMode: Boolean = false,
+    // measurement escape hatch: option("parquetFilter","false") keeps
+    // predicates out of the parquet read so the row-group-skipping
+    // gain is measured, not asserted
+    pushParquetFilter: Boolean = true) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1092,8 +1097,18 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     * escape hatch keep the row reader. */
   override def createReaderFactory(): PartitionReaderFactory = {
     val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+    // the pushed predicates ride to the executors as the SAME parsed
+    // constraints the manifest pruning used (runtime/DPP sets included
+    // when populated by now) — each ChunkReader re-translates them
+    // against ITS file's schema into a parquet FilterPredicate.
+    // Row-mode reads never push: the row reader derives `_pos` by
+    // counting rows from the file start, which group skipping breaks.
+    val cs =
+      if (pushParquetFilter && !rowMode)
+        staticConstraints ++ runtimeConstraints
+      else Nil
     new SnapshotReaderFactory(required, SnapshotLog.renamesOf(dir, v),
-      columnar = !changeFeed && !rowMode)
+      columnar = !changeFeed && !rowMode, constraints = cs)
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1331,7 +1346,24 @@ private[sources] class SnapshotChangeStream(dir: String,
 /** one equality vector's in-memory form: its key column names (as
   * the vector file spells them) and the canonicalized key tuples. */
 private[sources] final case class VecSet(keyCols: Seq[String],
-    tuples: java.util.HashSet[Seq[Any]])
+    tuples: java.util.HashSet[Seq[Any]]) {
+  /** primitive probe set for the single-LONG-key common case (built
+    * once per decoded vector, shared by every task via the vector
+    * cache); null when the vector has composite or non-long keys —
+    * callers fall back to the generic tuple probe. */
+  lazy val singleLongSet: LongHashSet =
+    if (keyCols.size != 1) null
+    else {
+      val s = new LongHashSet(tuples.size())
+      val it = tuples.iterator()
+      var ok = true
+      while (ok && it.hasNext) it.next().head match {
+        case l: Long => s.add(l)
+        case _ => ok = false
+      }
+      if (ok) s else null
+    }
+}
 
 /** equality-vector decode shared by the ROW and COLUMNAR readers —
   * one canonical form, one cache, no drift between the paths. */
@@ -1487,7 +1519,8 @@ private object DeleteFileCaches {
   */
 private class SnapshotReaderFactory(required: StructType,
     renames: Map[String, String] = Map.empty,
-    columnar: Boolean = false)
+    columnar: Boolean = false,
+    constraints: Seq[SnapshotPrune.Constraint] = Nil)
     extends PartitionReaderFactory {
 
   /** COLUMNAR reads whenever the scan planned them (no equality
@@ -1510,7 +1543,7 @@ private class SnapshotReaderFactory(required: StructType,
           cur = new SnapshotVectorized.ChunkReader(c, p.op, p.commit,
             if (p.posDeletes.isEmpty) null
             else deletedPositions(c.path, p.posDeletes),
-            required, renames)
+            required, renames, constraints)
         }
         if (cur.nextBatch()) true
         else { cur.close(); cur = null; next() }

@@ -52,22 +52,58 @@ import org.apache.spark.unsafe.types.UTF8String
   *    rows drop out of the same live-row mapping the position mask
   *    uses — a vectored 100-TB table reads columnar too.
   */
-private[sources] object SnapshotVectorized {
+private[graft] object SnapshotVectorized {
   private val Capacity = 4096
+
+  /** RAW rows decoded by the vectorized path (per-batch counts BEFORE
+    * any delete mask) — the direct witness of parquet-level filter
+    * pushdown: with a selective predicate pushed, row groups the
+    * statistics veto are never decoded and this counter stays below
+    * the table's physical row count. Process-local (exact under
+    * local[n]; a per-executor sample under a real cluster), read by
+    * specs and the scan bench. */
+  private[graft] val rawRows = new java.util.concurrent.atomic.LongAdder
 
   /** vectorized reader over ONE chunk. `dead` is the chunk's file's
     * deleted physical positions (null when no position delete applies);
     * the chunk's equality vectors probe per batch over the same cached
-    * key-tuple sets the row path uses. */
+    * key-tuple sets the row path uses; `constraints` are the scan's
+    * pushed predicates, re-translated here against THIS file's schema
+    * into a parquet FilterPredicate (row-group statistics + dictionary
+    * + column-index filtering at reader open). */
   final class ChunkReader(chunk: SnapChunk, op: String, commit: Long,
       dead: java.util.HashSet[java.lang.Long],
-      required: StructType, renames: Map[String, String]) {
+      required: StructType, renames: Map[String, String],
+      constraints: Seq[SnapshotPrune.Constraint] = Nil) {
     import scala.jdk.CollectionConverters._
 
     private val file = chunk.path
     private val deadMasked = dead != null && !dead.isEmpty
 
-    private val fileMsg = SnapshotTables.footerSchema(file)
+    // ---- ONE footer read per chunk --------------------------------
+    // The footer is read here, ONCE, with the chunk's byte range (so
+    // its blocks are exactly the row groups this chunk serves), and
+    // then handed to the reader below — the naive path reads every
+    // footer twice (once for the schema, again inside the reader),
+    // a real per-file constant on a million-file scan.
+    private val chunkLen =
+      if (chunk.length >= 0L) chunk.length
+      else java.nio.file.Files.size(java.nio.file.Paths.get(file)) -
+        chunk.start
+    private val inputFile =
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file), SnapshotVectorized.sharedConf)
+    private val footerStream = inputFile.newStream()
+    private val footer: org.apache.parquet.hadoop.metadata.ParquetMetadata =
+      try org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        inputFile,
+        org.apache.parquet.HadoopReadOptions
+          .builder(SnapshotVectorized.sharedConf, new Path(file))
+          .withRange(chunk.start, chunk.start + chunkLen).build(),
+        footerStream)
+      catch { case t: Throwable => footerStream.close(); throw t }
+
+    private val fileMsg = footer.getFileMetaData.getSchema
     private val fileFields: Set[String] =
       fileMsg.getFields.asScala.map(_.getName).toSet
     private def fieldFor(canonical: String): Option[String] =
@@ -142,8 +178,29 @@ private[sources] object SnapshotVectorized {
       required.fields.toSeq.filter(f => metaNames(f.name))
     private val constBase = requested.size
 
-    private val reader: VectorizedParquetRecordReader = {
-      val conf = new Configuration()
+    private val filterPred = SnapshotParquetFilter.build(
+      constraints, fileMsg, fieldFor)
+
+    // PRE-SKIP: when the pushed filter already excludes EVERY row
+    // group of this chunk (a statistics-level check over the footer
+    // just read — parquet's own RowGroupFilter, so the decision
+    // cannot drift from what the reader would conclude), no reader,
+    // no requested-schema conf, no second file open — the whole
+    // chunk costs exactly one footer read. On a selective 100-TB
+    // scan MOST chunks take this exit; it is what keeps the per-file
+    // constant at "footer" instead of "reader construction".
+    private val preSkipped: Boolean = filterPred.exists { fp =>
+      try org.apache.parquet.filter2.compat.RowGroupFilter
+        .filterRowGroups(
+          org.apache.parquet.filter2.compat.FilterCompat.get(fp),
+          footer.getBlocks, fileMsg).isEmpty
+      catch { case scala.util.control.NonFatal(_) => false }
+    }
+    if (preSkipped) footerStream.close()
+
+    private val reader: VectorizedParquetRecordReader =
+        if (preSkipped) null else {
+      val conf = new Configuration(SnapshotVectorized.sharedConf)
       conf.set("parquet.read.support.class",
         classOf[ParquetReadSupport].getName)
       conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
@@ -161,16 +218,39 @@ private[sources] object SnapshotVectorized {
         true)
       conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key, false)
       conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key, false)
-      val len =
-        if (chunk.length >= 0L) chunk.length
-        else java.nio.file.Files.size(java.nio.file.Paths.get(file)) -
-          chunk.start
-      val split = new FileSplit(new Path(file), chunk.start, len,
+      // PREDICATE PUSHDOWN into the parquet read: the reader's open
+      // path (HadoopReadOptions) picks the filter up from the conf and
+      // serves only the row groups / pages whose statistics,
+      // dictionaries or column indexes admit it. Row indexes stay
+      // physical under skipping (each surviving group carries its true
+      // row-index offset), so `_pos` and the delete masks are exact.
+      // Conservative by construction: Spark re-applies every non-exact
+      // predicate above the scan.
+      filterPred.foreach { fp =>
+          org.apache.parquet.hadoop.ParquetInputFormat
+            .setFilterPredicate(conf, fp)
+          // column-index (page-level) filtering evaluates against the
+          // REQUESTED projection and treats a filter column missing
+          // from it as ALL-NULL — a pruned-output query (count(*)
+          // WHERE ok = …) would return zero rows. Row-group statistics
+          // and dictionary filtering evaluate against the FILE's own
+          // metadata, projection-independent — keep those, drop the
+          // page level. (The alternative — widening the projection by
+          // every filter column — pays real decode on every surviving
+          // group for a finer skip that stats rarely miss.)
+          conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
+            .COLUMN_INDEX_FILTERING_ENABLED, false)
+        }
+      val split = new FileSplit(new Path(file), chunk.start, chunkLen,
         Array.empty[String])
       val r = new VectorizedParquetRecordReader(
         null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
+      // the footer read above rides into the reader (file, stream and
+      // metadata) — the reader's own open path would otherwise fetch
+      // and decode the same footer a second time
       r.initialize(split, new TaskAttemptContextImpl(conf,
-        new TaskAttemptID()))
+        new TaskAttemptID()), Some(inputFile), Some(footerStream),
+        Some(footer))
       val constRow = new GenericInternalRow(constFields.map { f =>
         (f.name match {
           case "_op" => UTF8String.fromString(op)
@@ -181,15 +261,43 @@ private[sources] object SnapshotVectorized {
       r.initBatch(StructType(constFields), constRow)
       r
     }
-    private val batch: ColumnarBatch = reader.resultBatch()
+    private val batch: ColumnarBatch =
+      if (preSkipped) null else reader.resultBatch()
 
-    // per active vector: the batch positions and extraction types of
-    // its key columns, plus its tuple set — resolved once per chunk,
-    // probed per row under the SAME canonical widening the vector's
-    // own rows got (ints→long, floats→double, binary→string)
-    private val probes: Array[(Array[Int], Array[DataType],
-        java.util.HashSet[Seq[Any]])] =
-      activeVecs.map { case (fields, v) =>
+    // per active vector: a PROBE resolved once per chunk, applied per
+    // raw row under the SAME canonical widening the vector's own rows
+    // got (ints→long, floats→double, binary→string). The common case
+    // — one LONG key column (the `#keys` tables) — takes a PRIMITIVE
+    // path: an open-addressing long set probed with zero per-row
+    // allocation; composite or non-long keys keep the generic tuple
+    // probe.
+    private sealed trait Probe { def deleted(i: Int): Boolean }
+    private final class LongProbe(vec: ColumnVector, asInt: Boolean,
+        set: LongHashSet) extends Probe {
+      def deleted(i: Int): Boolean = !vec.isNullAt(i) &&
+        set.contains(if (asInt) vec.getInt(i).toLong else vec.getLong(i))
+    }
+    private final class TupleProbe(vecs: Array[ColumnVector],
+        dts: Array[DataType],
+        set: java.util.HashSet[Seq[Any]]) extends Probe {
+      def deleted(i: Int): Boolean = {
+        val t = new Array[Any](vecs.length)
+        var j = 0
+        while (j < vecs.length) {
+          val v = canonAt(vecs(j), dts(j), i)
+          if (v == null) return false // a null key matches nothing
+          t(j) = v
+          j += 1
+        }
+        // ArraySeq and the stored List hash/compare alike (Seq equality)
+        set.contains(scala.collection.immutable.ArraySeq
+          .unsafeWrapArray(t))
+      }
+    }
+
+    private val probes: Array[Probe] =
+      if (preSkipped) Array.empty
+      else activeVecs.map { case (fields, v) =>
         val pos = fields.map(probePos).toArray
         val dts = fields.map { f =>
           dataFieldPos.get(f) match {
@@ -199,7 +307,15 @@ private[sources] object SnapshotVectorized {
                 .asPrimitiveType())
           }
         }.toArray
-        (pos, dts, v.tuples)
+        val fastSet =
+          if (pos.length == 1 &&
+              (dts(0) == LongType || dts(0) == IntegerType))
+            v.singleLongSet
+          else null
+        if (fastSet != null)
+          new LongProbe(batch.column(pos(0)),
+            dts(0) == IntegerType, fastSet): Probe
+        else new TupleProbe(pos.map(batch.column), dts, v.tuples)
       }.toArray
 
     private def canonAt(vec: ColumnVector, dt: DataType, i: Int): Any =
@@ -219,18 +335,7 @@ private[sources] object SnapshotVectorized {
     private def vecDeleted(i: Int): Boolean = {
       var p = 0
       while (p < probes.length) {
-        val (pos, dts, set) = probes(p)
-        val t = new Array[Any](pos.length)
-        var j = 0
-        var hasNull = false
-        while (j < pos.length && !hasNull) {
-          val v = canonAt(batch.column(pos(j)), dts(j), i)
-          if (v == null) hasNull = true else t(j) = v
-          j += 1
-        }
-        // ArraySeq and the stored List hash/compare alike (Seq equality)
-        if (!hasNull && set.contains(scala.collection.immutable.ArraySeq
-            .unsafeWrapArray(t))) return true
+        if (probes(p).deleted(i)) return true
         p += 1
       }
       false
@@ -241,7 +346,8 @@ private[sources] object SnapshotVectorized {
     private var liveMap: Array[Int] =
       if (masked) new Array[Int](Capacity) else null
 
-    private val outVectors: Array[ColumnVector] = {
+    private val outVectors: Array[ColumnVector] =
+        if (preSkipped) Array.empty else {
       var di = 0
       var ci = 0
       required.fields.map { f =>
@@ -257,8 +363,9 @@ private[sources] object SnapshotVectorized {
     private val outBatch = new ColumnarBatch(outVectors)
 
     def nextBatch(): Boolean = {
-      if (!reader.nextBatch()) return false
+      if (preSkipped || !reader.nextBatch()) return false
       val n = batch.numRows()
+      rawRows.add(n)
       if (!masked) { outBatch.setNumRows(n); return true }
       val idxVec = if (deadMasked) batch.column(rowIdxPos) else null
       val probing = probes.nonEmpty
@@ -274,7 +381,7 @@ private[sources] object SnapshotVectorized {
       }
       var j = 0
       while (j < outVectors.length) {
-        outVectors(j).asInstanceOf[MaskedColumnVector].set(liveMap)
+        outVectors(j).asInstanceOf[MaskedColumnVector].set(liveMap, live)
         j += 1
       }
       outBatch.setNumRows(live)
@@ -285,7 +392,47 @@ private[sources] object SnapshotVectorized {
 
     def get(): ColumnarBatch = outBatch
 
-    def close(): Unit = reader.close()
+    def close(): Unit = if (reader != null) reader.close()
+  }
+
+  /** one pre-loaded Hadoop conf shared by every chunk (copied for each
+    * reader, used read-only for footer opens) — a fresh Configuration
+    * per chunk re-parses default resources, a measurable per-file
+    * constant on small-file tables. */
+  private val sharedConf = new Configuration()
+}
+
+/** minimal open-addressing primitive LONG set (add-only, load ≤ 0.5):
+  * the zero-allocation probe behind the single-long-key equality
+  * vectors — `contains` touches no heap, boxes nothing. */
+private[sources] final class LongHashSet(expected: Int) {
+  private val cap = {
+    var c = 8
+    while (c < expected * 2) c <<= 1
+    c
+  }
+  private val mask = cap - 1
+  private val keys = new Array[Long](cap)
+  private val used = new Array[Boolean](cap)
+  // splitmix64 finalizer: well-distributed slots even for the
+  // sequential key ranges CDC vectors typically hold
+  private def slot(k: Long): Int = {
+    var h = k * -7046029254386353131L
+    h ^= (h >>> 32)
+    (h & mask).toInt
+  }
+  def add(k: Long): Unit = {
+    var i = slot(k)
+    while (used(i) && keys(i) != k) i = (i + 1) & mask
+    if (!used(i)) { used(i) = true; keys(i) = k }
+  }
+  def contains(k: Long): Boolean = {
+    var i = slot(k)
+    while (used(i)) {
+      if (keys(i) == k) return true
+      i = (i + 1) & mask
+    }
+    false
   }
 }
 
@@ -293,14 +440,32 @@ private[sources] object SnapshotVectorized {
   * the batch is physical row `map(i)` of the delegate — how position
   * deletes subtract from a ColumnarBatch without copying a single
   * value (the Iceberg vectorized-delete shape). The delegate owns the
-  * memory; closing the wrapper is a no-op. */
+  * memory; closing the wrapper is a no-op.
+  *
+  * `hasNull`/`numNulls` are EXACT over the LIVE rows (computed lazily
+  * once per batch, only when the delegate holds nulls at all): a
+  * batch whose deleted rows held the only nulls reports none, so a
+  * consumer branching on the null mask can never mis-assume. */
 private[sources] final class MaskedColumnVector(base: ColumnVector)
     extends ColumnVector(base.dataType()) {
   private var map: Array[Int] = _
-  def set(m: Array[Int]): Unit = map = m
+  private var live: Int = 0
+  private var nullsCached: Int = -1 // -1 = not yet computed this batch
+  def set(m: Array[Int], n: Int): Unit = { map = m; live = n
+    nullsCached = -1 }
   override def close(): Unit = ()
-  override def hasNull: Boolean = base.hasNull
-  override def numNulls(): Int = base.numNulls()
+  override def hasNull: Boolean = base.hasNull && numNulls() > 0
+  override def numNulls(): Int = {
+    if (nullsCached < 0)
+      nullsCached =
+        if (!base.hasNull) 0
+        else {
+          var c = 0; var i = 0
+          while (i < live) { if (base.isNullAt(map(i))) c += 1; i += 1 }
+          c
+        }
+    nullsCached
+  }
   override def isNullAt(i: Int): Boolean = base.isNullAt(map(i))
   override def getBoolean(i: Int): Boolean = base.getBoolean(map(i))
   override def getByte(i: Int): Byte = base.getByte(map(i))

@@ -178,4 +178,55 @@ class ColumnarScanSpec extends SparkSpec {
     assert(df.filter(col("id") === 9L).select("v").as[Long]
       .collect().toSeq == Seq(777L))
   }
+
+  test("single-LONG-key vectors take the primitive probe; MOR-exact") {
+    import spark.implicits._
+    val dir = fresh("longvec")
+    val base = (0L until 600L).map(i => (i, i % 6, i * 7))
+      .toDF("id", "m", "v")
+    SnapshotMerge.writeInitial(spark, base, dir, "m")
+    // ONE key column (long) — the fast-path shape
+    DeleteVectors.appendDeletes(spark, dir,
+      (0L until 600L by 11L).toDF("id"))
+    Seq((11L, 2L, 31415L)).toDF("id", "m", "v")
+      .write.format("graft-snapshot").option("path", dir)
+      .mode("append").save()
+    val vN = SnapshotLog.latest(dir)
+    // the cached vector exposes the primitive set (the probe the scan
+    // takes), and the scan's answers stay MOR-exact through it
+    val vecPath = SnapshotLog.entries(dir, vN)
+      .find(_.kind == "X").get.path
+    assert(EqVectors.load(vecPath).singleLongSet != null,
+      "a single-long-key vector must build the primitive probe set")
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    val mor = SnapshotLog.readMor(spark, dir, vN)
+    assert(scanExec(df).supportsColumnar)
+    assert(df.count() == mor.count())
+    assert(df.agg(sum(col("v"))).head.getLong(0) ==
+      mor.agg(sum(col("v"))).head.getLong(0))
+    assert(df.filter(col("id") === 11L).select("v").as[Long]
+      .collect().toSeq == Seq(31415L), "re-inserted key served")
+    assert(df.filter(col("id") === 22L).count() == 0L,
+      "vectored key suppressed")
+  }
+
+  test("masked vectors report EXACT null counts over live rows") {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.types.LongType
+    val base = new OnHeapColumnVector(8, LongType)
+    (0 until 8).foreach { i =>
+      if (i == 2 || i == 5) base.putNull(i) else base.putLong(i, i * 10L)
+    }
+    assert(base.hasNull && base.numNulls() == 2)
+    val masked = new MaskedColumnVector(base)
+    // mask away BOTH null rows: the view must report zero nulls
+    masked.set(Array(0, 1, 3, 4, 6, 7), 6)
+    assert(!masked.hasNull, "nulls only in deleted rows: hasNull false")
+    assert(masked.numNulls() == 0)
+    // keep one null row: exactly one
+    masked.set(Array(0, 2, 3), 3)
+    assert(masked.hasNull && masked.numNulls() == 1)
+    assert(masked.isNullAt(1) && !masked.isNullAt(0))
+    base.close()
+  }
 }
