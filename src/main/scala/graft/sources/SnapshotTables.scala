@@ -1336,8 +1336,14 @@ private[sources] class SnapshotChangeStream(dir: String,
             r.getString(keys.size))).toSeq, v))
     }
   }
+  // change-feed batches decode COLUMNAR too: commit deltas ride the
+  // same vectorized chunk reader (`_op`/`_commit` as constant
+  // vectors), and plan-time U-split deltas (SnapRowsPartition) are
+  // served as literal in-memory batches — every partition shape
+  // answers columnar, so a mixed multi-commit range can never trip
+  // Spark's no-mixing rule
   override def createReaderFactory(): PartitionReaderFactory =
-    new SnapshotReaderFactory(required)
+    new SnapshotReaderFactory(required, columnar = true)
   override def commit(
       end: org.apache.spark.sql.connector.read.streaming.Offset): Unit = ()
   override def stop(): Unit = ()
@@ -1523,15 +1529,71 @@ private class SnapshotReaderFactory(required: StructType,
     constraints: Seq[SnapshotPrune.Constraint] = Nil)
     extends PartitionReaderFactory {
 
-  /** COLUMNAR reads whenever the scan planned them (no equality
-    * vector live): every partition answers alike — Spark refuses
-    * mixed row/columnar partitions within one scan. */
+  /** COLUMNAR reads whenever the scan planned them: every partition
+    * shape answers alike — Spark refuses mixed row/columnar
+    * partitions within one scan. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && partition.isInstanceOf[SnapFilePartition]
+    columnar && (partition.isInstanceOf[SnapFilePartition] ||
+      partition.isInstanceOf[SnapRowsPartition])
 
   override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    partition match {
+      case p: SnapRowsPartition => literalColumnarReader(p)
+      case p: SnapFilePartition => fileColumnarReader(p)
+    }
+
+  /** a plan-time U-split delta (churn-sized literal key rows) as ONE
+    * in-memory ColumnarBatch — what keeps a change feed whose range
+    * mixes file commits and rewrite diffs uniformly columnar. */
+  private def literalColumnarReader(p: SnapRowsPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val p = partition.asInstanceOf[SnapFilePartition]
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val n = p.rows.length
+    val vecs = OnHeapColumnVector.allocateColumns(n, required)
+    required.fields.zipWithIndex.foreach { case (f, ci) =>
+      val v = vecs(ci)
+      val keyIdx = p.keyCols.indexOf(f.name)
+      var i = 0
+      while (i < n) {
+        val (keyVals, op) = p.rows(i)
+        val value: Any = f.name match {
+          case "_op" => op
+          case "_commit" => p.commit
+          case _ if keyIdx >= 0 => keyVals(keyIdx)
+          case _ => null
+        }
+        value match {
+          case null => v.putNull(i)
+          case l: Long => v.putLong(i, l)
+          case x: Int => v.putInt(i, x)
+          case d: Double => v.putDouble(i, d)
+          case fl: Float => v.putFloat(i, fl)
+          case b: Boolean => v.putBoolean(i, b)
+          case s: String =>
+            val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            v.putByteArray(i, bytes, 0, bytes.length)
+          case other => throw new IllegalArgumentException(
+            s"graft-snapshot: cannot serve a literal ${other.getClass}")
+        }
+        i += 1
+      }
+    }
+    val batch = new org.apache.spark.sql.vectorized.ColumnarBatch(
+      vecs.toArray[org.apache.spark.sql.vectorized.ColumnVector])
+    batch.setNumRows(n)
+    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+      private var served = false
+      override def next(): Boolean =
+        if (served || n == 0) false else { served = true; true }
+      override def get()
+          : org.apache.spark.sql.vectorized.ColumnarBatch = batch
+      override def close(): Unit = vecs.foreach(_.close())
+    }
+  }
+
+  private def fileColumnarReader(p: SnapFilePartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val its = p.chunks.iterator
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       private var cur: SnapshotVectorized.ChunkReader = _
