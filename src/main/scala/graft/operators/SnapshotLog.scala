@@ -525,9 +525,51 @@ object SnapshotLog {
     }
   }
 
+  // ---- parsed-manifest cache ---------------------------------------
+  // entries(dir, v) is the hottest metadata call in the kernel: one
+  // scan resolves it several times (partition report, statistics,
+  // pruning, task planning), and a dashboard firing hundreds of
+  // metadata counts on a million-file table would re-parse millions
+  // of lines each time. A committed manifest is immutable, so the
+  // parsed form memoizes on its FILE IDENTITY — (fileKey, size,
+  // mtime) from one stat per call — which also makes the cache
+  // self-invalidating: a re-created table directory (tests, restores
+  // from backup) mints a new inode and misses; an expired manifest
+  // fails the existence check exactly as before. Bounded LRU — an
+  // eviction is a re-parse, never a wrong answer.
+  private final case class ManifestId(key: AnyRef, size: Long, mtime: Long)
+  private val entryCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (ManifestId, Seq[FileEntry])](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (ManifestId, Seq[FileEntry])])
+          : Boolean = size() > 256
+    })
+
+  /** manifest PARSE runs (cache misses) — test instrumentation: two
+    * metadata queries on the same version must parse once. */
+  private[graft] val entryParses = new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetEntryCache(): Unit = entryCache.clear()
+
   /** the typed file list of snapshot `v` (immutable once committed). */
-  def entries(tableDir: String, v: Int): Seq[FileEntry] =
-    manifestLines(tableDir, v).filterNot(_.startsWith("#")).map(parseEntry)
+  def entries(tableDir: String, v: Int): Seq[FileEntry] = {
+    val m = manifestDir(tableDir).resolve(s"v$v.manifest")
+    require(Files.exists(m), s"no snapshot v$v at $tableDir")
+    val a = Files.readAttributes(m,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val id = ManifestId(a.fileKey(), a.size(),
+      a.lastModifiedTime().toMillis)
+    val key = m.toAbsolutePath.toString
+    val hit = entryCache.get(key)
+    if (hit != null && hit._1 == id) hit._2
+    else {
+      entryParses.incrementAndGet()
+      val parsed = manifestLines(tableDir, v)
+        .filterNot(_.startsWith("#")).map(parseEntry)
+      entryCache.put(key, (id, parsed))
+      parsed
+    }
+  }
 
   /** the manifest's own lines — headers, `@seg` references, and (legacy
     * manifests) inline entry lines; never opens a segment. */
@@ -551,6 +593,44 @@ object SnapshotLog {
         lines
       case l => Seq(l)
     }
+
+  // ---- partition-label parsing (ONE shape everywhere) --------------
+  // A label is one or more Hive-style `col=value` segments joined by
+  // '/' — "m=3" (single-column spec) or "a=1/b=2" (multi-column).
+  // Every label consumer — pruning, SPJ key extraction, metadata
+  // grouping, partition drops — parses through these two helpers, so
+  // the faces cannot drift on the label grammar.
+
+  /** the `col=value` value of `partition` for `col`, when one of its
+    * segments names it. */
+  def labelValueOf(partition: String, col: String): Option[String] = {
+    if (partition.isEmpty) return None
+    var from = 0
+    while (from <= partition.length) {
+      val end = partition.indexOf('/', from) match {
+        case -1 => partition.length
+        case i => i
+      }
+      val eq = partition.indexOf('=', from)
+      if (eq > from && eq < end && partition.substring(from, eq) == col)
+        return Some(partition.substring(eq + 1, end))
+      from = end + 1
+    }
+    None
+  }
+
+  /** the ORDERED column names `partition`'s segments label, or Nil for
+    * an unlabeled/malformed label (a segment without '='). */
+  def labelColsOf(partition: String): Seq[String] = {
+    if (partition.isEmpty) return Nil
+    val segs = partition.split('/').toSeq
+    val cols = segs.map { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) return Nil
+      s.take(i)
+    }
+    if (cols.distinct.size != cols.size) Nil else cols
+  }
 
   /** the `#`-prefixed HEADER lines of snapshot `v` (schema + rename
     * mapping, spec — TABLE-level metadata that rides in the manifest,
@@ -1045,12 +1125,8 @@ object SnapshotLog {
       colName: String, value: String): DataFrame = {
     val es = entries(tableDir, v)
     val keep = es.filter { e =>
-      e.kind == "D" && {
-        val label = e.partition
-        val i = label.indexOf('=')
-        i < 0 || label.take(i) != colName ||
-          label.drop(i + 1) == value
-      }
+      e.kind == "D" &&
+        labelValueOf(e.partition, colName).forall(_ == value)
     }
     if (keep.isEmpty) read(s, tableDir, v)
       .filter(org.apache.spark.sql.functions.lit(false))

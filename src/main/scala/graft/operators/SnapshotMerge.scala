@@ -48,6 +48,44 @@ object SnapshotMerge {
       collectEntries(s, root, partCol, statsCols, seq = 1L))
   }
 
+  /** [[writeInitial]] under a MULTI-COLUMN partition spec: the table's
+    * first snapshot is one partitioned write over ALL of `partCols`
+    * (shadow `_gp0`, `_gp1`, … directories keep every column in the
+    * data files), and each produced file is labeled
+    * `a=1/b=2` — the ordered multi-segment label the scan's
+    * storage-partitioned-join report, pruning and metadata grouping
+    * all parse. This is the write door behind multi-key SPJ: two
+    * tables written this way under the same spec join with zero
+    * exchanges on the full key tuple.
+    */
+  def writeInitialMulti(s: SparkSession, df: DataFrame, tableDir: String,
+      partCols: Seq[String], statsCols: Seq[String] = Nil): Int = {
+    require(partCols.nonEmpty, "writeInitialMulti needs partCols")
+    val root = SnapshotLog.writerRoot(s"$tableDir/data/v1")
+    val shadows = partCols.indices.map(i => s"_gp$i")
+    partCols.zip(shadows).foldLeft(df) { case (d, (c, sh)) =>
+      d.withColumn(sh, col(c))
+    }.write.partitionBy(shadows: _*).mode("overwrite").parquet(root)
+    val files = SnapshotLog.dataFiles(root)
+    val st =
+      if (statsCols.isEmpty) Map.empty[String, SnapshotLog.FileStats]
+      else SnapshotLog.collectFileStats(s, files, statsCols)
+    val offs = SnapshotLog.collectSplitOffsets(s, files)
+    SnapshotLog.commitEntries(tableDir, files.map { f =>
+      val label = partCols.zip(shadows)
+        .map { case (c, sh) => s"$c=${gpOf(f, s"$sh=")}" }
+        .mkString("/")
+      val fs = st.getOrElse(SnapshotLog.normPath(f),
+        SnapshotLog.FileStats(-1L, Map.empty, Map.empty, Map.empty,
+          Map.empty))
+      SnapshotLog.FileEntry(f, "D", label, fs.longs, seq = 1L, fs.rows,
+        fs.strs,
+        bytes = java.nio.file.Files.size(java.nio.file.Paths.get(f)),
+        nullCounts = fs.nulls, sums = fs.sums,
+        splitOffsets = offs.getOrElse(SnapshotLog.normPath(f), Nil))
+    })
+  }
+
   /** APPEND `df` as one snapshot of partitioned, labeled files — the
     * writer a table uses after [[SnapshotLog.commitSpecChange]]: when
     * the manifest declares an active partition spec, `partCol` must
@@ -107,12 +145,14 @@ object SnapshotMerge {
     }
   }
 
-  /** the `_gp=<value>` ancestor dir's value for a written file. */
-  private def gpOf(f: String): String = {
+  /** the `<prefix><value>` ancestor dir's value for a written file
+    * (prefix "_gp=" for the single-spec writer, "_gpN=" per column
+    * for the multi-spec one). */
+  private def gpOf(f: String, prefix: String = "_gp="): String = {
     var d = new java.io.File(f).getParentFile
-    while (d != null && !d.getName.startsWith("_gp=")) d = d.getParentFile
-    require(d != null, s"unexpected layout at $f (no _gp= ancestor)")
-    d.getName.stripPrefix("_gp=")
+    while (d != null && !d.getName.startsWith(prefix)) d = d.getParentFile
+    require(d != null, s"unexpected layout at $f (no $prefix ancestor)")
+    d.getName.stripPrefix(prefix)
   }
 
   /** Apply a CDC batch to the snapshot table at `tableDir` as a new
@@ -136,14 +176,17 @@ object SnapshotMerge {
     val touchedLabels = touched.map(partLabel(partCol, _)).toSet
     val dataEntries = es.filter(_.kind == "D")
     // the touched/untouched split below is a pure label comparison, so
-    // it is only sound when EVERY data entry was labeled under this
-    // partition column — a table mixing labeling conventions (e.g. a
-    // streaming sink's "batch=N" entries) could hide touched-partition
-    // rows inside an "untouched" file and duplicate or resurrect them
-    require(dataEntries.forall(_.partition.startsWith(s"$partCol=")),
+    // it is only sound when EVERY data entry was labeled under EXACTLY
+    // this partition column — a table mixing labeling conventions (a
+    // streaming sink's "batch=N" entries, a multi-column spec's
+    // "a=1/b=2" labels) could hide touched-partition rows inside an
+    // "untouched" file and duplicate or resurrect them
+    require(dataEntries.forall(e =>
+        SnapshotLog.labelColsOf(e.partition) == Seq(partCol)),
       s"MERGE on '$partCol' needs every data entry labeled '$partCol=…'; " +
-        s"found ${dataEntries.map(_.partition).distinct.filterNot(
-          _.startsWith(s"$partCol=")).take(3).mkString(", ")}")
+        s"found ${dataEntries.map(_.partition).distinct.filterNot(p =>
+          SnapshotLog.labelColsOf(p) == Seq(partCol)).take(3)
+          .mkString(", ")}")
     val (tEntries, uEntries) =
       dataEntries.partition(e => touchedLabels(e.partition))
     val curCols = SnapshotLog.read(s, tableDir, v).columns.toSeq

@@ -3334,7 +3334,64 @@ object QFilters extends Registry {
                      CAST(sum(qty) AS BIGINT) AS sum_qty,
                      CAST(sum(cents) AS BIGINT) AS cents,
                      min(sd) AS sd_lo
-              FROM base WHERE ok BETWEEN 100 AND 2000 GROUP BY 1"""))
+              FROM base WHERE ok BETWEEN 100 AND 2000 GROUP BY 1""")),
+
+    // S72 — MULTI-COLUMN STORAGE-PARTITIONED JOIN (ext.): two lake
+    // tables written under the same TWO-column spec (ordered
+    // `m=…/g=…` labels in the manifest) report multi-key
+    // KeyGroupedPartitioning and join on the full tuple with ZERO
+    // exchanges on either side; the grouped aggregate on the same
+    // tuple rides the layout too (PLANS.md pins 0 shuffles, 0
+    // broadcasts — the `merge` hint exists so a broadcast can't fake
+    // the win). Partial-key joins and mixed eras refuse into ordinary
+    // exchanges (`SpjSpec`).
+    Q("s67_spj_multi",
+      (s0, d) => {
+        val s = s0.newSession()
+        graft.GraftExtensions.ensure(s)
+        s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        s.conf.set(
+          "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        val root = graft.Scratch.dirFor("s67_spjm", d)
+        graft.Scratch.clear(root)
+        import graft.operators.SnapshotMerge
+        val dirA = s"$root/a"
+        val dirB = s"$root/b"
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"),
+          col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
+          month(to_date(col("l_shipdate"))).as("m"),
+          (col("l_orderkey") % 4).as("g"))
+        SnapshotMerge.writeInitialMulti(s, li, dirA, Seq("m", "g"))
+        SnapshotMerge.writeInitialMulti(s,
+          li.groupBy(col("m"), col("g"))
+            .agg(sum(col("qty")).cast("long").as("tot")),
+          dirB, Seq("m", "g"))
+        val fa = s.read.format("graft-snapshot").option("path", dirA)
+          .load()
+        val fb = s.read.format("graft-snapshot").option("path", dirB)
+          .load()
+        fa.hint("merge").join(fb, Seq("m", "g"))
+          .groupBy(col("m"), col("g"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("qty")).cast("long").as("sum_qty"),
+            max(col("tot")).as("tot"))
+      },
+      Some("""WITH li AS (
+                SELECT l_orderkey AS ok,
+                       CAST(CAST(l_quantity AS INT) AS BIGINT) AS qty,
+                       month(CAST(l_shipdate AS DATE)) AS m,
+                       l_orderkey % 4 AS g
+                FROM lineitem),
+              dim AS (
+                SELECT m, g, CAST(sum(qty) AS BIGINT) AS tot
+                FROM li GROUP BY 1, 2)
+              SELECT CAST(li.m AS INT) AS m, CAST(li.g AS BIGINT) AS g,
+                     count(*) AS n_rows,
+                     CAST(sum(li.qty) AS BIGINT) AS sum_qty,
+                     CAST(max(dim.tot) AS BIGINT) AS tot
+              FROM li JOIN dim ON li.m = dim.m AND li.g = dim.g
+              GROUP BY 1, 2"""))
   )
 
   /** The manifest-driven snapshot diff shared by `s37_change_feed`,

@@ -368,12 +368,12 @@ private[sources] object SnapshotPrune {
       case _ => None
     }
 
-  /** the `col=value` label value of `e` when its label names `col`. */
-  def labelValue(e: SnapshotLog.FileEntry, col: String): Option[String] = {
-    val i = e.partition.indexOf('=')
-    if (i <= 0 || e.partition.take(i) != col) None
-    else Some(e.partition.drop(i + 1))
-  }
+  /** the `col=value` label value of `e` when one of its label's
+    * segments names `col` — multi-column labels ("a=1/b=2") resolve
+    * each component. Parsing is [[SnapshotLog.labelValueOf]], the one
+    * label grammar every face shares. */
+  def labelValue(e: SnapshotLog.FileEntry, col: String): Option[String] =
+    SnapshotLog.labelValueOf(e.partition, col)
 
   /** can `e` possibly hold a row satisfying `c`? Label veto is exact
     * (the writer stamped the value; numeric compare when both sides
@@ -856,21 +856,23 @@ private[sources] object SnapFilePartition {
       commit, posDeletes)
 }
 
-/** a scan task that KNOWS its partition value ([[HasPartitionKey]]) —
+/** a scan task that KNOWS its partition key ([[HasPartitionKey]]) —
   * what storage-partitioned joins ride on: Spark groups tasks by key
   * and aligns two scans reporting the same KeyGroupedPartitioning
-  * into an exchange-free join. All chunks of a keyed task share one
-  * label value (the planner never mixes values into a bin). */
+  * into an exchange-free join. The key is the ORDERED tuple of the
+  * reported partition columns' values (one value for a single-column
+  * spec, several for a multi-column one); all chunks of a keyed task
+  * share it (the planner never mixes key values into a bin). */
 private[sources] final class KeyedSnapFilePartition(
     chunks: Seq[SnapChunk], op: String, commit: Long,
-    posDeletes: Seq[String], keyVal: Any)
+    posDeletes: Seq[String], keyVals: Seq[Any])
     extends SnapFilePartition(chunks, op, commit, posDeletes)
     with org.apache.spark.sql.connector.read.HasPartitionKey {
   override def partitionKey(): InternalRow =
-    new GenericInternalRow(Array[Any](keyVal match {
-      case s: String => UTF8String.fromString(s)
-      case v => v
-    }))
+    new GenericInternalRow(keyVals.map {
+      case s: String => (UTF8String.fromString(s): Any)
+      case v => (v: Any)
+    }.toArray)
 }
 
 /** a plan-time-computed logical delta (the COW/pos-delete U-split):
@@ -901,55 +903,70 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
 
   // ---- storage-partitioned joins (SPJ) ------------------------------
   // When EVERY data entry of the pinned snapshot is labeled by the
-  // same column with a typed value, the scan reports its layout as
-  // KeyGroupedPartitioning over that column and every task knows its
-  // key: two lake tables partitioned on the same column then join
-  // with ZERO exchanges on either side (under
+  // same ORDERED column list with typed values, the scan reports its
+  // layout as KeyGroupedPartitioning over those columns and every
+  // task knows its key tuple: two lake tables partitioned the same
+  // way then join with ZERO exchanges on either side (under
   // spark.sql.sources.v2.bucketing.enabled) — the Iceberg SPJ
-  // contract, and the difference between shuffling two 100-TB fact
-  // tables and shuffling nothing. Mixed spec eras (S47: entries
-  // labeled by different columns), unlabeled entries, escape-bearing
-  // labels, and a pruned-away partition column all refuse the report
-  // conservatively — Spark just plans the ordinary exchange.
+  // contract, incl. multi-key specs, and the difference between
+  // shuffling two 100-TB fact tables and shuffling nothing. Mixed
+  // spec eras (S47: entries labeled by different columns), unlabeled
+  // entries, escape-bearing labels, and any pruned-away partition
+  // column all refuse the report conservatively — Spark just plans
+  // the ordinary exchange.
 
-  /** the groupable partition column: Some((col, type)) only when every
-    * data entry's label names the SAME column with a value the
-    * column's type parses exactly, and the scan still SERVES that
-    * column (Spark resolves the key expressions against the pruned
-    * output schema). */
-  private lazy val groupCol: Option[(String, DataType)] =
-    if (changeFeed) None
-    else {
-      val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-      val data = SnapshotLog.entries(dir, v).filter(_.kind == "D")
-      val cols = data.map { e =>
-        val i = e.partition.indexOf('=')
-        if (i <= 0) "" else e.partition.take(i)
-      }.distinct
-      cols match {
-        case Seq(col) if col.nonEmpty && data.nonEmpty =>
-          required.fields.find(_.name == col).map(f => col -> f.dataType)
-            .filter { case (c, dt) =>
-              data.forall(e => SnapshotPrune.labelValue(e, c)
-                .flatMap(SnapshotPrune.typedLabel(_, dt)).isDefined)
-            }
-        case _ => None
-      }
+  /** the groupable partition columns: non-empty only when every data
+    * entry's label names the SAME ordered column list with values
+    * each column's type parses exactly, and the scan still SERVES
+    * every one of them (Spark resolves the key expressions against
+    * the pruned output schema). */
+  private lazy val groupCols: Seq[(String, DataType)] = {
+    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+    val data =
+      if (changeFeed) Nil
+      else SnapshotLog.entries(dir, v).filter(_.kind == "D")
+    val sigs = data.map(e => SnapshotLog.labelColsOf(e.partition))
+      .distinct
+    sigs match {
+      case Seq(cols) if cols.nonEmpty =>
+        val typed = cols.map(c =>
+          required.fields.find(_.name == c).map(f => c -> f.dataType))
+        if (typed.exists(_.isEmpty)) Nil
+        else {
+          val ts = typed.map(_.get)
+          if (ts.forall { case (c, dt) =>
+            data.forall(e => SnapshotPrune.labelValue(e, c)
+              .flatMap(SnapshotPrune.typedLabel(_, dt)).isDefined)
+          }) ts
+          else Nil
+        }
+      case _ => Nil
     }
+  }
+
+  /** one entry's TYPED key tuple under [[groupCols]] (defined for
+    * every data entry whenever groupCols is non-empty). */
+  private def typedKeyOf(e: SnapshotLog.FileEntry): Seq[Any] =
+    groupCols.map { case (c, dt) => SnapshotPrune.labelValue(e, c)
+      .flatMap(SnapshotPrune.typedLabel(_, dt)).get }
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    groupCol match {
-      case Some((col, _)) =>
+    groupCols match {
+      case cols if cols.nonEmpty =>
         val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+        // n = the distinct TYPED key tuples surviving static pruning —
+        // the SAME derivation the task planner groups by, so the
+        // declared count always matches the grouped tasks (raw label
+        // strings would count "m=1" and "m=01" as two)
         val n = SnapshotLog.entries(dir, v).filter(e =>
           e.kind == "D" && staticConstraints.forall(survives(e, _)))
-          .map(_.partition).distinct.size
+          .map(typedKeyOf).distinct.size
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
-            Array(org.apache.spark.sql.connector.expressions.Expressions
-              .identity(col)), n)
-      case None =>
+            cols.map(c => org.apache.spark.sql.connector.expressions
+              .Expressions.identity(c._1)).toArray, n)
+      case _ =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)
     }
@@ -972,8 +989,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     if (changeFeed) return Array.empty
     val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
     val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
-    val labelCols = es.map(_.partition).filter(_.nonEmpty)
-      .map(p => p.take(math.max(p.indexOf('='), 0))).filter(_.nonEmpty)
+    val labelCols =
+      es.flatMap(e => SnapshotLog.labelColsOf(e.partition))
     val statCols = es.flatMap(e => e.stats.keys ++ e.strStats.keys)
     // Spark resolves these against the scan's (column-pruned) OUTPUT —
     // offering a pruned-away column would fail analysis
@@ -1057,9 +1074,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     val eqVecs = es.filter(_.kind == "X")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
     val data = es.filter(e => e.kind == "D" && survivesRuntime(e))
-    def keyOf(e: SnapshotLog.FileEntry): Option[Any] = groupCol
-      .flatMap { case (c, dt) => SnapshotPrune.labelValue(e, c)
-        .flatMap(SnapshotPrune.typedLabel(_, dt)) }
+    def keyOf(e: SnapshotLog.FileEntry): Option[Seq[Any]] =
+      if (groupCols.isEmpty) None else Some(typedKeyOf(e))
     // the equality vectors applying to each file, resolved seq-scoped
     // at PLAN time (the Iceberg sequence rule) — the reader never sees
     // an out-of-scope vector
@@ -1084,7 +1100,7 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       // ones (the Iceberg read.split.target-size idea); the scan
       // option "splitTargetBytes" tunes it
       SnapshotScanPlanner.plan(data, v, posDeletes,
-        splitTargetBytes, groupCol, vecsFor).toArray
+        splitTargetBytes, groupCols, vecsFor).toArray
   }
 
   /** every BATCH read is COLUMNAR: batches come straight from Spark's
@@ -1132,11 +1148,11 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
   * without recorded bytes stay one-task-per-file, conservatively).
   */
 private[sources] object SnapshotScanPlanner {
-  /** with `groupCol` set (the SPJ-groupable layout), bins never mix
-    * label values and every task carries its key. */
+  /** with `groupCols` set (the SPJ-groupable layout), bins never mix
+    * key tuples and every task carries its key. */
   def plan(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
-      groupCol: Option[(String, DataType)] = None,
+      groupCols: Seq[(String, DataType)] = Nil,
       vecsFor: SnapshotLog.FileEntry => Seq[String] = _ => Nil)
       : Seq[InputPartition] = {
     // ADAPTIVE task size (the Iceberg adaptive-split-size idea): the
@@ -1152,22 +1168,22 @@ private[sources] object SnapshotScanPlanner {
       .map(_.sparkContext.defaultParallelism).getOrElse(32).max(1)
     val adaptive = math.max(1L * 1024 * 1024,
       math.min(targetBytes, math.max(1L, total / par)))
-    groupCol match {
-      case None =>
-        planOne(data, commit, posDeletes, adaptive, None, vecsFor)
-      case Some((c, dt)) =>
-        data.groupBy(e => SnapshotPrune.labelValue(e, c)
-          .flatMap(SnapshotPrune.typedLabel(_, dt)).get)
-          .toSeq.sortBy(_._1.toString)
-          .flatMap { case (k, g) =>
-            planOne(g, commit, posDeletes, adaptive, Some(k), vecsFor)
-          }
-    }
+    if (groupCols.isEmpty)
+      planOne(data, commit, posDeletes, adaptive, None, vecsFor)
+    else
+      data.groupBy(e => groupCols.map { case (c, dt) =>
+        SnapshotPrune.labelValue(e, c)
+          .flatMap(SnapshotPrune.typedLabel(_, dt)).get
+      })
+        .toSeq.sortBy(_._1.mkString("/"))
+        .flatMap { case (k, g) =>
+          planOne(g, commit, posDeletes, adaptive, Some(k), vecsFor)
+        }
   }
 
   private def planOne(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
-      key: Option[Any],
+      key: Option[Seq[Any]],
       vecsFor: SnapshotLog.FileEntry => Seq[String]): Seq[InputPartition] = {
     // (chunk, weight): weight drives the bin-packing below
     val chunks: Seq[(SnapChunk, Long)] = data.sortBy(_.path).flatMap { e =>

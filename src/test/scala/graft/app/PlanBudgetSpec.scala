@@ -598,6 +598,20 @@ class PlanBudgetSpec extends SparkSpec {
     graft.Caches.clearTransient()
   }
 
+  test("MULTI-column storage-partitioned join: zero exchanges on the " +
+      "full (m, g) key tuple") {
+    val c = Plans.planCounts(q("s67_spj_multi"))
+    assert(c.shuffles == 0 && c.broadcasts == 0,
+      s"s67_spj_multi shuffles: ${c.shuffles}, bcast: ${c.broadcasts}")
+    graft.Caches.clearTransient()
+  }
+
+  test("selective lake scan: the WHERE stays one grouped-agg exchange") {
+    val c = Plans.planCounts(q("s66_selective_scan"))
+    assert(c.shuffles <= 1, s"s66_selective_scan shuffles: ${c.shuffles}")
+    graft.Caches.clearTransient()
+  }
+
   test("scan-bound columnar read: at most the one grouped-agg exchange") {
     val df = q("s65_lake_scan")
     val c = Plans.planCounts(df)

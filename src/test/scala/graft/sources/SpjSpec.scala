@@ -130,4 +130,64 @@ class SpjSpec extends SparkSpec {
     val t = spark.read.format("graft-snapshot").option("path", dir).load()
     assert(t.count() == 300L)
   }
+
+  test("TWO-column specs join with zero shuffles on the full key tuple") {
+    import spark.implicits._
+    val root = fresh("multi")
+    val dirA = s"$root/a"
+    val dirB = s"$root/b"
+    val a = (0L until 2400L).map(i => (i, i % 6, i % 4, i * 2))
+      .toDF("ka", "m", "g", "va")
+    val b = (0L until 1200L).map(i => (i, i % 6, i % 4, i * 7))
+      .toDF("kb", "m", "g", "vb")
+    SnapshotMerge.writeInitialMulti(spark, a, dirA, Seq("m", "g"))
+    SnapshotMerge.writeInitialMulti(spark, b, dirB, Seq("m", "g"))
+    // the manifest carries ordered two-segment labels
+    assert(SnapshotLog.entries(dirA, 1).filter(_.kind == "D")
+      .forall(e => SnapshotLog.labelColsOf(e.partition) == Seq("m", "g")))
+
+    withSpj {
+      val fa = spark.read.format("graft-snapshot").option("path", dirA)
+        .load()
+      val fb = spark.read.format("graft-snapshot").option("path", dirB)
+        .load()
+      assert(shuffles(fa.join(fb, Seq("m", "g"))
+        .select("m", "g", "va", "vb")) == 0,
+        "a same-two-column-spec join must plan ZERO shuffle exchanges")
+      val want = a.join(b, Seq("m", "g"))
+        .agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      val got = fa.join(fb, Seq("m", "g"))
+        .agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      assert(got == want, s"multi-key SPJ changed the answer: $got")
+      // grouped agg on the full tuple rides the same layout
+      assert(shuffles(fa.groupBy("m", "g")
+        .agg(sum(col("va")).as("s"))) == 0)
+    }
+  }
+
+  test("a PARTIAL key match refuses the grouped report (join on one " +
+      "of two label columns still correct)") {
+    import spark.implicits._
+    val root = fresh("partial")
+    val dirA = s"$root/a"
+    val df0 = (0L until 600L).map(i => (i, i % 6, i % 4, i))
+      .toDF("k", "m", "g", "v")
+    SnapshotMerge.writeInitialMulti(spark, df0, dirA, Seq("m", "g"))
+    withSpj {
+      val fa = spark.read.format("graft-snapshot").option("path", dirA)
+        .load()
+      // joining on m ALONE cannot use the (m, g) grouping — Spark
+      // must fall back to a planned exchange, and the answer holds
+      val dim = (0L until 6L).map(i => (i, i * 100)).toDF("m", "w")
+      val j = fa.join(dim, "m").agg(sum(col("v") + col("w")))
+      assert(shuffles(j) > 0,
+        "a partial-key join must fall back to the ordinary exchange")
+      val want = df0.join(dim, "m").agg(sum(col("v") + col("w"))).head
+      assert(j.head == want)
+      // a key column PRUNED from the output also refuses: project v
+      // only, group by nothing the layout serves
+      val scanOnlyV = fa.select("v")
+      assert(scanOnlyV.count() == 600L)
+    }
+  }
 }
