@@ -133,7 +133,13 @@ object ScaleProbe {
     // partitioned join (the 0-exchange join IS the scaled cost), and
     // the scan-bound columnar read (the vectorized-path throughput row
     // — no deletion trick, this row times real decode).
-    "s62_meta_delete", "s63_ctas_rtas", "s64_spj_join", "s65_lake_scan")
+    "s62_meta_delete", "s63_ctas_rtas", "s64_spj_join", "s65_lake_scan",
+    // round 15: the selective columnar read (parquet-level filter
+    // pushdown — the scaled cost is footers + the matching row
+    // groups, NOT table bytes: the slope should be far under the
+    // s65 full-scan slope) and the multi-key storage-partitioned
+    // join (the 0-exchange tuple join IS the scaled cost).
+    "s66_selective_scan", "s67_spj_multi")
   // NOTE: the same-base lake fixtures (s32/s34/s36-40/s44/s46, s50)
   // shallow-clone one shared base table (QFilters.lakeBaseDir) that
   // persists on disk per sf dir. A probe's x1 pass may find it warm
