@@ -141,4 +141,45 @@ class DeleteWhereSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1)) ==
       ((want.getLong(0), want.getLong(1))))
   }
+
+  test("DELETE on ONE component of a multi-column label DROPS entries") {
+    import spark.implicits._
+    val (dir, tbl) = fresh("multidrop")
+    val base = (0L until 360L).map(i => (i, i % 3, i % 2, i * 2))
+      .toDF("k", "m", "g", "v")
+    SnapshotMerge.writeInitialMulti(spark, base, dir, Seq("m", "g"))
+    SnapshotLog.commitSchemaChange(dir,
+      SnapshotLog.read(spark, dir, 1).schema)
+    val v0 = SnapshotLog.latest(dir)
+    // every entry carries the ordered two-segment label
+    assert(SnapshotLog.entries(dir, v0).filter(_.kind == "D").forall(e =>
+      SnapshotLog.labelColsOf(e.partition) == Seq("m", "g")))
+    val files = SnapshotLog.files(dir, v0)
+    // files HIDDEN: only a metadata-only plan can survive
+    files.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f), java.nio.file.Paths.get(f + ".h")))
+    try {
+      // the FIRST label component drops entries (label purity holds
+      // per segment)...
+      spark.sql(s"DELETE FROM $tbl WHERE m = 1")
+      // ...and so does the SECOND
+      spark.sql(s"DELETE FROM $tbl WHERE g = 0")
+    } finally files.foreach(f => java.nio.file.Files.move(
+      java.nio.file.Paths.get(f + ".h"), java.nio.file.Paths.get(f)))
+    val v2 = SnapshotLog.latest(dir)
+    assert(kinds(dir, v2).getOrElse("X", 0) == 0 &&
+      kinds(dir, v2).getOrElse("P", 0) == 0,
+      s"multi-label component DELETEs must DROP, not vector: " +
+        s"${kinds(dir, v2)}")
+    assert(SnapshotLog.entries(dir, v2).filter(_.kind == "D").forall(e =>
+      SnapshotLog.labelValueOf(e.partition, "m").exists(_ != "1") &&
+        SnapshotLog.labelValueOf(e.partition, "g").exists(_ != "0")))
+    // the surviving rows are exactly the SQL answer
+    val got = spark.sql(s"SELECT sum(v) AS s, count(*) AS n FROM $tbl")
+      .head
+    val want = base.filter($"m" =!= 1L && $"g" =!= 0L)
+      .agg(sum($"v"), count(lit(1))).head
+    assert((got.getLong(0), got.getLong(1)) ==
+      ((want.getLong(0), want.getLong(1))))
+  }
 }
