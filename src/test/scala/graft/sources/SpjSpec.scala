@@ -190,4 +190,34 @@ class SpjSpec extends SparkSpec {
       assert(scanOnlyV.count() == 600L)
     }
   }
+
+  test("one side MISSING partition values still joins exchange-free " +
+      "(pushPartValues pads the gap)") {
+    import spark.implicits._
+    val root = fresh("partial-values")
+    val dirA = s"$root/a"
+    val dirB = s"$root/b"
+    val a = (0L until 1200L).map(i => (i, i % 6, i * 2))
+      .toDF("ka", "m", "va")
+    // B holds only HALF of A's partition values
+    val b = (0L until 600L).map(i => (i, i % 3, i * 7))
+      .toDF("kb", "m", "vb")
+    SnapshotMerge.writeInitial(spark, a, dirA, "m")
+    SnapshotMerge.writeInitial(spark, b, dirB, "m")
+    withSpj {
+      val fa = spark.read.format("graft-snapshot").option("path", dirA)
+        .load()
+      val fb = spark.read.format("graft-snapshot").option("path", dirB)
+        .load()
+      assert(shuffles(fa.join(fb, "m").select("m", "va", "vb")) == 0,
+        "a partially-clustered same-spec join must stay exchange-free " +
+          "under pushPartValues")
+      val want = a.join(b, "m")
+        .agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      val got = fa.join(fb, "m")
+        .agg(count(lit(1)), sum(col("va") + col("vb"))).head
+      assert(got == want,
+        s"partially-clustered SPJ changed the answer: $got vs $want")
+    }
+  }
 }
