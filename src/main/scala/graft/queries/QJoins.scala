@@ -872,48 +872,74 @@ object QJoins extends Registry {
     Q("g1_triangles",
       (s, d) => {
         val e = copurchaseEdges(s, d)
+        val mode = s.conf.get("spark.graft.triangles.close", "broadcast")
+        require(mode == "broadcast" || mode == "shuffle",
+          s"spark.graft.triangles.close must be broadcast|shuffle, got $mode")
         val deg = e.select(col("u").as("id"))
           .unionByName(e.select(col("v").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+        // deg is |V| rows — metadata-sized at any scale. Broadcasting it
+        // keeps the |E|-row edge relation un-exchanged through the
+        // orientation (measured r16: the two degree SMJs re-shuffled the
+        // edges twice for no reason); in shuffle mode the planner keeps
+        // its own choice so the scale path stays exercisable.
+        def degSide(dd: org.apache.spark.sql.DataFrame) =
+          if (mode == "broadcast") broadcast(dd) else dd
         val lower = col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v"))
         val oriented = graft.Caches.registerTransient(e
-          .join(deg.select(col("id").as("u"), col("dg").as("du")), Seq("u"))
-          .join(deg.select(col("id").as("v"), col("dg").as("dv")), Seq("v"))
+          .join(degSide(deg.select(col("id").as("u"), col("dg").as("du"))),
+            Seq("u"))
+          .join(degSide(deg.select(col("id").as("v"), col("dg").as("dv"))),
+            Seq("v"))
           .select(when(lower, col("u")).otherwise(col("v")).as("s"),
             when(lower, col("v")).otherwise(col("u")).as("t"),
             when(lower, col("dv")).otherwise(col("du")).as("dt"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        val wedgeOrder = col("e1.dt") < col("e2.dt") ||
-          (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
-        // the wedge stream is the BIG side (Σ C(outdeg,2) rows — ~20× the
-        // edge count here); closing it against a SHUFFLED copy of the
-        // edges would move every wedge. The edge list itself is the small
-        // side (|E| pairs of longs), so the DEFAULT broadcasts it and
-        // closes wedges map-side — zero exchange on the wedge stream. At
-        // a scale where E outgrows a broadcast (the 100 TB regime),
-        // `spark.graft.triangles.close=shuffle` switches to the
-        // Suri–Vassilvitskii shuffle-close: the wedge stream equi-joins
-        // the edge relation on (t1, t2) under a shuffle_hash hint (the
-        // hint also keeps AQE from re-broadcasting, so the scale path is
-        // genuinely exercisable at test size — `TriangleCloseSpec` runs
-        // both variants and pins both physical shapes). The wedge bound
-        // from the degree orientation is what keeps EITHER variant
+        // The orientation makes node order total inside every triangle
+        // (a→b, a→c, b→c), so each triangle is found exactly once and
+        // out-adjacency fan-out is bounded by O(√m).
+        //
+        // DEFAULT (broadcast): compact-forward ADJACENCY close — for
+        // each oriented edge (a→b), every c ∈ adj+(a) ∩ adj+(b) closes
+        // a triangle. The Σ C(outdeg,2) wedge stream NEVER materializes
+        // as rows: the intersection runs inside the edge row against
+        // two broadcast copies of the |E|-long adjacency relation
+        // (measured r16: 2-3× faster than enumerating ~25M wedge rows
+        // through a SortMergeJoin and probing the edge set per wedge).
+        //
+        // At a scale where the adjacency relation outgrows a broadcast
+        // (the 100 TB regime), `spark.graft.triangles.close=shuffle`
+        // switches to the Suri–Vassilvitskii shuffle-close: wedges
+        // (s→t1, s→t2) with (dt1,t1) < (dt2,t2) equi-join the edge
+        // relation on (t1, t2) under a shuffle_hash hint (the hint also
+        // keeps AQE from re-broadcasting, so the scale path is genuinely
+        // exercisable at test size — `TriangleCloseSpec` runs both
+        // variants and pins both physical shapes). The wedge bound from
+        // the degree orientation is what keeps EITHER variant
         // linear-ish.
-        val e3 = oriented.select(col("s"), col("t")).as("e3")
-        val close = s.conf.get("spark.graft.triangles.close",
-            "broadcast") match {
-          case "broadcast" => broadcast(e3)
-          case "shuffle" => e3.hint("shuffle_hash")
-          case other => throw new IllegalArgumentException(
-            s"spark.graft.triangles.close must be broadcast|shuffle, got $other")
+        val tri = mode match {
+          case "broadcast" =>
+            val adj = oriented.groupBy(col("s"))
+              .agg(collect_list(col("t")).as("nbr"))
+            oriented
+              .join(broadcast(adj.select(col("s").as("a2"),
+                col("nbr").as("na"))), col("s") === col("a2"))
+              .join(broadcast(adj.select(col("s").as("b2"),
+                col("nbr").as("nb"))), col("t") === col("b2"))
+              .select(col("s").as("a"), col("t").as("b"),
+                explode(array_intersect(col("na"), col("nb"))).as("c"))
+          case _ =>
+            val wedgeOrder = col("e1.dt") < col("e2.dt") ||
+              (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))
+            val e3 = oriented.select(col("s"), col("t")).as("e3")
+            oriented.as("e1").join(oriented.as("e2"),
+                col("e1.s") === col("e2.s") && wedgeOrder)
+              .join(e3.hint("shuffle_hash"),
+                col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
+              .select(col("e1.s").as("a"), col("e1.t").as("b"),
+                col("e2.t").as("c"))
         }
-        val tri = oriented.as("e1").join(oriented.as("e2"),
-            col("e1.s") === col("e2.s") && wedgeOrder)
-          .join(close,
-            col("e3.s") === col("e1.t") && col("e3.t") === col("e2.t"))
-          .select(col("e1.s").as("a"), col("e1.t").as("b"),
-            col("e2.t").as("c"))
         tri.select(explode(array(col("a"), col("b"), col("c"))).as("id"))
           .groupBy(col("id")).agg(count(lit(1)).as("n_triangles"))
       },
@@ -971,12 +997,28 @@ object QJoins extends Registry {
           sym.unionByName(nodes.select(col("id").as("src"),
               col("id").as("dst")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        // the label table is |V| rows — broadcast it into each round so
+        // the |E|-row adjacency relation never exchanges (measured r16:
+        // the SMJ rounds re-shuffled adj 3×); k=3 keeps the un-barriered
+        // chain's plan shallow, so the per-round localCheckpoint jobs
+        // are dropped too. `spark.graft.labelprop.join=shuffle` restores
+        // the shuffled rounds (with their lineage barriers) for the
+        // scale where |V| outgrows a broadcast.
+        val bcastRounds =
+          s.conf.get("spark.graft.labelprop.join", "broadcast") match {
+            case "broadcast" => true
+            case "shuffle" => false
+            case other => throw new IllegalArgumentException(
+              s"spark.graft.labelprop.join must be broadcast|shuffle, got $other")
+          }
         var lbl = nodes.select(col("id"), col("id").as("lbl"))
         for (_ <- 1 to 3) {
-          lbl = adj.join(lbl, adj("src") === lbl("id"))
+          val next = adj
+            .join(if (bcastRounds) broadcast(lbl) else lbl,
+              adj("src") === lbl("id"))
             .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
             .select(col("dst").as("id"), col("lbl"))
-            .localCheckpoint(true)
+          lbl = if (bcastRounds) next else next.localCheckpoint(true)
         }
         lbl
       },
@@ -1013,12 +1055,22 @@ object QJoins extends Registry {
   private def copurchaseEdges(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Caches.memo(s, s"g_copurchase_edges:$d") {
+      // pairs are generated INSIDE each order's basket: one basket agg
+      // (collect_set bounded by basket size) + ordered-pair expansion in
+      // array expressions + one distinct — replaces the order-key
+      // self-join and its extra exchange/distinct over the |li| relation
+      // (guide §2.4; measured r16: ~1.6 s vs ~1.9 s steady-state and
+      // less than half the cold cost at sf0.1). sort_array makes x < y
+      // inside every emitted pair, matching the oracle's u < v.
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      li.groupBy(col("ok"))
+        .agg(sort_array(collect_set(col("pk"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), " +
+            "y -> struct(x AS u, y AS v))))")).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
         .distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
