@@ -740,18 +740,19 @@ object SnapshotLog {
   /** [[batchHighWater]] scoped to one WRITER's marker; the empty
     * writerId reads the table-global legacy header.
     *
-    * UPGRADE FALLBACK: a table written before writer scoping carries
-    * only the global `#batchhw` header. For such a table (NO
-    * writer-scoped marker of ANY writer exists yet) a scoped lookup
-    * falls back to the global marker — otherwise the first
-    * crash-restart replay after upgrading would see hw = −1 and
-    * re-commit an already-committed epoch (silent duplicate rows).
-    * Once any writer has stamped its own marker the table is
-    * post-upgrade and foreign writers correctly read −1, so a second
-    * query's early epochs are never dropped against the first's
-    * high-water. */
+    * UPGRADE FALLBACK — OPT-IN ONLY (`legacyFallback`): a table
+    * written before writer scoping carries only the global `#batchhw`
+    * header. A writer that declares itself the CONTINUATION of that
+    * legacy single-writer stream (the `legacyWriter` option) reads the
+    * global marker when no writer-scoped marker of any writer exists
+    * yet — so its first crash-restart replay after upgrading does not
+    * re-commit an already-committed epoch. An UNKNOWN writer (distinct
+    * id, fresh checkpoint) defaults to −1 — the Delta txnAppId /
+    * Iceberg semantics — because treating it as the legacy writer
+    * would silently DROP its epochs 0..hw against another writer's
+    * high-water (they are new batches, not replays). */
   private[graft] def batchHighWater(tableDir: String, v: Int,
-      writerId: String): Long =
+      writerId: String, legacyFallback: Boolean = false): Long =
     if (writerId.isEmpty) batchHighWater(tableDir, v)
     else if (v <= 0) -1L
     else {
@@ -760,8 +761,10 @@ object SnapshotLog {
         case l if l.startsWith(s"$WriterHwHeader\t$writerId\t") =>
           l.stripPrefix(s"$WriterHwHeader\t$writerId\t").toLong
       }.getOrElse {
-        if (hs.exists(_.startsWith(s"$WriterHwHeader\t"))) -1L
-        else batchHighWater(tableDir, v)
+        if (legacyFallback &&
+            !hs.exists(_.startsWith(s"$WriterHwHeader\t")))
+          batchHighWater(tableDir, v)
+        else -1L
       }
     }
 

@@ -3186,19 +3186,27 @@ object QFilters extends Registry {
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set(
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-        val root = graft.Scratch.dirFor("s64_spj", d)
-        graft.Scratch.clear(root)
-        import graft.operators.SnapshotMerge
+        // v2 in the tag: the fixture persists across runs like
+        // `s65_scan_v2` — this row exists to time the SPJ READ (the
+        // exchange-free join), not the two-table build it used to pay
+        // every invocation (4.8 s of write for a sub-second join —
+        // VERDICT r15 "what's wrong #2"). Bump the tag if the build
+        // ever changes. A warm hit is attributed via memo_warm.
+        val root = graft.Scratch.dirFor("s64_spj_v2", d)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
         val dirA = s"$root/a"
         val dirB = s"$root/b"
-        val li = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"),
-          col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
-          month(to_date(col("l_shipdate"))).as("m"))
-        SnapshotMerge.writeInitial(s, li, dirA, "m")
-        SnapshotMerge.writeInitial(s,
-          li.groupBy(col("m")).agg(
-            countDistinct(col("ok")).as("n_orders")), dirB, "m")
+        if (SnapshotLog.latest(dirA) == 0 || SnapshotLog.latest(dirB) == 0) {
+          graft.Scratch.clear(root)
+          val li = Tables.lineitem(s, d).select(
+            col("l_orderkey").as("ok"),
+            col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          SnapshotMerge.writeInitial(s, li, dirA, "m")
+          SnapshotMerge.writeInitial(s,
+            li.groupBy(col("m")).agg(
+              countDistinct(col("ok")).as("n_orders")), dirB, "m")
+        } else graft.Caches.markMemoHit()
         val fa = s.read.format("graft-snapshot").option("path", dirA)
           .load()
         val fb = s.read.format("graft-snapshot").option("path", dirB)
@@ -3352,21 +3360,27 @@ object QFilters extends Registry {
         s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
         s.conf.set(
           "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
-        val root = graft.Scratch.dirFor("s67_spjm", d)
-        graft.Scratch.clear(root)
-        import graft.operators.SnapshotMerge
+        // persistent versioned fixture, same rationale as s64_spj_v2:
+        // the two 48-partition multi-label tables build ONCE per sf
+        // dir; the bench row then times the multi-key SPJ read itself
+        // (the fixture rebuild was 4.3 s of the 4.8 s row).
+        val root = graft.Scratch.dirFor("s67_spjm_v2", d)
+        import graft.operators.{SnapshotLog, SnapshotMerge}
         val dirA = s"$root/a"
         val dirB = s"$root/b"
-        val li = Tables.lineitem(s, d).select(
-          col("l_orderkey").as("ok"),
-          col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
-          month(to_date(col("l_shipdate"))).as("m"),
-          (col("l_orderkey") % 4).as("g"))
-        SnapshotMerge.writeInitialMulti(s, li, dirA, Seq("m", "g"))
-        SnapshotMerge.writeInitialMulti(s,
-          li.groupBy(col("m"), col("g"))
-            .agg(sum(col("qty")).cast("long").as("tot")),
-          dirB, Seq("m", "g"))
+        if (SnapshotLog.latest(dirA) == 0 || SnapshotLog.latest(dirB) == 0) {
+          graft.Scratch.clear(root)
+          val li = Tables.lineitem(s, d).select(
+            col("l_orderkey").as("ok"),
+            col("l_quantity").cast("decimal(18,2)").cast("long").as("qty"),
+            month(to_date(col("l_shipdate"))).as("m"),
+            (col("l_orderkey") % 4).as("g"))
+          SnapshotMerge.writeInitialMulti(s, li, dirA, Seq("m", "g"))
+          SnapshotMerge.writeInitialMulti(s,
+            li.groupBy(col("m"), col("g"))
+              .agg(sum(col("qty")).cast("long").as("tot")),
+            dirB, Seq("m", "g"))
+        } else graft.Caches.markMemoHit()
         val fa = s.read.format("graft-snapshot").option("path", dirA)
           .load()
         val fb = s.read.format("graft-snapshot").option("path", dirB)

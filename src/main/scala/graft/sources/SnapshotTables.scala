@@ -381,7 +381,14 @@ private[sources] object SnapshotPrune {
     * everything unresolvable keeps — pruning is an optimization,
     * never a bet. */
   def survives(e: SnapshotLog.FileEntry, c: Constraint): Boolean = {
+    // labels are stamped from Hive-ESCAPED directory names: a raw
+    // value containing '/', '=', '%', … surfaces here as its %-escape
+    // (`a/b` → `a%2Fb`), which would fail both the string and numeric
+    // compares and wrongly prune the file. Mirror typedLabel's
+    // refusal: an escaped label is unresolvable — fall through to the
+    // stats veto (value-based, escape-free) or keep the file.
     val labelVal: Option[String] = labelValue(e, c.col)
+      .filterNot(v => v.contains('%') || v == "__HIVE_DEFAULT_PARTITION__")
     c match {
       case InSet(col, vals) =>
         labelVal match {
@@ -705,7 +712,20 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
         s._1.isInstanceOf[ServeSum] || s._1.isInstanceOf[ServeCountCol])
       val rowsFn: () => Seq[Seq[Any]] =
         if (overflowSensitive) { val rows = computeRows(); () => rows }
-        else computeRows
+        else () => {
+          // post-plan failures (e.g. a position-delete file that no
+          // longer decodes) can't be refused into the fallback scan —
+          // the plan is already committed to the metadata answer.
+          // Rethrow with enough context to tell this apart from a
+          // data-path read error instead of surfacing a bare cause.
+          try computeRows()
+          catch { case scala.util.control.NonFatal(t) =>
+            throw new IllegalStateException(
+              s"metadata-aggregate scan over $dir@$pinnedV failed after " +
+                "planning (the fallback scan is only available at plan " +
+                "time)", t)
+          }
+        }
       Some(new MetaAggScan(schema, rowsFn))
     } catch { case scala.util.control.NonFatal(_) => None }
   }

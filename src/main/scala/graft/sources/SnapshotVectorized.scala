@@ -247,19 +247,28 @@ private[graft] object SnapshotVectorized {
         null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
       // the footer read above rides into the reader (file, stream and
       // metadata) — the reader's own open path would otherwise fetch
-      // and decode the same footer a second time
-      r.initialize(split, new TaskAttemptContextImpl(conf,
-        new TaskAttemptID()), Some(inputFile), Some(footerStream),
-        Some(footer))
-      val constRow = new GenericInternalRow(constFields.map { f =>
-        (f.name match {
-          case "_op" => UTF8String.fromString(op)
-          case "_commit" => commit
-          case _ => UTF8String.fromString(file) // SnapshotDelta.FileCol
-        }): Any
-      }.toArray)
-      r.initBatch(StructType(constFields), constRow)
-      r
+      // and decode the same footer a second time. If construction
+      // fails past the footer read (bad conf, corrupt data pages at
+      // open), close the stream and the half-built reader before
+      // rethrowing — otherwise the error path leaks a file handle.
+      try {
+        r.initialize(split, new TaskAttemptContextImpl(conf,
+          new TaskAttemptID()), Some(inputFile), Some(footerStream),
+          Some(footer))
+        val constRow = new GenericInternalRow(constFields.map { f =>
+          (f.name match {
+            case "_op" => UTF8String.fromString(op)
+            case "_commit" => commit
+            case _ => UTF8String.fromString(file) // SnapshotDelta.FileCol
+          }): Any
+        }.toArray)
+        r.initBatch(StructType(constFields), constRow)
+        r
+      } catch { case t: Throwable =>
+        try r.close() catch { case _: Throwable => () }
+        try footerStream.close() catch { case _: Throwable => () }
+        throw t
+      }
     }
     private val batch: ColumnarBatch =
       if (preSkipped) null else reader.resultBatch()

@@ -113,9 +113,14 @@ private[sources] class SnapshotWriteBuilder(dir: String,
       // (Spark persists it in the checkpoint): two queries writing the
       // same table, or one restarted with a fresh checkpoint, each get
       // their own high-water — epochs are never silently dropped
-      // against another writer's marker (the Delta txn-appId contract)
+      // against another writer's marker (the Delta txn-appId contract).
+      // `legacyWriter=true` (an explicit write option) declares this
+      // query the continuation of a pre-writer-scoped table's single
+      // writer, enabling the global-marker fallback for its first
+      // post-upgrade restart; unknown writers default to hw = −1.
       new SnapshotStreamingWrite(dir, branch, info.schema(),
-        Option(info.queryId()).getOrElse(""))
+        Option(info.queryId()).getOrElse(""),
+        info.options().getBoolean("legacyWriter", false))
     }
 
     // SPEC-CLUSTERED WRITES (the Iceberg/Delta write-distribution
@@ -166,7 +171,8 @@ private[sources] class SnapshotWriteBuilder(dir: String,
   * streams). Commits are O(delta) segment appends.
   */
 private[sources] class SnapshotStreamingWrite(dir: String,
-    branch: Option[String], schema: StructType, writerId: String = "")
+    branch: Option[String], schema: StructType, writerId: String = "",
+    legacyWriter: Boolean = false)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   // one writer-unique root per QUERY RUN; epochs nest under it, so two
   // concurrent runs (or a zombie executor from a failed run) can never
@@ -184,7 +190,7 @@ private[sources] class SnapshotStreamingWrite(dir: String,
     val files = messages.collect { case SnapFilesCommit(fs) => fs }
       .flatten.filter(_.rows > 0).sortBy(_.path)
     SnapshotStreamingWrite.commitEpoch(dir, branch, epochId,
-      files.map(f => (f.path, f.rows, f.bytes)), writerId)
+      files.map(f => (f.path, f.rows, f.bytes)), writerId, legacyWriter)
   }
 
   override def abort(epochId: Long,
@@ -209,12 +215,13 @@ private[sources] object SnapshotStreamingWrite {
     * either way. */
   private[sources] def commitEpoch(dir: String, branch: Option[String],
       epochId: Long, files: Seq[(String, Long, Long)],
-      writerId: String = ""): Int = {
+      writerId: String = "", legacyWriter: Boolean = false): Int = {
     def entriesAt(t: Long) = files.map { case (p, n, b) =>
       SnapshotLog.FileEntry(p, "D", label(epochId), Map.empty,
         seq = t, rows = n, bytes = b)
     }
-    def hwOf(v: Int) = SnapshotLog.batchHighWater(dir, v, writerId)
+    def hwOf(v: Int) =
+      SnapshotLog.batchHighWater(dir, v, writerId, legacyWriter)
     // an EMPTY epoch (AvailableNow's drain tick, an all-filtered
     // micro-batch) commits nothing: no empty snapshot, no high-water
     // advance — a later replay of it is empty again, still a no-op

@@ -54,18 +54,26 @@ object SnapshotCommitSink {
     * which is sound only while the table predates writer scoping
     * (single-writer contract). */
   private def replayed(tableDir: String, v: Int, batchId: Long,
-      writerId: String): Boolean = {
-    val hw = SnapshotLog.batchHighWater(tableDir, v, writerId)
+      writerId: String, legacyWriter: Boolean): Boolean = {
+    val hw = SnapshotLog.batchHighWater(tableDir, v, writerId,
+      legacyWriter)
     if (hw >= 0L) batchId <= hw
-    else (writerId.isEmpty || SnapshotLog.preWriterScoped(tableDir, v)) &&
+    // the legacy batch-label scan is writer-AGNOSTIC — on a
+    // pre-writer-scoped table it would skip writer B's batch N because
+    // writer A once committed a batch N. Only the empty (table-global)
+    // writer id, or a writer that explicitly declared itself the
+    // legacy stream's continuation, may use it.
+    else (writerId.isEmpty ||
+        (legacyWriter && SnapshotLog.preWriterScoped(tableDir, v))) &&
       v > 0 && SnapshotLog.entries(tableDir, v)
         .exists(_.partition == batchLabel(batchId))
   }
 
   private def hwHeaders(tableDir: String, v: Int, batchId: Long,
-      writerId: String): (Seq[String], Seq[String]) = {
+      writerId: String, legacyWriter: Boolean): (Seq[String], Seq[String]) = {
     val hw = math.max(
-      SnapshotLog.batchHighWater(tableDir, v, writerId), batchId)
+      SnapshotLog.batchHighWater(tableDir, v, writerId, legacyWriter),
+      batchId)
     (Seq(SnapshotLog.hwHeader(writerId, hw)),
       Seq(SnapshotLog.hwDropPrefix(writerId)))
   }
@@ -82,11 +90,20 @@ object SnapshotCommitSink {
     * keeps the table-global marker: correct for the single-query,
     * stable-checkpoint shape, but a second independent epoch counter
     * would silently no-op its early epochs against it.
+    *
+    * `legacyWriter` declares this writer the CONTINUATION of a
+    * pre-writer-scoped table's single-writer stream: its scoped
+    * lookups may fall back to the global `#batchhw` marker / batch
+    * label scan, so the first post-upgrade restart does not re-commit
+    * already-committed epochs. Leave it false (the default) for any
+    * genuinely new writer — a false claim silently DROPS its epochs
+    * 0..hw as phantom replays.
     */
   def commitBatch(s: SparkSession, tableDir: String,
-      batch: DataFrame, batchId: Long, writerId: String = ""): Int = {
+      batch: DataFrame, batchId: Long, writerId: String = "",
+      legacyWriter: Boolean = false): Int = {
     val v = SnapshotLog.latest(tableDir)
-    if (replayed(tableDir, v, batchId, writerId)) return v
+    if (replayed(tableDir, v, batchId, writerId, legacyWriter)) return v
     val dir = stagingDir(tableDir, "data", batchId, writerId)
     batch.write.mode("overwrite").parquet(dir)
     // seq = the committing version: any delete vector already in the
@@ -96,13 +113,15 @@ object SnapshotCommitSink {
     // sequence-number scoping). O(delta) commit: the parent's segment
     // refs are adopted verbatim, only this epoch's entries are written.
     val files = SnapshotLog.dataFiles(dir)
-    val (extra, drop) = hwHeaders(tableDir, v, batchId, writerId)
+    val (extra, drop) = hwHeaders(tableDir, v, batchId, writerId,
+      legacyWriter)
     SnapshotLog.appendEntries(tableDir,
       t => files.map(f => SnapshotLog.FileEntry(f, "D",
         batchLabel(batchId), Map.empty, seq = t.toLong,
         bytes = SnapshotLog.statBytes(f))),
       extraHeaders = extra, dropHeaders = drop,
-      noopIf = h => replayed(tableDir, h, batchId, writerId))
+      noopIf = h => replayed(tableDir, h, batchId, writerId,
+        legacyWriter))
   }
 
   /** Commit one micro-batch as a merge-on-read UPSERT — the streaming
@@ -120,9 +139,10 @@ object SnapshotCommitSink {
     * [[commitBatch]].
     */
   def upsertBatch(s: SparkSession, tableDir: String, batch: DataFrame,
-      batchId: Long, keyCols: Seq[String], writerId: String = ""): Int = {
+      batchId: Long, keyCols: Seq[String], writerId: String = "",
+      legacyWriter: Boolean = false): Int = {
     val v = SnapshotLog.latest(tableDir)
-    if (replayed(tableDir, v, batchId, writerId)) return v
+    if (replayed(tableDir, v, batchId, writerId, legacyWriter)) return v
     val dataDir = stagingDir(tableDir, "data", batchId, writerId)
     val vecDir = stagingDir(tableDir, "deletes", batchId, writerId)
     batch.write.mode("overwrite").parquet(dataDir)
@@ -130,7 +150,8 @@ object SnapshotCommitSink {
       .write.mode("overwrite").parquet(vecDir)
     val dataFiles = SnapshotLog.dataFiles(dataDir)
     val vecFiles = SnapshotLog.dataFiles(vecDir)
-    val (extra, drop) = hwHeaders(tableDir, v, batchId, writerId)
+    val (extra, drop) = hwHeaders(tableDir, v, batchId, writerId,
+      legacyWriter)
     SnapshotLog.appendEntries(tableDir,
       t =>
         dataFiles.map(f => SnapshotLog.FileEntry(f, "D",
@@ -140,6 +161,7 @@ object SnapshotCommitSink {
           batchLabel(batchId), Map.empty, seq = t.toLong,
           bytes = SnapshotLog.statBytes(f))),
       extraHeaders = extra, dropHeaders = drop,
-      noopIf = h => replayed(tableDir, h, batchId, writerId))
+      noopIf = h => replayed(tableDir, h, batchId, writerId,
+        legacyWriter))
   }
 }

@@ -222,4 +222,24 @@ class RuntimePruneSpec extends SparkSpec {
       cancel("DPP heuristics declined the runtime filter on this " +
         "fixture — unit tests above pin the pruning semantics")
   }
+
+  test("Hive-escaped label values never veto: the file is kept") {
+    import graft.sources.SnapshotPrune.{Bound, InSet}
+    // writeInitial stamps labels from ESCAPED dir names: value "a/b"
+    // surfaces as label "c=a%2Fb". A veto comparing the raw predicate
+    // value against the escaped string would wrongly prune the file.
+    val escaped = SnapshotLog.FileEntry("f1", "D", "c=a%2Fb", Map.empty)
+    assert(SnapshotPrune.survives(escaped, InSet("c", Seq("a/b"))),
+      "escaped label must be unresolvable, not a mismatch")
+    assert(SnapshotPrune.survives(escaped, Bound("c", Some("a"), Some("b"))))
+    // the null-partition sentinel likewise never resolves
+    val nullLbl = SnapshotLog.FileEntry("f2", "D",
+      "c=__HIVE_DEFAULT_PARTITION__", Map.empty)
+    assert(SnapshotPrune.survives(nullLbl,
+      InSet("c", Seq("__HIVE_DEFAULT_PARTITION__"))))
+    // plain labels still veto exactly
+    val plain = SnapshotLog.FileEntry("f3", "D", "c=x", Map.empty)
+    assert(!SnapshotPrune.survives(plain, InSet("c", Seq("y"))))
+    assert(SnapshotPrune.survives(plain, InSet("c", Seq("x"))))
+  }
 }

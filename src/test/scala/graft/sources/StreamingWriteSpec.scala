@@ -119,6 +119,51 @@ class StreamingWriteSpec extends SparkSpec {
       b, 0L, writerId = "qC") == 6, "its replay must no-op")
   }
 
+  test("pre-writer-scoped tables: unknown writers commit; only the " +
+      "declared legacy continuation replays against the global marker") {
+    import spark.implicits._
+    val dir = fresh("legacy")
+    val f = s"/tmp/graft-test/streamwrite-legacy/f.parquet"
+    Seq((1L, 10L)).toDF("id", "v").coalesce(1).write
+      .mode("overwrite").parquet(f)
+    val p = SnapshotLog.dataFiles(f).head
+    def files = Seq((p, 1L, SnapshotLog.statBytes(p)))
+    // a legacy table: epochs 0..2 committed under the table-global
+    // marker (the pre-writer-scoped single-writer contract)
+    (0L to 2L).foreach(e =>
+      SnapshotStreamingWrite.commitEpoch(dir, None, e, files, ""))
+    assert(SnapshotLog.batchHighWater(dir, 3) == 2L)
+    // an UNKNOWN writer's epoch 0 is a NEW batch, not a replay: it
+    // must commit (the old behavior silently dropped it against the
+    // global high-water — ADVICE r15 medium)
+    assert(SnapshotStreamingWrite.commitEpoch(dir, None, 0L, files,
+      "qNew") == 4)
+    // the DECLARED legacy continuation still gets the upgrade
+    // fallback: its epoch <= global hw no-ops instead of re-committing
+    val dir2 = fresh("legacy2")
+    (0L to 2L).foreach(e =>
+      SnapshotStreamingWrite.commitEpoch(dir2, None, e, files, ""))
+    assert(SnapshotStreamingWrite.commitEpoch(dir2, None, 1L, files,
+      "qCont", legacyWriter = true) == 3, "legacy replay must no-op")
+    assert(SnapshotStreamingWrite.commitEpoch(dir2, None, 3L, files,
+      "qCont", legacyWriter = true) == 4, "its new epochs commit")
+    // the foreachBatch door: same contract
+    val b = Seq((7L, 70L)).toDF("id", "v")
+    val dir3 = fresh("legacy3")
+    (0L to 2L).foreach(e => graft.streaming.SnapshotCommitSink
+      .commitBatch(spark, dir3, b, e))
+    // order matters: once ANY scoped marker exists the table is
+    // post-upgrade and even the declared continuation reads -1 (the
+    // fallback is only sound in the pre-scoped state) — so the
+    // continuation's replay is checked BEFORE the new writer stamps
+    assert(graft.streaming.SnapshotCommitSink.commitBatch(spark, dir3,
+      b, 0L, writerId = "qCont", legacyWriter = true) == 3,
+      "the declared continuation's replay must no-op")
+    assert(graft.streaming.SnapshotCommitSink.commitBatch(spark, dir3,
+      b, 0L, writerId = "qNew") == 4,
+      "an unknown writer's epoch 0 must commit on a legacy table")
+  }
+
   test("branch-staged streaming epochs stay off the default read") {
     import spark.implicits._
     val dir = fresh("branch")
