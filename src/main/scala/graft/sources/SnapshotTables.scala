@@ -178,8 +178,11 @@ object SnapshotTables {
     }
 
   private[sources] def footerSchema(file: String): MessageType = {
+    // plan-time read, once per schema-less table load: the shared
+    // local-path InputFile keeps it ~3 ms instead of a fresh Hadoop
+    // Configuration + checksum-FS open (~20 ms)
     val reader = ParquetFileReader.open(
-      HadoopInputFile.fromPath(new Path(file), new Configuration()))
+      SnapshotLog.footerInputFile(file))
     try reader.getFooter.getFileMetaData.getSchema
     finally reader.close()
   }
