@@ -999,11 +999,9 @@ object QJoins extends Registry {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
         // the label table is |V| rows — broadcast it into each round so
         // the |E|-row adjacency relation never exchanges (measured r16:
-        // the SMJ rounds re-shuffled adj 3×); k=3 keeps the un-barriered
-        // chain's plan shallow, so the per-round localCheckpoint jobs
-        // are dropped too. `spark.graft.labelprop.join=shuffle` restores
-        // the shuffled rounds (with their lineage barriers) for the
-        // scale where |V| outgrows a broadcast.
+        // the SMJ rounds re-shuffled adj 3×).
+        // `spark.graft.labelprop.join=shuffle` restores the shuffled
+        // rounds for the scale where |V| outgrows a broadcast.
         val bcastRounds =
           s.conf.get("spark.graft.labelprop.join", "broadcast") match {
             case "broadcast" => true
@@ -1011,14 +1009,25 @@ object QJoins extends Registry {
             case other => throw new IllegalArgumentException(
               s"spark.graft.labelprop.join must be broadcast|shuffle, got $other")
           }
+        // lbl0 is a DISTINCT over the |E|-row symmetric relation —
+        // checkpointed so round 1's broadcast collects |V| cached rows
+        // instead of re-running the distinct
         var lbl = nodes.select(col("id"), col("id").as("lbl"))
+          .localCheckpoint(true)
         for (_ <- 1 to 3) {
           val next = adj
             .join(if (bcastRounds) broadcast(lbl) else lbl,
               adj("src") === lbl("id"))
             .groupBy(col("dst")).agg(min(col("lbl")).as("lbl"))
             .select(col("dst").as("id"), col("lbl"))
-          lbl = if (bcastRounds) next else next.localCheckpoint(true)
+          // the per-round barrier is NOT optional on the broadcast path:
+          // without it round r+1's BroadcastExchange re-executes every
+          // prior round's join (broadcast collection is a fresh job with
+          // no exchange reuse across rounds — O(k²) round-joins; AbProbe
+          // A/B below). The |V|-row checkpoint is metadata-sized next
+          // to the |E|-row join it saves re-running.
+          lbl = if (s.conf.get("spark.graft.labelprop.barrier", "true")
+              == "true") next.localCheckpoint(true) else next
         }
         lbl
       },

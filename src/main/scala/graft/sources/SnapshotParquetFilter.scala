@@ -30,10 +30,12 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
   * byte-range splits already rely on).
   */
 private[sources] object SnapshotParquetFilter {
-  /** an IN-set larger than this is not pushed: the OR-chain is
-    * re-evaluated per row group and serialized into the reader conf —
-    * past a handful of literals the stats can rarely veto a group
-    * anyway, and a DPP value set can be arbitrarily large. */
+  /** an IN-set larger than this is not pushed as an OR-chain: the
+    * chain is re-evaluated per row group and serialized into the
+    * reader conf. A bigger set — exactly the shape a DPP runtime value
+    * set takes — is RANGE-COLLAPSED instead: one gtEq(min) ∧ ltEq(max)
+    * over the set, sound (every member lies inside) and precisely what
+    * a clustered key needs to keep skipping groups. */
   private val MaxInValues = 20
 
   /** the AND of every translatable constraint against this file's
@@ -158,6 +160,29 @@ private[sources] object SnapshotParquetFilter {
           case _ => eq(v)
         }
         Some(converted.map(eqAny).reduce(FilterApi.or))
+      case SnapshotPrune.InSet(_, vals) if vals.size > MaxInValues =>
+        // RANGE COLLAPSE for oversized sets (DPP runtime value sets):
+        // min/max over the set's members, numeric physical types only
+        // (their natural order IS the stats order; string order would
+        // need unsigned-byte min/max — refused, conservative). Spark
+        // re-applies the IN above the scan, so over-admission costs
+        // decode, never correctness.
+        val ord: Option[Ordering[AnyRef]] = phys match {
+          case INT64 => Some(Ordering.by((v: AnyRef) =>
+            v.asInstanceOf[java.lang.Long].longValue))
+          case INT32 => Some(Ordering.by((v: AnyRef) =>
+            v.asInstanceOf[java.lang.Integer].intValue))
+          case DOUBLE => Some(Ordering.by((v: AnyRef) =>
+            v.asInstanceOf[java.lang.Double].doubleValue))
+          case FLOAT => Some(Ordering.by((v: AnyRef) =>
+            v.asInstanceOf[java.lang.Float].floatValue))
+          case _ => None
+        }
+        ord.flatMap { o =>
+          val converted = vals.map(v => conv(v).getOrElse(return None))
+          Some(FilterApi.and(gtEq(converted.min(o)),
+            ltEq(converted.max(o))))
+        }
       case SnapshotPrune.Bound(_, lo, hi)
           if lo.isDefined || hi.isDefined =>
         // bounds arrive INCLUSIVE (strictness already widened at
@@ -165,6 +190,27 @@ private[sources] object SnapshotParquetFilter {
         val loP = lo.map(v => gtEq(conv(v).getOrElse(return None)))
         val hiP = hi.map(v => ltEq(conv(v).getOrElse(return None)))
         (loP.toSeq ++ hiP.toSeq).reduceOption(FilterApi.and)
+      case SnapshotPrune.NotNull(_) =>
+        // null-count statistics veto ALL-NULL row groups; a group with
+        // any non-null value is admitted (notEq keeps nulls-only
+        // groups out, exactly the IS_NOT_NULL rider's ask)
+        phys match {
+          case INT64 => Some(FilterApi.notEq(FilterApi.longColumn(field),
+            null.asInstanceOf[java.lang.Long]))
+          case INT32 => Some(FilterApi.notEq(FilterApi.intColumn(field),
+            null.asInstanceOf[java.lang.Integer]))
+          case DOUBLE => Some(FilterApi.notEq(
+            FilterApi.doubleColumn(field),
+            null.asInstanceOf[java.lang.Double]))
+          case FLOAT => Some(FilterApi.notEq(FilterApi.floatColumn(field),
+            null.asInstanceOf[java.lang.Float]))
+          case BINARY => Some(FilterApi.notEq(
+            FilterApi.binaryColumn(field), null.asInstanceOf[Binary]))
+          case BOOLEAN => Some(FilterApi.notEq(
+            FilterApi.booleanColumn(field),
+            null.asInstanceOf[java.lang.Boolean]))
+          case _ => None
+        }
       case _ => None
     }
   }

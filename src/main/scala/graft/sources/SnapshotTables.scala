@@ -302,6 +302,11 @@ private[sources] object SnapshotPrune {
   final case class InSet(col: String, vals: Seq[Any]) extends Constraint
   final case class Bound(col: String, lo: Option[Any],
       hi: Option[Any]) extends Constraint
+  /** the analyzer's `IS NOT NULL` rider — present in nearly every
+    * WHERE. Prunes ALL-NULL files via recorded null counts and pushes
+    * `notEq(col, null)` into the parquet read (null-count stats skip
+    * all-null row groups). */
+  final case class NotNull(col: String) extends Constraint
 
   /** the constraints we can prune on, parsed through the PUBLIC
     * connector interfaces (NamedReference / Literal — the concrete
@@ -345,6 +350,9 @@ private[sources] object SnapshotPrune {
         case ("<" | "<=", Some(f: NamedReference)) =>
           kids.lift(1).flatMap(lit)
             .map(v => Bound(f.fieldNames().mkString("."), None, Some(v)))
+        case ("IS_NOT_NULL", Some(f: NamedReference))
+            if kids.length == 1 =>
+          Some(NotNull(f.fieldNames().mkString(".")))
         case _ => None
       }
     }
@@ -440,6 +448,12 @@ private[sources] object SnapshotPrune {
                   .getOrElse("￿￿"))
             else true
         }
+      case NotNull(col) =>
+        // veto only the PROVABLY all-null file: recorded rows with a
+        // recorded null count equal to them. A label value (already
+        // resolved above) implies the writer stamped a non-null value
+        // for every row — trivially kept by the default.
+        !(e.rows >= 0L && e.nullCounts.get(col).contains(e.rows))
     }
   }
 }
@@ -978,12 +992,15 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     groupCols match {
       case cols if cols.nonEmpty =>
         val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-        // n = the distinct TYPED key tuples surviving static pruning —
-        // the SAME derivation the task planner groups by, so the
-        // declared count always matches the grouped tasks (raw label
-        // strings would count "m=1" and "m=01" as two)
+        // n = the distinct TYPED key tuples surviving static AND
+        // runtime pruning — the SAME predicate set the task planner
+        // prunes by, so the declared count cannot drift from the
+        // planned partitions when a DPP value set lands before
+        // planning (runtimeConstraints is Nil until filter(), so the
+        // pre-runtime declaration is unchanged). Typed tuples, not raw
+        // label strings ("m=1" vs "m=01").
         val n = SnapshotLog.entries(dir, v).filter(e =>
-          e.kind == "D" && staticConstraints.forall(survives(e, _)))
+          e.kind == "D" && survivesRuntime(e))
           .map(typedKeyOf).distinct.size
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(

@@ -131,6 +131,65 @@ class ParquetFilterSpec extends SparkSpec {
         s"groups (decoded $raw)")
   }
 
+  test("IS NOT NULL skips all-null row groups; result exact") {
+    import spark.implicits._
+    val dir = fresh("notnull")
+    val n = 200000L
+    // x is NULL for the first 3/4 of the (sorted, many-group) file —
+    // the leading row groups are ALL-NULL in x and their null-count
+    // statistics must veto them under the IS_NOT_NULL rider
+    (0L until n).map(i =>
+        (i, if (i < n * 3 / 4) None else Some(i), i % 7))
+      .toDF("id", "x", "g")
+      .coalesce(1).write.option("parquet.block.size", "65536")
+      .parquet(s"$dir/data")
+    val f = SnapshotLog.dataFiles(s"$dir/data").head
+    SnapshotLog.commitEntries(dir, Seq(
+      SnapshotLog.FileEntry(f, "D", "", Map.empty, seq = 1L,
+        rows = n, bytes = SnapshotLog.statBytes(f))))
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    var cnt = -1L; var sum = -1L
+    val raw = decoded {
+      val r = df.filter(col("x").isNotNull)
+        .agg(count(lit(1)), org.apache.spark.sql.functions.sum(col("x")))
+        .head
+      cnt = r.getLong(0); sum = r.getLong(1)
+    }
+    assert(cnt == n / 4)
+    assert(sum == (n * 3 / 4 until n).sum)
+    assert(raw < n / 2,
+      s"all-null groups must skip under IS NOT NULL (decoded $raw of $n)")
+  }
+
+  test("an oversized IN set still prunes groups via its range") {
+    val dir = fresh("bigin")
+    val n = 200000L
+    sortedTable(dir, n)
+    // 1000 values, clustered: the OR-chain is past MaxInValues so the
+    // translation collapses to [min, max] — exactly the shape a DPP
+    // runtime value set over a clustered key takes
+    val vals = (100000L until 101000L).toSeq
+    val df = spark.read.format("graft-snapshot").option("path", dir).load()
+    var got = -1L
+    val raw = decoded {
+      got = df.filter(col("id").isin(vals: _*)).count()
+    }
+    assert(got == 1000L)
+    assert(raw < n / 4,
+      s"a clustered 1000-value set must still skip groups via its " +
+        s"range (decoded $raw of $n)")
+    // plan-level pin (independent of what Spark chooses to push): the
+    // translation itself emits a gtEq∧ltEq range for the big set
+    val msg = org.apache.parquet.schema.MessageTypeParser.parseMessageType(
+      "message m { optional int64 id; }")
+    val fp = SnapshotParquetFilter.build(
+      Seq(SnapshotPrune.InSet("id", vals)), msg, c => Some(c))
+    assert(fp.isDefined, "big IN must range-collapse, not refuse")
+    val s = fp.get.toString
+    assert(s.contains("gteq(id, 100000)") && s.contains("lteq(id, 100999)"),
+      s"expected a range collapse, got $s")
+  }
+
   test("renamed + widened column filters through the file's old field") {
     import spark.implicits._
     val dir = fresh("rename")

@@ -220,4 +220,44 @@ class SpjSpec extends SparkSpec {
         s"partially-clustered SPJ changed the answer: $got vs $want")
     }
   }
+
+  test("SPJ composes with runtime (DPP) pruning: declared partition " +
+      "count folds the runtime value set, plan stays valid") {
+    import spark.implicits._
+    val root = fresh("dpp")
+    val dirA = s"$root/a"
+    val dirB = s"$root/b"
+    val a = (0L until 2400L).map(i => (i, i % 12, i * 2))
+      .toDF("ka", "m", "va")
+    val b = (0L until 1200L).map(i => (i, i % 12, i * 7))
+      .toDF("kb", "m", "vb")
+    SnapshotMerge.writeInitial(spark, a, dirA, "m")
+    SnapshotMerge.writeInitial(spark, b, dirB, "m")
+    // a selective dim: only 2 of the 12 partition values survive
+    val dim = Seq((2L, "x"), (5L, "y")).toDF("m", "tag")
+    withSpj {
+      // DPP needs a broadcastable dim — re-enable broadcasts for the
+      // dim leg only (the SPJ legs are pinned merge by the join shape)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+      val fa = spark.read.format("graft-snapshot").option("path", dirA)
+        .load()
+      val fb = spark.read.format("graft-snapshot").option("path", dirB)
+        .load()
+      val q = fa.hint("merge").join(fb, "m")
+        .join(org.apache.spark.sql.functions.broadcast(dim), "m")
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("va") + col("vb")).as("s"))
+      val want = a.join(b, "m").join(dim, "m").groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("va") + col("vb")).as("s"))
+        .collect().sortBy(_.getLong(0)).toSeq
+      val got = q.collect().sortBy(_.getLong(0)).toSeq
+      assert(got == want, s"SPJ×DPP changed the answer: $got vs $want")
+      // the fact-to-fact leg must not re-shuffle even when runtime
+      // filters prune its partitions mid-plan; the grouped aggregate
+      // rides the layout too, so the only exchanges allowed are the
+      // dim join's broadcast (not a ShuffleExchange)
+      assert(shuffles(q) == 0,
+        "runtime pruning must not reintroduce exchanges on an SPJ join")
+    }
+  }
 }
