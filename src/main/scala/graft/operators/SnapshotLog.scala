@@ -455,13 +455,26 @@ object SnapshotLog {
     * common small file costs nothing beyond the footer read. Paid at
     * WRITE time (task-side for DSv2 tasks, one small read per file
     * elsewhere), never at plan time. */
-  /** the cheapest correct `InputFile` for a metadata read: a bare or
-    * `file:` path skips the Hadoop FS layer entirely (its checksum
-    * wrapper made each footer open ~15 ms; NIO is ~3 ms) — remote
-    * schemes keep the Hadoop InputFile. */
+  /** whether a SCHEME-LESS path resolves to the local filesystem: on a
+    * cluster whose `fs.defaultFS` is HDFS/S3 a bare path is NOT local —
+    * treating it as one would make a schema-less table load throw on
+    * its footer read. One conf lookup, computed once. */
+  private lazy val defaultFsIsLocal: Boolean =
+    try {
+      val s = org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(footerConf).getScheme
+      s == null || s.equalsIgnoreCase("file")
+    } catch { case _: Throwable => true }
+
+  /** the cheapest correct `InputFile` for a metadata read: an explicit
+    * `file:` path — or a bare path when the default filesystem is
+    * local — skips the Hadoop FS layer entirely (its checksum wrapper
+    * made each footer open ~15 ms; NIO is ~3 ms). Remote schemes, and
+    * bare paths under a remote `fs.defaultFS`, keep the Hadoop
+    * InputFile. */
   private[graft] def footerInputFile(p: String)
       : org.apache.parquet.io.InputFile =
-    if (!p.contains("://") || p.startsWith("file:"))
+    if (p.startsWith("file:") || (!p.contains("://") && defaultFsIsLocal))
       new org.apache.parquet.io.LocalInputFile(
         java.nio.file.Paths.get(normPath(p)))
     else org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -479,36 +492,58 @@ object SnapshotLog {
       } finally reader.close()
     } catch { case _: java.io.IOException => Nil }
 
+  /** DEDICATED pool for the driver-side metadata fan-outs (commit-sized
+    * footer reads, segment parses): blocking I/O on the shared JVM
+    * commonPool contends with every other parallel-stream user and
+    * degrades to sequential when the caller is already inside a
+    * ForkJoin task. Daemon threads; sized to the host, capped — these
+    * are ~ms tasks, not a compute pool. */
+  private[graft] lazy val metaPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, Runtime.getRuntime.availableProcessors.max(1)),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-meta-io")
+        t.setDaemon(true)
+        t
+      })
+
+  /** run `f` over `xs` on [[metaPool]], preserving order. */
+  private def onMetaPool[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    val futs = xs.map(x =>
+      metaPool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(x)
+      }))
+    futs.map(_.get())
+  }
+
   /** [[splitOffsetsOf]] for a whole commit's files — CONCURRENT on the
     * driver for commit-sized deltas (independent ~ms footer reads;
     * serializing them was the dominant driver-side cost of a
     * partitioned commit), DISTRIBUTED when the delta is big (an
     * OPTIMIZE emitting 10k files must not funnel 10k footer reads
-    * through one machine). */
+    * through one machine; a null session — probes — keeps the
+    * driver-concurrent path). */
   private[graft] def collectSplitOffsets(s: SparkSession,
       files: Seq[String]): Map[String, Seq[Long]] =
-    if (files.size <= 64) {
-      import scala.jdk.CollectionConverters._
-      files.asJava.parallelStream()
-        .map[(String, Seq[Long])](f => normPath(f) -> splitOffsetsOf(f))
-        .iterator().asScala.toMap
-    } else s.sparkContext
+    if (files.size <= 64 || s == null)
+      onMetaPool(files)(f => normPath(f) -> splitOffsetsOf(f)).toMap
+    else s.sparkContext
       .parallelize(files, math.min(files.size, 256))
       .map(f => normPath(f) -> splitOffsetsOf(f))
       .collect().toMap
 
-  private def parseEntry(line: String): FileEntry = {
+  private def parseEntry(line: String, intern: Interner): FileEntry = {
     def stats(st: String) =
       if (st == "-") Map.empty[String, (Long, Long)]
       else st.split(",").map { s =>
         val Array(c, mn, mx) = s.split(":")
-        c -> ((mn.toLong, mx.toLong))
+        intern(c) -> ((mn.toLong, mx.toLong))
       }.toMap
     def strStats(st: String) =
       if (st == "-") Map.empty[String, (String, String)]
       else st.split(",").map { s =>
         val Array(c, mn, mx) = s.split(":")
-        c -> ((decStat(mn), decStat(mx)))
+        intern(c) -> ((decStat(mn), decStat(mx)))
       }.toMap
     line.split("\t") match {
       case Array(p) => FileEntry(p, "D", "", Map.empty) // legacy: bare path
@@ -518,61 +553,156 @@ object SnapshotLog {
         // everything", the pre-seq semantics, so old manifests keep
         // reading exactly as they were written.
         val sq = if (k == "D") 0L else Long.MaxValue
-        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq)
+        FileEntry(p, intern(k), if (part == "-") "" else intern(part),
+          stats(st), sq)
       case Array(p, k, part, st, sq) =>
-        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong)
+        FileEntry(p, intern(k), if (part == "-") "" else intern(part),
+          stats(st), sq.toLong)
       case Array(p, k, part, st, sq, rw, sst) =>
-        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
-          rw.toLong, strStats(sst))
+        FileEntry(p, intern(k), if (part == "-") "" else intern(part),
+          stats(st), sq.toLong, rw.toLong, strStats(sst))
       case Array(p, k, part, st, sq, rw, sst, by) =>
-        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
-          rw.toLong, strStats(sst), by.toLong)
+        FileEntry(p, intern(k), if (part == "-") "" else intern(part),
+          stats(st), sq.toLong, rw.toLong, strStats(sst), by.toLong)
       case Array(p, k, part, st, sq, rw, sst, by, nc, sm) =>
         def kv(v: String): Map[String, Long] =
           if (v == "-") Map.empty
           else v.split(",").map { s =>
-            val Array(c, n) = s.split(":"); c -> n.toLong
+            val Array(c, n) = s.split(":"); intern(c) -> n.toLong
           }.toMap
-        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
-          rw.toLong, strStats(sst), by.toLong, kv(nc), kv(sm))
+        FileEntry(p, intern(k), if (part == "-") "" else intern(part),
+          stats(st), sq.toLong, rw.toLong, strStats(sst), by.toLong,
+          kv(nc), kv(sm))
       case Array(p, k, part, st, sq, rw, sst, by, nc, sm, so) =>
         def kv(v: String): Map[String, Long] =
           if (v == "-") Map.empty
           else v.split(",").map { s =>
-            val Array(c, n) = s.split(":"); c -> n.toLong
+            val Array(c, n) = s.split(":"); intern(c) -> n.toLong
           }.toMap
-        FileEntry(p, k, if (part == "-") "" else part, stats(st), sq.toLong,
-          rw.toLong, strStats(sst), by.toLong, kv(nc), kv(sm),
+        FileEntry(p, intern(k), if (part == "-") "" else intern(part),
+          stats(st), sq.toLong, rw.toLong, strStats(sst), by.toLong,
+          kv(nc), kv(sm),
           if (so == "-") Nil else so.split(",").map(_.toLong).toSeq)
       case _ => throw new IllegalStateException(s"bad manifest line: $line")
     }
   }
 
-  // ---- parsed-manifest cache ---------------------------------------
+  // ---- parsed-manifest caches ---------------------------------------
   // entries(dir, v) is the hottest metadata call in the kernel: one
   // scan resolves it several times (partition report, statistics,
   // pruning, task planning), and a dashboard firing hundreds of
   // metadata counts on a million-file table would re-parse millions
-  // of lines each time. A committed manifest is immutable, so the
-  // parsed form memoizes on its FILE IDENTITY — (fileKey, size,
-  // mtime) from one stat per call — which also makes the cache
-  // self-invalidating: a re-created table directory (tests, restores
-  // from backup) mints a new inode and misses; an expired manifest
-  // fails the existence check exactly as before. Bounded LRU — an
-  // eviction is a re-parse, never a wrong answer.
+  // of lines each time. TWO layers, both self-invalidating and both
+  // bounded by ESTIMATED RETAINED BYTES (a count bound alone would let
+  // a handful of million-entry versions pin gigabytes on the driver):
+  //
+  //  * parsedSegCache — segment file → parsed FileEntry list. Segments
+  //    are immutable and SHARED across versions (an O(delta) append
+  //    adopts its parent's `@seg` refs verbatim), so a new version's
+  //    first touch parses only its delta segment — the read-side
+  //    mirror of the O(delta) commit. Uncached segments of one
+  //    manifest parse CONCURRENTLY on [[metaPool]] (measured 2.1 s →
+  //    ~0.3 s first-touch on a 1M-entry / 50-segment table).
+  //  * entryCache — version → the concatenated entry list (the object
+  //    consumers see), keyed by manifest FILE IDENTITY — (fileKey,
+  //    size, mtime) from one stat per call — so a re-created table
+  //    directory mints a new inode and misses; an expired manifest
+  //    fails the existence check exactly as before.
+  //
+  // An eviction from either layer is a re-parse, never a wrong answer.
+  // Budgets: `graft.manifest.segCacheBytes` / `.entryCacheBytes`
+  // system properties (defaults 512 MiB / 1 GiB — version lists count
+  // their entries' full footprint because holding the list keeps the
+  // objects alive whether or not the segment layer evicts them).
   private final case class ManifestId(key: AnyRef, size: Long, mtime: Long)
-  private val entryCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (ManifestId, Seq[FileEntry])](
-      64, 0.75f, true) {
-      override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (ManifestId, Seq[FileEntry])])
-          : Boolean = size() > 256
-    })
+
+  /** rough retained-heap estimate of one parsed entry (JVM object +
+    * string payloads + small-map overhead) — used only to bound the
+    * caches, so a constant-factor error just shifts the budget. */
+  private def estEntryBytes(e: FileEntry): Long = {
+    var b = 180L + 2L * (e.path.length + e.partition.length) +
+      140L * e.stats.size + 90L * (e.nullCounts.size + e.sums.size) +
+      16L * e.splitOffsets.size
+    e.strStats.foreach { case (k, (mn, mx)) =>
+      b += 120L + 2L * (k.length + mn.length + mx.length)
+    }
+    b
+  }
+
+  /** access-ordered LRU bounded by the summed byte estimates of its
+    * values; the most-recent insert always survives. */
+  private final class ByteLru[V](budget: Long) {
+    private val m = new java.util.LinkedHashMap[String, (V, Long)](
+      64, 0.75f, true)
+    private var used = 0L
+    def get(k: String): Option[(V, Long)] = synchronized(Option(m.get(k)))
+    def put(k: String, v: V, bytes: Long): Unit = synchronized {
+      val old = m.put(k, (v, bytes))
+      if (old != null) used -= old._2
+      used += bytes
+      val it = m.entrySet().iterator()
+      // access-ordered map: the just-put key is at the tail, so the
+      // eldest-first iterator never needs to skip it while size > 1
+      while (used > budget && m.size() > 1 && it.hasNext) {
+        val e = it.next()
+        if (e.getKey != k) { used -= e.getValue._2; it.remove() }
+      }
+    }
+    def clear(): Unit = synchronized { m.clear(); used = 0L }
+    def usedBytes: Long = synchronized(used)
+  }
+
+  /** small bounded string-dedup for the parse loop: manifest lines
+    * repeat kinds, partition labels and stats column names millions of
+    * times — sharing them cut a 1M-entry version's retained heap ~40%.
+    * Per-parse instance (no locking); past the cap it passes through. */
+  private final class Interner {
+    private val m = new java.util.HashMap[String, String](512)
+    def apply(s: String): String =
+      if (m.size > 8192) s
+      else {
+        val v = m.putIfAbsent(s, s)
+        if (v == null) s else v
+      }
+  }
+
+  private val entryCache = new ByteLru[(ManifestId, Seq[FileEntry])](
+    java.lang.Long.getLong("graft.manifest.entryCacheBytes",
+      1024L * 1024 * 1024))
+  private val parsedSegCache = new ByteLru[Seq[FileEntry]](
+    java.lang.Long.getLong("graft.manifest.segCacheBytes",
+      512L * 1024 * 1024))
 
   /** manifest PARSE runs (cache misses) — test instrumentation: two
     * metadata queries on the same version must parse once. */
   private[graft] val entryParses = new java.util.concurrent.atomic.AtomicLong
-  private[graft] def resetEntryCache(): Unit = entryCache.clear()
+
+  /** segment PARSE runs — test instrumentation for the O(delta) read
+    * contract: an appended version's first touch parses only its
+    * delta segment, never the shared parent segments. */
+  private[graft] val segEntryParses =
+    new java.util.concurrent.atomic.AtomicLong
+  private[graft] def resetEntryCache(): Unit = {
+    entryCache.clear()
+    parsedSegCache.clear()
+  }
+
+  /** one segment's parsed entries through the shared cache; `n` is the
+    * manifest's recorded line count (truncation check). */
+  private def parsedSegment(path: String, n: Long): (Seq[FileEntry], Long) =
+    parsedSegCache.get(path).getOrElse {
+      segEntryParses.incrementAndGet()
+      val intern = new Interner
+      val lines = new String(Files.readAllBytes(Paths.get(path)), UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty)
+      require(lines.size == n.toLong,
+        s"segment $path: expected $n lines, " +
+          s"found ${lines.size} (truncated or foreign file)")
+      val es: Seq[FileEntry] = lines.map(parseEntry(_, intern)).toVector
+      val bytes = es.iterator.map(estEntryBytes).sum
+      parsedSegCache.put(path, es, bytes)
+      (es, bytes)
+    }
 
   /** the typed file list of snapshot `v` (immutable once committed). */
   def entries(tableDir: String, v: Int): Seq[FileEntry] = {
@@ -583,14 +713,92 @@ object SnapshotLog {
     val id = ManifestId(a.fileKey(), a.size(),
       a.lastModifiedTime().toMillis)
     val key = m.toAbsolutePath.toString
-    val hit = entryCache.get(key)
+    entryCache.get(key) match {
+      case Some(((cid, es), _)) if cid == id => es
+      case _ =>
+        entryParses.incrementAndGet()
+        val intern = new Interner
+        // entry-line order is preserved exactly as the resolved
+        // manifest lists it: inline lines in place, each `@seg`
+        // reference spliced where it stands
+        val toks: Seq[Either[FileEntry, (String, Long)]] =
+          rawLines(tableDir, v).filterNot(_.startsWith("#")).map { l =>
+            if (l.startsWith(s"$SegHeader\t")) {
+              val Array(_, p, n) = l.split("\t")
+              Right((p, n.toLong))
+            } else Left(parseEntry(l, intern))
+          }
+        // uncached segments parse concurrently (independent files)
+        val segParsed: Map[String, (Seq[FileEntry], Long)] =
+          onMetaPool(toks.collect { case Right((p, n)) => (p, n) }) {
+            case (p, n) => p -> parsedSegment(p, n)
+          }.toMap
+        val out = Vector.newBuilder[FileEntry]
+        var inlineBytes = 0L
+        toks.foreach {
+          case Left(e) => out += e; inlineBytes += estEntryBytes(e)
+          case Right((p, _)) => out ++= segParsed(p)._1
+        }
+        val parsed: Seq[FileEntry] = out.result()
+        // the version list keeps every entry reachable regardless of
+        // segment-layer eviction — budget it at full weight plus the
+        // concat array itself
+        val bytes = inlineBytes + 24L * parsed.size +
+          segParsed.valuesIterator.map(_._2).sum
+        entryCache.put(key, (id, parsed), bytes)
+        parsed
+    }
+  }
+
+  /** per-version summary of the DATA entries' label/stat shape, in one
+    * pass over the parsed list (distinct partition strings memoized —
+    * they are interned, so the memo stays label-cardinality-sized):
+    * the distinct ORDERED label signatures, and the distinct label /
+    * stats column names. Scan planning (SPJ groupability, the DPP
+    * filter-attribute offer) reads this instead of re-walking a
+    * million entries with per-entry allocations on every plan. Cached
+    * next to the entry list under the same self-invalidating manifest
+    * identity; summaries are a few strings, so no byte budget. */
+  final case class LabelSummary(sigs: Seq[Seq[String]],
+      labelCols: Seq[String], statCols: Seq[String],
+      strStatCols: Seq[String])
+  private val summaryCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (ManifestId, LabelSummary)](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (ManifestId, LabelSummary)])
+          : Boolean = size() > 256
+    })
+
+  def labelSummary(tableDir: String, v: Int): LabelSummary = {
+    val m = manifestDir(tableDir).resolve(s"v$v.manifest")
+    require(Files.exists(m), s"no snapshot v$v at $tableDir")
+    val a = Files.readAttributes(m,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val id = ManifestId(a.fileKey(), a.size(),
+      a.lastModifiedTime().toMillis)
+    val key = m.toAbsolutePath.toString
+    val hit = summaryCache.get(key)
     if (hit != null && hit._1 == id) hit._2
     else {
-      entryParses.incrementAndGet()
-      val parsed = manifestLines(tableDir, v)
-        .filterNot(_.startsWith("#")).map(parseEntry)
-      entryCache.put(key, (id, parsed))
-      parsed
+      val sigs = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
+      val labelCols = scala.collection.mutable.LinkedHashSet.empty[String]
+      val statCols = scala.collection.mutable.LinkedHashSet.empty[String]
+      val strStatCols = scala.collection.mutable.LinkedHashSet.empty[String]
+      val sigMemo = new java.util.HashMap[String, Seq[String]]()
+      entries(tableDir, v).foreach { e =>
+        if (e.kind == "D") {
+          val sig = sigMemo.computeIfAbsent(e.partition, labelColsOf(_))
+          sigs += sig
+          labelCols ++= sig
+          statCols ++= e.stats.keysIterator
+          strStatCols ++= e.strStats.keysIterator
+        }
+      }
+      val s = LabelSummary(sigs.toSeq, labelCols.toSeq, statCols.toSeq,
+        strStatCols.toSeq)
+      summaryCache.put(key, (id, s))
+      s
     }
   }
 
@@ -602,20 +810,6 @@ object SnapshotLog {
     new String(Files.readAllBytes(m), UTF_8)
       .split("\n").toSeq.filter(_.nonEmpty)
   }
-
-  /** manifest lines with every `@seg` reference RESOLVED: headers plus
-    * the full entry-line list (segment contents spliced in). */
-  private def manifestLines(tableDir: String, v: Int): Seq[String] =
-    rawLines(tableDir, v).flatMap {
-      case l if l.startsWith(s"$SegHeader\t") =>
-        val Array(_, p, n) = l.split("\t")
-        val lines = segmentLines(p)
-        require(lines.size == n.toLong,
-          s"segment $p of v$v at $tableDir: expected $n lines, " +
-            s"found ${lines.size} (truncated or foreign file)")
-        lines
-      case l => Seq(l)
-    }
 
   // ---- partition-label parsing (ONE shape everywhere) --------------
   // A label is one or more Hive-style `col=value` segments joined by
@@ -787,7 +981,24 @@ object SnapshotLog {
         if (legacyFallback &&
             !hs.exists(_.startsWith(s"$WriterHwHeader\t")))
           batchHighWater(tableDir, v)
-        else -1L
+        else {
+          // an UNDECLARED continuation is detectable right here: the
+          // table carries a global legacy marker, no writer-scoped
+          // marker of any writer exists yet, and this writer did not
+          // opt in — warn so the operator can set `legacyWriter`
+          // BEFORE a crash-restart replay re-commits epochs 0..hw
+          val globalHw = batchHighWater(tableDir, v)
+          if (globalHw >= 0L &&
+              !hs.exists(_.startsWith(s"$WriterHwHeader\t")))
+            System.err.println(s"[graft] WARN: writer '$writerId' " +
+              s"reads epoch high-water -1 on pre-writer-scoped table " +
+              s"$tableDir (global #batchhw=$globalHw). If this writer " +
+              s"continues the table's original single-writer stream, " +
+              s"set the `legacyWriter` option — otherwise its first " +
+              s"crash-restart replay will re-commit already-committed " +
+              s"epochs.")
+          -1L
+        }
       }
     }
 

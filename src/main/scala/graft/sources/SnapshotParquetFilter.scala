@@ -180,7 +180,17 @@ private[sources] object SnapshotParquetFilter {
         }
         ord.flatMap { o =>
           val converted = vals.map(v => conv(v).getOrElse(return None))
-          Some(FilterApi.and(gtEq(converted.min(o)),
+          // a NaN member can never be admitted by a [min, max] range
+          // (NaN fails every gtEq/ltEq comparison), so a set holding
+          // one must refuse the collapse — a row group whose only
+          // matching rows are NaN would otherwise be skipped outright
+          val hasNaN = converted.exists {
+            case d: java.lang.Double => d.isNaN
+            case f: java.lang.Float => f.isNaN
+            case _ => false
+          }
+          if (hasNaN) None
+          else Some(FilterApi.and(gtEq(converted.min(o)),
             ltEq(converted.max(o))))
         }
       case SnapshotPrune.Bound(_, lo, hi)

@@ -123,7 +123,7 @@ class StreamingWriteSpec extends SparkSpec {
       "declared legacy continuation replays against the global marker") {
     import spark.implicits._
     val dir = fresh("legacy")
-    val f = s"/tmp/graft-test/streamwrite-legacy/f.parquet"
+    val f = s"${fresh("legacy-fixture")}/f.parquet"
     Seq((1L, 10L)).toDF("id", "v").coalesce(1).write
       .mode("overwrite").parquet(f)
     val p = SnapshotLog.dataFiles(f).head
