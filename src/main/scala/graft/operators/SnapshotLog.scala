@@ -760,7 +760,7 @@ object SnapshotLog {
     * next to the entry list under the same self-invalidating manifest
     * identity; summaries are a few strings, so no byte budget. */
   final case class LabelSummary(sigs: Seq[Seq[String]],
-      labelCols: Seq[String], statCols: Seq[String],
+      parts: Seq[String], labelCols: Seq[String], statCols: Seq[String],
       strStatCols: Seq[String])
   private val summaryCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, (ManifestId, LabelSummary)](
@@ -782,6 +782,7 @@ object SnapshotLog {
     if (hit != null && hit._1 == id) hit._2
     else {
       val sigs = scala.collection.mutable.LinkedHashSet.empty[Seq[String]]
+      val parts = scala.collection.mutable.LinkedHashSet.empty[String]
       val labelCols = scala.collection.mutable.LinkedHashSet.empty[String]
       val statCols = scala.collection.mutable.LinkedHashSet.empty[String]
       val strStatCols = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -790,13 +791,14 @@ object SnapshotLog {
         if (e.kind == "D") {
           val sig = sigMemo.computeIfAbsent(e.partition, labelColsOf(_))
           sigs += sig
+          parts += e.partition
           labelCols ++= sig
           statCols ++= e.stats.keysIterator
           strStatCols ++= e.strStats.keysIterator
         }
       }
-      val s = LabelSummary(sigs.toSeq, labelCols.toSeq, statCols.toSeq,
-        strStatCols.toSeq)
+      val s = LabelSummary(sigs.toSeq, parts.toSeq, labelCols.toSeq,
+        statCols.toSeq, strStatCols.toSeq)
       summaryCache.put(key, (id, s))
       s
     }

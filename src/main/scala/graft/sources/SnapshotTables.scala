@@ -958,34 +958,45 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     * every one of them (Spark resolves the key expressions against
     * the pruned output schema). */
   private lazy val groupCols: Seq[(String, DataType)] = {
-    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-    val data =
-      if (changeFeed) Nil
-      else SnapshotLog.entries(dir, v).filter(_.kind == "D")
-    val sigs = data.map(e => SnapshotLog.labelColsOf(e.partition))
-      .distinct
-    sigs match {
-      case Seq(cols) if cols.nonEmpty =>
-        val typed = cols.map(c =>
-          required.fields.find(_.name == c).map(f => c -> f.dataType))
-        if (typed.exists(_.isEmpty)) Nil
-        else {
-          val ts = typed.map(_.get)
-          if (ts.forall { case (c, dt) =>
-            data.forall(e => SnapshotPrune.labelValue(e, c)
-              .flatMap(SnapshotPrune.typedLabel(_, dt)).isDefined)
-          }) ts
-          else Nil
-        }
-      case _ => Nil
+    if (changeFeed) Nil
+    else {
+      val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+      // the cached one-pass summary, not a fresh walk: planning asks
+      // for groupCols / filterAttributes / outputPartitioning on every
+      // plan of the same pinned version, and the label shape is a
+      // label-cardinality-sized fact, not a per-file one
+      val sum = SnapshotLog.labelSummary(dir, v)
+      sum.sigs match {
+        case Seq(cols) if cols.nonEmpty =>
+          val typed = cols.map(c =>
+            required.fields.find(_.name == c).map(f => c -> f.dataType))
+          if (typed.exists(_.isEmpty)) Nil
+          else {
+            val ts = typed.map(_.get)
+            // typed-parse check over the DISTINCT partition strings —
+            // labelValue is a pure function of the label, so checking
+            // each distinct label once is the per-entry check
+            if (ts.forall { case (c, dt) =>
+              sum.parts.forall(p => SnapshotLog.labelValueOf(p, c)
+                .flatMap(SnapshotPrune.typedLabel(_, dt)).isDefined)
+            }) ts
+            else Nil
+          }
+        case _ => Nil
+      }
     }
   }
 
   /** one entry's TYPED key tuple under [[groupCols]] (defined for
-    * every data entry whenever groupCols is non-empty). */
+    * every data entry whenever groupCols is non-empty) — memoized per
+    * DISTINCT partition string (they are interned by the manifest
+    * parser), so a million-entry plan parses each label once. */
+  private val typedKeyMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Any]]()
   private def typedKeyOf(e: SnapshotLog.FileEntry): Seq[Any] =
-    groupCols.map { case (c, dt) => SnapshotPrune.labelValue(e, c)
-      .flatMap(SnapshotPrune.typedLabel(_, dt)).get }
+    typedKeyMemo.computeIfAbsent(e.partition,
+      p => groupCols.map { case (c, dt) => SnapshotLog.labelValueOf(p, c)
+        .flatMap(SnapshotPrune.typedLabel(_, dt)).get })
 
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
@@ -999,8 +1010,9 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
         // planning (runtimeConstraints is Nil until filter(), so the
         // pre-runtime declaration is unchanged). Typed tuples, not raw
         // label strings ("m=1" vs "m=01").
+        val cs = staticConstraints ++ runtimeConstraints
         val n = SnapshotLog.entries(dir, v).filter(e =>
-          e.kind == "D" && survivesRuntime(e))
+          e.kind == "D" && cs.forall(survives(e, _)))
           .map(typedKeyOf).distinct.size
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
@@ -1028,14 +1040,12 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     if (changeFeed) return Array.empty
     val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-    val es = SnapshotLog.entries(dir, v).filter(_.kind == "D")
-    val labelCols =
-      es.flatMap(e => SnapshotLog.labelColsOf(e.partition))
-    val statCols = es.flatMap(e => e.stats.keys ++ e.strStats.keys)
+    val sum = SnapshotLog.labelSummary(dir, v)
     // Spark resolves these against the scan's (column-pruned) OUTPUT —
     // offering a pruned-away column would fail analysis
     val served = required.fieldNames.toSet
-    (labelCols ++ statCols).distinct.filter(served)
+    (sum.labelCols ++ sum.statCols ++ sum.strStatCols)
+      .distinct.filter(served)
       .map(org.apache.spark.sql.connector.expressions.Expressions.column)
       .toArray
   }
@@ -1055,9 +1065,6 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
 
   private def survives(e: SnapshotLog.FileEntry,
       c: SnapshotPrune.Constraint): Boolean = SnapshotPrune.survives(e, c)
-
-  private def survivesRuntime(e: SnapshotLog.FileEntry): Boolean =
-    (staticConstraints ++ runtimeConstraints).forall(survives(e, _))
 
   /** Statistics from the MANIFEST ALONE: file sizes are the bytes the
     * committing writer recorded (`FileEntry.bytes` — the Iceberg
@@ -1113,7 +1120,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     // broadcast anti-join, executed as a per-task hash probe.
     val eqVecs = es.filter(_.kind == "X")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
-    val data = es.filter(e => e.kind == "D" && survivesRuntime(e))
+    val cs = staticConstraints ++ runtimeConstraints
+    val data = es.filter(e => e.kind == "D" && cs.forall(survives(e, _)))
     def keyOf(e: SnapshotLog.FileEntry): Option[Seq[Any]] =
       if (groupCols.isEmpty) None else Some(typedKeyOf(e))
     // the equality vectors applying to each file, resolved seq-scoped
@@ -1140,7 +1148,7 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
       // ones (the Iceberg read.split.target-size idea); the scan
       // option "splitTargetBytes" tunes it
       SnapshotScanPlanner.plan(data, v, posDeletes,
-        splitTargetBytes, groupCols, vecsFor).toArray
+        splitTargetBytes, groupCols, vecsFor, typedKeyOf).toArray
   }
 
   /** every BATCH read is COLUMNAR: batches come straight from Spark's
@@ -1193,7 +1201,10 @@ private[sources] object SnapshotScanPlanner {
   def plan(data: Seq[SnapshotLog.FileEntry], commit: Long,
       posDeletes: Seq[String], targetBytes: Long,
       groupCols: Seq[(String, DataType)] = Nil,
-      vecsFor: SnapshotLog.FileEntry => Seq[String] = _ => Nil)
+      vecsFor: SnapshotLog.FileEntry => Seq[String] = _ => Nil,
+      // the caller's (memoized) key extractor — defaults to a plain
+      // per-entry parse for direct/test callers
+      keyOf: SnapshotLog.FileEntry => Seq[Any] = null)
       : Seq[InputPartition] = {
     // ADAPTIVE task size (the Iceberg adaptive-split-size idea): the
     // configured target is a CEILING for big tables, but packing a
@@ -1210,15 +1221,19 @@ private[sources] object SnapshotScanPlanner {
       math.min(targetBytes, math.max(1L, total / par)))
     if (groupCols.isEmpty)
       planOne(data, commit, posDeletes, adaptive, None, vecsFor)
-    else
-      data.groupBy(e => groupCols.map { case (c, dt) =>
-        SnapshotPrune.labelValue(e, c)
-          .flatMap(SnapshotPrune.typedLabel(_, dt)).get
-      })
+    else {
+      val kf: SnapshotLog.FileEntry => Seq[Any] =
+        if (keyOf != null) keyOf
+        else e => groupCols.map { case (c, dt) =>
+          SnapshotPrune.labelValue(e, c)
+            .flatMap(SnapshotPrune.typedLabel(_, dt)).get
+        }
+      data.groupBy(kf)
         .toSeq.sortBy(_._1.mkString("/"))
         .flatMap { case (k, g) =>
           planOne(g, commit, posDeletes, adaptive, Some(k), vecsFor)
         }
+    }
   }
 
   private def planOne(data: Seq[SnapshotLog.FileEntry], commit: Long,
