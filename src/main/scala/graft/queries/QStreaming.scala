@@ -16,36 +16,64 @@ object QStreaming extends Registry {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** Stage `batches` as single-file, mtime-ordered parquet files under
+    * `src` ONCE per scratch key (the s64/s65 persisted-fixture
+    * pattern): the staged files are pure deterministic functions of
+    * the source tables — query INPUTS, not results — and re-writing
+    * them every invocation timed the fixture build, not the stream
+    * under test. A `_staged` marker is written LAST, so an interrupted
+    * staging self-heals (no marker → full rebuild); Spark's file
+    * source ignores `_`-prefixed names, so the marker never reaches a
+    * reader. Warm hits are attributed via `Caches.markMemoHit()` and
+    * land in Bench's `memo_warm` / `queries_cold` columns; the oracle
+    * checks each row cold AND warm. Bump the marker suffix if any
+    * staging's content definition changes. */
+  private[queries] def stageOnce(src: String, tmpRoot: String,
+      name: Int => String)(
+      batches: => Seq[org.apache.spark.sql.DataFrame]): Unit = {
+    val marker = java.nio.file.Paths.get(src, "_staged_v1")
+    if (java.nio.file.Files.exists(marker)) {
+      graft.Caches.markMemoHit()
+      return
+    }
+    graft.Scratch.clear(src)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      val tmp = s"$tmpRoot/tmp_$i"
+      b.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(src, name(i))
+      java.nio.file.Files.move(part.toPath, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // strictly increasing mtimes pin the file-source batch order
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    java.nio.file.Files.createFile(marker)
+    ()
+  }
+
   /** Stage the events table as THREE mtime-ordered arrival files
     * (split on deterministic ts boundaries) so `maxFilesPerTrigger=1`
     * delivers three micro-batches in a known order — the multi-epoch
     * fixture shared by `stream_transform_state` and
     * `stream_snapshot_commit` (one staging, one batch-boundary truth,
     * both oracles derive from the same CASE on ts). Returns the source
-    * dir; columns (user_id, ts, cents).
+    * dir; columns (user_id, ts, cents). Persisted across runs via
+    * [[stageOnce]].
     */
   private[queries] def stageArrivals(s: org.apache.spark.sql.SparkSession,
       d: String, root: String): String = {
     val src = s"$root/arrivals"
-    graft.Scratch.clear(src)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-    val ev = graft.Tables.events(s, d).select(
-      col("user_id"), col("ts"),
-      (col("value").cast("decimal(18,2)") * 100)
-        .cast("long").as("cents"))
-    val batches = Seq(
-      ev.filter(col("ts") < "2024-01-10"),
-      ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20"),
-      ev.filter(col("ts") >= "2024-01-20"))
-    batches.zipWithIndex.foreach { case (b, i) =>
-      val tmp = s"$root/tmp_$i"
-      b.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
-      java.nio.file.Files.move(part.toPath, dst,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    stageOnce(src, root, i => s"arrival_$i.parquet") {
+      val ev = graft.Tables.events(s, d).select(
+        col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
+      Seq(
+        ev.filter(col("ts") < "2024-01-10"),
+        ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20"),
+        ev.filter(col("ts") >= "2024-01-20"))
     }
     src
   }
@@ -594,19 +622,25 @@ object QStreaming extends Registry {
     Q("stream_change_feed",
       (s, d) => {
         val dir = s"${graft.Scratch.dirFor("stream_cdf", d)}/t"
-        graft.Scratch.clear(dir)
-        import graft.operators.{DeleteVectors, SnapshotMerge}
-        val base = graft.Tables.lineitem(s, d).select(
-          col("l_orderkey"), col("l_linenumber"),
-          col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
-          month(to_date(col("l_shipdate"))).as("m"))
-        SnapshotMerge.writeInitial(s,
-          base.filter(col("l_orderkey") % 3 =!= 0), dir, "m")
-        graft.streaming.SnapshotCommitSink.commitBatch(s, dir,
-          base.filter(col("l_orderkey") % 3 === 0), 0L)
-        DeleteVectors.appendDeletes(s, dir,
-          base.filter(col("l_orderkey") % 19 === 0)
-            .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+        import graft.operators.{DeleteVectors, SnapshotLog, SnapshotMerge}
+        // persisted INPUT fixture (the s64/lakeBase pattern): the
+        // stream under test only READS this 3-commit history — rebuild
+        // when absent/partial, attribute warm hits via markMemoHit
+        if (SnapshotLog.latest(dir) == 3) graft.Caches.markMemoHit()
+        else {
+          graft.Scratch.clear(dir)
+          val base = graft.Tables.lineitem(s, d).select(
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("decimal(18,2)").cast("int").as("qty"),
+            month(to_date(col("l_shipdate"))).as("m"))
+          SnapshotMerge.writeInitial(s,
+            base.filter(col("l_orderkey") % 3 =!= 0), dir, "m")
+          graft.streaming.SnapshotCommitSink.commitBatch(s, dir,
+            base.filter(col("l_orderkey") % 3 === 0), 0L)
+          DeleteVectors.appendDeletes(s, dir,
+            base.filter(col("l_orderkey") % 19 === 0)
+              .select(col("l_orderkey"), col("l_linenumber"), col("m")))
+        }
         val name = "stream_cdf_tbl"
         val q = s.readStream.format("graft-snapshot")
           .option("path", dir).option("changeFeed", "true").load()
@@ -655,25 +689,43 @@ object QStreaming extends Registry {
     Q("stream_cdf_cow",
       (s, d) => {
         val dir = s"${graft.Scratch.dirFor("stream_cdfcow", d)}/t"
-        graft.Scratch.clear(dir)
         import graft.operators.{SnapshotLog, SnapshotMerge}
-        val v1 = SnapshotLog.clone(QFilters.lakeBaseDir(s, d), dir)
-        SnapshotLog.commitKeysChange(dir,
-          Seq("l_orderkey", "l_linenumber", "m"))
-        val src = SnapshotLog.read(s, dir, v1).filter(col("m").isin(2, 3))
-        val deletes = src.filter(col("l_orderkey") % 19 === 0)
-          .select(col("l_orderkey"), col("l_linenumber"), col("m"))
-        val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
-            col("l_orderkey") % 13 === 0)
-          .select(col("l_orderkey"), col("l_linenumber"), col("m"),
-            (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
-        val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
-            col("l_orderkey") % 13 =!= 0 && col("l_orderkey") % 17 === 0)
-          .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
-            col("l_linenumber"), col("qty"), col("m"))
-        val v3 = SnapshotMerge(s, dir, "m",
-          Seq("l_orderkey", "l_linenumber"), deletes, updates, inserts,
-          Map("qty" -> "new_qty"))
+        // persisted INPUT fixture: clone(v1) + keys commit (v1+1) +
+        // COW merge (v1+2) — the stream only READS the history, so
+        // the 3-commit build persists across runs (warm hit
+        // attributed); a partial build (latest != v1+2) rebuilds
+        // the base is a 1-commit table (all seqs 1), so the clone
+        // always lands at v1 = 1 and a COMPLETE build is exactly
+        // latest == 3; an interrupted one (0..2) rebuilds
+        val (v1, v3) =
+          if (SnapshotLog.latest(dir) == 3) {
+            graft.Caches.markMemoHit()
+            (1, 3)
+          } else {
+            graft.Scratch.clear(dir)
+            val v1 = SnapshotLog.clone(QFilters.lakeBaseDir(s, d), dir)
+            SnapshotLog.commitKeysChange(dir,
+              Seq("l_orderkey", "l_linenumber", "m"))
+            val src = SnapshotLog.read(s, dir, v1)
+              .filter(col("m").isin(2, 3))
+            val deletes = src.filter(col("l_orderkey") % 19 === 0)
+              .select(col("l_orderkey"), col("l_linenumber"), col("m"))
+            val updates = src.filter(col("l_orderkey") % 19 =!= 0 &&
+                col("l_orderkey") % 13 === 0)
+              .select(col("l_orderkey"), col("l_linenumber"), col("m"),
+                (col("l_orderkey") % 47 + 1).cast("int").as("new_qty"))
+            val inserts = src.filter(col("l_orderkey") % 19 =!= 0 &&
+                col("l_orderkey") % 13 =!= 0 &&
+                col("l_orderkey") % 17 === 0)
+              .select((col("l_orderkey") + 1000000L).as("l_orderkey"),
+                col("l_linenumber"), col("qty"), col("m"))
+            val v3 = SnapshotMerge(s, dir, "m",
+              Seq("l_orderkey", "l_linenumber"), deletes, updates,
+              inserts, Map("qty" -> "new_qty"))
+            require(v3 == v1 + 2, s"cdf_cow fixture: expected v1+2, " +
+              s"got v1=$v1 v3=$v3")
+            (v1, v3)
+          }
         val name = "stream_cdfcow_tbl"
         val q = s.readStream.format("graft-snapshot")
           .option("path", dir).option("changeFeed", "true")
@@ -939,37 +991,26 @@ object QStreaming extends Registry {
       (s, d) => {
         val root = graft.Scratch.dirFor("stream_dedup_wm", d)
         val src = s"$root/arrivals"
-        graft.Scratch.clear(src)
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(src))
-        val ev = graft.Tables.events(s, d).select(
-          col("event_id"), col("ts"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        val b1 = ev.filter(col("ts") < "2024-01-10")
-        val echoNext = b1.filter(col("event_id") % 7 === 0)
-          .select(col("event_id"),
-            expr("ts + INTERVAL 1 DAY").as("ts"), col("cents"))
-        val echoFar = b1.filter(col("event_id") % 5 === 0)
-          .select(col("event_id"),
-            expr("ts + INTERVAL 18 DAY").as("ts"), col("cents"))
-        val echoStale = b1.filter(col("event_id") % 9 === 0 &&
-          col("event_id") % 5 =!= 0)
-        val batches = Seq(
-          b1,
-          ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20")
-            .unionByName(echoNext),
-          ev.filter(col("ts") >= "2024-01-20")
-            .unionByName(echoFar).unionByName(echoStale))
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val tmp = s"$root/tmp_$i"
-          b.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        stageOnce(src, root, i => s"arrival_$i.parquet") {
+          val ev = graft.Tables.events(s, d).select(
+            col("event_id"), col("ts"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          val b1 = ev.filter(col("ts") < "2024-01-10")
+          val echoNext = b1.filter(col("event_id") % 7 === 0)
+            .select(col("event_id"),
+              expr("ts + INTERVAL 1 DAY").as("ts"), col("cents"))
+          val echoFar = b1.filter(col("event_id") % 5 === 0)
+            .select(col("event_id"),
+              expr("ts + INTERVAL 18 DAY").as("ts"), col("cents"))
+          val echoStale = b1.filter(col("event_id") % 9 === 0 &&
+            col("event_id") % 5 =!= 0)
+          Seq(
+            b1,
+            ev.filter(col("ts") >= "2024-01-10" && col("ts") < "2024-01-20")
+              .unionByName(echoNext),
+            ev.filter(col("ts") >= "2024-01-20")
+              .unionByName(echoFar).unionByName(echoStale))
         }
         val schema = s.read.parquet(src).schema
         val name = s"graft_stream_ddwm_${runSeq.incrementAndGet()}"
@@ -1020,28 +1061,18 @@ object QStreaming extends Registry {
       (s, d) => {
         val root = graft.Scratch.dirFor("stream_scd2", d)
         val src = s"$root/changes"
-        graft.Scratch.clear(src)
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
-        val ev = graft.Tables.orders(s, d).select(
-          col("o_custkey").as("custkey"),
-          col("o_orderstatus").as("status"),
-          col("o_orderdate").as("vf"),
-          col("o_orderkey").as("tb"))
-        val cuts = Seq(
-          ("1990-01-01", "1997-01-01"),
-          ("1997-01-01", "1999-01-01"),
-          ("1999-01-01", "2999-01-01"))
-        cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
-          val tmp = s"$root/tmp_$i"
-          ev.filter(col("vf") >= lo && col("vf") < hi)
-            .coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(src, s"chunk_$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          // strictly increasing mtimes pin the file-source batch order
-          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        stageOnce(src, root, i => s"chunk_$i.parquet") {
+          val ev = graft.Tables.orders(s, d).select(
+            col("o_custkey").as("custkey"),
+            col("o_orderstatus").as("status"),
+            col("o_orderdate").as("vf"),
+            col("o_orderkey").as("tb"))
+          Seq(
+            ("1990-01-01", "1997-01-01"),
+            ("1997-01-01", "1999-01-01"),
+            ("1999-01-01", "2999-01-01")).map { case (lo, hi) =>
+            ev.filter(col("vf") >= lo && col("vf") < hi)
+          }
         }
         val schema = s.read.parquet(src).schema
         val stateA = s"$root/stateA"
@@ -1099,34 +1130,24 @@ object QStreaming extends Registry {
       (s, d) => {
         val root = graft.Scratch.dirFor("stream_ivm", d)
         val src = s"$root/changes"
-        graft.Scratch.clear(src)
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(src))
-        val v1 = graft.Tables.documents(s, d)
-        val v2 = QFilters.snapshotV2(v1)
-        val inserts = v1.select(col("source"), lit(1L).as("dn"),
-          length(col("text")).cast("long").as("dchars"))
-        val j = v1.select(col("doc_id"), col("text").as("t1"),
-            col("source").as("src1"))
-          .join(v2.select(col("doc_id"), col("text").as("t2"),
-            col("source").as("src2")), Seq("doc_id"), "full_outer")
-          .filter(!(col("t1") <=> col("t2")))
-        val delta = j.select(explode(array(
-            struct(col("src1").as("source"), lit(-1L).as("dn"),
-              (-length(col("t1"))).cast("long").as("dchars")),
-            struct(col("src2").as("source"), lit(1L).as("dn"),
-              length(col("t2")).cast("long").as("dchars")))).as("x"))
-          .select(col("x.*"))
-          .filter(col("source").isNotNull && col("dchars").isNotNull)
-        Seq(inserts, delta).zipWithIndex.foreach { case (b, i) =>
-          val tmp = s"$root/tmp_$i"
-          b.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(src, s"chunk_$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        stageOnce(src, root, i => s"chunk_$i.parquet") {
+          val v1 = graft.Tables.documents(s, d)
+          val v2 = QFilters.snapshotV2(v1)
+          val inserts = v1.select(col("source"), lit(1L).as("dn"),
+            length(col("text")).cast("long").as("dchars"))
+          val j = v1.select(col("doc_id"), col("text").as("t1"),
+              col("source").as("src1"))
+            .join(v2.select(col("doc_id"), col("text").as("t2"),
+              col("source").as("src2")), Seq("doc_id"), "full_outer")
+            .filter(!(col("t1") <=> col("t2")))
+          val delta = j.select(explode(array(
+              struct(col("src1").as("source"), lit(-1L).as("dn"),
+                (-length(col("t1"))).cast("long").as("dchars")),
+              struct(col("src2").as("source"), lit(1L).as("dn"),
+                length(col("t2")).cast("long").as("dchars")))).as("x"))
+            .select(col("x.*"))
+            .filter(col("source").isNotNull && col("dchars").isNotNull)
+          Seq(inserts, delta)
         }
         val schema = s.read.parquet(src).schema
         val stateA = s"$root/stateA"
@@ -1183,28 +1204,17 @@ object QStreaming extends Registry {
       (s, d) => {
         val root = graft.Scratch.dirFor("stream_late", d)
         val src = s"$root/arrivals"
-        graft.Scratch.clear(src)
-        java.nio.file.Files.createDirectories(
-          java.nio.file.Paths.get(src))
-        val ev = graft.Tables.events(s, d).select(
-          col("ts"), col("event_id"),
-          (col("value").cast("decimal(18,2)") * 100)
-            .cast("long").as("cents"))
-        val onTime = col("event_id") % 5 =!= 0
-        val batches = Seq(
-          ev.filter(onTime && col("ts") < "2024-01-20"),
-          ev.filter(onTime && col("ts") >= "2024-01-20" &&
-            col("ts") < "2024-01-25"),
-          ev.filter(!onTime || col("ts") >= "2024-01-25"))
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val tmp = s"$root/tmp_$i"
-          b.coalesce(1).write.mode("overwrite").parquet(tmp)
-          val part = new java.io.File(tmp).listFiles()
-            .find(_.getName.endsWith(".parquet")).get
-          val dst = java.nio.file.Paths.get(src, s"arrival_$i.parquet")
-          java.nio.file.Files.move(part.toPath, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          dst.toFile.setLastModified(1700000000000L + i * 60000L)
+        stageOnce(src, root, i => s"arrival_$i.parquet") {
+          val ev = graft.Tables.events(s, d).select(
+            col("ts"), col("event_id"),
+            (col("value").cast("decimal(18,2)") * 100)
+              .cast("long").as("cents"))
+          val onTime = col("event_id") % 5 =!= 0
+          Seq(
+            ev.filter(onTime && col("ts") < "2024-01-20"),
+            ev.filter(onTime && col("ts") >= "2024-01-20" &&
+              col("ts") < "2024-01-25"),
+            ev.filter(!onTime || col("ts") >= "2024-01-25"))
         }
         val schema = s.read.parquet(src).schema
         val name = s"graft_stream_late_${runSeq.incrementAndGet()}"
