@@ -872,9 +872,27 @@ object QJoins extends Registry {
     Q("g1_triangles",
       (s, d) => {
         val e = copurchaseEdges(s, d)
-        val mode = s.conf.get("spark.graft.triangles.close", "broadcast")
-        require(mode == "broadcast" || mode == "shuffle",
-          s"spark.graft.triangles.close must be broadcast|shuffle, got $mode")
+        // AUTO-SELECT the close strategy from the MEASURED edge count,
+        // not a static conf (r16 verdict: a static broadcast default
+        // ships a driver OOM past the broadcast threshold at 100 TB).
+        // The count is ~free: copurchaseEdges is persisted and every
+        // close consumes it, so the materialization is paid either way.
+        // Budget: the broadcast close ships the full adjacency relation
+        // (~25-30 B/edge in list form), so the default 4M-edge cap puts
+        // the built relation at ~100-130 MB — inside the "few hundred
+        // MB is fine" broadcast band, far under Spark's 8 GB cap.
+        // Explicit broadcast|shuffle still forces an arm (specs pin
+        // both physical shapes).
+        val mode = s.conf.get("spark.graft.triangles.close", "auto") match {
+          case "auto" =>
+            val maxE = s.conf.get(
+              "spark.graft.triangles.broadcastMaxEdges", "4000000").toLong
+            if (e.count() <= maxE) "broadcast" else "shuffle"
+          case m @ ("broadcast" | "shuffle") => m
+          case other => throw new IllegalArgumentException(
+            "spark.graft.triangles.close must be auto|broadcast|shuffle" +
+              s", got $other")
+        }
         val deg = e.select(col("u").as("id"))
           .unionByName(e.select(col("v").as("id")))
           .groupBy(col("id")).agg(count(lit(1)).as("dg"))
@@ -997,23 +1015,32 @@ object QJoins extends Registry {
           sym.unionByName(nodes.select(col("id").as("src"),
               col("id").as("dst")))
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-        // the label table is |V| rows — broadcast it into each round so
-        // the |E|-row adjacency relation never exchanges (measured r16:
-        // the SMJ rounds re-shuffled adj 3×).
-        // `spark.graft.labelprop.join=shuffle` restores the shuffled
-        // rounds for the scale where |V| outgrows a broadcast.
-        val bcastRounds =
-          s.conf.get("spark.graft.labelprop.join", "broadcast") match {
-            case "broadcast" => true
-            case "shuffle" => false
-            case other => throw new IllegalArgumentException(
-              s"spark.graft.labelprop.join must be broadcast|shuffle, got $other")
-          }
         // lbl0 is a DISTINCT over the |E|-row symmetric relation —
         // checkpointed so round 1's broadcast collects |V| cached rows
         // instead of re-running the distinct
         var lbl = nodes.select(col("id"), col("id").as("lbl"))
           .localCheckpoint(true)
+        // the label table is |V| rows — broadcast it into each round so
+        // the |E|-row adjacency relation never exchanges (measured r16:
+        // the SMJ rounds re-shuffled adj 3×). AUTO-SELECTED from the
+        // measured |V| (free: lbl0 is already checkpointed), because a
+        // static broadcast default would ship a driver OOM once |V|
+        // outgrows a broadcast at 100 TB: labels are 2 longs/row, so
+        // the default 8M-node cap bounds the built relation at
+        // ~200 MB. `spark.graft.labelprop.join=broadcast|shuffle`
+        // still forces an arm (both spec-pinned).
+        val bcastRounds =
+          s.conf.get("spark.graft.labelprop.join", "auto") match {
+            case "auto" =>
+              val maxV = s.conf.get(
+                "spark.graft.labelprop.broadcastMaxNodes", "8000000").toLong
+              lbl.count() <= maxV
+            case "broadcast" => true
+            case "shuffle" => false
+            case other => throw new IllegalArgumentException(
+              "spark.graft.labelprop.join must be auto|broadcast|" +
+                s"shuffle, got $other")
+          }
         for (_ <- 1 to 3) {
           val next = adj
             .join(if (bcastRounds) broadcast(lbl) else lbl,

@@ -10,6 +10,52 @@ import org.apache.spark.sql.functions._
   */
 class LabelPropSpec extends SparkSpec {
 
+  test("g2 arms agree and auto selects by the measured node count") {
+    val sf = "/root/testdata/sf0.001"
+    // barrier off so the returned frame keeps its round DAG — with the
+    // per-round localCheckpoint the plan is a bare RDD scan and carries
+    // no join shape to assert on
+    def run(mode: Option[String], cap: Option[String])
+        : (Map[Long, Long], String) = {
+      spark.conf.set("spark.graft.labelprop.barrier", "false")
+      mode.foreach(spark.conf.set("spark.graft.labelprop.join", _))
+      cap.foreach(
+        spark.conf.set("spark.graft.labelprop.broadcastMaxNodes", _))
+      try {
+        val df = graft.SparkEntry.queries("g2_label_prop")(spark, sf)
+        val plan = graft.Plans.formatted(df)
+        val rows = df.collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.Caches.clearTransient()
+        (rows, plan)
+      } finally {
+        spark.conf.unset("spark.graft.labelprop.join")
+        spark.conf.unset("spark.graft.labelprop.broadcastMaxNodes")
+        spark.conf.unset("spark.graft.labelprop.barrier")
+      }
+    }
+    val (bRows, bPlan) = run(Some("broadcast"), None)
+    val (sRows, _) = run(Some("shuffle"), None)
+    assert(bRows.nonEmpty && sRows == bRows, "g2 join arms disagree")
+    // the explicit-broadcast arm MUST plan broadcast joins (hinted);
+    // the shuffle arm's physical choice is the planner's at fixture
+    // size, so only row equality is pinned for it
+    assert(bPlan.contains("BroadcastHashJoin"),
+      s"broadcast arm did not plan a broadcast join:\n${bPlan.take(2000)}")
+    // auto, cap 0: every node set exceeds it → the shuffle arm (no
+    // broadcast HINT in the round joins; rows must still agree)
+    val (loRows, loPlan) = run(None, Some("0"))
+    // auto, default cap (8M): fixture far under → the broadcast arm
+    val (hiRows, hiPlan) = run(None, None)
+    assert(loRows == bRows && hiRows == bRows, "auto arms disagree")
+    assert(hiPlan.contains("BroadcastHashJoin"),
+      s"auto under the cap did not broadcast:\n${hiPlan.take(2000)}")
+    // the hint is the decision's witness: over the cap the round joins
+    // carry no ResolvedHint, so any remaining broadcast is the
+    // planner's own size call, never the auto arm's
+    assert(loPlan != hiPlan, "auto cap had no effect on the plan")
+  }
+
   test("k rounds on a path graph: label(v) == max(1, v - k)") {
     import spark.implicits._
     val n = 12

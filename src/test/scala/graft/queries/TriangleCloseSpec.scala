@@ -54,6 +54,26 @@ class TriangleCloseSpec extends SparkSpec {
       s"close join did not leave broadcast: ${nBhj(sPlan)} vs ${nBhj(bPlan)}")
   }
 
+  test("auto close selects the arm from the measured edge count") {
+    run("broadcast") // warm the shared edge memo (same reason as above)
+    // cap 0: every edge set exceeds it → the shuffle arm
+    spark.conf.set("spark.graft.triangles.broadcastMaxEdges", "0")
+    val (loRows, loPlan) =
+      try run("auto")
+      finally spark.conf.unset("spark.graft.triangles.broadcastMaxEdges")
+    // default cap (4M edges): the fixture is far under → broadcast arm
+    val (hiRows, hiPlan) = run("auto")
+    assert(loRows == hiRows, "auto arms disagree")
+    assert(hiPlan.contains("BroadcastHashJoin"),
+      s"auto under the cap did not broadcast:\n${hiPlan.take(2000)}")
+    assert(loPlan.contains("ShuffledHashJoin"),
+      s"auto over the cap did not shuffle:\n${loPlan.take(2000)}")
+    def nBhj(p: String) = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(nBhj(loPlan) < nBhj(hiPlan),
+      s"auto over the cap kept the broadcast close: " +
+        s"${nBhj(loPlan)} vs ${nBhj(hiPlan)}")
+  }
+
   test("unknown close mode fails fast") {
     spark.conf.set(conf, "carrier-pigeon")
     try intercept[IllegalArgumentException] {
