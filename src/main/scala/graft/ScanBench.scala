@@ -79,10 +79,22 @@ object ScanBench {
     var rawOn = 0L; var rawOff = 0L
     val selOnSec = selRun(push = true)
     val selOffSec = selRun(push = false)
+    // page-level (column-index) opt-in face: same selective read with
+    // option("pageFilter","true") — the projection widens by the
+    // filter column and parquet evaluates pages, not just groups.
+    // BOTH numbers are recorded honestly: the win face needs pages
+    // finer than the row groups (big groups, clustered key); on
+    // stats-friendly layouts the widened decode makes it a LOSS.
+    def selPage(): Double = time(selAgg(
+      spark.read.format("graft-snapshot").option("path", dir)
+        .option("pageFilter", "true").load()))
+    val selPageSec = selPage()
     rawOn = rawDelta(selAgg(spark.read.format("graft-snapshot")
       .option("path", dir).load()))
     rawOff = rawDelta(selAgg(spark.read.format("graft-snapshot")
       .option("path", dir).option("parquetFilter", "false").load()))
+    val rawPage = rawDelta(selAgg(spark.read.format("graft-snapshot")
+      .option("path", dir).option("pageFilter", "true").load()))
     val selNatSec = time(selAgg(spark.read.parquet(files: _*)))
     println(f"""{"columnar_sec":$colSec%.3f,"row_sec":$rowSec%.3f,""" +
       f""""native_sec":$natSec%.3f,""" +
@@ -90,9 +102,11 @@ object ScanBench {
       f""""columnar_over_native":${colSec / natSec}%.2f,""" +
       f""""selective_sec":$selOnSec%.3f,""" +
       f""""selective_nopush_sec":$selOffSec%.3f,""" +
+      f""""selective_page_sec":$selPageSec%.3f,""" +
       f""""selective_native_sec":$selNatSec%.3f,""" +
       f""""selective_raw_rows":$rawOn,""" +
       f""""selective_nopush_raw_rows":$rawOff,""" +
+      f""""selective_page_raw_rows":$rawPage,""" +
       f""""selective_over_native":${selOnSec / selNatSec}%.2f}""")
     spark.stop()
   }

@@ -44,8 +44,24 @@ private[sources] object SnapshotParquetFilter {
   def build(constraints: Seq[SnapshotPrune.Constraint],
       fileMsg: MessageType,
       fieldFor: String => Option[String]): Option[FilterPredicate] =
-    constraints.flatMap(translate(_, fileMsg, fieldFor))
-      .reduceOption(FilterApi.and)
+    buildWithFields(constraints, fileMsg, fieldFor).map(_._1)
+
+  /** [[build]] plus the FILE field names the predicate references —
+    * the columns a page-level (column-index) evaluation must see in
+    * the requested projection (a referenced column missing from the
+    * projection evaluates as ALL-NULL there, which would wrongly skip
+    * pages). */
+  def buildWithFields(constraints: Seq[SnapshotPrune.Constraint],
+      fileMsg: MessageType, fieldFor: String => Option[String])
+      : Option[(FilterPredicate, Set[String])] = {
+    val ts = constraints.flatMap(c =>
+      translate(c, fileMsg, fieldFor).map { p =>
+        // translate returning Some implies fieldFor resolved
+        (p, fieldFor(c.col).get)
+      })
+    ts.map(_._1).reduceOption(FilterApi.and)
+      .map(p => (p, ts.map(_._2).toSet))
+  }
 
   import scala.jdk.CollectionConverters._
 

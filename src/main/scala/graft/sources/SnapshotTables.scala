@@ -788,7 +788,8 @@ private[sources] class SnapshotScanBuilder(full: StructType, dir: String,
       options.getLong("maxDeltaRows", 1000000L),
       options.getLong("splitTargetBytes", 128L * 1024 * 1024),
       options.getBoolean("rowMode", false),
-      options.getBoolean("parquetFilter", true))
+      options.getBoolean("parquetFilter", true),
+      options.getBoolean("pageFilter", false))
   }
 }
 
@@ -932,7 +933,12 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     // measurement escape hatch: option("parquetFilter","false") keeps
     // predicates out of the parquet read so the row-group-skipping
     // gain is measured, not asserted
-    pushParquetFilter: Boolean = true) extends Scan with Batch
+    pushParquetFilter: Boolean = true,
+    // opt-in page-level (column-index) filtering: widens the parquet
+    // request by the filter columns so the page evaluation is sound;
+    // default off — the widened decode usually costs more than the
+    // finer-than-stats skip buys (ScanBench records both faces)
+    pageFilter: Boolean = false) extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1172,7 +1178,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
         staticConstraints ++ runtimeConstraints
       else Nil
     new SnapshotReaderFactory(required, SnapshotLog.renamesOf(dir, v),
-      columnar = !changeFeed && !rowMode, constraints = cs)
+      columnar = !changeFeed && !rowMode, constraints = cs,
+      pageFilter = pageFilter)
   }
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -1597,7 +1604,8 @@ private object DeleteFileCaches {
 private class SnapshotReaderFactory(required: StructType,
     renames: Map[String, String] = Map.empty,
     columnar: Boolean = false,
-    constraints: Seq[SnapshotPrune.Constraint] = Nil)
+    constraints: Seq[SnapshotPrune.Constraint] = Nil,
+    pageFilter: Boolean = false)
     extends PartitionReaderFactory {
 
   /** COLUMNAR reads whenever the scan planned them: every partition
@@ -1676,7 +1684,7 @@ private class SnapshotReaderFactory(required: StructType,
           cur = new SnapshotVectorized.ChunkReader(c, p.op, p.commit,
             if (p.posDeletes.isEmpty) null
             else deletedPositions(c.path, p.posDeletes),
-            required, renames, constraints)
+            required, renames, constraints, pageFilter)
         }
         if (cur.nextBatch()) true
         else { cur.close(); cur = null; next() }

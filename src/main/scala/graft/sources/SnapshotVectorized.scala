@@ -74,7 +74,8 @@ private[graft] object SnapshotVectorized {
   final class ChunkReader(chunk: SnapChunk, op: String, commit: Long,
       dead: java.util.HashSet[java.lang.Long],
       required: StructType, renames: Map[String, String],
-      constraints: Seq[SnapshotPrune.Constraint] = Nil) {
+      constraints: Seq[SnapshotPrune.Constraint] = Nil,
+      pageFilter: Boolean = false) {
     import scala.jdk.CollectionConverters._
 
     private val file = chunk.path
@@ -156,6 +157,57 @@ private[graft] object SnapshotVectorized {
       dataFieldPos ++ probeExtra.map(_.name)
         .zipWithIndex.map { case (n, i) => n -> (dataReq.size + i) }
 
+    private val filterBuilt = SnapshotParquetFilter.buildWithFields(
+      constraints, fileMsg, fieldFor)
+
+    // ---- page-level filtering opt-in (`pageFilter` scan option) -----
+    // Column-index (page) evaluation runs against the REQUESTED
+    // projection, so every filter-referenced column must ride it:
+    // extra requested-but-never-emitted columns, the probeExtra shape.
+    // Only annotation-free primitives (and string-annotated binary)
+    // widen — anything else refuses, and the page level stays off for
+    // the chunk unless EVERY referenced field is served (a missing one
+    // evaluates all-null there and would wrongly skip pages). The
+    // price is real decode of the widened columns on every surviving
+    // page; ScanBench records both faces, default off.
+    private def pageSparkType(
+        t: org.apache.parquet.schema.Type): Option[DataType] = {
+      if (!t.isPrimitive) return None
+      val p = t.asPrimitiveType()
+      val ann = p.getLogicalTypeAnnotation
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+      p.getPrimitiveTypeName match {
+        case INT64 if ann == null => Some(LongType)
+        case INT32 if ann == null => Some(IntegerType)
+        case DOUBLE => Some(DoubleType)
+        case FLOAT => Some(FloatType)
+        case BOOLEAN => Some(BooleanType)
+        case BINARY if ann != null && ann.isInstanceOf[
+          org.apache.parquet.schema.LogicalTypeAnnotation
+            .StringLogicalTypeAnnotation] => Some(StringType)
+        case _ => None
+      }
+    }
+    private val filterExtra: Seq[StructField] =
+      if (!pageFilter) Nil
+      else {
+        val served = (dataReq.map(_._2.name) ++
+          probeExtra.map(_.name)).toSet
+        filterBuilt.map(_._2).getOrElse(Set.empty[String])
+          .filterNot(served).toSeq.sorted
+          .flatMap { f =>
+            fileMsg.getFields.asScala.find(_.getName == f)
+              .flatMap(pageSparkType)
+              .map(dt => StructField(f, dt, nullable = true))
+          }
+      }
+    private val pageFilterOn: Boolean = pageFilter && filterBuilt.exists {
+      case (_, fs) =>
+        val served = (dataReq.map(_._2.name) ++ probeExtra.map(_.name) ++
+          filterExtra.map(_.name)).toSet
+        fs.subsetOf(served)
+    }
+
     private val needRowIdx =
       deadMasked || required.fieldNames.contains(posName)
     private val masked = deadMasked || activeVecs.nonEmpty
@@ -165,12 +217,13 @@ private[graft] object SnapshotVectorized {
     // writable for the per-batch generator — a required missing
     // column is a loud error instead
     private val requested = StructType(dataReq.map(_._2) ++
-      probeExtra ++
+      probeExtra ++ filterExtra ++
       (if (needRowIdx)
         Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
           LongType, nullable = true))
       else Nil))
-    private val rowIdxPos = dataReq.size + probeExtra.size
+    private val rowIdxPos =
+      dataReq.size + probeExtra.size + filterExtra.size
 
     // the constant stamps, appended by the reader AFTER the requested
     // columns (its partition-value mechanism)
@@ -178,8 +231,7 @@ private[graft] object SnapshotVectorized {
       required.fields.toSeq.filter(f => metaNames(f.name))
     private val constBase = requested.size
 
-    private val filterPred = SnapshotParquetFilter.build(
-      constraints, fileMsg, fieldFor)
+    private val filterPred = filterBuilt.map(_._1)
 
     // PRE-SKIP: when the pushed filter already excludes EVERY row
     // group of this chunk (a statistics-level check over the footer
@@ -234,12 +286,14 @@ private[graft] object SnapshotVectorized {
           // from it as ALL-NULL — a pruned-output query (count(*)
           // WHERE ok = …) would return zero rows. Row-group statistics
           // and dictionary filtering evaluate against the FILE's own
-          // metadata, projection-independent — keep those, drop the
-          // page level. (The alternative — widening the projection by
-          // every filter column — pays real decode on every surviving
-          // group for a finer skip that stats rarely miss.)
+          // metadata, projection-independent — keep those; enable the
+          // page level only under the `pageFilter` opt-in AND when
+          // every referenced column rides the (widened) projection.
+          // Default off: the widened columns pay real decode on every
+          // surviving page for a finer skip that stats rarely miss
+          // (ScanBench records both faces).
           conf.setBoolean(org.apache.parquet.hadoop.ParquetInputFormat
-            .COLUMN_INDEX_FILTERING_ENABLED, false)
+            .COLUMN_INDEX_FILTERING_ENABLED, pageFilterOn)
         }
       val split = new FileSplit(new Path(file), chunk.start, chunkLen,
         Array.empty[String])

@@ -218,4 +218,50 @@ class ParquetFilterSpec extends SparkSpec {
       s"the rename/widen translation must still skip groups " +
         s"(decoded $raw)")
   }
+
+  test("pageFilter opt-in skips pages inside a row group; result exact") {
+    import spark.implicits._
+    val dir = fresh("page")
+    val n = 200000L
+    // ONE row group (big block), many SMALL pages: stats-level
+    // skipping has nothing to cut, the column index is the only lever
+    (0L until n).map(i => (i, s"s${"%07d".format(i)}", i % 7))
+      .toDF("id", "s", "g")
+      .coalesce(1).write
+      .option("parquet.block.size", (256L * 1024 * 1024).toString)
+      .option("parquet.page.size", "4096")
+      .option("parquet.page.row.count.limit", "1000")
+      .parquet(s"$dir/data")
+    val f = SnapshotLog.dataFiles(s"$dir/data").head
+    SnapshotLog.commitEntries(dir, Seq(
+      SnapshotLog.FileEntry(f, "D", "", Map.empty, seq = 1L,
+        rows = n, bytes = SnapshotLog.statBytes(f))))
+    def q(page: Boolean) = spark.read.format("graft-snapshot")
+      .option("path", dir).option("pageFilter", page.toString).load()
+      .filter(col("id").between(50000L, 50100L))
+    // default (page level off): the single group's stats admit — full
+    // decode. The page-level path must return the identical answer
+    // even on a PRUNED projection that drops the filter column (the
+    // all-null hazard the projection widening exists to close).
+    var defRows: Seq[String] = Nil
+    var pageRows: Seq[String] = Nil
+    val rawDef = decoded {
+      defRows = q(page = false).select("s").as[String].collect().toSeq
+    }
+    val rawPage = decoded {
+      pageRows = q(page = true).select("s").as[String].collect().toSeq
+    }
+    assert(defRows.size == 101 && pageRows.sorted == defRows.sorted)
+    assert(rawDef == n,
+      s"one row group: stats-level skipping must decode all (got $rawDef)")
+    assert(rawPage < n / 4,
+      s"pageFilter must skip non-matching pages (decoded $rawPage)")
+    // count(*) shape: zero output columns, filter column ridden in
+    var cDef = 0L; var cPage = 0L
+    val rawCnt = decoded { cPage = q(page = true).count() }
+    cDef = q(page = false).count()
+    assert(cDef == 101L && cPage == 101L)
+    assert(rawCnt < n / 4,
+      s"pruned-output pageFilter must stay exact AND skip (decoded $rawCnt)")
+  }
 }
