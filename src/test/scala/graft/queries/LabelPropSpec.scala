@@ -23,7 +23,11 @@ class LabelPropSpec extends SparkSpec {
         spark.conf.set("spark.graft.labelprop.broadcastMaxNodes", _))
       try {
         val df = graft.SparkEntry.queries("g2_label_prop")(spark, sf)
-        val plan = graft.Plans.formatted(df)
+        // the ANALYZED plan retains the per-round broadcast hints —
+        // the decision's witness; the physical plan can coincide at
+        // fixture size because the planner broadcasts the tiny label
+        // table on its own size estimate either way
+        val plan = df.queryExecution.analyzed.toString
         val rows = df.collect()
           .map(r => r.getLong(0) -> r.getLong(1)).toMap
         graft.Caches.clearTransient()
@@ -35,25 +39,24 @@ class LabelPropSpec extends SparkSpec {
       }
     }
     val (bRows, bPlan) = run(Some("broadcast"), None)
-    val (sRows, _) = run(Some("shuffle"), None)
+    val (sRows, sPlan) = run(Some("shuffle"), None)
     assert(bRows.nonEmpty && sRows == bRows, "g2 join arms disagree")
-    // the explicit-broadcast arm MUST plan broadcast joins (hinted);
-    // the shuffle arm's physical choice is the planner's at fixture
-    // size, so only row equality is pinned for it
-    assert(bPlan.contains("BroadcastHashJoin"),
-      s"broadcast arm did not plan a broadcast join:\n${bPlan.take(2000)}")
-    // auto, cap 0: every node set exceeds it → the shuffle arm (no
-    // broadcast HINT in the round joins; rows must still agree)
+    // the broadcast arm hints every round join; the shuffle arm's
+    // physical choice is the planner's at fixture size, so the HINT
+    // in the analyzed plan is the decision's witness on both sides
+    assert(bPlan.contains("ResolvedHint"),
+      s"broadcast arm carries no broadcast hint:\n${bPlan.take(2000)}")
+    assert(!sPlan.contains("ResolvedHint"),
+      s"shuffle arm must not hint a broadcast:\n${sPlan.take(2000)}")
+    // auto, cap 0: every node set exceeds it → the shuffle arm
     val (loRows, loPlan) = run(None, Some("0"))
     // auto, default cap (8M): fixture far under → the broadcast arm
     val (hiRows, hiPlan) = run(None, None)
     assert(loRows == bRows && hiRows == bRows, "auto arms disagree")
-    assert(hiPlan.contains("BroadcastHashJoin"),
-      s"auto under the cap did not broadcast:\n${hiPlan.take(2000)}")
-    // the hint is the decision's witness: over the cap the round joins
-    // carry no ResolvedHint, so any remaining broadcast is the
-    // planner's own size call, never the auto arm's
-    assert(loPlan != hiPlan, "auto cap had no effect on the plan")
+    assert(hiPlan.contains("ResolvedHint"),
+      s"auto under the cap did not pick broadcast:\n${hiPlan.take(2000)}")
+    assert(!loPlan.contains("ResolvedHint"),
+      s"auto over the cap still picked broadcast:\n${loPlan.take(2000)}")
   }
 
   test("k rounds on a path graph: label(v) == max(1, v - k)") {
