@@ -770,6 +770,20 @@ object SnapshotLog {
           : Boolean = size() > 256
     })
 
+  /** the self-invalidating FILE IDENTITY of snapshot `v`'s manifest
+    * (one stat call) — lets derived-metadata memos outside this object
+    * (e.g. the scan's statistics) key on the same "re-created table
+    * directory mints a new identity" contract the caches above use. */
+  private[graft] def manifestIdOf(tableDir: String, v: Int): Option[AnyRef] = {
+    val m = manifestDir(tableDir).resolve(s"v$v.manifest")
+    if (!Files.exists(m)) None
+    else {
+      val a = Files.readAttributes(m,
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some(ManifestId(a.fileKey(), a.size(), a.lastModifiedTime().toMillis))
+    }
+  }
+
   def labelSummary(tableDir: String, v: Int): LabelSummary = {
     val m = manifestDir(tableDir).resolve(s"v$v.manifest")
     require(Files.exists(m), s"no snapshot v$v at $tableDir")

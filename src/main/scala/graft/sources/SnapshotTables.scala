@@ -130,6 +130,38 @@ object SnapshotTables {
           "read it via option(\"branch\", ...) or publish first"))
   }
 
+  /** memoized (sumBytes, sumRows | -1) of the DATA entries surviving
+    * a static constraint set in snapshot (dir, v) — the scan's
+    * statistics. Keyed on the manifest's self-invalidating FILE
+    * IDENTITY plus the rendered constraints, bounded LRU; an eviction
+    * or a re-created table directory is a re-fold, never a stale
+    * answer. Also memoizes [[SnapshotLog.sizeOf]]'s filesystem stats
+    * for legacy entries without recorded bytes. */
+  private val statsMemo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (AnyRef, Long, Long)](
+      64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (AnyRef, Long, Long)])
+          : Boolean = size() > 512
+    })
+  private[sources] def statsFor(dir: String, v: Int,
+      cs: Seq[SnapshotPrune.Constraint]): (Long, Long) = {
+    val id = SnapshotLog.manifestIdOf(dir, v).orNull
+    val key = s"$dir#$v#${cs.mkString("&")}"
+    val hit = if (id == null) null else statsMemo.get(key)
+    if (hit != null && hit._1 == id) (hit._2, hit._3)
+    else {
+      val survivors = SnapshotLog.entries(dir, v).filter(e =>
+        e.kind == "D" && cs.forall(SnapshotPrune.survives(e, _)))
+      val bytes = survivors.map(SnapshotLog.sizeOf).sum
+      val rows =
+        if (survivors.exists(_.rows < 0L)) -1L
+        else survivors.map(_.rows).sum
+      if (id != null) statsMemo.put(key, (id, bytes, rows))
+      (bytes, rows)
+    }
+  }
+
   /** `TIMESTAMP AS OF` over the PUBLISHED line only — a staged commit's
     * stamp never resolves for an unpinned reader. */
   private[sources] def resolveTimestampVisible(dir: String, ts: Long): Int = {
@@ -1082,32 +1114,32 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     * decision every dimension-table join at 100 TB depends on.
     */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics =
+      : org.apache.spark.sql.connector.read.Statistics = {
+    // statistics reflect STATIC pruning: a WHERE-filtered lake scan
+    // reports the surviving entries' size, so Catalyst can broadcast
+    // a small selected slice of a huge table — the join decision at
+    // 100 TB. Row counts come from the manifest when every survivor
+    // recorded one (delete vectors make counts an over-statement —
+    // still a sound upper bound for planning). The survivor fold is
+    // MEMOIZED per (manifest identity, constraint set): every plan of
+    // the same pinned version asks for statistics, and re-walking a
+    // million entries per plan was the last repeated O(files) pass on
+    // the plan path.
+    val (bytes, rows) =
+      if (changeFeed) (-1L, -1L)
+      else {
+        val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+        SnapshotTables.statsFor(dir, v, staticConstraints)
+      }
     new org.apache.spark.sql.connector.read.Statistics {
-      // statistics reflect STATIC pruning: a WHERE-filtered lake scan
-      // reports the surviving entries' size, so Catalyst can broadcast
-      // a small selected slice of a huge table — the join decision at
-      // 100 TB. Row counts come from the manifest when every survivor
-      // recorded one (delete vectors make counts an over-statement —
-      // still a sound upper bound for planning).
-      private val survivors =
-        if (changeFeed) Nil
-        else {
-          val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
-          SnapshotLog.entries(dir, v).filter(e =>
-            e.kind == "D" && staticConstraints.forall(survives(e, _)))
-        }
-      private val bytes: java.util.OptionalLong =
-        if (changeFeed) java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(
-          survivors.map(SnapshotLog.sizeOf).sum)
-      private val rows: java.util.OptionalLong =
-        if (changeFeed || survivors.exists(_.rows < 0L))
-          java.util.OptionalLong.empty()
-        else java.util.OptionalLong.of(survivors.map(_.rows).sum)
-      override def sizeInBytes(): java.util.OptionalLong = bytes
-      override def numRows(): java.util.OptionalLong = rows
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes < 0L) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        if (rows < 0L) java.util.OptionalLong.empty()
+        else java.util.OptionalLong.of(rows)
     }
+  }
   override def toBatch: Batch = {
     require(!changeFeed,
       "changeFeed=true is a STREAMING read (use readStream); the batch " +
