@@ -1048,9 +1048,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
         // planning (runtimeConstraints is Nil until filter(), so the
         // pre-runtime declaration is unchanged). Typed tuples, not raw
         // label strings ("m=1" vs "m=01").
-        val cs = staticConstraints ++ runtimeConstraints
-        val n = SnapshotLog.entries(dir, v).filter(e =>
-          e.kind == "D" && cs.forall(survives(e, _)))
+        val rcs = runtimeConstraints
+        val n = dataStatic.filter(e => rcs.forall(survives(e, _)))
           .map(typedKeyOf).distinct.size
         new org.apache.spark.sql.connector.read.partitioning
           .KeyGroupedPartitioning(
@@ -1094,6 +1093,19 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
   private val staticConstraints: Seq[SnapshotPrune.Constraint] =
     SnapshotPrune.parseConstraints(staticPreds)
   private var runtimeConstraints: Seq[SnapshotPrune.Constraint] = Nil
+
+  /** the DATA entries surviving the STATIC constraints, folded once
+    * per scan: outputPartitioning (possibly queried several times)
+    * and planInputPartitions otherwise each re-walk the full entry
+    * list re-checking the fixed static set per entry; only the
+    * runtime (DPP) re-filter varies after build. Per-scan lazy — no
+    * global cache to pin entry lists beyond the parse caches'
+    * budgets. */
+  private lazy val dataStatic: Seq[SnapshotLog.FileEntry] = {
+    val v = versionAsOf.getOrElse(SnapshotTables.defaultVersion(dir))
+    SnapshotLog.entries(dir, v).filter(e =>
+      e.kind == "D" && staticConstraints.forall(survives(e, _)))
+  }
 
   override def filter(
       predicates: Array[
@@ -1158,8 +1170,8 @@ private class SnapshotScan(dir: String, versionAsOf: Option[Int],
     // broadcast anti-join, executed as a per-task hash probe.
     val eqVecs = es.filter(_.kind == "X")
     val posDeletes = es.filter(_.kind == "P").map(_.path)
-    val cs = staticConstraints ++ runtimeConstraints
-    val data = es.filter(e => e.kind == "D" && cs.forall(survives(e, _)))
+    val rcs = runtimeConstraints
+    val data = dataStatic.filter(e => rcs.forall(survives(e, _)))
     def keyOf(e: SnapshotLog.FileEntry): Option[Seq[Any]] =
       if (groupCols.isEmpty) None else Some(typedKeyOf(e))
     // the equality vectors applying to each file, resolved seq-scoped
